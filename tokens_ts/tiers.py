@@ -1,0 +1,140 @@
+"""Cascading continuous aggregates: raw → 1m → 1h → 1d retention tiers.
+
+The geomatics analog is its per-time-step statistics list (reference:
+geomatics/timeseries.py `_array_to_stat_list`-style helper, UNVERIFIED —
+SURVEY.md §2.3); the north rule (BASELINE.json:14) lifts those stats
+into tumbling-window rollups with *algebraic partial state* so coarser
+tiers merge exactly from finer ones without touching raw data:
+
+    state  = (cnt, sum, min, max, sum_sq)
+    merge  = (Σcnt, Σsum, min(min), max(max), Σsum_sq)      -- exact
+    finish = mean = sum/cnt ; std = sqrt(sum_sq/cnt − mean²)  (ddof=0)
+
+Median/percentiles are NOT mergeable (SURVEY.md §7.3#1) — they are
+computed per tier straight from raw with Spark 4's exact F.median /
+F.percentile.
+
+Window start is `date_trunc(unit, ts)` — left-closed, left-labeled,
+UTC — identical semantics to pandas resample and DuckDB date_trunc,
+which is what makes the three-way oracle comparison exact.
+
+Scale notes (SURVEY.md §4): groupBy here is a hash aggregate with
+map-side partial combine; the explicit salted two-phase variant
+(`rollup_salted`) exists for Zipf-skewed sources where a single
+(source, window) key would overload one reducer at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tokens_ts import config as C
+
+KEYS = ["source", "series_id"]
+STATE_COLS = ["cnt", "sum", "min", "max", "sum_sq"]
+
+
+def _trunc(tier: str):
+    return C.TIER_TRUNC[tier]
+
+
+def rollup(raw: DataFrame, tier: str = "1m") -> DataFrame:
+    """raw (source, series_id, event_ts, value) → tier partial state."""
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    return raw.groupBy(*KEYS, w).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+    )
+
+
+def cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Merge a finer tier's partial states into a coarser tier (A3).
+
+    Exact for all algebraic stats — the cascade-associativity property
+    roll(1h, raw) == cascade(roll(1m, raw), '1h') is pinned by tests.
+    """
+    w = F.date_trunc(_trunc(tier), F.col("window_start")).alias("window_start")
+    return tier_df.groupBy(*KEYS, w).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+
+
+def finish(tier_df: DataFrame) -> DataFrame:
+    """Attach derived finishers mean / std (population, ddof=0)."""
+    mean = F.col("sum") / F.col("cnt")
+    var = F.greatest(
+        F.col("sum_sq") / F.col("cnt") - mean * mean, F.lit(0.0)
+    )
+    return tier_df.withColumn("mean", mean).withColumn("std", F.sqrt(var))
+
+
+def exact_quantiles(
+    raw: DataFrame, tier: str, percentiles: Sequence[float] = (0.5,)
+) -> DataFrame:
+    """Per-tier exact median/percentiles straight from raw (A4).
+
+    Spark 4's F.median / F.percentile use linear interpolation — the
+    same method as np.nanpercentile(method='linear') and DuckDB
+    quantile_cont. `percentile_approx` is reserved for the explicitly
+    approximate web-scale path (not used on the correctness path).
+    """
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    aggs = [F.median("value").alias("median")]
+    for p in percentiles:
+        if p == 0.5:
+            continue
+        aggs.append(F.percentile("value", p).alias(f"p{int(round(p * 100)):02d}"))
+    return raw.groupBy(*KEYS, w).agg(*aggs)
+
+
+def rollup_salted(raw: DataFrame, tier: str = "1m", nsalt: int = C.DEFAULT_NSALT) -> DataFrame:
+    """Explicit salted two-phase rollup for skewed sources (A8).
+
+    Phase 1 groups by (keys, window, salt) — the hot key's rows spread
+    over `nsalt` reducers; phase 2 merges the (tiny) per-salt partial
+    states. Result is bit-identical to `rollup` because the state is
+    algebraic. Salt is a deterministic hash of the row so reruns are
+    reproducible (no rand()).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col("event_ts"), F.coalesce(F.col("value"), F.lit(0.0))),
+        F.lit(nsalt),
+    ).alias("_salt")
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    phase1 = raw.groupBy(*KEYS, w, salt).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+    )
+    return phase1.groupBy(*KEYS, "window_start").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+
+
+def build_all_tiers(raw: DataFrame) -> dict[str, DataFrame]:
+    """raw → {'1m': ..., '1h': ..., '1d': ...} partial-state frames.
+
+    1h/1d are cascaded from 1m (never recomputed from raw) — this is
+    the incremental path: at 10^12 scale each cascade step reads ~60×
+    less data than the tier below it.
+    """
+    t1m = rollup(raw, "1m")
+    t1h = cascade(t1m, "1h")
+    t1d = cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
