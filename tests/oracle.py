@@ -149,10 +149,12 @@ def cascade(tier_df: pd.DataFrame, tier: str) -> pd.DataFrame:
     df["window_start"] = df["window_start"].dt.floor(_FREQ[tier])
     out = df.groupby(["source", "series_id", "window_start"], as_index=False).agg(
         cnt=("cnt", "sum"),
-        sum=("sum", "sum"),
+        # min_count=1: all-nan partials merge to nan, matching Spark's
+        # null-skipping F.sum over all-null inputs (empty window ≠ 0)
+        sum=("sum", lambda s: s.sum(min_count=1)),
         min=("min", "min"),
         max=("max", "max"),
-        sum_sq=("sum_sq", "sum"),
+        sum_sq=("sum_sq", lambda s: s.sum(min_count=1)),
     )
     return out.sort_values(["source", "series_id", "window_start"]).reset_index(drop=True)
 

@@ -1,0 +1,115 @@
+"""Tier rollup + cascade vs oracle; cascade associativity; salting parity."""
+
+import math
+
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from tests import oracle
+from tokens_ts import extract, tiers
+
+REL = 1e-12
+
+
+@pytest.fixture(scope="module")
+def raw(spark, seq_tiny):
+    wide = extract.full_stats(seq_tiny, stats=["mean", "max"])
+    df = extract.to_raw(wide)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def raw_pd(seq_tiny_pd):
+    rows = []
+    for _, r in seq_tiny_pd.iterrows():
+        v = oracle.masked(r["tokens"])
+        for sid, st in (("full_mean", "mean"), ("full_max", "max")):
+            rows.append(
+                {
+                    "source": r["source"],
+                    "series_id": sid,
+                    "event_ts": r["event_ts"],
+                    "value": oracle.stat(v, st),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _cmp_tier(got_df, exp_pd, cols=("cnt", "sum", "min", "max", "sum_sq")):
+    got = got_df.orderBy("source", "series_id", "window_start").collect()
+    assert len(got) == len(exp_pd), (len(got), len(exp_pd))
+    for g, (_, e) in zip(got, exp_pd.iterrows()):
+        assert g["source"] == e["source"] and g["series_id"] == e["series_id"]
+        assert g["window_start"] == e["window_start"].to_pydatetime().replace(tzinfo=None)
+        for c in cols:
+            gv, ev = g[c], e[c]
+            if gv is None or (isinstance(gv, float) and math.isnan(gv)):
+                assert ev is None or (isinstance(ev, float) and math.isnan(ev)), (c, g, e)
+            else:
+                # std amplifies summation-order ulps by ~mean²/var via the
+                # one-pass cancellation — 1e-9 instead of 1e-12 there
+                rel = 1e-9 if c == "std" else REL
+                assert math.isclose(float(gv), float(ev), rel_tol=rel, abs_tol=1e-9), (c, g, e)
+
+
+def test_rollup_1m(raw, raw_pd):
+    _cmp_tier(tiers.rollup(raw, "1m"), oracle.rollup(raw_pd, "1m"))
+
+
+def test_cascade_1h_1d(raw, raw_pd):
+    t = tiers.build_all_tiers(raw)
+    e1m = oracle.rollup(raw_pd, "1m")
+    _cmp_tier(t["1h"], oracle.cascade(e1m, "1h"))
+    _cmp_tier(t["1d"], oracle.cascade(oracle.cascade(e1m, "1h"), "1d"))
+
+
+def test_cascade_associativity(raw):
+    """roll(1h, raw) == cascade(roll(1m, raw), '1h') — exact."""
+    direct = tiers.rollup(raw, "1h")
+    cascaded = tiers.cascade(tiers.rollup(raw, "1m"), "1h")
+    d = {tuple(r[:3]): r for r in direct.collect()}
+    c = {tuple(r[:3]): r for r in cascaded.collect()}
+    assert d.keys() == c.keys()
+    def eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return math.isclose(a, b, rel_tol=REL)
+
+    for k in d:
+        assert d[k]["cnt"] == c[k]["cnt"]
+        assert eq(d[k]["sum"], c[k]["sum"])
+        assert d[k]["min"] == c[k]["min"] and d[k]["max"] == c[k]["max"]
+        assert eq(d[k]["sum_sq"], c[k]["sum_sq"])
+
+
+def test_finish(raw, raw_pd):
+    got = tiers.finish(tiers.rollup(raw, "1h"))
+    exp = oracle.finish(oracle.rollup(raw_pd, "1h"))
+    _cmp_tier(got, exp, cols=("cnt", "mean", "std"))
+
+
+def test_exact_quantiles(raw, raw_pd):
+    got = tiers.exact_quantiles(raw, "1h", percentiles=(0.5, 0.95))
+    exp = oracle.exact_quantiles(raw_pd, "1h", percentiles=(0.5, 0.95))
+    _cmp_tier(got, exp, cols=("median", "p95"))
+
+
+def test_salted_rollup_identical(raw):
+    """Salted two-phase agg must be bit-identical to the plain rollup."""
+    plain = {tuple(r[:3]): r for r in tiers.rollup(raw, "1m").collect()}
+    salted = {tuple(r[:3]): r for r in tiers.rollup_salted(raw, "1m", nsalt=8).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k]["cnt"] == salted[k]["cnt"]
+        assert plain[k]["min"] == salted[k]["min"]
+        assert plain[k]["max"] == salted[k]["max"]
+        assert math.isclose(plain[k]["sum"], salted[k]["sum"], rel_tol=1e-12)
+
+
+def test_salted_plan_two_stage(raw):
+    """The salted plan must contain two shuffle-separated aggregations."""
+    plan = tiers.rollup_salted(raw, "1m")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2

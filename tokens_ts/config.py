@@ -14,9 +14,14 @@ PAD_ID = 0          # fill-value sentinel (geomatics fill_value=-9999 analog,
                     # UNVERIFIED — SURVEY.md §1.1 / P4)
 PAD_THRESHOLD = V // 50   # recurrence value < this → PAD_ID (≈2% of cells)
 
-# per-source token recurrence params: tokens[i] = (a_s*k + b_s*i + c_s) % V
+# per-source token recurrence params: tokens[i] = (a_s*k + b_s*i + c_s) % V.
+# Multipliers are large odd numbers so the recurrence wraps mod V even at
+# tiny k (small multipliers would leave whole sources below PAD_THRESHOLD);
+# odd b_s → gcd(b_s, 2^17) = 1 → full-period position progression.
+A_MULT = 104729   # prime
+B_MULT = 40503    # odd
 def src_params(s: int) -> tuple[int, int, int]:
-    return 2 * s + 1, 4 * s + 3, s * s + 7
+    return (A_MULT * (2 * s + 1)) % V, (B_MULT * (4 * s + 3)) % V, s * s + 7
 
 # ---- event-time grid (FIXTURES.md §1, SURVEY.md §5.3) ----------------------
 T0_EPOCH = 1767225600           # 2026-01-01T00:00:00Z

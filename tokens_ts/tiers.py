@@ -70,10 +70,15 @@ def cascade(tier_df: DataFrame, tier: str) -> DataFrame:
 
 
 def finish(tier_df: DataFrame) -> DataFrame:
-    """Attach derived finishers mean / std (population, ddof=0)."""
+    """Attach derived finishers mean / std (population, ddof=0).
+
+    cnt=0 windows (all values null) finish to null — note
+    F.greatest(null, 0.0) would silently yield 0.0, hence the guard.
+    """
     mean = F.col("sum") / F.col("cnt")
-    var = F.greatest(
-        F.col("sum_sq") / F.col("cnt") - mean * mean, F.lit(0.0)
+    var = F.when(
+        F.col("cnt") > 0,
+        F.greatest(F.col("sum_sq") / F.col("cnt") - mean * mean, F.lit(0.0)),
     )
     return tier_df.withColumn("mean", mean).withColumn("std", F.sqrt(var))
 
