@@ -1,0 +1,93 @@
+"""Gap-fill (align/ffill/interp) vs pandas oracle; as-of join vs merge_asof."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests import oracle
+from tokens_ts import extract, gapfill, grid
+
+
+@pytest.fixture(scope="module")
+def raw(spark, seq_tiny):
+    return extract.to_raw(extract.point(seq_tiny, 7)).cache()
+
+
+@pytest.fixture(scope="module")
+def raw_pd(seq_tiny_pd):
+    rows = []
+    for _, r in seq_tiny_pd.iterrows():
+        rows.append(
+            {
+                "source": r["source"],
+                "series_id": "point_p7",
+                "event_ts": r["event_ts"],
+                "value": oracle.sel_point(oracle.masked(r["tokens"]), 7),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _nan_eq(a, b):
+    if a is None or (isinstance(a, float) and math.isnan(a)):
+        return b is None or (isinstance(b, float) and math.isnan(b))
+    return b is not None and math.isclose(float(a), float(b), rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_gapfill_matches_pandas(spark, raw, raw_pd):
+    g = grid.full_grid(spark, k_total=400, n_sources=4)
+    got = gapfill.gapfill(g, raw).orderBy("source", "series_id", "event_ts").collect()
+    exp = oracle.gapfill(oracle.full_grid(400, 4), raw_pd)
+    assert len(got) == len(exp)
+    for gr, (_, er) in zip(got, exp.iterrows()):
+        assert gr["source"] == er["source"]
+        assert gr["event_ts"] == er["event_ts"].to_pydatetime().replace(tzinfo=None)
+        for c in ("value", "ffill", "interp"):
+            assert _nan_eq(gr[c], er[c]), (c, gr, er)
+
+
+def test_interp_no_extrapolation(spark, raw):
+    """Slots before first / after last observation stay null."""
+    g = grid.full_grid(spark, k_total=400, n_sources=4)
+    out = gapfill.gapfill(g, raw)
+    import pyspark.sql.functions as F
+
+    first_bad = out.where(
+        F.col("interp").isNotNull() & F.col("ffill").isNull()
+    ).count()
+    assert first_bad == 0  # interp never fills where even ffill has no prior
+
+
+def test_asof_join_matches_merge_asof(spark, raw, raw_pd):
+    """Probe = every grid slot; build = observed points per (source,series)."""
+    import pyspark.sql.functions as F
+
+    g = grid.full_grid(spark, k_total=100, n_sources=2).withColumn(
+        "series_id", F.lit("point_p7")
+    )
+    got = gapfill.asof_join(
+        g,
+        raw,
+        keys=["source", "series_id"],
+        left_ts="event_ts",
+        right_ts="event_ts",
+        value_cols=["value"],
+    )
+    got_rows = {
+        (r["source"], r["event_ts"]): r["asof_value"]
+        for r in got.collect()
+    }
+    gp = oracle.full_grid(100, 2)
+    gp["series_id"] = "point_p7"
+    exp = pd.merge_asof(
+        gp.sort_values("event_ts"),
+        raw_pd.dropna(subset=["value"]).sort_values("event_ts"),
+        on="event_ts",
+        by=["source", "series_id"],
+        direction="backward",
+    )
+    for _, er in exp.iterrows():
+        k = (er["source"], er["event_ts"].to_pydatetime().replace(tzinfo=None))
+        assert _nan_eq(got_rows[k], er["value"]), (k, got_rows[k], er["value"])

@@ -1,0 +1,159 @@
+"""Gap-fill over per-source event-time grids (SURVEY.md §2.5 G1-G5).
+
+geomatics assumes a complete time grid from its input files (reference:
+geomatics/timeseries.py per-file loop, UNVERIFIED); our per-source
+grids have deterministic holes, and the north rule (BASELINE.json:6)
+mandates forward-fill and linear interpolation over them.
+
+Semantics pinned to pandas (tests/oracle.py):
+  ffill  ≡ Series.ffill()
+  interp ≡ Series.interpolate('time', limit_area='inside')
+           — interior-only, NO extrapolation at either edge, linear in
+           event time (equals index-space interp on uniform grids).
+
+All fills are window functions over (source, series_id) ordered by
+event_ts — one shuffle to co-locate each series, then a single sorted
+pass; no Python. At 10^12 scale each (source, series_id) partition is
+one task's sort — series that outgrow a task should be range-bucketed
+by time with one-slot overlap (the ffill carry value), which composes
+from these same primitives.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def align(grid: DataFrame, raw: DataFrame) -> DataFrame:
+    """Left-join observed raw points onto the full per-source grid (G2).
+
+    grid: (source, event_ts [, k]); raw: (source, series_id, event_ts,
+    value). Every series gets every grid slot of its source — built as
+    grid × distinct series (small dim, broadcast) then a left join.
+    """
+    series = raw.select("source", "series_id").distinct()
+    slots = grid.select("source", "event_ts").join(
+        F.broadcast(series), "source"
+    )
+    return slots.join(raw, ["source", "series_id", "event_ts"], "left")
+
+
+def _w_prev():
+    return (
+        Window.partitionBy("source", "series_id")
+        .orderBy("event_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+
+def _w_next():
+    return (
+        Window.partitionBy("source", "series_id")
+        .orderBy("event_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+
+
+def with_ffill(aligned: DataFrame, value_col: str = "value") -> DataFrame:
+    """Forward-fill: last non-null value at or before each slot (G3)."""
+    return aligned.withColumn(
+        "ffill", F.last(value_col, ignorenulls=True).over(_w_prev())
+    )
+
+
+def with_interp(aligned: DataFrame, value_col: str = "value") -> DataFrame:
+    """Interior linear interpolation in event time (G4).
+
+    v(t) = v_p + (v_n − v_p) · (t − t_p) / (t_n − t_p) between the
+    nearest non-null neighbors; slots before the first / after the last
+    observation stay null (no extrapolation).
+    """
+    v = F.col(value_col)
+    ts = F.col("event_ts").cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(_w_prev())
+    prev_t = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(_w_prev())
+    next_v = F.first(v, ignorenulls=True).over(_w_next())
+    next_t = F.first(F.when(v.isNotNull(), ts), ignorenulls=True).over(_w_next())
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (ts - prev_t) / (next_t - prev_t),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return aligned.withColumn("interp", interp)
+
+
+def gapfill(grid: DataFrame, raw: DataFrame) -> DataFrame:
+    """align + ffill + interp in one pass (shares the two window specs)."""
+    return with_interp(with_ffill(align(grid, raw)))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of (nearest-earlier) join, pd.merge_asof(direction='backward').
+
+    Native union+window form (SURVEY.md G5/J5): tag both sides, union,
+    and carry the build side's last values forward over a per-key sorted
+    window — one shuffle, no Python, no row explosion. Ties (equal
+    timestamps) match, like merge_asof's allow_exact_matches=True.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys + [right_ts]
+    ]
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in r_tagged.columns:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None))
+    u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    # build rows (_side=0) sort before probe rows at equal _ts → exact
+    # matches are visible to the probe row
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    carried_ts = (
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_asof_ts")
+    )
+    out = u.select("*", *carried, carried_ts).where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_ts").cast("double") - F.col("_asof_ts").cast("double")
+        ) <= tolerance_seconds
+        for c in value_cols:
+            out = out.withColumn(
+                f"asof_{c}", F.when(within, F.col(f"asof_{c}"))
+            )
+    drop = ["_side", "_ts", "_asof_ts"] + [f"_r_{c}" for c in value_cols]
+    return out.drop(*drop)
