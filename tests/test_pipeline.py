@@ -1,0 +1,93 @@
+"""Backfill / resume / increment end-to-end over a temp warehouse."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tokens_ts import checkpoint, grid, pipeline
+from tokens_ts.io.catalog import Catalog
+
+
+def _tier_snapshot(spark, root, name):
+    cat = Catalog(root)
+    rows = cat.read(spark, name).drop("day").collect()
+    out = {}
+    for r in rows:
+        out[(r["source"], r["series_id"], r["window_start"])] = (
+            r["cnt"],
+            r["sum"],
+            r["min"],
+            r["max"],
+            r["sum_sq"],
+        )
+    return out
+
+
+def _same(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            if x is None or y is None:
+                assert x is None and y is None, k
+            elif isinstance(x, float):
+                assert math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12), (k, x, y)
+            else:
+                assert x == y, (k, x, y)
+
+
+def test_backfill_resume_identical(spark, seq_tiny, tmp_path):
+    seq = grid.with_event_time(seq_tiny)
+
+    # single-shot reference run
+    ref_root = str(tmp_path / "ref")
+    r = pipeline.run_backfill(spark, seq, ref_root)
+    assert sorted(r["partitions"]) == ["src00", "src01", "src02", "src03"]
+
+    # interrupted run: 2 partitions, then resume
+    root = str(tmp_path / "resumed")
+    r1 = pipeline.run_backfill(spark, seq, root, max_partitions=2)
+    assert len(r1["partitions"]) == 2
+    r2 = pipeline.run_backfill(spark, seq, root)
+    assert sorted(r1["partitions"] + r2["partitions"]) == [
+        "src00", "src01", "src02", "src03",
+    ]
+    # third run: nothing pending, nothing reprocessed
+    r3 = pipeline.run_backfill(spark, seq, root)
+    assert r3["skipped"]
+
+    for name in ("t1m", "t1h", "t1d"):
+        _same(_tier_snapshot(spark, root, name), _tier_snapshot(spark, ref_root, name))
+
+    # lineage: every partition exactly one 'done' attempt, checksums match input
+    m = checkpoint.read_manifest(spark, str(tmp_path / "resumed" / "_lineage"))
+    per = {r["partition_id"]: r for r in m.collect()}
+    assert len(per) == 4
+    assert all(r["attempt"] == 1 for r in per.values())
+    cs = {
+        r["partition_id"]: (r["token_checksum"], r["rows_in"])
+        for r in checkpoint.token_checksum_by_partition(seq).collect()
+    }
+    for p, r in per.items():
+        assert (r["token_checksum"], r["rows_in"]) == cs[p], p
+    assert all(r["points_raw"] > 0 and r["points_1m"] > 0 for r in per.values())
+
+
+def test_increment_matches_full_backfill(spark, seq_tiny, tmp_path):
+    seq = grid.with_event_time(seq_tiny)
+    old = seq.where(F.col("k") < 300)
+    new = seq.where(F.col("k") >= 300)
+
+    full_root = str(tmp_path / "full")
+    pipeline.run_backfill(spark, seq, full_root)
+
+    inc_root = str(tmp_path / "inc")
+    pipeline.run_backfill(spark, old, inc_root)
+    res = pipeline.run_increment(spark, new, inc_root)
+    assert res["touched"]
+
+    for name in ("t1m", "t1h", "t1d"):
+        _same(
+            _tier_snapshot(spark, inc_root, name),
+            _tier_snapshot(spark, full_root, name),
+        )

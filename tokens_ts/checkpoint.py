@@ -1,0 +1,121 @@
+"""Checkpoint manifest: per-partition lineage + metrics + resume.
+
+North rule: "resumable from checkpoint with per-partition lineage and
+metrics" (BASELINE.json:14; SURVEY.md §4.4). The unit of work is an
+input partition — `source` in the sandbox, `(source_bucket, day)` at
+10^12 scale; the manifest schema carries both via a string id.
+
+Resume = left_anti join of pending partitions against status='done'
+manifest rows (SURVEY.md J3). Manifest writes are parquet appends of a
+handful of rows per completed batch — atomic enough per partition-file;
+on Iceberg the same append is a snapshot commit.
+
+The token-array-equality invariant travels as `token_checksum`: an
+xor-fold of xxhash64(doc_id, tokens) per partition (order-independent,
+overflow-free) — recomputable at any later stage to prove no rewrite
+touched a token.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("partition_id", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("rows_in", LongType()),
+        StructField("points_raw", LongType()),
+        StructField("points_1m", LongType()),
+        StructField("points_1h", LongType()),
+        StructField("points_1d", LongType()),
+        StructField("token_checksum", LongType()),
+        StructField("wall_ms", DoubleType()),
+        StructField("attempt", LongType()),
+        StructField("job_run_id", StringType()),
+        StructField("ts", DoubleType()),
+    ]
+)
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def token_checksum_by_partition(seq: DataFrame, partition_col: str = "source") -> DataFrame:
+    """(partition_id, rows_in, token_checksum) — the invariant carrier."""
+    return seq.groupBy(F.col(partition_col).alias("partition_id")).agg(
+        F.count("*").alias("rows_in"),
+        F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("token_checksum"),
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def done_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """Distinct partition ids already completed (any attempt)."""
+    return (
+        read_manifest(spark, path)
+        .where(F.col("status") == "done")
+        .select("partition_id")
+        .distinct()
+    )
+
+
+def filter_pending(
+    df: DataFrame, done: DataFrame, partition_col: str = "source"
+) -> DataFrame:
+    """Drop rows whose partition already completed — broadcast anti-join
+    (the done set is tiny: one row per partition, not per data row)."""
+    return df.join(
+        F.broadcast(done.withColumnRenamed("partition_id", partition_col)),
+        partition_col,
+        "left_anti",
+    )
+
+
+def record_done(
+    spark: SparkSession,
+    path: str,
+    lineage_rows: list[dict],
+    job_run_id: str,
+    attempt_base: dict[str, int] | None = None,
+) -> None:
+    now = time.time()
+    attempt_base = attempt_base or {}
+    rows = [
+        Row(
+            partition_id=r["partition_id"],
+            status="done",
+            rows_in=int(r.get("rows_in", 0)),
+            points_raw=int(r.get("points_raw", 0)),
+            points_1m=int(r.get("points_1m", 0)),
+            points_1h=int(r.get("points_1h", 0)),
+            points_1d=int(r.get("points_1d", 0)),
+            token_checksum=int(r.get("token_checksum") or 0),
+            wall_ms=float(r.get("wall_ms", 0.0)),
+            attempt=int(attempt_base.get(r["partition_id"], 0)) + 1,
+            job_run_id=job_run_id,
+            ts=now,
+        )
+        for r in lineage_rows
+    ]
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)

@@ -1,0 +1,86 @@
+"""Table-format abstraction: Iceberg in production, parquet in sandbox.
+
+The north rule targets Iceberg tables (BASELINE.json:14), but this
+sandbox has no iceberg-spark-runtime jar and no network (SURVEY.md §0),
+so the format is isolated here — the ONLY format-aware module.
+
+Production configuration (real cluster, documented for operators):
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.8.x \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=<warehouse-uri>
+
+with table layout
+    CREATE TABLE lake.db.sequences (doc_id string, tokens array<int>,
+      n_tok int, source string)
+    PARTITIONED BY (bucket(256, doc_id), source)
+and tier tables partitioned by (source, days(window_start)). Tier
+refresh uses MERGE INTO / replaceWhere on the touched windows; on the
+parquet fallback the same idempotence comes from dynamic partition
+overwrite (spark.sql.sources.partitionOverwriteMode=dynamic), which
+this module sets per-write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Minimal write/read/exists facade over a warehouse root."""
+
+    def __init__(self, root: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported format: {fmt}")
+        self.root = root.rstrip("/")
+        self.fmt = fmt
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        if self.fmt == "iceberg":
+            return spark.catalog.tableExists(self.path(name))
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f for f in os.listdir(p) if not f.startswith(("_", "."))
+        )
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return spark.read.table(self.path(name))
+        return spark.read.parquet(self.path(name))
+
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_cols: list[str]
+    ) -> None:
+        """Idempotently replace exactly the partitions present in df.
+
+        Iceberg: overwritePartitions() (snapshot-atomic). Parquet:
+        dynamic partition overwrite — same per-partition idempotence,
+        weaker (non-snapshot) atomicity, fine for the sandbox."""
+        if self.fmt == "iceberg":
+            df.writeTo(self.path(name)).overwritePartitions()
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(self.path(name))
+        )
+
+    def append(
+        self, df: DataFrame, name: str, partition_cols: list[str] | None = None
+    ) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(self.path(name)).append()
+            return
+        w = df.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self.path(name))

@@ -1,0 +1,168 @@
+"""Backfill / increment orchestration (SURVEY.md §3.2, §4.3-4.4).
+
+run_backfill: sequences → extraction → raw tier → 1m → 1h → 1d, one
+partition-pruned distributed job per invocation, resumable at input-
+partition granularity via the checkpoint manifest. Rerunning after a
+crash reprocesses only pending partitions; completed partitions are
+skipped by an anti-join and their tier output is untouched (writes are
+idempotent dynamic partition overwrites).
+
+run_increment: append-only micro-batch — recomputes exactly the
+(source, day) tier partitions touched by the new rows, reading back
+only those slices of raw (partition/row-group pruning does the rest).
+This is the batch-incremental realization of "cascading continuous
+aggregates" (BASELINE.json:14): 1h merges 1m partials, 1d merges 1h
+partials, never re-reading raw beyond the touched windows.
+
+All tables live under a Catalog root:
+  sequences                     (input; partitioned by source)
+  raw     (source, day)         extraction output points
+  t1m/t1h/t1d (source, day)     partial-state tier tables
+  _lineage                      checkpoint manifest
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tokens_ts import checkpoint, extract, tiers
+from tokens_ts.io.catalog import Catalog
+
+TIER_NAMES = {"1m": "t1m", "1h": "t1h", "1d": "t1d"}
+
+
+def default_extraction(seq: DataFrame) -> DataFrame:
+    """Flagship extraction: full-array mean/max + point p7 per sequence."""
+    wide = extract.full_stats(seq, stats=["mean", "max"])
+    raw_full = extract.to_raw(wide)
+    raw_pt = extract.to_raw(extract.point(seq, 7))
+    return raw_full.unionByName(raw_pt)
+
+
+def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
+    return df.withColumn("day", F.to_date(F.col(ts_col)))
+
+
+def run_backfill(
+    spark: SparkSession,
+    seq: DataFrame,
+    out_root: str,
+    extraction: Callable[[DataFrame], DataFrame] = default_extraction,
+    max_partitions: int | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Process pending input partitions end-to-end; returns a summary.
+
+    max_partitions bounds how many pending partitions this invocation
+    takes (used by the kill/resume test and by production to shape
+    batch size); None = all pending.
+    """
+    cat = Catalog(out_root, fmt)
+    run_id = checkpoint.new_run_id()
+    manifest_path = cat.path("_lineage")
+
+    done = checkpoint.done_partitions(spark, manifest_path)
+    pending = (
+        seq.select("source").distinct()
+        .join(done.withColumnRenamed("partition_id", "source"), "source", "left_anti")
+        .orderBy("source")
+    )
+    part_ids = [r["source"] for r in pending.collect()]
+    if max_partitions is not None:
+        part_ids = part_ids[:max_partitions]
+    if not part_ids:
+        return {"run_id": run_id, "partitions": [], "skipped": True}
+
+    t_start = time.time()
+    batch = seq.where(F.col("source").isin(part_ids))
+
+    # lineage input side: row counts + token checksums (invariant carrier)
+    lin = {
+        r["partition_id"]: dict(r.asDict())
+        for r in checkpoint.token_checksum_by_partition(batch).collect()
+    }
+
+    raw = _with_day(extraction(batch), "event_ts")
+    cat.overwrite_partitions(raw, "raw", ["source", "day"])
+    raw_w = cat.read(spark, "raw").where(F.col("source").isin(part_ids))
+
+    tier_frames = tiers.build_all_tiers(raw_w.drop("day"))
+    for tier, name in TIER_NAMES.items():
+        cat.overwrite_partitions(
+            _with_day(tier_frames[tier], "window_start"), name, ["source", "day"]
+        )
+
+    # per-partition metrics from the written tables (counts are cheap:
+    # column-pruned scans over just-written partitions)
+    counts: dict[str, dict[str, int]] = {p: {} for p in part_ids}
+    for label, name in [("points_raw", "raw")] + [
+        (f"points_{t}", n) for t, n in TIER_NAMES.items()
+    ]:
+        for r in (
+            cat.read(spark, name)
+            .where(F.col("source").isin(part_ids))
+            .groupBy("source").count().collect()
+        ):
+            counts[r["source"]][label] = r["count"]
+
+    wall_ms = (time.time() - t_start) * 1000.0
+    attempts = {
+        r["partition_id"]: r["attempt"]
+        for r in checkpoint.read_manifest(spark, manifest_path)
+        .groupBy("partition_id")
+        .agg(F.max("attempt").alias("attempt"))
+        .collect()
+    }
+    rows = []
+    for p in part_ids:
+        rows.append(
+            {
+                "partition_id": p,
+                "rows_in": lin.get(p, {}).get("rows_in", 0),
+                "token_checksum": lin.get(p, {}).get("token_checksum", 0),
+                "wall_ms": wall_ms / len(part_ids),
+                **counts[p],
+            }
+        )
+    checkpoint.record_done(spark, manifest_path, rows, run_id, attempts)
+    return {"run_id": run_id, "partitions": part_ids, "skipped": False, "wall_ms": wall_ms}
+
+
+def run_increment(
+    spark: SparkSession,
+    new_seq: DataFrame,
+    out_root: str,
+    extraction: Callable[[DataFrame], DataFrame] = default_extraction,
+    fmt: str = "parquet",
+) -> dict:
+    """Fold an append-only batch of new sequences into raw + all tiers,
+    recomputing only the touched (source, day) tier partitions."""
+    cat = Catalog(out_root, fmt)
+    new_raw = _with_day(extraction(new_seq), "event_ts")
+    new_raw.cache()
+
+    touched = [
+        (r["source"], r["day"])
+        for r in new_raw.select("source", "day").distinct().collect()
+    ]
+    if not touched:
+        return {"touched": []}
+    srcs = sorted({s for s, _ in touched})
+    days = sorted({d for _, d in touched})
+
+    # append new raw points (per-(source,day) idempotence comes from the
+    # caller running increments once; production Iceberg uses MERGE)
+    cat.append(new_raw, "raw", ["source", "day"])
+
+    sel = F.col("source").isin(srcs) & F.col("day").isin([str(d) for d in days])
+    raw_touched = cat.read(spark, "raw").where(sel)
+    t = tiers.build_all_tiers(raw_touched.drop("day"))
+    for tier, name in TIER_NAMES.items():
+        upd = _with_day(t[tier], "window_start").where(sel)
+        cat.overwrite_partitions(upd, name, ["source", "day"])
+    new_raw.unpersist()
+    return {"touched": touched}
