@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — the full north-rule pipeline slice on
+sf0.001 events mapped to the raw tier: 1m rollup cascaded to 1h with
+finishers.
+
+queries()/oracle_sql(): one pair per implemented operator from
+SURVEY.md §2 (see tokens_ts/queries_driver.py). Non-SQL-expressible
+ops (codec blobs, MinHash-LSH, SimHash) have no oracle entry → the
+driver records a rows-only check, per the contract.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → raw tier → 1m rollup → 1h cascade → finish."""
+    from tokens_ts import tiers
+    from tokens_ts.queries_driver import _events_raw
+
+    raw = _events_raw(spark, "/root/testdata/sf0.001")
+    t1h = tiers.finish(tiers.cascade(tiers.rollup(raw, "1m"), "1h"))
+    return t1h
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tokens_ts.queries_driver import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tokens_ts.queries_driver import ORACLES
+
+    return dict(ORACLES)

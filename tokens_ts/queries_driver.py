@@ -1,0 +1,410 @@
+"""Driver-contract query pairs: Spark DataFrame impl + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 gets a (queries, oracle_sql) pair over
+the driver's pre-registered tables (events / documents / embeddings),
+plus synthetic-sequence queries where BOTH engines generate the
+north-rule input table from the FIXTURES.md recurrences — so the
+flagship rollup semantics are checked against an independent engine
+end-to-end.
+
+Cross-engine determinism rules used throughout:
+- timestamps → wall-clock strings (date_format / strftime) or epoch
+  bigints: immune to session-timezone differences;
+- float aggregates → ROUND to fixed decimals (sums 4, means/stds/
+  quantiles 6, sum_sq 2): double summation order differs between
+  engines by ~n·eps·magnitude, far below these rounding grains;
+- ties in top-k → broken by a unique id column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from tokens_ts import config as C
+from tokens_ts import extract, gapfill, tiers
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's events table onto the engine's raw-tier shape."""
+    return _ev(spark, sf_dir).select(
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("series_id"),
+        F.col("ts").alias("event_ts"),
+        F.col("value"),
+    )
+
+
+def _fmt(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def _e(col, k: int):
+    """Scaled-integer canonicalization: round(x*10^k) as bigint.
+
+    Cross-engine value hashing cannot rely on double equality after
+    arithmetic (summation order differs by ulps); integers hash
+    identically everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(float(10 ** k))).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# A2: raw → 1m rollup (partial state)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_rollup_1m",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max,
+           CAST(ROUND(sum(value * value) * 1e2) AS BIGINT) AS sumsq_e2
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_1m(spark, sf_dir):
+    t = tiers.rollup(_events_raw(spark, sf_dir), "1m")
+    return t.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+        _e("sum_sq", 2).alias("sumsq_e2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: cascade 1m → 1h → 1d — oracle computes DIRECTLY from raw, so this
+# checks that merging partial states is exact, not just self-consistent.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_cascade_1h",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_cascade_1h(spark, sf_dir):
+    t1m = tiers.rollup(_events_raw(spark, sf_dir), "1m")
+    t1h = tiers.cascade(t1m, "1h")
+    return t1h.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+    )
+
+
+@q(
+    "ts_cascade_1d_finish",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS mean_e6,
+           CAST(ROUND(stddev_pop(value) * 1e6) AS BIGINT) AS std_e6
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_cascade_1d_finish(spark, sf_dir):
+    t1m = tiers.rollup(_events_raw(spark, sf_dir), "1m")
+    t1d = tiers.finish(tiers.cascade(tiers.cascade(t1m, "1h"), "1d"))
+    return t1d.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("mean", 6).alias("mean_e6"),
+        _e("std", 6).alias("std_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: exact per-tier quantiles from raw (non-mergeable stats)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_quantiles_1h",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(ROUND(median(value) * 1e6) AS BIGINT) AS median_e6,
+           CAST(ROUND(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS p95_e6
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_quantiles_1h(spark, sf_dir):
+    qx = tiers.exact_quantiles(_events_raw(spark, sf_dir), "1h", percentiles=(0.5, 0.95))
+    return qx.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        _e("median", 6).alias("median_e6"),
+        _e("p95", 6).alias("p95_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: salted two-phase aggregation — oracle is the PLAIN group-by, so the
+# salted path must reproduce it exactly.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_salted_rollup_1d",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_salted_rollup_1d(spark, sf_dir):
+    t = tiers.rollup_salted(_events_raw(spark, sf_dir), "1d", nsalt=8)
+    return t.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: grouping sets / rollup report
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_rollup_report",
+    """
+    SELECT coalesce(event_type, 'ALL') AS series_id,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           count(*) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+    """,
+)
+def ts_rollup_report(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.rollup("event_type", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.count("*").alias("cnt"), _e(F.sum("value"), 4).alias("sum_e4"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("series_id"),
+            F.coalesce(F.date_format("_day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            "cnt",
+            "sum_e4",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W5: top-k heavy series (skew detection input for salting)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_topk_users",
+    """
+    SELECT user_id, cnt, rank FROM (
+      SELECT user_id, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def ts_topk_users(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "cnt", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1-G3: per-series minute grid + forward fill
+# ---------------------------------------------------------------------------
+
+_GAPFILL_GRID_SQL = """
+    WITH slot AS (
+      SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(m) AS lo, max(m) AS hi FROM slot GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) AS m
+      FROM bounds b
+    ),
+    joined AS (
+      SELECT g.event_type, g.m, s.v
+      FROM grid g LEFT JOIN slot s ON s.event_type = g.event_type AND s.m = g.m
+    )
+"""
+
+
+@q(
+    "ts_gapfill_ffill",
+    _GAPFILL_GRID_SQL
+    + """
+    SELECT event_type AS series_id,
+           strftime(m, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS value_e6,
+           CAST(ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6) AS BIGINT) AS ffill_e6
+    FROM joined
+    """,
+)
+def ts_gapfill_ffill(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    slot = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("minute", "ts").alias("event_ts"),
+    ).agg(F.avg("value").alias("value"))
+    bounds = slot.groupBy("series_id").agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    )
+    grid_df = bounds.select(
+        "series_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("event_ts"),
+    ).withColumn("source", F.lit("events"))
+    aligned = grid_df.join(
+        slot.withColumn("source", F.lit("events")),
+        ["source", "series_id", "event_ts"],
+        "left",
+    )
+    out = gapfill.with_ffill(aligned)
+    return out.select(
+        "series_id",
+        _fmt("event_ts").alias("slot_ts"),
+        _e("value", 6).alias("value_e6"),
+        _e("ffill", 6).alias("ffill_e6"),
+    )
+
+
+@q(
+    "ts_gapfill_interp",
+    _GAPFILL_GRID_SQL
+    + """
+    , filled AS (
+      SELECT event_type, m, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w_prev AS pt,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w_next AS nt
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY m
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type AS series_id,
+           strftime(m, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           CAST(ROUND((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(m) - epoch(pt)) / (epoch(nt) - epoch(pt))
+             ELSE NULL END) * 1e6) AS BIGINT) AS interp_e6
+    FROM filled
+    """,
+)
+def ts_gapfill_interp(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    slot = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("minute", "ts").alias("event_ts"),
+    ).agg(F.avg("value").alias("value"))
+    bounds = slot.groupBy("series_id").agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    )
+    grid_df = bounds.select(
+        "series_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("event_ts"),
+    ).withColumn("source", F.lit("events"))
+    aligned = grid_df.join(
+        slot.withColumn("source", F.lit("events")),
+        ["source", "series_id", "event_ts"],
+        "left",
+    )
+    out = gapfill.with_interp(aligned)
+    return out.select(
+        "series_id",
+        _fmt("event_ts").alias("slot_ts"),
+        _e("interp", 6).alias("interp_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5/J5: as-of join — DuckDB has native ASOF JOIN as the oracle
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_asof_click_purchase",
+    """
+    SELECT c.event_id,
+           p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def ts_asof_click_purchase(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = gapfill.asof_join(
+        clicks, buys, keys=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return j.select("event_id", "asof_value")
