@@ -229,8 +229,8 @@ def gapfill(grid: pd.DataFrame, raw: pd.DataFrame) -> pd.DataFrame:
 # ---- codecs (C1-C3): normative bit-level spec -------------------------------
 # Delta-of-delta timestamp encoding + Gorilla XOR (Pelkonen et al., VLDB'15).
 # Layout (bit-packed, big-endian within fields):
-#   DoD ts:  64b t0 | 32b zigzag(first delta) | per point: bucket-coded dod
-#            buckets: '0'; '10'+7b; '110'+9b; '1110'+12b; '1111'+32b (zigzag)
+#   DoD ts:  64b t0 | 64b zigzag(first delta) | per point: bucket-coded dod
+#            buckets: '0'; '10'+7b; '110'+9b; '1110'+12b; '1111'+64b (zigzag)
 #   XOR val: 64b v0 bits | per point: '0' same; '10' reuse window + meaningful;
 #            '11' + 5b leading + 6b (meaningful-1) + meaningful bits
 # nan values are carried via the IEEE bit pattern (xor works on raw bits).
@@ -286,7 +286,7 @@ def encode_ts_dod(ts_seconds: np.ndarray) -> bytes:
     if t.size == 1:
         return w.bytes()
     d0 = int(t[1] - t[0])
-    w.write(int(_zigzag(np.array([d0], dtype=np.int64))[0]), 32)
+    w.write(int(_zigzag(np.array([d0], dtype=np.int64))[0]), 64)
     deltas = np.diff(t)
     dod = np.diff(deltas)
     for x in dod:
@@ -301,7 +301,7 @@ def encode_ts_dod(ts_seconds: np.ndarray) -> bytes:
                 break
         else:
             w.write(0b1111, 4)
-            w.write(int(_zigzag(np.array([x], dtype=np.int64))[0]), 32)
+            w.write(int(_zigzag(np.array([x], dtype=np.int64))[0]), 64)
     return w.bytes()
 
 
@@ -314,7 +314,7 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
     out = [t0]
     if n == 1:
         return np.array(out, dtype=np.int64)
-    d = int(_unzigzag(np.array([r.read(32)], dtype=np.uint64))[0])
+    d = int(_unzigzag(np.array([r.read(64)], dtype=np.uint64))[0])
     out.append(t0 + d)
     for _ in range(n - 2):
         if r.read(1) == 0:
@@ -327,7 +327,7 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
             elif r.read(1) == 0:
                 dod = r.read(12) - 2047
             else:
-                dod = int(_unzigzag(np.array([r.read(32)], dtype=np.uint64))[0])
+                dod = int(_unzigzag(np.array([r.read(64)], dtype=np.uint64))[0])
         d += dod
         out.append(out[-1] + d)
     return np.array(out, dtype=np.int64)

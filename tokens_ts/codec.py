@@ -13,10 +13,11 @@ Bit layout (normative; independently re-implemented by tests/oracle.py
 as a cross-check — the two implementations must produce identical
 bytes):
 
-  DoD ts:  8b width marker (64) | 64b t0 | 32b zigzag(first delta)
+  DoD ts:  8b width marker (64) | 64b t0 | 64b zigzag(first delta)
            | per further point: '0' dod=0; '10'+7b  dod∈[-63,64];
              '110'+9b [-255,256]; '1110'+12b [-2047,2048];
-             '1111'+32b zigzag(dod)   (payloads offset-coded from lo)
+             '1111'+64b zigzag(dod)   (payloads offset-coded from lo;
+             64-bit first-delta/escape so microsecond grids fit)
   XOR val: 64b v0 raw IEEE bits | per point: '0' identical bits;
            '10' + meaningful bits (reuse previous leading/length
            window); '11' + 5b leading + 6b (meaningful−1) + bits.
@@ -92,21 +93,27 @@ _DOD_CBITS = np.array([2, 3, 4], dtype=np.int64)
 _DOD_PBITS = np.array([7, 9, 12], dtype=np.int64)
 
 
-def encode_ts_dod(ts_seconds: np.ndarray) -> bytes:
-    t = np.asarray(ts_seconds, dtype=np.int64)
+def encode_ts_dod(ts_units: np.ndarray) -> bytes:
+    """Timestamps in any integer unit (seconds or microseconds)."""
+    t = np.asarray(ts_units, dtype=np.int64)
     head_vals = [np.uint64(64), np.uint64(int(t[0]) & ((1 << 64) - 1))]
     head_widths = [8, 64]
     if t.size >= 2:
         d0 = t[1] - t[0]
         head_vals.append(_zigzag64(np.array([d0]))[0])
-        head_widths.append(32)
+        head_widths.append(64)
     vals = np.array(head_vals, dtype=np.uint64)
     widths = np.array(head_widths, dtype=np.int64)
     if t.size > 2:
         dod = np.diff(np.diff(t))
         n = dod.size
-        fv = np.zeros(n, dtype=np.uint64)
-        fw = np.ones(n, dtype=np.int64)  # default: '0' (dod == 0)
+        # per point: header field + optional payload field (the 4+64-bit
+        # escape exceeds one uint64, so fields are split like the XOR
+        # encoder; zero-width payloads vanish in _pack_fields)
+        hdr_v = np.zeros(n, dtype=np.uint64)
+        hdr_w = np.ones(n, dtype=np.int64)  # default: '0' (dod == 0)
+        pay_v = np.zeros(n, dtype=np.uint64)
+        pay_w = np.zeros(n, dtype=np.int64)
         nz = dod != 0
         # bucket index: 0..2 for the bounded buckets, 3 = escape
         b = np.full(n, 3, dtype=np.int64)
@@ -116,14 +123,19 @@ def encode_ts_dod(ts_seconds: np.ndarray) -> bytes:
         for bi in range(3):
             m = (b == bi) & nz
             if m.any():
-                payload = (dod[m] - _DOD_LO[bi]).astype(np.uint64)
-                fv[m] = (_DOD_CTRL[bi] << np.uint64(_DOD_PBITS[bi])) | payload
-                fw[m] = _DOD_CBITS[bi] + _DOD_PBITS[bi]
+                hdr_v[m] = _DOD_CTRL[bi]
+                hdr_w[m] = _DOD_CBITS[bi]
+                pay_v[m] = (dod[m] - _DOD_LO[bi]).astype(np.uint64)
+                pay_w[m] = _DOD_PBITS[bi]
         m = (b == 3) & nz
         if m.any():
-            zz = _zigzag64(dod[m])
-            fv[m] = (np.uint64(0b1111) << np.uint64(32)) | zz
-            fw[m] = 36
+            hdr_v[m], hdr_w[m] = 0b1111, 4
+            pay_v[m] = _zigzag64(dod[m])
+            pay_w[m] = 64
+        fv = np.empty(2 * n, dtype=np.uint64)
+        fw = np.empty(2 * n, dtype=np.int64)
+        fv[0::2], fw[0::2] = hdr_v, hdr_w
+        fv[1::2], fw[1::2] = pay_v, pay_w
         vals = np.concatenate([vals, fv])
         widths = np.concatenate([widths, fw])
     return _pack_fields(vals, widths)
@@ -148,7 +160,7 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
     out[0] = t0
     if n == 1:
         return out
-    zz = rd(32)
+    zz = rd(64)
     d = (zz >> 1) ^ -(zz & 1)
     out[1] = t0 + d
     for i in range(2, n):
@@ -161,7 +173,7 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
         elif rd(1) == 0:
             dod = rd(12) - 2047
         else:
-            zz = rd(32)
+            zz = rd(64)
             dod = (zz >> 1) ^ -(zz & 1)
         d += dod
         out[i] = out[i - 1] + d
@@ -276,7 +288,7 @@ RAW_SCHEMA = StructType(
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("event_ts")
-    ts = (pdf["event_ts"].astype("int64") // 1_000_000_000).to_numpy()
+    ts = (pdf["event_ts"].astype("int64") // 1_000).to_numpy()  # μs precision
     vals = pdf["value"].to_numpy(dtype=np.float64)
     tb = encode_ts_dod(ts)
     vb = encode_val_xor(vals)
@@ -316,7 +328,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     {
                         "source": r.source,
                         "series_id": r.series_id,
-                        "event_ts": pd.to_datetime(ts, unit="s"),
+                        "event_ts": pd.to_datetime(ts, unit="us"),
                         "value": vals,
                     }
                 )
