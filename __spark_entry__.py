@@ -32,12 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import tokens_ts.queries_data  # noqa: F401  (registers into QUERIES)
     from tokens_ts.queries_driver import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import tokens_ts.queries_data  # noqa: F401
     from tokens_ts.queries_driver import ORACLES
 
     return dict(ORACLES)

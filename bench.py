@@ -1,0 +1,120 @@
+"""Driver bench contract: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+
+Headline set = the north-rule pipeline stages (extraction → 1m → 1h →
+1d rollups, quantiles, gap-fill, as-of join, codec round-trip) over
+the sf events table, plus the synthetic-sequences backfill at a scale
+proportional to the sf data, plus the training-data ops (ANN top-k,
+MinHash-LSH dedup). Every query is fully materialized through a noop
+sink so Catalyst can't prune the work away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tokens_ts-bench")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tokens_ts import codec, dedup, extract, gapfill, simsearch, synth, tiers
+    from tokens_ts.queries_driver import QUERIES
+    import tokens_ts.queries_data  # noqa: F401
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("series_id"),
+        F.col("ts").alias("event_ts"),
+        F.col("value"),
+    )
+    ev_raw.cache().count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # tier pipeline on events
+    t1m = tiers.rollup(ev_raw, "1m")
+    bench("rollup_1m", lambda: _materialize(t1m))
+    t1m_c = t1m.cache()
+    t1m_c.count()
+    bench("cascade_1h_1d", lambda: _materialize(
+        tiers.finish(tiers.cascade(tiers.cascade(t1m_c, "1h"), "1d"))
+    ))
+    bench("quantiles_1h", lambda: _materialize(
+        tiers.exact_quantiles(ev_raw, "1h", percentiles=(0.5, 0.95))
+    ))
+    bench("salted_rollup_1d", lambda: _materialize(
+        tiers.rollup_salted(ev_raw, "1d", nsalt=16)
+    ))
+
+    # gap-fill + as-of
+    bench("gapfill", lambda: _materialize(QUERIES["ts_gapfill_interp"](spark, sf_dir)))
+    bench("asof_join", lambda: _materialize(QUERIES["ts_asof_click_purchase"](spark, sf_dir)))
+
+    # codec round-trip on events
+    segs = codec.encode_segments(ev_raw.where(F.col("value").isNotNull()), "1d")
+    bench("codec_roundtrip", lambda: _materialize(codec.decode_segments(segs)))
+
+    # synthetic backfill scaled with sf (sf0.1 → src00 budget 60k ≈ 157k rows)
+    k = max(2000, int(600_000 * sf))
+    seq = synth.sequences(spark, k, 8)
+    raw = extract.to_raw(extract.full_stats(seq, stats=["mean", "max"]))
+    bench("synth_backfill_t1m", lambda: _materialize(tiers.rollup(raw, "1m")))
+
+    # training-data ops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench("ann_topk", lambda: _materialize(
+        simsearch.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+    ))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench("minhash_lsh", lambda: _materialize(
+        dedup.lsh_candidates(docs, n_perm=32, bands=8)
+    ))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "tokens_ts headline pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

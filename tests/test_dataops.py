@@ -1,0 +1,104 @@
+"""Unit tests: dedup (exact/MinHash-LSH/SimHash), similarity search,
+text analysis, multimodal plumbing — known-answer micro-fixtures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tokens_ts import dedup, multimodal, simsearch, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark shuffles and parquet row groups"
+    rows = [
+        (1, base, "en", "s1"),
+        (2, base, "en", "s1"),          # exact dup of 1
+        (3, near, "en", "s1"),          # near dup of 1
+        (4, other, "en", "s2"),
+        (5, "tiny doc", "en", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_groups(docs):
+    g = {r["content_hash"]: r for r in dedup.exact_groups(docs).collect()}
+    sizes = sorted(r["n_dup"] for r in g.values())
+    assert sizes == [1, 1, 1, 2]
+    dup = [r for r in g.values() if r["n_dup"] == 2][0]
+    assert dup["keep_doc_id"] == 1
+
+
+def test_lsh_candidates_find_near_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidates(docs, 32, 8).collect()}
+    assert (1, 2) in pairs            # identical → all bands collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup → ≥1 band collides
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated
+
+
+def test_simhash_distance(docs):
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert h[1] == h[2]
+    d_near = bin(h[1] ^ h[3]).count("1")
+    d_far = bin(h[1] ^ h[4]).count("1")
+    assert d_near < d_far
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(emb):
+    out = simsearch.cosine_topk(emb, query_ids=[0], k=4)
+    ranked = [r["nid"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1          # most similar
+    assert ranked[-1] == 3         # opposite vector last
+    sims = {r["nid"]: r["sim_e6"] for r in out.collect()}
+    assert sims[3] == -1_000_000   # cos = -1 exactly
+
+
+def test_lsh_bucket_groups_identical(spark):
+    rows = [(i, [float(i % 2), 1.0, -0.5, 0.25] * 16, 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    b = {r["vec_id"]: r["bucket"] for r in simsearch.with_lsh_bucket(df).collect()}
+    evens = {b[i] for i in range(0, 10, 2)}
+    odds = {b[i] for i in range(1, 10, 2)}
+    assert len(evens) == 1 and len(odds) == 1
+
+
+def test_textops_known_answers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = textops.with_quality(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["ttr"] == 5 / 6               # 'the' repeats
+    assert r["avg_word_len"] == (3 + 3 + 3 + 2 + 3 + 3) / 6
+    assert r["stopword_ratio"] == 2 / 6
+    fp = textops.with_fingerprint(df).collect()[0]["fingerprint"]
+    assert len(fp) == 32
+    # fingerprint is stable across runs / row order
+    fp2 = textops.with_fingerprint(df).collect()[0]["fingerprint"]
+    assert fp == fp2
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "Abc", "en", "s"), (2, "", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in
+           multimodal.extract_features(multimodal.docs_as_binary(docs)).collect()}
+    assert out[1]["n_bytes"] == 3 and out[1]["first_byte"] == ord("A")
+    assert out[1]["fake_width"] == 3 and out[1]["fake_height"] == (ord("A") * 7) % 480
+    assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] == 0

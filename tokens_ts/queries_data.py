@@ -1,0 +1,571 @@
+"""Driver-contract query pairs, part 2: north-rule synthetic sequences,
+embedding array ops + similarity search, document text ops + dedup,
+codec round-trip, multimodal plumbing.
+
+The synthetic-sequence pairs are the strongest correctness evidence in
+the suite: BOTH engines *generate* the FIXTURES.md table from the same
+integer recurrences (Spark from spark.range, DuckDB from range()) and
+must agree on every derived statistic — no shared input file to hide
+behind.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tokens_ts import config as C
+from tokens_ts import codec, dedup, extract, grid, multimodal, simsearch, synth, textops, tiers
+from tokens_ts.queries_driver import ORACLES, QUERIES, _docs, _e, _emb, _ev, q
+
+SYNTH_K, SYNTH_S = 240, 3
+
+
+def _synth_cte() -> str:
+    """DuckDB CTE generating the FIXTURES.md sequences table."""
+    budgets = ", ".join(
+        f"({s}, {C.source_budget(SYNTH_K, s)})" for s in range(SYNTH_S)
+    )
+    return f"""
+    WITH params(s, budget) AS (VALUES {budgets}),
+    ks AS (
+      SELECT s, unnest(range(0, budget)) AS k FROM params
+    ),
+    rows_ AS (
+      SELECT s, k,
+             (16 + (k * {C.NTOK_MULT}) % {C.NTOK_MOD}) AS n_tok,
+             ({C.A_MULT} * (2*s + 1)) % {C.V} AS a,
+             ({C.B_MULT} * (4*s + 3)) % {C.V} AS b,
+             s*s + 7 AS c
+      FROM ks WHERE (k * {C.GAP_MULT}) % 1000 >= {C.GAP_CUT}
+    ),
+    seq AS (
+      SELECT printf('src%02d-%012d', s, k) AS doc_id,
+             printf('src%02d', s) AS source,
+             s, k, n_tok,
+             list_transform(range(0, n_tok),
+               i -> CASE WHEN (a*k + b*i + c) % {C.V} < {C.PAD_THRESHOLD}
+                         THEN {C.PAD_ID}
+                         ELSE (a*k + b*i + c) % {C.V} END) AS tokens,
+             {C.T0_EPOCH} + k * 60 * (1 + s % 3) AS epoch_s
+      FROM rows_
+    ),
+    vals AS (
+      SELECT *,
+             list_transform(tokens,
+               x -> CASE WHEN x = {C.PAD_ID} THEN NULL ELSE CAST(x AS DOUBLE) END) AS v
+      FROM seq
+    )
+    """
+
+
+def _seq(spark):
+    return grid.with_event_time(synth.sequences(spark, SYNTH_K, SYNTH_S))
+
+
+# ---------------------------------------------------------------------------
+# S5/P4: fixture parity — generation itself cross-checked
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_synth_parity",
+    _synth_cte()
+    + """
+    SELECT doc_id, n_tok,
+           CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+           CAST(len(list_filter(tokens, x -> x = 0)) AS BIGINT) AS n_pad,
+           epoch_s
+    FROM seq
+    """,
+)
+def seq_synth_parity(spark, sf_dir):
+    s = _seq(spark)
+    return s.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("tok_sum"),
+        F.size(F.filter("tokens", lambda x: x == C.PAD_ID)).cast("bigint").alias("n_pad"),
+        (F.col("k") * grid.step_seconds_col() + C.T0_EPOCH)
+        .cast("bigint")
+        .alias("epoch_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: full north-rule slice on the generated table (A1 + A2)
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_flagship_t1m",
+    _synth_cte()
+    + """
+    SELECT source,
+           epoch_s - epoch_s % 60 AS w_epoch,
+           count(list_aggregate(v, 'avg')) AS cnt,
+           CAST(ROUND(sum(list_aggregate(v, 'avg')) * 1e4) AS BIGINT) AS sum_e4,
+           CAST(ROUND(min(list_aggregate(v, 'avg')) * 1e6) AS BIGINT) AS min_e6,
+           CAST(ROUND(max(list_aggregate(v, 'avg')) * 1e6) AS BIGINT) AS max_e6
+    FROM vals
+    GROUP BY 1, 2
+    """,
+)
+def seq_flagship_t1m(spark, sf_dir):
+    raw = extract.to_raw(extract.full_stats(_seq(spark), stats=["mean"]))
+    t = tiers.rollup(raw, "1m")
+    return t.select(
+        "source",
+        F.unix_timestamp("window_start").alias("w_epoch"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        _e("min", 6).alias("min_e6"),
+        _e("max", 6).alias("max_e6"),
+    )
+
+
+@q(
+    "seq_t1h_cascade",
+    _synth_cte()
+    + """
+    SELECT source,
+           epoch_s - epoch_s % 3600 AS w_epoch,
+           count(list_aggregate(v, 'avg')) AS cnt,
+           CAST(ROUND(sum(list_aggregate(v, 'avg')) * 1e4) AS BIGINT) AS sum_e4
+    FROM vals
+    GROUP BY 1, 2
+    """,
+)
+def seq_t1h_cascade(spark, sf_dir):
+    raw = extract.to_raw(extract.full_stats(_seq(spark), stats=["mean"]))
+    t1h = tiers.cascade(tiers.rollup(raw, "1m"), "1h")
+    return t1h.select(
+        "source",
+        F.unix_timestamp("window_start").alias("w_epoch"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P3: extraction selectors on the generated table
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_point_p7",
+    _synth_cte()
+    + """
+    SELECT doc_id,
+           CAST(CASE WHEN n_tok > 7 THEN v[8] END AS BIGINT) AS val
+    FROM vals
+    """,
+)
+def seq_point_p7(spark, sf_dir):
+    return extract.point(_seq(spark), 7).select(
+        "doc_id", F.col("value").cast("bigint").alias("val")
+    )
+
+
+@q(
+    "seq_box_stats",
+    _synth_cte()
+    + """
+    , sel AS (
+      SELECT doc_id,
+             list_select(v, range(9, least(n_tok, 32) + 1)) AS bv
+      FROM vals
+    ),
+    st AS (
+      SELECT doc_id, bv,
+             len(list_filter(bv, x -> x IS NOT NULL)) AS cnt,
+             list_aggregate(bv, 'avg') AS m
+      FROM sel
+    )
+    SELECT doc_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROUND(m * 1e6) AS BIGINT) AS mean_e6,
+           CAST(ROUND(sqrt(list_sum(list_transform(bv, x -> (x - m) * (x - m))) / cnt) * 1e6) AS BIGINT) AS std_e6
+    FROM st
+    """,
+)
+def seq_box_stats(spark, sf_dir):
+    w = extract.box_stats(_seq(spark), 8, 32, stats=["cnt", "mean", "std"])
+    return w.select(
+        "doc_id",
+        F.col("box_8_32_cnt").alias("cnt"),
+        _e("box_8_32_mean", 6).alias("mean_e6"),
+        _e("box_8_32_std", 6).alias("std_e6"),
+    )
+
+
+@q(
+    "seq_mask_stats",
+    _synth_cte()
+    + """
+    , sel AS (
+      SELECT doc_id, list_select(v, range(1, n_tok + 1, 3)) AS mv FROM vals
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(mv, x -> x IS NOT NULL)) AS BIGINT) AS cnt,
+           CAST(ROUND(list_aggregate(mv, 'avg') * 1e6) AS BIGINT) AS mean_e6
+    FROM sel
+    """,
+)
+def seq_mask_stats(spark, sf_dir):
+    positions = list(range(0, 256, 3))
+    w = extract.mask_stats(_seq(spark), positions, stats=["cnt", "mean"])
+    return w.select(
+        "doc_id",
+        F.col("mask_cnt").alias("cnt"),
+        _e("mask_mean", 6).alias("mean_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 on the driver's embeddings table (array<float> fixture)
+# ---------------------------------------------------------------------------
+
+@q(
+    "emb_point_stats",
+    """
+    SELECT label,
+           count(embedding[9]) AS cnt,
+           CAST(ROUND(avg(CAST(embedding[9] AS DOUBLE)) * 1e6) AS BIGINT) AS mean_e6,
+           CAST(ROUND(min(CAST(embedding[9] AS DOUBLE)) * 1e6) AS BIGINT) AS min_e6,
+           CAST(ROUND(max(CAST(embedding[9] AS DOUBLE)) * 1e6) AS BIGINT) AS max_e6
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_point_stats(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "p", F.get(F.col("embedding").cast("array<double>"), 8)
+    )
+    return e.groupBy("label").agg(
+        F.count("p").alias("cnt"),
+        _e(F.avg("p"), 6).alias("mean_e6"),
+        _e(F.min("p"), 6).alias("min_e6"),
+        _e(F.max("p"), 6).alias("max_e6"),
+    )
+
+
+@q(
+    "emb_box_stats",
+    """
+    WITH sel AS (
+      SELECT label,
+             list_transform(list_select(embedding, range(9, 33)),
+                            x -> CAST(x AS DOUBLE)) AS bv
+      FROM embeddings
+    ),
+    st AS (
+      SELECT label, list_aggregate(bv, 'avg') AS m FROM sel
+    )
+    SELECT label, count(*) AS cnt,
+           CAST(ROUND(avg(m) * 1e6) AS BIGINT) AS mean_of_means_e6
+    FROM st GROUP BY label
+    """,
+)
+def emb_box_stats(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "m",
+        extract.arr_mean(F.slice(F.col("embedding").cast("array<double>"), 9, 24)),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("cnt"), _e(F.avg("m"), 6).alias("mean_of_means_e6")
+    )
+
+
+@q(
+    "emb_full_stats",
+    """
+    SELECT vec_id,
+           CAST(ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'avg') * 1e6) AS BIGINT) AS mean_e6,
+           CAST(ROUND(list_min(embedding) * 1e6) AS BIGINT) AS min_e6,
+           CAST(ROUND(list_max(embedding) * 1e6) AS BIGINT) AS max_e6
+    FROM embeddings
+    """,
+)
+def emb_full_stats(spark, sf_dir):
+    arr = F.col("embedding").cast("array<double>")
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        _e(extract.arr_mean(arr), 6).alias("mean_e6"),
+        _e(extract.arr_min(arr), 6).alias("min_e6"),
+        _e(extract.arr_max(arr), 6).alias("max_e6"),
+    )
+
+
+@q(
+    "emb_mask_stats",
+    """
+    SELECT vec_id,
+           CAST(ROUND(list_aggregate(list_transform(
+             list_select(embedding, range(1, 65, 3)), x -> CAST(x AS DOUBLE)),
+             'avg') * 1e6) AS BIGINT) AS mask_mean_e6
+    FROM embeddings
+    """,
+)
+def emb_mask_stats(spark, sf_dir):
+    arr = F.filter(
+        F.col("embedding").cast("array<double>"), lambda x, i: i % 3 == 0
+    )
+    return _emb(spark, sf_dir).select(
+        "vec_id", _e(extract.arr_mean(arr), 6).alias("mask_mean_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force + LSH-bucketed
+# ---------------------------------------------------------------------------
+
+@q(
+    "emb_ann_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, nid, rank, sim_e6 FROM (
+      SELECT qid, nid,
+             CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) AS sim_e6,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) DESC, nid
+             ) AS rank
+      FROM c
+    ) WHERE rank <= 5
+    """,
+)
+def emb_ann_topk(spark, sf_dir):
+    return simsearch.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+@q(
+    "emb_lsh_buckets",
+    """
+    WITH planes AS (
+      SELECT j, list_transform(range(1, 65),
+               i -> CAST((i * 31 + j * 37) % 19 - 9 AS DOUBLE)) AS h
+      FROM (SELECT unnest(range(0, 8)) AS j)
+    ),
+    dots AS (
+      SELECT e.vec_id, p.j,
+             list_sum(list_transform(range(1, 65),
+               i -> p.h[i] * CAST(e.embedding[i] AS DOUBLE))) AS d
+      FROM embeddings e CROSS JOIN planes p
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def emb_lsh_buckets(spark, sf_dir):
+    return simsearch.with_lsh_bucket(_emb(spark, sf_dir)).select(
+        "vec_id", "bucket"
+    )
+
+
+# rows-only: bucketed ANN result depends only on buckets+cosine, both
+# individually oracled above; the composition is checked by row count.
+@q("emb_ann_lsh")
+def emb_ann_lsh(spark, sf_dir):
+    return simsearch.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(20)), k=1)
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_dedup_exact",
+    """
+    SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+)
+def doc_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+@q(
+    "doc_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def doc_token_count(spark, sf_dir):
+    return textops.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_words")
+
+
+@q(
+    "doc_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 1e6) AS BIGINT) AS ttr_e6,
+           CAST(ROUND(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) * 1e6) AS BIGINT) AS awl_e6,
+           CAST(ROUND(CAST(len(list_filter(ws, x -> x IN ('a', 'the'))) AS DOUBLE) / len(ws) * 1e6) AS BIGINT) AS stop_e6
+    FROM w
+    """,
+)
+def doc_quality(spark, sf_dir):
+    d = textops.with_quality(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "n_words",
+        _e("ttr", 6).alias("ttr_e6"),
+        _e("avg_word_len", 6).alias("awl_e6"),
+        _e("stopword_ratio", 6).alias("stop_e6"),
+    )
+
+
+@q(
+    "doc_langid",
+    """
+    WITH w AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ),
+    sc AS (
+      SELECT lang,
+             len(list_filter(ws, x -> x IN ('the', 'a'))) AS p_en,
+             len(list_filter(ws, x -> x IN ('value', 'table'))) AS p_sql,
+             len(list_filter(ws, x -> x IN ('query', 'scan'))) AS p_q,
+             len(list_filter(ws, x -> x IN ('spark', 'data'))) AS p_data
+      FROM w
+    )
+    SELECT lang,
+           CASE
+             WHEN p_en = greatest(p_en, p_sql, p_q, p_data) THEN 'p_en'
+             WHEN p_sql = greatest(p_en, p_sql, p_q, p_data) THEN 'p_sql'
+             WHEN p_q = greatest(p_en, p_sql, p_q, p_data) THEN 'p_q'
+             ELSE 'p_data' END AS pred,
+           count(*) AS cnt
+    FROM sc GROUP BY 1, 2
+    """,
+)
+def doc_langid(spark, sf_dir):
+    d = textops.with_langid(_docs(spark, sf_dir))
+    return d.groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
+                    i -> md5(text[i:i+7]))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    return textops.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@q(
+    "doc_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+               i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                    string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(text), '\\s+')[i+2]
+             )) AS sh3
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(ROUND(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE) /
+                (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3))) * 1e6) AS BIGINT) AS jac_e6
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE) /
+          (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3))) >= 0.05
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("sh3", dedup.word_shingles("text", 3))
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang"), F.col("sh3").alias("sa"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang"), F.col("sh3").alias("sb"))
+    j = a.join(b, "lang").where(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = inter / union
+    return j.where(jac >= 0.05).select(
+        "a", "b", _e(jac, 6).alias("jac_e6")
+    )
+
+
+# rows-only dedup ops (hash functions not shared with DuckDB)
+@q("doc_minhash_lsh")
+def doc_minhash_lsh(spark, sf_dir):
+    return dedup.lsh_candidates(_docs(spark, sf_dir), n_perm=32, bands=8)
+
+
+@q("doc_simhash")
+def doc_simhash(spark, sf_dir):
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip as an identity query (C1-C4)
+# ---------------------------------------------------------------------------
+
+@q(
+    "codec_roundtrip_events",
+    """
+    SELECT event_type AS series_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           value
+    FROM events
+    """,
+)
+def codec_roundtrip_events(spark, sf_dir):
+    raw = _ev(spark, sf_dir).select(
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("series_id"),
+        F.col("ts").alias("event_ts"),
+        F.col("value"),
+    )
+    segs = codec.encode_segments(raw, "1d")
+    back = codec.decode_segments(segs)
+    return back.select(
+        "series_id",
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed, Spark-side pipeline real)
+# ---------------------------------------------------------------------------
+
+@q(
+    "mm_binary_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(ascii(text[1:1]) AS BIGINT) AS first_byte,
+           CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
+           CAST((ascii(text[1:1]) * 7) % 480 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def mm_binary_features(spark, sf_dir):
+    b = multimodal.docs_as_binary(_docs(spark, sf_dir))
+    return multimodal.extract_features(b).select(
+        "doc_id", "n_bytes", "first_byte", "fake_width", "fake_height"
+    )

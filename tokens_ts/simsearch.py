@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates only within a bucket — turns
+the O(n·q) cross join into a bucket-key equi-join).
+
+All math is JVM-side (zip_with / aggregate on array<double>); at
+10^12 rows the brute-force path broadcast-joins the (small) query set
+against the corpus — one scan, no shuffle — while the LSH path
+shuffles once on bucket id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a small query set.
+
+    The query side is broadcast (BroadcastNestedLoopJoin over ~|Q|
+    rows); rank ties are broken on the scaled similarity then id so
+    results are deterministic across engines and runs.
+    """
+    e = emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim_e6")
+    )
+
+
+def hyperplane(j: int, dim: int = 64):
+    """Deterministic pseudo-random hyperplane j: h[i] = ((i·31+j·37)%19)−9
+    for i = 1..dim (1-based so the DuckDB oracle can mirror it exactly)."""
+    return F.array(
+        *[F.lit(float(((i * 31 + j * 37) % 19) - 9)) for i in range(1, dim + 1)]
+    )
+
+
+def with_lsh_bucket(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-of-projection bucket id: bit j = (h_j · v > 0)."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bit = F.when(_dot(hyperplane(j, dim), v) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, j)
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 1,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket."""
+    b = with_lsh_bucket(emb, n_planes, dim, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "bucket",
+    )
+    q = b.where(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    j = b.join(F.broadcast(q), F.col("bucket") == F.col("qb")).where(
+        F.col("nid") != F.col("qid")
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim_e6")
+    )
