@@ -51,12 +51,15 @@ def main():
     from tokens_ts.queries_driver import QUERIES
     import tokens_ts.queries_data  # noqa: F401
 
+    # the sf events file is a single row group → repartition so every
+    # downstream stage starts from all cores, as a real partitioned
+    # table scan would
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.lit("events").alias("source"),
         F.col("event_type").alias("series_id"),
         F.col("ts").alias("event_ts"),
         F.col("value"),
-    )
+    ).repartition(int(cpus) * 2)
     ev_raw.cache().count()
 
     timings: dict[str, float] = {}
@@ -85,9 +88,10 @@ def main():
     bench("gapfill", lambda: _materialize(QUERIES["ts_gapfill_interp"](spark, sf_dir)))
     bench("asof_join", lambda: _materialize(QUERIES["ts_asof_click_purchase"](spark, sf_dir)))
 
-    # codec round-trip on events
+    # codec: encode and decode timed separately
     segs = codec.encode_segments(ev_raw.where(F.col("value").isNotNull()), "1d")
-    bench("codec_roundtrip", lambda: _materialize(codec.decode_segments(segs)))
+    bench("codec_encode", lambda: segs.cache().count())
+    bench("codec_decode", lambda: _materialize(codec.decode_segments(segs)))
 
     # synthetic backfill scaled with sf (sf0.1 → src00 budget 60k ≈ 157k rows)
     k = max(2000, int(600_000 * sf))
