@@ -286,34 +286,57 @@ RAW_SCHEMA = StructType(
 )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("event_ts")
-    ts = (pdf["event_ts"].astype("int64") // 1_000).to_numpy()  # μs precision
-    vals = pdf["value"].to_numpy(dtype=np.float64)
-    tb = encode_ts_dod(ts)
-    vb = encode_val_xor(vals)
-    return pd.DataFrame(
-        {
-            "source": [pdf["source"].iloc[0]],
-            "series_id": [pdf["series_id"].iloc[0]],
-            "seg_start": [pdf["seg_start"].iloc[0]],
-            "n": [len(pdf)],
-            "ts_blob": [tb],
-            "val_blob": [vb],
-            "raw_bytes": [16 * len(pdf)],
-            "enc_bytes": [len(tb) + len(vb)],
-        }
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(BinaryType())
+def _enc_ts_udf(ts_lists: pd.Series) -> pd.Series:
+    return ts_lists.map(
+        lambda a: encode_ts_dod(np.asarray(a, dtype=np.int64))
+    )
+
+
+@pandas_udf(BinaryType())
+def _enc_val_udf(val_lists: pd.Series) -> pd.Series:
+    return val_lists.map(
+        lambda a: encode_val_xor(np.asarray(a, dtype=np.float64))
     )
 
 
 def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
     """raw (source, series_id, event_ts, value) → one blob row per
-    (source, series_id, segment window). Arrow grouped-map; the shuffle
-    key is the segment key, so segment size bounds task memory."""
+    (source, series_id, segment window).
+
+    Shape: the grouping + time-sort happens JVM-side
+    (collect_list → sort_array inside a hash aggregate, one shuffle on
+    the segment key), and the Python stage is a *scalar* Arrow
+    pandas_udf over whole batches of segments — thousands of segments
+    per Arrow round-trip. The earlier applyInPandas formulation paid
+    ~3 ms of per-group overhead, 10× the actual encoding cost on small
+    segments. Segment length bounds both the aggregation buffer and
+    the UDF row size."""
     seg = F.date_trunc(C.TIER_TRUNC[segment], F.col("event_ts")).alias("seg_start")
-    framed = raw.select("source", "series_id", "event_ts", "value", seg)
-    return framed.groupBy("source", "series_id", "seg_start").applyInPandas(
-        _encode_group, schema=SEGMENT_SCHEMA
+    framed = raw.select(
+        "source", "series_id", seg,
+        F.unix_micros("event_ts").alias("_ts_us"), "value",
+    )
+    agg = framed.groupBy("source", "series_id", "seg_start").agg(
+        F.sort_array(F.collect_list(F.struct("_ts_us", "value"))).alias("_pts")
+    )
+    ts_arr = F.transform("_pts", lambda s: s["_ts_us"])
+    val_arr = F.transform("_pts", lambda s: s["value"])
+    n = F.size("_pts")
+    return agg.select(
+        "source",
+        "series_id",
+        "seg_start",
+        n.alias("n"),
+        _enc_ts_udf(ts_arr).alias("ts_blob"),
+        _enc_val_udf(val_arr).alias("val_blob"),
+        (n * 16).cast("long").alias("raw_bytes"),
+    ).withColumn(
+        "enc_bytes",
+        (F.octet_length("ts_blob") + F.octet_length("val_blob")).cast("long"),
     )
 
 
