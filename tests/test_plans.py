@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that pass. Checks partition pruning, predicate pushdown, column
+pruning, broadcast joins, and whole-stage codegen on the hot paths."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tokens_ts import extract, gapfill, grid, synth, tiers
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def seq_path(spark, seq_tiny, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "seq")
+    seq_tiny.write.mode("overwrite").partitionBy("source").parquet(p)
+    return p
+
+
+def test_partition_pruning(spark, seq_path):
+    df = spark.read.parquet(seq_path).where(F.col("source") == "src01")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    # the source predicate must be a partition filter, not a data filter
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "src01" in pf
+
+
+def test_predicate_pushdown(spark, seq_path):
+    df = spark.read.parquet(seq_path).where(F.col("n_tok") > 100)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThan(n_tok,100)" in pushed
+
+
+def test_column_pruning_metrics_never_reads_tokens(spark, seq_path):
+    """The #1 foot-gun at 10^12 rows (SURVEY.md §4.2): a row-count /
+    metrics query must not scan the token arrays."""
+    df = spark.read.parquet(seq_path).groupBy("source").agg(
+        F.count("*").alias("cnt"), F.avg("n_tok").alias("avg_len")
+    )
+    plan = _plan(df)
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in rs
+    assert "n_tok" in rs
+
+
+def test_extraction_is_shuffle_free(spark, seq_tiny):
+    """Point/box/full extraction is row-local: no Exchange at all."""
+    for df in (
+        extract.point(seq_tiny, 7),
+        extract.box_stats(seq_tiny, 8, 32, stats=["mean", "std"]),
+        extract.full_stats(seq_tiny, stats=["mean", "max"]),
+    ):
+        assert "Exchange" not in _plan(df)
+
+
+def test_rollup_single_shuffle_with_partial_agg(spark, seq_tiny):
+    """raw→1m is one shuffle with map-side partial aggregation."""
+    raw = extract.to_raw(extract.full_stats(seq_tiny, stats=["mean"]))
+    df = tiers.rollup(raw, "1m")
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan and "HashAggregate" in plan
+    # '*(n)' node prefixes are the codegen markers in plan toString
+    assert "*(" in plan
+
+
+def test_gapfill_align_broadcasts_series_dim(spark, seq_tiny):
+    raw = extract.to_raw(extract.point(seq_tiny, 7))
+    g = grid.full_grid(spark, 400, 4)
+    plan = _plan(gapfill.align(g, raw))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cascade_reuses_partial_state_no_raw_rescan(spark, seq_tiny):
+    """1m→1h reads the (tiny) 1m frame, not raw: the cascade plan's
+    aggregate input is the t1m aggregate, with exactly one extra
+    exchange for the coarser key."""
+    raw = extract.to_raw(extract.full_stats(seq_tiny, stats=["mean"]))
+    t1m = tiers.rollup(raw, "1m")
+    plan = _plan(tiers.cascade(t1m, "1h"))
+    assert plan.count("Exchange") == 2  # t1m shuffle + cascade shuffle

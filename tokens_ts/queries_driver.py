@@ -408,3 +408,82 @@ def ts_asof_click_purchase(spark, sf_dir):
         clicks, buys, keys=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
     )
     return j.select("event_id", "asof_value")
+
+
+# ---------------------------------------------------------------------------
+# Retention enforcement: tier rows surviving a keep-window (partition-
+# pruned drop at scale; the dual of downsampling)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_retention_1h",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt
+    FROM events
+    WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_1h(spark, sf_dir):
+    from tokens_ts import tiers as _tiers
+
+    t1h = _tiers.cascade(_tiers.rollup(_events_raw(spark, sf_dir), "1m"), "1h")
+    kept = _tiers.retention_filter(t1h, "2024-01-15 00:00:00", "7 days")
+    return kept.select(
+        "series_id", _fmt("window_start").alias("window_start"), "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: sessionization — lag + cumulative-sum session ids (the batch form
+# of session_window; gap > 30 minutes starts a new session)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, epoch_us(ts))
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def ts_sessionize(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ in the driver parquet: compare via interval
+    # arithmetic (NTZ cannot cast to double)
+    lagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minutes"),
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sid").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

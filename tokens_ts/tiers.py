@@ -132,6 +132,22 @@ def rollup_salted(raw: DataFrame, tier: str = "1m", nsalt: int = C.DEFAULT_NSALT
     )
 
 
+def retention_filter(
+    tier_df: DataFrame, now_expr, keep: str | None
+) -> DataFrame:
+    """Retention enforcement: keep only windows newer than now − keep.
+
+    The dual of downsampling — raw ages out fastest, 1d lives forever.
+    On parquet/Iceberg this filter is a partition-pruned delete (the
+    (source, day) layout maps retention to whole-partition drops, no
+    row rewrite). keep=None → keep everything.
+    """
+    if keep is None:
+        return tier_df
+    cutoff = F.to_timestamp(F.lit(now_expr)) - F.expr(f"interval {keep}")
+    return tier_df.where(F.col("window_start") >= cutoff)
+
+
 def build_all_tiers(raw: DataFrame) -> dict[str, DataFrame]:
     """raw → {'1m': ..., '1h': ..., '1d': ...} partial-state frames.
 
