@@ -71,6 +71,7 @@ def worker(args) -> None:
     # extraction (CPU stage) on the real fixture
     seq = synth.sequences(spark, args.k, 8)
     ex = extract.to_raw(extract.full_stats(seq, stats=["mean", "max"]))
+    noop(ex)  # warm: page cache + codegen (untimed)
     walls = []
     for _ in range(args.reps):
         t0 = time.time()
@@ -80,11 +81,12 @@ def worker(args) -> None:
     out["counts"]["extract"] = ex.count()
 
     # tier stages on direct raw points (shuffle stage at real volume)
-    raw = gen_raw.raw_points(spark, args.raw_points)
+    raw = gen_raw.raw_points(spark, args.raw_points, ppm=args.ppm)
     raw.write.mode("overwrite").parquet(str(wh / "raw"))
     raw_df = spark.read.parquet(str(wh / "raw"))
     out["counts"]["raw_to_1m"] = n_raw = raw_df.count()
 
+    noop(tiers.rollup(raw_df, "1m"))  # warm: page cache + codegen (untimed)
     walls = []
     for _ in range(args.reps):
         t0 = time.time()
@@ -95,6 +97,7 @@ def worker(args) -> None:
     tiers.rollup(raw_df, "1m").write.mode("overwrite").parquet(str(wh / "t1m"))
     t1m = spark.read.parquet(str(wh / "t1m"))
     out["counts"]["1m_to_1h"] = t1m.count()
+    noop(tiers.cascade(t1m, "1h"))  # warm: page cache + codegen (untimed)
     walls = []
     for _ in range(args.reps):
         t0 = time.time()
@@ -105,6 +108,7 @@ def worker(args) -> None:
     tiers.cascade(t1m, "1h").write.mode("overwrite").parquet(str(wh / "t1h"))
     t1h = spark.read.parquet(str(wh / "t1h"))
     out["counts"]["1h_to_1d"] = t1h.count()
+    noop(tiers.cascade(t1h, "1d"))  # warm: page cache + codegen (untimed)
     walls = []
     for _ in range(args.reps):
         t0 = time.time()
@@ -119,6 +123,7 @@ def worker(args) -> None:
     )
     enc_in = spark.read.parquet(str(wh / "raw_codec"))
     out["counts"]["codec_encode"] = enc_in.count()
+    noop(codec.encode_segments(enc_in, "1h"))  # warm: page cache + codegen (untimed)
     walls = []
     for _ in range(args.reps):
         t0 = time.time()
@@ -153,10 +158,11 @@ def orchestrate(args) -> None:
                 "spark-submit", "--master", f"local[{cores}]",
                 "--driver-memory", "20g",
                 "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+                "--conf", "spark.local.dir=/dev/shm/spark-local",
                 "--py-files", str(ROOT / "tokens_ts.zip"),
                 str(ROOT / "BENCH" / "scaling.py"), "--worker",
                 "--reps", str(args.reps), "--k", str(args.k),
-                "--raw-points", str(args.raw_points),
+                "--raw-points", str(args.raw_points), "--ppm", str(args.ppm),
                 "--warehouse", f"/tmp/tokens_ts_scaling_{cores}",
                 "--out", str(jsonl),
             ]
@@ -208,6 +214,9 @@ def main():
     ap.add_argument("--n4", type=int, default=32)
     ap.add_argument("--k", type=int, default=300_000)
     ap.add_argument("--raw-points", type=int, default=10_000_000)
+    ap.add_argument("--ppm", type=int, default=10,
+                    help="points per (source,series,minute) in gen_raw — "
+                         "small ppm → more 1m windows → heavier cascades")
     ap.add_argument("--warehouse", default="/tmp/tokens_ts_scaling")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
