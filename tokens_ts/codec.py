@@ -315,10 +315,19 @@ def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
     ~3 ms of per-group overhead, 10× the actual encoding cost on small
     segments. Segment length bounds both the aggregation buffer and
     the UDF row size."""
+    from pyspark.sql.types import TimestampNTZType
+
+    is_ntz = isinstance(raw.schema["event_ts"].dataType, TimestampNTZType)
+    if is_ntz:
+        # wall-clock micros, session-timezone-independent
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', event_ts)"
+        )
+    else:
+        ts_us = F.unix_micros("event_ts")
     seg = F.date_trunc(C.TIER_TRUNC[segment], F.col("event_ts")).alias("seg_start")
     framed = raw.select(
-        "source", "series_id", seg,
-        F.unix_micros("event_ts").alias("_ts_us"), "value",
+        "source", "series_id", seg, ts_us.alias("_ts_us"), "value",
     )
     agg = framed.groupBy("source", "series_id", "seg_start").agg(
         F.sort_array(F.collect_list(F.struct("_ts_us", "value"))).alias("_pts")
@@ -361,5 +370,21 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decode_segments(blobs: DataFrame) -> DataFrame:
-    """Inverse of encode_segments — blob rows back to raw points."""
-    return blobs.mapInPandas(_decode_batches, schema=RAW_SCHEMA)
+    """Inverse of encode_segments — blob rows back to raw points.
+
+    Output event_ts type mirrors the input (seg_start carries it):
+    NTZ in → NTZ out, so the round trip is wall-clock-exact regardless
+    of session timezone."""
+    from pyspark.sql.types import TimestampNTZType
+
+    schema = RAW_SCHEMA
+    if isinstance(blobs.schema["seg_start"].dataType, TimestampNTZType):
+        schema = StructType(
+            [
+                StructField("source", StringType()),
+                StructField("series_id", StringType()),
+                StructField("event_ts", TimestampNTZType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+    return blobs.mapInPandas(_decode_batches, schema=schema)
