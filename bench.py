@@ -62,6 +62,14 @@ def main():
     ).repartition(int(cpus) * 2)
     ev_raw.cache().count()
 
+    # warm: codegen + Python UDF worker pool (one-time ~15 s otherwise
+    # lands in whichever query touches Arrow first)
+    _materialize(
+        codec.decode_segments(
+            codec.encode_segments(ev_raw.where(F.col("value").isNotNull()).limit(5000), "1d")
+        )
+    )
+
     timings: dict[str, float] = {}
 
     def bench(name, thunk):
