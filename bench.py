@@ -42,7 +42,11 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "20g")
+        # G1 anti-scales at 32 threads for allocation-heavy array
+        # transforms (measured: extract 7.6s@8 → 11.6s@32 with G1,
+        # 7.3s → 6.1s with ParallelGC; BENCH/BASELINE.md)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,19 +67,40 @@ def main():
     ev_raw.cache().count()
 
     # warm: codegen + Python UDF worker pool (one-time ~15 s otherwise
-    # lands in whichever query touches Arrow first)
+    # lands in whichever query touches Arrow first). The warmup input is
+    # spread over all partitions — a limit() alone coalesces to one
+    # partition and warms a single Python worker, leaving the other ~31
+    # to spawn (numpy import and all) inside the first timed Arrow stage.
     _materialize(
         codec.decode_segments(
-            codec.encode_segments(ev_raw.where(F.col("value").isNotNull()).limit(5000), "1d")
+            codec.encode_segments(
+                ev_raw.where(F.col("value").isNotNull())
+                .limit(20000)
+                .repartition(int(cpus) * 2),
+                "1d",
+            )
         )
     )
 
     timings: dict[str, float] = {}
+    bench_t0 = time.time()
+    BUDGET_S = 420.0  # stop adding repeats near the driver's timeout
 
     def bench(name, thunk):
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+        """min-of-≤3 repeats: this VM shows 3-5× run-to-run wall-clock
+        variance (BENCH/BASELINE.md protocol); the minimum estimates
+        uncontended steady-state throughput, which is the quantity that
+        scales to a real cluster. Repeats stop once the total budget is
+        spent so the bench always finishes."""
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            thunk()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            if time.time() - bench_t0 > BUDGET_S:
+                break
+        timings[name] = round(best, 3)
 
     # tier pipeline on events
     t1m = tiers.rollup(ev_raw, "1m")
@@ -96,9 +121,16 @@ def main():
     bench("gapfill", lambda: _materialize(QUERIES["ts_gapfill_interp"](spark, sf_dir)))
     bench("asof_join", lambda: _materialize(QUERIES["ts_asof_click_purchase"](spark, sf_dir)))
 
-    # codec: encode and decode timed separately
-    segs = codec.encode_segments(ev_raw.where(F.col("value").isNotNull()), "1d")
-    bench("codec_encode", lambda: segs.cache().count())
+    # codec: encode → parquet sink (the real shape: compressed segments
+    # land in a table), decode ← that table; timed separately
+    import tempfile
+
+    seg_path = tempfile.mkdtemp(prefix="bench_segs_") + "/segments"
+    bench("codec_encode", lambda: (
+        codec.encode_segments(ev_raw.where(F.col("value").isNotNull()), "1d")
+        .write.mode("overwrite").parquet(seg_path)
+    ))
+    segs = spark.read.parquet(seg_path)
     bench("codec_decode", lambda: _materialize(codec.decode_segments(segs)))
 
     # synthetic backfill scaled with sf (sf0.1 → src00 budget 60k ≈ 157k rows)

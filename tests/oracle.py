@@ -231,9 +231,16 @@ def gapfill(grid: pd.DataFrame, raw: pd.DataFrame) -> pd.DataFrame:
 # Layout (bit-packed, big-endian within fields):
 #   DoD ts:  64b t0 | 64b zigzag(first delta) | per point: bucket-coded dod
 #            buckets: '0'; '10'+7b; '110'+9b; '1110'+12b; '1111'+64b (zigzag)
-#   XOR val: 64b v0 bits | per point: '0' same; '10' reuse window + meaningful;
-#            '11' + 5b leading + 6b (meaningful-1) + meaningful bits
-# nan values are carried via the IEEE bit pattern (xor works on raw bits).
+#   XOR val v2 (columnar): [1B version=2][2-bit controls, byte-padded]
+#            [11-bit windows: 5b lead + 6b (meaning-1), byte-padded]
+#            [payloads: xor>>tz, meaning bits each]
+#            controls: 00 repeat / 01 reuse window / 10 new window / 11 null;
+#            a new window opens exactly when (lead=min(lz,31), tz) differs
+#            from the previous NON-ZERO xor's (run-bounded reuse); point 0
+#            xors against 0 (no separate v0 field); nulls carry no payload
+#            and leave the value chain untouched.
+# nan VALUES are carried via the IEEE bit pattern (xor works on raw bits);
+# SQL nulls are carried in the control stream.
 
 def _zigzag(d: np.ndarray) -> np.ndarray:
     return ((d << 1) ^ (d >> 63)).astype(np.uint64)
@@ -333,54 +340,83 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
     return np.array(out, dtype=np.int64)
 
 
-def encode_val_xor(values: np.ndarray) -> bytes:
+def encode_val_xor(values: np.ndarray, nulls: np.ndarray | None = None) -> bytes:
+    """Per-bit normative implementation of the v2 columnar layout —
+    independent construction (sequential BitWriter state machine) that
+    must be byte-identical to the vectorized tokens_ts.codec version."""
     v = np.asarray(values, dtype=np.float64)
     bits = v.view(np.uint64)
-    w = _BitWriter()
-    w.write(int(bits[0]), 64)
-    prev = int(bits[0])
-    lead, meaning = -1, -1  # current reuse window
-    for i in range(1, v.size):
+    null = (
+        np.zeros(v.size, dtype=bool)
+        if nulls is None
+        else np.asarray(nulls, dtype=bool)
+    )
+    codes: list[int] = []
+    wins: list[tuple[int, int]] = []
+    pays: list[tuple[int, int]] = []  # (value, nbits)
+    prev = 0
+    cur_lead, cur_tz = -1, -1
+    for i in range(v.size):
+        if null[i]:
+            codes.append(0b11)
+            continue
         cur = int(bits[i])
         x = prev ^ cur
         prev = cur
         if x == 0:
-            w.write(0, 1)
-            continue
-        lz = 64 - x.bit_length()
+            codes.append(0b00)
+            continue  # note: a zero xor does NOT end the reuse run
+        lz = min(64 - x.bit_length(), 31)
         tz = (x & -x).bit_length() - 1
-        lz = min(lz, 31)  # 5-bit leading field
-        ml = 64 - lz - tz
-        if lead >= 0 and lz >= lead and (64 - tz) <= (lead + meaning):
-            # '10': reuse previous window
-            w.write(0b10, 2)
-            w.write(x >> (64 - lead - meaning), meaning)
+        meaning = 64 - lz - tz
+        if lz == cur_lead and tz == cur_tz:
+            codes.append(0b01)
         else:
-            lead, meaning = lz, ml
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(meaning - 1, 6)  # meaning ∈ [1,64] stored as 6 bits
-            w.write(x >> tz, meaning)
-    return w.bytes()
+            codes.append(0b10)
+            wins.append((lz, meaning))
+            cur_lead, cur_tz = lz, tz
+        pays.append((x >> tz, meaning))
+    out = bytes([2])
+    cw = _BitWriter()
+    for c in codes:
+        cw.write(c, 2)
+    out += cw.bytes()
+    ww = _BitWriter()
+    for lz, meaning in wins:
+        ww.write(lz, 5)
+        ww.write(meaning - 1, 6)
+    out += ww.bytes()
+    pw = _BitWriter()
+    for val, nb in pays:
+        pw.write(val, nb)
+    return out + pw.bytes()
 
 
-def decode_val_xor(data: bytes, n: int) -> np.ndarray:
-    r = _BitReader(data)
-    cur = r.read(64)
-    out = [cur]
-    lead, meaning = -1, -1
-    for _ in range(n - 1):
-        if r.read(1) == 0:
-            out.append(cur)
+def decode_val_xor(data: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    assert data[0] == 2
+    ctrl_nbytes = (2 * n + 7) // 8
+    cr = _BitReader(data[1 : 1 + ctrl_nbytes])
+    codes = [cr.read(2) for _ in range(n)]
+    n_win = sum(1 for c in codes if c == 0b10)
+    win_nbytes = (11 * n_win + 7) // 8
+    wr = _BitReader(data[1 + ctrl_nbytes : 1 + ctrl_nbytes + win_nbytes])
+    wins = [(wr.read(5), wr.read(6) + 1) for _ in range(n_win)]
+    pr = _BitReader(data[1 + ctrl_nbytes + win_nbytes :])
+    vbits = np.zeros(n, dtype=np.uint64)
+    null = np.zeros(n, dtype=bool)
+    cur = 0
+    wi = -1
+    for i, c in enumerate(codes):
+        if c == 0b11:
+            null[i] = True
             continue
-        if r.read(1) == 0:  # '10' reuse
-            m = r.read(meaning)
-            x = m << (64 - lead - meaning)
-        else:  # '11' new window
-            lead = r.read(5)
-            meaning = r.read(6) + 1
-            m = r.read(meaning)
-            x = m << (64 - lead - meaning)
-        cur ^= x
-        out.append(cur)
-    return np.array(out, dtype=np.uint64).view(np.float64)
+        if c != 0b00:
+            if c == 0b10:
+                wi += 1
+            lead, meaning = wins[wi]
+            m = pr.read(meaning)
+            cur ^= m << (64 - lead - meaning)
+        vbits[i] = cur & ((1 << 64) - 1)
+    out = vbits.view(np.float64).copy()
+    out[null] = np.nan
+    return out, null

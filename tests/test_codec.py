@@ -53,12 +53,93 @@ def test_val_roundtrip_and_parity(name):
     v = VAL_CASES[name]
     enc = codec.encode_val_xor(v)
     assert enc == oracle.encode_val_xor(v), name
-    dec = codec.decode_val_xor(enc, v.size)
+    dec, null = codec.decode_val_xor(enc, v.size)
+    assert not null.any()
     assert np.array_equal(
         dec.view(np.uint64), np.ascontiguousarray(v).view(np.uint64)
     ), name  # bit-exact incl. nan patterns and -0.0
-    dec2 = oracle.decode_val_xor(enc, v.size)
+    dec2, null2 = oracle.decode_val_xor(enc, v.size)
+    assert not null2.any()
     assert np.array_equal(dec2.view(np.uint64), np.ascontiguousarray(v).view(np.uint64)), name
+
+
+NULL_CASES = {
+    # (values, null mask) — nulls must round-trip as nulls (control 11),
+    # NaN values as NaN bit patterns, and the two must never conflate
+    "sparse_nulls": (
+        np.arange(40, dtype=np.float64) * 1.5,
+        (np.arange(40) % 5) == 0,
+    ),
+    "null_then_nan": (
+        np.array([0.0, 1.5, np.nan, 2.5, 0.0, np.nan]),
+        np.array([True, False, False, False, True, False]),
+    ),
+    "all_null": (np.zeros(7), np.ones(7, dtype=bool)),
+    "leading_nulls": (
+        np.array([9.9, 9.9, 3.0, 3.0, 4.0]),
+        np.array([True, True, False, False, False]),
+    ),
+    "first_value_zero": (
+        np.array([0.0, 0.0, 1.0]),
+        np.array([False, False, False]),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(NULL_CASES))
+def test_val_null_roundtrip_and_parity(name):
+    v, mask = NULL_CASES[name]
+    enc = codec.encode_val_xor(v, mask)
+    assert enc == oracle.encode_val_xor(v, mask), name
+    for impl in (codec, oracle):
+        dec, null = impl.decode_val_xor(enc, v.size)
+        assert np.array_equal(null, mask), name
+        keep = ~mask
+        assert np.array_equal(
+            dec[keep].view(np.uint64),
+            np.ascontiguousarray(v[keep]).view(np.uint64),
+        ), name
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**15), max_value=10**15), min_size=1, max_size=200
+    )
+)
+def test_ts_parity_fuzz(deltas):
+    t = 1767225600_000_000 + np.cumsum(np.array(deltas, dtype=np.int64))
+    enc = codec.encode_ts_dod(t)
+    assert enc == oracle.encode_ts_dod(t)
+    assert np.array_equal(codec.decode_ts_dod(enc, t.size), t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_val_parity_fuzz(pairs):
+    v = np.array([p[0] for p in pairs], dtype=np.float64)
+    mask = np.array([p[1] for p in pairs], dtype=bool)
+    enc = codec.encode_val_xor(v, mask)
+    assert enc == oracle.encode_val_xor(v, mask)
+    dec, null = codec.decode_val_xor(enc, v.size)
+    assert np.array_equal(null, mask)
+    keep = ~mask
+    assert np.array_equal(
+        dec[keep].view(np.uint64), np.ascontiguousarray(v[keep]).view(np.uint64)
+    )
 
 
 def test_compression_ratio_regular_series():
@@ -68,6 +149,28 @@ def test_compression_ratio_regular_series():
     assert len(enc) < t.size  # ≪ 8 bytes/point: ~1 bit/point after warmup
     v = np.full(t.size, 123.5)
     assert len(codec.encode_val_xor(v)) < t.size / 4 + 16
+
+
+def test_spark_segment_roundtrip_with_nulls(spark, seq_tiny):
+    """Null values (e.g. point extraction past n_tok) survive the codec
+    as nulls — not NaN — through the full Spark encode/decode path."""
+    from tokens_ts import extract
+
+    raw = extract.to_raw(extract.point(seq_tiny, 7))  # keeps nulls
+    n_null = raw.where("value is null").count()
+    assert n_null > 0, "fixture must produce null points for this test"
+    back = codec.decode_segments(codec.encode_segments(raw, "1h"))
+    a = {(r["source"], r["series_id"], r["event_ts"]): r["value"] for r in raw.collect()}
+    b = {(r["source"], r["series_id"], r["event_ts"]): r["value"] for r in back.collect()}
+    assert a.keys() == b.keys()
+    for k, va in a.items():
+        vb = b[k]
+        if va is None:
+            assert vb is None, k
+        elif isinstance(va, float) and math.isnan(va):
+            assert vb is not None and math.isnan(vb), k
+        else:
+            assert va == vb, k
 
 
 def test_spark_segment_roundtrip(spark, seq_tiny):

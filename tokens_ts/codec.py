@@ -18,16 +18,32 @@ bytes):
              '110'+9b [-255,256]; '1110'+12b [-2047,2048];
              '1111'+64b zigzag(dod)   (payloads offset-coded from lo;
              64-bit first-delta/escape so microsecond grids fit)
-  XOR val: 64b v0 raw IEEE bits | per point: '0' identical bits;
-           '10' + meaningful bits (reuse previous leading/length
-           window); '11' + 5b leading + 6b (meaningful−1) + bits.
-           NaN round-trips via its bit pattern.
 
-Encoding hot path is numpy-vectorized: per-element variable-width
-fields are scattered into a bit buffer with a repeat/cumsum index
-trick (no per-bit Python), then np.packbits. The only sequential part
-is the Gorilla window-reuse decision (inherently stateful); it runs
-once per *changed* value per segment, on numpy scalars.
+  XOR val (v2, columnar streams — Gorilla XOR with run-bounded window
+  reuse so BOTH encode and decode are branch-free numpy):
+    [1B version=2]
+    [ceil(2n/8)B controls]  2-bit code per point, MSB-first:
+        00 repeat (xor==0 vs previous non-null value; 0-state start)
+        01 reuse governing window    10 new window    11 NULL
+    [ceil(11W/8)B windows]  per '10' code: 5b lead | 6b (meaning-1)
+    [payload bits]          per '01'/'10' code: meaning-wide xor>>tz
+    A window is (lead=min(lz,31), meaning=64-lead-tz) of the xor that
+    opened it; reuse happens exactly while consecutive non-zero xors
+    share (lead, tz) — a *run*, decided vectorized (np.diff), unlike
+    classic Gorilla's stateful fits-in-window test. Nulls carry no
+    payload and do not advance the value chain (a null bitmap in the
+    control stream — raw frames with null values round-trip as null,
+    while genuine NaN values round-trip via their IEEE bit pattern).
+    There is no separate v0 field: point 0 xors against 0, so +0.0
+    opens with a '00'.
+
+Both directions are numpy-vectorized end to end: per-element variable-
+width fields are scattered into a bit buffer with a repeat/cumsum
+index trick (no per-bit Python) and np.packbits on encode; decode
+reads fixed-width streams with gather matrices, recovers DoD record
+boundaries by pointer-doubling over position-local record lengths,
+and rebuilds the value chain with np.bitwise_xor.accumulate. There is
+no per-point Python loop anywhere in the codec.
 """
 
 from __future__ import annotations
@@ -141,42 +157,94 @@ def encode_ts_dod(ts_units: np.ndarray) -> bytes:
     return _pack_fields(vals, widths)
 
 
+def _read_fields(bits: np.ndarray, offs: np.ndarray, width: int) -> np.ndarray:
+    """Gather `width`-bit big-endian fields at bit offsets `offs` from an
+    unpacked 0/1 uint8 bit array — one (len(offs), width) gather, no loop.
+    Bit lanes never overlap within a field, so OR-reduce assembles them."""
+    if offs.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lanes = bits[offs[:, None] + np.arange(width, dtype=np.int64)[None, :]]
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return np.bitwise_or.reduce(
+        lanes.astype(np.uint64) << shifts[None, :], axis=1
+    )
+
+
+def _unzigzag64(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return (
+        (u >> np.uint64(1)) ^ (-(u & np.uint64(1))).astype(np.uint64)
+    ).astype(np.int64)
+
+
+def _orbit(nxt: np.ndarray, p0: int, m: int) -> np.ndarray:
+    """Positions of m chained records: pos[i+1] = nxt[pos[i]], recovered
+    with pointer doubling — log2(m) vectorized gathers, no per-record
+    Python. `nxt` must be a total function (clipped at the array end)."""
+    pos = np.empty(m, dtype=np.int64)
+    pos[0] = p0
+    filled = 1
+    jump = nxt  # the `filled`-step jump map, squared as `filled` doubles
+    while filled < m:
+        take = min(filled, m - filled)
+        pos[filled : filled + take] = jump[pos[:take]]
+        filled += take
+        if filled < m:
+            jump = jump[jump]
+    return pos
+
+
 def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
-    pos = 8  # skip width marker
-
-    def rd(nb: int) -> int:
-        nonlocal pos
-        v = 0
-        for i in range(nb):
-            v = (v << 1) | int(bits[pos + i])
-        pos += nb
-        return v
-
-    t0 = rd(64)
+    """Vectorized DoD decode. Record lengths are position-local (the
+    1-4 bit control prefix determines them), so record starts follow
+    from pointer doubling; payloads are then fixed-width gathers per
+    control class and the timestamp chain is two cumsums."""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.uint8)
+    t0 = int(_read_fields(bits, np.array([8], dtype=np.int64), 64)[0])
     if t0 >= 1 << 63:
         t0 -= 1 << 64
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
     if n == 1:
         return out
-    zz = rd(64)
-    d = (zz >> 1) ^ -(zz & 1)
-    out[1] = t0 + d
-    for i in range(2, n):
-        if rd(1) == 0:
-            dod = 0
-        elif rd(1) == 0:
-            dod = rd(7) - 63
-        elif rd(1) == 0:
-            dod = rd(9) - 255
-        elif rd(1) == 0:
-            dod = rd(12) - 2047
-        else:
-            zz = rd(64)
-            dod = (zz >> 1) ^ -(zz & 1)
-        d += dod
-        out[i] = out[i - 1] + d
+    d0 = int(
+        _unzigzag64(_read_fields(bits, np.array([72], dtype=np.int64), 64))[0]
+    )
+    out[1] = t0 + d0
+    if n == 2:
+        return out
+    m = n - 2
+    # pad so len_at/nxt are total functions near the stream tail
+    b = np.concatenate([bits, np.zeros(80, dtype=np.uint8)])
+    L = bits.size
+    p = np.arange(L + 1, dtype=np.int64)
+    ln = np.where(
+        b[p] == 0,
+        1,
+        np.where(
+            b[p + 1] == 0,
+            2 + 7,
+            np.where(b[p + 2] == 0, 3 + 9, np.where(b[p + 3] == 0, 4 + 12, 4 + 64)),
+        ),
+    )
+    nxt = np.minimum(p + ln, L)
+    starts = _orbit(nxt, 136, m)  # 8 + 64 + 64 header bits
+    c1, c2, c3, c4 = (b[starts + k] for k in range(4))
+    # bucket 0='0', 1..3 bounded, 4=escape
+    bucket = np.where(
+        c1 == 0, 0, np.where(c2 == 0, 1, np.where(c3 == 0, 2, np.where(c4 == 0, 3, 4)))
+    )
+    dod = np.zeros(m, dtype=np.int64)
+    for bi, (cbits, pbits) in enumerate(zip(_DOD_CBITS, _DOD_PBITS)):
+        idx = np.flatnonzero(bucket == bi + 1)
+        if idx.size:
+            pay = _read_fields(b, starts[idx] + int(cbits), int(pbits))
+            dod[idx] = pay.astype(np.int64) + _DOD_LO[bi]
+    esc = np.flatnonzero(bucket == 4)
+    if esc.size:
+        dod[esc] = _unzigzag64(_read_fields(b, starts[esc] + 4, 64))
+    deltas = d0 + np.cumsum(dod)
+    out[2:] = out[1] + np.cumsum(deltas)
     return out
 
 
@@ -185,78 +253,119 @@ def decode_ts_dod(data: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_val_xor(values: np.ndarray) -> bytes:
-    """Each point emits a header field (≤13 bits) plus an optional
-    payload field (≤64 bits) — split because '11'+5+6+64-bit payloads
-    exceed one uint64. Zero-width payload slots vanish in _pack_fields
-    (np.repeat drops them), so the arrays stay fixed-size/vectorized."""
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 arrays (0 → 0)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    y = x.astype(np.uint64).copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = y >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        y[m] >>= np.uint64(s)
+    return bl + (y > 0).astype(np.int64)
+
+
+VAL_VERSION = 2
+
+
+def encode_val_xor(values: np.ndarray, nulls: np.ndarray | None = None) -> bytes:
+    """Columnar Gorilla-XOR encode (v2 spec in the module docstring).
+
+    `nulls` marks positions encoded as code 11 (no payload, value chain
+    unaffected); their content in `values` is ignored. Fully vectorized:
+    lz/tz via shift cascades, run boundaries via np.diff, all three
+    streams packed with _pack_fields/np.packbits."""
     v = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
-    bits = v.view(np.uint64)
     n = v.size
-    xors = np.concatenate(([np.uint64(0)], bits[1:] ^ bits[:-1]))
-    # field layout: [v0 | hdr_1, pay_1 | hdr_2, pay_2 | ...]
-    hdr_v = np.zeros(n, dtype=np.uint64)   # index 0 unused (v0 slot below)
-    hdr_w = np.ones(n, dtype=np.int64)     # default '0' (identical bits)
-    pay_v = np.zeros(n, dtype=np.uint64)
-    pay_w = np.zeros(n, dtype=np.int64)
-    nz_idx = np.nonzero(xors[1:])[0] + 1
-    lead, meaning = -1, -1
-    for i in nz_idx:
-        x = int(xors[i])
-        lz = min(64 - x.bit_length(), 31)
-        tz = (x & -x).bit_length() - 1
-        ml = 64 - lz - tz
-        if lead >= 0 and lz >= lead and (64 - tz) <= (lead + meaning):
-            hdr_v[i], hdr_w[i] = 0b10, 2
-            pay_v[i] = (x >> (64 - lead - meaning)) & ((1 << meaning) - 1)
-            pay_w[i] = meaning
-        else:
-            lead, meaning = lz, ml
-            hdr_v[i] = (0b11 << 11) | (lead << 6) | (meaning - 1)
-            hdr_w[i] = 13
-            pay_v[i] = x >> tz
-            pay_w[i] = meaning
-    vals = np.empty(1 + 2 * n, dtype=np.uint64)
-    widths = np.empty(1 + 2 * n, dtype=np.int64)
-    vals[0], widths[0] = bits[0] if n else np.uint64(0), 64 if n else 0
-    vals[1::2], widths[1::2] = hdr_v, hdr_w
-    vals[2::2], widths[2::2] = pay_v, pay_w
-    # point 0 has no per-point fields
-    if n:
-        widths[1] = widths[2] = 0
-    return _pack_fields(vals, widths)
+    code = np.full(n, 3, dtype=np.uint8)
+    nn = (
+        np.ones(n, dtype=bool)
+        if nulls is None
+        else ~np.asarray(nulls, dtype=bool)
+    )
+    vb = v.view(np.uint64)[nn]
+    prev = np.concatenate(([np.uint64(0)], vb[:-1])) if vb.size else vb
+    x = vb ^ prev
+    nz = x != 0
+    xnz = x[nz]
+    lead = np.minimum(64 - _bitlen64(xnz), 31)
+    tz = _bitlen64(xnz & (~xnz + np.uint64(1))) - 1
+    meaning = 64 - lead - tz
+    # run-bounded reuse: a new window exactly when (lead, tz) changes
+    # between consecutive non-zero xors (or at the first one)
+    new_win = np.ones(xnz.size, dtype=bool)
+    if xnz.size > 1:
+        new_win[1:] = (np.diff(lead) != 0) | (np.diff(tz) != 0)
+    cnn = np.zeros(vb.size, dtype=np.uint8)  # 00 repeat
+    cnn[np.flatnonzero(nz)] = np.where(new_win, 2, 1)
+    code[nn] = cnn
+    # stream 1: controls, 2 bits/point, MSB-first, byte-padded
+    ctrl_bits = np.empty(2 * n, dtype=np.uint8)
+    ctrl_bits[0::2] = code >> 1
+    ctrl_bits[1::2] = code & 1
+    ctrl = np.packbits(ctrl_bits).tobytes()
+    # stream 2: 11-bit window fields for each '10' code
+    wl = lead[new_win].astype(np.uint64)
+    wm = meaning[new_win].astype(np.uint64)
+    windows = _pack_fields(
+        (wl << np.uint64(6)) | (wm - np.uint64(1)),
+        np.full(wl.size, 11, dtype=np.int64),
+    )
+    # stream 3: payloads (xor >> tz, meaning wide) for codes 01 and 10;
+    # within a run (lead, tz) are constant, so reuse payloads share the
+    # opener's width exactly
+    payload = _pack_fields(xnz >> tz.astype(np.uint64), meaning)
+    return bytes([VAL_VERSION]) + ctrl + windows + payload
 
 
-def decode_val_xor(data: bytes, n: int) -> np.ndarray:
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
-    pos = 0
+def decode_val_xor(data: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_val_xor → (float64 values, null mask).
 
-    def rd(nb: int) -> int:
-        nonlocal pos
-        v = 0
-        for i in range(nb):
-            v = (v << 1) | int(bits[pos + i])
-        pos += nb
-        return v
-
-    cur = rd(64)
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = cur
-    lead = meaning = -1
-    for i in range(1, n):
-        if rd(1) == 0:
-            out[i] = cur
-            continue
-        if rd(1) == 0:  # reuse window
-            m = rd(meaning)
-        else:
-            lead = rd(5)
-            meaning = rd(6) + 1
-            m = rd(meaning)
-        cur ^= m << (64 - lead - meaning)
-        cur &= (1 << 64) - 1
-        out[i] = cur
-    return out.view(np.float64)
+    Values at null positions are NaN placeholders; the mask is the
+    truth. Fully vectorized: fixed-width gathers per stream, payload
+    widths grouped by unique meaning (≤64 groups), value chain via
+    np.bitwise_xor.accumulate."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=bool)
+    assert buf[0] == VAL_VERSION, f"bad val codec version {buf[0]}"
+    ctrl_nbytes = (2 * n + 7) // 8
+    cbits = np.unpackbits(buf[1 : 1 + ctrl_nbytes])[: 2 * n]
+    code = (cbits[0::2] << 1) | cbits[1::2]
+    null = code == 3
+    nn = ~null
+    cc = code[nn]
+    n_win = int(np.count_nonzero(cc == 2))
+    win_nbytes = (11 * n_win + 7) // 8
+    wbits = np.unpackbits(buf[1 + ctrl_nbytes : 1 + ctrl_nbytes + win_nbytes])
+    woffs = np.arange(n_win, dtype=np.int64) * 11
+    lead_w = _read_fields(wbits, woffs, 5).astype(np.int64)
+    mean_w = _read_fields(wbits, woffs + 5, 6).astype(np.int64) + 1
+    pbits = np.unpackbits(buf[1 + ctrl_nbytes + win_nbytes :])
+    # governing window per non-null point; width 0 for '00' repeats
+    widx = np.cumsum(cc == 2) - 1
+    has_pay = cc != 0
+    width = (
+        np.where(has_pay, mean_w[np.maximum(widx, 0)], 0)
+        if n_win
+        else np.zeros(cc.size, dtype=np.int64)
+    )
+    offs = np.concatenate(([0], np.cumsum(width)[:-1]))
+    xor = np.zeros(cc.size, dtype=np.uint64)
+    pay_idx = np.flatnonzero(has_pay)
+    if pay_idx.size:
+        w_of_pay = width[pay_idx]
+        shift = (
+            64 - lead_w[widx[pay_idx]] - mean_w[widx[pay_idx]]
+        ).astype(np.uint64)
+        vals = np.zeros(pay_idx.size, dtype=np.uint64)
+        for w in np.unique(w_of_pay):
+            grp = np.flatnonzero(w_of_pay == w)
+            vals[grp] = _read_fields(pbits, offs[pay_idx[grp]], int(w))
+        xor[pay_idx] = vals << shift
+    vbits = np.bitwise_xor.accumulate(xor)
+    out = np.full(n, np.nan, dtype=np.float64)
+    out[nn] = vbits.view(np.float64)
+    return out, null
 
 
 # ---------------------------------------------------------------------------
@@ -297,9 +406,18 @@ def _enc_ts_udf(ts_lists: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-def _enc_val_udf(val_lists: pd.Series) -> pd.Series:
-    return val_lists.map(
-        lambda a: encode_val_xor(np.asarray(a, dtype=np.float64))
+def _enc_val_udf(val_lists: pd.Series, null_lists: pd.Series) -> pd.Series:
+    # Arrow list<double> → numpy turns SQL nulls into NaN, conflating
+    # them with genuine NaN data — the explicit mask column keeps them
+    # distinct (code-11 nulls vs bit-pattern NaNs in the v2 format)
+    return pd.Series(
+        [
+            encode_val_xor(
+                np.asarray(a, dtype=np.float64),
+                np.asarray(m, dtype=bool),
+            )
+            for a, m in zip(val_lists, null_lists)
+        ]
     )
 
 
@@ -333,7 +451,10 @@ def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
         F.sort_array(F.collect_list(F.struct("_ts_us", "value"))).alias("_pts")
     )
     ts_arr = F.transform("_pts", lambda s: s["_ts_us"])
-    val_arr = F.transform("_pts", lambda s: s["value"])
+    # null slot → (0.0, true): the mask column makes nulls explicit and
+    # the placeholder keeps the value array dense for Arrow
+    val_arr = F.transform("_pts", lambda s: F.coalesce(s["value"], F.lit(0.0)))
+    null_arr = F.transform("_pts", lambda s: s["value"].isNull())
     n = F.size("_pts")
     return agg.select(
         "source",
@@ -341,7 +462,7 @@ def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
         "seg_start",
         n.alias("n"),
         _enc_ts_udf(ts_arr).alias("ts_blob"),
-        _enc_val_udf(val_arr).alias("val_blob"),
+        _enc_val_udf(val_arr, null_arr).alias("val_blob"),
         (n * 16).cast("long").alias("raw_bytes"),
     ).withColumn(
         "enc_bytes",
@@ -349,24 +470,36 @@ def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
     )
 
 
-def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        outs = []
-        for r in pdf.itertuples(index=False):
-            ts = decode_ts_dod(bytes(r.ts_blob), r.n)
-            vals = decode_val_xor(bytes(r.val_blob), r.n)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "source": r.source,
-                        "series_id": r.series_id,
-                        "event_ts": pd.to_datetime(ts, unit="us"),
-                        "value": vals,
-                    }
+def _decode_batches(ntz: bool):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ts = decode_ts_dod(bytes(r.ts_blob), r.n)
+                vals, null = decode_val_xor(bytes(r.val_blob), r.n)
+                # nullable Float64 keeps SQL nulls distinct from NaN
+                # data through the Arrow round-trip (the pd.array
+                # constructor would coerce NaN→NA; the mask form not)
+                value = pd.arrays.FloatingArray(vals, mask=null.copy())
+                # NTZ target: naive wall-clock micros. LTZ target:
+                # tz-aware UTC instants — correct under ANY session
+                # timezone (a naive series would be re-interpreted in
+                # the session zone)
+                ets = pd.to_datetime(ts, unit="us", utc=not ntz)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "source": r.source,
+                            "series_id": r.series_id,
+                            "event_ts": ets,
+                            "value": value,
+                        }
+                    )
                 )
-            )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
 
 
 def decode_segments(blobs: DataFrame) -> DataFrame:
@@ -377,8 +510,9 @@ def decode_segments(blobs: DataFrame) -> DataFrame:
     of session timezone."""
     from pyspark.sql.types import TimestampNTZType
 
+    ntz = isinstance(blobs.schema["seg_start"].dataType, TimestampNTZType)
     schema = RAW_SCHEMA
-    if isinstance(blobs.schema["seg_start"].dataType, TimestampNTZType):
+    if ntz:
         schema = StructType(
             [
                 StructField("source", StringType()),
@@ -387,4 +521,4 @@ def decode_segments(blobs: DataFrame) -> DataFrame:
                 StructField("value", DoubleType()),
             ]
         )
-    return blobs.mapInPandas(_decode_batches, schema=schema)
+    return blobs.mapInPandas(_decode_batches(ntz), schema=schema)
