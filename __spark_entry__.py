@@ -21,11 +21,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Window truncation and cross-engine timestamp canonicalization
+    assume UTC; the external driver's session timezone is unknown, so
+    every entry point pins it (a +05:30 session would shift date_trunc
+    hour/day windows and break value hashes)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events → raw tier → 1m rollup → 1h cascade → finish."""
     from tokens_ts import tiers
     from tokens_ts.queries_driver import _events_raw
 
+    _pin_utc(spark)
     raw = _events_raw(spark, "/root/testdata/sf0.001")
     t1h = tiers.finish(tiers.cascade(tiers.rollup(raw, "1m"), "1h"))
     return t1h
@@ -35,7 +44,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import tokens_ts.queries_data  # noqa: F401  (registers into QUERIES)
     from tokens_ts.queries_driver import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_utc(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

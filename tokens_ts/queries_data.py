@@ -479,12 +479,13 @@ def doc_fingerprint(spark, sf_dir):
     "doc_ngram_jaccard",
     """
     WITH sh AS (
+      -- greatest(n-2, 1) + clamped slice: a doc shorter than 3 words
+      -- yields ONE whole-doc shingle, matching dedup.word_shingles
+      -- (Spark slice(words, i, 3)) on short documents too
       SELECT doc_id, lang,
              list_distinct(list_transform(
-               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
-               i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                    string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(trim(text), '\\s+')[i+2]
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
              )) AS sh3
       FROM documents
     )
