@@ -91,3 +91,59 @@ def test_increment_matches_full_backfill(spark, seq_tiny, tmp_path):
             _tier_snapshot(spark, inc_root, name),
             _tier_snapshot(spark, full_root, name),
         )
+
+
+def _raw_snapshot(spark, root):
+    rows = Catalog(root).read(spark, "raw").collect()
+    out = {}
+    for r in rows:
+        k = (r["source"], r["series_id"], r["event_ts"])
+        assert k not in out, f"duplicate raw point {k}"
+        out[k] = (r["value"],)
+    return out
+
+
+def test_increment_crash_rerun_identical(spark, seq_tiny, tmp_path):
+    """Kill an increment between the raw write and the tier/manifest
+    writes; rerunning the same batch must converge to the single-shot
+    state — no double-counted raw points, identical tiers."""
+    seq = grid.with_event_time(seq_tiny)
+    old = seq.where(F.col("k") < 300)
+    new = seq.where(F.col("k") >= 300)
+
+    ref_root = str(tmp_path / "ref")
+    pipeline.run_backfill(spark, old, ref_root)
+    pipeline.run_increment(spark, new, ref_root)
+
+    root = str(tmp_path / "crashy")
+    pipeline.run_backfill(spark, old, root)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_increment(spark, new, root, _crash_after_raw=True)
+    # rerun after the crash: same batch content → same batch id
+    res = pipeline.run_increment(spark, new, root)
+    assert res["touched"] and not res.get("skipped")
+
+    _same(_raw_snapshot(spark, root), _raw_snapshot(spark, ref_root))
+    for name in ("t1m", "t1h", "t1d"):
+        _same(_tier_snapshot(spark, root, name), _tier_snapshot(spark, ref_root, name))
+
+    # replaying the now-completed batch is a manifest-level no-op
+    res2 = pipeline.run_increment(spark, new, root)
+    assert res2.get("skipped") and res2["touched"] == []
+    _same(_raw_snapshot(spark, root), _raw_snapshot(spark, ref_root))
+
+
+def test_increment_replay_skipped_by_batch_id(spark, seq_tiny, tmp_path):
+    """An already-applied batch (at-least-once delivery replay) is
+    skipped outright — tiers stay byte-identical."""
+    seq = grid.with_event_time(seq_tiny)
+    old = seq.where(F.col("k") < 300)
+    new = seq.where(F.col("k") >= 300)
+    root = str(tmp_path / "w")
+    pipeline.run_backfill(spark, old, root)
+    r1 = pipeline.run_increment(spark, new, root, batch_id="epoch-7")
+    snap = {n: _tier_snapshot(spark, root, n) for n in ("t1m", "t1h", "t1d")}
+    r2 = pipeline.run_increment(spark, new, root, batch_id="epoch-7")
+    assert r1["touched"] and r2.get("skipped")
+    for n in ("t1m", "t1h", "t1d"):
+        _same(_tier_snapshot(spark, root, n), snap[n])

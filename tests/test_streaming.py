@@ -1,4 +1,5 @@
-"""Structured Streaming increment == batch backfill (end state)."""
+"""Structured Streaming increment == batch backfill (end state),
+plus the dead-letter route for beyond-watermark rows."""
 
 import math
 
@@ -7,6 +8,27 @@ import pytest
 
 from tokens_ts import grid, pipeline, streaming
 from tokens_ts.io.catalog import Catalog
+
+
+def _compare_tiers(spark, out_root, ref_root):
+    for name in ("t1m", "t1h", "t1d"):
+        cat_a, cat_b = Catalog(out_root), Catalog(ref_root)
+        a = {
+            (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
+            for r in cat_a.read(spark, name).collect()
+        }
+        b = {
+            (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
+            for r in cat_b.read(spark, name).collect()
+        }
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k][0] == b[k][0]
+            x, y = a[k][1], b[k][1]
+            if x is None or y is None:
+                assert x is None and y is None
+            else:
+                assert math.isclose(x, y, rel_tol=1e-12)
 
 
 def test_stream_increment_matches_batch(spark, seq_tiny, tmp_path):
@@ -33,21 +55,50 @@ def test_stream_increment_matches_batch(spark, seq_tiny, tmp_path):
     )
     q.awaitTermination(300)
 
-    for name in ("t1m", "t1h", "t1d"):
-        cat_a, cat_b = Catalog(out_root), Catalog(ref_root)
-        a = {
-            (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
-            for r in cat_a.read(spark, name).collect()
-        }
-        b = {
-            (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
-            for r in cat_b.read(spark, name).collect()
-        }
-        assert a.keys() == b.keys()
-        for k in a:
-            assert a[k][0] == b[k][0]
-            x, y = a[k][1], b[k][1]
-            if x is None or y is None:
-                assert x is None and y is None
-            else:
-                assert math.isclose(x, y, rel_tol=1e-12)
+    _compare_tiers(spark, out_root, ref_root)
+
+
+def test_stream_dead_letter_routes_late_rows(spark, seq_tiny, tmp_path):
+    """Rows older than high-watermark − lateness land in dead_letter;
+    on-time rows land in the tiers; nothing is silently dropped."""
+    seq = grid.with_event_time(seq_tiny).where(F.col("source") == "src00")
+    in_dir, out_root, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    # epoch 1: the recent half establishes the watermark
+    # (src00: step 60 s, max k ≈ 399 → watermark ≈ t0 + 399 min)
+    recent = seq.where(F.col("k") >= 200)
+    recent.drop("k", "event_ts").coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.stream_increment(spark, in_dir, out_root, ckpt, lateness="4 hours")
+    q.awaitTermination(300)
+
+    # epoch 2: very-late rows (k < 50 → ~5.8 h behind the watermark,
+    # beyond the 4 h bound) mixed with slightly-late-but-in-bound ones
+    # (k ∈ [195, 200) → ~3.4 h behind)
+    late_ks = {r["k"] for r in seq.where(F.col("k") < 50).select("k").collect()}
+    assert late_ks
+    mixed = seq.where((F.col("k") < 50) | ((F.col("k") >= 195) & (F.col("k") < 200)))
+    mixed.drop("k", "event_ts").coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.stream_increment(spark, in_dir, out_root, ckpt, lateness="4 hours")
+    q.awaitTermination(300)
+
+    cat = Catalog(out_root)
+    dl = grid.with_event_time(cat.read(spark, "dead_letter").drop("k", "event_ts"))
+    dl_ks = {r["k"] for r in dl.select("k").collect()}
+    assert dl_ks == late_ks, "exactly the late rows are dead-lettered"
+    assert {r["dl_reason"] for r in dl.select("dl_reason").collect()} == {
+        "beyond_watermark"
+    }
+    # the late rows' windows never entered the tiers: the earliest tier
+    # window is at/after the earliest ON-TIME row folded
+    t1m = cat.read(spark, "t1m")
+    min_window = t1m.agg(F.min("window_start").alias("m")).collect()[0]["m"]
+    min_ontime = (
+        seq.where((F.col("k") >= 195) & (F.col("k") < 200))
+        .agg(F.min("event_ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert t1m.count() > 0 and min_window >= min_ontime

@@ -86,11 +86,15 @@ def run_backfill(
         for r in checkpoint.token_checksum_by_partition(batch).collect()
     }
 
-    raw = _with_day(extraction(batch), "event_ts")
+    # raw rows carry their producing batch id (the backfill run id here;
+    # increments use theirs) — the key the increment upsert dedups on
+    raw = _with_day(extraction(batch), "event_ts").withColumn(
+        "batch_id", F.lit(run_id)
+    )
     cat.overwrite_partitions(raw, "raw", ["source", "day"])
     raw_w = cat.read(spark, "raw").where(F.col("source").isin(part_ids))
 
-    tier_frames = tiers.build_all_tiers(raw_w.drop("day"))
+    tier_frames = tiers.build_all_tiers(raw_w.drop("day", "batch_id"))
     for tier, name in TIER_NAMES.items():
         cat.overwrite_partitions(
             _with_day(tier_frames[tier], "window_start"), name, ["source", "day"]
@@ -132,37 +136,102 @@ def run_backfill(
     return {"run_id": run_id, "partitions": part_ids, "skipped": False, "wall_ms": wall_ms}
 
 
+def _content_batch_id(new_seq: DataFrame) -> str:
+    """Deterministic batch id from the batch's own content: an xor-fold
+    of xxhash64(doc_id, tokens) plus the row count. A replayed batch
+    (same rows) maps to the same id — the basis for exactly-once."""
+    r = new_seq.agg(
+        F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("cs"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{(r['cs'] or 0) & ((1 << 64) - 1):016x}-{r['n']}"
+
+
 def run_increment(
     spark: SparkSession,
     new_seq: DataFrame,
     out_root: str,
     extraction: Callable[[DataFrame], DataFrame] = default_extraction,
     fmt: str = "parquet",
+    batch_id: str | None = None,
+    _crash_after_raw: bool = False,
 ) -> dict:
     """Fold an append-only batch of new sequences into raw + all tiers,
-    recomputing only the touched (source, day) tier partitions."""
-    cat = Catalog(out_root, fmt)
-    new_raw = _with_day(extraction(new_seq), "event_ts")
-    new_raw.cache()
+    recomputing only the touched (source, day) tier partitions.
 
+    Retry-idempotent (exactly-once per batch):
+    - each batch carries a `batch_id` (caller-supplied — e.g. the
+      streaming epoch id — or derived from the batch's content hash);
+    - a manifest row `batch:<id>` marks completion; rerunning a
+      completed batch is a no-op;
+    - raw rows are tagged with their batch_id, and the touched raw
+      partitions are rewritten as (existing rows minus this batch's)
+      ∪ (this batch's rows) — so a crash anywhere between the raw
+      write and the manifest commit leaves a rerun that converges to
+      the exact single-shot state, never double-counting. On Iceberg
+      the same discipline is a MERGE keyed on (source, day, batch_id);
+      on parquet it is a dynamic partition overwrite over a snapshot
+      of the prior rows (localCheckpoint pins the read before the
+      overwrite replaces the files).
+
+    _crash_after_raw is a test hook: abort after the raw write,
+    before any tier write or manifest commit, simulating a mid-flight
+    failure."""
+    cat = Catalog(out_root, fmt)
+    manifest_path = cat.path("_lineage")
+    bid = batch_id or _content_batch_id(new_seq)
+    marker = f"batch:{bid}"
+
+    done = {
+        r["partition_id"]
+        for r in checkpoint.done_partitions(spark, manifest_path).collect()
+    }
+    if marker in done:
+        return {"touched": [], "batch_id": bid, "skipped": True}
+
+    new_raw = _with_day(extraction(new_seq), "event_ts").withColumn(
+        "batch_id", F.lit(bid)
+    )
+    new_raw.cache()
     touched = [
         (r["source"], r["day"])
         for r in new_raw.select("source", "day").distinct().collect()
     ]
     if not touched:
-        return {"touched": []}
+        new_raw.unpersist()
+        return {"touched": [], "batch_id": bid}
     srcs = sorted({s for s, _ in touched})
     days = sorted({d for _, d in touched})
-
-    # append new raw points (per-(source,day) idempotence comes from the
-    # caller running increments once; production Iceberg uses MERGE)
-    cat.append(new_raw, "raw", ["source", "day"])
-
     sel = F.col("source").isin(srcs) & F.col("day").isin([str(d) for d in days])
+
+    upsert = new_raw
+    if cat.exists(spark, "raw"):
+        existing = cat.read(spark, "raw")
+        if "batch_id" not in existing.columns:  # pre-increment warehouse
+            existing = existing.withColumn("batch_id", F.lit(None).cast("string"))
+        keep = (
+            existing.where(sel)
+            .where(F.col("batch_id").isNull() | (F.col("batch_id") != bid))
+            # snapshot before the overwrite below replaces these files
+            .localCheckpoint(eager=True)
+        )
+        upsert = keep.unionByName(new_raw.select(keep.columns))
+    cat.overwrite_partitions(upsert, "raw", ["source", "day"])
+    if _crash_after_raw:
+        new_raw.unpersist()
+        raise RuntimeError("injected crash after raw write")
+
     raw_touched = cat.read(spark, "raw").where(sel)
-    t = tiers.build_all_tiers(raw_touched.drop("day"))
+    t = tiers.build_all_tiers(raw_touched.drop("day", "batch_id"))
     for tier, name in TIER_NAMES.items():
         upd = _with_day(t[tier], "window_start").where(sel)
         cat.overwrite_partitions(upd, name, ["source", "day"])
+    n_in = new_seq.count()
+    checkpoint.record_done(
+        spark,
+        manifest_path,
+        [{"partition_id": marker, "rows_in": n_in}],
+        checkpoint.new_run_id(),
+    )
     new_raw.unpersist()
-    return {"touched": touched}
+    return {"touched": touched, "batch_id": bid}

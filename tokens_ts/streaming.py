@@ -6,9 +6,14 @@ Streaming so new sequence files flow into the tiers continuously:
 
 - `stream_increment`: file-source stream → foreachBatch →
   pipeline.run_increment. Each micro-batch recomputes exactly the
-  touched (source, day) tier partitions; the streaming checkpoint
-  makes the whole flow resumable (exactly-once per input file on top
-  of the engine's idempotent dynamic partition overwrites).
+  touched (source, day) tier partitions. foreachBatch is at-least-once;
+  exactly-once comes from run_increment's batch-id discipline: the
+  streaming epoch id is passed as the batch_id, a replayed epoch is
+  skipped via the `batch:<id>` manifest row, and a *partially applied*
+  epoch is converged by the batch-keyed raw upsert (pipeline.py).
+  Optionally routes late rows (event_ts older than the observed
+  high-watermark minus `lateness`) to a `dead_letter` table instead
+  of folding them into tiers (SURVEY.md §2.9 dead-letter variant).
 - `stream_window_agg`: the pure-streaming alternative — watermarked
   tumbling-window partial-state aggregation (same algebraic state as
   tiers.rollup) with late data beyond the watermark dropped to the
@@ -54,18 +59,55 @@ def stream_increment(
     out_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    lateness: str | None = None,
 ):
     """Micro-batch tier refresh: every new file batch folds into
-    raw/t1m/t1h/t1d via the touched-window incremental path."""
+    raw/t1m/t1h/t1d via the touched-window incremental path.
+
+    With `lateness` (e.g. "2 hours"), rows whose event_ts is older than
+    the high-watermark (max event_ts folded so far, persisted in the
+    `_watermark` table) minus the bound are appended to the
+    `dead_letter` table with the rejection context instead of silently
+    mutating long-closed tier windows."""
+    from tokens_ts.io.catalog import Catalog
+
     from tokens_ts import grid
 
     stream = read_sequence_stream(spark, input_path)
+    cat = Catalog(out_root)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        sp = batch_df.sparkSession
+        timed = grid.with_event_time(batch_df)
+        if lateness is not None:
+            bound = None
+            if cat.exists(sp, "_watermark"):
+                r = cat.read(sp, "_watermark").agg(
+                    F.max("max_event_ts").alias("m")
+                ).collect()[0]
+                if r["m"] is not None:
+                    bound = F.lit(r["m"]) - F.expr(f"interval {lateness}")
+            if bound is not None:
+                late = timed.where(F.col("event_ts") < bound)
+                if not late.isEmpty():
+                    cat.append(
+                        late.withColumn("dl_batch_id", F.lit(str(batch_id)))
+                        .withColumn("dl_reason", F.lit("beyond_watermark"))
+                        .withColumn("dl_bound", bound),
+                        "dead_letter",
+                    )
+                timed = timed.where(~(F.col("event_ts") < bound))
+            if timed.isEmpty():
+                return
+            new_wm = timed.agg(F.max("event_ts").alias("max_event_ts"))
+            # watermark advances monotonically (union + max on read)
+            cat.append(new_wm, "_watermark")
+        # epoch id as batch id: a replayed epoch delivers the same files,
+        # so the manifest skip + batch-keyed upsert give exactly-once
         pipeline.run_increment(
-            batch_df.sparkSession, grid.with_event_time(batch_df), out_root
+            sp, timed, out_root, batch_id=f"epoch-{batch_id}"
         )
 
     w = stream.writeStream.foreachBatch(_fold).option(
