@@ -139,14 +139,24 @@ def main():
     raw = extract.to_raw(extract.full_stats(seq, stats=["mean", "max"]))
     bench("synth_backfill_t1m", lambda: _materialize(tiers.rollup(raw, "1m")))
 
-    # training-data ops
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # training-data ops (single-file tables → repartition, as a real
+    # partitioned table scan would start from all cores)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        int(cpus) * 2
+    )
+    emb.cache().count()
     bench("ann_topk", lambda: _materialize(
         simsearch.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
     ))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        int(cpus) * 2
+    )
+    docs.cache().count()
     bench("minhash_lsh", lambda: _materialize(
         dedup.lsh_candidates(docs, n_perm=32, bands=8)
+    ))
+    bench("simhash_pairs", lambda: _materialize(
+        dedup.simhash_candidates(docs)
     ))
 
     total = round(sum(timings.values()), 3)

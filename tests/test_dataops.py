@@ -45,6 +45,54 @@ def test_simhash_distance(docs):
     assert d_near < d_far
 
 
+def test_simhash_candidates_find_near_dups(docs):
+    # pigeonhole guarantee: a pair within hamming < bands always shares
+    # a clean band. The fixture near-pair sits at hamming 9 (md5_60
+    # signature), so bands=10 (6-bit bands) guarantees its capture;
+    # the production default bands=4 only guarantees distance ≤ 3.
+    out = {(r["a"], r["b"]): r["hamming"] for r in
+           dedup.simhash_candidates(docs, bands=10, max_hamming=9).collect()}
+    pairs = set(out)
+    assert (1, 2) in pairs and out[(1, 2)] == 0   # identical docs
+    assert (1, 3) in pairs and (2, 3) in pairs    # near dup (hamming 9)
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated: d=30
+    # verified pairs carry the true full-width distance (not band-local)
+    h = {r["doc_id"]: r["simhash"] for r in
+         docs.withColumn("_sh", dedup.word_shingles("text"))
+             .select("doc_id", dedup._simhash_expr(dedup.md5_60, 60).alias("simhash"))
+             .collect()}
+    for (a, b), d in out.items():
+        assert d == bin(h[a] ^ h[b]).count("1")
+
+
+def test_lsh_multitable_recall_monotone(emb2_big):
+    """More hash tables → candidate set grows → recall@k can only
+    improve; with enough tables the LSH result converges to exact."""
+    qids = list(range(8))
+    exact = {(r["qid"], r["nid"]) for r in
+             simsearch.cosine_topk(emb2_big, qids, k=3).collect()}
+
+    def recall(n_tables):
+        got = {(r["qid"], r["nid"]) for r in
+               simsearch.lsh_topk(emb2_big, qids, k=3, n_planes=6,
+                                  dim=16, n_tables=n_tables).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.5  # multi-probe must find at least half at this size
+
+
+@pytest.fixture(scope="module")
+def emb2_big(spark):
+    """Deterministic 64×16 embedding table (integer recurrence)."""
+    rows = [
+        (i, [float(((i * 31 + j * 17) % 23) - 11) for j in range(16)], i % 3)
+        for i in range(64)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rows = [

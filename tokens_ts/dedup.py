@@ -40,19 +40,29 @@ def word_shingles(text_col: str = "text", k: int = 3):
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def with_minhash(
     docs: DataFrame, n_perm: int = 32, text_col: str = "text"
 ) -> DataFrame:
-    """MinHash signature: min over shingles of xxhash64(shingle, seed),
-    one column per permutation — all JVM-side array expressions."""
+    """MinHash signature: min over shingles of xxhash64(shingle, seed).
+
+    Single-pass: ONE traversal of the shingle array with an
+    array<long>[n_perm] accumulator folded by element-wise least —
+    instead of n_perm separate transform+array_min passes (n_perm
+    intermediate arrays per row). Hash count is identical; array
+    traffic drops n_perm-fold."""
     df = docs.withColumn("_sh", word_shingles(text_col))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(n_perm)
-        ]
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_perm)
+    sig = F.aggregate(
+        F.col("_sh"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(n_perm)]),
+            lambda x, y: F.least(x, y),
+        ),
     )
     return df.withColumn("minhash", sig).drop("_sh")
 
@@ -105,27 +115,124 @@ def lsh_candidates(
     return pairs
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word shingles: per bit, sign of the sum of
-    ±1 contributions from each shingle's xxhash64 bit — expressed as
-    64 aggregate-free array expressions (row-local)."""
-    df = docs.withColumn("_sh", word_shingles(text_col)).withColumn(
-        "_h", F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+def md5_60(col):
+    """Shared-by-both-engines 60-bit hash: the first 15 hex chars of
+    md5, as a bigint. DuckDB mirror:
+    CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) — this is what
+    lets SimHash pairs get a full cross-engine value-hash check instead
+    of a rows-only one (xxhash64 has no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_expr(hash_fn, n_bits: int):
+    """sign-of-majority SimHash over the `_sh` shingle array.
+
+    Single pass: hash each shingle ONCE (hoisted into `_h` — a hash
+    referenced inside the per-bit lambda would be re-evaluated n_bits
+    times per shingle, Catalyst does not CSE across lambdas), fold the
+    hashes into an array<int>[n_bits] of ±1 counters (zip_with add),
+    then collapse counters>0 into bit j of the signature."""
+    hashes = F.transform(F.col("_sh"), hash_fn)
+    # call_function: the SQL getbit/shiftleft take expression positions;
+    # the python wrappers insist on ints, which a lambda variable isn't
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda j: F.when(
+                    F.call_function("getbit", h, j) == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
     )
-    bit_cols = []
-    for b in range(64):
-        contrib = F.aggregate(
-            F.col("_h"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.getbit(h, F.lit(b)) == 1, 1).otherwise(-1),
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda c, j: F.when(
+                c > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word shingles (xxhash64 production hash)."""
+    df = docs.withColumn("_sh", word_shingles(text_col))
+    return df.select(
+        "doc_id", _simhash_expr(lambda s: F.xxhash64(s), 64).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    n_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    hash_fn=md5_60,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded Hamming buckets.
+
+    Pigeonhole: two signatures within Hamming distance < bands must
+    agree exactly on at least one of the `bands` contiguous bit bands
+    — so candidate generation is an equi-self-join on (band, band
+    bits), never all-pairs, and each candidate is then verified with
+    the full popcount(xor) ≤ max_hamming. Recall is GUARANTEED only
+    for distance < bands; beyond that it is probabilistic — raise
+    `bands` (narrower bands) to push the guarantee out, at the cost
+    of coarser buckets (the classic recall/bucket-size dial; Manku et
+    al. WWW'07 block-permutation tables are the general form). Hot
+    buckets are capped like skewed agg keys (A8 salting analog).
+    Default hash is md5_60 so the whole query is DuckDB-expressible
+    for the driver's value-hash check."""
+    if n_bits % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_bits={n_bits}: a remainder would "
+            "leave the top bits out of every band and silently lose recall"
         )
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+    r = n_bits // bands
+    sigs = docs.withColumn("_sh", word_shingles(text_col)).select(
+        "doc_id", _simhash_expr(hash_fn, n_bits).alias("simhash")
+    )
+    band_rows = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1).cast("long"))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
             )
-        )
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return df.select("doc_id", sim.alias("simhash"))
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bits")
+    sized = band_rows.withColumn("bsz", F.count("*").over(w)).where(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    )
+    a = sized.select("band", "bits", F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sized.select("band", "bits", F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["band", "bits"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

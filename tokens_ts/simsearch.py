@@ -68,18 +68,24 @@ def hyperplane(j: int, dim: int = 64):
     )
 
 
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, table: int = 0):
+    """Bucket id for one hash table: bit j = (h_{table·n_planes+j}·v > 0)."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bit = F.when(
+            _dot(hyperplane(table * n_planes + j, dim), v) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
 def with_lsh_bucket(
     emb: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
 ) -> DataFrame:
     """Sign-of-projection bucket id: bit j = (h_j · v > 0)."""
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        bit = F.when(_dot(hyperplane(j, dim), v) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, j)
-    return emb.withColumn("bucket", bucket)
+    return emb.withColumn("bucket", _bucket_expr(vec_col, n_planes, dim))
 
 
 def lsh_topk(
@@ -88,23 +94,52 @@ def lsh_topk(
     k: int = 1,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket."""
-    b = with_lsh_bucket(emb, n_planes, dim, vec_col).select(
+    """Approximate top-k: candidates restricted to bucket collisions.
+
+    n_tables > 1 is the recall lever: each table hashes with an
+    independent plane set (planes table·n_planes .. +n_planes-1); a
+    candidate qualifies if it collides with the query in ANY table
+    (union + distinct), trading candidate-set size for recall — the
+    standard multi-table LSH design. Collision probability per table
+    is (1−θ/π)^n_planes, so misses decay exponentially in n_tables.
+    Measured by the emb_ann_recall driver pair against the exact
+    cosine_topk ground truth."""
+    base = emb.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(vec_col, n_planes, dim, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("nid", "v", "tb.tbl", "tb.bucket")
+    q = base.where(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("tbl").alias("qt"),
+        F.col("bucket").alias("qb"),
     )
-    q = b.where(F.col("nid").isin(query_ids)).select(
-        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
-    )
-    j = b.join(F.broadcast(q), F.col("bucket") == F.col("qb")).where(
-        F.col("nid") != F.col("qid")
+    cand = (
+        base.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb")) & (F.col("tbl") == F.col("qt")),
+        )
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "qv", "nid", "v")
+        .distinct()  # a pair colliding in several tables scores once
     )
     sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = j.select(
+    scored = cand.select(
         "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
