@@ -1,0 +1,85 @@
+"""Catalog contract tests.
+
+The parquet branch runs everywhere (exercised by every pipeline test);
+the iceberg branch cannot execute in this sandbox (no
+iceberg-spark-runtime jar, no network — SURVEY.md §0), so its CALL
+SHAPES are pinned against fakes: the exact writeTo(...).X() chains and
+catalog lookups Iceberg's Spark integration expects. If the branch
+drifts (e.g. someone switches to save() or forgets
+overwritePartitions), these fail without needing the jar.
+"""
+
+import pytest
+
+from tokens_ts.io.catalog import Catalog
+
+
+class _FakeWriteTo:
+    def __init__(self, log, target):
+        self.log, self.target = log, target
+
+    def overwritePartitions(self):
+        self.log.append(("writeTo", self.target, "overwritePartitions"))
+
+    def append(self):
+        self.log.append(("writeTo", self.target, "append"))
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, target):
+        return _FakeWriteTo(self.log, target)
+
+
+class _FakeCatalogAPI:
+    def __init__(self, log, exists=True):
+        self.log, self._exists = log, exists
+
+    def tableExists(self, name):
+        self.log.append(("tableExists", name))
+        return self._exists
+
+
+class _FakeReader:
+    def __init__(self, log):
+        self.log = log
+
+    def table(self, name):
+        self.log.append(("read.table", name))
+        return "df-sentinel"
+
+
+class _FakeSpark:
+    def __init__(self, log, exists=True):
+        self.catalog = _FakeCatalogAPI(log, exists)
+        self.read = _FakeReader(log)
+
+
+def test_iceberg_overwrite_partitions_call_shape():
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    cat.overwrite_partitions(_FakeDF(log), "t1m", ["source", "day"])
+    assert log == [("writeTo", "lake.db/t1m", "overwritePartitions")]
+
+
+def test_iceberg_append_call_shape():
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    cat.append(_FakeDF(log), "raw", ["source", "day"])
+    assert log == [("writeTo", "lake.db/raw", "append")]
+
+
+def test_iceberg_exists_and_read_call_shape():
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    spark = _FakeSpark(log, exists=True)
+    assert cat.exists(spark, "t1d") is True
+    assert cat.read(spark, "t1d") == "df-sentinel"
+    assert log == [("tableExists", "lake.db/t1d"), ("read.table", "lake.db/t1d")]
+
+
+def test_unsupported_format_rejected():
+    with pytest.raises(ValueError, match="unsupported format"):
+        Catalog("/tmp/x", "delta")

@@ -91,3 +91,43 @@ def test_asof_join_matches_merge_asof(spark, raw, raw_pd):
     for _, er in exp.iterrows():
         k = (er["source"], er["event_ts"].to_pydatetime().replace(tzinfo=None))
         assert _nan_eq(got_rows[k], er["value"]), (k, got_rows[k], er["value"])
+
+
+def test_gapfill_bucketed_identical_to_single_window(spark, raw):
+    """Range-bucketed gap-fill (1h buckets → many buckets per series)
+    must be bit-identical to the single-window path, including carries
+    across empty buckets and edge buckets with no interior data."""
+    import pyspark.sql.functions as F
+
+    g = grid.full_grid(spark, k_total=400, n_sources=4)
+    ref = {
+        (r["source"], r["series_id"], r["event_ts"]): (r["value"], r["ffill"], r["interp"])
+        for r in gapfill.gapfill(g, raw).collect()
+    }
+    got = {
+        (r["source"], r["series_id"], r["event_ts"]): (r["value"], r["ffill"], r["interp"])
+        for r in gapfill.gapfill_bucketed(g, raw, bucket="1h").collect()
+    }
+    assert got.keys() == ref.keys()
+    n_buckets = (
+        gapfill.align(g, raw)
+        .select("source", "series_id", F.date_trunc("hour", "event_ts"))
+        .distinct()
+        .count()
+    )
+    n_series = raw.select("source", "series_id").distinct().count()
+    assert n_buckets > 3 * n_series, "fixture must span many buckets"
+    for k in ref:
+        for a, b in zip(got[k], ref[k]):
+            assert _nan_eq(a, b), (k, got[k], ref[k])
+
+
+def test_gapfill_bucketed_windows_are_bucket_partitioned(spark, raw):
+    """No single task owns a whole series: every row-level Window in
+    the bucketed plan is partitioned by (source, series_id, _bkt)."""
+    g = grid.full_grid(spark, k_total=400, n_sources=4)
+    plan = gapfill.gapfill_bucketed(g, raw, bucket="1d")._jdf.queryExecution().executedPlan().toString()
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs, "plan must contain window specs"
+    row_level = [s for s in specs if "event_ts" in s]  # ordered by event_ts → row-level pass
+    assert row_level and all("_bkt" in s for s in row_level)

@@ -70,10 +70,31 @@ def test_rollup_single_shuffle_with_partial_agg(spark, seq_tiny):
 
 
 def test_gapfill_align_broadcasts_series_dim(spark, seq_tiny):
+    """The series dim is broadcast because the OPTIMIZER sizes it so
+    (estimates / AQE), not because the code forces F.broadcast on an
+    unbounded distinct — at 10^12 rows the dim may exceed the
+    threshold and must be allowed to shuffle."""
     raw = extract.to_raw(extract.point(seq_tiny, 7))
     g = grid.full_grid(spark, 400, 4)
     plan = _plan(gapfill.align(g, raw))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gapfill_align_accepts_injected_series_dim(spark, seq_tiny):
+    """With a precomputed (source, series_id) dim injected, align must
+    not re-derive it: no distinct/aggregate over raw in the plan's
+    dim branch (the dim already exists in the lineage tables)."""
+    raw = extract.to_raw(extract.point(seq_tiny, 7))
+    g = grid.full_grid(spark, 400, 4)
+    dim = spark.createDataFrame(
+        [(f"src{s:02d}", "point_p7") for s in range(4)],
+        "source string, series_id string",
+    )
+    plan = _plan(gapfill.align(g, raw, series=dim))
+    derived = _plan(gapfill.align(g, raw))
+    # injected: exactly the raw-side aggregates; derived adds the
+    # distinct's HashAggregate pair
+    assert plan.count("HashAggregate") < derived.count("HashAggregate")
 
 
 def test_cascade_reuses_partial_state_no_raw_rescan(spark, seq_tiny):

@@ -25,17 +25,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def align(grid: DataFrame, raw: DataFrame) -> DataFrame:
+def align(
+    grid: DataFrame, raw: DataFrame, series: DataFrame | None = None
+) -> DataFrame:
     """Left-join observed raw points onto the full per-source grid (G2).
 
     grid: (source, event_ts [, k]); raw: (source, series_id, event_ts,
     value). Every series gets every grid slot of its source — built as
-    grid × distinct series (small dim, broadcast) then a left join.
-    """
-    series = raw.select("source", "series_id").distinct()
-    slots = grid.select("source", "event_ts").join(
-        F.broadcast(series), "source"
-    )
+    grid × series dim then a left join.
+
+    `series` (source, series_id) can be injected from an existing dim
+    (the lineage/metrics tables already materialize it); when omitted
+    it is derived with a distinct. Join strategy is left to AQE either
+    way: at sandbox scale the dim lands under the broadcast threshold
+    and AQE broadcasts it at runtime; at 10^12 rows a forced
+    F.broadcast of an unbounded distinct would be the bug, not the
+    optimization."""
+    if series is None:
+        series = raw.select("source", "series_id").distinct()
+    slots = grid.select("source", "event_ts").join(series, "source")
     return slots.join(raw, ["source", "series_id", "event_ts"], "left")
 
 
@@ -95,6 +103,109 @@ def with_interp(aligned: DataFrame, value_col: str = "value") -> DataFrame:
 def gapfill(grid: DataFrame, raw: DataFrame) -> DataFrame:
     """align + ffill + interp in one pass (shares the two window specs)."""
     return with_interp(with_ffill(align(grid, raw)))
+
+
+def gapfill_bucketed(grid: DataFrame, raw: DataFrame, bucket: str = "1d") -> DataFrame:
+    """gapfill for series longer than one task's sort (G3/G4 at 100×).
+
+    The plain window spec sorts a whole (source, series_id) in one
+    task; a decade-long 1-second series is ~300M rows in one sort
+    buffer. This variant range-buckets the series by time and keeps
+    every window partitioned by (source, series_id, bucket):
+
+      1. local pass: cumulative prev/next non-null (value, ts) within
+         each bucket — bounded sorts;
+      2. bucket spine: one row per (series, bucket) with its first/
+         last non-null observation (an aggregate, not a sort);
+      3. carry pass: windows over the SPINE (rows = #buckets, tiny)
+         give each bucket the last observation before it and the
+         first after it;
+      4. final: coalesce(local, carried) feeds the exact ffill/interp
+         formulas — bit-identical to the single-window gapfill
+         (asserted by tests/test_gapfill.py).
+
+    The carry join is spine-sized (one row per bucket), broadcast-able
+    at any scale where #buckets ≪ #rows."""
+    return bucketed_fill(align(grid, raw), bucket)
+
+
+def bucketed_fill(aligned: DataFrame, bucket: str = "1d") -> DataFrame:
+    """The bucketed ffill+interp core over an already-aligned frame
+    (source, series_id, event_ts, value) — the bucketed analog of
+    with_ffill/with_interp for callers that build their own grid
+    (e.g. per-series bounds instead of per-source)."""
+    from tokens_ts import config as C
+
+    trunc = C.TIER_TRUNC[bucket]
+    v = F.col("value")
+    ts = F.col("event_ts").cast("double")
+    aligned = aligned.withColumn("_bkt", F.date_trunc(trunc, "event_ts"))
+
+    def _w(desc: bool):
+        order = F.desc("event_ts") if desc else F.asc("event_ts")
+        return (
+            Window.partitionBy("source", "series_id", "_bkt")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    loc = aligned.select(
+        "*",
+        F.last(v, ignorenulls=True).over(_w(False)).alias("_lpv"),
+        F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(_w(False)).alias("_lpt"),
+        F.last(v, ignorenulls=True).over(_w(True)).alias("_lnv"),
+        F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(_w(True)).alias("_lnt"),
+    )
+
+    # spine: every bucket of every series (including all-null buckets —
+    # they still need a carry), with its boundary observations
+    spine = aligned.groupBy("source", "series_id", "_bkt").agg(
+        F.max_by(v, F.when(v.isNotNull(), ts)).alias("_bl_v"),
+        F.max(F.when(v.isNotNull(), ts)).alias("_bl_t"),
+        F.min_by(v, F.when(v.isNotNull(), ts)).alias("_bf_v"),
+        F.min(F.when(v.isNotNull(), ts)).alias("_bf_t"),
+    )
+    wbp = (
+        Window.partitionBy("source", "series_id")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wbn = (
+        Window.partitionBy("source", "series_id")
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = spine.select(
+        "source",
+        "series_id",
+        "_bkt",
+        F.last("_bl_v", ignorenulls=True).over(wbp).alias("_cpv"),
+        F.last("_bl_t", ignorenulls=True).over(wbp).alias("_cpt"),
+        F.last("_bf_v", ignorenulls=True).over(wbn).alias("_cnv"),
+        F.last("_bf_t", ignorenulls=True).over(wbn).alias("_cnt"),
+    )
+
+    out = loc.join(F.broadcast(carries), ["source", "series_id", "_bkt"], "left")
+    prev_v = F.coalesce("_lpv", "_cpv")
+    prev_t = F.coalesce("_lpt", "_cpt")
+    next_v = F.coalesce("_lnv", "_cnv")
+    next_t = F.coalesce("_lnt", "_cnt")
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (ts - prev_t) / (next_t - prev_t),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return out.select(
+        "source",
+        "series_id",
+        "event_ts",
+        "value",
+        prev_v.alias("ffill"),
+        interp.alias("interp"),
+    )
 
 
 def asof_join(

@@ -386,6 +386,64 @@ def ts_gapfill_interp(spark, sf_dir):
     )
 
 
+@q(
+    "ts_gapfill_bucketed",
+    _GAPFILL_GRID_SQL
+    + """
+    , filled AS (
+      SELECT event_type, m, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w_prev AS pt,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w_next AS nt
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY m
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type AS series_id,
+           strftime(m, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           CAST(ROUND(pv * 1e6) AS BIGINT) AS ffill_e6,
+           CAST(ROUND((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(m) - epoch(pt)) / (epoch(nt) - epoch(pt))
+             ELSE NULL END) * 1e6) AS BIGINT) AS interp_e6
+    FROM filled
+    """,
+)
+def ts_gapfill_bucketed(spark, sf_dir):
+    """Range-bucketed gap-fill (1d buckets, per-bucket window sorts +
+    spine carries) against the same single-window oracle: the scale
+    path must be value-identical to the semantics, not just similar."""
+    ev = _ev(spark, sf_dir)
+    slot = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("minute", "ts").alias("event_ts"),
+    ).agg(F.avg("value").alias("value"))
+    bounds = slot.groupBy("series_id").agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    )
+    grid_df = bounds.select(
+        "series_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("event_ts"),
+    ).withColumn("source", F.lit("events"))
+    aligned = grid_df.join(
+        slot.withColumn("source", F.lit("events")),
+        ["source", "series_id", "event_ts"],
+        "left",
+    )
+    out = gapfill.bucketed_fill(aligned, bucket="1d")
+    return out.select(
+        "series_id",
+        _fmt("event_ts").alias("slot_ts"),
+        _e("ffill", 6).alias("ffill_e6"),
+        _e("interp", 6).alias("interp_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # G5/J5: as-of join — DuckDB has native ASOF JOIN as the oracle
 # ---------------------------------------------------------------------------
@@ -433,6 +491,86 @@ def ts_retention_1h(spark, sf_dir):
     kept = _tiers.retention_filter(t1h, "2024-01-15 00:00:00", "7 days")
     return kept.select(
         "series_id", _fmt("window_start").alias("window_start"), "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: resume anti-join — the checkpoint skip-set expressed over events
+# so the driver hash-checks the exact filter_pending semantics used by
+# run_backfill's resume (pytest covers the full crash/resume flow; this
+# pins the anti-join itself cross-engine).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_resume_pending",
+    """
+    WITH done AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               row_number() OVER (ORDER BY count(*) DESC, event_type) AS rnk
+        FROM events GROUP BY event_type
+      ) WHERE rnk <= 2
+    )
+    SELECT event_type AS partition_id,
+           count(*) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4
+    FROM events
+    WHERE event_type NOT IN (SELECT event_type FROM done)
+    GROUP BY 1
+    """,
+)
+def ts_resume_pending(spark, sf_dir):
+    from tokens_ts import checkpoint
+
+    ev = _ev(spark, sf_dir)
+    # "done" = the 2 heaviest partitions (scale-free skip-set)
+    w = Window.orderBy(F.desc("cnt"), F.asc("event_type"))
+    done = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select(F.col("event_type").alias("partition_id"))
+    )
+    pending = checkpoint.filter_pending(ev, done, partition_col="event_type")
+    return pending.groupBy(F.col("event_type").alias("partition_id")).agg(
+        F.count("*").alias("cnt"), _e(F.sum("value"), 4).alias("sum_e4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: increment-union — two disjoint batches rolled up separately, then
+# union + cascade-merged; the oracle computes the 1h windows DIRECTLY
+# from raw, so the union-of-partials path must reproduce a single-shot
+# aggregation exactly (the algebra behind run_increment).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_increment_union",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_increment_union(spark, sf_dir):
+    raw = _events_raw(spark, sf_dir)
+    split = F.lit("2024-01-08 00:00:00").cast(raw.schema["event_ts"].dataType)
+    old = tiers.rollup(raw.where(F.col("event_ts") < split), "1m")
+    new = tiers.rollup(raw.where(F.col("event_ts") >= split), "1m")
+    t1h = tiers.cascade(old.unionByName(new), "1h")
+    return t1h.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
     )
 
 
