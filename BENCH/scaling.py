@@ -31,7 +31,14 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-STAGES = ("extract", "raw_to_1m", "1m_to_1h", "1h_to_1d", "codec_encode")
+STAGES = (
+    "extract",
+    "raw_to_1m",
+    "1m_to_1h",
+    "1h_to_1d",
+    "codec_encode",
+    "codec_decode",
+)
 
 
 def worker(args) -> None:
@@ -130,6 +137,19 @@ def worker(args) -> None:
         noop(codec.encode_segments(enc_in, "1h"))
         walls.append(time.time() - t0)
     out["stages"]["codec_encode"] = walls
+
+    codec.encode_segments(enc_in, "1h").write.mode("overwrite").parquet(
+        str(wh / "segs")
+    )
+    segs = spark.read.parquet(str(wh / "segs"))
+    out["counts"]["codec_decode"] = out["counts"]["codec_encode"]
+    noop(codec.decode_segments(segs))  # warm: page cache + codegen (untimed)
+    walls = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        noop(codec.decode_segments(segs))
+        walls.append(time.time() - t0)
+    out["stages"]["codec_decode"] = walls
 
     shutil.rmtree(wh)
     with open(args.out, "a") as f:

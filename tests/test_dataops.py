@@ -123,6 +123,35 @@ def test_lsh_bucket_groups_identical(spark):
     assert len(evens) == 1 and len(odds) == 1
 
 
+def test_token_count_bpe_known_answers(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! x2", "en", "s"), (2, "", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in textops.with_token_count_bpe(df).collect()}
+    # Hello , world ! x 2 → 6 BPE-ish tokens; 16 chars → ceil(4) = 4
+    assert out[1]["n_bpe_tokens"] == 6
+    assert out[1]["n_subword_est"] == 4
+    assert out[2]["n_bpe_tokens"] == 0 and out[2]["n_subword_est"] == 0
+
+
+def test_cosine_dup_pairs_finds_bucketmates(emb2_big):
+    """Identical-direction vectors share every LSH bucket and verify at
+    cosine 1.0; orthogonal ones never appear above the threshold."""
+    import pyspark.sql.functions as F
+
+    spark = emb2_big.sparkSession
+    rows = [
+        (100, [1.0, 2.0, -1.0, 0.5] * 4, 0),
+        (101, [2.0, 4.0, -2.0, 1.0] * 4, 0),   # same direction as 100
+        (102, [-1.0, -2.0, 1.0, -0.5] * 4, 0),  # opposite of 100
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["a"], r["b"]): r["sim_e6"] for r in
+           simsearch.cosine_dup_pairs(df, threshold=0.9, n_planes=4, dim=16).collect()}
+    assert out == {(100, 101): 1_000_000}
+
+
 def test_textops_known_answers(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat", "en", "s")],

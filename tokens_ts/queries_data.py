@@ -375,6 +375,63 @@ def emb_ann_lsh(spark, sf_dir):
     return simsearch.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(20)), k=1)
 
 
+@q(
+    "emb_cosine_dups",
+    """
+    WITH planes AS (
+      SELECT j, list_transform(range(1, 65),
+               i -> CAST((i * 31 + j * 37) % 19 - 9 AS DOUBLE)) AS h
+      FROM (SELECT unnest(range(0, 6)) AS j)
+    ),
+    dots AS (
+      SELECT e.vec_id, p.j,
+             list_sum(list_transform(range(1, 65),
+               i -> p.h[i] * CAST(e.embedding[i] AS DOUBLE))) AS d
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    sized AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM buckets
+      ) WHERE bsz >= 2 AND bsz <= 10000
+    ),
+    cand AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM sized a JOIN sized b ON a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT DISTINCT c.a, c.b,
+           CAST(ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             * 1e6) AS BIGINT) AS sim_e6
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE CAST(ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             * 1e6) AS BIGINT) >= 400000
+    """,
+)
+def emb_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucket candidate gen +
+    exact cosine verify ≥ 0.4, fully value-checked cross-engine.
+    6 planes / τ=0.4 chosen so the sf0.01 corpus yields a non-trivial
+    pair set (7) — the thresholds are user dials, not semantics."""
+    return simsearch.cosine_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6
+    )
+
+
 _ANN_RECALL_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
     exact AS (
@@ -488,6 +545,24 @@ def doc_dedup_exact(spark, sf_dir):
 )
 def doc_token_count(spark, sf_dir):
     return textops.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_words")
+
+
+@q(
+    "doc_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+)
+def doc_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (GPT-2-style regex pre-split) plus
+    the chars/4 subword estimate — both pure regexp/arith expressions,
+    mirrored exactly by DuckDB's regexp_extract_all."""
+    return textops.with_token_count_bpe(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens", "n_subword_est"
+    )
 
 
 @q(
@@ -661,6 +736,53 @@ def doc_simhash_pairs(spark, sf_dir):
     banding, bucketing, and the Hamming verify are all value-checked."""
     return dedup.simhash_candidates(
         _docs(spark, sf_dir), n_bits=60, bands=4, max_hamming=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: quality gate → exact dedup → per-source
+# yield. The composition query a real training-data pipeline runs first.
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_curation_pipeline",
+    """
+    WITH w AS (
+      SELECT *, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ),
+    scored AS (
+      SELECT source, text, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+      FROM w
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE n_words >= 8 AND ttr >= 0.4
+    ),
+    deduped AS (
+      SELECT source, md5(text) AS h, count(*) AS n_copies
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS dups_dropped,
+           CAST(ROUND(avg(n_copies) * 1e6) AS BIGINT) AS dup_factor_e6
+    FROM deduped GROUP BY source
+    """,
+)
+def doc_curation_pipeline(spark, sf_dir):
+    """Quality filter (length + type-token ratio) → exact dedup →
+    per-source yield report: the standard first pass of corpus
+    curation, composed from textops + dedup primitives and checked
+    end-to-end against an independent engine."""
+    d = textops.with_quality(_docs(spark, sf_dir))
+    kept = d.where((F.col("n_words") >= 8) & (F.col("ttr") >= 0.4))
+    groups = kept.groupBy(
+        "source", F.md5("text").alias("h")
+    ).agg(F.count("*").alias("n_copies"))
+    return groups.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        (F.sum("n_copies") - F.count("*")).cast("bigint").alias("dups_dropped"),
+        _e(F.avg("n_copies"), 6).alias("dup_factor_e6"),
     )
 
 

@@ -88,6 +88,43 @@ def with_lsh_bucket(
     return emb.withColumn("bucket", _bucket_expr(vec_col, n_planes, dim))
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding
+    op): candidates restricted to LSH bucket collisions (equi-join on
+    bucket id — the only pairwise stage, bounded by bucket size and
+    capped like skewed agg keys), then exact cosine verification
+    ≥ threshold. The web-scale shape: no all-pairs product anywhere."""
+    b = with_lsh_bucket(emb, n_planes, dim, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "bucket",
+    )
+    w = Window.partitionBy("bucket")
+    sized = b.withColumn("_bsz", F.count("*").over(w)).where(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
+    )
+    lhs = sized.select("bucket", F.col("_id").alias("a"), F.col("_v").alias("va"))
+    rhs = sized.select("bucket", F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim * 1e6).cast("bigint").alias("sim_e6"))
+        .where(F.col("sim_e6") >= int(round(threshold * 1e6)))
+        .distinct()
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -19,8 +19,30 @@ def _words():
 
 
 def with_token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count (the BPE-ish proxy for budget planning)."""
+    """Whitespace token count (the cheapest budget-planning proxy)."""
     return docs.withColumn("n_words", F.size(_words()).cast("bigint"))
+
+
+# BPE-ish pre-tokenizer: word chunks, numbers, and each punctuation
+# mark as its own token — the GPT-2-style pre-split shape (the real
+# BPE merge table then only shrinks counts within chunks, so this
+# upper-bounds true BPE token counts far tighter than whitespace).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex token count + a chars/4 subword estimate.
+
+    Pattern passed as a lit() column, NOT interpolated into F.expr —
+    SQL string literals eat single backslashes, so an expr-embedded
+    '\\s' silently becomes 's' and whitespace starts matching."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return docs.withColumn(
+        "n_bpe_tokens", F.size(toks).cast("bigint")
+    ).withColumn(
+        "n_subword_est",
+        F.ceil(F.length(F.col("text")) / F.lit(4.0)).cast("bigint"),
+    )
 
 
 def with_quality(docs: DataFrame) -> DataFrame:
