@@ -131,3 +131,59 @@ def test_gapfill_bucketed_windows_are_bucket_partitioned(spark, raw):
     assert specs, "plan must contain window specs"
     row_level = [s for s in specs if "event_ts" in s]  # ordered by event_ts → row-level pass
     assert row_level and all("_bkt" in s for s in row_level)
+
+
+def test_interval_join_semantics(spark):
+    """Half-open [start, end): boundary exclusivity, multi-interval
+    overlap, empty interval, and unaligned boundaries vs the bucket."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from tokens_ts import gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [("k", ts(m), float(m)) for m in (0, 29, 30, 75, 200)],
+        "key string, event_ts timestamp, value double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("k", "a", ts(-30), ts(30)),   # covers 0, 29; NOT 30 (exclusive)
+            ("k", "b", ts(29), ts(76)),    # covers 29, 30, 75 (overlaps a)
+            ("k", "c", ts(100), ts(100)),  # empty → matches nothing
+            ("x", "d", ts(-30), ts(300)),  # wrong key → matches nothing
+        ],
+        "key string, iv string, start timestamp, end timestamp",
+    )
+    out = gapfill.interval_join(
+        events, intervals, keys=["key"], left_ts="event_ts", bucket="1h"
+    )
+    got = sorted((r["iv"], int(r["value"])) for r in out.collect())
+    assert got == [("a", 0), ("a", 29), ("b", 29), ("b", 30), ("b", 75)]
+
+
+def test_interval_join_plan_is_equi_shuffle(spark):
+    """The range join must plan as a hash equi-join on (keys, bucket),
+    never a nested-loop/cartesian over the inequality."""
+    import datetime as dt
+
+    from tokens_ts import gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [("k", t0, 1.0)], "key string, event_ts timestamp, value double"
+    )
+    intervals = spark.createDataFrame(
+        [("k", t0, t0 + dt.timedelta(hours=2))],
+        "key string, start timestamp, end timestamp",
+    )
+    plan = (
+        gapfill.interval_join(events, intervals, keys=["key"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

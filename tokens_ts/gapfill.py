@@ -208,6 +208,52 @@ def bucketed_fill(aligned: DataFrame, bucket: str = "1d") -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    left_ts: str = "event_ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1h",
+) -> DataFrame:
+    """Explicit range/interval join (SURVEY.md J4): match each left row
+    to every interval [start, end) sharing `keys`.
+
+    Scalable shape — never an inequality-only join (which Spark plans
+    as BroadcastNestedLoop / cartesian at scale): each interval is
+    exploded into the `bucket` grid cells it covers, both sides
+    equi-join on (keys, cell) — ONE hash shuffle — and the exact
+    half-open range predicate filters within matched cells. Per-
+    interval fanout = ceil(length / bucket); pick `bucket` near the
+    typical interval length. A cell pairs a row with an interval at
+    most once, so no post-dedup is needed. Empty/negative intervals
+    (end ≤ start) match nothing by construction."""
+    from tokens_ts import config as C
+
+    trunc = C.TIER_TRUNC[bucket]
+    step = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[bucket]
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc(trunc, F.col(start_col)),
+                # end is exclusive: an interval ending exactly on a cell
+                # boundary does not cover that cell
+                F.date_trunc(
+                    trunc, F.expr(f"{end_col} - interval 1 microsecond")
+                ),
+                F.expr(f"interval {step}"),
+            )
+        ),
+    )
+    lv = left.withColumn("_bkt", F.date_trunc(trunc, F.col(left_ts)))
+    matched = lv.join(iv, keys + ["_bkt"]).where(
+        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
+    )
+    return matched.drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

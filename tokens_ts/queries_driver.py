@@ -469,6 +469,63 @@ def ts_asof_click_purchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J4: explicit range/interval join — events matched into UNALIGNED hot
+# windows (top-k (type, hour) cells stretched ±30 min, so interval
+# boundaries never coincide with the join buckets). Oracle is DuckDB's
+# native inequality join; the engine side must reproduce it with the
+# bucketed equi-join shape.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_interval_join",
+    """
+    WITH hot AS (
+      SELECT event_type, date_trunc('hour', ts) AS h
+      FROM events GROUP BY 1, 2
+      ORDER BY count(*) DESC, event_type, h
+      LIMIT 20
+    ),
+    iv AS (
+      SELECT event_type,
+             h - INTERVAL 30 MINUTE AS start,
+             h + INTERVAL 90 MINUTE AS "end"
+      FROM hot
+    )
+    SELECT i.event_type,
+           strftime(i.start, '%Y-%m-%d %H:%M:%S') AS start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(sum(e.value) * 1e4) AS BIGINT) AS sum_e4
+    FROM iv i JOIN events e
+      ON e.event_type = i.event_type AND e.ts >= i.start AND e.ts < i."end"
+    GROUP BY 1, 2
+    """,
+)
+def ts_interval_join(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.orderBy(
+        F.desc("cnt"), F.asc("event_type"), F.asc("h")
+    )
+    hot = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+    iv = hot.select(
+        "event_type",
+        (F.col("h") - F.expr("interval 30 minutes")).alias("start"),
+        (F.col("h") + F.expr("interval 90 minutes")).alias("end"),
+    )
+    j = gapfill.interval_join(
+        ev, iv, keys=["event_type"], left_ts="ts", bucket="1h"
+    )
+    return j.groupBy("event_type", _fmt("start").alias("start")).agg(
+        F.count("*").alias("n_events"),
+        _e(F.sum("value"), 4).alias("sum_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retention enforcement: tier rows surviving a keep-window (partition-
 # pruned drop at scale; the dual of downsampling)
 # ---------------------------------------------------------------------------
