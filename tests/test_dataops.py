@@ -179,3 +179,23 @@ def test_multimodal_features(spark):
     assert out[1]["n_bytes"] == 3 and out[1]["first_byte"] == ord("A")
     assert out[1]["fake_width"] == 3 and out[1]["fake_height"] == (ord("A") * 7) % 480
     assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] == 0
+
+
+def test_ivf_topk_probes_right_cells(emb2_big):
+    """IVF with nprobe == n_centroids degenerates to exact brute force
+    (every cell probed); with fewer probes it returns a subset of it."""
+    qids = list(range(8, 12))
+    exact = {(r["qid"], r["nid"]) for r in
+             simsearch.cosine_topk(emb2_big, qids, k=3).collect()}
+    full = {(r["qid"], r["nid"]) for r in
+            simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4,
+                               nprobe=4).collect()}
+    assert full == exact  # all cells probed → identical to brute force
+    few = {(r["qid"], r["nid"]) for r in
+           simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4,
+                              nprobe=1).collect()}
+    assert len(few & exact) <= len(exact)
+    # every vector lands in exactly one cell
+    a = simsearch.ivf_assign(emb2_big, n_centroids=4)
+    assert a.count() == emb2_big.count()
+    assert a.select("nid").distinct().count() == emb2_big.count()

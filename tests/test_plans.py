@@ -105,3 +105,19 @@ def test_cascade_reuses_partial_state_no_raw_rescan(spark, seq_tiny):
     t1m = tiers.rollup(raw, "1m")
     plan = _plan(tiers.cascade(t1m, "1h"))
     assert plan.count("Exchange") == 2  # t1m shuffle + cascade shuffle
+
+
+def test_ivf_assignment_never_shuffles_corpus(spark):
+    """IVF coarse assignment is a corpus scan × broadcast centroid
+    array with a row-local argmax: the only exchanges allowed are the
+    tiny centroid-side SinglePartition + BroadcastExchange — never a
+    hash shuffle of corpus rows (a window/groupBy argmax would shuffle
+    N or N×C rows for nothing)."""
+    from tokens_ts import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = _plan(simsearch.ivf_assign(emb, n_centroids=4))
+    assert "Exchange hashpartitioning" not in plan

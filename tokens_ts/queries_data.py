@@ -432,6 +432,71 @@ def emb_cosine_dups(spark, sf_dir):
     )
 
 
+@q(
+    "emb_ann_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    csim AS (
+      SELECT e.vec_id AS nid, c.cid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               * 1e6) AS BIGINT) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT nid, cid FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT nid AS qid, cid FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim WHERE nid < 20
+      ) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, a.nid
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.nid <> p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(ne.v, x -> x * x))))
+               * 1e6) AS BIGINT) AS sim_e6
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.qid
+      JOIN e ne ON ne.vec_id = c.nid
+    )
+    SELECT qid, nid, rank, sim_e6 FROM (
+      SELECT qid, nid, sim_e6,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def emb_ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted-file coarse quantization, nprobe=3 of 8
+    cells) — the second scale path next to LSH, fully value-checked:
+    centroid assignment, probe selection, candidate equi-join, and
+    ranking all mirrored in DuckDB."""
+    return simsearch.ivf_topk(
+        _emb(spark, sf_dir), query_ids=list(range(20)), k=3,
+        n_centroids=8, nprobe=3,
+    )
+
+
 _ANN_RECALL_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
     exact AS (

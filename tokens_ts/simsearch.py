@@ -88,6 +88,112 @@ def with_lsh_bucket(
     return emb.withColumn("bucket", _bucket_expr(vec_col, n_planes, dim))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid. Centroids are the first n_centroids vectors by id —
+    deterministic so the DuckDB oracle can mirror the whole index (a
+    k-means refinement would change quality, not the Spark shape: the
+    assignment is always a broadcast-centroids × corpus scan, one pass,
+    no shuffle of the corpus). Ties break to the lowest centroid id on
+    the e6-rounded similarity, cross-engine-stable."""
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # ALL centroids as one broadcast array row → the argmax runs
+    # row-locally inside the corpus scan: ZERO shuffles of the corpus
+    # (a per-(vector, centroid) window/groupBy would shuffle N×C or N
+    # rows for nothing — the centroid set is tiny by construction)
+    cents = (
+        e.where(F.col("nid") < n_centroids)
+        .select(F.struct(F.col("nid").alias("cid"), F.col("v").alias("cv")).alias("c"))
+        .agg(F.collect_list("c").alias("_cs"))
+    )
+    j = e.crossJoin(F.broadcast(cents))
+    nv = _norm(F.col("v"))
+    csim = lambda c: F.round(  # noqa: E731
+        _dot(F.col("v"), c["cv"]) / (nv * _norm(c["cv"])) * 1e6
+    ).cast("bigint")
+    # one dot per centroid (transform), then a comparison-only argmax
+    # fold — an expression referenced in a lambda is re-evaluated per
+    # reference (no CSE across lambdas), so the sim is materialized
+    # into the struct array first
+    sims = F.transform(
+        "_cs",
+        lambda c: F.struct(
+            csim(c).alias("s"), c["cid"].cast("bigint").alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(-(1 << 62)).cast("bigint").alias("s"),
+            F.lit(-1).cast("bigint").alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return j.select("nid", "v", best["cid"].alias("cid"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's nprobe closest centroids, score only
+    vectors assigned to those cells — the inverted-file alternative to
+    LSH bucketing. Candidate generation is an equi-join on cid; the
+    corpus is scanned once for assignment and once for scoring."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).where(F.col("qid").isin(query_ids))
+    cents = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).where(F.col("cid") < n_centroids)
+    qsim = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("qcsim_e6"), F.asc("cid")
+    )
+    probes = (
+        e.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cid", F.round(qsim * 1e6).cast("bigint").alias("qcsim_e6"))
+        .withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").where(
+        F.col("nid") != F.col("qid")
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = cand.select(
+        "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim_e6")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.5,
