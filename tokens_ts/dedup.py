@@ -43,10 +43,26 @@ def word_shingles(text_col: str = "text", k: int = 3):
 _LONG_MAX = (1 << 63) - 1
 
 
+def _perm_hash(s, j: int, hash_mode: str):
+    """Permutation-j hash of shingle s. 'xxhash' is the production
+    choice (fast JVM hash, seeded natively); 'md5' derives a 60-bit
+    int from md5(s + '#' + j) — slower, but DuckDB computes the exact
+    same value, which upgrades the LSH driver pair from rows-only to a
+    full value-hash check."""
+    if hash_mode == "xxhash":
+        return F.xxhash64(s, F.lit(j))
+    if hash_mode == "md5":
+        return md5_60(F.concat_ws("#", s, F.lit(str(j))))
+    raise ValueError(f"hash_mode must be 'xxhash' or 'md5', got {hash_mode!r}")
+
+
 def with_minhash(
-    docs: DataFrame, n_perm: int = 32, text_col: str = "text"
+    docs: DataFrame,
+    n_perm: int = 32,
+    text_col: str = "text",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """MinHash signature: min over shingles of xxhash64(shingle, seed).
+    """MinHash signature: min over shingles of hash(shingle, seed).
 
     Single-pass: ONE traversal of the shingle array with an
     array<long>[n_perm] accumulator folded by element-wise least —
@@ -60,7 +76,7 @@ def with_minhash(
         init,
         lambda acc, s: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(n_perm)]),
+            F.array(*[_perm_hash(s, j, hash_mode) for j in range(n_perm)]),
             lambda x, y: F.least(x, y),
         ),
     )
@@ -73,15 +89,26 @@ def lsh_candidates(
     bands: int = 8,
     text_col: str = "text",
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band-hash → bucket self-join.
 
     rows_per_band = n_perm // bands; two docs collide if any band of
     their signatures is identical. Bucket sizes above max_bucket are
     dropped (degenerate boilerplate buckets would otherwise explode
-    the join at web scale)."""
+    the join at web scale). hash_mode='md5' makes every value DuckDB-
+    reproducible (bucket key = the band values joined as a string)."""
     r = n_perm // bands
-    sigs = with_minhash(docs, n_perm, text_col).select("doc_id", "minhash")
+    sigs = with_minhash(docs, n_perm, text_col, hash_mode).select(
+        "doc_id", "minhash"
+    )
+
+    def bucket_key(b: int):
+        sl = F.slice("minhash", b * r + 1, r)
+        if hash_mode == "xxhash":
+            return F.xxhash64(sl.cast("string")).cast("string")
+        return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -89,9 +116,7 @@ def lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("minhash", b * r + 1, r).cast("string")
-                        ).alias("bucket"),
+                        bucket_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

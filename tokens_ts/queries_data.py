@@ -368,10 +368,53 @@ def emb_lsh_buckets(spark, sf_dir):
     )
 
 
-# rows-only: bucketed ANN result depends only on buckets+cosine, both
-# individually oracled above; the composition is checked by row count.
-@q("emb_ann_lsh")
+@q(
+    "emb_ann_lsh",
+    """
+    WITH planes AS (
+      SELECT j, list_transform(range(1, 65),
+               i -> CAST((i * 31 + j * 37) % 19 - 9 AS DOUBLE)) AS h
+      FROM (SELECT unnest(range(0, 8)) AS j)
+    ),
+    dots AS (
+      SELECT e.vec_id, p.j,
+             list_sum(list_transform(range(1, 65),
+               i -> p.h[i] * CAST(e.embedding[i] AS DOUBLE))) AS d
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid
+      FROM buckets q JOIN buckets n ON q.bucket = n.bucket
+      WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 1e6) AS BIGINT) AS sim_e6
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.qid
+      JOIN embeddings ne ON ne.vec_id = c.nid
+    )
+    SELECT qid, nid, rank, sim_e6 FROM (
+      SELECT qid, nid, sim_e6,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """,
+)
 def emb_ann_lsh(spark, sf_dir):
+    """Single-table LSH top-1 — was a declared rows-only pair in round
+    1 ('composition not SQL-expressible'); it is, so it now gets the
+    full value-hash check like its multi-table sibling."""
     return simsearch.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(20)), k=1)
 
 
@@ -744,6 +787,50 @@ def doc_minhash_lsh(spark, sf_dir):
 @q("doc_simhash")
 def doc_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir))
+
+
+@q(
+    "doc_minhash_md5",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+      FROM w
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), j ->
+               list_min(list_transform(sh3,
+                 s -> CAST(concat('0x', substr(md5(s || '#' || j), 1, 15)) AS BIGINT)))) AS mh
+      FROM sh
+    ),
+    bandrows AS (
+      SELECT doc_id, band,
+             array_to_string(mh[band*4+1 : band*4+4], ',') AS bucket
+      FROM sig, (SELECT unnest(range(0, 8)) AS band)
+    ),
+    sized AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bandrows
+      ) WHERE bsz >= 2 AND bsz <= 1000
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id < y.doc_id
+    """,
+)
+def doc_minhash_md5(spark, sf_dir):
+    """MinHash-LSH candidate pairs with the md5-seeded permutation
+    hashes — the fully-oracled twin of doc_minhash_lsh: signatures,
+    banding, bucket capping, and the pair join all value-hash-checked
+    against DuckDB (xxhash64 has no DuckDB twin; md5 does)."""
+    return dedup.lsh_candidates(
+        _docs(spark, sf_dir), n_perm=32, bands=8, hash_mode="md5"
+    )
 
 
 def _simhash_sql_cte(n_bits: int = 60, bands: int = 4) -> str:
