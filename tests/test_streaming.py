@@ -102,3 +102,69 @@ def test_stream_dead_letter_routes_late_rows(spark, seq_tiny, tmp_path):
         .collect()[0]["m"]
     )
     assert t1m.count() > 0 and min_window >= min_ontime
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a within-batch gap closes
+    a session immediately; the trailing open session is held in state
+    and flushed by the event-time timeout once the watermark passes
+    session_end + gap."""
+    import datetime as dt
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming.stream_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def sessions():
+        try:
+            return {
+                (r["user_id"], r["session_start"], r["n_events"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    m = dt.timedelta(minutes=1)
+    # burst A (3 events) then a >30min silence then burst B (2 events)
+    write_file(
+        [(1, t0), (1, t0 + 2 * m), (1, t0 + 5 * m)]
+        + [(1, t0 + 120 * m), (1, t0 + 122 * m)]
+    )
+    run_once()
+    got = sessions()
+    assert (1, t0, 3) in got, got          # burst A closed by the in-batch gap
+    assert all(s[1] != t0 + 120 * m for s in got)  # burst B still open
+
+    # watermark drivers: two more batches push the watermark past
+    # B.end + gap (timeouts fire at the START of the batch AFTER the
+    # watermark advanced)
+    write_file([(99, t0 + 720 * m)])
+    run_once()
+    write_file([(99, t0 + 721 * m)])
+    run_once()
+    got = sessions()
+    assert (1, t0 + 120 * m, 2) in got, got  # burst B flushed by timeout

@@ -118,6 +118,86 @@ def stream_increment(
     return w.start()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start long, end long, n bigint"
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY.md §2.9 / task brief): per-user sessionization with a gap
+    rule, the streaming twin of the batch ts_sessionize query.
+
+    State per user = the open session (start, end, n) in epoch-µs.
+    Each micro-batch merges its (sorted) events into the open session,
+    EMITS every session closed by a > gap_seconds silence, and keeps
+    the trailing session open with an event-time timeout at
+    end + gap: when the watermark passes it, the timeout fires and the
+    session flushes — so results are deterministic in event time, not
+    in arrival time. Arrow-batched per group; no per-row Python."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                out.append((user, s, e, int(n)))
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdf_iter:
+                ts_us.extend(
+                    (pdf[ts_col].astype("datetime64[us]").astype("int64")).tolist()
+                )
+            ts_us.sort()
+            cur = state.get if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_seconds * 1_000_000:
+                    out.append((user, cur[0], cur[1], int(cur[2])))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # flush when event time (the watermark) passes the gap
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_window_agg(
     seq_stream: DataFrame,
     watermark: str = "2 hours",
