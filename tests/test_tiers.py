@@ -113,3 +113,61 @@ def test_salted_plan_two_stage(raw):
     """The salted plan must contain two shuffle-separated aggregations."""
     plan = tiers.rollup_salted(raw, "1m")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") >= 2
+
+
+def test_salted_hot_rollup_identical_and_partial(spark, seq_tiny):
+    """Partial salting == plain rollup in values, and the salt fan-out
+    applies ONLY to the detected hot keys (cold keys keep one salt
+    group per window — no merge-stage inflation for them)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from tokens_ts import extract, tiers
+
+    raw = extract.to_raw(extract.full_stats(seq_tiny, stats=["mean", "max"]))
+    plain = {
+        (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
+        for r in tiers.rollup(raw, "1h").collect()
+    }
+    salted = {
+        (r["source"], r["series_id"], r["window_start"]): (r["cnt"], r["sum"])
+        for r in tiers.rollup_salted_hot(raw, "1h", nsalt=8, top_k=2).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        a, b = plain[k][1], salted[k][1]
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert math.isclose(a, b, rel_tol=1e-12)
+
+    # phase-1 salt cardinality: >1 only for hot keys
+    hot = {
+        (r["source"], r["series_id"])
+        for r in tiers.detect_hot_keys(raw, top_k=2).collect()
+    }
+    assert len(hot) == 2
+    tagged = raw.join(
+        F.broadcast(
+            tiers.detect_hot_keys(raw, top_k=2).withColumn("_hot", F.lit(True))
+        ),
+        ["source", "series_id"],
+        "left",
+    )
+    salt = F.when(
+        F.col("_hot").isNotNull(),
+        F.pmod(F.xxhash64("event_ts", F.coalesce("value", F.lit(0.0))), F.lit(8)),
+    ).otherwise(F.lit(0))
+    per_key_salts = (
+        tagged.groupBy("source", "series_id")
+        .agg(F.countDistinct(salt).alias("nsalts"))
+        .collect()
+    )
+    for r in per_key_salts:
+        key = (r["source"], r["series_id"])
+        if key in hot:
+            assert r["nsalts"] > 1, key
+        else:
+            assert r["nsalts"] == 1, key

@@ -215,6 +215,37 @@ def ts_salted_rollup_1d(spark, sf_dir):
     )
 
 
+@q(
+    "ts_salted_hot_rollup",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_salted_hot_rollup(spark, sf_dir):
+    """PARTIAL salting: skew detection (top-2 heaviest series) feeds
+    the salted path; cold keys skip the salt fan-out. Oracle is again
+    the plain group-by — the optimization must be invisible in the
+    values."""
+    t = tiers.rollup_salted_hot(
+        _events_raw(spark, sf_dir), "1d", nsalt=8, top_k=2
+    )
+    return t.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A7: grouping sets / rollup report
 # ---------------------------------------------------------------------------

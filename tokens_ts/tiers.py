@@ -132,6 +132,69 @@ def rollup_salted(raw: DataFrame, tier: str = "1m", nsalt: int = C.DEFAULT_NSALT
     )
 
 
+def detect_hot_keys(raw: DataFrame, top_k: int = 2) -> DataFrame:
+    """The top-k heaviest (source, series_id) keys by row count — the
+    skew-detection input for partial salting (W1 feeding A8). Scale-
+    free (a rank, not an absolute threshold); one map-side-combined
+    count aggregation over the keys, rows = distinct keys, not data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), *[F.asc(k) for k in KEYS])
+    return (
+        raw.groupBy(*KEYS)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= top_k)
+        .select(*KEYS)
+    )
+
+
+def rollup_salted_hot(
+    raw: DataFrame,
+    tier: str = "1m",
+    nsalt: int = C.DEFAULT_NSALT,
+    hot_keys: DataFrame | None = None,
+    top_k: int = 2,
+) -> DataFrame:
+    """Partial salting: only detected HOT keys get spread over `nsalt`
+    reducers; cold keys keep salt 0 and skip the extra merge fan-in.
+
+    Salting every key (rollup_salted) multiplies the phase-2 input by
+    nsalt for the 99% of keys that never needed it; at 10^12 rows the
+    production pattern is to salt exactly the keys skew detection
+    flags. The hot set is tiny (top-k keys) → broadcast left-semi-style
+    tagging join, and the result stays bit-identical to the plain
+    rollup because the partial state is algebraic."""
+    hot = hot_keys if hot_keys is not None else detect_hot_keys(raw, top_k)
+    tagged = raw.join(
+        F.broadcast(hot.select(*KEYS).withColumn("_hot", F.lit(True))),
+        KEYS,
+        "left",
+    )
+    salt = F.when(
+        F.col("_hot").isNotNull(),
+        F.pmod(
+            F.xxhash64(F.col("event_ts"), F.coalesce(F.col("value"), F.lit(0.0))),
+            F.lit(nsalt),
+        ),
+    ).otherwise(F.lit(0)).alias("_salt")
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    phase1 = tagged.groupBy(*KEYS, w, salt).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+    )
+    return phase1.groupBy(*KEYS, "window_start").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+
+
 def retention_filter(
     tier_df: DataFrame, now_expr, keep: str | None
 ) -> DataFrame:
