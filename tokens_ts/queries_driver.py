@@ -663,6 +663,94 @@ def ts_increment_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W3 applications: per-series delta/rate (counter semantics — the
+# lag-based derivative every TS engine exposes) and cross-series
+# Pearson correlation on aligned windows.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_series_rate",
+    """
+    WITH d AS (
+      SELECT event_type, ts, value,
+             value - lag(value) OVER w AS dv,
+             epoch(ts) - epoch(lag(ts) OVER w) AS dt_s
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type AS series_id,
+           CAST(count(dv) AS BIGINT) AS n_deltas,
+           CAST(ROUND(avg(CASE WHEN dt_s > 0 THEN dv / dt_s END) * 1e4) AS BIGINT) AS mean_rate_e4,
+           CAST(ROUND(max(abs(dv)) * 1e4) AS BIGINT) AS max_abs_delta_e4
+    FROM d GROUP BY 1
+    """,
+)
+def ts_series_rate(spark, sf_dir):
+    """Per-series delta + rate-of-change (value'/dt over consecutive
+    observations) summarized per series — one window pass, one agg."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ) / 1e6
+    d = ev.select(
+        F.col("event_type").alias("series_id"),
+        dv.alias("dv"),
+        dt_s.alias("dt_s"),
+    )
+    return d.groupBy("series_id").agg(
+        F.count("dv").alias("n_deltas"),
+        # 1e-4 grain: rates are big ratios averaged over 20k deltas;
+        # summation order costs ~1 ulp at 1e-6 (observed cross-engine)
+        _e(F.avg(F.when(F.col("dt_s") > 0, F.col("dv") / F.col("dt_s"))), 4).alias(
+            "mean_rate_e4"
+        ),
+        _e(F.max(F.abs("dv")), 4).alias("max_abs_delta_e4"),
+    )
+
+
+@q(
+    "ts_series_corr",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS series_a, b.event_type AS series_b,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(ROUND(corr(a.v, b.v) * 1e4) AS BIGINT) AS corr_e4
+    FROM hourly a JOIN hourly b
+      ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def ts_series_corr(spark, sf_dir):
+    """Pearson correlation between every series pair on aligned hourly
+    windows: align (equi-join on the window), then F.corr — the
+    cross-series analytics query of a TS engine. Correlation is
+    rounded to 1e-4: corr is a ratio of large near-cancelling sums, so
+    its cross-engine agreement is inherently coarser than the 1e-6 of
+    plain aggregates."""
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.select(
+        F.col("event_type").alias("series_a"), "h", F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("series_b"), "h", F.col("v").alias("vb")
+    )
+    j = a.join(b, "h").where(F.col("series_a") < F.col("series_b"))
+    return j.groupBy("series_a", "series_b").agg(
+        F.count("*").alias("n_windows"),
+        _e(F.corr("va", "vb"), 4).alias("corr_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W3: sessionization — lag + cumulative-sum session ids (the batch form
 # of session_window; gap > 30 minutes starts a new session)
 # ---------------------------------------------------------------------------
