@@ -5,9 +5,12 @@ sf0.001 events mapped to the raw tier: 1m rollup cascaded to 1h with
 finishers.
 
 queries()/oracle_sql(): one pair per implemented operator from
-SURVEY.md §2 (see tokens_ts/queries_driver.py). Non-SQL-expressible
-ops (codec blobs, MinHash-LSH, SimHash) have no oracle entry → the
-driver records a rows-only check, per the contract.
+SURVEY.md §2 plus the training-data ops (tokens_ts/queries_driver.py,
+queries_data.py). 47 pairs carry a full ANSI-SQL oracle; exactly two
+are rows-only by design — doc_minhash_lsh and doc_simhash use
+xxhash64, which DuckDB lacks, and each has a fully-oracled md5-hashed
+twin (doc_minhash_md5, doc_simhash_pairs) checking the identical
+algorithm shape value-for-value.
 """
 
 from __future__ import annotations
