@@ -1,6 +1,8 @@
 """Catalog contract tests.
 
 The parquet branch runs everywhere (exercised by every pipeline test);
+identifiers are DOT-joined for iceberg (Spark parses multipart names on
+'.') and slash-joined paths for parquet;
 the iceberg branch cannot execute in this sandbox (no
 iceberg-spark-runtime jar, no network — SURVEY.md §0), so its CALL
 SHAPES are pinned against fakes: the exact writeTo(...).X() chains and
@@ -61,14 +63,14 @@ def test_iceberg_overwrite_partitions_call_shape():
     log = []
     cat = Catalog("lake.db", "iceberg")
     cat.overwrite_partitions(_FakeDF(log), "t1m", ["source", "day"])
-    assert log == [("writeTo", "lake.db/t1m", "overwritePartitions")]
+    assert log == [("writeTo", "lake.db.t1m", "overwritePartitions")]
 
 
 def test_iceberg_append_call_shape():
     log = []
     cat = Catalog("lake.db", "iceberg")
     cat.append(_FakeDF(log), "raw", ["source", "day"])
-    assert log == [("writeTo", "lake.db/raw", "append")]
+    assert log == [("writeTo", "lake.db.raw", "append")]
 
 
 def test_iceberg_exists_and_read_call_shape():
@@ -77,7 +79,7 @@ def test_iceberg_exists_and_read_call_shape():
     spark = _FakeSpark(log, exists=True)
     assert cat.exists(spark, "t1d") is True
     assert cat.read(spark, "t1d") == "df-sentinel"
-    assert log == [("tableExists", "lake.db/t1d"), ("read.table", "lake.db/t1d")]
+    assert log == [("tableExists", "lake.db.t1d"), ("read.table", "lake.db.t1d")]
 
 
 def test_unsupported_format_rejected():

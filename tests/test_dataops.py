@@ -191,10 +191,22 @@ def test_ivf_topk_probes_right_cells(emb2_big):
             simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4,
                                nprobe=4).collect()}
     assert full == exact  # all cells probed → identical to brute force
-    few = {(r["qid"], r["nid"]) for r in
-           simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4,
-                              nprobe=1).collect()}
-    assert len(few & exact) <= len(exact)
+    # nprobe=1: every result must (a) carry the TRUE cosine similarity
+    # (the approximation only restricts candidates, never the scores)
+    # and (b) come from the query's single probed cell
+    brute = {(r["qid"], r["nid"]): r["sim_e6"] for r in
+             simsearch.cosine_topk(emb2_big, qids, k=63).collect()}
+    few = simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4, nprobe=1)
+    rows = few.collect()
+    assert rows, "nprobe=1 must still return candidates on this fixture"
+    for r in rows:
+        assert r["sim_e6"] == brute[(r["qid"], r["nid"])], r
+    cell = {r["nid"]: r["cid"] for r in
+            simsearch.ivf_assign(emb2_big, n_centroids=4).collect()}
+    for r in rows:
+        # the probed cell of qid is its own best cell — by definition
+        # of nprobe=1 every candidate shares it
+        assert cell[r["nid"]] == cell[r["qid"]], r
     # every vector lands in exactly one cell
     a = simsearch.ivf_assign(emb2_big, n_centroids=4)
     assert a.count() == emb2_big.count()

@@ -155,16 +155,26 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         + [(1, t0 + 120 * m), (1, t0 + 122 * m)]
     )
     run_once()
-    got = sessions()
-    assert (1, t0, 3) in got, got          # burst A closed by the in-batch gap
-    assert all(s[1] != t0 + 120 * m for s in got)  # burst B still open
+    # nothing is sealed yet: a session emits only once the watermark
+    # passes session_end + gap (events within allowed lateness could
+    # still merge into A or B)
+    assert sessions() == set()
 
-    # watermark drivers: two more batches push the watermark past
-    # B.end + gap (timeouts fire at the START of the batch AFTER the
-    # watermark advanced)
-    write_file([(99, t0 + 720 * m)])
+    # out-of-order event EARLIER than burst B's start (within gap, and
+    # above the current watermark t0+2m): B must extend BACKWARDS —
+    # the single-open-session design got this wrong. The user-99 event
+    # advances the watermark to t0+600m; availableNow then runs a
+    # no-data micro-batch in the same query, so the event-time timeouts
+    # fire and seal both of user 1's sessions within this run.
+    write_file([(1, t0 + 115 * m), (99, t0 + 720 * m)])
     run_once()
+    got = sessions()
+    assert (1, t0, 3) in got, got              # burst A
+    assert (1, t0 + 115 * m, 3) in got, got    # burst B extended backwards
+    assert all(s[0] != 99 for s in got)        # user 99 still open
+
+    # replay safety: another batch must not re-emit sealed sessions
     write_file([(99, t0 + 721 * m)])
     run_once()
-    got = sessions()
-    assert (1, t0 + 120 * m, 2) in got, got  # burst B flushed by timeout
+    rows = spark.read.parquet(out_dir).where("user_id = 1").collect()
+    assert len(rows) == 2, rows                # exactly once each

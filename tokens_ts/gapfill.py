@@ -124,8 +124,10 @@ def gapfill_bucketed(grid: DataFrame, raw: DataFrame, bucket: str = "1d") -> Dat
          formulas — bit-identical to the single-window gapfill
          (asserted by tests/test_gapfill.py).
 
-    The carry join is spine-sized (one row per bucket), broadcast-able
-    at any scale where #buckets ≪ #rows."""
+    The carry join is spine-sized (one row per series-bucket) — tiny
+    relative to the data, but its absolute size is unbounded, so the
+    join strategy is left to the optimizer rather than forced to
+    broadcast."""
     return bucketed_fill(align(grid, raw), bucket)
 
 
@@ -185,7 +187,11 @@ def bucketed_fill(aligned: DataFrame, bucket: str = "1d") -> DataFrame:
         F.last("_bf_t", ignorenulls=True).over(wbn).alias("_cnt"),
     )
 
-    out = loc.join(F.broadcast(carries), ["source", "series_id", "_bkt"], "left")
+    # no broadcast hint: the spine is one row per (series, bucket) —
+    # small relative to the data but UNBOUNDED in absolute terms
+    # (1M series × 10y of 1d buckets ≈ 3.6B rows); the optimizer/AQE
+    # picks broadcast when it actually fits
+    out = loc.join(carries, ["source", "series_id", "_bkt"], "left")
     prev_v = F.coalesce("_lpv", "_cpv")
     prev_t = F.coalesce("_lpt", "_cpt")
     next_v = F.coalesce("_lnv", "_cnv")

@@ -41,11 +41,19 @@ class Catalog:
         self.fmt = fmt
 
     def path(self, name: str) -> str:
+        """Filesystem path (parquet) — slash-joined under the root."""
         return f"{self.root}/{name}"
+
+    def ident(self, name: str) -> str:
+        """Catalog table identifier (iceberg) — DOT-joined: Spark parses
+        multipart identifiers on '.', so a root of 'lake.db' yields
+        'lake.db.t1m'. A slash-joined 'lake.db/t1m' would parse as
+        table name 'db/t1m' and fail on any real catalog."""
+        return f"{self.root}.{name}"
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         if self.fmt == "iceberg":
-            return spark.catalog.tableExists(self.path(name))
+            return spark.catalog.tableExists(self.ident(name))
         p = self.path(name)
         return os.path.isdir(p) and any(
             f for f in os.listdir(p) if not f.startswith(("_", "."))
@@ -53,7 +61,7 @@ class Catalog:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.fmt == "iceberg":
-            return spark.read.table(self.path(name))
+            return spark.read.table(self.ident(name))
         return spark.read.parquet(self.path(name))
 
     def overwrite_partitions(
@@ -65,7 +73,7 @@ class Catalog:
         dynamic partition overwrite — same per-partition idempotence,
         weaker (non-snapshot) atomicity, fine for the sandbox."""
         if self.fmt == "iceberg":
-            df.writeTo(self.path(name)).overwritePartitions()
+            df.writeTo(self.ident(name)).overwritePartitions()
             return
         (
             df.write.mode("overwrite")
@@ -78,7 +86,7 @@ class Catalog:
         self, df: DataFrame, name: str, partition_cols: list[str] | None = None
     ) -> None:
         if self.fmt == "iceberg":
-            df.writeTo(self.path(name)).append()
+            df.writeTo(self.ident(name)).append()
             return
         w = df.write.mode("append")
         if partition_cols:

@@ -136,15 +136,16 @@ def run_backfill(
     return {"run_id": run_id, "partitions": part_ids, "skipped": False, "wall_ms": wall_ms}
 
 
-def _content_batch_id(new_seq: DataFrame) -> str:
-    """Deterministic batch id from the batch's own content: an xor-fold
-    of xxhash64(doc_id, tokens) plus the row count. A replayed batch
-    (same rows) maps to the same id — the basis for exactly-once."""
+def _batch_id_and_count(new_seq: DataFrame) -> tuple[str, int]:
+    """Deterministic batch id from the batch's own content (an xor-fold
+    of xxhash64(doc_id, tokens) plus the row count — a replayed batch
+    maps to the same id, the basis for exactly-once), together with the
+    row count so callers never rescan the input just for rows_in."""
     r = new_seq.agg(
         F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("cs"),
         F.count("*").alias("n"),
     ).collect()[0]
-    return f"{(r['cs'] or 0) & ((1 << 64) - 1):016x}-{r['n']}"
+    return f"{(r['cs'] or 0) & ((1 << 64) - 1):016x}-{r['n']}", int(r["n"])
 
 
 def run_increment(
@@ -179,7 +180,10 @@ def run_increment(
     failure."""
     cat = Catalog(out_root, fmt)
     manifest_path = cat.path("_lineage")
-    bid = batch_id or _content_batch_id(new_seq)
+    if batch_id is None:
+        bid, n_in = _batch_id_and_count(new_seq)
+    else:
+        bid, n_in = batch_id, -1  # counted lazily below only if needed
     marker = f"batch:{bid}"
 
     done = {
@@ -226,7 +230,8 @@ def run_increment(
     for tier, name in TIER_NAMES.items():
         upd = _with_day(t[tier], "window_start").where(sel)
         cat.overwrite_partitions(upd, name, ["source", "day"])
-    n_in = new_seq.count()
+    if n_in < 0:
+        n_in = new_seq.count()
     checkpoint.record_done(
         spark,
         manifest_path,

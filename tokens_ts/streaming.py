@@ -66,20 +66,56 @@ def stream_increment(
 
     With `lateness` (e.g. "2 hours"), rows whose event_ts is older than
     the high-watermark (max event_ts folded so far, persisted in the
-    `_watermark` table) minus the bound are appended to the
-    `dead_letter` table with the rejection context instead of silently
-    mutating long-closed tier windows."""
+    `_watermark` table) minus the bound are routed to the `dead_letter`
+    table with the rejection context instead of silently mutating
+    long-closed tier windows.
+
+    Replay discipline (foreachBatch is at-least-once; every attempt of
+    epoch N must converge to the same state):
+      1. epoch gate — a completed epoch (manifest `batch:epoch-N`) is
+         skipped entirely, so replays never duplicate DLQ/watermark
+         side effects;
+      2. the late/on-time split uses the watermark as of the epoch's
+         FIRST attempt — the watermark is only advanced after the fold
+         commits (step 4), so retries of a crashed attempt classify
+         rows identically;
+      3. dead-letter rows are written with dynamic partition overwrite
+         keyed on dl_batch_id — rewriting, not appending, on retry —
+         and BEFORE the fold, so a crash after the fold cannot lose
+         them;
+      4. the fold itself is exactly-once via run_increment's batch-id
+         manifest + batch-keyed raw upsert; the watermark append comes
+         last (monotonic max on read, so a lost append only makes the
+         next epoch's bound laxer, never wrong)."""
+    import hashlib
+
     from tokens_ts.io.catalog import Catalog
 
-    from tokens_ts import grid
+    from tokens_ts import checkpoint, grid
 
     stream = read_sequence_stream(spark, input_path)
     cat = Catalog(out_root)
+    # epoch ids are only unique WITHIN one streaming checkpoint lineage;
+    # namespace them so a different checkpoint against the same
+    # warehouse can never silently match an old epoch's marker.
+    # (Re-processing the same input under a fresh checkpoint then
+    # duplicates into the sink — the standard Structured Streaming
+    # contract: exactly-once requires keeping the checkpoint.)
+    ns = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:8]
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
+        epoch = f"epoch-{ns}-{batch_id}"
+        done = {
+            r["partition_id"]
+            for r in checkpoint.done_partitions(
+                sp, cat.path("_lineage")
+            ).collect()
+        }
+        if f"batch:{epoch}" in done:
+            return  # replay of a fully-committed epoch: all effects done
         timed = grid.with_event_time(batch_df)
         if lateness is not None:
             bound = None
@@ -92,23 +128,24 @@ def stream_increment(
             if bound is not None:
                 late = timed.where(F.col("event_ts") < bound)
                 if not late.isEmpty():
-                    cat.append(
-                        late.withColumn("dl_batch_id", F.lit(str(batch_id)))
+                    cat.overwrite_partitions(
+                        late.withColumn("dl_batch_id", F.lit(epoch))
                         .withColumn("dl_reason", F.lit("beyond_watermark"))
                         .withColumn("dl_bound", bound),
                         "dead_letter",
+                        ["dl_batch_id"],
                     )
                 timed = timed.where(~(F.col("event_ts") < bound))
             if timed.isEmpty():
                 return
-            new_wm = timed.agg(F.max("event_ts").alias("max_event_ts"))
-            # watermark advances monotonically (union + max on read)
-            cat.append(new_wm, "_watermark")
-        # epoch id as batch id: a replayed epoch delivers the same files,
-        # so the manifest skip + batch-keyed upsert give exactly-once
-        pipeline.run_increment(
-            sp, timed, out_root, batch_id=f"epoch-{batch_id}"
-        )
+        pipeline.run_increment(sp, timed, out_root, batch_id=epoch)
+        if lateness is not None:
+            # only after the fold committed: retries of THIS epoch must
+            # keep seeing the pre-epoch watermark (deterministic split)
+            cat.append(
+                timed.agg(F.max("event_ts").alias("max_event_ts")),
+                "_watermark",
+            )
 
     w = stream.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint_dir
@@ -122,7 +159,9 @@ SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint"
 )
-SESSION_STATE_SCHEMA = "start long, end long, n bigint"
+SESSION_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>"
+)
 
 
 def stream_sessionize(
@@ -136,52 +175,77 @@ def stream_sessionize(
     (SURVEY.md §2.9 / task brief): per-user sessionization with a gap
     rule, the streaming twin of the batch ts_sessionize query.
 
-    State per user = the open session (start, end, n) in epoch-µs.
-    Each micro-batch merges its (sorted) events into the open session,
-    EMITS every session closed by a > gap_seconds silence, and keeps
-    the trailing session open with an event-time timeout at
-    end + gap: when the watermark passes it, the timeout fires and the
-    session flushes — so results are deterministic in event time, not
-    in arrival time. Arrow-batched per group; no per-row Python."""
+    State per user = ALL sessions not yet safe to emit, as interval
+    lists in epoch-µs. Each micro-batch's (sorted) events merge into
+    the list by interval distance ≤ gap — including backwards: an
+    out-of-order event EARLIER than a held session's start extends or
+    prepends correctly, which a single-open-session design gets wrong.
+    A session is emitted only once the event-time watermark passes
+    session_end + gap: by the watermark contract no event that could
+    still merge into it can arrive after that, so output is exactly the
+    batch sessionization of the full event-time stream regardless of
+    arrival order. Arrow-batched per group; no per-row Python."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    gap_us = gap_seconds * 1_000_000
+
+    def _merge(sessions, ts_sorted):
+        """Merge sorted event times into interval sessions (≤ gap)."""
+        ivs = [list(s) for s in sessions] + [[t, t, 1] for t in ts_sorted]
+        ivs.sort(key=lambda x: x[0])
+        out = []
+        for iv in ivs:
+            if out and iv[0] - out[-1][1] <= gap_us:
+                out[-1][1] = max(out[-1][1], iv[1])
+                out[-1][2] += iv[2]
+            else:
+                out.append(iv)
+        return out
+
+    def _flush(state, sessions, wm_ms):
+        """Emit sessions the watermark has sealed; hold the rest."""
+        emit = [s for s in sessions if s[1] // 1000 + gap_seconds * 1000 <= wm_ms]
+        keep = [s for s in sessions if s[1] // 1000 + gap_seconds * 1000 > wm_ms]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
+                )
+            )
+            # next flush when the watermark reaches the earliest seal
+            # point (must stay strictly above the current watermark)
+            t_next = min(s[1] // 1000 + gap_seconds * 1000 for s in keep)
+            state.setTimeoutTimestamp(max(t_next, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        return emit
+
     def fn(key, pdf_iter, state: GroupState):
         (user,) = key
-        out = []
-        if state.hasTimedOut:
-            if state.exists:
-                s, e, n = state.get
-                out.append((user, s, e, int(n)))
-            state.remove()
-        else:
+        sessions = []
+        if state.exists:
+            starts, ends, ns = state.get
+            sessions = [list(t) for t in zip(starts, ends, ns)]
+        if not state.hasTimedOut:
             ts_us = []
             for pdf in pdf_iter:
                 ts_us.extend(
                     (pdf[ts_col].astype("datetime64[us]").astype("int64")).tolist()
                 )
             ts_us.sort()
-            cur = state.get if state.exists else None
-            for t in ts_us:
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_seconds * 1_000_000:
-                    out.append((user, cur[0], cur[1], int(cur[2])))
-                    cur = (t, t, 1)
-                else:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            if cur is not None:
-                state.update(cur)
-                # flush when event time (the watermark) passes the gap
-                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
-        if out:
+            sessions = _merge(sessions, ts_us)
+        emit = _flush(state, sessions, state.getCurrentWatermarkMs())
+        if emit:
             yield pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out],
-                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
-                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
-                    "n_events": [r[3] for r in out],
+                    "user_id": [user] * len(emit),
+                    "session_start": pd.to_datetime([s[0] for s in emit], unit="us"),
+                    "session_end": pd.to_datetime([s[1] for s in emit], unit="us"),
+                    "n_events": [int(s[2]) for s in emit],
                 }
             )
 
