@@ -85,3 +85,34 @@ def test_iceberg_exists_and_read_call_shape():
 def test_unsupported_format_rejected():
     with pytest.raises(ValueError, match="unsupported format"):
         Catalog("/tmp/x", "delta")
+
+
+def test_iceberg_manifest_routing_call_shape(spark):
+    """The exactly-once manifest goes through the same format dispatch
+    as the data tables: on an iceberg Catalog, record_done must
+    writeTo('root._lineage').append() and read_manifest must
+    read.table it — a filesystem path under 'lake.db' would resolve
+    against the driver's cwd and silently defeat the batch gate."""
+    from tokens_ts import checkpoint
+
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+
+    class _CatProxy:
+        fmt = "iceberg"
+
+        def append(self, df, name, partition_cols=None):
+            log.append(("append", cat.ident(name)))
+
+        def read(self, sp, name):
+            log.append(("read", cat.ident(name)))
+            raise FileNotFoundError("no table yet")
+
+    proxy = _CatProxy()
+    checkpoint.record_done(
+        spark, proxy, [{"partition_id": "batch:x", "rows_in": 1}], "run"
+    )
+    empty = checkpoint.read_manifest(spark, proxy)
+    assert ("append", "lake.db._lineage") in log
+    assert ("read", "lake.db._lineage") in log
+    assert empty.count() == 0  # unreadable manifest → empty frame, no crash

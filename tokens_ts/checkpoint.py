@@ -61,17 +61,29 @@ def token_checksum_by_partition(seq: DataFrame, partition_col: str = "source") -
     )
 
 
-def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+MANIFEST_TABLE = "_lineage"
+
+
+def read_manifest(spark: SparkSession, where) -> DataFrame:
+    """`where` is a Catalog (format-aware: parquet path OR iceberg
+    table identifier) or, for backward compatibility with tests and
+    ad-hoc inspection, a plain parquet path string. The manifest must
+    go through the same format dispatch as the data tables — a
+    filesystem path under an iceberg root like 'lake.db' would resolve
+    against the driver's working directory and silently break the
+    exactly-once batch gate."""
     try:
-        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+        if isinstance(where, str):
+            return spark.read.schema(MANIFEST_SCHEMA).parquet(where)
+        return where.read(spark, MANIFEST_TABLE)
     except Exception:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def done_partitions(spark: SparkSession, path: str) -> DataFrame:
+def done_partitions(spark: SparkSession, where) -> DataFrame:
     """Distinct partition ids already completed (any attempt)."""
     return (
-        read_manifest(spark, path)
+        read_manifest(spark, where)
         .where(F.col("status") == "done")
         .select("partition_id")
         .distinct()
@@ -92,7 +104,7 @@ def filter_pending(
 
 def record_done(
     spark: SparkSession,
-    path: str,
+    where,
     lineage_rows: list[dict],
     job_run_id: str,
     attempt_base: dict[str, int] | None = None,
@@ -116,6 +128,8 @@ def record_done(
         )
         for r in lineage_rows
     ]
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(path)
+    df = spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1)
+    if isinstance(where, str):
+        df.write.mode("append").parquet(where)
+    else:
+        where.append(df, MANIFEST_TABLE)

@@ -63,9 +63,8 @@ def run_backfill(
     """
     cat = Catalog(out_root, fmt)
     run_id = checkpoint.new_run_id()
-    manifest_path = cat.path("_lineage")
 
-    done = checkpoint.done_partitions(spark, manifest_path)
+    done = checkpoint.done_partitions(spark, cat)
     pending = (
         seq.select("source").distinct()
         .join(done.withColumnRenamed("partition_id", "source"), "source", "left_anti")
@@ -116,7 +115,7 @@ def run_backfill(
     wall_ms = (time.time() - t_start) * 1000.0
     attempts = {
         r["partition_id"]: r["attempt"]
-        for r in checkpoint.read_manifest(spark, manifest_path)
+        for r in checkpoint.read_manifest(spark, cat)
         .groupBy("partition_id")
         .agg(F.max("attempt").alias("attempt"))
         .collect()
@@ -132,7 +131,7 @@ def run_backfill(
                 **counts[p],
             }
         )
-    checkpoint.record_done(spark, manifest_path, rows, run_id, attempts)
+    checkpoint.record_done(spark, cat, rows, run_id, attempts)
     return {"run_id": run_id, "partitions": part_ids, "skipped": False, "wall_ms": wall_ms}
 
 
@@ -179,7 +178,6 @@ def run_increment(
     before any tier write or manifest commit, simulating a mid-flight
     failure."""
     cat = Catalog(out_root, fmt)
-    manifest_path = cat.path("_lineage")
     if batch_id is None:
         bid, n_in = _batch_id_and_count(new_seq)
     else:
@@ -188,7 +186,7 @@ def run_increment(
 
     done = {
         r["partition_id"]
-        for r in checkpoint.done_partitions(spark, manifest_path).collect()
+        for r in checkpoint.done_partitions(spark, cat).collect()
     }
     if marker in done:
         return {"touched": [], "batch_id": bid, "skipped": True}
@@ -234,7 +232,7 @@ def run_increment(
         n_in = new_seq.count()
     checkpoint.record_done(
         spark,
-        manifest_path,
+        cat,
         [{"partition_id": marker, "rows_in": n_in}],
         checkpoint.new_run_id(),
     )

@@ -82,12 +82,15 @@ def stream_increment(
       3. dead-letter rows are written with dynamic partition overwrite
          keyed on dl_batch_id — rewriting, not appending, on retry —
          and BEFORE the fold, so a crash after the fold cannot lose
-         them;
+         them (layout note: dead_letter is PARTITIONED by dl_batch_id;
+         it is not compatible with a table written by a pre-partition
+         layout — start a fresh dead_letter path when upgrading);
       4. the fold itself is exactly-once via run_increment's batch-id
          manifest + batch-keyed raw upsert; the watermark append comes
          last (monotonic max on read, so a lost append only makes the
          next epoch's bound laxer, never wrong)."""
     import hashlib
+    import os
 
     from tokens_ts.io.catalog import Catalog
 
@@ -101,21 +104,28 @@ def stream_increment(
     # (Re-processing the same input under a fresh checkpoint then
     # duplicates into the sink — the standard Structured Streaming
     # contract: exactly-once requires keeping the checkpoint.)
-    ns = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:8]
+    # realpath-normalized: '/a/ckpt', '/a/ckpt/', and symlinked
+    # spellings of the SAME lineage must map to the same namespace,
+    # or a restart under a different spelling breaks replay convergence
+    ns = hashlib.sha256(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         epoch = f"epoch-{ns}-{batch_id}"
-        done = {
-            r["partition_id"]
-            for r in checkpoint.done_partitions(
-                sp, cat.path("_lineage")
-            ).collect()
-        }
-        if f"batch:{epoch}" in done:
-            return  # replay of a fully-committed epoch: all effects done
+        if lateness is not None:
+            # the gate protects the DLQ/watermark side effects below;
+            # without lateness there are none and run_increment's own
+            # marker check already makes replays no-ops
+            done = {
+                r["partition_id"]
+                for r in checkpoint.done_partitions(sp, cat).collect()
+            }
+            if f"batch:{epoch}" in done:
+                return  # replay of a committed epoch: all effects done
         timed = grid.with_event_time(batch_df)
         if lateness is not None:
             bound = None
@@ -205,9 +215,16 @@ def stream_sessionize(
         return out
 
     def _flush(state, sessions, wm_ms):
-        """Emit sessions the watermark has sealed; hold the rest."""
-        emit = [s for s in sessions if s[1] // 1000 + gap_seconds * 1000 <= wm_ms]
-        keep = [s for s in sessions if s[1] // 1000 + gap_seconds * 1000 > wm_ms]
+        """Emit sessions the watermark has sealed; hold the rest.
+
+        Seal condition is STRICT in µs: end + gap < wm. Spark keeps
+        events with event_ts == watermark, so at end+gap == wm a
+        mergeable event can still arrive; and the comparison happens
+        in µs because truncating end to ms would seal up to 999 µs
+        early."""
+        wm_us = wm_ms * 1000
+        emit = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
         if keep:
             state.update(
                 (
@@ -216,9 +233,9 @@ def stream_sessionize(
                     [s[2] for s in keep],
                 )
             )
-            # next flush when the watermark reaches the earliest seal
-            # point (must stay strictly above the current watermark)
-            t_next = min(s[1] // 1000 + gap_seconds * 1000 for s in keep)
+            # earliest ms watermark that seals something:
+            # smallest wm' with end+gap < wm'*1000
+            t_next = min((s[1] + gap_us) // 1000 + 1 for s in keep)
             state.setTimeoutTimestamp(max(t_next, wm_ms + 1))
         elif state.exists:
             state.remove()
