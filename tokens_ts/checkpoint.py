@@ -71,13 +71,30 @@ def read_manifest(spark: SparkSession, where) -> DataFrame:
     go through the same format dispatch as the data tables — a
     filesystem path under an iceberg root like 'lake.db' would resolve
     against the driver's working directory and silently break the
-    exactly-once batch gate."""
+    exactly-once batch gate.
+
+    Only a MISSING manifest degrades to an empty frame (first run).
+    Any other read failure re-raises: a transiently unreadable
+    manifest must abort the job — treating it as empty would make
+    every replay gate see 'nothing done' and re-execute committed
+    batches with side effects (DLQ/watermark reclassification),
+    diverging silently instead of failing loudly."""
+    from pyspark.errors import AnalysisException
+
     try:
         if isinstance(where, str):
             return spark.read.schema(MANIFEST_SCHEMA).parquet(where)
         return where.read(spark, MANIFEST_TABLE)
-    except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except (AnalysisException, FileNotFoundError) as e:
+        msg = str(e)
+        if (
+            isinstance(e, FileNotFoundError)
+            or "PATH_NOT_FOUND" in msg
+            or "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+        ):
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
 
 
 def done_partitions(spark: SparkSession, where) -> DataFrame:

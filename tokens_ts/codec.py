@@ -327,7 +327,11 @@ def decode_val_xor(data: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
     buf = np.frombuffer(data, dtype=np.uint8)
     if n == 0:
         return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=bool)
-    assert buf[0] == VAL_VERSION, f"bad val codec version {buf[0]}"
+    if buf[0] != VAL_VERSION:  # not assert: must survive python -O
+        raise ValueError(
+            f"bad val codec version {buf[0]} (expected {VAL_VERSION}); "
+            "pre-v2 blobs are not decodable by this build"
+        )
     ctrl_nbytes = (2 * n + 7) // 8
     cbits = np.unpackbits(buf[1 : 1 + ctrl_nbytes])[: 2 * n]
     code = (cbits[0::2] << 1) | cbits[1::2]

@@ -168,11 +168,15 @@ def run_increment(
       partitions are rewritten as (existing rows minus this batch's)
       ∪ (this batch's rows) — so a crash anywhere between the raw
       write and the manifest commit leaves a rerun that converges to
-      the exact single-shot state, never double-counting. On Iceberg
-      the same discipline is a MERGE keyed on (source, day, batch_id);
-      on parquet it is a dynamic partition overwrite over a snapshot
-      of the prior rows (localCheckpoint pins the read before the
-      overwrite replaces the files).
+      the exact single-shot state, never double-counting.
+
+    The implementation is the SAME read-filter-union + partition
+    overwrite on both formats (the read is pinned with localCheckpoint
+    before the overwrite replaces it), which assumes a single writer
+    per (source, day) partition set — the scheduler's job. A
+    concurrent-writer-safe Iceberg deployment should replace this
+    block with a real MERGE INTO keyed on (source, day, batch_id);
+    that is NOT what this code does today.
 
     _crash_after_raw is a test hook: abort after the raw write,
     before any tier write or manifest commit, simulating a mid-flight

@@ -126,36 +126,43 @@ def stream_increment(
             }
             if f"batch:{epoch}" in done:
                 return  # replay of a committed epoch: all effects done
-        timed = grid.with_event_time(batch_df)
-        if lateness is not None:
-            bound = None
-            if cat.exists(sp, "_watermark"):
-                r = cat.read(sp, "_watermark").agg(
-                    F.max("max_event_ts").alias("m")
-                ).collect()[0]
-                if r["m"] is not None:
-                    bound = F.lit(r["m"]) - F.expr(f"interval {lateness}")
-            if bound is not None:
-                late = timed.where(F.col("event_ts") < bound)
-                if not late.isEmpty():
-                    cat.overwrite_partitions(
-                        late.withColumn("dl_batch_id", F.lit(epoch))
-                        .withColumn("dl_reason", F.lit("beyond_watermark"))
-                        .withColumn("dl_bound", bound),
-                        "dead_letter",
-                        ["dl_batch_id"],
-                    )
-                timed = timed.where(~(F.col("event_ts") < bound))
-            if timed.isEmpty():
-                return
-        pipeline.run_increment(sp, timed, out_root, batch_id=epoch)
-        if lateness is not None:
-            # only after the fold committed: retries of THIS epoch must
-            # keep seeing the pre-epoch watermark (deterministic split)
-            cat.append(
-                timed.agg(F.max("event_ts").alias("max_event_ts")),
-                "_watermark",
-            )
+        # cache: the micro-batch is re-read otherwise for every step
+        # below (emptiness probes, DLQ write, extraction, watermark agg)
+        cached = grid.with_event_time(batch_df).cache()
+        timed = cached
+        try:
+            if lateness is not None:
+                bound = None
+                if cat.exists(sp, "_watermark"):
+                    r = cat.read(sp, "_watermark").agg(
+                        F.max("max_event_ts").alias("m")
+                    ).collect()[0]
+                    if r["m"] is not None:
+                        bound = F.lit(r["m"]) - F.expr(f"interval {lateness}")
+                if bound is not None:
+                    late = timed.where(F.col("event_ts") < bound)
+                    if not late.isEmpty():
+                        cat.overwrite_partitions(
+                            late.withColumn("dl_batch_id", F.lit(epoch))
+                            .withColumn("dl_reason", F.lit("beyond_watermark"))
+                            .withColumn("dl_bound", bound),
+                            "dead_letter",
+                            ["dl_batch_id"],
+                        )
+                    timed = timed.where(~(F.col("event_ts") < bound))
+                if timed.isEmpty():
+                    return
+            pipeline.run_increment(sp, timed, out_root, batch_id=epoch)
+            if lateness is not None:
+                # only after the fold committed: retries of THIS epoch
+                # must keep seeing the pre-epoch watermark
+                # (deterministic split)
+                cat.append(
+                    timed.agg(F.max("event_ts").alias("max_event_ts")),
+                    "_watermark",
+                )
+        finally:
+            cached.unpersist()
 
     w = stream.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint_dir

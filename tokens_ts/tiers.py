@@ -41,16 +41,34 @@ def _trunc(tier: str):
     return C.TIER_TRUNC[tier]
 
 
-def rollup(raw: DataFrame, tier: str = "1m") -> DataFrame:
-    """raw (source, series_id, event_ts, value) → tier partial state."""
-    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
-    return raw.groupBy(*KEYS, w).agg(
+def _phase1_aggs():
+    """The algebraic partial state from raw values — THE single source
+    of truth for the state shape. rollup and both salted variants use
+    this list; cascade/_merge_aggs must mirror it field-for-field."""
+    return [
         F.count("value").alias("cnt"),
         F.sum("value").alias("sum"),
         F.min("value").alias("min"),
         F.max("value").alias("max"),
         F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
-    )
+    ]
+
+
+def _merge_aggs():
+    """Exact merge of partial states (the cascade/salt-phase-2 agg)."""
+    return [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum_sq").alias("sum_sq"),
+    ]
+
+
+def rollup(raw: DataFrame, tier: str = "1m") -> DataFrame:
+    """raw (source, series_id, event_ts, value) → tier partial state."""
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    return raw.groupBy(*KEYS, w).agg(*_phase1_aggs())
 
 
 def cascade(tier_df: DataFrame, tier: str) -> DataFrame:
@@ -60,13 +78,7 @@ def cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     roll(1h, raw) == cascade(roll(1m, raw), '1h') is pinned by tests.
     """
     w = F.date_trunc(_trunc(tier), F.col("window_start")).alias("window_start")
-    return tier_df.groupBy(*KEYS, w).agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        F.sum("sum_sq").alias("sum_sq"),
-    )
+    return tier_df.groupBy(*KEYS, w).agg(*_merge_aggs())
 
 
 def finish(tier_df: DataFrame) -> DataFrame:
@@ -116,35 +128,24 @@ def rollup_salted(raw: DataFrame, tier: str = "1m", nsalt: int = C.DEFAULT_NSALT
         F.lit(nsalt),
     ).alias("_salt")
     w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
-    phase1 = raw.groupBy(*KEYS, w, salt).agg(
-        F.count("value").alias("cnt"),
-        F.sum("value").alias("sum"),
-        F.min("value").alias("min"),
-        F.max("value").alias("max"),
-        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
-    )
-    return phase1.groupBy(*KEYS, "window_start").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        F.sum("sum_sq").alias("sum_sq"),
-    )
+    phase1 = raw.groupBy(*KEYS, w, salt).agg(*_phase1_aggs())
+    return phase1.groupBy(*KEYS, "window_start").agg(*_merge_aggs())
 
 
 def detect_hot_keys(raw: DataFrame, top_k: int = 2) -> DataFrame:
     """The top-k heaviest (source, series_id) keys by row count — the
     skew-detection input for partial salting (W1 feeding A8). Scale-
     free (a rank, not an absolute threshold); one map-side-combined
-    count aggregation over the keys, rows = distinct keys, not data."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"), *[F.asc(k) for k in KEYS])
+    count aggregation, then orderBy+limit, which Spark plans as a
+    distributed TakeOrderedAndProject (per-partition top-k merged on
+    the driver) — a global row_number window here would funnel every
+    distinct key through ONE task, the very skew shape this module
+    exists to avoid."""
     return (
         raw.groupBy(*KEYS)
         .agg(F.count("*").alias("cnt"))
-        .withColumn("_rnk", F.row_number().over(w))
-        .where(F.col("_rnk") <= top_k)
+        .orderBy(F.desc("cnt"), *[F.asc(k) for k in KEYS])
+        .limit(top_k)
         .select(*KEYS)
     )
 
@@ -179,20 +180,8 @@ def rollup_salted_hot(
         ),
     ).otherwise(F.lit(0)).alias("_salt")
     w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
-    phase1 = tagged.groupBy(*KEYS, w, salt).agg(
-        F.count("value").alias("cnt"),
-        F.sum("value").alias("sum"),
-        F.min("value").alias("min"),
-        F.max("value").alias("max"),
-        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
-    )
-    return phase1.groupBy(*KEYS, "window_start").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        F.sum("sum_sq").alias("sum_sq"),
-    )
+    phase1 = tagged.groupBy(*KEYS, w, salt).agg(*_phase1_aggs())
+    return phase1.groupBy(*KEYS, "window_start").agg(*_merge_aggs())
 
 
 def retention_filter(
