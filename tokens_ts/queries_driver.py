@@ -712,6 +712,52 @@ def ts_series_rate(spark, sf_dir):
 
 
 @q(
+    "ts_anomaly_zscore",
+    """
+    WITH scored AS (
+      SELECT event_id, event_type, ts, value,
+             avg(value)        OVER w AS mu,
+             stddev_pop(value) OVER w AS sd,
+             count(value)      OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type AS series_id,
+           CAST(ROUND((value - mu) / sd * 1e4) AS BIGINT) AS z_e4
+    FROM scored
+    WHERE n_hist >= 30 AND sd > 0 AND abs((value - mu) / sd) > 3.0
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each point scored against the
+    mean/stddev of its own trailing 100 observations (point excluded),
+    flagged beyond 3σ. One window pass per series — the standard TS
+    outlier query; the trailing frame makes it causally valid (no
+    future leakage) and streamable."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    n_hist = F.count("value").over(w)
+    z = (F.col("value") - mu) / sd
+    scored = ev.select(
+        "event_id",
+        F.col("event_type").alias("series_id"),
+        z.alias("z"),
+        n_hist.alias("n_hist"),
+        sd.alias("sd"),
+    )
+    return scored.where(
+        (F.col("n_hist") >= 30) & (F.col("sd") > 0) & (F.abs("z") > 3.0)
+    ).select("event_id", "series_id", _e("z", 4).alias("z_e4"))
+
+
+@q(
     "ts_series_corr",
     """
     WITH hourly AS (
