@@ -672,15 +672,20 @@ def ts_increment_union(spark, sf_dir):
     "ts_series_rate",
     """
     WITH d AS (
+      -- dt from INTEGER microseconds: epoch() returns fractional
+      -- seconds as a ~1.7e9 double whose subtraction ulps differ from
+      -- Spark's exact unix_micros difference; integer micros divided
+      -- by 1e6 is the identical double in both engines
       SELECT event_type, ts, value,
              value - lag(value) OVER w AS dv,
-             epoch(ts) - epoch(lag(ts) OVER w) AS dt_s
+             (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS dt_s
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     )
     SELECT event_type AS series_id,
            CAST(count(dv) AS BIGINT) AS n_deltas,
-           CAST(ROUND(avg(CASE WHEN dt_s > 0 THEN dv / dt_s END) * 1e4) AS BIGINT) AS mean_rate_e4,
+           CAST(ROUND(avg(CASE WHEN dt_s > 0
+             THEN CAST(ROUND(dv / dt_s * 1e6) AS BIGINT) END) / 100.0) AS BIGINT) AS mean_rate_e4,
            CAST(ROUND(max(abs(dv)) * 1e4) AS BIGINT) AS max_abs_delta_e4
     FROM d GROUP BY 1
     """,
@@ -702,11 +707,20 @@ def ts_series_rate(spark, sf_dir):
     )
     return d.groupBy("series_id").agg(
         F.count("dv").alias("n_deltas"),
-        # 1e-4 grain: rates are big ratios averaged over 20k deltas;
-        # summation order costs ~1 ulp at 1e-6 (observed cross-engine)
-        _e(F.avg(F.when(F.col("dt_s") > 0, F.col("dv") / F.col("dt_s"))), 4).alias(
-            "mean_rate_e4"
-        ),
+        # order-insensitive mean: each rate is quantized to an e6
+        # INTEGER before averaging — integer sums are exact in both
+        # engines, so the mean is bit-identical regardless of
+        # summation order (a raw double mean drifted 1-2 ulps at
+        # 2k-20k deltas, observed at both sf0.01 and sf0.1)
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("dt_s") > 0,
+                    F.round(F.col("dv") / F.col("dt_s") * 1e6).cast("long"),
+                )
+            )
+            / 100.0
+        ).cast("bigint").alias("mean_rate_e4"),
         _e(F.max(F.abs("dv")), 4).alias("max_abs_delta_e4"),
     )
 
