@@ -82,6 +82,79 @@ def test_iceberg_exists_and_read_call_shape():
     assert log == [("tableExists", "lake.db.t1d"), ("read.table", "lake.db.t1d")]
 
 
+class _FakeMergeDF:
+    """Captures the exact temp-view registration + MERGE SQL text."""
+
+    def __init__(self, log):
+        self.log = log
+        self.sparkSession = self
+
+    def createOrReplaceTempView(self, name):
+        self.log.append(("view", name))
+
+    def sql(self, text):
+        self.log.append(("sql", text))
+
+
+def test_iceberg_merge_upsert_statement_shape():
+    """The concurrent-writer-safe increment branch: the exact MERGE
+    statement Iceberg's Spark extension parses — keyed on the full raw
+    row key including batch_id, UPDATE SET * / INSERT *. If anyone
+    reorders the clauses or drops batch_id from the key, this fails
+    without needing the jar."""
+    from tokens_ts.pipeline import RAW_MERGE_KEYS
+
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    cat.merge_upsert(_FakeMergeDF(log), "raw", RAW_MERGE_KEYS)
+    assert log[0] == ("view", "_merge_src_raw")
+    kind, sql = log[1]
+    assert kind == "sql"
+    assert sql == (
+        "MERGE INTO lake.db.raw t USING _merge_src_raw s "
+        "ON t.source = s.source AND t.day = s.day "
+        "AND t.batch_id = s.batch_id AND t.series_id = s.series_id "
+        "AND t.event_ts = s.event_ts "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_merge_upsert_rejected_on_parquet():
+    with pytest.raises(NotImplementedError, match="merge_upsert requires iceberg"):
+        Catalog("/tmp/x", "parquet").merge_upsert(None, "raw", ["source"])
+
+
+def test_upsert_raw_routes_by_format(spark):
+    """run_increment's raw fold: iceberg + existing table → MERGE
+    branch; iceberg first write → partition overwrite (no table to
+    merge into); parquet → the single-writer read-union-overwrite
+    (pinned end-to-end by test_pipeline, routing pinned here)."""
+    from tokens_ts import pipeline
+
+    class _Cat:
+        def __init__(self, fmt, exists):
+            self.fmt, self._exists, self.log = fmt, exists, []
+
+        def exists(self, sp, name):
+            return self._exists
+
+        def merge_upsert(self, df, name, keys):
+            self.log.append(("merge", name, tuple(keys)))
+
+        def overwrite_partitions(self, df, name, cols):
+            self.log.append(("overwrite", name, tuple(cols)))
+
+    df = spark.range(0)  # never executed: routing only
+    ice = _Cat("iceberg", True)
+    pipeline._upsert_raw(spark, ice, df, None, "b1")
+    assert ice.log == [("merge", "raw", tuple(pipeline.RAW_MERGE_KEYS))]
+
+    ice0 = _Cat("iceberg", False)
+    pipeline._upsert_raw(spark, ice0, df, None, "b1")
+    assert ice0.log == [("overwrite", "raw", ("source", "day"))]
+
+
 def test_unsupported_format_rejected():
     with pytest.raises(ValueError, match="unsupported format"):
         Catalog("/tmp/x", "delta")

@@ -107,6 +107,77 @@ def test_cascade_reuses_partial_state_no_raw_rescan(spark, seq_tiny):
     assert plan.count("Exchange") == 2  # t1m shuffle + cascade shuffle
 
 
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    """Synthetic events parquet in the driver-table shape, with MANY
+    distinct users/types so plan-shape regressions are visible."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(minutes=i % 5000),
+            i % 997,
+            f"type{i % 12:02d}",
+            float(i % 83) / 7.0,
+            "{}",
+        )
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path_factory.mktemp("plans_ev"))
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    return p
+
+
+def test_topk_users_distributed_take_ordered(spark, events_path):
+    """W1 top-k must plan as TakeOrderedAndProject (per-partition top-k
+    merged on the driver), NOT a global row_number window that funnels
+    every distinct user through one task. The only Window allowed is
+    the post-limit rank over exactly k rows."""
+    from tokens_ts.queries_driver import QUERIES
+
+    df = QUERIES["ts_topk_users"](spark, events_path)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the window (rank attach) must sit ABOVE the take-ordered — i.e.
+    # operate on the already-limited rows, not on the full aggregate
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_series_corr_pair_generation_bounded(spark, events_path):
+    """The corr self-join's inputs are bounded to the top-k active
+    series: with 12 synthetic series and k=8, no output series may
+    fall outside the top-8 set, and the candidate pair count is ≤ k²."""
+    import pyspark.sql.functions as F
+
+    from tokens_ts.queries_driver import CORR_TOP_K, QUERIES, ts_series_corr
+
+    out = QUERIES["ts_series_corr"](spark, events_path).collect()
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    top = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("event_type"))
+        .limit(CORR_TOP_K)
+        .collect()
+    }
+    assert len(top) == CORR_TOP_K  # 12 series in the fixture, k=8
+    seen = {r["series_a"] for r in out} | {r["series_b"] for r in out}
+    assert seen and seen <= top
+    assert len(out) <= CORR_TOP_K * (CORR_TOP_K - 1) // 2
+    # tighter bound survives: k=3 emits at most 3 pairs
+    out3 = ts_series_corr(spark, events_path, top_k=3).collect()
+    assert 0 < len(out3) <= 3
+
+
 def test_ivf_assignment_never_shuffles_corpus(spark):
     """IVF coarse assignment is a corpus scan × broadcast centroid
     array with a row-local argmax: the only exchanges allowed are the

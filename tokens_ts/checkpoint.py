@@ -107,6 +107,23 @@ def done_partitions(spark: SparkSession, where) -> DataFrame:
     )
 
 
+def is_done(spark: SparkSession, where, partition_id: str) -> bool:
+    """Server-side membership probe for ONE partition/batch marker.
+
+    The hot-path replay gate (run_increment per batch, streaming._fold
+    per epoch) needs exactly one bit — collecting the full done-set to
+    the driver costs O(total-epochs) per epoch on a manifest that
+    grows forever. The filter + limit(1) shape pushes the predicate
+    into the scan (parquet row-group stats / Iceberg file pruning) and
+    ships back at most one row."""
+    return (
+        not read_manifest(spark, where)
+        .where((F.col("partition_id") == partition_id) & (F.col("status") == "done"))
+        .limit(1)
+        .isEmpty()
+    )
+
+
 def filter_pending(
     df: DataFrame, done: DataFrame, partition_col: str = "source"
 ) -> DataFrame:

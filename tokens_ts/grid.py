@@ -52,24 +52,32 @@ def full_grid(spark, k_total: int, n_sources: int = C.DEFAULT_SOURCES) -> DataFr
     """The complete per-source grid (no gaps): one row per (source, slot).
 
     Used by gap-fill (SURVEY.md G1) to left-join observed points onto.
-    Built from spark.range → fully distributed, no driver data.
-    """
-    parts = []
-    for s in range(n_sources):
-        budget = C.source_budget(k_total, s)
-        g = (
-            spark.range(0, budget)
-            .withColumnRenamed("id", "k")
-            .withColumn("source", F.lit(f"src{s:02d}"))
-            .withColumn(
-                "event_ts",
-                F.timestamp_seconds(
-                    F.lit(C.T0_EPOCH) + F.col("k") * C.step_seconds(s)
-                ),
-            )
+    ONE spark.range × a broadcast sources dim — plan size is O(1) in
+    the source count. (The previous shape unioned one range branch per
+    source: at thousands of sources the ANALYSIS cost grows linearly
+    with the plan tree, before a single task runs.) The dim is a
+    handful of scalars per source (name, budget, step) — driver-built
+    rows are fine at any realistic source count; the k fan-out stays
+    fully distributed in the range."""
+    dim = spark.createDataFrame(
+        [
+            (f"src{s:02d}", C.source_budget(k_total, s), C.step_seconds(s))
+            for s in range(n_sources)
+        ],
+        "source string, budget bigint, step bigint",
+    )
+    # s=0 has the largest Zipf budget; range covers it, the per-source
+    # budget predicate trims the rest inside the broadcast join
+    max_budget = C.source_budget(k_total, 0)
+    return (
+        spark.range(0, max_budget)
+        .withColumnRenamed("id", "k")
+        .join(F.broadcast(dim), F.col("k") < F.col("budget"))
+        .select(
+            "k",
+            "source",
+            F.timestamp_seconds(
+                F.lit(C.T0_EPOCH) + F.col("k") * F.col("step")
+            ).alias("event_ts"),
         )
-        parts.append(g)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )

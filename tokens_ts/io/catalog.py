@@ -82,6 +82,39 @@ class Catalog:
             .parquet(self.path(name))
         )
 
+    def merge_upsert(
+        self, df: DataFrame, name: str, key_cols: list[str]
+    ) -> None:
+        """Concurrent-writer-safe row-level upsert (Iceberg only).
+
+        MERGE INTO <table> keyed on `key_cols`: matched rows are
+        replaced, new rows inserted, in ONE snapshot-isolated commit.
+        Because the key includes batch_id, concurrent writers folding
+        DIFFERENT batches never match each other's rows — Iceberg's
+        optimistic concurrency retries the metadata swap and both
+        commits land, which is exactly what the parquet
+        read-union-overwrite fallback cannot promise (it assumes a
+        single writer per partition set; pipeline.run_increment
+        documents that caveat and selects this branch on fmt=iceberg).
+
+        Keys must be non-null (raw's source/day/batch_id/series_id/
+        event_ts all are): plain `=` in the ON clause, so Iceberg can
+        push the join keys into its file-level pruning.
+        """
+        if self.fmt != "iceberg":
+            raise NotImplementedError(
+                "merge_upsert requires iceberg; parquet callers use the "
+                "single-writer read-union-overwrite path"
+            )
+        view = f"_merge_src_{name}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        df.sparkSession.sql(
+            f"MERGE INTO {self.ident(name)} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
     def append(
         self, df: DataFrame, name: str, partition_cols: list[str] | None = None
     ) -> None:

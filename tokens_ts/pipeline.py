@@ -147,6 +147,42 @@ def _batch_id_and_count(new_seq: DataFrame) -> tuple[str, int]:
     return f"{(r['cs'] or 0) & ((1 << 64) - 1):016x}-{r['n']}", int(r["n"])
 
 
+RAW_MERGE_KEYS = ["source", "day", "batch_id", "series_id", "event_ts"]
+
+
+def _upsert_raw(spark, cat: Catalog, new_raw: DataFrame, sel, bid: str) -> None:
+    """Fold one batch's raw rows into the raw table, format-dispatched.
+
+    Iceberg (existing table): Catalog.merge_upsert — MERGE INTO keyed
+    on RAW_MERGE_KEYS. Extraction is deterministic, so a retry of a
+    partially-applied batch produces the identical row set: matched
+    rows update in place, missing rows insert, and the result is
+    exactly the single-shot state. batch_id in the key makes
+    concurrent folds of different batches non-conflicting.
+
+    Parquet, or first write on either format: (existing rows in the
+    touched partitions minus this batch's) ∪ (this batch's rows),
+    written with dynamic partition overwrite — same convergence,
+    single-writer only.
+    """
+    if cat.fmt == "iceberg" and cat.exists(spark, "raw"):
+        cat.merge_upsert(new_raw, "raw", RAW_MERGE_KEYS)
+        return
+    upsert = new_raw
+    if cat.exists(spark, "raw"):
+        existing = cat.read(spark, "raw")
+        if "batch_id" not in existing.columns:  # pre-increment warehouse
+            existing = existing.withColumn("batch_id", F.lit(None).cast("string"))
+        keep = (
+            existing.where(sel)
+            .where(F.col("batch_id").isNull() | (F.col("batch_id") != bid))
+            # snapshot before the overwrite below replaces these files
+            .localCheckpoint(eager=True)
+        )
+        upsert = keep.unionByName(new_raw.select(keep.columns))
+    cat.overwrite_partitions(upsert, "raw", ["source", "day"])
+
+
 def run_increment(
     spark: SparkSession,
     new_seq: DataFrame,
@@ -165,18 +201,20 @@ def run_increment(
     - a manifest row `batch:<id>` marks completion; rerunning a
       completed batch is a no-op;
     - raw rows are tagged with their batch_id, and the touched raw
-      partitions are rewritten as (existing rows minus this batch's)
-      ∪ (this batch's rows) — so a crash anywhere between the raw
-      write and the manifest commit leaves a rerun that converges to
-      the exact single-shot state, never double-counting.
+      state is upserted so a crash anywhere between the raw write and
+      the manifest commit leaves a rerun that converges to the exact
+      single-shot state, never double-counting.
 
-    The implementation is the SAME read-filter-union + partition
-    overwrite on both formats (the read is pinned with localCheckpoint
-    before the overwrite replaces it), which assumes a single writer
-    per (source, day) partition set — the scheduler's job. A
-    concurrent-writer-safe Iceberg deployment should replace this
-    block with a real MERGE INTO keyed on (source, day, batch_id);
-    that is NOT what this code does today.
+    The raw upsert is format-dispatched (_upsert_raw):
+    - iceberg: MERGE INTO keyed on (source, day, batch_id, series_id,
+      event_ts) — one snapshot-isolated commit; concurrent writers
+      folding different batches never match each other's rows, so
+      this branch is concurrent-writer-safe;
+    - parquet (sandbox): read-filter-union + dynamic partition
+      overwrite (the read pinned with localCheckpoint before the
+      overwrite replaces its files) — converging and retry-idempotent,
+      but it assumes a single writer per (source, day) partition set
+      (the scheduler's job on the sandbox format).
 
     _crash_after_raw is a test hook: abort after the raw write,
     before any tier write or manifest commit, simulating a mid-flight
@@ -188,11 +226,9 @@ def run_increment(
         bid, n_in = batch_id, -1  # counted lazily below only if needed
     marker = f"batch:{bid}"
 
-    done = {
-        r["partition_id"]
-        for r in checkpoint.done_partitions(spark, cat).collect()
-    }
-    if marker in done:
+    # one-bit server-side probe, not a full done-set collect — the
+    # manifest grows one row per epoch forever; see checkpoint.is_done
+    if checkpoint.is_done(spark, cat, marker):
         return {"touched": [], "batch_id": bid, "skipped": True}
 
     new_raw = _with_day(extraction(new_seq), "event_ts").withColumn(
@@ -210,19 +246,7 @@ def run_increment(
     days = sorted({d for _, d in touched})
     sel = F.col("source").isin(srcs) & F.col("day").isin([str(d) for d in days])
 
-    upsert = new_raw
-    if cat.exists(spark, "raw"):
-        existing = cat.read(spark, "raw")
-        if "batch_id" not in existing.columns:  # pre-increment warehouse
-            existing = existing.withColumn("batch_id", F.lit(None).cast("string"))
-        keep = (
-            existing.where(sel)
-            .where(F.col("batch_id").isNull() | (F.col("batch_id") != bid))
-            # snapshot before the overwrite below replaces these files
-            .localCheckpoint(eager=True)
-        )
-        upsert = keep.unionByName(new_raw.select(keep.columns))
-    cat.overwrite_partitions(upsert, "raw", ["source", "day"])
+    _upsert_raw(spark, cat, new_raw, sel, bid)
     if _crash_after_raw:
         new_raw.unpersist()
         raise RuntimeError("injected crash after raw write")

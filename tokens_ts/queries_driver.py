@@ -290,14 +290,21 @@ def ts_rollup_report(spark, sf_dir):
     """,
 )
 def ts_topk_users(spark, sf_dir):
+    """Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    (per-partition top-10 merged on the driver); rank is attached by a
+    window AFTER the limit, over exactly 10 rows. A pre-limit global
+    row_number window would funnel every distinct user through ONE
+    task — the same skew funnel tiers.detect_hot_keys avoids."""
     ev = _ev(spark, sf_dir)
-    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
-    return (
+    top = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("user_id", "cnt", "rank")
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "user_id", "cnt", "rank"
     )
 
 
@@ -771,12 +778,21 @@ def ts_anomaly_zscore(spark, sf_dir):
     ).select("event_id", "series_id", _e("z", 4).alias("z_e4"))
 
 
+CORR_TOP_K = 8  # pair generation bound: only the top-k most active series
+
+
 @q(
     "ts_series_corr",
-    """
-    WITH hourly AS (
+    f"""
+    WITH active AS (
+      SELECT event_type FROM events GROUP BY event_type
+      ORDER BY count(*) DESC, event_type LIMIT {CORR_TOP_K}
+    ),
+    hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE event_type IN (SELECT event_type FROM active)
+      GROUP BY 1, 2
     )
     SELECT a.event_type AS series_a, b.event_type AS series_b,
            CAST(count(*) AS BIGINT) AS n_windows,
@@ -786,17 +802,31 @@ def ts_anomaly_zscore(spark, sf_dir):
     GROUP BY 1, 2
     """,
 )
-def ts_series_corr(spark, sf_dir):
-    """Pearson correlation between every series pair on aligned hourly
-    windows: align (equi-join on the window), then F.corr — the
-    cross-series analytics query of a TS engine. Correlation is
-    rounded to 1e-4: corr is a ratio of large near-cancelling sums, so
-    its cross-engine agreement is inherently coarser than the 1e-6 of
-    plain aggregates."""
+def ts_series_corr(spark, sf_dir, top_k: int = CORR_TOP_K):
+    """Pearson correlation between series pairs on aligned hourly
+    windows, with the pair set BOUNDED to the top-k most active series
+    before the self-join: an unrestricted self-join on the hour is
+    O(S²) pairs per window — fine for the sandbox's 5 event types, a
+    scale-killer at millions of series. The bound is a distributed
+    TakeOrderedAndProject (same shape as tiers.detect_hot_keys), the
+    survivor set broadcasts into a semi-join, and only then do series
+    pairs form — worst case k² pairs per window, k driver-chosen.
+    Correlation is rounded to 1e-4: corr is a ratio of large
+    near-cancelling sums, so its cross-engine agreement is inherently
+    coarser than the 1e-6 of plain aggregates."""
     ev = _ev(spark, sf_dir)
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.avg("value").alias("v"))
+    active = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("acnt"))
+        .orderBy(F.desc("acnt"), F.asc("event_type"))
+        .limit(top_k)
+        .select("event_type")
+    )
+    hourly = (
+        ev.join(F.broadcast(active), "event_type")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
     a = hourly.select(
         F.col("event_type").alias("series_a"), "h", F.col("v").alias("va")
     )

@@ -119,12 +119,11 @@ def stream_increment(
         if lateness is not None:
             # the gate protects the DLQ/watermark side effects below;
             # without lateness there are none and run_increment's own
-            # marker check already makes replays no-ops
-            done = {
-                r["partition_id"]
-                for r in checkpoint.done_partitions(sp, cat).collect()
-            }
-            if f"batch:{epoch}" in done:
+            # marker check already makes replays no-ops. One-bit
+            # server-side probe (checkpoint.is_done), not a full
+            # done-set collect: the manifest grows one row per epoch,
+            # so the old set-collect cost O(total-epochs) per epoch.
+            if checkpoint.is_done(sp, cat, f"batch:{epoch}"):
                 return  # replay of a committed epoch: all effects done
         # cache: the micro-batch is re-read otherwise for every step
         # below (emptiness probes, DLQ write, extraction, watermark agg)
