@@ -6,11 +6,13 @@ finishers.
 
 queries()/oracle_sql(): one pair per implemented operator from
 SURVEY.md §2 plus the training-data ops (tokens_ts/queries_driver.py,
-queries_data.py). 47 pairs carry a full ANSI-SQL oracle; exactly two
+queries_data.py). 49 pairs carry a full ANSI-SQL oracle; exactly two
 are rows-only by design — doc_minhash_lsh and doc_simhash use
-xxhash64, which DuckDB lacks, and each has a fully-oracled md5-hashed
+xxhash64, which DuckDB lacks. Each has a fully-oracled md5-hashed
 twin (doc_minhash_md5, doc_simhash_pairs) checking the identical
-algorithm shape value-for-value.
+algorithm shape value-for-value, AND pytest pins their equivalence
+executably (tests/test_dataops.py: xxhash/md5 twin pair-set equality;
+independent numpy re-fold of the simhash signatures).
 """
 
 from __future__ import annotations

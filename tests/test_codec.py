@@ -192,3 +192,52 @@ def test_spark_segment_roundtrip(spark, seq_tiny):
     assert dup == 0
     ratio = segs.agg((F.sum("enc_bytes") / F.sum("raw_bytes")).alias("r")).collect()[0]["r"]
     assert ratio < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Corrupt / truncated blobs must raise versioned decode errors, not
+# surface raw numpy IndexErrors or silently-wrong values.
+# ---------------------------------------------------------------------------
+
+def _flip_ctrl_code(enc: bytes, n: int, point: int, new_code: int) -> bytes:
+    """Rewrite point `point`'s 2-bit control code in the ctrl stream."""
+    buf = bytearray(enc)
+    bit0 = 2 * point  # MSB-first within the byte stream
+    for k, bit in enumerate((new_code >> 1, new_code & 1)):
+        idx = bit0 + k
+        byte, off = 1 + idx // 8, 7 - idx % 8
+        buf[byte] = (buf[byte] & ~(1 << off)) | (bit << off)
+    return bytes(buf)
+
+
+def test_val_decode_rejects_truncated_ctrl():
+    enc = codec.encode_val_xor(np.arange(100, dtype=np.float64))
+    with pytest.raises(ValueError, match="control stream"):
+        codec.decode_val_xor(enc[:5], 100)
+
+
+def test_val_decode_rejects_truncated_windows_and_payload():
+    v = np.cumsum(((np.arange(300) * 104729) % 7 - 3).astype(np.float64))
+    enc = codec.encode_val_xor(v)
+    ctrl_nbytes = (2 * v.size + 7) // 8
+    with pytest.raises(ValueError, match="window stream"):
+        codec.decode_val_xor(enc[: 1 + ctrl_nbytes], v.size)
+    with pytest.raises(ValueError, match="payload stream"):
+        codec.decode_val_xor(enc[: len(enc) - 40], v.size)
+
+
+def test_val_decode_rejects_reuse_before_window():
+    """Flip the first '10' opener to a '01' reuse: a decoder without the
+    structural check would index the window arrays at -1."""
+    v = np.arange(16, dtype=np.float64)
+    enc = codec.encode_val_xor(v)
+    # point 0 encodes value 0.0 = repeat ('00'); point 1 is the opener
+    bad = _flip_ctrl_code(enc, v.size, 1, 0b01)
+    with pytest.raises(ValueError, match="reuse code '01'"):
+        codec.decode_val_xor(bad, v.size)
+
+
+def test_val_decode_rejects_bad_version():
+    enc = codec.encode_val_xor(np.arange(8, dtype=np.float64))
+    with pytest.raises(ValueError, match="bad val codec version"):
+        codec.decode_val_xor(bytes([99]) + enc[1:], 8)

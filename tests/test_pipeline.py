@@ -73,6 +73,102 @@ def test_backfill_resume_identical(spark, seq_tiny, tmp_path):
     assert all(r["points_raw"] > 0 and r["points_1m"] > 0 for r in per.values())
 
 
+def test_backfill_crash_between_commits_resumes_remainder(spark, seq_tiny, tmp_path):
+    """Lineage is partition-granular: kill a 4-partition backfill after
+    2 per-partition commits; the rerun processes ONLY the remaining 2,
+    the end state is identical to a single-shot run, and each manifest
+    row carries its own measured wall_ms (not an invocation average)."""
+    seq = grid.with_event_time(seq_tiny)
+    ref_root = str(tmp_path / "ref")
+    pipeline.run_backfill(spark, seq, ref_root)
+
+    root = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="injected crash after 2 commits"):
+        pipeline.run_backfill(spark, seq, root, _crash_after_commits=2)
+
+    m1 = checkpoint.read_manifest(spark, str(tmp_path / "crashy" / "_lineage"))
+    committed = sorted(r["partition_id"] for r in m1.collect())
+    assert committed == ["src00", "src01"]  # exactly the 2 pre-crash commits
+
+    r2 = pipeline.run_backfill(spark, seq, root)
+    assert sorted(r2["partitions"]) == ["src02", "src03"]  # only the remainder
+
+    for name in ("t1m", "t1h", "t1d"):
+        _same(_tier_snapshot(spark, root, name), _tier_snapshot(spark, ref_root, name))
+
+    m = checkpoint.read_manifest(spark, str(tmp_path / "crashy" / "_lineage"))
+    per = {r["partition_id"]: r for r in m.collect()}
+    assert len(per) == 4 and all(r["attempt"] == 1 for r in per.values())
+    walls = [r["wall_ms"] for r in per.values()]
+    assert all(w > 0 for w in walls)
+    # per-partition measurement: four independently-timed waves can't
+    # all collide on the same float millisecond
+    assert len(set(walls)) > 1
+    # every row carries the watermark carrier
+    assert all(r["max_event_us"] is not None for r in per.values())
+
+
+def test_manifest_compaction_preserves_consumers(spark, seq_tiny, tmp_path):
+    """compact_manifest folds history to one row per partition while
+    preserving everything consumers derive: done set, attempt counts,
+    high-watermark, latest metrics."""
+    path = str(tmp_path / "m")
+    for attempt_round in range(5):
+        checkpoint.record_done(
+            spark,
+            path,
+            [
+                {
+                    "partition_id": f"batch:e{attempt_round}",
+                    "rows_in": 10 + attempt_round,
+                    "max_event_us": 1_000_000 * (attempt_round + 1),
+                },
+                {"partition_id": "src00", "rows_in": 7, "wall_ms": 1.5},
+            ],
+            f"run{attempt_round}",
+            {"src00": attempt_round},  # src00 re-attempted each round
+        )
+    before_done = {
+        r["partition_id"]
+        for r in checkpoint.done_partitions(spark, path).collect()
+    }
+    before_wm = checkpoint.watermark_us(spark, path)
+    assert checkpoint.read_manifest(spark, path).count() == 10
+
+    n = checkpoint.compact_manifest(spark, path)
+    assert n == 6  # 5 epochs + src00
+    m = checkpoint.read_manifest(spark, path)
+    assert m.count() == 6
+    assert {
+        r["partition_id"] for r in checkpoint.done_partitions(spark, path).collect()
+    } == before_done
+    assert checkpoint.watermark_us(spark, path) == before_wm == 5_000_000
+    src = {r["partition_id"]: r for r in m.collect()}["src00"]
+    assert src["attempt"] == 5 and src["rows_in"] == 7
+    # still done/appendable afterwards: the gate keeps working
+    assert checkpoint.is_done(spark, path, "batch:e3")
+    assert not checkpoint.is_done(spark, path, "batch:e9")
+
+
+def test_increment_manifest_row_carries_watermark(spark, seq_tiny, tmp_path):
+    """The fold's completion row IS the watermark advance: its
+    max_event_us equals the batch's true max event time (no separate
+    watermark write to lose in a crash)."""
+    seq = grid.with_event_time(seq_tiny)
+    root = str(tmp_path / "w")
+    pipeline.run_backfill(spark, seq.where(F.col("k") < 300), root)
+    new = seq.where(F.col("k") >= 300)
+    pipeline.run_increment(spark, new, root, batch_id="e1")
+    m = checkpoint.read_manifest(spark, str(tmp_path / "w" / "_lineage"))
+    row = [r for r in m.collect() if r["partition_id"] == "batch:e1"]
+    assert len(row) == 1
+    expected = new.agg(
+        F.max(F.unix_micros("event_ts")).alias("m")
+    ).collect()[0]["m"]
+    assert row[0]["max_event_us"] == expected
+    assert checkpoint.watermark_us(spark, Catalog(root)) == expected
+
+
 def test_increment_matches_full_backfill(spark, seq_tiny, tmp_path):
     seq = grid.with_event_time(seq_tiny)
     old = seq.where(F.col("k") < 300)

@@ -178,3 +178,40 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     run_once()
     rows = spark.read.parquet(out_dir).where("user_id = 1").collect()
     assert len(rows) == 2, rows                # exactly once each
+
+
+def test_stream_with_compaction_keeps_manifest_bounded(spark, seq_tiny, tmp_path):
+    """compact_every=1: after a multi-epoch stream the manifest holds
+    exactly one row per marker (no unbounded per-epoch file growth) and
+    the tier state still matches the batch backfill."""
+    from tokens_ts import checkpoint
+
+    seq = grid.with_event_time(seq_tiny)
+    ref_root = str(tmp_path / "ref")
+    pipeline.run_backfill(spark, seq, ref_root)
+
+    in_dir = str(tmp_path / "in")
+    # 8 single-file chunks; maxFilesPerTrigger=4 → ≥2 epochs
+    ks = sorted(r["k"] for r in seq.select("k").distinct().collect())
+    cuts = [ks[i * len(ks) // 8] for i in range(8)] + [10**9]
+    for lo, hi in zip(cuts, cuts[1:]):
+        seq.where((F.col("k") >= lo) & (F.col("k") < hi)).drop(
+            "k", "event_ts"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_root = str(tmp_path / "stream")
+    q = streaming.stream_increment(
+        spark, in_dir, out_root, str(tmp_path / "ckpt"),
+        lateness="100 days",  # exercises the watermark-from-manifest path
+        compact_every=1,
+    )
+    q.awaitTermination(300)
+
+    _compare_tiers(spark, out_root, ref_root)
+    cat = Catalog(out_root)
+    m = checkpoint.read_manifest(spark, cat)
+    rows = m.collect()
+    markers = {r["partition_id"] for r in rows}
+    assert len(rows) == len(markers), "compaction left duplicate marker rows"
+    assert all(p.startswith("batch:epoch-") for p in markers)
+    assert checkpoint.watermark_us(spark, cat) is not None

@@ -45,6 +45,12 @@ MANIFEST_SCHEMA = StructType(
         StructField("attempt", LongType()),
         StructField("job_run_id", StringType()),
         StructField("ts", DoubleType()),
+        # max folded event time (unix µs) — the streaming high-watermark
+        # travels IN the same manifest row as the epoch marker, so the
+        # fold commit and the watermark advance are one atomic append
+        # (a separate watermark table could lose the advance in a crash
+        # between two writes, silently laxening the late-row bound)
+        StructField("max_event_us", LongType()),
     ]
 )
 
@@ -83,18 +89,64 @@ def read_manifest(spark: SparkSession, where) -> DataFrame:
 
     try:
         if isinstance(where, str):
-            return spark.read.schema(MANIFEST_SCHEMA).parquet(where)
-        return where.read(spark, MANIFEST_TABLE)
+            df = spark.read.schema(MANIFEST_SCHEMA).parquet(where)
+        else:
+            df = where.read(spark, MANIFEST_TABLE)
+        return _align_schema(df)
     except (AnalysisException, FileNotFoundError) as e:
-        msg = str(e)
-        if (
-            isinstance(e, FileNotFoundError)
-            or "PATH_NOT_FOUND" in msg
-            or "TABLE_OR_VIEW_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-        ):
+        # classify "missing table" (→ empty frame, first run) vs any
+        # other failure (→ re-raise). Primary signal is the structured
+        # error CLASS — message text is Spark-version/catalog-dependent
+        # and a reworded message must not abort first runs; the
+        # substring probes remain only as a fallback for exceptions
+        # raised without a class.
+        missing = isinstance(e, FileNotFoundError)
+        if not missing and isinstance(e, AnalysisException):
+            cls = None
+            try:
+                cls = e.getErrorClass()
+            except Exception:
+                cls = None
+            if cls is not None:
+                missing = cls in (
+                    "PATH_NOT_FOUND",
+                    "TABLE_OR_VIEW_NOT_FOUND",
+                    "UNABLE_TO_INFER_SCHEMA",  # empty dir left by a dropped table
+                )
+            else:
+                msg = str(e)
+                missing = (
+                    "PATH_NOT_FOUND" in msg
+                    or "TABLE_OR_VIEW_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                )
+        if missing:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
         raise
+
+
+def _align_schema(df: DataFrame) -> DataFrame:
+    """Project a read manifest onto MANIFEST_SCHEMA: columns added in a
+    later engine version (e.g. max_event_us) read as null from files
+    written before them, instead of failing or silently vanishing when
+    parquet infers the schema from one old file."""
+    for f in MANIFEST_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in MANIFEST_SCHEMA.fields])
+
+
+def watermark_us(spark: SparkSession, where) -> int | None:
+    """High-watermark: max event time (unix µs) across all committed
+    folds — read from the manifest itself, so it can never run ahead
+    of or behind what actually committed."""
+    r = (
+        read_manifest(spark, where)
+        .where(F.col("status") == "done")
+        .agg(F.max("max_event_us").alias("m"))
+        .collect()[0]
+    )
+    return None if r["m"] is None else int(r["m"])
 
 
 def done_partitions(spark: SparkSession, where) -> DataFrame:
@@ -159,6 +211,11 @@ def record_done(
             attempt=int(attempt_base.get(r["partition_id"], 0)) + 1,
             job_run_id=job_run_id,
             ts=now,
+            max_event_us=(
+                None
+                if r.get("max_event_us") is None
+                else int(r["max_event_us"])
+            ),
         )
         for r in lineage_rows
     ]
@@ -167,3 +224,51 @@ def record_done(
         df.write.mode("append").parquet(where)
     else:
         where.append(df, MANIFEST_TABLE)
+
+
+def compact_manifest(spark: SparkSession, where) -> int:
+    """Rewrite the manifest to ONE row per partition_id.
+
+    The manifest grows one small parquet file per commit forever —
+    correct, but a long-lived stream pays an O(total-epochs)
+    many-small-files scan on every epoch gate. Compaction folds each
+    partition's history into its latest row while preserving every
+    derived quantity consumers read: the done set (latest status),
+    attempt counts (max), the high-watermark (max max_event_us), and
+    the latest metrics/lineage fields.
+
+    Atomicity: on Iceberg the rewrite is a snapshot-atomic
+    createOrReplace; on sandbox parquet it is a non-atomic overwrite
+    pinned with localCheckpoint — a crash mid-compaction can lose
+    manifest rows, so parquet deployments should compact at quiet
+    points (between epochs, as stream_increment does), not
+    concurrently with folds. Returns the compacted row count.
+    """
+    m = read_manifest(spark, where)
+    latest = F.struct("ts", "attempt")
+    compacted = (
+        m.groupBy("partition_id")
+        .agg(
+            F.max_by("status", latest).alias("status"),
+            F.max_by("rows_in", latest).alias("rows_in"),
+            F.max_by("points_raw", latest).alias("points_raw"),
+            F.max_by("points_1m", latest).alias("points_1m"),
+            F.max_by("points_1h", latest).alias("points_1h"),
+            F.max_by("points_1d", latest).alias("points_1d"),
+            F.max_by("token_checksum", latest).alias("token_checksum"),
+            F.max_by("wall_ms", latest).alias("wall_ms"),
+            F.max("attempt").alias("attempt"),
+            F.max_by("job_run_id", latest).alias("job_run_id"),
+            F.max("ts").alias("ts"),
+            F.max("max_event_us").alias("max_event_us"),
+        )
+        .select(*[f.name for f in MANIFEST_SCHEMA.fields])
+        # pin before the overwrite below replaces the files being read
+        .localCheckpoint(eager=True)
+    )
+    n = compacted.count()
+    if isinstance(where, str):
+        compacted.coalesce(1).write.mode("overwrite").parquet(where)
+    else:
+        where.replace(compacted.coalesce(1), MANIFEST_TABLE)
+    return n

@@ -82,6 +82,16 @@ class Catalog:
             .parquet(self.path(name))
         )
 
+    def replace(self, df: DataFrame, name: str) -> None:
+        """Full-table replace (manifest compaction). Iceberg:
+        createOrReplace — one snapshot-atomic swap. Parquet: plain
+        overwrite, non-atomic — callers compact at quiet points only
+        (checkpoint.compact_manifest documents the crash window)."""
+        if self.fmt == "iceberg":
+            df.writeTo(self.ident(name)).createOrReplace()
+            return
+        df.write.mode("overwrite").parquet(self.path(name))
+
     def merge_upsert(
         self, df: DataFrame, name: str, key_cols: list[str]
     ) -> None:

@@ -2,15 +2,26 @@
 
 Image/audio/video payloads are carried as `binary` columns with a mime
 string; decode / feature-extraction runs as Arrow-batched mapInPandas.
-The real decoders (PIL/libav/...) are NOT in this container, so the
-decode step is a clearly-marked deterministic fake — the Spark-side
-plumbing (schema, batch shape, partitioning, UDF signature) is real
-and tested, and a production deployment swaps `_fake_decode` for a
-library call without touching anything else.
+The heavyweight decoders (PIL/libav) are not in this container, so the
+demonstration container format is BMP — a real, fully-specified binary
+format parsed here with struct.unpack, no library needed: the decode
+step is a genuine byte-level parse with validation (magic, header
+size, bpp, declared-vs-actual length), not a stub. A production
+deployment swaps `decode_bmp_header` for a PIL/libav call inside the
+same `_feature_batches` Arrow stage without touching the Spark plan.
+
+Fixture synthesis (`docs_as_bmp`) derives each document's image
+dimensions from closed forms the DuckDB oracle can mirror:
+    width  = 1 + octet_length(text) % 64
+    height = 1 + doc_id % 48
+    row bytes = ceil(3·width / 4)·4      (24-bit rows, 4-byte aligned)
+    n_bytes = 54 + height·row_bytes      (14 file + 40 info header)
+so the driver pair value-checks REAL decoded dimensions end-to-end.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,51 +30,88 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BinaryType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
+BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("mime", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("first_byte", LongType()),
-        StructField("fake_width", LongType()),
-        StructField("fake_height", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
     ]
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic stand-in for an image decode.
+def _row_bytes(width: int) -> int:
+    """24-bit BMP rows are padded to 4-byte boundaries."""
+    return ((3 * width + 3) // 4) * 4
 
-    Production: `PIL.Image.open(io.BytesIO(payload)).size`. Raising
-    NotImplementedError here would fail the plumbing test, so we return
-    a deterministic fake derived from the bytes instead.
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid, decodable 24-bit BMP with deterministic pixel content."""
+    if width < 1 or height < 1:
+        raise ValueError(f"BMP dimensions must be positive, got {width}x{height}")
+    rb = _row_bytes(width)
+    n_px = rb * height
+    size = BMP_HEADER_BYTES + n_px
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_BYTES)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, n_px, 2835, 2835, 0, 0
+    )
+    pixels = ((seed + np.arange(n_px, dtype=np.int64)) % 256).astype(np.uint8)
+    return file_hdr + info_hdr + pixels.tobytes()
+
+
+def decode_bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse + validate a BMP payload → (width, height, bpp).
+
+    Real byte-level decode: magic, header size, plane count, and the
+    declared file size are all checked against the actual buffer, so a
+    truncated or mislabeled payload raises a contextual ValueError
+    instead of yielding silently-wrong metadata downstream.
     """
-    n = len(payload)
-    first = payload[0] if n else 0
-    return n % 640, (first * 7) % 480
+    if len(payload) < BMP_HEADER_BYTES:
+        raise ValueError(
+            f"BMP payload truncated: header needs {BMP_HEADER_BYTES} bytes, "
+            f"got {len(payload)}"
+        )
+    magic, declared_size, _, _, data_off = struct.unpack("<2sIHHI", payload[:14])
+    if magic != b"BM":
+        raise ValueError(f"not a BMP payload (magic {magic!r})")
+    hdr_size, width, height, planes, bpp = struct.unpack(
+        "<IiiHH", payload[14:30]
+    )
+    if hdr_size != 40 or planes != 1:
+        raise ValueError(
+            f"unsupported BMP variant: info header {hdr_size}, planes {planes}"
+        )
+    if declared_size != len(payload):
+        raise ValueError(
+            f"corrupt BMP: declares {declared_size} bytes, buffer has {len(payload)}"
+        )
+    return width, abs(height), bpp
 
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         payloads = pdf["payload"]
-        n_bytes = payloads.map(len).astype(np.int64)
-        first = payloads.map(lambda b: b[0] if len(b) else 0).astype(np.int64)
-        dims = payloads.map(_fake_decode)
+        dims = payloads.map(decode_bmp_header)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "mime": pdf["mime"],
-                "n_bytes": n_bytes,
-                "first_byte": first,
-                "fake_width": dims.map(lambda d: d[0]).astype(np.int64),
-                "fake_height": dims.map(lambda d: d[1]).astype(np.int64),
+                "n_bytes": payloads.map(len).astype(np.int64),
+                "width": dims.map(lambda d: d[0]).astype(np.int64),
+                "height": dims.map(lambda d: d[1]).astype(np.int64),
+                "bpp": dims.map(lambda d: d[2]).astype(np.int64),
             }
         )
 
@@ -71,19 +119,37 @@ def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """(doc_id, payload binary, mime) → typed feature rows.
 
-    mapInPandas: Arrow batches, no per-row Python at the Spark layer;
-    at 100 TB the payload column dominates I/O, so callers must select
-    only (doc_id, payload, mime) before this — column pruning keeps
-    the scan narrow."""
+    mapInPandas: Arrow batches in/out; the per-payload decode inside
+    the batch is the irreducible Python of any image decode (PIL would
+    sit in the same spot). At 100 TB the payload column dominates I/O,
+    so callers must select only (doc_id, payload, mime) before this —
+    column pruning keeps the scan narrow."""
     return binary_df.select("doc_id", "payload", "mime").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
 
 
-def docs_as_binary(docs: DataFrame) -> DataFrame:
-    """Adapter: treat document text bytes as an opaque payload column."""
-    return docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/fake-image").alias("mime"),
+def _bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        widths = pdf["text"].map(lambda t: 1 + len(t.encode("utf-8")) % 64)
+        heights = 1 + pdf["doc_id"] % 48
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_bmp(int(w), int(h), seed=int(d))
+                    for w, h, d in zip(widths, heights, pdf["doc_id"])
+                ],
+                "mime": "image/bmp",
+            }
+        )
+
+
+def docs_as_bmp(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a real BMP payload per document (dims from
+    the closed forms in the module docstring) — the multimodal fixture
+    the sandbox lacks, in a format the decode path genuinely parses."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _bmp_batches,
+        schema="doc_id long, payload binary, mime string",
     )

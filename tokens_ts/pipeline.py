@@ -54,12 +54,28 @@ def run_backfill(
     extraction: Callable[[DataFrame], DataFrame] = default_extraction,
     max_partitions: int | None = None,
     fmt: str = "parquet",
+    commit_batch: int = 1,
+    _crash_after_commits: int | None = None,
 ) -> dict:
     """Process pending input partitions end-to-end; returns a summary.
 
     max_partitions bounds how many pending partitions this invocation
     takes (used by the kill/resume test and by production to shape
     batch size); None = all pending.
+
+    Lineage is PARTITION-granular: partitions are processed in
+    `commit_batch`-sized waves and each wave's manifest rows commit as
+    the wave completes, with the wave's measured wall_ms (per-partition
+    measured at the default commit_batch=1; averaged within a wave
+    otherwise). A crash mid-invocation therefore loses at most one
+    wave — the rerun's resume anti-join skips everything committed so
+    far. At 10^12 scale each input partition is itself a large
+    distributed job, so one wave per partition keeps the cluster
+    saturated; the sandbox default matches that production shape.
+
+    _crash_after_commits is a test hook: abort after that many wave
+    commits (before the invocation completes), simulating a mid-run
+    failure between manifest commits.
     """
     cat = Catalog(out_root, fmt)
     run_id = checkpoint.new_run_id()
@@ -76,43 +92,6 @@ def run_backfill(
     if not part_ids:
         return {"run_id": run_id, "partitions": [], "skipped": True}
 
-    t_start = time.time()
-    batch = seq.where(F.col("source").isin(part_ids))
-
-    # lineage input side: row counts + token checksums (invariant carrier)
-    lin = {
-        r["partition_id"]: dict(r.asDict())
-        for r in checkpoint.token_checksum_by_partition(batch).collect()
-    }
-
-    # raw rows carry their producing batch id (the backfill run id here;
-    # increments use theirs) — the key the increment upsert dedups on
-    raw = _with_day(extraction(batch), "event_ts").withColumn(
-        "batch_id", F.lit(run_id)
-    )
-    cat.overwrite_partitions(raw, "raw", ["source", "day"])
-    raw_w = cat.read(spark, "raw").where(F.col("source").isin(part_ids))
-
-    tier_frames = tiers.build_all_tiers(raw_w.drop("day", "batch_id"))
-    for tier, name in TIER_NAMES.items():
-        cat.overwrite_partitions(
-            _with_day(tier_frames[tier], "window_start"), name, ["source", "day"]
-        )
-
-    # per-partition metrics from the written tables (counts are cheap:
-    # column-pruned scans over just-written partitions)
-    counts: dict[str, dict[str, int]] = {p: {} for p in part_ids}
-    for label, name in [("points_raw", "raw")] + [
-        (f"points_{t}", n) for t, n in TIER_NAMES.items()
-    ]:
-        for r in (
-            cat.read(spark, name)
-            .where(F.col("source").isin(part_ids))
-            .groupBy("source").count().collect()
-        ):
-            counts[r["source"]][label] = r["count"]
-
-    wall_ms = (time.time() - t_start) * 1000.0
     attempts = {
         r["partition_id"]: r["attempt"]
         for r in checkpoint.read_manifest(spark, cat)
@@ -120,19 +99,85 @@ def run_backfill(
         .agg(F.max("attempt").alias("attempt"))
         .collect()
     }
-    rows = []
-    for p in part_ids:
-        rows.append(
+
+    t_start = time.time()
+    n_commits = 0
+    done_ids: list[str] = []
+    for i in range(0, len(part_ids), max(commit_batch, 1)):
+        group = part_ids[i : i + max(commit_batch, 1)]
+        t_wave = time.time()
+        batch = seq.where(F.col("source").isin(group))
+
+        # lineage input side: row counts + token checksums (invariant carrier)
+        lin = {
+            r["partition_id"]: dict(r.asDict())
+            for r in checkpoint.token_checksum_by_partition(batch).collect()
+        }
+
+        # raw rows carry their producing batch id (the backfill run id
+        # here; increments use theirs) — the key the upsert dedups on
+        raw = _with_day(extraction(batch), "event_ts").withColumn(
+            "batch_id", F.lit(run_id)
+        )
+        cat.overwrite_partitions(raw, "raw", ["source", "day"])
+
+        tier_frames = tiers.build_all_tiers(
+            cat.read(spark, "raw")
+            .where(F.col("source").isin(group))
+            .drop("day", "batch_id")
+        )
+        for tier, name in TIER_NAMES.items():
+            cat.overwrite_partitions(
+                _with_day(tier_frames[tier], "window_start"), name, ["source", "day"]
+            )
+
+        # per-partition metrics from the written tables (counts are
+        # cheap: column-pruned scans over just-written partitions);
+        # raw also yields max event time — the watermark carrier
+        counts: dict[str, dict[str, int]] = {p: {} for p in group}
+        for r in (
+            cat.read(spark, "raw")
+            .where(F.col("source").isin(group))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("points_raw"),
+                F.max(F.unix_micros("event_ts")).alias("max_event_us"),
+            )
+            .collect()
+        ):
+            counts[r["source"]]["points_raw"] = r["points_raw"]
+            counts[r["source"]]["max_event_us"] = r["max_event_us"]
+        for t, name in TIER_NAMES.items():
+            for r in (
+                cat.read(spark, name)
+                .where(F.col("source").isin(group))
+                .groupBy("source").count().collect()
+            ):
+                counts[r["source"]][f"points_{t}"] = r["count"]
+
+        wave_ms = (time.time() - t_wave) * 1000.0
+        rows = [
             {
                 "partition_id": p,
                 "rows_in": lin.get(p, {}).get("rows_in", 0),
                 "token_checksum": lin.get(p, {}).get("token_checksum", 0),
-                "wall_ms": wall_ms / len(part_ids),
+                "wall_ms": wave_ms / len(group),
                 **counts[p],
             }
-        )
-    checkpoint.record_done(spark, cat, rows, run_id, attempts)
-    return {"run_id": run_id, "partitions": part_ids, "skipped": False, "wall_ms": wall_ms}
+            for p in group
+        ]
+        checkpoint.record_done(spark, cat, rows, run_id, attempts)
+        done_ids.extend(group)
+        n_commits += 1
+        if (
+            _crash_after_commits is not None
+            and n_commits >= _crash_after_commits
+            and len(done_ids) < len(part_ids)
+        ):
+            raise RuntimeError(f"injected crash after {n_commits} commits")
+
+    wall_ms = (time.time() - t_start) * 1000.0
+    return {"run_id": run_id, "partitions": done_ids, "skipped": False, "wall_ms": wall_ms}
 
 
 def _batch_id_and_count(new_seq: DataFrame) -> tuple[str, int]:
@@ -258,10 +303,13 @@ def run_increment(
         cat.overwrite_partitions(upd, name, ["source", "day"])
     if n_in < 0:
         n_in = new_seq.count()
+    # the batch's max event time rides IN the completion row: the fold
+    # commit and the watermark advance are one atomic manifest append
+    wm = new_raw.agg(F.max(F.unix_micros("event_ts")).alias("m")).collect()[0]["m"]
     checkpoint.record_done(
         spark,
         cat,
-        [{"partition_id": marker, "rows_in": n_in}],
+        [{"partition_id": marker, "rows_in": n_in, "max_event_us": wm}],
         checkpoint.new_run_id(),
     )
     new_raw.unpersist()

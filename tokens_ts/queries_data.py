@@ -968,22 +968,32 @@ def codec_roundtrip_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (decode stubbed, Spark-side pipeline real)
+# multimodal: REAL container decode. Spark synthesizes a valid 24-bit
+# BMP per document and parses it back byte-for-byte (struct.unpack in
+# the Arrow batch); the oracle mirrors the documented byte math (width/
+# height closed forms + 4-byte row alignment + 54-byte headers), so the
+# decoded dimensions and file sizes are value-checked cross-engine.
 # ---------------------------------------------------------------------------
 
 @q(
     "mm_binary_features",
     """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + strlen(text) % 64 AS w,
+             1 + doc_id % 48 AS h
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(ascii(text[1:1]) AS BIGINT) AS first_byte,
-           CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
-           CAST((ascii(text[1:1]) * 7) % 480 AS BIGINT) AS fake_height
-    FROM documents
+           CAST(54 + h * (((3 * w + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp
+    FROM dims
     """,
 )
 def mm_binary_features(spark, sf_dir):
-    b = multimodal.docs_as_binary(_docs(spark, sf_dir))
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
     return multimodal.extract_features(b).select(
-        "doc_id", "n_bytes", "first_byte", "fake_width", "fake_height"
+        "doc_id", "n_bytes", "width", "height", "bpp"
     )

@@ -186,6 +186,60 @@ def ts_quantiles_1h(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A4 web-scale path: FLAGGED-APPROXIMATE percentiles. percentile_approx
+# (Greenwald-Khanna) has no bit-identical DuckDB twin, so the pair checks
+# the declared ERROR BOUND instead of the value: the approx result must
+# be a data point whose empirical rank is within n/accuracy (+1 discrete
+# slack) of p·n — computed exactly, per window, in Spark; the oracle pins
+# the window set and the all-TRUE bound columns. A sketch regression that
+# drifts beyond its contract flips a boolean and fails the value hash.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_quantiles_approx_1h",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           TRUE AS median_in_bound,
+           TRUE AS p95_in_bound
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_quantiles_approx_1h(spark, sf_dir, accuracy: int = 100):
+    qx = tiers.approx_quantiles(
+        _events_raw(spark, sf_dir), "1h", (0.5, 0.95), accuracy=accuracy
+    )
+    j = (
+        _events_raw(spark, sf_dir)
+        .withColumn("window_start", F.date_trunc("hour", "event_ts"))
+        .join(qx, ["source", "series_id", "window_start"])
+    )
+
+    def in_bound(p: float, approx_col: str):
+        # GK contract: rank(approx) ∈ [p·n − n/acc, p·n + n/acc]; +1
+        # discrete slack for the floor/ceil of fractional ranks.
+        tol = F.col("n") / accuracy + F.lit(1.0)
+        lo_ok = F.col(f"le_{approx_col}") >= F.col("n") * p - tol
+        hi_ok = F.col(f"lt_{approx_col}") <= F.col("n") * p + tol
+        return lo_ok & hi_ok
+
+    counted = j.groupBy("series_id", "window_start").agg(
+        F.count("value").alias("n"),
+        F.sum((F.col("value") <= F.col("median")).cast("long")).alias("le_median"),
+        F.sum((F.col("value") < F.col("median")).cast("long")).alias("lt_median"),
+        F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("le_p95"),
+        F.sum((F.col("value") < F.col("p95")).cast("long")).alias("lt_p95"),
+    )
+    return counted.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        in_bound(0.5, "median").alias("median_in_bound"),
+        in_bound(0.95, "p95").alias("p95_in_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A8: salted two-phase aggregation — oracle is the PLAIN group-by, so the
 # salted path must reproduce it exactly.
 # ---------------------------------------------------------------------------

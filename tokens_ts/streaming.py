@@ -60,25 +60,28 @@ def stream_increment(
     checkpoint_dir: str,
     available_now: bool = True,
     lateness: str | None = None,
+    compact_every: int | None = 64,
 ):
     """Micro-batch tier refresh: every new file batch folds into
     raw/t1m/t1h/t1d via the touched-window incremental path.
 
     With `lateness` (e.g. "2 hours"), rows whose event_ts is older than
-    the high-watermark (max event_ts folded so far, persisted in the
-    `_watermark` table) minus the bound are routed to the `dead_letter`
+    the high-watermark minus the bound are routed to the `dead_letter`
     table with the rejection context instead of silently mutating
-    long-closed tier windows.
+    long-closed tier windows. The high-watermark is NOT a separate
+    table: each committed fold's manifest row carries the batch's max
+    event time (checkpoint.watermark_us reads max over them), so the
+    fold commit and the watermark advance are one atomic append — a
+    crash can never commit the fold but lose the advance.
 
     Replay discipline (foreachBatch is at-least-once; every attempt of
     epoch N must converge to the same state):
       1. epoch gate — a completed epoch (manifest `batch:epoch-N`) is
-         skipped entirely, so replays never duplicate DLQ/watermark
-         side effects;
+         skipped entirely, so replays never duplicate DLQ side effects;
       2. the late/on-time split uses the watermark as of the epoch's
-         FIRST attempt — the watermark is only advanced after the fold
-         commits (step 4), so retries of a crashed attempt classify
-         rows identically;
+         FIRST attempt — the watermark only advances when the fold's
+         manifest row commits (step 4), so retries of a crashed
+         attempt classify rows identically;
       3. dead-letter rows are written with dynamic partition overwrite
          keyed on dl_batch_id — rewriting, not appending, on retry —
          and BEFORE the fold, so a crash after the fold cannot lose
@@ -86,9 +89,13 @@ def stream_increment(
          it is not compatible with a table written by a pre-partition
          layout — start a fresh dead_letter path when upgrading);
       4. the fold itself is exactly-once via run_increment's batch-id
-         manifest + batch-keyed raw upsert; the watermark append comes
-         last (monotonic max on read, so a lost append only makes the
-         next epoch's bound laxer, never wrong)."""
+         manifest + batch-keyed raw upsert, and that same manifest row
+         carries max_event_us (the watermark advance).
+
+    compact_every: every N epochs the manifest is compacted to one row
+    per partition/batch (checkpoint.compact_manifest) — without it a
+    long-lived stream's epoch gate scans one small parquet file per
+    epoch forever. None disables."""
     import hashlib
     import os
 
@@ -132,12 +139,11 @@ def stream_increment(
         try:
             if lateness is not None:
                 bound = None
-                if cat.exists(sp, "_watermark"):
-                    r = cat.read(sp, "_watermark").agg(
-                        F.max("max_event_ts").alias("m")
-                    ).collect()[0]
-                    if r["m"] is not None:
-                        bound = F.lit(r["m"]) - F.expr(f"interval {lateness}")
+                wm_us = checkpoint.watermark_us(sp, cat)
+                if wm_us is not None:
+                    bound = F.timestamp_micros(F.lit(wm_us)) - F.expr(
+                        f"interval {lateness}"
+                    )
                 if bound is not None:
                     late = timed.where(F.col("event_ts") < bound)
                     if not late.isEmpty():
@@ -151,15 +157,12 @@ def stream_increment(
                     timed = timed.where(~(F.col("event_ts") < bound))
                 if timed.isEmpty():
                     return
+            # run_increment's completion row carries this batch's max
+            # event time — the watermark advances atomically with the
+            # fold commit, never in a separate (losable) write
             pipeline.run_increment(sp, timed, out_root, batch_id=epoch)
-            if lateness is not None:
-                # only after the fold committed: retries of THIS epoch
-                # must keep seeing the pre-epoch watermark
-                # (deterministic split)
-                cat.append(
-                    timed.agg(F.max("event_ts").alias("max_event_ts")),
-                    "_watermark",
-                )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                checkpoint.compact_manifest(sp, cat)
         finally:
             cached.unpersist()
 

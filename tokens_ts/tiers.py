@@ -114,6 +114,34 @@ def exact_quantiles(
     return raw.groupBy(*KEYS, w).agg(*aggs)
 
 
+def approx_quantiles(
+    raw: DataFrame,
+    tier: str,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """FLAGGED-APPROXIMATE per-tier percentiles — the web-scale path
+    (SURVEY.md §2.3 A4 reserves percentile_approx for exactly this).
+
+    Greenwald-Khanna sketch with declared bound: the returned value is
+    an ACTUAL data point whose rank differs from p·n by at most
+    n/accuracy. Unlike exact_quantiles (which must see every raw value
+    per window on one reducer), the sketch state is mergeable — the
+    shuffle carries fixed-size sketches with map-side partial
+    aggregation, so at 10^12 rows this is the only percentile whose
+    cost scales like the algebraic rollups. Column names mirror
+    exact_quantiles so the two paths are drop-in swappable.
+    """
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    aggs = []
+    for p in percentiles:
+        name = "median" if p == 0.5 else f"p{int(round(p * 100)):02d}"
+        aggs.append(
+            F.percentile_approx("value", p, accuracy).alias(name)
+        )
+    return raw.groupBy(*KEYS, w).agg(*aggs)
+
+
 def rollup_salted(raw: DataFrame, tier: str = "1m", nsalt: int = C.DEFAULT_NSALT) -> DataFrame:
     """Explicit salted two-phase rollup for skewed sources (A8).
 
