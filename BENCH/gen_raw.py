@@ -37,3 +37,40 @@ def raw_points(spark: SparkSession, n: int, ppm: int = 10) -> DataFrame:
         ).alias("event_ts"),
         (((id_ * C.GAP_MULT) % 1_000_000) / 1e3).alias("value"),
     )
+
+
+def tier_state(
+    spark: SparkSession,
+    n: int,
+    n_sources: int = N_SOURCES,
+    n_series: int = 2000,
+    slots_unit_s: int = 60,
+) -> DataFrame:
+    """Synthetic partial-state tier rows at arbitrary volume.
+
+    The cascade stages (1m→1h, 1h→1d) merge PARTIAL STATES, so their
+    honest benchmark input is a tier-shaped table — deriving it from
+    raw would need 60× the rows per cascade level (10^10+ raw points
+    for a 60 s wall), while the merge itself only ever sees the tier
+    rows. Wide key space (thousands of series) matches the 100-TB
+    shape where series count, not per-series depth, carries the scale.
+    slots_unit_s=60 yields 1m-tier rows; 3600 yields 1h-tier rows.
+    """
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+    id_ = F.col("id")
+    s = (id_ % n_sources).cast("int")
+    series = ((id_ / n_sources).cast("bigint") % n_series).cast("int")
+    slot = (id_ / (n_sources * n_series)).cast("bigint")
+    v = ((id_ * C.GAP_MULT) % 1_000_000) / 1e3
+    return df.select(
+        F.concat(F.lit("src"), F.lpad(s.cast("string"), 2, "0")).alias("source"),
+        F.concat(F.lit("series_"), series.cast("string")).alias("series_id"),
+        F.timestamp_seconds(
+            F.lit(C.T0_EPOCH) + slot * slots_unit_s
+        ).alias("window_start"),
+        (id_ % 7 + 1).cast("bigint").alias("cnt"),
+        v.alias("sum"),
+        (v / 7.0).alias("min"),
+        v.alias("max"),
+        (v * v).alias("sum_sq"),
+    )

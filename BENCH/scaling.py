@@ -101,7 +101,14 @@ def worker(args) -> None:
         walls.append(time.time() - t0)
     out["stages"]["raw_to_1m"] = walls
 
-    tiers.rollup(raw_df, "1m").write.mode("overwrite").parquet(str(wh / "t1m"))
+    # cascade stages on SYNTHETIC tier-state tables at protocol volume
+    # (BASELINE.md: walls ≥ 60 s at local[8], or the measurement is
+    # stage-overhead, not scaling). Deriving tier rows from raw would
+    # need 60× the raw points per level; the merge only sees tier rows,
+    # so gen_raw.tier_state builds them directly with a wide key space.
+    gen_raw.tier_state(
+        spark, args.cascade_points, slots_unit_s=60
+    ).write.mode("overwrite").parquet(str(wh / "t1m"))
     t1m = spark.read.parquet(str(wh / "t1m"))
     out["counts"]["1m_to_1h"] = t1m.count()
     noop(tiers.cascade(t1m, "1h"))  # warm: page cache + codegen (untimed)
@@ -112,7 +119,9 @@ def worker(args) -> None:
         walls.append(time.time() - t0)
     out["stages"]["1m_to_1h"] = walls
 
-    tiers.cascade(t1m, "1h").write.mode("overwrite").parquet(str(wh / "t1h"))
+    gen_raw.tier_state(
+        spark, args.cascade_points, slots_unit_s=3600
+    ).write.mode("overwrite").parquet(str(wh / "t1h"))
     t1h = spark.read.parquet(str(wh / "t1h"))
     out["counts"]["1h_to_1d"] = t1h.count()
     noop(tiers.cascade(t1h, "1d"))  # warm: page cache + codegen (untimed)
@@ -183,6 +192,7 @@ def orchestrate(args) -> None:
                 str(ROOT / "BENCH" / "scaling.py"), "--worker",
                 "--reps", str(args.reps), "--k", str(args.k),
                 "--raw-points", str(args.raw_points), "--ppm", str(args.ppm),
+                "--cascade-points", str(args.cascade_points),
                 "--warehouse", f"/tmp/tokens_ts_scaling_{cores}",
                 "--out", str(jsonl),
             ]
@@ -237,6 +247,10 @@ def main():
     ap.add_argument("--ppm", type=int, default=10,
                     help="points per (source,series,minute) in gen_raw — "
                          "small ppm → more 1m windows → heavier cascades")
+    ap.add_argument("--cascade-points", type=int, default=240_000_000,
+                    help="synthetic tier-state rows per cascade stage — "
+                         "sized so cascade walls are ≥60 s at local[8] "
+                         "(BASELINE.md protocol threshold)")
     ap.add_argument("--warehouse", default="/tmp/tokens_ts_scaling")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
