@@ -74,67 +74,78 @@ def worker(args) -> None:
         extract.to_raw(extract.point(wseq, 7)).where(F.col("value").isNotNull()), "1h"))
 
     out: dict = {"cores": cores, "stages": {}, "counts": {}}
+    only = set(args.only.split(",")) if args.only else set(STAGES)
 
     # extraction (CPU stage) on the real fixture
-    seq = synth.sequences(spark, args.k, 8)
-    ex = extract.to_raw(extract.full_stats(seq, stats=["mean", "max"]))
-    noop(ex)  # warm: page cache + codegen (untimed)
-    walls = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        noop(ex)
-        walls.append(time.time() - t0)
-    out["stages"]["extract"] = walls
-    out["counts"]["extract"] = ex.count()
+    if "extract" in only:
+      seq = synth.sequences(spark, args.k, 8)
+      ex = extract.to_raw(extract.full_stats(seq, stats=["mean", "max"]))
+      noop(ex)  # warm: page cache + codegen (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(ex)
+          walls.append(time.time() - t0)
+      out["stages"]["extract"] = walls
+      out["counts"]["extract"] = ex.count()
 
     # tier stages on direct raw points (shuffle stage at real volume)
-    raw = gen_raw.raw_points(spark, args.raw_points, ppm=args.ppm)
-    raw.write.mode("overwrite").parquet(str(wh / "raw"))
-    raw_df = spark.read.parquet(str(wh / "raw"))
-    out["counts"]["raw_to_1m"] = n_raw = raw_df.count()
+    if "raw_to_1m" in only:
+      raw = gen_raw.raw_points(spark, args.raw_points, ppm=args.ppm)
+      raw.write.mode("overwrite").parquet(str(wh / "raw"))
+      raw_df = spark.read.parquet(str(wh / "raw"))
+      out["counts"]["raw_to_1m"] = n_raw = raw_df.count()
 
-    noop(tiers.rollup(raw_df, "1m"))  # warm: page cache + codegen (untimed)
-    walls = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        noop(tiers.rollup(raw_df, "1m"))
-        walls.append(time.time() - t0)
-    out["stages"]["raw_to_1m"] = walls
+      noop(tiers.rollup(raw_df, "1m"))  # warm: page cache + codegen (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(tiers.rollup(raw_df, "1m"))
+          walls.append(time.time() - t0)
+      out["stages"]["raw_to_1m"] = walls
 
     # cascade stages on SYNTHETIC tier-state tables at protocol volume
     # (BASELINE.md: walls ≥ 60 s at local[8], or the measurement is
     # stage-overhead, not scaling). Deriving tier rows from raw would
     # need 60× the raw points per level; the merge only sees tier rows,
     # so gen_raw.tier_state builds them directly with a wide key space.
-    gen_raw.tier_state(
-        spark, args.cascade_points, slots_unit_s=60
-    ).write.mode("overwrite").parquet(str(wh / "t1m"))
-    t1m = spark.read.parquet(str(wh / "t1m"))
-    out["counts"]["1m_to_1h"] = t1m.count()
-    noop(tiers.cascade(t1m, "1h"))  # warm: page cache + codegen (untimed)
-    walls = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        noop(tiers.cascade(t1m, "1h"))
-        walls.append(time.time() - t0)
-    out["stages"]["1m_to_1h"] = walls
+    if "1m_to_1h" in only:
+      gen_raw.tier_state(
+          spark, args.cascade_points, slots_unit_s=60
+      ).write.mode("overwrite").parquet(str(wh / "t1m"))
+      t1m = spark.read.parquet(str(wh / "t1m"))
+      out["counts"]["1m_to_1h"] = t1m.count()
+      noop(tiers.cascade(t1m, "1h"))  # warm: page cache + codegen (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(tiers.cascade(t1m, "1h"))
+          walls.append(time.time() - t0)
+      out["stages"]["1m_to_1h"] = walls
 
-    gen_raw.tier_state(
-        spark, args.cascade_points, slots_unit_s=3600
-    ).write.mode("overwrite").parquet(str(wh / "t1h"))
-    t1h = spark.read.parquet(str(wh / "t1h"))
-    out["counts"]["1h_to_1d"] = t1h.count()
-    noop(tiers.cascade(t1h, "1d"))  # warm: page cache + codegen (untimed)
-    walls = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        noop(tiers.cascade(t1h, "1d"))
-        walls.append(time.time() - t0)
-    out["stages"]["1h_to_1d"] = walls
+    if "1h_to_1d" in only:
+      gen_raw.tier_state(
+          spark, args.cascade1d_points, slots_unit_s=3600
+      ).write.mode("overwrite").parquet(str(wh / "t1h"))
+      t1h = spark.read.parquet(str(wh / "t1h"))
+      out["counts"]["1h_to_1d"] = t1h.count()
+      noop(tiers.cascade(t1h, "1d"))  # warm: page cache + codegen (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(tiers.cascade(t1h, "1d"))
+          walls.append(time.time() - t0)
+      out["stages"]["1h_to_1d"] = walls
 
     # codec encode on its own (smaller) generated raw set so it is
     # measured with full parallelism, not through a Limit funnel
-    gen_raw.raw_points(spark, 3_000_000).write.mode("overwrite").parquet(
+    if not ({"codec_encode", "codec_decode"} & only):
+        shutil.rmtree(wh)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
+        spark.stop()
+        return
+    gen_raw.raw_points(spark, args.codec_points).write.mode("overwrite").parquet(
         str(wh / "raw_codec")
     )
     enc_in = spark.read.parquet(str(wh / "raw_codec"))
@@ -193,11 +204,14 @@ def orchestrate(args) -> None:
                 "--reps", str(args.reps), "--k", str(args.k),
                 "--raw-points", str(args.raw_points), "--ppm", str(args.ppm),
                 "--cascade-points", str(args.cascade_points),
+                "--cascade1d-points", str(args.cascade1d_points),
+                "--codec-points", str(args.codec_points),
+                "--only", args.only,
                 "--warehouse", f"/tmp/tokens_ts_scaling_{cores}",
                 "--out", str(jsonl),
             ]
             print(f"round {rnd} cores {cores} ...", flush=True)
-            subprocess.run(cmd, capture_output=True, timeout=2400)
+            subprocess.run(cmd, capture_output=True, timeout=3600)
     cpu_control()
 
     runs = [json.loads(l) for l in jsonl.read_text().splitlines() if l.strip()]
@@ -207,7 +221,7 @@ def orchestrate(args) -> None:
         stages = {}
         for st in STAGES:
             walls = [w for r in lv for w in r["stages"].get(st, [])]
-            cnt = lv[0]["counts"][st] if lv else 0
+            cnt = lv[0]["counts"].get(st, 0) if lv else 0
             med = statistics.median(walls) if walls else None
             stages[st] = {
                 "median_wall_s": round(med, 3) if med else None,
@@ -247,10 +261,21 @@ def main():
     ap.add_argument("--ppm", type=int, default=10,
                     help="points per (source,series,minute) in gen_raw — "
                          "small ppm → more 1m windows → heavier cascades")
-    ap.add_argument("--cascade-points", type=int, default=240_000_000,
-                    help="synthetic tier-state rows per cascade stage — "
+    ap.add_argument("--cascade-points", type=int, default=300_000_000,
+                    help="synthetic 1m tier-state rows for the 1m→1h stage — "
                          "sized so cascade walls are ≥60 s at local[8] "
                          "(BASELINE.md protocol threshold)")
+    ap.add_argument("--cascade1d-points", type=int, default=800_000_000,
+                    help="synthetic 1h tier-state rows for the 1h→1d stage "
+                         "(its per-row merge is ~2.5× faster, so it needs "
+                         "more rows to clear the same 60 s wall)")
+    ap.add_argument("--codec-points", type=int, default=100_000_000,
+                    help="raw points for the codec stages — the round-3 "
+                         "pack fast path pushed 3M-point walls to the "
+                         "stage-overhead floor, which measures scheduling, "
+                         "not scaling")
+    ap.add_argument("--only", default="",
+                    help="comma list of stages to run (default: all)")
     ap.add_argument("--warehouse", default="/tmp/tokens_ts_scaling")
     ap.add_argument("--out", default="")
     args = ap.parse_args()

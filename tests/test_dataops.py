@@ -286,3 +286,37 @@ def test_simhash_spark_fold_matches_independent_numpy_fold(spark):
         # Spark returns signed int64
         sig_signed = sig - (1 << 64) if sig >= (1 << 63) else sig
         assert got[doc_id] == sig_signed, doc_id
+
+
+def test_connected_components_known_graphs(spark):
+    """Chain A-B-C must collapse to ONE component (pairs alone would
+    double-keep B); two disjoint cliques stay separate; convergence
+    check exercises multi-round propagation (chain diameter 3)."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: component 1
+            (10, 11), (10, 12), (11, 12),    # clique: component 10
+            (20, 21),                        # pair: component 20
+        ],
+        "a long, b long",
+    )
+    out = {r["doc_id"]: r["component"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+    # and converges fine when allowed its O(diameter) rounds
+    out = dedup.connected_components(pairs, max_iter=15)
+    assert {r["component"] for r in out.collect()} == {0}

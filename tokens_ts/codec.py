@@ -519,10 +519,14 @@ def encode_segments(raw: DataFrame, segment: str = "1h") -> DataFrame:
     )
 
 
+_DECODE_CHUNK_ROWS = 250_000
+
+
 def _decode_batches(ntz: bool):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            outs = []
+            outs: list[pd.DataFrame] = []
+            rows = 0
             for r in pdf.itertuples(index=False):
                 ts = decode_ts_dod(bytes(r.ts_blob), r.n)
                 vals, null = decode_val_xor(bytes(r.val_blob), r.n)
@@ -545,6 +549,18 @@ def _decode_batches(ntz: bool):
                         }
                     )
                 )
+                rows += int(r.n)
+                # yield in bounded chunks: an Arrow input batch of 10k
+                # segments × hundreds of points each would otherwise
+                # concat into one multi-million-row frame PER WORKER —
+                # at 32 concurrent workers that peak (frames + Arrow
+                # copies) evicts the page cache and the stage
+                # anti-scales (measured: decode @32 slower than @8 in
+                # wall terms at 100M points; bounded chunks remove the
+                # spike without touching the per-point numpy math)
+                if rows >= _DECODE_CHUNK_ROWS:
+                    yield pd.concat(outs, ignore_index=True)
+                    outs, rows = [], 0
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 

@@ -140,6 +140,74 @@ def lsh_candidates(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS: (doc_id, component) where
+    component = min doc_id reachable through the pair graph.
+
+    Dedup needs clusters, not pairs: "keep one of {A,B} and one of
+    {B,C}" double-keeps B unless A-B-C collapses into one component
+    first. Algorithm: distributed min-label propagation — labels start
+    as the node id; each round joins labels across edges and takes the
+    elementwise min; monotone and exact, converging in O(component
+    diameter) rounds. LSH candidate components are near-cliques (every
+    member collides with most others through some band), so diameters
+    are small constants; each round is ONE shuffle join + one agg at
+    10^12 scale, with localCheckpoint between rounds to stop lineage
+    growth. A pathological long-chain graph (not a dedup shape) would
+    need the Kiveris et al. alternating-star variant; rather than
+    silently mislabel, this raises after max_iter unconverged rounds.
+
+    Only nodes that appear in some pair are returned (singletons are
+    their own trivial component and never reach this operator).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().select(
+        "u", F.col("u").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for v = min label among its neighbors u
+        via = (
+            edges.join(labels, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(via, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            return labels.select(F.col("u").alias("doc_id"), "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds the dedup-shaped bound; raise "
+        "max_iter or switch to the alternating-star variant"
+    )
+
+
 def md5_60(col):
     """Shared-by-both-engines 60-bit hash: the first 15 hex chars of
     md5, as a bigint. DuckDB mirror:

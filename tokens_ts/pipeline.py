@@ -176,6 +176,12 @@ def run_backfill(
         ):
             raise RuntimeError(f"injected crash after {n_commits} commits")
 
+    # per-wave commits write one small manifest file each; a large
+    # backfill (thousands of partitions) compacts once at its quiet
+    # end so later resume scans stay O(partitions), not O(commits)
+    if n_commits >= 64:
+        checkpoint.compact_manifest(spark, cat)
+
     wall_ms = (time.time() - t_start) * 1000.0
     return {"run_id": run_id, "partitions": done_ids, "skipped": False, "wall_ms": wall_ms}
 

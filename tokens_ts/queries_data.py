@@ -789,10 +789,11 @@ def doc_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
-@q(
-    "doc_minhash_md5",
-    """
-    WITH w AS (
+# shared CTE chain: documents → md5-seeded minhash signatures → LSH
+# band buckets (capped) — used by the md5 pair query AND the connected-
+# components oracle below
+_MD5_LSH_CTES = """
+    w AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
     ),
     sh AS (
@@ -818,6 +819,14 @@ def doc_simhash(spark, sf_dir):
         SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bandrows
       ) WHERE bsz >= 2 AND bsz <= 1000
     )
+"""
+
+
+@q(
+    "doc_minhash_md5",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
     WHERE x.doc_id < y.doc_id
@@ -831,6 +840,44 @@ def doc_minhash_md5(spark, sf_dir):
     return dedup.lsh_candidates(
         _docs(spark, sf_dir), n_perm=32, bands=8, hash_mode="md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: candidate pairs → connected components. Pairs alone
+# double-keep the middle of A-B, B-C; dedup needs the transitive closure.
+# Spark side: distributed min-label propagation (one shuffle join per
+# round, O(component-diameter) rounds). Oracle: DuckDB recursive CTE
+# computing min reachable id per node over the same md5-LSH pair graph.
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_dedup_components",
+    "WITH RECURSIVE "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def doc_dedup_components(spark, sf_dir):
+    pairs = dedup.lsh_candidates(
+        _docs(spark, sf_dir), n_perm=32, bands=8, hash_mode="md5"
+    )
+    return dedup.connected_components(pairs)
 
 
 def _simhash_sql_cte(n_bits: int = 60, bands: int = 4) -> str:

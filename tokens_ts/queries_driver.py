@@ -363,6 +363,39 @@ def ts_topk_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A6 web-scale twin: approximate distinct (HLL++) with a declared rsd.
+# Like the approx-percentile pair, the sketch has no bit-identical DuckDB
+# twin, so the pair value-checks the EXACT count and the declared error
+# bound: |approx − exact| ≤ 5·rsd·exact (+1 discrete slack; HLL++ rsd is
+# one standard deviation — 5σ makes the boolean deterministic in
+# practice while still catching any real sketch regression).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_approx_distinct_users",
+    """
+    SELECT event_type AS series_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def ts_approx_distinct_users(spark, sf_dir, rsd: float = 0.02):
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy(F.col("event_type").alias("series_id")).agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_distinct"))
+        <= 5 * rsd * F.col("exact_distinct") + F.lit(1)
+    )
+    return agg.select(
+        "series_id", "exact_distinct", within.alias("within_bound")
+    )
+
+
+# ---------------------------------------------------------------------------
 # G1-G3: per-series minute grid + forward fill
 # ---------------------------------------------------------------------------
 
