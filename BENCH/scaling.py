@@ -196,7 +196,7 @@ def orchestrate(args) -> None:
         for cores in (args.n, args.n4):
             cmd = [
                 "spark-submit", "--master", f"local[{cores}]",
-                "--driver-memory", "20g",
+                "--driver-memory", args.driver_mem,
                 "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
                 "--conf", "spark.local.dir=/dev/shm/spark-local",
                 "--py-files", str(ROOT / "tokens_ts.zip"),
@@ -274,6 +274,10 @@ def main():
                          "pack fast path pushed 3M-point walls to the "
                          "stage-overhead floor, which measures scheduling, "
                          "not scaling")
+    ap.add_argument("--driver-mem", default="20g",
+                    help="worker JVM heap — allocation-heavy stages "
+                         "(extract's array transforms) need the heap "
+                         "sized to thread count × allocation rate")
     ap.add_argument("--only", default="",
                     help="comma list of stages to run (default: all)")
     ap.add_argument("--warehouse", default="/tmp/tokens_ts_scaling")
