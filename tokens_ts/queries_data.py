@@ -880,6 +880,70 @@ def doc_dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@q(
+    "doc_dedup_keep_best",
+    "WITH RECURSIVE "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    scored AS (
+      SELECT c.component, c.doc_id,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_words
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           -- composite scalar key: max words, ties -> smallest doc_id
+           -- (doc_id is far below 1e9 at every sandbox SF)
+           CAST(arg_max(doc_id, n_words * 1000000000 - doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(max(n_words) AS BIGINT) AS keep_n_words
+    FROM scored GROUP BY component
+    """,
+)
+def doc_dedup_keep_best(spark, sf_dir):
+    """Survivor selection — the step after clustering that an actual
+    curation pipeline runs: per duplicate component, keep the member
+    with the most words (ties → smallest doc_id), report component
+    size. One broadcast-scale join of the (tiny) component map onto
+    the docs + one max_by aggregation; no window over the full corpus.
+    Length is used as the keep-policy score because it is an INTEGER —
+    an argmax over float quality scores would be tie-broken by ulps
+    and unverifiable cross-engine."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidates(docs, n_perm=32, bands=8, hash_mode="md5")
+    comp = dedup.connected_components(pairs)
+    scored = comp.join(docs, "doc_id").select(
+        "component",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+    return scored.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.col("n_words").cast("long") * F.lit(1_000_000_000) - F.col("doc_id"),
+        ).cast("long").alias("keep_doc_id"),
+        F.max("n_words").cast("long").alias("keep_n_words"),
+    )
+
+
 def _simhash_sql_cte(n_bits: int = 60, bands: int = 4) -> str:
     """DuckDB mirror of dedup._simhash_expr over md5_60 word shingles."""
     bit_terms = " + ".join(
