@@ -25,6 +25,18 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def testdata_root():
+    """Driver-generated parquet fixtures; resolved from the env so the
+    suite SKIPS (not errors) on machines without the driver layout."""
+    import os
+
+    root = Path(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"))
+    if not root.is_dir():
+        pytest.skip(f"driver testdata not present at {root}")
+    return root
+
+
+@pytest.fixture(scope="session")
 def seq_tiny(spark):
     """Tiny deterministic sequences table (shared across tests)."""
     from tokens_ts import synth

@@ -240,12 +240,12 @@ def test_ivf_topk_probes_right_cells(emb2_big):
 # twins check the same algorithm — not just a docstring claim.
 # ---------------------------------------------------------------------------
 
-def test_minhash_xxhash_and_md5_twins_emit_identical_pairs(spark):
+def test_minhash_xxhash_and_md5_twins_emit_identical_pairs(spark, testdata_root):
     """doc_minhash_lsh (xxhash) vs doc_minhash_md5: same shingles, same
     banding, same caps — on the driver's sf0.01 documents the candidate
     pair sets must be identical (what CORRECTNESS_r02 could only check
     rows-only is pinned value-for-value here)."""
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = spark.read.parquet(str(testdata_root / "sf0.01" / "documents.parquet"))
     px = {
         (r["a"], r["b"])
         for r in dedup.lsh_candidates(docs, n_perm=32, bands=8).collect()
@@ -259,14 +259,14 @@ def test_minhash_xxhash_and_md5_twins_emit_identical_pairs(spark):
     assert px and px == pm
 
 
-def test_simhash_spark_fold_matches_independent_numpy_fold(spark):
+def test_simhash_spark_fold_matches_independent_numpy_fold(spark, testdata_root):
     """doc_simhash (rows-only): the Spark-expression bit-fold is checked
     against an independent numpy implementation fed the SAME xxhash64
     shingle hashes (Spark computes only the hash; the ±1 counters, the
     majority, and the bit assembly are re-derived outside Spark)."""
     import numpy as np
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(str(testdata_root / "sf0.001" / "documents.parquet"))
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
 
     hashed = (
@@ -286,6 +286,55 @@ def test_simhash_spark_fold_matches_independent_numpy_fold(spark):
         # Spark returns signed int64
         sig_signed = sig - (1 << 64) if sig >= (1 << 63) else sig
         assert got[doc_id] == sig_signed, doc_id
+
+
+def test_survivor_selection_ids_above_1e9(spark):
+    """Struct-comparator keep policy must be correct at production id
+    ranges: the retired composite scalar key (n_words·1e9 − doc_id)
+    would let an id ≥ 1e9 outweigh a whole word of length and misrank
+    component 1 here (10e9−7 > 11e9−2e9)."""
+    scored = spark.createDataFrame(
+        [
+            (1, 2_000_000_000, 11),   # more words, huge id → must win
+            (1, 7, 10),
+            (2, 9_000_000_000, 3),
+            (2, 8_999_999_999, 3),    # tie on words → smallest id wins
+        ],
+        "component long, doc_id long, n_words int",
+    )
+    out = {r["component"]: r for r in dedup.survivor_selection(scored).collect()}
+    assert out[1]["keep_doc_id"] == 2_000_000_000
+    assert out[1]["keep_n_words"] == 11 and out[1]["n_members"] == 2
+    assert out[2]["keep_doc_id"] == 8_999_999_999
+
+
+def test_contamination_planted_doc(spark):
+    """A doc copied verbatim from the eval set scores overlap 1.0; a
+    doc sharing one leading 3-gram scores exactly 1/5; an unrelated
+    doc has zero hits. Shingle math: k words → max(k−2, 1) distinct
+    3-gram shingles."""
+    schema = "doc_id long, text string, lang string, source string"
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta", "en", "bench")], schema
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+            (2, "alpha beta gamma completely different tail here", "en", "s1"),
+            (3, "nothing shared with that benchmark suite at all", "en", "s2"),
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in dedup.contamination(corpus, eval_docs).collect()}
+    assert out[1]["overlap_ratio"] == 1.0 and out[1]["n_shingles"] == 4
+    assert out[2]["n_hit"] == 1 and out[2]["n_shingles"] == 5
+    assert out[2]["overlap_ratio"] == 1 / 5
+    assert out[3]["n_hit"] == 0 and out[3]["overlap_ratio"] == 0.0
+    # both hash modes agree on hit counts (xxhash is the production path)
+    outx = {r["doc_id"]: r for r in
+            dedup.contamination(corpus, eval_docs, hash_mode="xxhash").collect()}
+    assert {k: v["n_hit"] for k, v in out.items()} == \
+           {k: v["n_hit"] for k, v in outx.items()}
 
 
 def test_connected_components_known_graphs(spark):

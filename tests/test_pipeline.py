@@ -150,6 +150,206 @@ def test_manifest_compaction_preserves_consumers(spark, seq_tiny, tmp_path):
     assert not checkpoint.is_done(spark, path, "batch:e9")
 
 
+def _merge_into_pandas(target, source, keys):
+    """Reference MERGE INTO semantics (the Iceberg branch this sandbox
+    cannot execute): matched-on-keys target rows are REPLACED by their
+    source row, unmatched source rows are inserted, everything else in
+    the target is untouched."""
+    import pandas as pd
+
+    if target is None or len(target) == 0:
+        return source.copy()
+    skeys = set(map(tuple, source[keys].itertuples(index=False)))
+    unmatched = target[
+        [tuple(r) not in skeys for r in target[keys].itertuples(index=False)]
+    ]
+    return pd.concat([unmatched, source], ignore_index=True)
+
+
+def _raw_batch(spark, rows):
+    """rows = (source, series_id, event_ts_iso, value, batch_id)."""
+    import datetime as dt
+
+    data = [
+        (
+            s,
+            sid,
+            dt.datetime.fromisoformat(ts),
+            v,
+            dt.date.fromisoformat(ts[:10]),
+            b,
+        )
+        for (s, sid, ts, v, b) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "source string, series_id string, event_ts timestamp, "
+        "value double, day date, batch_id string",
+    )
+
+
+def _canon_spark(cat, spark):
+    return sorted(
+        (r["source"], r["series_id"], r["event_ts"].isoformat(),
+         r["value"], str(r["day"]), r["batch_id"])
+        for r in cat.read(spark, "raw").collect()
+    )
+
+
+def _canon_pandas(df):
+    return sorted(
+        (r.source, r.series_id, r.event_ts.isoformat(),
+         r.value, str(r.day), r.batch_id)
+        for r in df.itertuples(index=False)
+    )
+
+
+def test_upsert_raw_matches_merge_into_semantics(spark, tmp_path):
+    """The offline-testable half of the Iceberg risk: the parquet
+    read-filter-union fallback and real MERGE INTO (keyed on
+    RAW_MERGE_KEYS, simulated exactly in pandas) must produce
+    identical row sets across the interleavings production sees:
+    fresh apply → retry → second overlapping batch → late retry of
+    the first batch → partial-apply crash then retry."""
+    from tokens_ts.pipeline import RAW_MERGE_KEYS, _upsert_raw
+
+    cat = Catalog(str(tmp_path / "wh"))
+    state = None  # the pandas "Iceberg table"
+
+    A = [
+        ("s1", "m", "2024-01-01T00:00:30", 1.0, "A"),
+        ("s1", "m", "2024-01-01T00:01:30", 2.0, "A"),
+        ("s1", "m", "2024-01-02T00:00:30", 3.0, "A"),
+        ("s2", "m", "2024-01-01T00:00:30", 4.0, "A"),
+    ]
+    # B overlaps A's partitions AND collides on (series_id, event_ts)
+    # with A's first row — batch_id in the key keeps both
+    B = [
+        ("s1", "m", "2024-01-01T00:00:30", 9.0, "B"),
+        ("s1", "m", "2024-01-01T00:02:30", 5.0, "B"),
+    ]
+    # C touches a disjoint day — must never disturb other partitions
+    C = [("s1", "m", "2024-03-01T00:00:30", 7.0, "C")]
+
+    def apply(batch, bid):
+        nonlocal state
+        df = _raw_batch(spark, batch)
+        srcs = sorted({r[0] for r in batch})
+        days = sorted({r[2][:10] for r in batch})
+        sel = F.col("source").isin(srcs) & F.col("day").isin(days)
+        _upsert_raw(spark, cat, df, sel, bid)
+        state = _merge_into_pandas(state, df.toPandas(), RAW_MERGE_KEYS)
+        assert _canon_spark(cat, spark) == _canon_pandas(state), bid
+
+    apply(A, "A")          # 1. fresh apply
+    apply(A, "A")          # 2. retry — must be a no-op
+    apply(B, "B")          # 3. overlapping second batch
+    apply(A, "A")          # 4. late retry of A after B landed
+    apply(C, "C")          # 5. disjoint partition
+    apply(B, "B")          # 6. retry of B after C
+
+    # 7. partial-apply crash then retry, on a fresh warehouse: the
+    # table holds half of A (as if the writer died mid-batch); the
+    # deterministic rerun ships the FULL batch and both engines
+    # converge to the exact single-shot state
+    cat2 = Catalog(str(tmp_path / "wh2"))
+    state2 = None
+
+    def apply2(batch, bid):
+        nonlocal state2
+        df = _raw_batch(spark, batch)
+        srcs = sorted({r[0] for r in batch})
+        days = sorted({r[2][:10] for r in batch})
+        sel = F.col("source").isin(srcs) & F.col("day").isin(days)
+        _upsert_raw(spark, cat2, df, sel, bid)
+        state2 = _merge_into_pandas(state2, df.toPandas(), RAW_MERGE_KEYS)
+        assert _canon_spark(cat2, spark) == _canon_pandas(state2), bid
+
+    apply2(A[:2], "A")     # partial (crashed) apply
+    apply2(A, "A")         # full retry converges
+    single_shot = Catalog(str(tmp_path / "wh3"))
+    df = _raw_batch(spark, A)
+    _upsert_raw(
+        spark, single_shot, df,
+        F.col("source").isin(["s1", "s2"])
+        & F.col("day").isin(["2024-01-01", "2024-01-02"]),
+        "A",
+    )
+    assert _canon_spark(cat2, spark) == _canon_spark(single_shot, spark)
+
+
+def test_manifest_compaction_crash_between_append_and_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection for the append-then-delete compaction: dying
+    after the compacted file lands but before (or midway through) the
+    old-file deletes must leave every consumer-visible quantity intact
+    — duplicates only, no lost rows, no watermark reset — and the next
+    compaction must converge."""
+    path = str(tmp_path / "m")
+    for i in range(4):
+        checkpoint.record_done(
+            spark,
+            path,
+            [
+                {"partition_id": f"batch:e{i}", "rows_in": i,
+                 "max_event_us": 1_000_000 * (i + 1)},
+                {"partition_id": "src00", "rows_in": 7},
+            ],
+            f"run{i}",
+            {"src00": i},
+        )
+    before_done = {
+        r["partition_id"]
+        for r in checkpoint.done_partitions(spark, path).collect()
+    }
+    before_wm = checkpoint.watermark_us(spark, path)
+
+    # crash #1: immediately after append, before any delete
+    def _boom(spark_, paths):
+        raise RuntimeError("injected crash before delete")
+
+    monkeypatch.setattr(checkpoint, "_delete_files", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        checkpoint.compact_manifest(spark, path)
+    monkeypatch.undo()
+
+    m = checkpoint.read_manifest(spark, path)
+    assert m.count() > 5  # originals + compacted rows coexist
+    assert {
+        r["partition_id"] for r in checkpoint.done_partitions(spark, path).collect()
+    } == before_done
+    assert checkpoint.watermark_us(spark, path) == before_wm
+    src = [r for r in m.collect() if r["partition_id"] == "src00"]
+    assert max(r["attempt"] for r in src) == 4
+
+    # crash #2: midway through the deletes (half removed, then die)
+    real_delete = checkpoint._delete_files
+
+    def _half_then_boom(spark_, paths):
+        real_delete(spark_, paths[: len(paths) // 2])
+        raise RuntimeError("injected crash mid-delete")
+
+    monkeypatch.setattr(checkpoint, "_delete_files", _half_then_boom)
+    with pytest.raises(RuntimeError, match="mid-delete"):
+        checkpoint.compact_manifest(spark, path)
+    monkeypatch.undo()
+    assert {
+        r["partition_id"] for r in checkpoint.done_partitions(spark, path).collect()
+    } == before_done
+    assert checkpoint.watermark_us(spark, path) == before_wm
+
+    # recovery: a clean compaction converges to one row per partition
+    n = checkpoint.compact_manifest(spark, path)
+    assert n == 5
+    m2 = checkpoint.read_manifest(spark, path)
+    assert m2.count() == 5
+    assert checkpoint.watermark_us(spark, path) == before_wm
+    src = {r["partition_id"]: r for r in m2.collect()}["src00"]
+    assert src["attempt"] == 4
+    assert checkpoint.is_done(spark, path, "batch:e2")
+
+
 def test_increment_manifest_row_carries_watermark(spark, seq_tiny, tmp_path):
     """The fold's completion row IS the watermark advance: its
     max_event_us equals the batch's true max event time (no separate

@@ -238,13 +238,37 @@ def compact_manifest(spark: SparkSession, where) -> int:
     the latest metrics/lineage fields.
 
     Atomicity: on Iceberg the rewrite is a snapshot-atomic
-    createOrReplace; on sandbox parquet it is a non-atomic overwrite
-    pinned with localCheckpoint — a crash mid-compaction can lose
-    manifest rows, so parquet deployments should compact at quiet
-    points (between epochs, as stream_increment does), not
-    concurrently with folds. Returns the compacted row count.
+    createOrReplace. On sandbox parquet the rewrite is APPEND-then-
+    delete-old: the compacted rows land as a new file in the same
+    directory first, and only then are the superseded files deleted —
+    so there is NO point at which the manifest is missing or has lost
+    information. A crash before the append changes nothing; a crash
+    between append and deletes (or mid-delete) leaves duplicate rows,
+    which every consumer already folds idempotently (done set is
+    DISTINCT, watermark/attempt are MAX, metrics are max_by(ts) and
+    the compacted row ties the latest original at the same ts with
+    identical values) and which the next compaction removes. Returns
+    the compacted row count.
     """
     m = read_manifest(spark, where)
+    # both parquet shapes (plain path and parquet-format Catalog) take
+    # the append-then-delete path; only Iceberg gets the snapshot swap
+    parquet_path = (
+        where
+        if isinstance(where, str)
+        else (where.path(MANIFEST_TABLE) if where.fmt == "parquet" else None)
+    )
+    old_files: list[str] = []
+    if parquet_path is not None:
+        # the exact files whose rows were folded — deleted only after
+        # the compacted file is durably appended (fs-agnostic via the
+        # scan's own file attribution, no directory-listing race with
+        # a concurrent record_done appender)
+        old_files = [
+            r["f"]
+            for r in m.select(F.input_file_name().alias("f")).distinct().collect()
+            if r["f"]
+        ]
     latest = F.struct("ts", "attempt")
     compacted = (
         m.groupBy("partition_id")
@@ -267,8 +291,23 @@ def compact_manifest(spark: SparkSession, where) -> int:
         .localCheckpoint(eager=True)
     )
     n = compacted.count()
-    if isinstance(where, str):
-        compacted.coalesce(1).write.mode("overwrite").parquet(where)
+    if parquet_path is not None:
+        compacted.coalesce(1).write.mode("append").parquet(parquet_path)
+        _delete_files(spark, old_files)
     else:
         where.replace(compacted.coalesce(1), MANIFEST_TABLE)
     return n
+
+
+def _delete_files(spark: SparkSession, paths: list[str]) -> None:
+    """Best-effort delete of superseded manifest files via the Hadoop
+    FS API (scheme-agnostic). Called only AFTER the replacement rows
+    are durably appended; a partial delete leaves harmless duplicates
+    (see compact_manifest)."""
+    if not paths:
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        jpath.getFileSystem(hconf).delete(jpath, False)

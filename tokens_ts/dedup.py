@@ -161,50 +161,151 @@ def connected_components(
 
     Only nodes that appear in some pair are returned (singletons are
     their own trivial component and never reach this operator).
+
+    Per-round cost: ONE shuffle join+agg (the propagation pass — the
+    convergence flag `_changed` is computed inside that same pass, not
+    by a second compare-join) plus a limit-1 scan of the checkpointed
+    result. Superseded label checkpoints and the edges checkpoint are
+    unpersisted as soon as they are no longer reachable, so executor
+    storage holds at most two label snapshots at any time instead of
+    O(rounds) for the life of the session.
     """
     spark = pairs.sparkSession
-    edges = (
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _ckpt(df):
+        """localCheckpoint + the storage ids it created, so the blocks
+        can be freed once superseded (DataFrame.localCheckpoint offers
+        no unpersist handle). Id attribution assumes no concurrent
+        checkpointing thread in this session — true for this operator's
+        driver-side loop."""
+        before = _pids()
+        out = df.localCheckpoint(eager=True)
+        return out, _pids() - before
+
+    def _free(ids) -> None:
+        m = jsc.getPersistentRDDs()
+        for i in ids:
+            if m.containsKey(i):
+                m.get(i).unpersist(False)
+
+    edges, edge_ids = _ckpt(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select("u").distinct().select(
-        "u", F.col("u").alias("component")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # candidate label for v = min label among its neighbors u
-        via = (
-            edges.join(labels, "u")
-            .groupBy(F.col("v").alias("u"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(via, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
+    labels, label_ids = _ckpt(
+        edges.select("u").distinct().select("u", F.col("u").alias("component"))
+    )
+    try:
+        for _ in range(max_iter):
+            # candidate label for v = min label among its neighbors u;
+            # the convergence flag rides in the SAME propagation pass
+            via = (
+                edges.join(labels, "u")
+                .groupBy(F.col("v").alias("u"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
+            new_labels, new_ids = _ckpt(
+                labels.join(via, "u", "left").select(
+                    "u",
+                    F.least(
+                        "component", F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                    (F.coalesce("nbr_component", "component") < F.col("component"))
+                    .alias("_changed"),
+                )
+            )
+            # cheap probe over the just-checkpointed blocks: no join
+            converged = new_labels.where("_changed").limit(1).isEmpty()
+            _free(label_ids)
+            labels, label_ids = new_labels, new_ids
+            if converged:
+                return labels.select(F.col("u").alias("doc_id"), "component")
+        _free(label_ids)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds the dedup-shaped bound; raise "
+            "max_iter or switch to the alternating-star variant"
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
-            return labels.select(F.col("u").alias("doc_id"), "component")
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds the dedup-shaped bound; raise "
-        "max_iter or switch to the alternating-star variant"
+    finally:
+        # the returned labels checkpoint stays alive (the caller reads
+        # from it); edges are never needed after the loop
+        _free(edge_ids)
+
+
+def survivor_selection(scored: DataFrame, score_col: str = "n_words") -> DataFrame:
+    """Per duplicate component, keep the member with the highest score;
+    ties → smallest doc_id. `scored` = (component, doc_id, <score_col>).
+
+    The keep policy is a STRUCT comparator — lexicographic
+    (score, -doc_id) — so it is valid at ANY doc_id range; a composite
+    scalar key (score·K − doc_id) would overflow/misrank once ids pass
+    K. One broadcast-scale aggregation; no window over the corpus."""
+    return scored.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col("doc_id")).alias("neg_id"),
+            ),
+        ).alias("keep_doc_id"),
+        F.max(score_col).alias(f"keep_{score_col}"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Benchmark decontamination: per-doc n-gram overlap against an
+    eval/benchmark set — the standard curation step that keeps test-set
+    text out of training data.
+
+    The eval set's distinct shingle hashes are BROADCAST (eval suites
+    are thousands of docs — trivially broadcastable at any corpus
+    scale); the corpus side explodes its shingles once, marks hits with
+    a broadcast left join (no shuffle until the regroup), and reduces
+    per doc with map-side partial aggregation. Output grain: one row
+    per corpus doc — (doc_id, source, n_shingles, n_hit, overlap_ratio)
+    with overlap_ratio = |doc ∩ eval| / |doc shingles|. Threshold
+    policy belongs to the caller (flag / drop / route to review).
+
+    hash_mode='md5' (md5_60) keeps every value DuckDB-reproducible for
+    the driver's cross-engine check; 'xxhash' is the cheap production
+    hash."""
+    if hash_mode == "md5":
+        hash_of = md5_60
+    elif hash_mode == "xxhash":
+        hash_of = F.xxhash64
+    else:
+        raise ValueError(f"hash_mode must be 'xxhash' or 'md5', got {hash_mode!r}")
+
+    eval_hashes = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("s"))
+        .select(hash_of(F.col("s")).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = docs.select(
+        "doc_id", "source", F.explode(word_shingles(text_col, n)).alias("s")
+    ).select("doc_id", "source", hash_of(F.col("s")).alias("h"))
+    marked = corpus.join(F.broadcast(eval_hashes), "h", "left")
+    return marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+    ).withColumn(
+        "overlap_ratio",
+        F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
     )
 
 

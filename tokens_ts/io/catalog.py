@@ -83,10 +83,11 @@ class Catalog:
         )
 
     def replace(self, df: DataFrame, name: str) -> None:
-        """Full-table replace (manifest compaction). Iceberg:
-        createOrReplace — one snapshot-atomic swap. Parquet: plain
-        overwrite, non-atomic — callers compact at quiet points only
-        (checkpoint.compact_manifest documents the crash window)."""
+        """Full-table replace. Iceberg: createOrReplace — one
+        snapshot-atomic swap. Parquet: plain overwrite, non-atomic —
+        which is why checkpoint.compact_manifest routes parquet
+        manifests through its own append-then-delete path and calls
+        this only on the Iceberg branch."""
         if self.fmt == "iceberg":
             df.writeTo(self.ident(name)).createOrReplace()
             return
@@ -110,20 +111,32 @@ class Catalog:
         Keys must be non-null (raw's source/day/batch_id/series_id/
         event_ts all are): plain `=` in the ON clause, so Iceberg can
         push the join keys into its file-level pruning.
+
+        The staging view name is unique per call and dropped after the
+        MERGE: temp views are session-scoped, so a fixed name would
+        race between two concurrent folds in the SAME SparkSession
+        (one MERGE consuming the other's source rows); cross-session /
+        cross-application concurrency was already safe via Iceberg's
+        optimistic commit.
         """
         if self.fmt != "iceberg":
             raise NotImplementedError(
                 "merge_upsert requires iceberg; parquet callers use the "
                 "single-writer read-union-overwrite path"
             )
-        view = f"_merge_src_{name}"
+        import uuid as _uuid
+
+        view = f"_merge_src_{name}_{_uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        df.sparkSession.sql(
-            f"MERGE INTO {self.ident(name)} t USING {view} s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        try:
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            df.sparkSession.sql(
+                f"MERGE INTO {self.ident(name)} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            df.sparkSession.catalog.dropTempView(view)
 
     def append(
         self, df: DataFrame, name: str, partition_cols: list[str] | None = None

@@ -910,9 +910,10 @@ def doc_dedup_components(spark, sf_dir):
     )
     SELECT component,
            CAST(count(*) AS BIGINT) AS n_members,
-           -- composite scalar key: max words, ties -> smallest doc_id
-           -- (doc_id is far below 1e9 at every sandbox SF)
-           CAST(arg_max(doc_id, n_words * 1000000000 - doc_id) AS BIGINT) AS keep_doc_id,
+           -- ordered-aggregate row-value comparator: max words, ties ->
+           -- smallest doc_id. Safe at ANY id range (no composite-scalar
+           -- overflow); mirrors Spark's max_by(doc_id, struct(n_words, -doc_id)).
+           CAST(first(doc_id ORDER BY n_words DESC, doc_id ASC) AS BIGINT) AS keep_doc_id,
            CAST(max(n_words) AS BIGINT) AS keep_n_words
     FROM scored GROUP BY component
     """,
@@ -925,7 +926,9 @@ def doc_dedup_keep_best(spark, sf_dir):
     the docs + one max_by aggregation; no window over the full corpus.
     Length is used as the keep-policy score because it is an INTEGER —
     an argmax over float quality scores would be tie-broken by ulps
-    and unverifiable cross-engine."""
+    and unverifiable cross-engine. The tie-break is a STRUCT
+    comparator (lexicographic (n_words, -doc_id)), valid at any
+    production id range — no composite-scalar overflow."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_candidates(docs, n_perm=32, bands=8, hash_mode="md5")
     comp = dedup.connected_components(pairs)
@@ -934,13 +937,116 @@ def doc_dedup_keep_best(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
     )
-    return scored.groupBy("component").agg(
-        F.count("*").alias("n_members"),
-        F.max_by(
-            "doc_id",
-            F.col("n_words").cast("long") * F.lit(1_000_000_000) - F.col("doc_id"),
-        ).cast("long").alias("keep_doc_id"),
-        F.max("n_words").cast("long").alias("keep_n_words"),
+    return dedup.survivor_selection(scored, "n_words").select(
+        "component",
+        "n_members",
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        F.col("keep_n_words").cast("long").alias("keep_n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: corpus n-gram overlap against a benchmark/eval set —
+# the standard curation step that keeps eval text out of training data.
+# Sandbox eval set = the deterministic doc_id % 37 == 0 slice of the
+# documents table (no external data); corpus = the rest. Eval shingle
+# hashes are broadcast; md5_60 keeps every value DuckDB-reproducible.
+# ---------------------------------------------------------------------------
+
+_CONTAM_CTES = """
+    w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+      FROM w
+    ),
+    ev AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT unnest(sh3) AS s FROM sh WHERE doc_id % 37 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, source, unnest(sh3) AS s FROM sh WHERE doc_id % 37 <> 0)
+    ),
+    per_doc AS (
+      SELECT c.doc_id, c.source,
+             count(*) AS n_shingles,
+             count(e.h) AS n_hit
+      FROM corpus c LEFT JOIN ev e ON c.h = e.h
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _contam(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return dedup.contamination(corpus, ev, n=3, hash_mode="md5")
+
+
+@q(
+    "doc_contamination",
+    "WITH "
+    + _CONTAM_CTES
+    + """
+    SELECT doc_id, source,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(ROUND(CAST(n_hit AS DOUBLE) / n_shingles * 1e6) AS BIGINT) AS overlap_e6
+    FROM per_doc WHERE n_hit > 0
+    """,
+)
+def doc_contamination(spark, sf_dir):
+    """Per-doc contamination listing: corpus docs sharing ≥1 3-gram
+    shingle with the eval set, with their overlap fraction. Eval-set
+    hashes are broadcast (plan: BroadcastHashJoin, no corpus shuffle
+    until the per-doc regroup with map-side partials)."""
+    c = _contam(spark, sf_dir)
+    return c.where(F.col("n_hit") > 0).select(
+        "doc_id",
+        "source",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        _e("overlap_ratio", 6).alias("overlap_e6"),
+    )
+
+
+@q(
+    "doc_contamination_rate",
+    "WITH "
+    + _CONTAM_CTES
+    + """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN CAST(n_hit AS DOUBLE) / n_shingles >= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           -- pooled rate (sum/sum of exact ints): deterministic cross-
+           -- engine, unlike an avg of per-doc doubles whose summation
+           -- order differs
+           CAST(ROUND(CAST(sum(n_hit) AS DOUBLE) / sum(n_shingles) * 1e6) AS BIGINT)
+             AS pooled_overlap_e6
+    FROM per_doc GROUP BY source
+    """,
+)
+def doc_contamination_rate(spark, sf_dir):
+    """Per-source contamination report: how much of each source's
+    shingle mass overlaps the eval set, and how many docs cross the
+    20% flag threshold — the number a curation run gates on."""
+    c = _contam(spark, sf_dir)
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("overlap_ratio") >= 0.2).cast("long")
+        ).alias("n_contaminated"),
+        _e(
+            F.sum("n_hit").cast("double") / F.sum("n_shingles").cast("double"), 6
+        ).alias("pooled_overlap_e6"),
     )
 
 
