@@ -152,6 +152,97 @@ def test_cosine_dup_pairs_finds_bucketmates(emb2_big):
     assert out == {(100, 101): 1_000_000}
 
 
+def _bpe_encode_faithful(word, merges):
+    """Independent reference encoder: the rank-priority-queue algorithm
+    real tokenizers use — repeatedly merge the PRESENT pair with the
+    best (lowest) training rank, all occurrences, until none applies."""
+    rank = {m: i for i, m in enumerate(merges)}
+    toks = list(word)
+    while len(toks) >= 2:
+        pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_encode_matches_faithful_priority_encoder():
+    """The in-order-fixpoint encode must equal the priority-queue
+    encode on every chunk: adversarial fuzz over the seed alphabet
+    (including runs, which stress the overlap handling)."""
+    merges = textops.bpe_merges()
+    assert len(merges) == 48
+    words = ["the", "data", "tokens", "scan", "partition", "aaaa",
+             "thethethe", "scanscan", "x", "", "datadata", "qqqu"]
+    # deterministic pseudo-random words over the corpus alphabet
+    alpha = "thedatascanpru"
+    for seed in range(200):
+        n = 1 + (seed * 7919) % 12
+        words.append("".join(alpha[(seed * 31 + j * 17) % len(alpha)]
+                             for j in range(n)))
+    for w in words:
+        got = textops.bpe_encode_word(w, merges)
+        want = _bpe_encode_faithful(w, merges)
+        assert got == want, (w, got, want)
+        assert "".join(got) == w  # merges never lose characters
+
+
+def test_bpe_doc_level_additivity_and_known_answers(spark):
+    """Whitespace-joined concatenation is exactly additive (the
+    pre-split closes chunks at whitespace), and corpus-frequent words
+    collapse to single tokens."""
+    merges = textops.bpe_merges()
+    assert textops.bpe_encode_word("the", merges) == ["the"]
+    assert textops.bpe_encode_word("data", merges) == ["data"]
+    a, b = "the data pipeline scans rows", "partition tokens again"
+    schema = "doc_id long, text string, lang string, source string"
+    df = spark.createDataFrame(
+        [(1, a, "en", "s"), (2, b, "en", "s"), (3, a + " " + b, "en", "s"),
+         (4, "", "en", "s")],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in textops.with_bpe_encode(df).collect()}
+    assert out[3]["n_bpe_real"] == out[1]["n_bpe_real"] + out[2]["n_bpe_real"]
+    assert out[4]["n_bpe_real"] == 0
+    # real merges strictly beat the regex upper bound on this text
+    import re
+
+    assert out[1]["n_bpe_real"] >= len(re.findall(textops.BPE_SPLIT_RE, a))  # chars can only merge down to >= chunk count
+    assert out[1]["n_bpe_real"] < sum(
+        len(c) for c in re.findall(textops.BPE_SPLIT_RE, a)
+    )
+
+
+def test_langid_trigram_real_multilingual_snippets(spark):
+    """The honest trigram profiles must classify REAL text in all five
+    languages — the synthetic word profiles (LANG_PROFILES) cannot."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and then runs to the forest", "en"),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund und läuft in den Wald", "de"),
+        (3, "Le renard brun rapide saute par-dessus le chien paresseux et court dans la forêt", "fr"),
+        (4, "El rápido zorro marrón salta sobre el perro perezoso y corre hacia el bosque", "es"),
+        (5, "La volpe marrone veloce salta sopra il cane pigro e corre verso il bosco", "it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in textops.with_langid_trigram(df).collect()}
+    for lang in ("en", "de", "fr", "es", "it"):
+        assert out[lang]["pred_lang"] == lang, (lang, dict(out[lang].asDict()))
+        # the win is by margin, not a tie falling to declaration order
+        own = out[lang][f"s_{lang}"]
+        others = [out[lang][f"s_{o}"] for o in ("en", "de", "fr", "es", "it") if o != lang]
+        assert own > max(others), lang
+
+
 def test_textops_known_answers(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat", "en", "s")],
@@ -200,6 +291,19 @@ def test_bmp_decode_rejects_corrupt_payloads():
         multimodal.decode_bmp_header(b"PNG" + good[3:])
     with _pytest.raises(ValueError, match="declares"):
         multimodal.decode_bmp_header(good + b"\x00")
+    # non-positive width / zero height / wrong depth must raise, not
+    # flow downstream as silently-wrong metadata
+    import struct as _struct
+
+    bad_w = good[:18] + _struct.pack("<i", -5) + good[22:]
+    with _pytest.raises(ValueError, match="non-positive"):
+        multimodal.decode_bmp_header(bad_w)
+    bad_h = good[:22] + _struct.pack("<i", 0) + good[26:]
+    with _pytest.raises(ValueError, match="non-positive"):
+        multimodal.decode_bmp_header(bad_h)
+    bad_bpp = good[:28] + _struct.pack("<H", 8) + good[30:]
+    with _pytest.raises(ValueError, match="depth"):
+        multimodal.decode_bmp_header(bad_bpp)
 
 
 def test_ivf_topk_probes_right_cells(emb2_big):

@@ -150,6 +150,56 @@ def test_manifest_compaction_preserves_consumers(spark, seq_tiny, tmp_path):
     assert not checkpoint.is_done(spark, path, "batch:e9")
 
 
+def test_backfill_auto_salting_identity_and_targeting(spark, seq_tiny, tmp_path):
+    """salt='auto': tier outputs are bit-identical to the plain run on
+    the Zipf fixture, and the flagged hot keys are exactly the heavy
+    source's series (src00 has the largest Zipf budget; no cold key is
+    flagged, so no cold key pays phase-2 fan-in)."""
+    seq = grid.with_event_time(seq_tiny)
+    plain_root = str(tmp_path / "plain")
+    pipeline.run_backfill(spark, seq, plain_root)
+
+    auto_root = str(tmp_path / "auto")
+    r = pipeline.run_backfill(
+        spark, seq, auto_root, salt="auto", skew_ratio=1.5, commit_batch=4
+    )
+    assert r["hot_keys"], "Zipf fixture must flag hot keys"
+    assert {s for s, _ in r["hot_keys"]} == {"src00"}
+    for name in ("t1m", "t1h", "t1d"):
+        _same(
+            _tier_snapshot(spark, auto_root, name),
+            _tier_snapshot(spark, plain_root, name),
+        )
+
+
+def test_backfill_auto_salting_lineage_baseline(spark, seq_tiny, tmp_path):
+    """The lineage feed is what catches a wave consisting of ONLY the
+    hot source: its within-wave median is the hot key itself (ratio
+    test can never fire), but the manifest's points_raw from earlier
+    committed partitions supplies the honest baseline."""
+    seq = grid.with_event_time(seq_tiny)
+    root = str(tmp_path / "lin")
+    r1 = pipeline.run_backfill(
+        spark,
+        seq.where(F.col("source") != "src00"),
+        root,
+        salt="auto",
+        skew_ratio=1.5,
+    )
+    assert r1["hot_keys"] == []  # no skew among src01..03 waves
+    r2 = pipeline.run_backfill(spark, seq, root, salt="auto", skew_ratio=1.5)
+    assert sorted(r2["partitions"]) == ["src00"]
+    assert r2["hot_keys"] and {s for s, _ in r2["hot_keys"]} == {"src00"}
+    # and the lineage-salted run still lands the exact plain tiers
+    plain_root = str(tmp_path / "plain2")
+    pipeline.run_backfill(spark, seq, plain_root)
+    for name in ("t1m", "t1h", "t1d"):
+        _same(
+            _tier_snapshot(spark, root, name),
+            _tier_snapshot(spark, plain_root, name),
+        )
+
+
 def _merge_into_pandas(target, source, keys):
     """Reference MERGE INTO semantics (the Iceberg branch this sandbox
     cannot execute): matched-on-keys target rows are REPLACED by their

@@ -93,6 +93,13 @@ def decode_bmp_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError(
             f"unsupported BMP variant: info header {hdr_size}, planes {planes}"
         )
+    if width <= 0 or height == 0:
+        # height < 0 is legal (top-down rows); width never is, and
+        # either zero dimension would silently poison downstream
+        # metadata instead of raising here
+        raise ValueError(f"corrupt BMP: non-positive dimensions {width}x{height}")
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP depth: {bpp} bpp (only 24 supported)")
     if declared_size != len(payload):
         raise ValueError(
             f"corrupt BMP: declares {declared_size} bytes, buffer has {len(payload)}"

