@@ -88,6 +88,7 @@ class _FakeMergeDF:
     def __init__(self, log):
         self.log = log
         self.sparkSession = self
+        self.catalog = self  # sparkSession.catalog.dropTempView
 
     def createOrReplaceTempView(self, name):
         self.log.append(("view", name))
@@ -95,29 +96,43 @@ class _FakeMergeDF:
     def sql(self, text):
         self.log.append(("sql", text))
 
+    def dropTempView(self, name):
+        self.log.append(("dropview", name))
+
 
 def test_iceberg_merge_upsert_statement_shape():
     """The concurrent-writer-safe increment branch: the exact MERGE
     statement Iceberg's Spark extension parses — keyed on the full raw
     row key including batch_id, UPDATE SET * / INSERT *. If anyone
     reorders the clauses or drops batch_id from the key, this fails
-    without needing the jar."""
+    without needing the jar. The staging view is unique per call (two
+    concurrent folds in one SparkSession must not share it) and is
+    dropped afterwards."""
+    import re
+
     from tokens_ts.pipeline import RAW_MERGE_KEYS
 
     log = []
     cat = Catalog("lake.db", "iceberg")
     cat.merge_upsert(_FakeMergeDF(log), "raw", RAW_MERGE_KEYS)
-    assert log[0] == ("view", "_merge_src_raw")
+    kind0, view = log[0]
+    assert kind0 == "view"
+    assert re.fullmatch(r"_merge_src_raw_[0-9a-f]{12}", view), view
     kind, sql = log[1]
     assert kind == "sql"
     assert sql == (
-        "MERGE INTO lake.db.raw t USING _merge_src_raw s "
+        f"MERGE INTO lake.db.raw t USING {view} s "
         "ON t.source = s.source AND t.day = s.day "
         "AND t.batch_id = s.batch_id AND t.series_id = s.series_id "
         "AND t.event_ts = s.event_ts "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
+    assert log[2] == ("dropview", view)
+    # two calls never share a staging view
+    log2 = []
+    cat.merge_upsert(_FakeMergeDF(log2), "raw", RAW_MERGE_KEYS)
+    assert log2[0][1] != view
 
 
 def test_merge_upsert_rejected_on_parquet():

@@ -223,6 +223,24 @@ def test_bpe_doc_level_additivity_and_known_answers(spark):
     )
 
 
+def test_repetition_known_answers(spark):
+    """'a b c a b c a b c' has 7 3-gram occurrences, 3 distinct →
+    dup fraction 4/7; fully unique text scores 0; short docs (<3
+    words) degrade to the single whole-doc shingle (score 0)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c", "en", "s"),
+            (2, "all words here are fully unique tokens", "en", "s"),
+            (3, "hi there", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in textops.with_repetition(df).collect()}
+    assert out[1]["n_3grams"] == 7 and out[1]["dup3_frac"] == 4 / 7
+    assert out[2]["dup3_frac"] == 0.0
+    assert out[3]["n_3grams"] == 1 and out[3]["dup3_frac"] == 0.0
+
+
 def test_langid_trigram_real_multilingual_snippets(spark):
     """The honest trigram profiles must classify REAL text in all five
     languages — the synthetic word profiles (LANG_PROFILES) cannot."""

@@ -1,0 +1,77 @@
+"""Sequence packing (concat-and-chunk): invariants + oracle + plan."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tokens_ts import packing
+
+L = 256
+
+
+def test_packing_token_conservation_and_fill(spark, seq_tiny):
+    total = seq_tiny.agg(F.sum("n_tok")).collect()[0][0]
+    summary = packing.pack_summary(seq_tiny, chunk_len=L).collect()
+    by_id = {r["chunk_id"]: r for r in summary}
+    n_chunks = len(by_id)
+    # contiguous ids from 0
+    assert sorted(by_id) == list(range(n_chunks))
+    # token conservation: every input token lands in exactly one chunk
+    assert sum(r["n_filled"] for r in summary) == total
+    # every chunk full except the tail
+    for cid, r in by_id.items():
+        if cid < n_chunks - 1:
+            assert r["n_filled"] == L, cid
+    assert 0 < by_id[n_chunks - 1]["n_filled"] <= L
+
+
+def test_packed_stream_equals_pandas_concatenation(spark, seq_tiny, seq_tiny_pd):
+    """Flattening the packed chunks in chunk order must reproduce the
+    single-node concatenation of all docs' tokens in (source, doc_id)
+    order, element for element — the token-array-equality invariant
+    through the packing rewrite."""
+    pdf = seq_tiny_pd.sort_values(["source", "doc_id"])
+    expected = [int(t) for toks in pdf["tokens"] for t in toks]
+
+    chunks = packing.pack_tokens(seq_tiny, chunk_len=L).orderBy("chunk_id").collect()
+    got = [t for r in chunks for t in r["tokens"]]
+    assert got == expected
+
+
+def test_packing_offsets_match_pandas_cumsum(spark, seq_tiny, seq_tiny_pd):
+    pdf = seq_tiny_pd.sort_values(["source", "doc_id"])
+    exp = dict(
+        zip(pdf["doc_id"], pdf["n_tok"].cumsum().shift(fill_value=0).astype(int))
+    )
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in packing.pack_offsets(seq_tiny).collect()
+    }
+    assert got == exp
+
+
+def test_packing_plan_has_no_global_sort(seq_tiny):
+    """The scale contract: offsets come from per-source windows + a
+    broadcast prefix, never a corpus-wide window — a SinglePartition
+    exchange in this plan would funnel 10^12 docs through one task."""
+    plan = (
+        packing.pack_summary(seq_tiny, chunk_len=L)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_packing_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [
+            ("a-0", [1, 2, 3], 3, "a"),
+            ("a-1", [], 0, "a"),
+            ("a-2", [4, 5], 2, "a"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    chunks = packing.pack_tokens(df, chunk_len=4).orderBy("chunk_id").collect()
+    flat = [t for r in chunks for t in r["tokens"]]
+    assert flat == [1, 2, 3, 4, 5]
+    assert [r["n_filled"] for r in chunks] == [4, 1]

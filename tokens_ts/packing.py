@@ -1,0 +1,133 @@
+"""Sequence packing: concat-and-chunk for training-batch assembly.
+
+The packing step every LLM training pipeline runs between curation and
+the data loader: concatenate all documents' tokens in a deterministic
+global order and cut the stream into fixed-length chunks (GPT-style
+concat-and-chunk — zero padding waste; document boundaries travel as
+spans so the loader can mask attention across them). The north-rule
+token-array-equality invariant holds THROUGH this rewrite: flattening
+each chunk's ordered spans reproduces the input token stream exactly
+(pinned by tests and a cross-engine md5 over the packed arrays).
+
+Scale design: the global token offset is computed WITHOUT a global
+window. A single `Window.orderBy(...)` over 10^12 docs would funnel the
+whole corpus through ONE task (Exchange SinglePartition); instead:
+
+  1. per-source token totals        — one map-side-combined agg
+     (#sources rows: control-plane size),
+  2. driver-side prefix sum         — O(#sources), broadcast back,
+  3. per-source cumulative window   — partitioned by source, parallel.
+
+Chunk assembly is then an explode of each doc onto the O(n_tok/L)
+chunks its span crosses plus one hash aggregation — all shuffles are
+on (chunk_id), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def pack_offsets(seq: DataFrame) -> DataFrame:
+    """Attach the global token offset of every doc in the deterministic
+    (source, doc_id) concatenation order.
+
+    The per-source totals collect is driver control-plane only (one row
+    per source — the same bound as the checkpoint manifest)."""
+    totals = (
+        seq.groupBy("source")
+        .agg(F.sum("n_tok").alias("tot"))
+        .orderBy("source")
+        .collect()
+    )
+    base_rows, acc = [], 0
+    for r in totals:
+        base_rows.append((r["source"], acc))
+        acc += int(r["tot"])
+    base = seq.sparkSession.createDataFrame(
+        base_rows, "source string, base long"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        seq.join(F.broadcast(base), "source")
+        .withColumn(
+            "offset",
+            F.col("base")
+            + F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+        )
+        .drop("base")
+    )
+
+
+def _spans(seq: DataFrame, chunk_len: int) -> DataFrame:
+    """One row per (doc, chunk) span the doc's tokens cover."""
+    off = pack_offsets(seq).where(F.col("n_tok") > 0)
+    first = F.floor(F.col("offset") / chunk_len).cast("long")
+    last = F.floor((F.col("offset") + F.col("n_tok") - 1) / chunk_len).cast("long")
+    sp = off.select(
+        "doc_id",
+        "source",
+        "offset",
+        "n_tok",
+        "tokens",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    span_start = F.greatest(F.col("offset"), F.col("chunk_id") * chunk_len)
+    span_end = F.least(
+        F.col("offset") + F.col("n_tok"), (F.col("chunk_id") + 1) * chunk_len
+    )
+    return sp.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        "offset",
+        (span_start - F.col("offset")).cast("int").alias("start_in_doc"),
+        (span_end - span_start).cast("int").alias("span_len"),
+        "tokens",
+    )
+
+
+def pack_summary(seq: DataFrame, chunk_len: int = 2048) -> DataFrame:
+    """Per-chunk packing report: how many docs contribute, how many
+    tokens land, and the covering doc range — the bookkeeping view a
+    data-loader manifest needs (no token materialization)."""
+    spans = _spans(seq, chunk_len).drop("tokens")
+    return spans.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("span_len").cast("long").alias("n_filled"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def pack_tokens(seq: DataFrame, chunk_len: int = 2048) -> DataFrame:
+    """Materialize the packed chunks: (chunk_id, tokens array<int> of
+    length chunk_len except the tail). Spans are cut with F.slice and
+    reassembled in offset order via array_sort over (offset, piece)
+    structs — offsets are globally unique, so the sort is total and
+    collect_list's arrival nondeterminism cannot leak through."""
+    spans = _spans(seq, chunk_len)
+    piece = F.slice("tokens", F.col("start_in_doc") + 1, F.col("span_len"))
+    return (
+        spans.select("chunk_id", "offset", piece.alias("piece"))
+        .groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("offset").alias("o"), F.col("piece").alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                )
+            ).alias("tokens"),
+            F.count("*").alias("n_spans"),
+        )
+        .withColumn("n_filled", F.size("tokens").cast("long"))
+    )

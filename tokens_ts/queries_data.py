@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from tokens_ts import config as C
-from tokens_ts import codec, dedup, extract, grid, multimodal, simsearch, synth, textops, tiers
+from tokens_ts import codec, dedup, extract, grid, multimodal, packing, simsearch, synth, textops, tiers
 from tokens_ts.queries_driver import ORACLES, QUERIES, _docs, _e, _emb, _ev, q
 
 SYNTH_K, SYNTH_S = 240, 3
@@ -216,6 +216,96 @@ def seq_mask_stats(spark, sf_dir):
         "doc_id",
         F.col("mask_cnt").alias("cnt"),
         _e("mask_mean", 6).alias("mean_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the training-batch assembly step.
+# Spark computes global offsets WITHOUT a global window (per-source
+# cumsum + broadcast prefix bases — tokens_ts/packing.py); the oracle
+# re-derives them with a plain window cumsum. The tokens pair md5s the
+# PACKED ARRAYS — the token-array-equality invariant THROUGH the rewrite.
+# ---------------------------------------------------------------------------
+
+_PACK_L = 512
+
+_PACK_CTES = f"""
+    , off AS (
+      SELECT doc_id, n_tok, tokens,
+             COALESCE(SUM(n_tok) OVER (ORDER BY s, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM seq
+    ),
+    sp AS (
+      SELECT doc_id, o, n_tok, tokens,
+             unnest(range(CAST(floor(o / {_PACK_L}) AS BIGINT),
+                          CAST(floor((o + n_tok - 1) / {_PACK_L}) AS BIGINT) + 1)) AS chunk_id
+      FROM off WHERE n_tok > 0
+    ),
+    spans AS (
+      SELECT doc_id, chunk_id, o,
+             CAST(greatest(o, chunk_id * {_PACK_L}) - o AS INT) AS start_in_doc,
+             CAST(least(o + n_tok, (chunk_id + 1) * {_PACK_L})
+                  - greatest(o, chunk_id * {_PACK_L}) AS INT) AS span_len,
+             tokens
+      FROM sp
+    )
+"""
+
+
+@q(
+    "seq_packing",
+    _synth_cte()
+    + _PACK_CTES
+    + """
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(span_len) AS BIGINT) AS n_filled,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM spans GROUP BY chunk_id
+    """,
+)
+def seq_packing(spark, sf_dir):
+    """Packing manifest: per fixed-length chunk, contributing docs and
+    fill — the bookkeeping a data loader needs. All shuffles on
+    chunk_id / source; no global sort anywhere (plan-asserted)."""
+    return packing.pack_summary(_seq(spark), chunk_len=_PACK_L).select(
+        "chunk_id", "n_docs", "n_filled", "first_doc", "last_doc"
+    )
+
+
+@q(
+    "seq_packing_tokens",
+    _synth_cte()
+    + _PACK_CTES
+    + """
+    SELECT chunk_id,
+           CAST(len(toks) AS BIGINT) AS n_filled,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           md5(array_to_string(toks, ',')) AS tok_md5
+    FROM (
+      SELECT chunk_id,
+             flatten(list(tokens[start_in_doc + 1 : start_in_doc + span_len]
+                          ORDER BY o)) AS toks,
+             count(*) AS n_spans
+      FROM spans GROUP BY chunk_id
+    )
+    """,
+)
+def seq_packing_tokens(spark, sf_dir):
+    """Materialized packed chunks, md5 over every chunk's token array —
+    cross-engine proof that concat-and-chunk preserves the token stream
+    exactly (the north-rule token-array-equality invariant through this
+    rewrite)."""
+    p = packing.pack_tokens(_seq(spark), chunk_len=_PACK_L)
+    return p.select(
+        "chunk_id",
+        "n_filled",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_md5"),
     )
 
 
@@ -788,6 +878,33 @@ def doc_quality(spark, sf_dir):
 def doc_langid(spark, sf_dir):
     d = textops.with_langid(_docs(spark, sf_dir))
     return d.groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+
+
+@q(
+    "doc_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')) AS s3
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(s3) AS BIGINT) AS n_3grams,
+           CAST(ROUND(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE)
+                / len(s3) * 1e6) AS BIGINT) AS dup3_e6
+    FROM sh
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition: duplicate 3-gram occurrence
+    fraction — the boilerplate/spam filter a curation run applies
+    before dedup even starts."""
+    d = textops.with_repetition(_docs(spark, sf_dir))
+    return d.select("doc_id", "n_3grams", _e("dup3_frac", 6).alias("dup3_e6"))
 
 
 def _langid_trigram_sql() -> str:

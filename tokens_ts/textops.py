@@ -241,6 +241,26 @@ def with_langid(docs: DataFrame) -> DataFrame:
     return scored.withColumn("pred", pred)
 
 
+def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition score (the Gopher-style repetition
+    quality rule): the fraction of 3-gram word-shingle OCCURRENCES that
+    repeat an earlier occurrence. Boilerplate/spam pages score high and
+    get filtered before training. Non-distinct shingles here (unlike
+    dedup.word_shingles) — repetition IS the signal. Pure expressions,
+    whole-stage codegen."""
+    sh_all = F.expr(
+        f"""transform(
+              sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - 2, 1)),
+              i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, 3))
+            )"""
+    )
+    n = F.size(sh_all)
+    return docs.withColumn("n_3grams", n.cast("bigint")).withColumn(
+        "dup3_frac",
+        (n - F.size(F.array_distinct(sh_all))).cast("double") / n.cast("double"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Honest language-ID: character-trigram profiles for five real languages.
 # The trigrams are public knowledge — high-frequency function-word
