@@ -164,6 +164,15 @@ def main():
     bench("simhash_pairs", lambda: _materialize(
         dedup.simhash_candidates(docs)
     ))
+    # round-4 operators: real merge-table BPE (Arrow stage with
+    # distinct-chunk memoization) and concat-and-chunk packing (global
+    # offsets without a global window)
+    from tokens_ts import packing, textops
+
+    bench("bpe_encode", lambda: _materialize(textops.with_bpe_encode(docs)))
+    bench("packing_tokens", lambda: _materialize(
+        packing.pack_tokens(seq, chunk_len=2048)
+    ))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

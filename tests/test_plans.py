@@ -69,6 +69,15 @@ def test_rollup_single_shuffle_with_partial_agg(spark, seq_tiny):
     assert "*(" in plan
 
 
+def test_full_grid_is_equi_hash_join(spark):
+    """Grid generation must plan as an EQUI BroadcastHashJoin on the
+    bucket key — a bare k<budget condition would plan a nested loop
+    evaluating max_budget × n_sources predicate pairs."""
+    plan = _plan(grid.full_grid(spark, 400, 4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_gapfill_align_broadcasts_series_dim(spark, seq_tiny):
     """The series dim is broadcast because the OPTIMIZER sizes it so
     (estimates / AQE), not because the code forces F.broadcast on an

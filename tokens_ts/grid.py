@@ -52,27 +52,34 @@ def full_grid(spark, k_total: int, n_sources: int = C.DEFAULT_SOURCES) -> DataFr
     """The complete per-source grid (no gaps): one row per (source, slot).
 
     Used by gap-fill (SURVEY.md G1) to left-join observed points onto.
-    ONE spark.range × a broadcast sources dim — plan size is O(1) in
-    the source count. (The previous shape unioned one range branch per
-    source: at thousands of sources the ANALYSIS cost grows linearly
-    with the plan tree, before a single task runs.) The dim is a
-    handful of scalars per source (name, budget, step) — driver-built
-    rows are fine at any realistic source count; the k fan-out stays
-    fully distributed in the range."""
+    ONE spark.range × a broadcast bucket dim — plan size is O(1) in
+    the source count AND the join is an EQUI BroadcastHashJoin, not a
+    nested loop. (A bare `k < budget` condition plans as
+    BroadcastNestedLoopJoin: max_budget × n_sources predicate pairs
+    for sum(budgets) output rows — a ~n/ln(n) waste factor under Zipf
+    budgets.) Bucketing: each k hashes to bucket k div G; the dim
+    holds one row per (source, covered bucket), so each k is probed
+    only against sources whose budget actually reaches its bucket,
+    plus one boundary bucket trimmed by the residual filter. G is
+    sized so the dim stays ≤ ~1k rows per source scale — driver-built
+    and broadcast-tiny; the k fan-out stays fully distributed."""
+    # s=0 has the largest Zipf budget; the range covers it
+    max_budget = C.source_budget(k_total, 0)
+    granule = max(1, max_budget // 1024)
     dim = spark.createDataFrame(
         [
-            (f"src{s:02d}", C.source_budget(k_total, s), C.step_seconds(s))
+            (f"src{s:02d}", b, C.source_budget(k_total, s), C.step_seconds(s))
             for s in range(n_sources)
+            for b in range(-(-C.source_budget(k_total, s) // granule))
         ],
-        "source string, budget bigint, step bigint",
+        "source string, b bigint, budget bigint, step bigint",
     )
-    # s=0 has the largest Zipf budget; range covers it, the per-source
-    # budget predicate trims the rest inside the broadcast join
-    max_budget = C.source_budget(k_total, 0)
     return (
         spark.range(0, max_budget)
         .withColumnRenamed("id", "k")
-        .join(F.broadcast(dim), F.col("k") < F.col("budget"))
+        .withColumn("b", F.expr(f"k div {granule}"))
+        .join(F.broadcast(dim), "b")
+        .where(F.col("k") < F.col("budget"))
         .select(
             "k",
             "source",
