@@ -187,3 +187,61 @@ def test_interval_join_plan_is_equi_shuffle(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ffill_limit_bounds_carry(spark):
+    """limit=3: a value carries at most 3 slots; staler slots stay
+    null — matches pandas Series.ffill(limit=3) exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tokens_ts import gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [5.0, None, None, None, None, None, 7.0, None, None, None, None]
+    rows = [
+        ("s", "a", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    out = {
+        r["event_ts"]: r["ffill"]
+        for r in gapfill.with_ffill(df, limit=3).collect()
+    }
+    got = [out[t0 + dt.timedelta(minutes=i)] for i in range(len(vals))]
+    want = list(pd.Series(vals).ffill(limit=3))
+    for g, w in zip(got, want):
+        assert (g is None and w != w) or g == w, (got, want)
+    # and the unbounded variant still fills everything after the first
+    ub = {r["event_ts"]: r["ffill"] for r in gapfill.with_ffill(df).collect()}
+    assert ub[t0 + dt.timedelta(minutes=5)] == 5.0
+
+
+def test_downsample_minmax_ties_and_nulls(spark):
+    """Extreme points carry their true timestamps; value ties break to
+    the EARLIEST ts; null values contribute no plot point."""
+    import datetime as dt
+
+    from tokens_ts import tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", "a", t0 + dt.timedelta(minutes=1), 3.0),
+        ("s", "a", t0 + dt.timedelta(minutes=2), 9.0),   # max, earliest
+        ("s", "a", t0 + dt.timedelta(minutes=3), 9.0),   # max tie, later
+        ("s", "a", t0 + dt.timedelta(minutes=4), 1.0),   # min, earliest
+        ("s", "a", t0 + dt.timedelta(minutes=5), 1.0),   # min tie, later
+        ("s", "a", t0 + dt.timedelta(minutes=6), None),  # no plot point
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    r = tiers.downsample_minmax(df, "1h").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["cnt"] == 5
+    assert row["min_v"] == 1.0 and row["max_v"] == 9.0
+    assert row["min_ts"] == t0 + dt.timedelta(minutes=4)
+    assert row["max_ts"] == t0 + dt.timedelta(minutes=2)

@@ -69,11 +69,31 @@ def _w_next():
     )
 
 
-def with_ffill(aligned: DataFrame, value_col: str = "value") -> DataFrame:
-    """Forward-fill: last non-null value at or before each slot (G3)."""
-    return aligned.withColumn(
-        "ffill", F.last(value_col, ignorenulls=True).over(_w_prev())
+def with_ffill(
+    aligned: DataFrame, value_col: str = "value", limit: int | None = None
+) -> DataFrame:
+    """Forward-fill: last non-null value at or before each slot (G3).
+
+    limit: maximum number of consecutive slots a value may be carried
+    forward (pandas `ffill(limit=)` / TimescaleDB locf max-gap). The
+    carry distance is computed with the SAME cumulative O(n) frame as
+    the fill itself (row_number minus the last observed row_number),
+    so the bounded variant adds no extra pass; slots farther than
+    `limit` rows from the last observation stay null."""
+    filled = F.last(value_col, ignorenulls=True).over(_w_prev())
+    if limit is None:
+        return aligned.withColumn("ffill", filled)
+    rn = F.row_number().over(
+        Window.partitionBy("source", "series_id").orderBy("event_ts")
     )
+    aligned = aligned.withColumn("_rn", rn)
+    obs_rn = F.last(
+        F.when(F.col(value_col).isNotNull(), F.col("_rn")), ignorenulls=True
+    ).over(_w_prev())
+    return aligned.withColumn(
+        "ffill",
+        F.when((F.col("_rn") - obs_rn) <= limit, filled),
+    ).drop("_rn")
 
 
 def with_interp(aligned: DataFrame, value_col: str = "value") -> DataFrame:

@@ -459,6 +459,94 @@ def ts_gapfill_ffill(spark, sf_dir):
 
 
 @q(
+    "ts_gapfill_ffill_limit",
+    _GAPFILL_GRID_SQL
+    + """
+    , nb AS (
+      SELECT event_type, m, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn
+      FROM joined
+    ),
+    fb AS (
+      SELECT event_type, m, v, rn,
+             last_value(v IGNORE NULLS) OVER w AS fv,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER w AS orn
+      FROM nb
+      WINDOW w AS (PARTITION BY event_type ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type AS series_id,
+           strftime(m, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS value_e6,
+           CAST(ROUND(CASE WHEN rn - orn <= 5 THEN fv END * 1e6) AS BIGINT)
+             AS ffill5_e6
+    FROM fb
+    """,
+)
+def ts_gapfill_ffill_limit(spark, sf_dir):
+    """Bounded forward-fill (pandas ffill(limit=) / TimescaleDB locf
+    max-gap): values carry at most 5 slots; staler slots stay null.
+    The carry distance uses the SAME cumulative O(n) frame as the fill
+    — no extra pass."""
+    ev = _ev(spark, sf_dir)
+    slot = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("minute", "ts").alias("event_ts"),
+    ).agg(F.avg("value").alias("value"))
+    bounds = slot.groupBy("series_id").agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    )
+    grid_df = bounds.select(
+        "series_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("event_ts"),
+    ).withColumn("source", F.lit("events"))
+    aligned = grid_df.join(
+        slot.withColumn("source", F.lit("events")),
+        ["source", "series_id", "event_ts"],
+        "left",
+    )
+    out = gapfill.with_ffill(aligned, limit=5)
+    return out.select(
+        "series_id",
+        _fmt("event_ts").alias("slot_ts"),
+        _e("value", 6).alias("value_e6"),
+        _e("ffill", 6).alias("ffill5_e6"),
+    )
+
+
+@q(
+    "ts_downsample_minmax",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_ts,
+           CAST(count(value) AS BIGINT) AS cnt,
+           CAST(ROUND(min(value) * 1e6) AS BIGINT) AS min_v_e6,
+           CAST(ROUND(max(value) * 1e6) AS BIGINT) AS max_v_e6,
+           strftime(first(ts ORDER BY value ASC, ts ASC), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(first(ts ORDER BY value DESC, ts ASC), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_downsample_minmax(spark, sf_dir):
+    """Min-max plot decimation: the extreme points (with their true
+    timestamps) per hour window — preserves spikes a mean tier
+    flattens. Deterministic tie-break (earliest ts) via struct
+    comparators, mirrored by DuckDB ordered aggregates."""
+    d = tiers.downsample_minmax(_events_raw(spark, sf_dir), "1h")
+    return d.select(
+        "series_id",
+        _fmt("window_start").alias("w_ts"),
+        "cnt",
+        _e("min_v", 6).alias("min_v_e6"),
+        _e("max_v", 6).alias("max_v_e6"),
+        _fmt("min_ts").alias("min_ts"),
+        _fmt("max_ts").alias("max_ts"),
+    )
+
+
+@q(
     "ts_gapfill_interp",
     _GAPFILL_GRID_SQL
     + """

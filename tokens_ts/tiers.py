@@ -212,6 +212,32 @@ def rollup_salted_hot(
     return phase1.groupBy(*KEYS, "window_start").agg(*_merge_aggs())
 
 
+def downsample_minmax(raw: DataFrame, tier: str = "1h") -> DataFrame:
+    """Min-max downsampling (plot decimation): per (key, window) keep
+    the extreme points WITH their timestamps — the standard reduction
+    that preserves spikes a mean-based tier would flatten. One
+    map-side-combined aggregation; ties on value break to the earliest
+    timestamp via struct comparators, so the result is deterministic
+    and cross-engine checkable. Null values carry no plot point and are
+    filtered first."""
+    pts = raw.where(F.col("value").isNotNull())
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    # unix_micros needs TIMESTAMP; the driver's parquet carries NTZ —
+    # cast under the pinned-UTC session so both types order identically
+    ts_us = F.unix_micros(F.col("event_ts").cast("timestamp"))
+    return pts.groupBy(*KEYS, w).agg(
+        F.count("value").alias("cnt"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.min_by(
+            "event_ts", F.struct(F.col("value"), ts_us.alias("ts_us"))
+        ).alias("min_ts"),
+        F.max_by(
+            "event_ts", F.struct(F.col("value"), (-ts_us).alias("neg_ts"))
+        ).alias("max_ts"),
+    )
+
+
 def retention_filter(
     tier_df: DataFrame, now_expr, keep: str | None
 ) -> DataFrame:
