@@ -224,3 +224,27 @@ def test_approx_quantiles_honor_gk_rank_bound(spark):
     # the bound is 1/acc = 0.01 (+discrete slack); the measured worst
     # deviation must sit inside it with real margin, not at the edge
     assert worst <= 0.011, worst
+
+
+def test_downsample_ohlc_known_answers(spark):
+    """open/close are first/last BY TIME (not extremes); duplicate
+    timestamps tie-break to the smaller value in both positions."""
+    import datetime as dt
+
+    from tokens_ts import tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", "a", t0 + dt.timedelta(minutes=1), 4.0),   # open
+        ("s", "a", t0 + dt.timedelta(minutes=2), 9.0),   # high
+        ("s", "a", t0 + dt.timedelta(minutes=3), 1.0),   # low
+        ("s", "a", t0 + dt.timedelta(minutes=9), 6.0),   # close (tie ts)
+        ("s", "a", t0 + dt.timedelta(minutes=9), 7.0),   # close tie, larger
+        ("s", "a", t0 + dt.timedelta(minutes=5), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    r = tiers.downsample_ohlc(df, "1h").collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (4.0, 9.0, 1.0, 6.0)
+    assert r["cnt"] == 5

@@ -220,6 +220,75 @@ def seq_mask_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Token-level corpus statistics: heavy-hitter tokens and per-source
+# vocabulary coverage — the histograms a tokenizer/data-mix report needs.
+# explode → map-side-combined count agg; top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_token_freq_topk",
+    _synth_cte()
+    + """
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(tokens) AS t FROM seq)
+    WHERE t <> 0
+    GROUP BY t
+    ORDER BY cnt DESC, token ASC
+    LIMIT 20
+    """,
+)
+def seq_token_freq_topk(spark, sf_dir):
+    """Heavy-hitter tokens (PAD excluded): corpus-wide frequency top-20
+    with a deterministic (cnt desc, token asc) tie-break. The explode
+    feeds a partial-aggregated count; the top-k plans as a distributed
+    TakeOrderedAndProject, never a global window."""
+    s = _seq(spark)
+    return (
+        s.select(F.explode("tokens").alias("token"))
+        .where(F.col("token") != C.PAD_ID)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+        .select(F.col("token").cast("bigint").alias("token"), "cnt")
+    )
+
+
+@q(
+    "seq_vocab_coverage",
+    _synth_cte()
+    + f"""
+    SELECT source,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+           CAST(ROUND(count(DISTINCT t) / {C.V}.0 * 1e6) AS BIGINT) AS frac_e6
+    FROM (SELECT source, unnest(tokens) AS t FROM seq)
+    WHERE t <> 0
+    GROUP BY source
+    """,
+)
+def seq_vocab_coverage(spark, sf_dir):
+    """Per-source vocabulary coverage: distinct non-PAD tokens and the
+    fraction of the model vocab they span — the data-mix diversity
+    metric. Exact countDistinct (two-phase hash agg); the HLL++
+    approximate twin pattern is already pinned by
+    ts_approx_distinct_users."""
+    s = _seq(spark)
+    return (
+        s.select("source", F.explode("tokens").alias("t"))
+        .where(F.col("t") != C.PAD_ID)
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n_distinct"))
+        .select(
+            "source",
+            "n_distinct",
+            _e(F.col("n_distinct").cast("double") / F.lit(float(C.V)), 6).alias(
+                "frac_e6"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): the training-batch assembly step.
 # Spark computes global offsets WITHOUT a global window (per-source
 # cumsum + broadcast prefix bases — tokens_ts/packing.py); the oracle

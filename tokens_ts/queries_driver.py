@@ -547,6 +547,36 @@ def ts_downsample_minmax(spark, sf_dir):
 
 
 @q(
+    "ts_ohlc_1h",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_ts,
+           CAST(count(value) AS BIGINT) AS cnt,
+           CAST(ROUND(first(value ORDER BY ts ASC, value ASC) * 1e6) AS BIGINT) AS open_e6,
+           CAST(ROUND(max(value) * 1e6) AS BIGINT) AS high_e6,
+           CAST(ROUND(min(value) * 1e6) AS BIGINT) AS low_e6,
+           CAST(ROUND(first(value ORDER BY ts DESC, value ASC) * 1e6) AS BIGINT) AS close_e6
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_1h(spark, sf_dir):
+    """OHLC bars: first/last-by-time plus extremes per hour window —
+    one map-side-combined ordered aggregation (no window function, no
+    per-series sort)."""
+    d = tiers.downsample_ohlc(_events_raw(spark, sf_dir), "1h")
+    return d.select(
+        "series_id",
+        _fmt("window_start").alias("w_ts"),
+        "cnt",
+        _e("open", 6).alias("open_e6"),
+        _e("high", 6).alias("high_e6"),
+        _e("low", 6).alias("low_e6"),
+        _e("close", 6).alias("close_e6"),
+    )
+
+
+@q(
     "ts_gapfill_interp",
     _GAPFILL_GRID_SQL
     + """

@@ -238,6 +238,30 @@ def downsample_minmax(raw: DataFrame, tier: str = "1h") -> DataFrame:
     )
 
 
+def downsample_ohlc(raw: DataFrame, tier: str = "1h") -> DataFrame:
+    """OHLC downsampling: per (key, window) the first (open) and last
+    (close) values by event time plus the extremes — the financial-
+    style bar rollup, same one-pass ordered-aggregate shape as
+    downsample_minmax. Identical timestamps within a series tie-break
+    to the smaller value (struct comparator) so the result stays
+    deterministic even on data with duplicate stamps; nulls carry no
+    point."""
+    pts = raw.where(F.col("value").isNotNull())
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    ts_us = F.unix_micros(F.col("event_ts").cast("timestamp"))
+    return pts.groupBy(*KEYS, w).agg(
+        F.count("value").alias("cnt"),
+        F.min_by(
+            "value", F.struct(ts_us.alias("t"), F.col("value").alias("v"))
+        ).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(
+            "value", F.struct(ts_us.alias("t"), (-F.col("value")).alias("nv"))
+        ).alias("close"),
+    )
+
+
 def retention_filter(
     tier_df: DataFrame, now_expr, keep: str | None
 ) -> DataFrame:
