@@ -201,3 +201,14 @@ def test_ivf_assignment_never_shuffles_corpus(spark):
     )
     plan = _plan(simsearch.ivf_assign(emb, n_centroids=4))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_token_freq_topk_take_ordered(spark):
+    """The corpus heavy-hitter top-20 must plan as a distributed
+    TakeOrderedAndProject over the partial-aggregated counts, never a
+    global window over every distinct token."""
+    from tokens_ts.queries_driver import QUERIES
+    import tokens_ts.queries_data  # noqa: F401
+
+    plan = _plan(QUERIES["seq_token_freq_topk"](spark, ""))
+    assert "TakeOrderedAndProject" in plan, plan
