@@ -410,6 +410,60 @@ def test_simhash_spark_fold_matches_independent_numpy_fold(spark, testdata_root)
         assert got[doc_id] == sig_signed, doc_id
 
 
+def test_lsh_incremental_equals_batch_recompute(spark, testdata_root):
+    """Split the corpus into old/new halves: candidates(old) ∪
+    incremental(new, index(old)) must equal candidates(old ∪ new)
+    exactly while no bucket overflows the cap (true at this SF) — the
+    correctness contract that lets an ingestion pipeline maintain the
+    LSH index per batch instead of rescanning the corpus."""
+    docs = spark.read.parquet(str(testdata_root / "sf0.001" / "documents.parquet"))
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    full = {(r["a"], r["b"]) for r in dedup.lsh_candidates(docs, 32, 8).collect()}
+    old_pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidates(old, 32, 8).collect()}
+    inc_pairs_df, new_rows = dedup.lsh_incremental(
+        new, dedup.band_rows(old, 32, 8)
+    )
+    inc_pairs = {(r["a"], r["b"]) for r in inc_pairs_df.collect()}
+    assert inc_pairs, "the split fixture must produce cross-batch candidates"
+    assert old_pairs | inc_pairs == full
+    # every incremental pair involves the new batch
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in inc_pairs)
+    # the returned band rows ARE the index delta: old index + delta
+    # reproduces the full index
+    n_full = dedup.band_rows(docs, 32, 8).count()
+    assert dedup.band_rows(old, 32, 8).count() + new_rows.count() == n_full
+
+
+def test_lsh_incremental_overflow_keeps_old_pairs(spark):
+    """A bucket that overflows the cap only AFTER growth stops emitting
+    new pairs but does not retroactively drop old ones (re-capping is
+    the periodic full recompute's job)."""
+    same = "identical boilerplate text repeated across documents exactly"
+    schema = "doc_id long, text string, lang string, source string"
+    old = spark.createDataFrame(
+        [(i, same, "en", "s") for i in range(3)], schema
+    )
+    new = spark.createDataFrame(
+        [(10 + i, same, "en", "s") for i in range(2)], schema
+    )
+    # cap 4: old alone (3 docs) is under cap; old+new (5) overflows
+    old_pairs = {(r["a"], r["b"]) for r in
+                 dedup.lsh_candidates(old, 32, 8, max_bucket=4).collect()}
+    assert old_pairs == {(0, 1), (0, 2), (1, 2)}
+    inc, _ = dedup.lsh_incremental(
+        new, dedup.band_rows(old, 32, 8), max_bucket=4
+    )
+    assert inc.isEmpty()  # overflowed bucket emits nothing new
+    # full recompute at the same cap drops everything — the compaction
+    # semantics the docstring promises
+    assert dedup.lsh_candidates(
+        old.unionByName(new), 32, 8, max_bucket=4
+    ).isEmpty()
+
+
 def test_survivor_selection_ids_above_1e9(spark):
     """Struct-comparator keep policy must be correct at production id
     ranges: the retired composite scalar key (n_words·1e9 − doc_id)

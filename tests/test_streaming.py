@@ -215,3 +215,56 @@ def test_stream_with_compaction_keeps_manifest_bounded(spark, seq_tiny, tmp_path
     assert len(rows) == len(markers), "compaction left duplicate marker rows"
     assert all(p.startswith("batch:epoch-") for p in markers)
     assert checkpoint.watermark_us(spark, cat) is not None
+
+
+def test_stream_dedup_emits_first_arrival_only(spark, tmp_path):
+    """Exact streaming dedup: duplicate content inside the watermark
+    window is dropped; distinct content passes; each hash is emitted
+    exactly once across micro-batches."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "docs_in")
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    # batch 1: two distinct docs + an in-batch duplicate
+    spark.createDataFrame(
+        [
+            (1, "alpha body", t0),
+            (2, "beta body", t0 + dt.timedelta(minutes=1)),
+            (3, "alpha body", t0 + dt.timedelta(minutes=2)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2 (same listing — file source reads all): cross-batch dup + new doc
+    spark.createDataFrame(
+        [
+            (4, "beta body", t0 + dt.timedelta(minutes=3)),
+            (5, "gamma body", t0 + dt.timedelta(minutes=4)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming.stream_dedup(stream, watermark="1 hour")
+    sink = str(tmp_path / "dedup_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(sink).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], []).append(r["doc_id"])
+    # one emission per distinct content, and it is the first arrival
+    assert sorted(len(v) for v in by_hash.values()) == [1, 1, 1]
+    emitted_ids = {v[0] for v in by_hash.values()}
+    assert emitted_ids == {1, 2, 5}

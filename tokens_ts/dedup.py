@@ -83,6 +83,51 @@ def with_minhash(
     return df.withColumn("minhash", sig).drop("_sh")
 
 
+def band_rows(
+    docs: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows — the persistent index rows
+    an incremental dedup pipeline stores per document."""
+    r = n_perm // bands
+    sigs = with_minhash(docs, n_perm, text_col, hash_mode).select(
+        "doc_id", "minhash"
+    )
+
+    def bucket_key(b: int):
+        sl = F.slice("minhash", b * r + 1, r)
+        if hash_mode == "xxhash":
+            return F.xxhash64(sl.cast("string")).cast("string")
+        return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_key(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _sized_buckets(rows: DataFrame, max_bucket: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return rows.withColumn("bsz", F.count("*").over(w)).where(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    )
+
+
 def lsh_candidates(
     docs: DataFrame,
     n_perm: int = 32,
@@ -98,36 +143,8 @@ def lsh_candidates(
     dropped (degenerate boilerplate buckets would otherwise explode
     the join at web scale). hash_mode='md5' makes every value DuckDB-
     reproducible (bucket key = the band values joined as a string)."""
-    r = n_perm // bands
-    sigs = with_minhash(docs, n_perm, text_col, hash_mode).select(
-        "doc_id", "minhash"
-    )
-
-    def bucket_key(b: int):
-        sl = F.slice("minhash", b * r + 1, r)
-        if hash_mode == "xxhash":
-            return F.xxhash64(sl.cast("string")).cast("string")
-        return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
-
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_key(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bucket")
-    sized = band_rows.withColumn("bsz", F.count("*").over(w)).where(
-        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    sized = _sized_buckets(
+        band_rows(docs, n_perm, bands, text_col, hash_mode), max_bucket
     )
     a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
     b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
@@ -138,6 +155,57 @@ def lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def lsh_incremental(
+    new_docs: DataFrame,
+    old_bands: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH maintenance: candidate pairs INVOLVING the new
+    batch, touching the stored index only in buckets the batch hits.
+
+    A continuous ingestion pipeline cannot re-run all-corpus LSH per
+    batch; it stores `band_rows` as an index table and, per batch:
+    (1) computes the batch's band rows, (2) left-semi-prunes the index
+    to the touched (band, bucket) keys — at 10^12 docs this is the
+    difference between reading a few buckets and rescanning the corpus
+    (partition/row-group pruning on the bucket key does it for free),
+    (3) sizes the combined buckets with the SAME [2, max_bucket] cap
+    as the batch operator, (4) emits pairs with at least one new side.
+
+    Returns (pairs, new_band_rows); the caller appends new_band_rows
+    to the index. For buckets whose combined size stays within the
+    cap, old∪incremental equals the full-batch recompute exactly
+    (pytest-pinned); a bucket that OVERFLOWS the cap only as it grows
+    stops emitting new pairs, but pairs already emitted are not
+    retroactively dropped — the periodic full recompute (compaction)
+    is where re-capping happens.
+    """
+    new_rows = band_rows(new_docs, n_perm, bands, text_col, hash_mode)
+    touched = new_rows.select("band", "bucket").distinct()
+    old_touched = old_bands.join(touched, ["band", "bucket"], "left_semi")
+    all_rows = old_touched.withColumn("_new", F.lit(False)).unionByName(
+        new_rows.withColumn("_new", F.lit(True))
+    )
+    sized = _sized_buckets(all_rows, max_bucket)
+    a = sized.select(
+        "band", "bucket", F.col("doc_id").alias("a"), F.col("_new").alias("_an")
+    )
+    b = sized.select(
+        "band", "bucket", F.col("doc_id").alias("b"), F.col("_new").alias("_bn")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where((F.col("a") < F.col("b")) & (F.col("_an") | F.col("_bn")))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs, new_rows
 
 
 def connected_components(

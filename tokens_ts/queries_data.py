@@ -1132,6 +1132,33 @@ def doc_minhash_md5(spark, sf_dir):
     )
 
 
+@q(
+    "doc_minhash_incremental",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id < y.doc_id
+      AND (x.doc_id % 2 = 1 OR y.doc_id % 2 = 1)
+    """,
+)
+def doc_minhash_incremental(spark, sf_dir):
+    """Incremental LSH maintenance, value-checked: fold the odd-doc_id
+    half of the corpus into an index built from the even half; the
+    emitted pairs must equal the full-corpus candidates restricted to
+    pairs involving the new batch (the oracle computes that restriction
+    directly — for touched buckets the incremental combined sizing is
+    exactly the full-corpus sizing)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    pairs, _ = dedup.lsh_incremental(
+        new, dedup.band_rows(old, 32, 8, hash_mode="md5"), hash_mode="md5"
+    )
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # duplicate clusters: candidate pairs → connected components. Pairs alone
 # double-keep the middle of A-B, B-C; dedup needs the transitive closure.

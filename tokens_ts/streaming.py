@@ -329,3 +329,27 @@ def stream_window_agg(
             "sum_sq",
         )
     )
+
+
+def stream_dedup(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+):
+    """Streaming exact dedup: emit only the FIRST arrival of each
+    content hash, with state bounded by the watermark.
+
+    `dropDuplicatesWithinWatermark` keys on the content hash and keeps
+    per-key state only until the watermark passes it — the streaming
+    analog of `dedup.exact_groups` that a continuous ingestion pipeline
+    runs before anything else. Without the watermark bound the dedup
+    state would grow with every distinct document forever; with it,
+    re-crawls inside the window dedup exactly, re-crawls beyond the
+    window become the batch dedup's job (which holds the full corpus
+    index). Pure built-in operator — no custom state code to get
+    wrong."""
+    hashed = docs_stream.withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    ).withWatermark(ts_col, watermark)
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
