@@ -39,6 +39,31 @@ def raw_points(spark: SparkSession, n: int, ppm: int = 10) -> DataFrame:
     )
 
 
+def synth_docs(spark: SparkSession, n: int, words_per_doc: int = 100) -> DataFrame:
+    """Deterministic synthetic documents for dedup-stage benchmarks:
+    ~100-word texts over a 400-word vocabulary via an integer
+    recurrence (pure JVM expressions, ~10⁶ docs/s to generate). Every
+    100th doc duplicates its predecessor's template so LSH buckets
+    carry realistic collision structure."""
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+    id_ = F.col("id")
+    tid = F.when(id_ % 100 == 99, id_ - 1).otherwise(id_)
+    vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(400)])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.element_at(vocab, ((tid * 31 + i * 17) % 400 + 1).cast("int")),
+        ),
+        " ",
+    )
+    return df.select(
+        id_.alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (id_ % 8).cast("string")).alias("source"),
+    )
+
+
 def tier_state(
     spark: SparkSession,
     n: int,

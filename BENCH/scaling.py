@@ -38,6 +38,7 @@ STAGES = (
     "1h_to_1d",
     "codec_encode",
     "codec_decode",
+    "minhash_lsh",
 )
 
 
@@ -137,6 +138,25 @@ def worker(args) -> None:
           walls.append(time.time() - t0)
       out["stages"]["1h_to_1d"] = walls
 
+    # dedup: minhash signatures + LSH band join on synthetic docs —
+    # the JVM-expression-heavy data-ops path (single-pass least-fold
+    # over ~98 shingles × 32 perms per doc, then the bucket self-join)
+    if "minhash_lsh" in only:
+      from tokens_ts import dedup
+
+      gen_raw.synth_docs(spark, args.docs).write.mode("overwrite").parquet(
+          str(wh / "docs")
+      )
+      d = spark.read.parquet(str(wh / "docs"))
+      out["counts"]["minhash_lsh"] = d.count()
+      noop(dedup.lsh_candidates(d, 32, 8))  # warm (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(dedup.lsh_candidates(d, 32, 8))
+          walls.append(time.time() - t0)
+      out["stages"]["minhash_lsh"] = walls
+
     # codec encode on its own (smaller) generated raw set so it is
     # measured with full parallelism, not through a Limit funnel
     if not ({"codec_encode", "codec_decode"} & only):
@@ -206,6 +226,7 @@ def orchestrate(args) -> None:
                 "--cascade-points", str(args.cascade_points),
                 "--cascade1d-points", str(args.cascade1d_points),
                 "--codec-points", str(args.codec_points),
+                "--docs", str(args.docs),
                 "--only", args.only,
                 "--warehouse", f"/tmp/tokens_ts_scaling_{cores}",
                 "--out", str(jsonl),
@@ -269,6 +290,11 @@ def main():
                     help="synthetic 1h tier-state rows for the 1h→1d stage "
                          "(its per-row merge is ~2.5× faster, so it needs "
                          "more rows to clear the same 60 s wall)")
+    ap.add_argument("--docs", type=int, default=300_000,
+                    help="synthetic documents for the minhash_lsh stage "
+                         "(~100 words each; 300k gives the ≥60 s local[8] "
+                         "wall the protocol demands — 60k measured only a "
+                         "14 s wall, i.e. stage overhead)")
     ap.add_argument("--codec-points", type=int, default=100_000_000,
                     help="raw points for the codec stages — the round-3 "
                          "pack fast path pushed 3M-point walls to the "

@@ -93,3 +93,17 @@ def test_token_array_equality_invariant(seq_tiny, seq_tiny_pd):
     cs = out.select(F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("c")).collect()[0]["c"]
     cs2 = seq_tiny.select(F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("c")).collect()[0]["c"]
     assert cs == cs2
+
+
+def test_points_multi_matches_single_and_oob(spark, seq_tiny):
+    """Multi-point extraction equals per-point extraction column-wise;
+    out-of-range positions are null (reference: NaN for p >= n_tok)."""
+    from tokens_ts import extract
+    import pyspark.sql.functions as F
+
+    multi = {r["doc_id"]: r for r in extract.points(seq_tiny, [3, 500]).collect()}
+    single = {r["doc_id"]: r["value"] for r in extract.point(seq_tiny, 3).collect()}
+    assert multi and single
+    for doc_id, r in multi.items():
+        assert r["point_p3"] == single[doc_id], doc_id
+        assert r["point_p500"] is None  # n_tok <= 256 in the fixture

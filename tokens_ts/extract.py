@@ -168,6 +168,20 @@ def point(df: DataFrame, p: int) -> DataFrame:
     return out.withColumn("series_id", F.lit(f"point_p{p}"))
 
 
+def points(df: DataFrame, ps: Sequence[int]) -> DataFrame:
+    """Multiple token positions at once — the reference's point()
+    accepts a LIST of coordinates and emits one value column per
+    point (SURVEY.md P1); same here, in one row-local projection
+    (single scan, no shuffle). Out-of-range positions yield null,
+    matching the oracle's NaN."""
+    return _prep(df).select(
+        "source",
+        "doc_id",
+        "event_ts",
+        *[select_point(F.col("_m"), p).alias(f"point_p{p}") for p in ps],
+    )
+
+
 _FUSIBLE = {"cnt", "sum", "min", "max", "mean"}
 
 

@@ -219,6 +219,31 @@ def seq_mask_stats(spark, sf_dir):
     )
 
 
+@q(
+    "seq_points_multi",
+    _synth_cte()
+    + """
+    SELECT doc_id,
+           CAST(v[4] AS BIGINT) AS p3,
+           CAST(v[8] AS BIGINT) AS p7,
+           CAST(v[101] AS BIGINT) AS p100
+    FROM vals
+    """,
+)
+def seq_points_multi(spark, sf_dir):
+    """Multi-point extraction (reference API parity: geomatics point()
+    takes a coordinate LIST → one column per point): three positions in
+    one row-local scan; p100 exercises the out-of-range → null guard
+    (n_tok ∈ [16, 256])."""
+    w = extract.points(_seq(spark), [3, 7, 100])
+    return w.select(
+        "doc_id",
+        F.col("point_p3").cast("bigint").alias("p3"),
+        F.col("point_p7").cast("bigint").alias("p7"),
+        F.col("point_p100").cast("bigint").alias("p100"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-level corpus statistics: heavy-hitter tokens and per-source
 # vocabulary coverage — the histograms a tokenizer/data-mix report needs.
