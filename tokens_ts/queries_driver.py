@@ -547,6 +547,41 @@ def ts_downsample_minmax(spark, sf_dir):
 
 
 @q(
+    "ts_props_json",
+    """
+    SELECT event_type AS series_id,
+           CAST(count(k) AS BIGINT) AS cnt,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def ts_props_json(spark, sf_dir):
+    """Semi-structured props column (§2.8 json surface): extract the
+    embedded metric from the JSON blob JVM-side (get_json_object — no
+    Python, no full from_json schema when one path is needed) and
+    aggregate per series."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return (
+        ev.select(F.col("event_type").alias("series_id"), k)
+        .groupBy("series_id")
+        .agg(
+            F.count("k").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@q(
     "ts_ohlc_1h",
     """
     SELECT event_type AS series_id,
