@@ -582,6 +582,39 @@ def ts_props_json(spark, sf_dir):
 
 
 @q(
+    "ts_value_histogram",
+    """
+    SELECT event_type AS series_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 100.0 THEN 11
+                  ELSE CAST(floor((value - 0.0) / (100.0 - 0.0) * 10) AS BIGINT) + 1
+             END AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ts_value_histogram(spark, sf_dir):
+    """Per-series value histogram via the native width_bucket (§2.8) —
+    one map-side-combined count agg over at most nbins+2 buckets per
+    series; the oracle mirrors Postgres width_bucket semantics with
+    explicit floor arithmetic (DuckDB lacks the function)."""
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    return (
+        ev.select(
+            F.col("event_type").alias("series_id"),
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("series_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
     "ts_ohlc_1h",
     """
     SELECT event_type AS series_id,
