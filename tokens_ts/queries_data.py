@@ -1497,6 +1497,87 @@ def doc_curation_pipeline(spark, sf_dir):
     )
 
 
+@q(
+    "doc_curation_v2",
+    """
+    WITH w AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text,
+             len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+             list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')) AS s3raw
+      FROM w
+    ),
+    rep AS (
+      SELECT *, CAST(len(s3raw) - len(list_distinct(s3raw)) AS DOUBLE)
+                / len(s3raw) AS dup3,
+             list_distinct(s3raw) AS sh3
+      FROM q
+    ),
+    ev AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT unnest(sh3) AS s FROM rep WHERE doc_id % 37 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(sh3) AS s FROM rep WHERE doc_id % 37 <> 0)
+    ),
+    contam AS (
+      SELECT c.doc_id, count(*) AS n_sh, count(e.h) AS n_hit
+      FROM corpus c LEFT JOIN ev e ON c.h = e.h GROUP BY 1
+    ),
+    kept AS (
+      SELECT r.source, r.text
+      FROM rep r JOIN contam c ON r.doc_id = c.doc_id
+      WHERE r.doc_id % 37 <> 0
+        AND r.n_words >= 8 AND r.ttr >= 0.4
+        AND r.dup3 < 0.3
+        AND CAST(c.n_hit AS DOUBLE) / c.n_sh < 0.2
+    ),
+    dd AS (SELECT source, md5(text) AS h, count(*) AS n FROM kept GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n) - count(*) AS BIGINT) AS dups_dropped
+    FROM dd GROUP BY source
+    """,
+)
+def doc_curation_v2(spark, sf_dir):
+    """Curation pipeline v2 — the full round-4 gate chain composed:
+    quality (length + TTR) → repetition (dup-3-gram < 0.3) →
+    decontamination (eval overlap < 0.2 against the doc_id%37 eval
+    slice) → exact dedup → per-source yield. Every gate is a
+    previously-oracled primitive; this pair value-checks their
+    COMPOSITION end-to-end."""
+    docs = _docs(spark, sf_dir)
+    d = textops.with_repetition(textops.with_quality(docs))
+    corpus = d.where(F.col("doc_id") % 37 != 0)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    c = dedup.contamination(
+        corpus.select("doc_id", "source", "text"), ev, hash_mode="md5"
+    ).select("doc_id", "overlap_ratio")
+    kept = (
+        corpus.join(c, "doc_id")
+        .where(
+            (F.col("n_words") >= 8)
+            & (F.col("ttr") >= 0.4)
+            & (F.col("dup3_frac") < 0.3)
+            & (F.col("overlap_ratio") < 0.2)
+        )
+    )
+    groups = kept.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    return groups.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("dups_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # codec round-trip as an identity query (C1-C4)
 # ---------------------------------------------------------------------------
