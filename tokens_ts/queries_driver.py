@@ -547,6 +547,38 @@ def ts_downsample_minmax(spark, sf_dir):
 
 
 @q(
+    "ts_retention_ttl",
+    """
+    SELECT series_id, strftime(w, '%Y-%m-%d %H:%M:%S') AS w_ts, cnt
+    FROM (
+      SELECT event_type AS series_id, date_trunc('hour', ts) AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    WHERE w >= CAST('2024-01-20 00:00:00' AS TIMESTAMP) - INTERVAL 3 DAY
+    """,
+)
+def ts_retention_ttl(spark, sf_dir):
+    """Retention enforcement (the dual of downsampling): keep only 1h
+    windows newer than now − keep. On the (source, day) layout this
+    filter is partition-pruned whole-partition drops — no row rewrite.
+    Fixed 'now' (mid-corpus) so the pair is deterministic and both
+    kept and aged-out windows exist."""
+    t1h = (
+        _events_raw(spark, sf_dir)
+        .groupBy(
+            "series_id",
+            F.date_trunc("hour", "event_ts").alias("window_start"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    kept = tiers.retention_filter(t1h, "2024-01-20 00:00:00", "3 days")
+    return kept.select(
+        "series_id", _fmt("window_start").alias("w_ts"), "cnt"
+    )
+
+
+@q(
     "ts_props_json",
     """
     SELECT event_type AS series_id,
