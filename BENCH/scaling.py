@@ -39,6 +39,7 @@ STAGES = (
     "codec_encode",
     "codec_decode",
     "minhash_lsh",
+    "packing",
 )
 
 
@@ -157,6 +158,25 @@ def worker(args) -> None:
           walls.append(time.time() - t0)
       out["stages"]["minhash_lsh"] = walls
 
+    # sequence packing: per-source cumsum window + chunk-span explode +
+    # ObjectHashAggregate reassembly — the only plan shape not already
+    # covered by the tier/codec/dedup stages
+    if "packing" in only:
+      from tokens_ts import packing, synth
+
+      synth.sequences(spark, args.pack_docs, 8).write.mode(
+          "overwrite"
+      ).parquet(str(wh / "seq"))
+      seq = spark.read.parquet(str(wh / "seq"))
+      out["counts"]["packing"] = seq.agg(F.sum("n_tok")).collect()[0][0]
+      noop(packing.pack_tokens(seq, chunk_len=2048))  # warm (untimed)
+      walls = []
+      for _ in range(args.reps):
+          t0 = time.time()
+          noop(packing.pack_tokens(seq, chunk_len=2048))
+          walls.append(time.time() - t0)
+      out["stages"]["packing"] = walls
+
     # codec encode on its own (smaller) generated raw set so it is
     # measured with full parallelism, not through a Limit funnel
     if not ({"codec_encode", "codec_decode"} & only):
@@ -227,6 +247,7 @@ def orchestrate(args) -> None:
                 "--cascade1d-points", str(args.cascade1d_points),
                 "--codec-points", str(args.codec_points),
                 "--docs", str(args.docs),
+                "--pack-docs", str(args.pack_docs),
                 "--only", args.only,
                 "--warehouse", f"/tmp/tokens_ts_scaling_{cores}",
                 "--out", str(jsonl),
@@ -295,6 +316,11 @@ def main():
                          "(~100 words each; 300k gives the ≥60 s local[8] "
                          "wall the protocol demands — 60k measured only a "
                          "14 s wall, i.e. stage overhead)")
+    ap.add_argument("--pack-docs", type=int, default=6_000_000,
+                    help="synthetic sequences (k_total) for the packing "
+                         "stage — ~1.9B tokens, sized for the ≥60 s "
+                         "local[8] wall (calibrated: 300k docs/94M "
+                         "tokens pack in 2.9 s @8 = 33M tokens/s)")
     ap.add_argument("--codec-points", type=int, default=100_000_000,
                     help="raw points for the codec stages — the round-3 "
                          "pack fast path pushed 3M-point walls to the "
