@@ -212,3 +212,36 @@ def test_token_freq_topk_take_ordered(spark):
 
     plan = _plan(QUERIES["seq_token_freq_topk"](spark, ""))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
+    """Co-located joins via bucketing (SURVEY.md §4.2): two tables
+    bucketed on the join key by the same bucket count join WITHOUT a
+    shuffle on either side — the pre-partitioning strategy for big
+    recurring joins at 10^12 rows. (AQE/broadcast disabled for the
+    assertion so the sort-merge path is what's planned.)"""
+    wh = tmp_path_factory.mktemp("bucketed")
+    rows = [(i, f"src{i % 8:02d}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    for name in ("bt_a", "bt_b"):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(wh / name))
+            .bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(name)
+        )
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_a").join(spark.table("bt_b"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucketing replaces the shuffle
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
