@@ -241,3 +241,47 @@ def test_val_decode_rejects_bad_version():
     enc = codec.encode_val_xor(np.arange(8, dtype=np.float64))
     with pytest.raises(ValueError, match="bad val codec version"):
         codec.decode_val_xor(bytes([99]) + enc[1:], 8)
+
+
+def test_compression_ratio_pins(spark):
+    """Numerical efficiency contract of the codecs — the reason the
+    north rule mandates them at 10^12 points. Regular grids compress
+    to ~1 bit/timestamp (DoD control '0' runs); repeated values to
+    ~0.25 bits (XOR '00' repeats); random-walk doubles stay well under
+    raw 8 B. Bounds are deliberately loose (2× headroom) so they pin
+    the complexity class, not the exact byte count."""
+    import numpy as np
+
+    from tokens_ts import codec
+
+    n = 100_000
+    # perfectly regular 60 s grid: after header, one '0' bit per step
+    ts = np.arange(n, dtype=np.int64) * 60
+    b = codec.encode_ts_dod(ts)
+    assert len(b) * 8 / n < 2.0, len(b)
+    assert np.array_equal(codec.decode_ts_dod(b, n), ts)
+
+    # constant series: exactly one 2-bit '00' repeat code per value
+    const = np.full(n, 42.5)
+    bc = codec.encode_val_xor(const)
+    assert len(bc) * 8 / n < 2.5, len(bc)
+
+    # quantized (integer-valued) walk — the metrics shape Gorilla is
+    # built for: zero mantissa tails make XOR windows narrow
+    isteps = ((np.arange(n, dtype=np.int64) * 2654435761) % 11) - 5
+    qwalk = (1000 + np.cumsum(isteps)).astype(np.float64)
+    bq = codec.encode_val_xor(qwalk)
+    assert len(bq) * 8 / n < 32.0, len(bq) * 8 / n
+    dq, _ = codec.decode_val_xor(bq, n)
+    assert np.array_equal(dq, qwalk)
+
+    # full-mantissa continuous walk — the codec's worst realistic
+    # case: every bit of the mantissa churns, XOR still beats raw
+    steps = (((np.arange(n, dtype=np.int64) * 2654435761) % 1000) - 500) / 1e3
+    walk = 1000.0 + np.cumsum(steps)
+    bw = codec.encode_val_xor(walk)
+    bits = len(bw) * 8 / n
+    assert bits < 64.0, bits
+    dec, nulls = codec.decode_val_xor(bw, n)
+    assert not nulls.any()
+    assert np.array_equal(dec, walk)
