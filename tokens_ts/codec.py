@@ -587,3 +587,86 @@ def decode_segments(blobs: DataFrame) -> DataFrame:
             ]
         )
     return blobs.mapInPandas(_decode_batches(ntz), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# C5 — token-array bit-packing (the tokens-payload codec).
+#
+# The C1-C4 codecs compress the (event_ts, value) series; the CORPUS
+# side of this engine stores array<int32> token sequences whose ids
+# live in [0, V) with V = 2^17 — 32-bit ints waste 15 bits per token.
+# Fixed-width bit-packing stores exactly ceil(17·n/8) bytes (+4-byte
+# length header): a 47% cut on the dominant column at 10^12-sequence
+# scale, with O(n) vectorized numpy pack/unpack (bit-matrix reshape +
+# packbits — no per-token Python) and an exact round trip, i.e. the
+# north-rule token-array-equality invariant holds THROUGH the codec.
+# ---------------------------------------------------------------------------
+
+TOKEN_BITS = 17  # ceil(log2(config.V))
+
+
+def encode_tokens_fixed(tokens: np.ndarray, width: int = TOKEN_BITS) -> bytes:
+    """Pack uint token ids into `width`-bit fields (little-endian bit
+    order within the stream). Header: uint32 token count."""
+    t = np.asarray(tokens, dtype=np.uint32)
+    if t.size and int(t.max()) >= (1 << width):
+        raise ValueError(
+            f"token id {int(t.max())} does not fit in {width} bits"
+        )
+    # (n, width) bit matrix, LSB first, then packbits into the stream
+    bits = (t[:, None] >> np.arange(width, dtype=np.uint32)) & 1
+    payload = np.packbits(bits.astype(np.uint8), bitorder="little").tobytes()
+    return np.uint32(t.size).tobytes() + payload
+
+
+def decode_tokens_fixed(data: bytes, width: int = TOKEN_BITS) -> np.ndarray:
+    """Inverse of encode_tokens_fixed → int32 array."""
+    n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    raw = np.frombuffer(data[4:], dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[: n * width]
+    mat = bits.reshape(n, width).astype(np.uint32)
+    vals = (mat << np.arange(width, dtype=np.uint32)).sum(
+        axis=1, dtype=np.uint32
+    )
+    return vals.astype(np.int32)
+
+
+@pandas_udf(BinaryType())
+def _enc_tokens_udf(tok_lists: pd.Series) -> pd.Series:
+    return tok_lists.map(
+        lambda a: encode_tokens_fixed(np.asarray(a, dtype=np.uint32))
+    )
+
+
+def encode_token_blobs(seq: DataFrame) -> DataFrame:
+    """sequences → (doc_id, source, n_tok, tok_blob, raw_bytes,
+    enc_bytes): one scalar Arrow stage, no shuffle (row-local)."""
+    return seq.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        _enc_tokens_udf("tokens").alias("tok_blob"),
+        (F.col("n_tok").cast("long") * 4).alias("raw_bytes"),
+    ).withColumn("enc_bytes", F.octet_length("tok_blob").cast("long"))
+
+
+def decode_token_blobs(blobs: DataFrame) -> DataFrame:
+    """Inverse of encode_token_blobs → (doc_id, source, tokens)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "tokens": pdf["tok_blob"].map(
+                        lambda b: decode_tokens_fixed(bytes(b)).tolist()
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(
+        batches, schema="doc_id string, source string, tokens array<int>"
+    )

@@ -244,6 +244,38 @@ def seq_points_multi(spark, sf_dir):
     )
 
 
+@q(
+    "codec_tokens_roundtrip",
+    _synth_cte()
+    + """
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+           md5(array_to_string(tokens, ',')) AS tok_md5
+    FROM seq
+    """,
+)
+def codec_tokens_roundtrip(spark, sf_dir):
+    """C5 token bit-packing as an identity query: encode every
+    sequence's tokens to 17-bit-packed blobs (47% of the int32 bytes)
+    and decode back; the oracle computes the SAME per-doc count, sum,
+    and exact md5 of the token stream directly from the generated
+    table — token-array equality THROUGH the codec, value-checked
+    cross-engine."""
+    seq = _seq(spark).select("doc_id", "source", "n_tok", "tokens")
+    back = codec.decode_token_blobs(codec.encode_token_blobs(seq))
+    return back.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("tok_sum"),
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-level corpus statistics: heavy-hitter tokens and per-source
 # vocabulary coverage — the histograms a tokenizer/data-mix report needs.
