@@ -173,6 +173,9 @@ def main():
     bench("packing_tokens", lambda: _materialize(
         packing.pack_tokens(seq, chunk_len=2048)
     ))
+    bench("token_pack", lambda: _materialize(
+        codec.decode_token_blobs(codec.encode_token_blobs(seq))
+    ))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
