@@ -172,6 +172,24 @@ def test_backfill_auto_salting_identity_and_targeting(spark, seq_tiny, tmp_path)
         )
 
 
+def test_increment_auto_salting_identity(spark, seq_tiny, tmp_path):
+    """run_increment(salt='auto') lands the exact same tiers as the
+    plain increment — the engine-level skew routing extends to the
+    touched-window recompute path."""
+    seq = grid.with_event_time(seq_tiny)
+    for root, salt in ((str(tmp_path / "p"), None), (str(tmp_path / "a"), "auto")):
+        pipeline.run_backfill(spark, seq.where(F.col("k") < 200), root)
+        pipeline.run_increment(
+            spark, seq.where(F.col("k") >= 200), root,
+            batch_id="e1", salt=salt, skew_ratio=1.5,
+        )
+    for name in ("t1m", "t1h", "t1d"):
+        _same(
+            _tier_snapshot(spark, str(tmp_path / "a"), name),
+            _tier_snapshot(spark, str(tmp_path / "p"), name),
+        )
+
+
 def test_backfill_auto_salting_lineage_baseline(spark, seq_tiny, tmp_path):
     """The lineage feed is what catches a wave consisting of ONLY the
     hot source: its within-wave median is the hot key itself (ratio

@@ -322,6 +322,8 @@ def run_increment(
     extraction: Callable[[DataFrame], DataFrame] = default_extraction,
     fmt: str = "parquet",
     batch_id: str | None = None,
+    salt: str | None = None,
+    skew_ratio: float = 4.0,
     _crash_after_raw: bool = False,
 ) -> dict:
     """Fold an append-only batch of new sequences into raw + all tiers,
@@ -383,8 +385,16 @@ def run_increment(
         new_raw.unpersist()
         raise RuntimeError("injected crash after raw write")
 
-    raw_touched = cat.read(spark, "raw").where(sel)
-    t = tiers.build_all_tiers(raw_touched.drop("day", "batch_id"))
+    raw_touched = cat.read(spark, "raw").where(sel).drop("day", "batch_id")
+    # salt="auto": same engine-level skew routing as run_backfill —
+    # the touched-window recompute is itself a rollup over possibly
+    # skewed keys (a hot source's whole day re-aggregates per batch)
+    hot = (
+        _auto_hot_keys(spark, cat, raw_touched, skew_ratio)
+        if salt == "auto"
+        else None
+    )
+    t = tiers.build_all_tiers(raw_touched, hot_keys=hot)
     for tier, name in TIER_NAMES.items():
         upd = _with_day(t[tier], "window_start").where(sel)
         cat.overwrite_partitions(upd, name, ["source", "day"])
