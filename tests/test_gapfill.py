@@ -245,3 +245,55 @@ def test_downsample_minmax_ties_and_nulls(spark):
     assert row["min_v"] == 1.0 and row["max_v"] == 9.0
     assert row["min_ts"] == t0 + dt.timedelta(minutes=4)
     assert row["max_ts"] == t0 + dt.timedelta(minutes=2)
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """forward and nearest must reproduce pd.merge_asof exactly,
+    including tie→backward for 'nearest' and exact-match visibility."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tokens_ts import gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = [("k", ts(5)), ("k", ts(10)), ("k", ts(22)), ("k", ts(100))]
+    right = [("k", ts(0), 1.0), ("k", ts(10), 2.0), ("k", ts(30), 3.0)]
+    ldf = spark.createDataFrame(left, "key string, event_ts timestamp")
+    rdf = spark.createDataFrame(right, "key string, event_ts timestamp, v double")
+    lp = pd.DataFrame(left, columns=["key", "event_ts"])
+    rp = pd.DataFrame(right, columns=["key", "event_ts", "v"])
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["event_ts"]: r["asof_v"]
+            for r in gapfill.asof_join(
+                ldf, rdf, ["key"], direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lp.sort_values("event_ts"),
+            rp.sort_values("event_ts"),
+            on="event_ts",
+            by="key",
+            direction=direction,
+        )
+        want = {
+            r.event_ts.to_pydatetime(): (None if pd.isna(r.v) else r.v)
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction
+    # tolerance applies on |dt| in every direction
+    fwd_tol = {
+        r["event_ts"]: r["asof_v"]
+        for r in gapfill.asof_join(
+            ldf, rdf, ["key"], direction="forward", tolerance_seconds=5
+        ).collect()
+    }
+    assert fwd_tol[ts(5)] == 2.0     # 5 s ahead: within
+    assert fwd_tol[ts(22)] is None   # 8 s ahead: beyond tolerance
+    assert fwd_tol[ts(100)] is None  # no later build row

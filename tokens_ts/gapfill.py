@@ -288,14 +288,22 @@ def asof_join(
     right_ts: str = "event_ts",
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (nearest-earlier) join, pd.merge_asof(direction='backward').
+    """As-of join with pd.merge_asof's three directions.
 
     Native union+window form (SURVEY.md G5/J5): tag both sides, union,
-    and carry the build side's last values forward over a per-key sorted
+    and carry the build side's values over a per-key sorted cumulative
     window — one shuffle, no Python, no row explosion. Ties (equal
     timestamps) match, like merge_asof's allow_exact_matches=True.
-    """
+
+    direction='backward' (default): nearest build row at-or-before the
+    probe. 'forward': nearest at-or-after (the same cumulative frame
+    over DESCENDING time — O(n), not an O(n²) following frame).
+    'nearest': both carries, pick the smaller |Δt|; ties → backward,
+    exactly pandas' rule."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in keys + [right_ts]
     ]
@@ -317,32 +325,75 @@ def asof_join(
         if c not in l_tagged.columns:
             l_tagged = l_tagged.withColumn(c, F.lit(None))
     u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
-    # build rows (_side=0) sort before probe rows at equal _ts → exact
-    # matches are visible to the probe row
-    w = (
+    # build rows (_side=0) sort before probe rows at equal _ts in BOTH
+    # directions → exact matches are always visible to the probe row
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
-        .over(w)
-        .alias(f"asof_{c}")
-        for c in value_cols
-    ]
-    carried_ts = (
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("_asof_ts")
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("_ts"), "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u.select("*", *carried, carried_ts).where(F.col("_side") == 1)
+
+    def _carry(w, suffix):
+        cols = [
+            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"_{suffix}_{c}")
+            for c in value_cols
+        ]
+        ts = (
+            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+            .over(w)
+            .alias(f"_{suffix}_ts")
+        )
+        return cols + [ts]
+
+    if direction == "backward":
+        out = u.select("*", *_carry(w_back, "b")).where(F.col("_side") == 1)
+        pick_b = F.lit(True)
+    elif direction == "forward":
+        out = u.select("*", *_carry(w_fwd, "b")).where(F.col("_side") == 1)
+        pick_b = F.lit(True)
+    else:  # nearest
+        out = u.select(
+            "*", *_carry(w_back, "b"), *_carry(w_fwd, "f")
+        ).where(F.col("_side") == 1)
+        d_b = F.abs(F.col("_ts").cast("double") - F.col("_b_ts").cast("double"))
+        d_f = F.abs(F.col("_f_ts").cast("double") - F.col("_ts").cast("double"))
+        # backward wins ties and wherever forward has no match
+        pick_b = F.col("_f_ts").isNull() | (
+            F.col("_b_ts").isNotNull() & (d_b <= d_f)
+        )
+    for c in value_cols:
+        chosen = (
+            F.col(f"_b_{c}")
+            if direction != "nearest"
+            else F.when(pick_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        )
+        out = out.withColumn(f"asof_{c}", chosen)
+    asof_ts = (
+        F.col("_b_ts")
+        if direction != "nearest"
+        else F.when(pick_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+    )
+    out = out.withColumn("_asof_ts", asof_ts)
     if tolerance_seconds is not None:
         within = (
-            F.col("_ts").cast("double") - F.col("_asof_ts").cast("double")
-        ) <= tolerance_seconds
+            F.abs(F.col("_ts").cast("double") - F.col("_asof_ts").cast("double"))
+            <= tolerance_seconds
+        )
         for c in value_cols:
             out = out.withColumn(
                 f"asof_{c}", F.when(within, F.col(f"asof_{c}"))
             )
-    drop = ["_side", "_ts", "_asof_ts"] + [f"_r_{c}" for c in value_cols]
-    return out.drop(*drop)
+    drop = (
+        ["_side", "_ts", "_asof_ts", "_b_ts", "_f_ts"]
+        + [f"_r_{c}" for c in value_cols]
+        + [f"_b_{c}" for c in value_cols]
+        + [f"_f_{c}" for c in value_cols]
+    )
+    return out.drop(*[c for c in drop if c in out.columns])

@@ -811,6 +811,32 @@ def ts_asof_click_purchase(spark, sf_dir):
     return j.select("event_id", "asof_value")
 
 
+@q(
+    "ts_asof_forward",
+    """
+    SELECT c.event_id,
+           p.value AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def ts_asof_forward(spark, sf_dir):
+    """Forward as-of (nearest-LATER match): each click paired with the
+    user's next purchase — the time-to-conversion primitive. Same
+    union+window O(n) shape as backward (descending-time cumulative
+    frame, never an O(n²) following frame); DuckDB's native forward
+    ASOF (c.ts <= p.ts) is the oracle."""
+    ev = _ev(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = gapfill.asof_join(
+        clicks, buys, keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="forward",
+    )
+    return j.select("event_id", F.col("asof_value").alias("next_value"))
+
+
 # ---------------------------------------------------------------------------
 # J4: explicit range/interval join — events matched into UNALIGNED hot
 # windows (top-k (type, hour) cells stretched ±30 min, so interval
