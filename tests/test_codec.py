@@ -317,3 +317,15 @@ def test_token_bitpack_roundtrip_and_size(spark, seq_tiny):
     back = {r["doc_id"]: r["tokens"] for r in codec.decode_token_blobs(blobs).collect()}
     orig = {r["doc_id"]: r["tokens"] for r in seq_tiny.collect()}
     assert back == orig
+
+
+def test_token_header_is_little_endian_on_disk():
+    """The 4-byte count header is pinned '<u4': byte layout must be
+    stable regardless of host endianness (storage-format contract)."""
+    import struct
+
+    blob = codec.encode_tokens_fixed(np.array([5, 6, 7], dtype=np.uint32))
+    assert struct.unpack("<I", blob[:4])[0] == 3
+    # and a hand-built LE blob decodes on this host
+    rebuilt = struct.pack("<I", 3) + blob[4:]
+    assert codec.decode_tokens_fixed(rebuilt).tolist() == [5, 6, 7]

@@ -484,6 +484,25 @@ def test_survivor_selection_ids_above_1e9(spark):
     assert out[2]["keep_doc_id"] == 8_999_999_999
 
 
+def test_survivor_selection_string_doc_ids(spark):
+    """The codec/packing tables key docs by STRING ids — the keep
+    policy must order them too (the retired -doc_id tie-break would
+    throw under ANSI mode on a non-numeric string). Highest score wins;
+    ties → lexicographically smallest id."""
+    scored = spark.createDataFrame(
+        [
+            (1, "doc-b", 11),
+            (1, "doc-a", 10),
+            (2, "doc-z", 3),
+            (2, "doc-m", 3),  # tie on words → 'doc-m' < 'doc-z' wins
+        ],
+        "component long, doc_id string, n_words int",
+    )
+    out = {r["component"]: r for r in dedup.survivor_selection(scored).collect()}
+    assert out[1]["keep_doc_id"] == "doc-b"
+    assert out[2]["keep_doc_id"] == "doc-m"
+
+
 def test_contamination_planted_doc(spark):
     """A doc copied verbatim from the eval set scores overlap 1.0; a
     doc sharing one leading 3-gram scores exactly 1/5; an unrelated

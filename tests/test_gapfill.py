@@ -297,3 +297,38 @@ def test_asof_join_directions_match_pandas(spark):
     assert fwd_tol[ts(5)] == 2.0     # 5 s ahead: within
     assert fwd_tol[ts(22)] is None   # 8 s ahead: beyond tolerance
     assert fwd_tol[ts(100)] is None  # no later build row
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Build rows sharing (key, ts) must resolve to the SAME match on
+    every run/direction — the window ordering carries a content-hash
+    tie-break, so the pick is a pure function of the data."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25)], "key string, t int"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"))
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 10, 2.0), ("k", 20, 5.0), ("k", 20, 6.0)],
+        "key string, t int, v double",
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "v")
+    runs = set()
+    for _ in range(3):
+        for direction in ("backward", "forward", "nearest"):
+            got = tuple(
+                (r["t"], r["asof_v"])
+                for r in gapfill.asof_join(
+                    left.withColumn("t", F.col("event_ts").cast("long")),
+                    right,
+                    ["key"],
+                    direction=direction,
+                )
+                .orderBy("t")
+                .collect()
+            )
+            runs.add((direction, got))
+    # one distinct outcome per direction across repeated runs
+    assert len(runs) == 3, runs
+    by_dir = dict((d, g) for d, g in runs)
+    # exact-ts duplicate at t=10: both directions must agree on the pick
+    assert by_dir["backward"][0] == by_dir["forward"][0]

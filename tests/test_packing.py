@@ -75,3 +75,34 @@ def test_packing_skips_empty_docs(spark):
     flat = [t for r in chunks for t in r["tokens"]]
     assert flat == [1, 2, 3, 4, 5]
     assert [r["n_filled"] for r in chunks] == [4, 1]
+
+
+def test_packing_duplicate_doc_id_rejected(spark):
+    """Duplicate doc_ids within a source would make the concat order —
+    and every packed chunk — nondeterministic; they must fail fast."""
+    df = spark.createDataFrame(
+        [
+            ("a-0", [1, 2], 2, "a"),
+            ("a-0", [3, 4], 2, "a"),
+            ("b-0", [5], 1, "b"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        packing.pack_tokens(df, chunk_len=4).collect()
+
+
+def test_packing_shared_bases_single_totals_job(spark, seq_tiny):
+    """source_bases computed once feeds both summary and tokens with
+    identical results to the per-call path (the caching contract)."""
+    bases = packing.source_bases(seq_tiny)
+    s1 = packing.pack_summary(seq_tiny, chunk_len=L, bases=bases).collect()
+    s2 = packing.pack_summary(seq_tiny, chunk_len=L).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    t1 = (
+        packing.pack_tokens(seq_tiny, chunk_len=L, bases=bases)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    t2 = packing.pack_tokens(seq_tiny, chunk_len=L).orderBy("chunk_id").collect()
+    assert [r["tokens"] for r in t1] == [r["tokens"] for r in t2]

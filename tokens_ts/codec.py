@@ -616,12 +616,15 @@ def encode_tokens_fixed(tokens: np.ndarray, width: int = TOKEN_BITS) -> bytes:
     # (n, width) bit matrix, LSB first, then packbits into the stream
     bits = (t[:, None] >> np.arange(width, dtype=np.uint32)) & 1
     payload = np.packbits(bits.astype(np.uint8), bitorder="little").tobytes()
-    return np.uint32(t.size).tobytes() + payload
+    # header dtype pinned little-endian: this is an on-disk format, so
+    # a blob written on a LE cluster must decode identically on a BE
+    # reader (packbits bitorder= is already endian-independent).
+    return np.uint32(t.size).astype("<u4").tobytes() + payload
 
 
 def decode_tokens_fixed(data: bytes, width: int = TOKEN_BITS) -> np.ndarray:
     """Inverse of encode_tokens_fixed → int32 array."""
-    n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    n = int(np.frombuffer(data[:4], dtype="<u4")[0])
     if n == 0:
         return np.zeros(0, dtype=np.int32)
     raw = np.frombuffer(data[4:], dtype=np.uint8)

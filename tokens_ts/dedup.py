@@ -311,17 +311,19 @@ def survivor_selection(scored: DataFrame, score_col: str = "n_words") -> DataFra
     """Per duplicate component, keep the member with the highest score;
     ties → smallest doc_id. `scored` = (component, doc_id, <score_col>).
 
-    The keep policy is a STRUCT comparator — lexicographic
-    (score, -doc_id) — so it is valid at ANY doc_id range; a composite
-    scalar key (score·K − doc_id) would overflow/misrank once ids pass
-    K. One broadcast-scale aggregation; no window over the corpus."""
+    The keep policy is a STRUCT comparator — min_by over lexicographic
+    (-score, doc_id) — so it is valid at ANY doc_id range AND any
+    orderable doc_id type (bigint or string ids both sort correctly;
+    only the score must be numeric). A composite scalar key
+    (score·K − doc_id) would overflow/misrank once ids pass K. One
+    broadcast-scale aggregation; no window over the corpus."""
     return scored.groupBy("component").agg(
         F.count("*").alias("n_members"),
-        F.max_by(
+        F.min_by(
             "doc_id",
             F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col("doc_id")).alias("neg_id"),
+                (-F.col(score_col)).alias("neg_s"),
+                F.col("doc_id").alias("id"),
             ),
         ).alias("keep_doc_id"),
         F.max(score_col).alias(f"keep_{score_col}"),

@@ -307,8 +307,10 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in keys + [right_ts]
     ]
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
-        "_ts", F.col(left_ts)
+    l_tagged = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_tie", F.lit(0).cast("long"))
     )
     r_tagged = (
         right.select(
@@ -317,6 +319,18 @@ def asof_join(
             *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         )
         .withColumn("_side", F.lit(0))
+        # deterministic order among build rows sharing (keys, _ts): a
+        # content hash of the carried values. Without it, F.last picks
+        # whichever duplicate the shuffle happened to sort last — the
+        # matched value would vary run to run. With it, the max-hash
+        # duplicate wins in BOTH directions (same tie column, ascending
+        # in both windows), so backward/forward/nearest stay mutually
+        # consistent. (merge_asof itself keeps right-input order; with
+        # duplicate right timestamps any stable rule is equally valid.)
+        .withColumn(
+            "_tie",
+            F.xxhash64(*[F.col(f"_r_{c}").cast("string") for c in value_cols]),
+        )
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
@@ -329,12 +343,12 @@ def asof_join(
     # directions → exact matches are always visible to the probe row
     w_back = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy(*keys)
-        .orderBy(F.desc("_ts"), "_side")
+        .orderBy(F.desc("_ts"), "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
@@ -391,7 +405,7 @@ def asof_join(
                 f"asof_{c}", F.when(within, F.col(f"asof_{c}"))
             )
     drop = (
-        ["_side", "_ts", "_asof_ts", "_b_ts", "_f_ts"]
+        ["_side", "_ts", "_tie", "_asof_ts", "_b_ts", "_f_ts"]
         + [f"_r_{c}" for c in value_cols]
         + [f"_b_{c}" for c in value_cols]
         + [f"_f_{c}" for c in value_cols]

@@ -29,25 +29,48 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def pack_offsets(seq: DataFrame) -> DataFrame:
-    """Attach the global token offset of every doc in the deterministic
-    (source, doc_id) concatenation order.
+def source_bases(seq: DataFrame) -> DataFrame:
+    """Per-source global base offsets in source order — the driver-side
+    prefix sum over per-source token totals. Control-plane sized (one
+    row per source, the same bound as the checkpoint manifest); compute
+    ONCE and pass to pack_offsets when deriving both pack_summary and
+    pack_tokens from the same input, so the totals job runs once.
 
-    The per-source totals collect is driver control-plane only (one row
-    per source — the same bound as the checkpoint manifest)."""
+    The same aggregation also checks doc_id uniqueness per source:
+    duplicate ids would make the (source, doc_id) concatenation order —
+    and hence every packed chunk — nondeterministic, so they fail fast
+    here rather than silently reordering tokens."""
     totals = (
         seq.groupBy("source")
-        .agg(F.sum("n_tok").alias("tot"))
+        .agg(
+            F.sum("n_tok").alias("tot"),
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
         .orderBy("source")
         .collect()
     )
+    dup = [r["source"] for r in totals if r["n"] != r["n_ids"]]
+    if dup:
+        raise ValueError(
+            f"pack_offsets: duplicate doc_id within source(s) {dup} — "
+            "packing order would be nondeterministic; dedupe the batch "
+            "first (e.g. dedup.survivor_selection or dropDuplicates)"
+        )
     base_rows, acc = [], 0
     for r in totals:
         base_rows.append((r["source"], acc))
         acc += int(r["tot"])
-    base = seq.sparkSession.createDataFrame(
+    return seq.sparkSession.createDataFrame(
         base_rows, "source string, base long"
     )
+
+
+def pack_offsets(seq: DataFrame, bases: DataFrame | None = None) -> DataFrame:
+    """Attach the global token offset of every doc in the deterministic
+    (source, doc_id) concatenation order. `bases` = a precomputed
+    source_bases(seq) to share across pack_summary + pack_tokens."""
+    base = bases if bases is not None else source_bases(seq)
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -64,9 +87,11 @@ def pack_offsets(seq: DataFrame) -> DataFrame:
     )
 
 
-def _spans(seq: DataFrame, chunk_len: int) -> DataFrame:
+def _spans(
+    seq: DataFrame, chunk_len: int, bases: DataFrame | None = None
+) -> DataFrame:
     """One row per (doc, chunk) span the doc's tokens cover."""
-    off = pack_offsets(seq).where(F.col("n_tok") > 0)
+    off = pack_offsets(seq, bases=bases).where(F.col("n_tok") > 0)
     first = F.floor(F.col("offset") / chunk_len).cast("long")
     last = F.floor((F.col("offset") + F.col("n_tok") - 1) / chunk_len).cast("long")
     sp = off.select(
@@ -92,11 +117,13 @@ def _spans(seq: DataFrame, chunk_len: int) -> DataFrame:
     )
 
 
-def pack_summary(seq: DataFrame, chunk_len: int = 2048) -> DataFrame:
+def pack_summary(
+    seq: DataFrame, chunk_len: int = 2048, bases: DataFrame | None = None
+) -> DataFrame:
     """Per-chunk packing report: how many docs contribute, how many
     tokens land, and the covering doc range — the bookkeeping view a
     data-loader manifest needs (no token materialization)."""
-    spans = _spans(seq, chunk_len).drop("tokens")
+    spans = _spans(seq, chunk_len, bases=bases).drop("tokens")
     return spans.groupBy("chunk_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("span_len").cast("long").alias("n_filled"),
@@ -105,13 +132,15 @@ def pack_summary(seq: DataFrame, chunk_len: int = 2048) -> DataFrame:
     )
 
 
-def pack_tokens(seq: DataFrame, chunk_len: int = 2048) -> DataFrame:
+def pack_tokens(
+    seq: DataFrame, chunk_len: int = 2048, bases: DataFrame | None = None
+) -> DataFrame:
     """Materialize the packed chunks: (chunk_id, tokens array<int> of
     length chunk_len except the tail). Spans are cut with F.slice and
     reassembled in offset order via array_sort over (offset, piece)
     structs — offsets are globally unique, so the sort is total and
     collect_list's arrival nondeterminism cannot leak through."""
-    spans = _spans(seq, chunk_len)
+    spans = _spans(seq, chunk_len, bases=bases)
     piece = F.slice("tokens", F.col("start_in_doc") + 1, F.col("span_len"))
     return (
         spans.select("chunk_id", "offset", piece.alias("piece"))
