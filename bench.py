@@ -82,6 +82,12 @@ def main():
         )
     )
 
+    # warm the JVM hash-aggregate/codegen path untimed too: the first
+    # timed rollup otherwise pays one-time JIT+codegen (r4 driver bench
+    # read 2.68 s for rollup_1m vs 1.06 s clean-window on identical
+    # code). sample() keeps all partitions live, unlike limit().
+    _materialize(tiers.rollup(ev_raw.sample(0.05, seed=7), "1m"))
+
     timings: dict[str, float] = {}
     bench_t0 = time.time()
     BUDGET_S = 420.0  # stop adding repeats near the driver's timeout

@@ -511,3 +511,38 @@ def test_increment_replay_skipped_by_batch_id(spark, seq_tiny, tmp_path):
     assert r1["touched"] and r2.get("skipped")
     for n in ("t1m", "t1h", "t1d"):
         _same(_tier_snapshot(spark, root, n), snap[n])
+
+
+def test_backfill_auto_salting_single_manifest_scan(
+    spark, seq_tiny, tmp_path, monkeypatch
+):
+    """The lineage baseline is read ONCE per invocation and folded
+    forward driver-side as waves commit — the per-wave manifest scan is
+    gone. With 4 pending partitions at commit_batch=1 (4 waves), the
+    number of read_manifest calls must not grow with the wave count.
+    (Decision parity with the per-wave-scan behavior is pinned by the
+    three auto-salting identity tests above.)"""
+    calls = {"n": 0}
+    real = checkpoint.read_manifest
+
+    def counting(spark_, cat_):
+        calls["n"] += 1
+        return real(spark_, cat_)
+
+    monkeypatch.setattr(pipeline.checkpoint, "read_manifest", counting)
+    seq = grid.with_event_time(seq_tiny)
+    root = str(tmp_path / "one_scan")
+    r = pipeline.run_backfill(
+        spark, seq, root, salt="auto", skew_ratio=1.5, commit_batch=1
+    )
+    monkeypatch.undo()  # count run_backfill's calls only
+    assert len(r["partitions"]) == 4
+    assert {
+        row["partition_id"]
+        for row in checkpoint.done_partitions(
+            spark, pipeline.Catalog(root, "parquet")
+        ).collect()
+    } == {"src00", "src01", "src02", "src03"}
+    # attempts read + lineage baseline read (+ the done_partitions
+    # probe if it routes through read_manifest) — but NOT 1-per-wave:
+    assert calls["n"] <= 3, calls["n"]

@@ -23,6 +23,7 @@ All tables live under a Catalog root:
 
 from __future__ import annotations
 
+import statistics
 import time
 from collections.abc import Callable
 
@@ -47,12 +48,34 @@ def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("day", F.to_date(F.col(ts_col)))
 
 
+def _manifest_points(spark: SparkSession, cat: Catalog) -> list[float]:
+    """points_raw of every committed non-batch partition (latest
+    attempt) — the lineage feed for the salting baseline. Control-plane
+    sized (one value per input partition, the same bound as the
+    attempts collect in run_backfill). Collected ONCE per invocation;
+    waves fold their own just-measured points in driver-side, so the
+    baseline stays current without re-scanning the manifest per wave."""
+    return [
+        float(r["pts"])
+        for r in checkpoint.read_manifest(spark, cat)
+        .where(
+            (F.col("status") == "done")
+            & (~F.col("partition_id").startswith("batch:"))
+        )
+        .groupBy("partition_id")
+        .agg(F.max_by("points_raw", F.struct("ts", "attempt")).alias("pts"))
+        .collect()
+        if r["pts"] is not None
+    ]
+
+
 def _auto_hot_keys(
     spark: SparkSession,
     cat: Catalog,
     raw: DataFrame,
     skew_ratio: float = 4.0,
     top_k: int = 4,
+    hist_points: list[float] | None = None,
 ):
     """Skew detection for salt='auto': (source, series_id) keys whose
     row count exceeds skew_ratio × a median-key-load baseline.
@@ -77,17 +100,9 @@ def _auto_hot_keys(
     if not stats["nkeys"]:
         return None
     baseline = float(stats["med"])
-    hist_med = (
-        checkpoint.read_manifest(spark, cat)
-        .where(
-            (F.col("status") == "done")
-            & (~F.col("partition_id").startswith("batch:"))
-        )
-        .groupBy("partition_id")
-        .agg(F.max_by("points_raw", F.struct("ts", "attempt")).alias("pts"))
-        .agg(F.median("pts").alias("m"))
-        .collect()[0]["m"]
-    )
+    if hist_points is None:
+        hist_points = _manifest_points(spark, cat)
+    hist_med = statistics.median(hist_points) if hist_points else None
     if hist_med is not None:
         nsrc = raw.select("source").distinct().count()
         series_per_source = max(float(stats["nkeys"]) / max(nsrc, 1), 1.0)
@@ -168,6 +183,10 @@ def run_backfill(
     n_commits = 0
     done_ids: list[str] = []
     hot_keys_flagged: list[tuple[str, str]] = []
+    # lineage baseline for salt="auto": one manifest scan per
+    # INVOCATION; each wave folds its own measured points_raw in below,
+    # so later waves see earlier waves' commits without re-reading.
+    hist_points = _manifest_points(spark, cat) if salt == "auto" else []
     for i in range(0, len(part_ids), max(commit_batch, 1)):
         group = part_ids[i : i + max(commit_batch, 1)]
         t_wave = time.time()
@@ -192,7 +211,9 @@ def run_backfill(
             .drop("day", "batch_id")
         )
         hot = (
-            _auto_hot_keys(spark, cat, raw_wave, skew_ratio)
+            _auto_hot_keys(
+                spark, cat, raw_wave, skew_ratio, hist_points=hist_points
+            )
             if salt == "auto"
             else None
         )
@@ -242,6 +263,9 @@ def run_backfill(
             for p in group
         ]
         checkpoint.record_done(spark, cat, rows, run_id, attempts)
+        hist_points.extend(
+            float(counts[p].get("points_raw", 0)) for p in group
+        )
         done_ids.extend(group)
         n_commits += 1
         if (
