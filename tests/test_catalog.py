@@ -204,3 +204,40 @@ def test_iceberg_manifest_routing_call_shape(spark):
     assert ("append", "lake.db._lineage") in log
     assert ("read", "lake.db._lineage") in log
     assert empty.count() == 0  # unreadable manifest → empty frame, no crash
+
+
+class _FakeSqlSpark:
+    def __init__(self, log):
+        self.log = log
+
+    def sql(self, text):
+        self.log.append(("sql", text))
+
+
+def test_iceberg_drop_partitions_statement_shape():
+    """Retention enforcement on Iceberg: ONE DELETE statement with
+    partition-column-only predicates (metadata-only partition drop —
+    no row rewrite), OR-joined across the partitions to drop."""
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    n = cat.drop_partitions(
+        _FakeSqlSpark(log),
+        "raw",
+        [
+            {"source": "srcA", "day": "2026-01-01"},
+            {"source": "srcB", "day": "2026-01-01"},
+        ],
+    )
+    assert n == 2
+    assert log == [
+        (
+            "sql",
+            "DELETE FROM lake.db.raw WHERE "
+            "(source = 'srcA' AND day = '2026-01-01') OR "
+            "(source = 'srcB' AND day = '2026-01-01')",
+        )
+    ]
+    # empty key list: no statement at all
+    log2 = []
+    assert cat.drop_partitions(_FakeSqlSpark(log2), "raw", []) == 0
+    assert log2 == []

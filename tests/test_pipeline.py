@@ -546,3 +546,142 @@ def test_backfill_auto_salting_single_manifest_scan(
     # attempts read + lineage baseline read (+ the done_partitions
     # probe if it routes through read_manifest) — but NOT 1-per-wave:
     assert calls["n"] <= 3, calls["n"]
+
+
+def _file_hashes(root_dir):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root_dir):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root_dir)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def _multiday_warehouse(spark, root):
+    """raw + t1m spanning 4 days × 2 sources, hive-partitioned like the
+    pipeline writes them (the seq_tiny fixture spans one day only)."""
+    from tokens_ts import tiers
+
+    rows = []
+    for d in range(1, 5):
+        for s in ("srcA", "srcB"):
+            for h in (0, 6, 12):
+                rows.append((s, "mean", f"2026-01-0{d} {h:02d}:00:00", float(d * 100 + h)))
+    raw = (
+        spark.createDataFrame(
+            rows, "source string, series_id string, ts string, value double"
+        )
+        .select(
+            "source",
+            "series_id",
+            F.to_timestamp("ts").alias("event_ts"),
+            "value",
+        )
+        .withColumn("day", F.to_date("event_ts"))
+    )
+    cat = Catalog(root)
+    cat.overwrite_partitions(raw, "raw", ["source", "day"])
+    t1m = tiers.rollup(raw.drop("day"), "1m").withColumn(
+        "day", F.to_date("window_start")
+    )
+    cat.overwrite_partitions(t1m, "t1m", ["source", "day"])
+    return cat
+
+
+def test_enforce_retention_drops_old_partitions_only(spark, tmp_path):
+    """Write-side retention: partitions older than the cutoff date are
+    GONE from disk, kept partitions are byte-identical (no rewrite),
+    the manifest records the enforcement, and a second run is an
+    idempotent no-op with an incremented attempt."""
+    from tokens_ts import tiers
+
+    root = str(tmp_path / "ret")
+    cat = _multiday_warehouse(spark, root)
+    days = [f"2026-01-0{d}" for d in range(1, 5)]
+
+    # now = Jan 4 12:00, keep 2 days → cutoff Jan 2 12:00 (MID-day):
+    # Jan 1 drops whole; Jan 2 is a boundary day and must survive
+    before = _file_hashes(f"{root}/raw")
+    dropped = tiers.enforce_retention(
+        spark, cat, {"raw": "2 days"}, now="2026-01-04 12:00:00"
+    )
+    assert {d for _, d in dropped["raw"]} == {"2026-01-01"}
+    assert {s for s, _ in dropped["raw"]} == {"srcA", "srcB"}
+
+    after = _file_hashes(f"{root}/raw")
+    kept_before = {p: h for p, h in before.items() if "day=2026-01-01" not in p}
+    assert after == kept_before  # kept partitions byte-identical
+    remaining = {
+        str(r["day"])
+        for r in cat.read(spark, "raw").select("day").distinct().collect()
+    }
+    assert remaining == set(days[1:])
+
+    m = checkpoint.read_manifest(spark, cat).where(
+        F.col("partition_id") == "retention:raw"
+    )
+    row = m.collect()[0]
+    assert row["rows_in"] == 2 and row["attempt"] == 1  # 2 dirs dropped
+    # cutoff travels as max_event_us: Jan 2 12:00 UTC
+    assert row["max_event_us"] == 1_767_355_200_000_000
+
+    # idempotent rerun: nothing left to drop, attempt increments
+    dropped2 = tiers.enforce_retention(
+        spark, cat, {"raw": "2 days"}, now="2026-01-04 12:00:00"
+    )
+    assert dropped2["raw"] == []
+    atts = sorted(
+        r["attempt"]
+        for r in checkpoint.read_manifest(spark, cat)
+        .where(F.col("partition_id") == "retention:raw")
+        .collect()
+    )
+    assert atts == [1, 2]
+    # t1m had no policy: untouched
+    assert cat.exists(spark, "t1m")
+    assert len(_file_hashes(f"{root}/t1m")) > 0
+
+
+def test_enforce_retention_multi_tier_and_read_side_parity(spark, tmp_path):
+    """One call enforces per-tier policies (raw fastest, t1m slower,
+    keep-forever absent); for a day-boundary cutoff the enforced table
+    contents equal the read-side retention_filter over the pre-
+    enforcement table — write-side and read-side agree on whole days."""
+    from tokens_ts import tiers
+
+    root = str(tmp_path / "ret2")
+    cat = _multiday_warehouse(spark, root)
+
+    pre = tiers.retention_filter(
+        cat.read(spark, "t1m"), "2026-01-04 00:00:00", "2 days"
+    ).collect()
+    dropped = tiers.enforce_retention(
+        spark,
+        cat,
+        {"raw": "1 days", "t1m": "2 days", "t1d": None},
+        now="2026-01-04 00:00:00",
+    )
+    # raw cutoff Jan 3 00:00 → days 1,2 drop; t1m cutoff Jan 2 → day 1
+    assert {d for _, d in dropped["raw"]} == {"2026-01-01", "2026-01-02"}
+    assert {d for _, d in dropped["t1m"]} == {"2026-01-01"}
+    assert "t1d" not in dropped  # keep-forever/absent tier untouched
+
+    post = cat.read(spark, "t1m").collect()
+    key = lambda r: (r["source"], r["series_id"], r["window_start"])
+    assert sorted(map(key, post)) == sorted(map(key, pre))
+    # manifest: one enforcement row per enforced table
+    ids = {
+        r["partition_id"]
+        for r in checkpoint.read_manifest(spark, cat)
+        .where(F.col("partition_id").startswith("retention:"))
+        .collect()
+    }
+    assert ids == {"retention:raw", "retention:t1m"}

@@ -138,6 +138,52 @@ class Catalog:
         finally:
             df.sparkSession.catalog.dropTempView(view)
 
+    def drop_partitions(
+        self, spark: SparkSession, name: str, keys: list[dict]
+    ) -> int:
+        """Delete whole partitions by partition-column values.
+
+        `keys` = one dict per partition, each mapping partition column →
+        value in the table's partition order, e.g.
+        {"source": "src00", "day": "2024-01-01"}.
+
+        Iceberg: ONE `DELETE FROM <ident> WHERE (…) OR (…)` statement —
+        predicates on partition columns only, so the engine executes it
+        as a metadata-only partition drop (no row rewrite, one snapshot
+        commit; same call-shape-pinning testability as merge_upsert).
+        Parquet: remove the hive-layout partition directories through
+        the Hadoop FileSystem API (NOT os.remove — the same code path
+        must work when the warehouse root is hdfs:// or s3a://).
+
+        Returns the number of partition directories actually removed
+        (parquet) or len(keys) (iceberg — one statement, the table's
+        own metadata decides what matched). Values are rendered with
+        str(); partition values in this engine are source names and ISO
+        dates, which need no hive escaping."""
+        if not keys:
+            return 0
+        if self.fmt == "iceberg":
+            conds = " OR ".join(
+                "("
+                + " AND ".join(f"{c} = '{v}'" for c, v in k.items())
+                + ")"
+                for k in keys
+            )
+            spark.sql(f"DELETE FROM {self.ident(name)} WHERE {conds}")
+            return len(keys)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        base = HPath(self.path(name))
+        fs = base.getFileSystem(hconf)
+        n = 0
+        for k in keys:
+            p = HPath(base, "/".join(f"{c}={v}" for c, v in k.items()))
+            if fs.exists(p):
+                fs.delete(p, True)
+                n += 1
+        return n
+
     def append(
         self, df: DataFrame, name: str, partition_cols: list[str] | None = None
     ) -> None:

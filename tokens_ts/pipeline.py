@@ -60,7 +60,10 @@ def _manifest_points(spark: SparkSession, cat: Catalog) -> list[float]:
         for r in checkpoint.read_manifest(spark, cat)
         .where(
             (F.col("status") == "done")
-            & (~F.col("partition_id").startswith("batch:"))
+            # plain-source ids only: 'batch:'/'retention:' marker rows
+            # carry no per-partition ingest volume and would drag the
+            # median toward 0
+            & (~F.col("partition_id").contains(":"))
         )
         .groupBy("partition_id")
         .agg(F.max_by("points_raw", F.struct("ts", "attempt")).alias("pts"))

@@ -303,3 +303,87 @@ def build_all_tiers(
     t1h = cascade(t1m, "1h")
     t1d = cascade(t1h, "1d")
     return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def enforce_retention(
+    spark,
+    cat,
+    policies: dict[str, str | None],
+    now: str,
+    run_id: str | None = None,
+) -> dict:
+    """Write-side retention enforcement: age out whole (source, day)
+    partitions per tier keep-policy, with a lineage record per table.
+
+    `policies` maps table name → keep interval, e.g.
+        {"raw": "7 days", "t1m": "90 days", "t1h": "2 years", "t1d": None}
+    (None / absent = keep forever — the classic shape: raw ages out
+    fastest, the 1d tier lives forever). `now` is an EXPLICIT timestamp
+    string — the enforcement time is an input, not a hidden clock, so
+    runs are deterministic and testable.
+
+    Granularity is the partition: a (source, day) directory is dropped
+    only when the ENTIRE day is past the cutoff (day < date(cutoff)).
+    A mid-day cutoff therefore leaves its boundary day in place — the
+    enforced table is always a SUPERSET of the read-side
+    retention_filter view, never dropping a window that filter would
+    still serve. No row rewrite happens anywhere: parquet deletes
+    partition directories via the Hadoop FS API, Iceberg issues one
+    partition-aligned DELETE (Catalog.drop_partitions).
+
+    Each enforced table appends one manifest row
+    (partition_id='retention:<table>', rows_in=#partitions dropped,
+    max_event_us=cutoff µs) — the audit trail for "why is this data
+    gone", queryable with the same lineage_report as ingest rows. The
+    ':'-prefixed id keeps these rows out of the resume anti-join and
+    the auto-salting baseline (both consider only plain-source ids).
+
+    Returns {table: [(source, day), ...]} of dropped partitions.
+    """
+    from tokens_ts import checkpoint
+
+    dropped: dict[str, list] = {}
+    run_id = run_id or checkpoint.new_run_id()
+    attempts = {
+        r["partition_id"]: r["attempt"]
+        for r in checkpoint.read_manifest(spark, cat)
+        .where(F.col("partition_id").startswith("retention:"))
+        .groupBy("partition_id")
+        .agg(F.max("attempt").alias("attempt"))
+        .collect()
+    }
+    for table, keep in policies.items():
+        if keep is None or not cat.exists(spark, table):
+            continue
+        cutoff = F.to_timestamp(F.lit(now)) - F.expr(f"interval {keep}")
+        # partition-column-only scan: distinct (source, day) older than
+        # the cutoff's date — file listing + partition pruning, no data
+        # columns read
+        old = (
+            cat.read(spark, table)
+            .select("source", "day")
+            .where(F.col("day") < F.to_date(cutoff))
+            .distinct()
+            .orderBy("source", "day")
+            .collect()
+        )
+        keys = [{"source": r["source"], "day": r["day"]} for r in old]
+        n = cat.drop_partitions(spark, table, keys)
+        dropped[table] = [(k["source"], str(k["day"])) for k in keys]
+        cutoff_us = spark.sql(
+            f"SELECT unix_micros(to_timestamp('{now}') - interval {keep}) AS c"
+        ).collect()[0]["c"]
+        checkpoint.record_done(
+            spark,
+            cat,
+            [
+                {
+                    "partition_id": f"retention:{table}",
+                    "rows_in": n,
+                    "max_event_us": cutoff_us,
+                }
+            ],
+            run_id,
+            attempts,
+        )
+    return dropped
