@@ -78,9 +78,64 @@ def test_lsh_multitable_recall_monotone(emb2_big):
                                   dim=16, n_tables=n_tables).collect()}
         return len(got & exact) / len(exact)
 
-    r1, r4 = recall(1), recall(4)
-    assert r4 >= r1
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r4 >= r1 and r8 >= r4  # tables are the recall lever
     assert r4 >= 0.5  # multi-probe must find at least half at this size
+
+
+def test_lloyd_centroids_match_numpy_oracle(emb2_big):
+    """The Lloyd refinement is closed-form (assign = e6-rounded argmax
+    first-max-wins; update = per-cell mean, empty cell keeps its
+    centroid) — numpy reproduces the exact iteration to float
+    tolerance."""
+    import numpy as np
+
+    rows = sorted(emb2_big.collect(), key=lambda r: r["vec_id"])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def np_lloyd(n_c, n_iter):
+        cents = [vecs[i].copy() for i in range(n_c)]
+        for _ in range(n_iter):
+            C = np.stack(cents)
+            sims = (vecs @ C.T) / (
+                np.linalg.norm(vecs, axis=1)[:, None]
+                * np.linalg.norm(C, axis=1)[None, :]
+            )
+            a = np.argmax(np.round(sims * 1e6).astype(np.int64), axis=1)
+            cents = [
+                vecs[a == c].mean(axis=0) if (a == c).any() else cents[c]
+                for c in range(n_c)
+            ]
+        return np.stack(cents)
+
+    got = np.array(
+        simsearch.lloyd_centroids(emb2_big, n_centroids=4, n_iter=2, dim=16)
+    )
+    np.testing.assert_allclose(got, np_lloyd(4, 2), rtol=1e-9, atol=1e-9)
+    # refinement moved the centroids off the raw seed vectors
+    assert not np.allclose(got, vecs[:4])
+
+
+def test_ivf_refined_recall_not_worse(emb2_big):
+    """Lloyd-refined cells: IVF recall vs exact ground truth is at
+    least the seed-centroid recall on this fixture (the refinement
+    lever the docstring promises)."""
+    qids = list(range(8))
+    exact = {(r["qid"], r["nid"]) for r in
+             simsearch.cosine_topk(emb2_big, qids, k=3).collect()}
+
+    def recall(centroids):
+        got = {(r["qid"], r["nid"]) for r in
+               simsearch.ivf_topk(emb2_big, qids, k=3, n_centroids=4,
+                                  nprobe=2, centroids=centroids).collect()}
+        return len(got & exact) / len(exact)
+
+    seed = recall(None)
+    refined = recall(
+        simsearch.lloyd_centroids(emb2_big, n_centroids=4, n_iter=2, dim=16)
+    )
+    assert refined >= seed
+    assert refined >= 0.5
 
 
 @pytest.fixture(scope="module")

@@ -93,14 +93,16 @@ def ivf_assign(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its max-cosine
-    centroid. Centroids are the first n_centroids vectors by id —
-    deterministic so the DuckDB oracle can mirror the whole index (a
-    k-means refinement would change quality, not the Spark shape: the
-    assignment is always a broadcast-centroids × corpus scan, one pass,
-    no shuffle of the corpus). Ties break to the lowest centroid id on
-    the e6-rounded similarity, cross-engine-stable."""
+    centroid. Default centroids are the first n_centroids vectors by
+    id — deterministic so the DuckDB oracle can mirror the whole index;
+    pass `centroids` (e.g. from lloyd_centroids) for refined cells —
+    the Spark shape is identical either way: the assignment is always
+    a broadcast-centroids × corpus scan, one pass, no shuffle of the
+    corpus. Ties break to the lowest centroid id on the e6-rounded
+    similarity, cross-engine-stable."""
     e = emb.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -109,11 +111,19 @@ def ivf_assign(
     # row-locally inside the corpus scan: ZERO shuffles of the corpus
     # (a per-(vector, centroid) window/groupBy would shuffle N×C or N
     # rows for nothing — the centroid set is tiny by construction)
-    cents = (
-        e.where(F.col("nid") < n_centroids)
-        .select(F.struct(F.col("nid").alias("cid"), F.col("v").alias("cv")).alias("c"))
-        .agg(F.collect_list("c").alias("_cs"))
-    )
+    if centroids is not None:
+        cents = e.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid long, cv array<double>",
+        ).select(
+            F.struct(F.col("cid"), F.col("cv")).alias("c")
+        ).agg(F.collect_list("c").alias("_cs"))
+    else:
+        cents = (
+            e.where(F.col("nid") < n_centroids)
+            .select(F.struct(F.col("nid").alias("cid"), F.col("v").alias("cv")).alias("c"))
+            .agg(F.collect_list("c").alias("_cs"))
+        )
     j = e.crossJoin(F.broadcast(cents))
     nv = _norm(F.col("v"))
     csim = lambda c: F.round(  # noqa: E731
@@ -144,6 +154,53 @@ def ivf_assign(
     return j.select("nid", "v", best["cid"].alias("cid"))
 
 
+def lloyd_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd (k-means) refinement of the IVF centroids.
+
+    Seeds = the first n_centroids vectors by id (same seed rule the
+    un-refined index uses); each of the n_iter iterations is:
+
+      1. broadcast-assign — the ivf_assign scan (zero corpus shuffles),
+      2. per-cluster mean — ONE map-side-combined aggregation producing
+         n_centroids×dim partial sums (64 F.avg expressions, JVM-side),
+      3. driver-side closed-form update (control-plane: n_centroids
+         rows collected).
+
+    Everything is closed-form and order-independent (sums/counts), so
+    a numpy oracle reproduces the exact centroids — pinned by pytest.
+    Empty cells keep their previous centroid (the standard rule).
+    Returns driver-side centroid vectors for ivf_assign/ivf_topk's
+    `centroids=` parameter; total cost = n_iter corpus scans, no
+    corpus shuffle beyond the agg's partial-state exchange."""
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in e.where(F.col("nid") < n_centroids).orderBy("nid").collect()
+    ]
+    for _ in range(n_iter):
+        assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
+        means = (
+            assign.groupBy("cid")
+            .agg(
+                *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+            )
+            .collect()
+        )
+        by_cid = {int(r["cid"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [by_cid.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -152,20 +209,29 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's nprobe closest centroids, score only
     vectors assigned to those cells — the inverted-file alternative to
     LSH bucketing. Candidate generation is an equi-join on cid; the
-    corpus is scanned once for assignment and once for scoring."""
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    corpus is scanned once for assignment and once for scoring.
+    `centroids` (e.g. lloyd_centroids output) replaces the default
+    first-n seed cells on BOTH the assignment and the probe side."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=centroids)
     e = emb.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).where(F.col("qid").isin(query_ids))
-    cents = emb.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).where(F.col("cid") < n_centroids)
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid long, cv array<double>",
+        )
+    else:
+        cents = emb.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).where(F.col("cid") < n_centroids)
     qsim = _dot(F.col("qv"), F.col("cv")) / (
         _norm(F.col("qv")) * _norm(F.col("cv"))
     )

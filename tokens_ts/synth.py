@@ -28,17 +28,28 @@ def sequences(
     n_sources: int = C.DEFAULT_SOURCES,
     with_gaps: bool = True,
     parallelism: int | None = None,
+    specs=None,
 ) -> DataFrame:
     """Build the deterministic ``sequences`` table.
 
     k_total is the grid-slot budget of the heaviest source (src00);
     source s gets ceil(k_total/(s+1)) slots (Zipf-ish skew, FIXTURES.md).
     ~15% of slots are deterministically omitted when with_gaps=True.
+
+    specs (list[registry.SourceSpec]) overrides the default srcNN
+    registry: each spec synthesizes spec.budget slots under its own
+    source NAME (token recurrence params come from the spec's index in
+    the list, so the generator stays deterministic for any naming).
+    k_total/n_sources are then ignored.
     """
+    if specs is None:
+        from tokens_ts.registry import default_specs
+
+        specs = default_specs(k_total, n_sources)
     parts = []
-    for s in range(n_sources):
+    for s, sp in enumerate(specs):
         a, b, c = C.src_params(s)
-        budget = C.source_budget(k_total, s)
+        budget = sp.budget
         numparts = parallelism or max(2, spark.sparkContext.defaultParallelism)
         df = spark.range(0, budget, 1, min(numparts, max(1, budget)))
         df = df.withColumnRenamed("id", "k")
@@ -58,10 +69,10 @@ def sequences(
         df = (
             df.withColumn("n_tok", n_tok)
             .withColumn("tokens", tokens)
-            .withColumn("source", F.lit(f"src{s:02d}"))
+            .withColumn("source", F.lit(sp.source))
             .withColumn(
                 "doc_id",
-                F.concat(F.lit(f"src{s:02d}-"), F.lpad(F.col("k").cast("string"), 12, "0")),
+                F.concat(F.lit(f"{sp.source}-"), F.lpad(F.col("k").cast("string"), 12, "0")),
             )
             .select("doc_id", "tokens", "n_tok", "source")
         )
