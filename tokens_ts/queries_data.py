@@ -1671,3 +1671,72 @@ def mm_binary_features(spark, sf_dir):
     return multimodal.extract_features(b).select(
         "doc_id", "n_bytes", "width", "height", "bpp"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming: the window-agg driver twin (verdict-r4 item 8).
+# The ONLY streaming-executed pair: the Spark side actually runs a
+# Structured Streaming query (file source → watermarked tumbling-window
+# rollup → APPEND-mode memory sink, availableNow trigger over a fixed
+# file set), so the cross-engine check covers real append semantics:
+# only windows finalized by the terminal watermark are emitted.
+# Emission rule (pinned empirically + by this oracle):
+#   window_end <= max(event_ts) − delay
+# which DuckDB mirrors as w_epoch + 60 <= max(epoch_s) − 7200.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_stream_rollup_1m",
+    _synth_cte()
+    + """
+    , roll AS (
+      SELECT source,
+             epoch_s - epoch_s % 60 AS w_epoch,
+             count(list_aggregate(v, 'avg')) AS cnt,
+             CAST(ROUND(sum(list_aggregate(v, 'avg')) * 1e4) AS BIGINT) AS sum_e4,
+             CAST(ROUND(min(list_aggregate(v, 'avg')) * 1e6) AS BIGINT) AS min_e6,
+             CAST(ROUND(max(list_aggregate(v, 'avg')) * 1e6) AS BIGINT) AS max_e6
+      FROM vals GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(epoch_s) - 7200 AS w FROM vals)
+    SELECT r.source, r.w_epoch, r.cnt, r.sum_e4, r.min_e6, r.max_e6
+    FROM roll r, wm WHERE r.w_epoch + 60 <= wm.w
+    """,
+)
+def ts_stream_rollup_1m(spark, sf_dir):
+    """streaming.stream_window_agg run to completion (availableNow)
+    over the deterministic synth fixture written as a fixed parquet
+    file set; the final append-mode output must equal the batch rollup
+    restricted to watermark-finalized windows — computed independently
+    by DuckDB from the same recurrences."""
+    import tempfile
+    import uuid
+
+    from tokens_ts import streaming
+
+    seq = synth.sequences(spark, SYNTH_K, SYNTH_S)
+    d = tempfile.mkdtemp(prefix="stream_pair_")
+    seq.write.mode("overwrite").parquet(d + "/in")
+    schema = spark.read.parquet(d + "/in").schema
+    src = spark.readStream.schema(schema).parquet(d + "/in")
+    out = streaming.stream_window_agg(
+        src, watermark="2 hours", window="1 minute"
+    )
+    name = "stream_rollup_" + uuid.uuid4().hex[:8]
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + "/ck")
+        .start()
+    )
+    sq.awaitTermination(600)
+    return spark.table(name).select(
+        "source",
+        F.unix_timestamp("window_start").alias("w_epoch"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        _e("min", 6).alias("min_e6"),
+        _e("max", 6).alias("max_e6"),
+    )
