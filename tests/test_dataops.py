@@ -619,3 +619,39 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and converges fine when allowed its O(diameter) rounds
     out = dedup.connected_components(pairs, max_iter=15)
     assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_bpe_ids_match_string_encode(docs):
+    """with_bpe_ids = vocab[with_bpe_encode's token stream], token for
+    token; every id is in range for the 17-bit codec; UNK only for
+    non-printable-ASCII base chars (none in this fixture)."""
+    import re
+
+    from tokens_ts import textops
+
+    vocab = textops.bpe_vocab()
+    merges = textops.bpe_merges()
+    pat = re.compile(textops.BPE_SPLIT_RE)
+    got = {r["doc_id"]: list(r["tokens"]) for r in textops.with_bpe_ids(docs).collect()}
+    for r in docs.collect():
+        expect = [
+            vocab[t]
+            for ch in pat.findall(r["text"])
+            for t in textops.bpe_encode_word(ch, merges)
+        ]
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+        assert all(0 < i < (1 << 17) for i in expect)  # no UNK here
+
+
+def test_bpe_vocab_deterministic_and_merge_indexed(spark):
+    from tokens_ts import textops
+
+    v1, v2 = textops.bpe_vocab(), textops.bpe_vocab()
+    assert v1 == v2
+    merges = textops.bpe_merges()
+    # merge index = id − 96 for every merge output (first occurrence)
+    seen = set()
+    for j, (a, b) in enumerate(merges):
+        if a + b not in seen:
+            assert v1[a + b] == 96 + j, (j, a, b)
+            seen.add(a + b)

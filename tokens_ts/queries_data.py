@@ -891,18 +891,11 @@ def doc_token_count_bpe(spark, sf_dir):
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB mirror of textops.with_bpe_encode: the SAME fixture merge
-    table, applied as chained replace() over space-delimited chunk
-    strings. Each merge's replace repeats 6 times — left-to-right
-    string replace shares boundary spaces between adjacent matches, so
-    one pass can miss every other occurrence; six passes reach fixpoint
-    for runs up to 2^6 tokens (chunks are single words, far shorter).
-    The independence is in the ALGORITHM: Spark encodes token-list-wise
-    in Python, DuckDB re-derives the identical stream string-wise.
-    One CTE per merge keeps expression nesting at 6 (DuckDB's binder
-    caps recursion at 128 — a single 288-deep replace chain won't
-    bind)."""
+def _bpe_chain() -> tuple[str, str]:
+    """The shared merge-table replace chain (see _bpe_oracle_sql for
+    why each merge repeats its replace 6 times); returns (CTE chain
+    text, final CTE name). Expects a `chunks(doc_id, ch, pos)` CTE in
+    scope."""
     merges = textops.bpe_merges()
     ctes = []
     prev = "m0"
@@ -919,7 +912,22 @@ def _bpe_oracle_sql() -> str:
             expr = f"replace({expr}, '{pat}', '{rep}')"
         ctes.append(f"m{i} AS (SELECT doc_id, pos, {expr} AS s FROM {prev})")
         prev = f"m{i}"
-    chain = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes), prev
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of textops.with_bpe_encode: the SAME fixture merge
+    table, applied as chained replace() over space-delimited chunk
+    strings. Each merge's replace repeats 6 times — left-to-right
+    string replace shares boundary spaces between adjacent matches, so
+    one pass can miss every other occurrence; six passes reach fixpoint
+    for runs up to 2^6 tokens (chunks are single words, far shorter).
+    The independence is in the ALGORITHM: Spark encodes token-list-wise
+    in Python, DuckDB re-derives the identical stream string-wise.
+    One CTE per merge keeps expression nesting at 6 (DuckDB's binder
+    caps recursion at 128 — a single 288-deep replace chain won't
+    bind)."""
+    chain, prev = _bpe_chain()
     return f"""
     WITH chunks AS (
       SELECT doc_id,
@@ -1739,4 +1747,96 @@ def ts_stream_rollup_1m(spark, sf_dir):
         _e("sum", 4).alias("sum_e4"),
         _e("min", 6).alias("min_e6"),
         _e("max", 6).alias("max_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text → REAL BPE ids → concat-and-chunk packing → 17-bit token codec
+# round trip — the full training-data assembly line composed end-to-end
+# (verdict-r4 item 9). The oracle re-derives the BPE id streams from
+# the merge table + vocab, rebuilds the global (source, doc_id)
+# concatenation with a window prefix-sum, and md5s each chunk's id
+# list; Spark must match AFTER its chunks additionally round-trip
+# through encode/decode_token_blobs — so a codec bit-flip, a packing
+# reorder, or a vocab drift all fail this one pair.
+# ---------------------------------------------------------------------------
+
+_BPE_PACK_L = 256
+
+
+def _bpe_pack_sql() -> str:
+    chain, prev = _bpe_chain()
+    vocab = textops.bpe_vocab()
+    vals = ", ".join(
+        f"('{tok.replace(chr(39), chr(39) * 2)}', {vid})"
+        for tok, vid in sorted(vocab.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS ch,
+             generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+      FROM documents
+    ),
+    {chain},
+    enc AS (SELECT doc_id, pos, trim(s) AS etoks FROM {prev} WHERE trim(s) <> ''),
+    toks AS (
+      SELECT doc_id, pos AS cpos,
+             unnest(string_split(etoks, ' ')) AS tok,
+             generate_subscripts(string_split(etoks, ' '), 1) AS tpos
+      FROM enc
+    ),
+    vocab(tok, id) AS (VALUES {vals}),
+    ids AS (
+      SELECT t.doc_id, t.cpos, t.tpos, COALESCE(v.id, 0) AS id
+      FROM toks t LEFT JOIN vocab v USING (tok)
+    ),
+    streams AS (
+      SELECT doc_id, list(id ORDER BY cpos, tpos) AS ids FROM ids GROUP BY doc_id
+    ),
+    docs2 AS (
+      SELECT d.source, d.doc_id, s.ids, len(s.ids) AS n
+      FROM documents d JOIN streams s USING (doc_id)
+    ),
+    offs AS (
+      SELECT source, doc_id, ids,
+             COALESCE(sum(n) OVER (
+               ORDER BY source, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off0
+      FROM docs2 WHERE n > 0
+    ),
+    flat AS (
+      SELECT off0 + generate_subscripts(ids, 1) - 1 AS gpos,
+             unnest(ids) AS id
+      FROM offs
+    )
+    SELECT CAST(gpos // {_BPE_PACK_L} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_filled,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos)) AS tok_md5
+    FROM flat GROUP BY 1
+    """
+
+
+@q("doc_bpe_pack_roundtrip", _bpe_pack_sql())
+def doc_bpe_pack_roundtrip(spark, sf_dir):
+    """with_bpe_ids → pack_tokens(256) → encode_token_blobs →
+    decode_token_blobs; per packed chunk: id count + md5 over the
+    comma-joined decoded ids. Token-array equality holds through the
+    tokenizer, the packer, AND the bit-packing codec — cross-engine."""
+    seq = textops.with_bpe_ids(_docs(spark, sf_dir))
+    packed = packing.pack_tokens(seq, chunk_len=_BPE_PACK_L)
+    as_seq = packed.select(
+        F.col("chunk_id").cast("string").alias("doc_id"),
+        F.lit("packed").alias("source"),
+        F.col("n_filled").cast("int").alias("n_tok"),
+        "tokens",
+    )
+    dec = codec.decode_token_blobs(codec.encode_token_blobs(as_seq))
+    return dec.select(
+        F.col("doc_id").cast("bigint").alias("chunk_id"),
+        F.size("tokens").cast("bigint").alias("n_filled"),
+        F.md5(
+            F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        ).alias("tok_md5"),
     )
