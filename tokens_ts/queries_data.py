@@ -1840,3 +1840,192 @@ def doc_bpe_pack_roundtrip(spark, sf_dir):
             F.concat_ws(",", F.col("tokens").cast("array<string>"))
         ).alias("tok_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention ENFORCEMENT cross-engine pair (round 5): the write-side
+# operator itself — not just the read-side filter twin. Spark builds a
+# deterministic 6-day × 2-source raw warehouse in a temp dir, runs
+# tiers.enforce_retention (Hadoop-FS whole-partition drops + lineage
+# row), and returns what SURVIVES on disk; DuckDB generates the same
+# grid and applies the documented day-granularity rule
+# (day < date(now − keep) drops) arithmetically. If enforcement ever
+# dropped a boundary day, kept a stale one, or rewrote surviving rows,
+# the per-day counts/sums here diverge.
+# ---------------------------------------------------------------------------
+
+_RET_DAYS, _RET_PTS = 6, 48  # points per (source, day)
+
+
+@q(
+    "ts_retention_enforced",
+    f"""
+    WITH pts AS (
+      SELECT unnest(range(0, {_RET_DAYS} * 2 * {_RET_PTS})) AS id
+    ),
+    g AS (
+      SELECT id % 2 AS s,
+             (id // 2) % {_RET_DAYS} AS d,
+             (id // (2 * {_RET_DAYS})) AS p,
+             CAST((id * 2654435761) % 1000000 AS DOUBLE) / 1e3 AS value
+      FROM pts
+    )
+    SELECT CASE WHEN s = 0 THEN 'srcA' ELSE 'srcB' END AS source,
+           CAST({C.T0_EPOCH} + d * 86400 AS BIGINT) AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(sum(value) * 1e3) AS BIGINT) AS sum_e3
+    FROM g
+    WHERE d >= {_RET_DAYS} - 3  -- keep '3 days' from now = t0 + {_RET_DAYS} days
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_enforced(spark, sf_dir):
+    """Enforce a 3-day keep policy on a synthesized 6-day raw table,
+    then report what remains per (source, day) — the on-disk state
+    after whole-partition drops, value-checked cross-engine."""
+    import tempfile
+
+    from tokens_ts.io.catalog import Catalog
+
+    n = _RET_DAYS * 2 * _RET_PTS
+    df = spark.range(0, n).select(
+        F.when(F.col("id") % 2 == 0, "srcA").otherwise("srcB").alias("source"),
+        F.lit("series_0").alias("series_id"),
+        F.timestamp_seconds(
+            F.lit(C.T0_EPOCH)
+            + ((F.col("id") / 2).cast("bigint") % _RET_DAYS) * 86400
+            + (F.col("id") / (2 * _RET_DAYS)).cast("bigint") * 60
+        ).alias("event_ts"),
+        (((F.col("id") * 2654435761) % 1_000_000) / 1e3).alias("value"),
+    ).withColumn("day", F.to_date("event_ts"))
+
+    root = tempfile.mkdtemp(prefix="ret_pair_")
+    cat = Catalog(root)
+    cat.overwrite_partitions(df, "raw", ["source", "day"])
+    now_epoch = C.T0_EPOCH + _RET_DAYS * 86400
+    now = spark.sql(
+        f"SELECT CAST(timestamp_seconds({now_epoch}) AS STRING) AS s"
+    ).collect()[0]["s"]
+    tiers.enforce_retention(spark, cat, {"raw": "3 days"}, now=now)
+    return (
+        cat.read(spark, "raw")
+        .groupBy("source", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            _e(F.sum("value"), 3).alias("sum_e3"),
+        )
+        .select(
+            "source",
+            (F.unix_timestamp(F.col("day").cast("timestamp")))
+            .cast("bigint")
+            .alias("day_epoch"),
+            "n_rows",
+            "sum_e3",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-refined IVF — full cross-engine pair (round 5). The DuckDB
+# oracle UNROLLS the deterministic 2-iteration k-means: seed cells =
+# first 8 vectors, assign = e6-rounded max-cosine (ties → lowest cid),
+# update = per-cell per-dim avg with empty cells keeping their
+# centroid, then runs the same nprobe=3 top-k over the refined cells.
+# Everything is closed-form, so both engines must agree bit-for-bit on
+# the e6-rounded output.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_refined_sql() -> str:
+    sim = (
+        "CAST(ROUND(list_sum(list_transform(range(1, 65), i -> ev.v[i] * c.cv[i]))"
+        " / (sqrt(list_sum(list_transform(ev.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) * 1e6) AS BIGINT)"
+    )
+
+    def assign(cents, out):
+        return f"""
+    {out}_s AS (
+      SELECT ev.vec_id AS nid, c.cid, {sim} AS s
+      FROM e ev CROSS JOIN {cents} c
+    ),
+    {out} AS (
+      SELECT nid, cid FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM {out}_s
+      ) WHERE r = 1
+    )"""
+
+    def update(assign_name, prev_cents, out):
+        return f"""
+    {out}_m AS (
+      SELECT a.cid, t.i, avg(ev.v[t.i]) AS m
+      FROM {assign_name} a
+      JOIN e ev ON ev.vec_id = a.nid
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      GROUP BY 1, 2
+    ),
+    {out}_l AS (
+      SELECT cid, list(m ORDER BY i) AS cv FROM {out}_m GROUP BY cid
+    ),
+    {out} AS (
+      SELECT p.cid, COALESCE(l.cv, p.cv) AS cv
+      FROM {prev_cents} p LEFT JOIN {out}_l l USING (cid)
+    )"""
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    {assign("c0", "a0")},
+    {update("a0", "c0", "c1")},
+    {assign("c1", "a1")},
+    {update("a1", "c1", "c2")},
+    {assign("c2", "afinal")},
+    probes AS (
+      SELECT nid AS qid, cid FROM (
+        SELECT ev.vec_id AS nid, c.cid, {sim} AS s,
+               row_number() OVER (
+                 PARTITION BY ev.vec_id ORDER BY {sim} DESC, c.cid
+               ) AS r
+        FROM e ev CROSS JOIN c2 c WHERE ev.vec_id < 20
+      ) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, a.nid
+      FROM probes p JOIN afinal a ON a.cid = p.cid
+      WHERE a.nid <> p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(ne.v, x -> x * x))))
+               * 1e6) AS BIGINT) AS sim_e6
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.qid
+      JOIN e ne ON ne.vec_id = c.nid
+    )
+    SELECT qid, nid, rank, sim_e6 FROM (
+      SELECT qid, nid, sim_e6,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@q("emb_ann_ivf_refined", _ivf_refined_sql())
+def emb_ann_ivf_refined(spark, sf_dir):
+    """IVF top-k over Lloyd-refined cells (2 deterministic iterations,
+    simsearch.lloyd_centroids) — centroid refinement, assignment, probe
+    selection and ranking ALL mirrored in DuckDB."""
+    emb = _emb(spark, sf_dir)
+    cents = simsearch.lloyd_centroids(emb, n_centroids=8, n_iter=2)
+    return simsearch.ivf_topk(
+        emb, query_ids=list(range(20)), k=3, n_centroids=8, nprobe=3,
+        centroids=cents,
+    )
