@@ -79,7 +79,9 @@ def test_packing_skips_empty_docs(spark):
 
 def test_packing_duplicate_doc_id_rejected(spark):
     """Duplicate doc_ids within a source would make the concat order —
-    and every packed chunk — nondeterministic; they must fail fast."""
+    and every packed chunk — nondeterministic; the zero-cost window
+    guard must abort the job (raise_error inside the offset scan; no
+    extra shuffle, pinned by the plan test below)."""
     df = spark.createDataFrame(
         [
             ("a-0", [1, 2], 2, "a"),
@@ -88,8 +90,23 @@ def test_packing_duplicate_doc_id_rejected(spark):
         ],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
-    with pytest.raises(ValueError, match="duplicate doc_id"):
+    with pytest.raises(Exception, match="duplicate doc_id"):
         packing.pack_tokens(df, chunk_len=4).collect()
+
+
+def test_packing_dup_guard_adds_no_shuffle(seq_tiny):
+    """The dup guard rides the existing per-source window sort: the
+    offsets plan must contain exactly ONE exchange (the hash
+    repartition by source) — a count_distinct pre-check would add a
+    second."""
+    plan = (
+        packing.pack_offsets(seq_tiny)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
 
 
 def test_packing_shared_bases_single_totals_job(spark, seq_tiny):
