@@ -1,0 +1,166 @@
+"""analytics.py operators + tiers.rollup_interval: known answers,
+pandas parity, and the tier-equivalence pin."""
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from tokens_ts import analytics, tiers
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    """Two keys, irregular spacing, a null value, duplicate-free."""
+    rows = []
+    for i, (t, v) in enumerate(
+        [(0, 10.0), (60, 12.0), (180, 11.0), (240, None), (300, 20.0)]
+    ):
+        rows.append(("a", i, t, v))
+    for i, (t, v) in enumerate([(0, 5.0), (7200, 6.0)]):
+        rows.append(("b", 100 + i, t, v))
+    return spark.createDataFrame(
+        rows, "key string, eid int, t int, value double"
+    ).select(
+        "key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value"
+    )
+
+
+def test_ewma_matches_direct_computation(series):
+    got = {
+        r["eid"]: r["ewma"]
+        for r in analytics.with_ewma(
+            series, ["key"], alpha=0.5, horizon=3, order_cols=["eid"]
+        ).collect()
+    }
+
+    def ref(xs):
+        # finite-horizon adjust=True kernel, W=3, alpha=0.5;
+        # current-null → null, null lags just drop out of the kernel
+        out = []
+        for n, x in enumerate(xs):
+            if x is None:
+                out.append(None)
+                continue
+            num = den = 0.0
+            for k in range(3):
+                j = n - k
+                if j < 0 or xs[j] is None:
+                    continue
+                num += xs[j] * 0.5**k
+                den += 0.5**k
+            out.append(num / den)
+        return out
+
+    ra = ref([10.0, 12.0, 11.0, None, 20.0])
+    for i, expect in enumerate(ra):
+        if expect is None:
+            assert got[i] is None, i
+        else:
+            assert math.isclose(got[i], expect, rel_tol=1e-12), (i, got[i], expect)
+
+
+def test_ewma_matches_pandas_infinite_at_large_horizon(spark):
+    """With horizon >= series length the finite kernel IS pandas
+    ewm(adjust=True).mean() exactly."""
+    xs = [3.0, 7.0, 1.0, 4.0, 9.0, 2.0]
+    df = spark.createDataFrame(
+        [("k", i, i * 60, x) for i, x in enumerate(xs)],
+        "key string, eid int, t int, value double",
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    got = [
+        r["ewma"]
+        for r in analytics.with_ewma(
+            df, ["key"], alpha=0.3, horizon=len(xs), order_cols=["eid"]
+        )
+        .orderBy("eid")
+        .collect()
+    ]
+    expect = pd.Series(xs).ewm(alpha=0.3, adjust=True).mean().tolist()
+    for g, e in zip(got, expect):
+        assert math.isclose(g, e, rel_tol=1e-12)
+
+
+def test_counter_rate_reset_rule(series):
+    out = {
+        r["eid"]: (r["increase"], r["rate_per_s"])
+        for r in analytics.with_counter_rate(
+            series, ["key"], order_cols=["eid"]
+        ).collect()
+    }
+    assert out[0] == (None, None)  # first point: no predecessor
+    assert out[1] == (2.0, 2.0 / 60)  # normal delta
+    assert out[2] == (11.0, 11.0 / 120)  # reset: 11 < 12 → increase = 11
+    assert out[3] == (None, None)  # null value → null delta branch
+    assert out[100] == (None, None)
+    assert out[101] == (1.0, 1.0 / 7200)
+
+
+def test_session_windows_gap_rule(spark):
+    """Boundary semantics: events exactly `gap` apart DO merge (only a
+    strictly larger gap splits); end = last event + gap."""
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 600), ("u", 2400), ("u", 3000), ("v", 0)],
+        "user string, t int",
+    ).select("user", F.timestamp_seconds("t").alias("event_ts"))
+    out = sorted(
+        (
+            r["user"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in analytics.session_windows(
+            df, ["user"], gap="30 minutes"
+        ).collect()
+    )
+    # Spark's boundary rule: an event exactly AT the previous session's
+    # end (gap == 1800) MERGES — only a STRICTLY larger gap splits. All
+    # four u events chain into one session (600→2400 is exactly 1800).
+    assert out == [
+        ("u", 0, 3000 + 1800, 4),
+        ("v", 0, 1800, 1),
+    ]
+
+
+def test_rollup_interval_equivalence_and_state_compat(spark, seq_tiny):
+    """rollup_interval('1 minute') ≡ rollup('1m') row-for-row, and its
+    output cascades/finishes like any tier frame."""
+    from tokens_ts import extract, grid
+
+    raw = extract.to_raw(
+        extract.full_stats(grid.with_event_time(seq_tiny), stats=["mean"])
+    )
+    a = {
+        (r["source"], r["series_id"], r["window_start"]): (
+            r["cnt"], r["sum"], r["min"], r["max"], r["sum_sq"],
+        )
+        for r in tiers.rollup(raw, "1m").collect()
+    }
+    b = {
+        (r["source"], r["series_id"], r["window_start"]): (
+            r["cnt"], r["sum"], r["min"], r["max"], r["sum_sq"],
+        )
+        for r in tiers.rollup_interval(raw, "1 minute").collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            if x is None or y is None:
+                assert x is None and y is None
+            elif isinstance(x, float):
+                assert math.isclose(x, y, rel_tol=1e-12)
+            else:
+                assert x == y
+    # 5-minute buckets cascade exactly to 1h
+    t5 = tiers.rollup_interval(raw, "5 minutes")
+    h_direct = {
+        (r["source"], r["series_id"], r["window_start"]): r["cnt"]
+        for r in tiers.rollup(raw, "1h").collect()
+    }
+    h_cascade = {
+        (r["source"], r["series_id"], r["window_start"]): r["cnt"]
+        for r in tiers.cascade(t5, "1h").collect()
+    }
+    assert h_direct == h_cascade

@@ -2029,3 +2029,157 @@ def emb_ann_ivf_refined(spark, sf_dir):
         emb, query_ids=list(range(20)), k=3, n_centroids=8, nprobe=3,
         centroids=cents,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics operators over the events table: arbitrary-interval
+# rollup, finite-horizon EWMA, counter-reset rate, native session
+# windows (tokens_ts/analytics.py, tiers.rollup_interval).
+# ---------------------------------------------------------------------------
+
+from tokens_ts import analytics
+from tokens_ts.queries_driver import _events_raw, _fmt
+
+
+@q(
+    "ts_rollup_5m_interval",
+    """
+    SELECT event_type AS series_id,
+           strftime(to_timestamp(epoch(ts) - epoch(ts) % 300),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_5m_interval(spark, sf_dir):
+    """tiers.rollup_interval('5 minutes') — the arbitrary-width
+    continuous-aggregate surface (time_bucket analog); F.window's
+    epoch-aligned buckets vs DuckDB's epoch arithmetic."""
+    t = tiers.rollup_interval(_events_raw(spark, sf_dir), "5 minutes")
+    return t.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+    )
+
+
+def _ewma_sql(alpha: float = 0.25, horizon: int = 8) -> str:
+    """DuckDB mirror of analytics.with_ewma with the IDENTICAL
+    left-fold term order, so the doubles agree bit-for-bit."""
+    decay = 1.0 - alpha
+    num = "(value * 1.0)"
+    den = "(CASE WHEN value IS NOT NULL THEN 1.0 END)"
+    for k in range(1, horizon):
+        wk = repr(decay**k)
+        num = f"({num} + COALESCE(lag(value, {k}) OVER w * {wk}, 0.0))"
+        den = (
+            f"({den} + COALESCE(CASE WHEN lag(value, {k}) OVER w "
+            f"IS NOT NULL THEN {wk} END, 0.0))"
+        )
+    return f"""
+    SELECT event_id,
+           CAST(ROUND({num} / {den} * 1e6) AS BIGINT) AS ewma_e6
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@q("ts_ewma", _ewma_sql())
+def ts_ewma(spark, sf_dir):
+    """Finite-horizon EWMA (W=8, α=0.25) per series — the bounded-
+    window form that scales (no sequential scan, no (1−α)^−n
+    overflow); per-event smoothed value, fold order pinned so both
+    engines produce the identical double before e6 rounding."""
+    ev = _ev(spark, sf_dir)
+    out = analytics.with_ewma(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        alpha=0.25, horizon=8, order_cols=["event_id"],
+    )
+    return out.select("event_id", _e("ewma", 6).alias("ewma_e6"))
+
+
+@q(
+    "ts_counter_rate",
+    """
+    WITH d AS (
+      SELECT event_id, value,
+             lag(value) OVER w AS pv,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS dt_s
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           CAST(CASE WHEN pv IS NOT NULL THEN ROUND(
+             (CASE WHEN value - pv >= 0 THEN value - pv ELSE value END) * 1e4
+           ) END AS BIGINT) AS increase_e4,
+           CAST(CASE WHEN pv IS NOT NULL AND dt_s > 0 THEN ROUND(
+             (CASE WHEN value - pv >= 0 THEN value - pv ELSE value END)
+             / dt_s * 1e4
+           ) END AS BIGINT) AS rate_e4
+    FROM d
+    """,
+)
+def ts_counter_rate(spark, sf_dir):
+    """Prometheus-style increase/rate with counter-reset handling
+    (negative delta → the counter restarted, increase = new value) —
+    per-event, reset branch exercised heavily by the non-monotonic
+    fixture values."""
+    ev = _ev(spark, sf_dir)
+    out = analytics.with_counter_rate(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        _e("increase", 4).alias("increase_e4"),
+        _e("rate_per_s", 4).alias("rate_e4"),
+    )
+
+
+@q(
+    "ts_session_window_native",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def ts_session_window_native(spark, sf_dir):
+    """Native F.session_window sessions (gap 30 min, end = last event
+    + gap, only a STRICTLY larger gap splits) vs an independent
+    gaps-and-islands derivation — the batch twin of stream_sessionize
+    as ONE built-in grouping."""
+    ev = _ev(spark, sf_dir)
+    out = analytics.session_windows(
+        ev, keys=["user_id"], ts_col="ts", gap="30 minutes"
+    )
+    return out.select(
+        "user_id",
+        _fmt("session_start").alias("session_start"),
+        _fmt("session_end").alias("session_end"),
+        "n_events",
+    )

@@ -71,6 +71,25 @@ def rollup(raw: DataFrame, tier: str = "1m") -> DataFrame:
     return raw.groupBy(*KEYS, w).agg(*_phase1_aggs())
 
 
+def rollup_interval(raw: DataFrame, every: str = "5 minutes") -> DataFrame:
+    """Arbitrary-interval tumbling rollup — the continuous-aggregate
+    surface beyond the three fixed tiers (TimescaleDB's
+    time_bucket(INTERVAL, ts) analog). F.window gives the same
+    epoch-aligned left-closed buckets as date_trunc for whole-unit
+    widths, so rollup_interval(raw, '1 minute') ≡ rollup(raw, '1m')
+    (pytest-pinned); any width divides out of the same one-shuffle
+    hash-aggregate plan. Emits the SAME algebraic partial state, so
+    cascade/finish/salting compose unchanged."""
+    return (
+        raw.groupBy(*KEYS, F.window("event_ts", every).alias("w"))
+        .agg(*_phase1_aggs())
+        .select(
+            *KEYS, F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in STATE_COLS],
+        )
+    )
+
+
 def cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     """Merge a finer tier's partial states into a coarser tier (A3).
 
