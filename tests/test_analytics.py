@@ -164,3 +164,70 @@ def test_rollup_interval_equivalence_and_state_compat(spark, seq_tiny):
         for r in tiers.cascade(t5, "1h").collect()
     }
     assert h_direct == h_cascade
+
+
+def test_route_tier_rule():
+    assert tiers.route_tier(60) == "1m"
+    assert tiers.route_tier(900) == "1m"       # 15 min → minutes tier
+    assert tiers.route_tier(3600) == "1h"
+    assert tiers.route_tier(6 * 3600) == "1h"
+    assert tiers.route_tier(86400) == "1d"
+    assert tiers.route_tier(2 * 86400) == "1d"
+    with pytest.raises(ValueError, match="not a multiple"):
+        tiers.route_tier(90)
+
+
+def test_query_windows_exact_vs_raw(spark, seq_tiny, tmp_path):
+    """The routed answer equals rollup_interval straight from raw —
+    tier serving loses nothing (algebraic state), while scanning the
+    coarsest exact tier."""
+    from tokens_ts import extract, grid, pipeline
+    from tokens_ts.io.catalog import Catalog
+
+    seq = grid.with_event_time(seq_tiny)
+    root = str(tmp_path / "wh")
+    pipeline.run_backfill(spark, seq, root)
+    cat = Catalog(root)
+    raw = cat.read(spark, "raw").drop("day", "batch_id")
+
+    import datetime
+
+    span = raw.agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    ).collect()[0]
+    start = span["lo"].replace(minute=0, second=0)
+    # end is EXCLUSIVE by contract: one minute past the last event, so
+    # the final stored window is inside [start, end)
+    end = span["hi"] + datetime.timedelta(minutes=1)
+
+    for res in (900, 3600):
+        got = {
+            (r["source"], r["series_id"], r["window_start"]): (
+                r["cnt"], r["sum"], r["mean"],
+            )
+            for r in tiers.query_windows(
+                spark, cat, str(start), str(end), res
+            ).collect()
+        }
+        expect_frame = tiers.finish(
+            tiers.rollup_interval(
+                raw.where(
+                    (F.col("event_ts") >= F.lit(str(start)))
+                ),
+                f"{res} seconds",
+            )
+        ).where(
+            (F.col("window_start") >= F.lit(str(start)))
+            & (F.col("window_start") < F.lit(str(end)))
+        )
+        expect = {
+            (r["source"], r["series_id"], r["window_start"]): (
+                r["cnt"], r["sum"], r["mean"],
+            )
+            for r in expect_frame.collect()
+        }
+        assert got.keys() == expect.keys(), res
+        for k in got:
+            assert got[k][0] == expect[k][0], (res, k)
+            for x, y in zip(got[k][1:], expect[k][1:]):
+                assert math.isclose(x, y, rel_tol=1e-12), (res, k)

@@ -406,3 +406,69 @@ def enforce_retention(
             attempts,
         )
     return dropped
+
+
+_TIER_WIDTH_S = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def route_tier(resolution_s: int) -> str:
+    """Pick the COARSEST stored tier whose width divides the requested
+    resolution — the continuous-aggregate router rule: a 15-minute
+    request reads t1m (60 | 900), a 6-hour request reads t1h, a 2-day
+    request reads t1d. Coarser tier = fewer rows scanned; divisibility
+    guarantees exactness (whole windows nest, partial state merges)."""
+    best = None
+    for tier, w in _TIER_WIDTH_S.items():
+        if resolution_s % w == 0 and (best is None or w > _TIER_WIDTH_S[best]):
+            best = tier
+    if best is None:
+        raise ValueError(
+            f"resolution {resolution_s}s is not a multiple of any stored "
+            f"tier width {sorted(_TIER_WIDTH_S.values())} — serve it from "
+            "raw with rollup_interval instead"
+        )
+    return best
+
+
+def query_windows(
+    spark,
+    cat,
+    start,
+    end,
+    resolution_s: int = 3600,
+) -> DataFrame:
+    """Serve a windowed-stats query from the CHEAPEST tier (the reason
+    the tier store exists): route_tier picks the coarsest exact tier,
+    the scan filters window_start ∈ [start, end) — with `day` in the
+    predicate so (source, day) partition pruning kicks in — and the
+    stored partial states cascade-merge to the requested resolution,
+    finished to mean/std. Result is EXACTLY what rollup_interval over
+    raw would produce (algebraic state; pinned by pytest), at a scan
+    cost of resolution/tier-width fewer rows than raw."""
+    tier = route_tier(resolution_s)
+    t = cat.read(spark, TIER_NAME_BY_WIDTH[tier])
+    lo, hi = F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+    scan = t.where(
+        (F.col("window_start") >= lo)
+        & (F.col("window_start") < hi)
+        # partition-pruning twin of the window predicate: day spans at
+        # most one day beyond the window bounds on either side
+        & (F.col("day") >= F.to_date(lo))
+        & (F.col("day") <= F.to_date(hi))
+    )
+    merged = (
+        scan.groupBy(
+            *KEYS,
+            F.window("window_start", f"{resolution_s} seconds").alias("w"),
+        )
+        .agg(*_merge_aggs())
+        .select(
+            *KEYS,
+            F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in STATE_COLS],
+        )
+    )
+    return finish(merged)
+
+
+TIER_NAME_BY_WIDTH = {"1m": "t1m", "1h": "t1h", "1d": "t1d"}
