@@ -2183,3 +2183,69 @@ def ts_session_window_native(spark, sf_dir):
         _fmt("session_end").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier-routed serving pair (round 5): synthesize raw, build the t1m
+# tier in a temp warehouse, answer a 15-minute-resolution range query
+# THROUGH tiers.query_windows (router → partition-pruned tier scan →
+# cascade-merge → finish); DuckDB answers the same query directly from
+# the generated points. Any routing, pruning, merge, or finisher bug
+# diverges the counts/means.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_tier_routed_query",
+    f"""
+    WITH pts AS (SELECT unnest(range(0, 2 * 1440)) AS id),
+    g AS (
+      SELECT CASE WHEN id % 2 = 0 THEN 'srcA' ELSE 'srcB' END AS source,
+             {C.T0_EPOCH} + (id // 2) * 60 AS epoch_s,
+             CAST((id * 2654435761) % 1000000 AS DOUBLE) / 1e3 AS value
+      FROM pts
+    )
+    SELECT source,
+           CAST(epoch_s - epoch_s % 900 AS BIGINT) AS w_epoch,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS mean_e6
+    FROM g
+    WHERE epoch_s >= {C.T0_EPOCH} + 3600 AND epoch_s < {C.T0_EPOCH} + 10800
+    GROUP BY 1, 2
+    """,
+)
+def ts_tier_routed_query(spark, sf_dir):
+    """One day of minute points → t1m tier table → query_windows over
+    [t0+1h, t0+3h) at 15-min resolution. The routed path must equal
+    DuckDB's direct aggregation of the same generated points."""
+    import tempfile
+
+    from tokens_ts.io.catalog import Catalog
+
+    raw = spark.range(0, 2 * 1440).select(
+        F.when(F.col("id") % 2 == 0, "srcA").otherwise("srcB").alias("source"),
+        F.lit("series_0").alias("series_id"),
+        F.timestamp_seconds(
+            F.lit(C.T0_EPOCH) + (F.col("id") / 2).cast("bigint") * 60
+        ).alias("event_ts"),
+        (((F.col("id") * 2654435761) % 1_000_000) / 1e3).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="route_pair_")
+    cat = Catalog(root)
+    t1m = tiers.rollup(raw, "1m").withColumn("day", F.to_date("window_start"))
+    cat.overwrite_partitions(t1m, "t1m", ["source", "day"])
+    start = spark.sql(
+        f"SELECT CAST(timestamp_seconds({C.T0_EPOCH + 3600}) AS STRING) s"
+    ).collect()[0]["s"]
+    end = spark.sql(
+        f"SELECT CAST(timestamp_seconds({C.T0_EPOCH + 10800}) AS STRING) s"
+    ).collect()[0]["s"]
+    out = tiers.query_windows(spark, cat, start, end, resolution_s=900)
+    return out.select(
+        "source",
+        F.unix_timestamp("window_start").alias("w_epoch"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        _e("mean", 6).alias("mean_e6"),
+    )
