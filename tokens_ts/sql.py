@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tokens_ts.io.catalog import Catalog
 
-TIER_VIEWS = ("raw", "t1m", "t1h", "t1d")
+TIER_VIEWS = ("sequences", "raw", "t1m", "t1h", "t1d", "dead_letter")
 
 
 def register_views(
