@@ -231,3 +231,108 @@ def test_query_windows_exact_vs_raw(spark, seq_tiny, tmp_path):
             assert got[k][0] == expect[k][0], (res, k)
             for x, y in zip(got[k][1:], expect[k][1:]):
                 assert math.isclose(x, y, rel_tol=1e-12), (res, k)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),  # t (seconds, may collide)
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_series_strategy)
+def test_ewma_fuzz_vs_reference(spark, data):
+    """Random irregular series (dup timestamps deduped, nulls kept):
+    the W-lag kernel must equal the direct single-node computation."""
+    seen = set()
+    rows = []
+    for t, v in data:
+        if t in seen:
+            continue
+        seen.add(t)
+        rows.append((t, v))
+    rows.sort()
+    df = spark.createDataFrame(
+        [("k", i, t, v) for i, (t, v) in enumerate(rows)],
+        "key string, eid int, t int, value double",
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    W, alpha = 4, 0.4
+    got = {
+        r["eid"]: r["ewma"]
+        for r in analytics.with_ewma(
+            df, ["key"], alpha=alpha, horizon=W, order_cols=["eid"]
+        ).collect()
+    }
+    xs = [v for _, v in rows]
+    for n, x in enumerate(xs):
+        if x is None:
+            assert got[n] is None, n
+            continue
+        num = den = 0.0
+        for k in range(W):
+            j = n - k
+            if j < 0 or xs[j] is None:
+                continue
+            num += xs[j] * (1 - alpha) ** k
+            den += (1 - alpha) ** k
+        assert math.isclose(got[n], num / den, rel_tol=1e-9), n
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_series_strategy)
+def test_counter_rate_fuzz_vs_reference(spark, data):
+    seen = set()
+    rows = []
+    for t, v in data:
+        if t in seen:
+            continue
+        seen.add(t)
+        rows.append((t, v))
+    rows.sort()
+    df = spark.createDataFrame(
+        [("k", i, t, v) for i, (t, v) in enumerate(rows)],
+        "key string, eid int, t int, value double",
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    got = {
+        r["eid"]: (r["increase"], r["rate_per_s"])
+        for r in analytics.with_counter_rate(
+            df, ["key"], order_cols=["eid"]
+        ).collect()
+    }
+    for n in range(len(rows)):
+        if n == 0:
+            assert got[n] == (None, None)
+            continue
+        t, v = rows[n]
+        pt, pv = rows[n - 1]
+        if v is None or pv is None:
+            assert got[n][0] is None, n
+            continue
+        inc = v - pv if v - pv >= 0 else v
+        dt = t - pt
+        assert math.isclose(got[n][0], inc, rel_tol=1e-12, abs_tol=1e-12), n
+        if dt > 0:
+            assert math.isclose(got[n][1], inc / dt, rel_tol=1e-12, abs_tol=1e-15), n
+        else:
+            assert got[n][1] is None, n
