@@ -6,8 +6,9 @@ finishers.
 
 queries()/oracle_sql(): one pair per implemented operator from
 SURVEY.md §2 plus the training-data ops (tokens_ts/queries_driver.py,
-queries_data.py). 72 pairs carry a full ANSI-SQL oracle; exactly two
-are rows-only by design — doc_minhash_lsh and doc_simhash use
+queries_data.py). 81 pairs carry a full ANSI-SQL oracle (GATES_r5.json
+= the committed full-registry run at both SFs); exactly two are
+rows-only by design — doc_minhash_lsh and doc_simhash use
 xxhash64, which DuckDB lacks. Each has a fully-oracled md5-hashed
 twin (doc_minhash_md5, doc_simhash_pairs) checking the identical
 algorithm shape value-for-value, AND pytest pins their equivalence
