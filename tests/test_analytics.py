@@ -336,3 +336,125 @@ def test_counter_rate_fuzz_vs_reference(spark, data):
             assert math.isclose(got[n][1], inc / dt, rel_tol=1e-12, abs_tol=1e-15), n
         else:
             assert got[n][1] is None, n
+
+
+# ---------------------------------------------------------------------------
+# Round-5b operators: TWA, trend, reset buckets, seasonal z, heartbeat,
+# level shift — hand-computed known answers.
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_trapezoid(series):
+    out = {
+        (r["key"], r["window_start"].hour): (r["n_samples"], r["twa"])
+        for r in analytics.time_weighted_avg(
+            series, ["key"], interval="1 hour"
+        ).collect()
+    }
+    # key a, hour 0: samples (0,10) (60,12) (180,11) (300,20); null at 240
+    # is filtered. Trapezoids: 660 + 1380 + 1860 = 3900 over span 300.
+    n, twa = out[("a", 0)]
+    assert n == 4 and twa == pytest.approx(3900.0 / 300.0)
+    # key b: one sample per bucket → degrade to plain mean
+    assert out[("b", 0)] == (1, 5.0)
+    assert out[("b", 2)] == (1, 6.0)
+
+
+def test_trend_recovers_exact_line(spark):
+    # v = 2 + 0.5·x on one bucket; a second bucket is degenerate
+    # (all samples at one timestamp) → null slope.
+    rows = [("k", float(x), 2.0 + 0.5 * x) for x in (0, 60, 120, 300)]
+    rows += [("k", 7200.0, 9.0), ("k", 7200.0, 11.0)]
+    df = spark.createDataFrame(rows, "key string, t double, value double").select(
+        "key", F.timestamp_seconds("t").alias("event_ts"), "value"
+    )
+    out = {
+        r["window_start"].hour: (r["slope_per_s"], r["intercept"])
+        for r in analytics.trend(df, ["key"], interval="1 hour").collect()
+    }
+    assert out[0][0] == pytest.approx(0.5)
+    assert out[0][1] == pytest.approx(2.0)
+    assert out[2] == (None, None)
+
+
+def test_reset_stats_continuity_across_buckets(spark):
+    # hour 0: 1, 5, 2, 9  → deltas +4, −3(reset: inc 2), +7
+    # hour 1 first point 4 vs prev 9 → reset, increase = 4 lands in h1.
+    rows = [
+        ("k", 1, 0.0, 1.0), ("k", 2, 60.0, 5.0),
+        ("k", 3, 120.0, 2.0), ("k", 4, 180.0, 9.0),
+        ("k", 5, 3600.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid int, t double, value double"
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["window_start"].hour: (r["n_resets"], r["total_increase"], r["n_points"])
+        for r in analytics.reset_stats(
+            df, ["key"], interval="1 hour", order_cols=["eid"]
+        ).collect()
+    }
+    assert out[0] == (1, 4.0 + 2.0 + 7.0, 4)
+    assert out[1] == (1, 4.0, 1)
+
+
+def test_seasonal_zscore_hour_profile(spark):
+    # hour 3 baseline: {10, 14} → mean 12, std_pop 2 → z = ∓1;
+    # hour 5 has one point → std 0 → null z.
+    rows = [
+        ("k", 1, "2024-01-01 03:00:00", 10.0),
+        ("k", 2, "2024-01-02 03:30:00", 14.0),
+        ("k", 3, "2024-01-01 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid int, ts string, value double"
+    ).select("key", "eid", F.col("ts").cast("timestamp").alias("event_ts"), "value")
+    out = {
+        r["eid"]: r["seasonal_z"]
+        for r in analytics.seasonal_zscore(df, ["key"]).collect()
+    }
+    assert out[1] == pytest.approx(-1.0)
+    assert out[2] == pytest.approx(1.0)
+    assert out[3] is None
+
+
+def test_heartbeat_uptime_chaining_and_day_cap(spark):
+    # user u day0: beats at 0, 1800, 10000 →
+    #   min(1800,τ) + min(8200,τ) + min(τ, 86400−10000) = 1800+3600+3600
+    # user v: single beat 400 s before midnight → capped at 400.
+    rows = [("u", 0.0), ("u", 1800.0), ("u", 10000.0), ("v", 86000.0)]
+    df = spark.createDataFrame(rows, "key string, t double").select(
+        "key", F.timestamp_seconds("t").alias("event_ts")
+    )
+    out = {
+        r["key"]: (r["n_beats"], r["live_s"], r["uptime_frac"])
+        for r in analytics.heartbeat_uptime(
+            df, ["key"], tolerance_s=3600.0
+        ).collect()
+    }
+    assert out["u"][0] == 3
+    assert out["u"][1] == pytest.approx(9000.0)
+    assert out["u"][2] == pytest.approx(9000.0 / 86400.0)
+    assert out["v"][1] == pytest.approx(400.0)
+
+
+def test_level_shift_step_change(spark):
+    # 1,1,1,5,5,5 with width 2: full-frame positions score
+    # lead-mean − trail-mean; edges null.
+    rows = [
+        ("k", i, float(i), float(v))
+        for i, v in enumerate([1, 1, 1, 5, 5, 5])
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid int, t double, value double"
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["eid"]: r["level_shift"]
+        for r in analytics.with_level_shift(
+            df, ["key"], width=2, order_cols=["eid"]
+        ).collect()
+    }
+    assert out[0] is None and out[4] is None and out[5] is None
+    assert out[1] == pytest.approx(2.0)   # [1,1] vs [1,5]
+    assert out[2] == pytest.approx(4.0)   # [1,1] vs [5,5]
+    assert out[3] == pytest.approx(2.0)   # [1,5] vs [5,5]

@@ -2249,3 +2249,268 @@ def ts_tier_routed_query(spark, sf_dir):
         _e("sum", 4).alias("sum_e4"),
         _e("mean", 6).alias("mean_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5b analytics operators: time-weighted average, regression
+# trend, reset aggregation, seasonal-baseline z-score, heartbeat
+# uptime, level-shift detection (tokens_ts/analytics.py) — the
+# TimescaleDB/PromQL analytics surface beyond plain rollups.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_twa_1h",
+    """
+    WITH seg AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, value,
+             epoch_us(ts) AS t,
+             lead(value) OVER w AS nv,
+             epoch_us(lead(ts) OVER w) AS nt
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts)
+    )
+    SELECT event_type AS series_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(value) AS n_samples,
+           CAST(ROUND(CASE
+             WHEN (max(t) - min(t)) / 1e6 > 0
+             THEN sum((value + nv) / 2 * ((nt - t) / 1e6))
+                  / ((max(t) - min(t)) / 1e6)
+             ELSE avg(value) END * 1e6) AS BIGINT) AS twa_e6
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def ts_twa_1h(spark, sf_dir):
+    """Time-weighted average per series per hour — trapezoidal
+    integral over irregular samples ÷ observed span (TimescaleDB
+    time_weight('Linear')); single-sample/zero-span buckets degrade
+    to the plain mean (both engines mirror the rule)."""
+    out = analytics.time_weighted_avg(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", interval="1 hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        _fmt("window_start").alias("window_start"),
+        "n_samples",
+        _e("twa", 6).alias("twa_e6"),
+    )
+
+
+@q(
+    "ts_trend_1h",
+    """
+    WITH seg AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) / 1e6 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, b,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type AS series_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n * sxx - sx * sx != 0 THEN ROUND(
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6
+           ) END AS BIGINT) AS slope_e6,
+           CAST(CASE WHEN n * sxx - sx * sx != 0 THEN ROUND(
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e4
+           ) END AS BIGINT) AS intercept_e4
+    FROM g
+    """,
+)
+def ts_trend_1h(spark, sf_dir):
+    """Least-squares slope + intercept per series per hour (PromQL
+    deriv analog). Normal equations written as explicit sum
+    aggregates in BOTH engines with x = relative seconds (epoch-scale
+    x would cancel catastrophically in the n·Σx² − (Σx)² term)."""
+    out = analytics.trend(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", interval="1 hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        _fmt("window_start").alias("window_start"),
+        "n_samples",
+        _e("slope_per_s", 6).alias("slope_e6"),
+        _e("intercept", 4).alias("intercept_e4"),
+    )
+
+
+@q(
+    "ts_resets_1h",
+    """
+    WITH d AS (
+      SELECT event_type, ts, value,
+             lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(sum(CASE WHEN value - pv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           CAST(ROUND(sum(CASE WHEN pv IS NULL THEN NULL
+                 WHEN value - pv >= 0 THEN value - pv
+                 ELSE value END) * 1e4) AS BIGINT) AS total_increase_e4,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM d GROUP BY 1, 2
+    """,
+)
+def ts_resets_1h(spark, sf_dir):
+    """PromQL resets()/increase() rolled to hours: deltas over the
+    FULL series order (first delta of an hour reaches into the
+    previous hour — Prometheus's continuity rule), grouped by the
+    current point's bucket."""
+    out = analytics.reset_stats(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", interval="1 hour", order_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        _fmt("window_start").alias("window_start"),
+        "n_resets",
+        _e("total_increase", 4).alias("total_increase_e4"),
+        "n_points",
+    )
+
+
+@q(
+    "ts_seasonal_z",
+    """
+    WITH prof AS (
+      SELECT event_type, hour(ts) AS hod,
+             avg(value) AS m, stddev_pop(value) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           CAST(hour(e.ts) AS BIGINT) AS hod,
+           CAST(CASE WHEN p.s > 0 THEN ROUND((e.value - p.m) / p.s * 1e4)
+                END AS BIGINT) AS z_e4
+    FROM events e LEFT JOIN prof p
+      ON e.event_type = p.event_type AND hour(e.ts) = p.hod
+    """,
+)
+def ts_seasonal_z(spark, sf_dir):
+    """Hour-of-day seasonal-baseline z-score per event: the profile
+    (keys×24 rows) is broadcast back onto the facts, catching
+    'normal at 3pm, anomalous at 3am' which the global z-score pair
+    (ts_anomaly_zscore) cannot."""
+    out = analytics.seasonal_zscore(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value",
+    )
+    return out.select(
+        "event_id",
+        F.col("hod").cast("bigint").alias("hod"),
+        _e("seasonal_z", 4).alias("z_e4"),
+    )
+
+
+@q(
+    "ts_heartbeat_daily",
+    """
+    WITH seg AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             epoch_us(ts) AS t,
+             epoch_us(lead(ts) OVER w) AS nt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts)
+    )
+    SELECT user_id,
+           strftime(d, '%Y-%m-%d %H:%M:%S') AS day,
+           CAST(count(*) AS BIGINT) AS n_beats,
+           CAST(ROUND(sum(CASE
+             WHEN nt IS NOT NULL THEN least((nt - t) / 1e6, 3600.0)
+             ELSE least(3600.0,
+                        (epoch_us(d + INTERVAL 1 DAY) - t) / 1e6)
+           END) * 1e4) AS BIGINT) AS live_s_e4
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def ts_heartbeat_daily(spark, sf_dir):
+    """Heartbeat/uptime per user per day (TimescaleDB heartbeat_agg
+    analog): each event keeps the user live for 1h; chained coverage
+    capped at the day boundary — the bucket-local rule both engines
+    pin."""
+    out = analytics.heartbeat_uptime(
+        _ev(spark, sf_dir), keys=["user_id"], ts_col="ts",
+        tolerance_s=3600.0,
+    )
+    return out.select(
+        "user_id",
+        _fmt("day").alias("day"),
+        "n_beats",
+        _e("live_s", 4).alias("live_s_e4"),
+    )
+
+
+@q(
+    "ts_level_shift",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN count(value) OVER tr = 16
+                      AND count(value) OVER ld = 16
+                THEN ROUND((avg(value) OVER ld - avg(value) OVER tr) * 1e4)
+                END AS BIGINT) AS shift_e4
+    FROM events
+    WINDOW tr AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+           ld AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING)
+    """,
+)
+def ts_level_shift(spark, sf_dir):
+    """Level-shift (changepoint candidate) score per event: mean of
+    the next 16 values minus mean of the trailing 16, null unless
+    both frames are full. Bounded ROWS frames only — O(n) sliding
+    evaluation, never the O(n²) unbounded-following shape."""
+    out = analytics.with_level_shift(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", width=16, order_cols=["event_id"],
+    )
+    return out.select("event_id", _e("level_shift", 4).alias("shift_e4"))
+
+
+@q(
+    "seq_position_stats",
+    _synth_cte()
+    + """
+    , pos AS (SELECT unnest(range(1, 9)) AS p)
+    SELECT source, CAST(p - 1 AS BIGINT) AS pos,
+           CAST(count(v[p]) AS BIGINT) AS cnt,
+           CAST(ROUND(avg(v[p]) * 1e6) AS BIGINT) AS mean_e6,
+           CAST(min(v[p]) AS BIGINT) AS min,
+           CAST(max(v[p]) AS BIGINT) AS max
+    FROM vals, pos
+    WHERE p <= n_tok
+    GROUP BY 1, 2
+    """,
+)
+def seq_position_stats(spark, sf_dir):
+    """Positional (array-axis) aggregation across rows: per source,
+    per token position 0..7, count/mean/min/max of the PAD-masked
+    value at that position over every sequence — the cross-row
+    complement of the within-row A1 stats. posexplode of an 8-slice
+    keeps the explode factor constant (8×) regardless of n_tok, then
+    one partial-agg shuffle on (source, pos)."""
+    s = _seq(spark)
+    v = extract.masked(F.col("tokens"))
+    ex = s.select(
+        "source", F.posexplode(F.slice(v, 1, 8)).alias("pos", "val")
+    )
+    return ex.groupBy("source", F.col("pos").cast("bigint").alias("pos")).agg(
+        F.count("val").alias("cnt"),
+        _e(F.avg("val"), 6).alias("mean_e6"),
+        F.min("val").cast("bigint").alias("min"),
+        F.max("val").cast("bigint").alias("max"),
+    )
