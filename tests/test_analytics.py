@@ -458,3 +458,82 @@ def test_level_shift_step_change(spark):
     assert out[1] == pytest.approx(2.0)   # [1,1] vs [1,5]
     assert out[2] == pytest.approx(4.0)   # [1,1] vs [5,5]
     assert out[3] == pytest.approx(2.0)   # [1,5] vs [5,5]
+
+
+def _ts(s):
+    return F.timestamp_seconds(F.lit(float(s)))
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        ("u1", 0.0), ("u1", 2 * 86400.0 + 5),
+        ("u2", 100.0),
+        ("u3", 86400.0), ("u3", 86400.0 + 50),  # same-day repeat: one active day
+    ]
+    df = spark.createDataFrame(rows, "user_id string, t double").select(
+        "user_id", F.timestamp_seconds("t").alias("event_ts")
+    )
+    out = {
+        (r["cohort_day"].day, r["day_offset"]): r["n_active"]
+        for r in analytics.cohort_retention(df, "user_id").collect()
+    }
+    # day-1 cohort (u1, u2): both active at offset 0; u1 again at offset 2
+    assert out[(1, 0)] == 2 and out[(1, 2)] == 1
+    # day-2 cohort (u3): one active day despite two events
+    assert out[(2, 0)] == 1
+    assert len(out) == 3
+
+
+def test_funnel_boundary_rules(spark):
+    rows = [
+        # converts: purchase strictly inside (0, 3600]
+        ("a", "click", 0.0), ("a", "purchase", 1800.0),
+        # no: purchase 1 s past horizon
+        ("b", "click", 0.0), ("b", "purchase", 3601.0),
+        # no: purchase at exactly t_enter (strictly-after rule)
+        ("c", "click", 500.0), ("c", "purchase", 500.0),
+        # converts: exactly at t_enter + horizon
+        ("d", "click", 0.0), ("d", "purchase", 3600.0),
+        # no: purchase BEFORE the first click
+        ("e", "purchase", 100.0), ("e", "click", 200.0),
+        # entry uses FIRST click: second click's window does not count
+        ("f", "click", 0.0), ("f", "click", 7000.0), ("f", "purchase", 7100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, t double"
+    ).select("user_id", "event_type", F.timestamp_seconds("t").alias("event_ts"))
+    out = analytics.funnel(df, "click", "purchase").collect()
+    assert len(out) == 1
+    assert out[0]["n_entered"] == 6
+    assert out[0]["n_converted"] == 2  # a and d only
+
+
+def test_series_binary_op_zero_denom_and_ops(spark):
+    l = spark.createDataFrame(
+        [(1, 10.0), (2, 6.0), (3, 4.0)], "window_start int, value double"
+    )
+    r = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (4, 9.0)], "window_start int, value double"
+    )
+    ratio = {
+        row["window_start"]: row["ratio"]
+        for row in analytics.series_binary_op(l, r, "ratio").collect()
+    }
+    assert ratio == {1: 2.0, 2: None}  # inner join drops 3/4; 0-denom → null
+    sub = {
+        row["window_start"]: row["sub"]
+        for row in analytics.series_binary_op(l, r, "sub").collect()
+    }
+    assert sub == {1: 5.0, 2: 6.0}
+
+
+def test_top_n_per_group_ties(spark):
+    rows = [
+        ("g", "u1", 5), ("g", "u2", 5), ("g", "u3", 5), ("g", "u4", 1),
+        ("h", "u9", 2),
+    ]
+    df = spark.createDataFrame(rows, "grp string, uid string, n bigint")
+    out = analytics.top_n_per_group(df, ["grp"], "n", n=2, tie_cols=["uid"])
+    got = {(r["grp"], r["rank"]): r["uid"] for r in out.collect()}
+    # three-way tie at n=5 broken by uid ascending; u3 cut at n=2
+    assert got == {("g", 1): "u1", ("g", 2): "u2", ("h", 1): "u9"}

@@ -361,3 +361,150 @@ def with_level_shift(
         F.avg(v).over(lead_f) - F.avg(v).over(trail),
     )
     return df.withColumn("level_shift", shift)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "event_ts",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the day of their
+    FIRST event; for each (cohort_day, day_offset) emit how many of
+    that cohort were active day_offset days later. The classic
+    engagement query, built from two aggregates and one join:
+
+      1. cohort dim: groupBy(user) → min day         (|users| rows)
+      2. activity:   distinct (user, day)            (≤ |users|·days)
+      3. join 2⟕1 on user, offset = datediff, agg
+
+    The join key is the USER — high-cardinality, so this is a shuffle
+    join on both sides (the cohort dim is |users| rows, too big to
+    assume broadcast at 10^9 users, but both sides are already
+    user-keyed aggregates orders of magnitude smaller than the fact
+    table). Offsets beyond max_offset_days are dropped (bounds the
+    output, not the computation)."""
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    cohort = (
+        df.groupBy(user_col)
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    activity = df.select(user_col, day.alias("act_day")).distinct()
+    j = activity.join(cohort, user_col)
+    off = F.datediff(F.col("act_day"), F.col("cohort_day"))
+    return (
+        j.withColumn("day_offset", off)
+        .where(F.col("day_offset").between(0, max_offset_days))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_active"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    step_a: str,
+    step_b: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "event_ts",
+    horizon_s: float = 3600.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Two-step funnel conversion: a user 'enters' at their FIRST
+    step_a event and 'converts' if ANY step_b event lands in
+    (t_enter, t_enter + horizon]. Emits per entry day: n_entered,
+    n_converted.
+
+    Strictly-after rule (pinned): a step_b at exactly t_enter does
+    NOT convert (same-instant events are not causally ordered);
+    exactly t_enter + horizon does. Shape: one user-keyed agg for the
+    entry times, one semi-join of step_b facts against it (shuffle on
+    user), then a day-keyed agg — no window over the raw fact order
+    anywhere."""
+    ts = F.col(ts_col).cast("timestamp")
+    entered = (
+        df.where(F.col(type_col) == step_a)
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t_enter"))
+    )
+    b = df.where(F.col(type_col) == step_b).select(
+        user_col, ts.alias("t_b")
+    )
+    conv = (
+        b.join(entered, user_col)
+        .where(
+            (F.col("t_b") > F.col("t_enter"))
+            & (
+                F.unix_micros(F.col("t_b"))
+                <= F.unix_micros(F.col("t_enter"))
+                + F.lit(int(horizon_s * 1e6))
+            )
+        )
+        .select(user_col)
+        .distinct()
+        .withColumn("_converted", F.lit(1))
+    )
+    per_user = entered.join(conv, user_col, "left")
+    return (
+        per_user.groupBy(
+            F.date_trunc("day", "t_enter").alias("entry_day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_entered"),
+            F.sum(F.coalesce(F.col("_converted"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+
+
+def series_binary_op(
+    left: DataFrame,
+    right: DataFrame,
+    op: str = "ratio",
+    on: list[str] | None = None,
+    value_col: str = "value",
+    how: str = "inner",
+) -> DataFrame:
+    """PromQL-style binary operation between two aligned series
+    frames (each (on..., value)): join on the alignment keys (bucket
+    start, plus any labels) and combine values. ratio emits null on
+    zero denominator (PromQL drops the sample; null is the relational
+    spelling). Both inputs are normally per-bucket AGGREGATES —
+    orders of magnitude smaller than facts — so the join is a cheap
+    key-aligned shuffle; pre-bucketed inputs sharing a partitioning
+    reuse the exchange."""
+    on = on or ["window_start"]
+    lv = F.col("_l_val")
+    rv = F.col("_r_val")
+    combined = {
+        "ratio": F.when(rv != 0, lv / rv),
+        "add": lv + rv,
+        "sub": lv - rv,
+        "mul": lv * rv,
+    }[op]
+    lf = left.select(*on, F.col(value_col).alias("_l_val"))
+    rf = right.select(*on, F.col(value_col).alias("_r_val"))
+    return lf.join(rf, on, how).select(*on, combined.alias(op))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int = 3,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-N rows per group by order_col descending, rank emitted.
+    Ties broken by tie_cols ascending (REQUIRED for deterministic
+    output — row_number over an under-specified order is a silent
+    nondeterminism source). One window pass per group partition; at
+    scale this is the standard rank-filter shape (no global sort, no
+    TakeOrdered across groups)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), *[F.col(c) for c in (tie_cols or [])]
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )

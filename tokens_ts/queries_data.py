@@ -2514,3 +2514,145 @@ def seq_position_stats(spark, sf_dir):
         F.min("val").cast("bigint").alias("min"),
         F.max("val").cast("bigint").alias("max"),
     )
+
+
+@q(
+    "ts_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+           CAST(date_diff('day', cohort_day, act_day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort c USING (user_id)
+    WHERE date_diff('day', cohort_day, act_day) BETWEEN 0 AND 30
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-event day,
+    n_active per (cohort_day, day_offset) — two user-keyed aggregates
+    + one user join, never a window over raw facts."""
+    out = analytics.cohort_retention(
+        _ev(spark, sf_dir), user_col="user_id", ts_col="ts",
+        max_offset_days=30,
+    )
+    return out.select(
+        _fmt("cohort_day").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_active",
+    )
+
+
+@q(
+    "ts_funnel_click_purchase",
+    """
+    WITH entered AS (
+      SELECT user_id, min(ts) AS t_enter
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    conv AS (
+      SELECT DISTINCT b.user_id
+      FROM events b JOIN entered e USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.ts > e.t_enter
+        AND epoch_us(b.ts) <= epoch_us(e.t_enter) + 3600000000
+    )
+    SELECT strftime(date_trunc('day', t_enter),
+                    '%Y-%m-%d %H:%M:%S') AS entry_day,
+           CAST(count(*) AS BIGINT) AS n_entered,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM entered e LEFT JOIN conv c USING (user_id)
+    GROUP BY 1
+    """,
+)
+def ts_funnel_click_purchase(spark, sf_dir):
+    """Two-step funnel (click → purchase within 1h of the FIRST
+    click), per entry day. Strictly-after boundary rule pinned in
+    both engines; the as-of pair (ts_asof_click_purchase) is the
+    per-event cousin, this is the cohort aggregate."""
+    out = analytics.funnel(
+        _ev(spark, sf_dir), "click", "purchase", user_col="user_id",
+        type_col="event_type", ts_col="ts", horizon_s=3600.0,
+    )
+    return out.select(
+        _fmt("entry_day").alias("entry_day"), "n_entered", "n_converted"
+    )
+
+
+@q(
+    "ts_series_ratio",
+    """
+    WITH l AS (
+      SELECT date_trunc('hour', ts) AS w, CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    r AS (
+      SELECT date_trunc('hour', ts) AS w, CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT strftime(l.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(CASE WHEN r.v != 0 THEN ROUND(l.v / r.v * 1e6) END
+                AS BIGINT) AS ratio_e6
+    FROM l JOIN r ON l.w = r.w
+    """,
+)
+def ts_series_ratio(spark, sf_dir):
+    """PromQL-style binary op between two series: clicks/views per
+    hour via series_binary_op (inner alignment join of two per-bucket
+    aggregates, null on zero denominator)."""
+    ev = _ev(spark, sf_dir)
+
+    def hourly(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.count("*").cast("double").alias("value"))
+        )
+
+    out = analytics.series_binary_op(hourly("click"), hourly("view"), "ratio")
+    return out.select(
+        _fmt("window_start").alias("window_start"),
+        _e("ratio", 6).alias("ratio_e6"),
+    )
+
+
+@q(
+    "ts_topn_daily_users",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS d, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT d, user_id, n,
+             row_number() OVER (PARTITION BY d ORDER BY n DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS day, user_id,
+           CAST(n AS BIGINT) AS n_events, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def ts_topn_daily_users(spark, sf_dir):
+    """Top-3 users per day by event count — the rank-filter shape
+    (per-group window, no global sort), ties broken by user_id so
+    both engines agree row-for-row."""
+    ev = _ev(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    out = analytics.top_n_per_group(
+        counts, ["day"], "n_events", n=3, tie_cols=["user_id"]
+    )
+    return out.select(
+        _fmt("day").alias("day"),
+        "user_id",
+        "n_events",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
