@@ -133,6 +133,17 @@ def main():
     bench("gapfill", lambda: _materialize(QUERIES["ts_gapfill_interp"](spark, sf_dir)))
     bench("asof_join", lambda: _materialize(QUERIES["ts_asof_click_purchase"](spark, sf_dir)))
 
+    # round-5b analytics: time-weighted average (lead pass + bucket
+    # agg) and level-shift detection (two bounded ROWS frames)
+    from tokens_ts import analytics
+
+    bench("twa_1h", lambda: _materialize(
+        analytics.time_weighted_avg(ev_raw, ["series_id"], interval="1 hour")
+    ))
+    bench("level_shift", lambda: _materialize(
+        analytics.with_level_shift(ev_raw, ["series_id"], width=16)
+    ))
+
     # codec: encode → parquet sink (the real shape: compressed segments
     # land in a table), decode ← that table; timed separately
     import tempfile

@@ -537,3 +537,16 @@ def test_top_n_per_group_ties(spark):
     got = {(r["grp"], r["rank"]): r["uid"] for r in out.collect()}
     # three-way tie at n=5 broken by uid ascending; u3 cut at n=2
     assert got == {("g", 1): "u1", ("g", 2): "u2", ("h", 1): "u9"}
+
+
+def test_gap_stats_day_local(spark):
+    rows = [("s", 0.0), ("s", 100.0), ("s", 1000.0), ("s", 86400.0 + 10)]
+    df = spark.createDataFrame(rows, "key string, t double").select(
+        "key", F.timestamp_seconds("t").alias("event_ts")
+    )
+    out = {
+        r["day"].day: (r["n_events"], r["max_gap_s"], r["n_gaps_over"])
+        for r in analytics.gap_stats(df, ["key"], threshold_s=600.0).collect()
+    }
+    assert out[1] == (3, 900.0, 1)     # gaps 100, 900; one over 600
+    assert out[2] == (1, None, 0)      # single event: no gap

@@ -655,3 +655,21 @@ def test_bpe_vocab_deterministic_and_merge_indexed(spark):
         if a + b not in seen:
             assert v1[a + b] == 96 + j, (j, a, b)
             seen.add(a + b)
+
+
+def test_unigram_logprob_corpus_mle(spark):
+    import math
+
+    from tokens_ts import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a  a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["mean_logprob"])
+        for r in textops.unigram_logprob(docs).collect()
+    }
+    # counts: a=2 b=2 c=1, total=5; double space yields no empty token
+    assert out[1][0] == 3 and out[2][0] == 2
+    assert out[1][1] == pytest.approx(math.log(0.4))
+    assert out[2][1] == pytest.approx((math.log(0.4) + math.log(0.2)) / 2)

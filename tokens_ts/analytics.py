@@ -508,3 +508,32 @@ def top_n_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)
     )
+
+
+def gap_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    threshold_s: float = 600.0,
+) -> DataFrame:
+    """Gap detection per (keys, day): the dual of heartbeat_uptime —
+    instead of summing coverage, report the largest silent interval
+    and how many inter-event gaps exceeded threshold_s. Bucket-local
+    (gaps across midnight are not counted — same pinned day-boundary
+    rule as heartbeat_uptime). A single-event day has no gaps → null
+    max_gap_s.
+
+    One lead pass within (keys, day) + one partial-agg shuffle."""
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    seg = df.withColumn("_gp_day", day)
+    w = Window.partitionBy(*keys, "_gp_day").orderBy(ts_col)
+    gap_s = (F.lead(t_us).over(w) - t_us) / 1e6
+    out = seg.withColumn("_gp_gap", gap_s).groupBy(*keys, "_gp_day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("_gp_gap").alias("max_gap_s"),
+        F.sum(
+            F.when(F.col("_gp_gap") > threshold_s, 1).otherwise(0)
+        ).cast("bigint").alias("n_gaps_over"),
+    )
+    return out.withColumnRenamed("_gp_day", "day")

@@ -2656,3 +2656,67 @@ def ts_topn_daily_users(spark, sf_dir):
         "n_events",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+@q(
+    "ts_gap_stats",
+    """
+    WITH seg AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             (epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1e6 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts)
+    )
+    SELECT event_type AS series_id,
+           strftime(d, '%Y-%m-%d %H:%M:%S') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(max(gap_s) * 1e4) AS BIGINT) AS max_gap_e4,
+           CAST(sum(CASE WHEN gap_s > 600.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps_over
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def ts_gap_stats(spark, sf_dir):
+    """Largest silent interval + gaps-over-threshold per series per
+    day — the dual of heartbeat_uptime, same bucket-local day rule."""
+    out = analytics.gap_stats(
+        _ev(spark, sf_dir).withColumnRenamed("event_type", "series_id"),
+        keys=["series_id"], ts_col="ts", threshold_s=600.0,
+    )
+    return out.select(
+        "series_id",
+        _fmt("day").alias("day"),
+        "n_events",
+        _e("max_gap_s", 4).alias("max_gap_e4"),
+        "n_gaps_over",
+    )
+
+
+@q(
+    "doc_unigram_logprob",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, w FROM words WHERE w != ''),
+    counts AS (SELECT w, count(*) AS wc FROM w2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(wc) AS DOUBLE) AS t FROM counts)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(ROUND(avg(ln(wc / t)) * 1e4) AS BIGINT) AS mean_logprob_e4
+    FROM w2 JOIN counts USING (w) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """Per-doc mean log-probability under the corpus unigram MLE —
+    the statistical stand-in for model-based quality filtering; both
+    engines build the LM from the same corpus and score it back."""
+    out = textops.unigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        _e("mean_logprob", 4).alias("mean_logprob_e4"),
+    )

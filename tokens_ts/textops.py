@@ -391,3 +391,35 @@ def with_fingerprint(docs: DataFrame, gram: int = 8, stride: int = 4) -> DataFra
             f" i -> md5(substring(text, i, {gram}))))"
         ),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-LM quality scoring: per-document mean log-probability
+    under the corpus's own unigram MLE — the cheap statistical proxy
+    for model-based quality filtering (a doc of globally-rare words
+    scores low; boilerplate scores high). Two shuffles:
+
+      1. word counts: explode → groupBy(word)   (vocab-sized result)
+      2. score: words ⋈ counts on word → groupBy(doc)
+
+    The corpus total rides along as a broadcast 1-row frame (control
+    plane, no driver collect in the lineage). At 100 TB the word join
+    is the skew risk — stop-words are hot keys — but the counts side
+    is one row per word, so AQE's skew-join split handles the fact
+    side; the counts frame itself is broadcast-eligible for any vocab
+    under ~100M words. Empty tokens from repeated whitespace are
+    dropped in BOTH engines."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("wc"))
+    total = counts.agg(F.sum("wc").cast("double").alias("t"))
+    scored = (
+        words.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp", F.log(F.col("wc") / F.col("t")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.avg("_lp").alias("mean_logprob"),
+    )
