@@ -245,3 +245,63 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_seasonal_zscore_broadcasts_profile(spark, events_path):
+    """The hour-of-day profile is keys×24 rows — it must come back as
+    a BroadcastHashJoin, never a shuffled sort-merge join of the fact
+    table against its own aggregate."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    df = analytics.seasonal_zscore(ev, ["event_type"], ts_col="ts")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_twa_and_trend_single_agg_shuffle(spark, events_path):
+    """time_weighted_avg = one window exchange + one partial-agg
+    exchange; trend = ONE exchange total (bucket agg, no window), and
+    both must show map-side partial aggregation."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    twa_plan = _plan(
+        analytics.time_weighted_avg(ev, ["event_type"], ts_col="ts")
+    )
+    assert twa_plan.count("Exchange") <= 2
+    assert "partial_" in twa_plan  # map-side combine present
+    trend_plan = _plan(analytics.trend(ev, ["event_type"], ts_col="ts"))
+    assert trend_plan.count("Exchange") == 1
+    assert "partial_" in trend_plan
+
+
+def test_top_n_per_group_no_global_sort(spark, events_path):
+    """Rank-filter must stay per-group: a hash-partitioned window, no
+    global Sort/Exchange SinglePartition funnel."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    df = analytics.top_n_per_group(counts, ["day"], "n", n=3, tie_cols=["user_id"])
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(day" in plan
+
+
+def test_level_shift_uses_bounded_running_frames(spark, events_path):
+    """Both frames must be bounded ROWS specs (O(n) sliding buffer);
+    an unbounded following frame would re-scan per row."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    df = analytics.with_level_shift(
+        ev, ["event_type"], ts_col="ts", width=16, order_cols=["event_id"]
+    )
+    plan = _plan(df)
+    assert "unboundedfollowing" not in plan.lower()
+    assert "specifiedwindowframe(RowFrame, -15, currentrow$())" in plan
+    assert "specifiedwindowframe(RowFrame, 1, 16)" in plan
