@@ -673,3 +673,26 @@ def test_unigram_logprob_corpus_mle(spark):
     assert out[1][0] == 3 and out[2][0] == 2
     assert out[1][1] == pytest.approx(math.log(0.4))
     assert out[2][1] == pytest.approx((math.log(0.4) + math.log(0.2)) / 2)
+
+
+def test_tfidf_topterms_known_corpus(spark):
+    import math
+
+    from tokens_ts import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),     # cat tf=2 df=1; dog tf=1 df=2
+            (2, "dog fish fish"),   # fish tf=2 df=1; dog tf=1 df=2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score_e6"])
+        for r in textops.tfidf_top_terms(docs, k=2).collect()
+    }
+    ln2e6 = round(math.log(2.0) * 1e6)
+    # doc 1: cat 2·ln(2/1), dog 1·ln(2/2)=0
+    assert out[(1, 1)] == ("cat", 2 * ln2e6)
+    assert out[(1, 2)] == ("dog", 0)
+    assert out[(2, 1)] == ("fish", 2 * ln2e6)

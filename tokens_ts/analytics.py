@@ -112,6 +112,7 @@ def time_weighted_avg(
     ts_col: str = "event_ts",
     value_col: str = "value",
     interval: str = "1 hour",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Time-weighted average (TimescaleDB time_weight('Linear') analog)
     per key per bucket: the trapezoidal integral over consecutive
@@ -127,8 +128,15 @@ def time_weighted_avg(
     minute, which arithmetic mean gets wrong.
 
     Shape: one window pass (lead) + one partial-agg shuffle on
-    (keys, bucket) — identical scale profile to rollup_interval."""
-    w = Window.partitionBy(*keys, "_tw_bucket").orderBy(ts_col)
+    (keys, bucket) — identical scale profile to rollup_interval.
+
+    Duplicate timestamps within a key: tied samples contribute zero
+    area to each other, but WHICH tied value connects to the next
+    point depends on sort order — pass order_cols (e.g. an event id)
+    for a deterministic result when (keys, ts) is not unique."""
+    w = Window.partitionBy(*keys, "_tw_bucket").orderBy(
+        ts_col, *(order_cols or [])
+    )
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     nxt_v = F.lead(value_col).over(w)
     nxt_t = F.lead(t_us).over(w)

@@ -2720,3 +2720,45 @@ def doc_unigram_logprob(spark, sf_dir):
         "n_words",
         _e("mean_logprob", 4).alias("mean_logprob_e4"),
     )
+
+
+@q(
+    "doc_tfidf_topterms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, w FROM words WHERE w != ''),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf,
+             CAST(ROUND(tf.tf * ln(n_docs / df) * 1e6) AS BIGINT) AS score_e6
+      FROM tf JOIN dfc USING (w) CROSS JOIN n
+    ),
+    rk AS (
+      SELECT doc_id, w, tf, score_e6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_e6 DESC, w ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, score_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def doc_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc. Both engines rank on the
+    E6-ROUNDED score (2·ln4 vs 4·ln2 are mathematically equal but can
+    differ by an ulp — ranking the raw double would let an ulp flip
+    top-k membership), then break exact ties by term ASC."""
+    out = textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        "score_e6",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

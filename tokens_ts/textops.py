@@ -11,7 +11,7 @@ filters push down to the scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 def _words():
     # built lazily: Column construction needs an active SparkContext
@@ -422,4 +422,50 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return scored.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.avg("_lp").alias("mean_logprob"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc count, idf =
+    ln(N/df) (raw, unsmoothed — pinned), score = tf·idf.
+
+    Ranking happens on the E6-ROUNDED score, not the raw double:
+    mathematically-equal scores can be computed via different
+    expressions (2·ln4 vs 4·ln2) that differ by an ulp, and an
+    ulp-level rank flip would silently reorder top-k between engines.
+    Rounding to 1e-6 before ranking makes every genuine tie an exact
+    tie, then term ASC breaks it deterministically.
+
+    Shapes: word-keyed df-count (vocab-sized, broadcast-eligible
+    ≲100M words), corpus N as a broadcast 1-row frame, and a per-doc
+    rank-filter window — no global sort. Stop-word skew on the word
+    join is AQE-splittable (counts side is 1 row/word)."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    tf = words.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, F.col("w").alias("term"), "tf", "score_e6", "rank")
     )
