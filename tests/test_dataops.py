@@ -696,3 +696,52 @@ def test_tfidf_topterms_known_corpus(spark):
     assert out[(1, 1)] == ("cat", 2 * ln2e6)
     assert out[(1, 2)] == ("dog", 0)
     assert out[(2, 1)] == ("fish", 2 * ln2e6)
+
+
+def test_zipf_slope_known_distribution(spark):
+    import math
+
+    from tokens_ts import textops
+
+    # One source, token t appears 2^(4-t) times for t in 1..4:
+    # counts 8,4,2,1 at ranks 1..4 — ln(c) vs ln(r) is NOT exactly
+    # linear, so check against the closed-form OLS on those points.
+    toks = [t for t in (1, 2, 3, 4) for _ in range(2 ** (4 - t))]
+    df = spark.createDataFrame(
+        [("s0", toks)], "source string, tokens array<int>"
+    )
+    out = textops.zipf_slope(df, by="source").collect()
+    assert len(out) == 1 and out[0]["n_ranked"] == 4
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out[0]["zipf_slope"] == pytest.approx(want)
+    assert want < -1.0  # steeper than Zipf's law for a 2^-k drop
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    import math
+
+    from tokens_ts import textops
+
+    # (1,2) always adjacent (a perfect collocation); 3 pairs with
+    # everything (background). PAD=0 breaks adjacency, never counts.
+    rows = [(f"d{i}", [1, 2, 0, 3, 3]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = textops.bigram_pmi_topk(df, k=10, min_count=5).collect()
+    got = {(r["a"], r["b"]): (r["cnt"], r["pmi_e6"]) for r in out}
+    # streams per doc: bigrams (1,2) and (3,3) survive the PAD filter
+    assert got[(1, 2)][0] == 6 and got[(3, 3)][0] == 6
+    # unigrams: c1=6 c2=6 c3=12, T_uni=24, T_bi=12
+    pmi12 = math.log(6) - math.log(12) - 2 * math.log(6) + 2 * math.log(24)
+    pmi33 = math.log(6) - math.log(12) - 2 * math.log(12) + 2 * math.log(24)
+    assert got[(1, 2)][1] == round(pmi12 * 1e6)
+    assert got[(3, 3)][1] == round(pmi33 * 1e6)
+    assert got[(1, 2)][1] > got[(3, 3)][1]  # true collocation ranks higher
+    # output arrives pmi-desc (then a, b asc)
+    pmis = [r["pmi_e6"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)

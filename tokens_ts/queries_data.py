@@ -2762,3 +2762,96 @@ def doc_tfidf_topterms(spark, sf_dir):
         "score_e6",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution shape: Zipf slope per source + bigram PMI top-k —
+# the data-mix drift detector and the collocation miner
+# (tokens_ts/textops.py zipf_slope / bigram_pmi_topk).
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_zipf_slope",
+    _synth_cte()
+    + """
+    , uni AS (
+      SELECT source, t, count(*) AS c
+      FROM (SELECT source, unnest(tokens) AS t FROM seq)
+      WHERE t <> 0 GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT source, t, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, t ASC) AS r
+      FROM uni
+    ),
+    xy AS (
+      SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM rk WHERE r <= 256
+    ),
+    ag AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranked,
+           CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                ELSE CAST(ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e6)
+                          AS BIGINT) END AS slope_e6
+    FROM ag
+    """,
+)
+def seq_zipf_slope(spark, sf_dir):
+    """Zipf-law slope of the per-source token frequency distribution
+    (OLS over ln freq vs ln rank, top-256 non-PAD tokens, count-desc /
+    token-asc deterministic ranking). Slope lands via the five OLS
+    sums — e6-rounded, the same summation-ulp budget ts_trend_1h
+    pinned. Ranking window is vocab-bounded per source, never
+    corpus-bounded."""
+    out = textops.zipf_slope(_seq(spark), by="source", pad_id=C.PAD_ID)
+    return out.select("source", "n_ranked", _e("zipf_slope", 6).alias("slope_e6"))
+
+
+@q(
+    "seq_bigram_pmi",
+    _synth_cte()
+    + """
+    , bg AS (
+      SELECT tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    uni AS (
+      SELECT t, count(*) AS c
+      FROM (SELECT unnest(tokens) AS t FROM seq)
+      WHERE t <> 0 GROUP BY 1
+    ),
+    tu AS (SELECT CAST(sum(c) AS DOUBLE) AS tu FROM uni),
+    tb AS (SELECT CAST(count(*) AS DOUBLE) AS tb FROM bg),
+    bgc AS (
+      SELECT a, b, count(*) AS cnt FROM bg GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROUND((ln(cnt) - ln(tb) - ln(ua.c) - ln(ub.c) + 2*ln(tu))
+                      * 1e6) AS BIGINT) AS pmi_e6
+    FROM bgc
+    JOIN uni ua ON bgc.a = ua.t
+    JOIN uni ub ON bgc.b = ub.t
+    CROSS JOIN tb CROSS JOIN tu
+    ORDER BY pmi_e6 DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+)
+def seq_bigram_pmi(spark, sf_dir):
+    """Top-20 adjacent-token bigrams by PMI (support ≥ 2 — the
+    synthetic vocab is 131 072 tokens, so specific bigrams are rare
+    by construction and the operator's production default of 5 would
+    return an empty frame at test scale), ranked on
+    the e6-rounded score with (a, b) tie-break — collocation mining
+    over the token stream. The bigram stream is built row-locally
+    (transform over positions; DuckDB mirrors with a 1-indexed lateral
+    range); T_bi is counted before the support filter in BOTH
+    engines (pinned rule)."""
+    return textops.bigram_pmi_topk(_seq(spark), pad_id=C.PAD_ID, k=20, min_count=2)

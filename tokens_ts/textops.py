@@ -469,3 +469,147 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, F.col("w").alias("term"), "tf", "score_e6", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-domain corpus statistics (over pre-tokenized sequences)
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope(
+    seq: DataFrame,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    max_rank: int = 256,
+) -> DataFrame:
+    """Zipf-law slope per group: OLS fit of ln(freq) vs ln(rank) over
+    the top `max_rank` non-PAD tokens — the one-number summary of how
+    natural a token distribution is (English text ≈ −1; uniform
+    synthetic junk ≈ 0; degenerate boilerplate ≪ −1), used to flag
+    sources whose token mix drifted.
+
+    Shapes: explode → map-side-combined (group, token) count — the
+    only corpus-sized shuffle; the ranking window partitions by group
+    over AT MOST vocab-size rows per group (bounded by V, never by
+    corpus rows), and the final normal-equation agg is ≤ max_rank
+    rows per group. Slope is computed from the five OLS sums, so the
+    whole fit is one more tiny agg — no second pass over data."""
+    counts = (
+        seq.select(by, F.explode(tokens_col).alias("t"))
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("cnt"), F.asc("t"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max_rank
+    )
+    xy = ranked.select(
+        by,
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy(by).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # n=1 (a single distinct token) degenerates the fit: sxx = sx = 0
+    # and the denominator is exactly 0 — under ANSI mode a plain
+    # divide would FAIL THE JOB, so the slope is null there.
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )
+    return agg.select(
+        by,
+        F.col("n").cast("bigint").alias("n_ranked"),
+        slope.alias("zipf_slope"),
+    )
+
+
+def bigram_pmi_topk(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide top-k adjacent-token bigrams by pointwise mutual
+    information — the phrase-mining / collocation detector (merge-rule
+    candidates for tokenizer growth; memorized-boilerplate flags).
+
+    pmi(a,b) = ln(c_ab) − ln(T_bi) − ln(c_a) − ln(c_b) + 2·ln(T_uni)
+    with unigram stats over the full non-PAD stream and bigram total
+    T_bi counted BEFORE the min_count support filter (pinned rule).
+
+    Ranking is on the E6-ROUNDED pmi (the tfidf_top_terms ulp rule),
+    ties broken (a ASC, b ASC). Shapes: the bigram stream is built
+    row-locally (transform over 0..n−2, no posexplode self-join);
+    unigram and bigram count frames are vocab-/vocab²-bounded; the
+    two totals ride as broadcast 1-row frames; top-k plans as
+    TakeOrderedAndProject — no global sort, no corpus-sized join."""
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg")
+    ).select("bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    uni = (
+        seq.select(F.explode(tokens_col).alias("t"))
+        .where(F.col("t") != pad_id)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").cast("double").alias("tu"))
+    t_bi = pairs.agg(F.count("*").cast("double").alias("tb"))
+    bgc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bgc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_uni))
+        .withColumn(
+            "pmi_e6",
+            F.round(
+                (
+                    F.log("cnt")
+                    - F.log("tb")
+                    - F.log("ca")
+                    - F.log("cb")
+                    + 2 * F.log("tu")
+                )
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_e6"), F.asc("a"), F.asc("b"))
+        .limit(k)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "pmi_e6",
+        )
+    )
