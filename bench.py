@@ -187,6 +187,14 @@ def main():
     from tokens_ts import packing, textops
 
     bench("bpe_encode", lambda: _materialize(textops.with_bpe_encode(docs)))
+    # round-5c token-corpus stats: vocab-bounded rank window (zipf)
+    # and row-local bigram stream + broadcast count frames (pmi)
+    bench("zipf_slope", lambda: _materialize(
+        textops.zipf_slope(seq, by="source")
+    ))
+    bench("bigram_pmi", lambda: _materialize(
+        textops.bigram_pmi_topk(seq, min_count=2)
+    ))
     bench("packing_tokens", lambda: _materialize(
         packing.pack_tokens(seq, chunk_len=2048)
     ))
