@@ -195,6 +195,17 @@ def main():
     bench("bigram_pmi", lambda: _materialize(
         textops.bigram_pmi_topk(seq, min_count=2)
     ))
+    # round-5c time×tokens fusion: hour-over-hour histogram JSD (one
+    # explode+count shuffle, vocab×buckets-bounded joins) and
+    # gap-correct ACF (bucket agg + bounded self-equi-join)
+    from tokens_ts import analytics, grid
+
+    bench("jsd_drift", lambda: _materialize(
+        textops.dist_drift(grid.with_event_time(seq), trunc="hour")
+    ))
+    bench("acf", lambda: _materialize(
+        analytics.acf(ev_raw, keys=["series_id"], trunc="minute", max_lag=5)
+    ))
     bench("packing_tokens", lambda: _materialize(
         packing.pack_tokens(seq, chunk_len=2048)
     ))

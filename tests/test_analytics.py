@@ -550,3 +550,57 @@ def test_gap_stats_day_local(spark):
     }
     assert out[1] == (3, 900.0, 1)     # gaps 100, 900; one over 600
     assert out[2] == (1, None, 0)      # single event: no gap
+
+
+def test_sax_symbols_known_word(spark):
+    from datetime import datetime
+
+    from tokens_ts import analytics
+
+    rows = (
+        # key A: PAA series 0,10,20,30 -> z = ±1.342, ±0.447 -> "abcd"
+        [("A", datetime(2026, 1, 1, 0, m, 0), float(10 * m)) for m in range(4)]
+        # minute-0 PAA averages two raw samples: add a canceling pair
+        + [("A", datetime(2026, 1, 1, 0, 0, 30), 0.0)]
+        # key B: constant -> sd=0 -> z=0 -> 'c'
+        + [("B", datetime(2026, 1, 1, 0, m, 0), 5.0) for m in range(2)]
+    )
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        r["k"]: (r["sax_word"], r["n_seg"])
+        for r in analytics.sax_symbols(df, keys=["k"]).collect()
+    }
+    assert out["A"] == ("abcd", 4)
+    assert out["B"] == ("cc", 2)
+
+
+def test_acf_alternating_and_gapped(spark):
+    from datetime import datetime
+
+    from tokens_ts import analytics
+
+    rows = [
+        ("A", datetime(2026, 1, 1, 0, m, 0), float(1 if m % 2 == 0 else -1))
+        for m in range(6)
+    ] + [
+        # B: same alternation, minute 3 MISSING -> lag-1 pairs only at
+        # (0,1),(1,2),(4,5); row-lag would wrongly pair minutes 2 and 4
+        ("B", datetime(2026, 1, 1, 0, m, 0), float(1 if m % 2 == 0 else -1))
+        for m in (0, 1, 2, 4, 5)
+    ] + [
+        # C: constant -> zero variance -> null acf
+        ("C", datetime(2026, 1, 1, 0, m, 0), 7.0)
+        for m in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in analytics.acf(df, keys=["k"], max_lag=2).collect()
+    }
+    n, a = out[("A", 1)]
+    assert n == 5 and a == pytest.approx(-1.0)
+    n, a = out[("A", 2)]
+    assert n == 4 and a == pytest.approx(1.0)
+    n, a = out[("B", 1)]
+    assert n == 3 and a == pytest.approx(-1.0)  # gap-correct pairing
+    assert out[("C", 1)] == (3, None)

@@ -745,3 +745,57 @@ def test_bigram_pmi_collocation_beats_chance(spark):
     # output arrives pmi-desc (then a, b asc)
     pmis = [r["pmi_e6"] for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_dist_drift_known_histograms(spark):
+    import math
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    rows = [
+        # hour 0: dist {1: .5, 2: .5}
+        ("s0", datetime(2026, 1, 1, 0, 10), [1, 1, 2, 2]),
+        # hour 1: dist {1: .75, 3: .25} (PAD 0 excluded)
+        ("s0", datetime(2026, 1, 1, 1, 20), [1, 1, 1, 3, 0]),
+        # hour 3: predecessor hour 2 missing -> NOT scored
+        ("s0", datetime(2026, 1, 1, 3, 5), [5, 5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    out = textops.dist_drift(df, trunc="hour").collect()
+    assert len(out) == 1  # only hour 1 has an adjacent predecessor
+    r = out[0]
+    assert r["bucket_ts"] == datetime(2026, 1, 1, 1, 0)
+    assert r["n_union"] == 3  # tokens {1, 2, 3}
+    p = {1: 0.75, 2: 0.0, 3: 0.25}
+    q = {1: 0.5, 2: 0.5, 3: 0.0}
+    want = sum(
+        (p[t] * math.log(p[t] / ((p[t] + q[t]) / 2)) if p[t] else 0.0)
+        + (q[t] * math.log(q[t] / ((p[t] + q[t]) / 2)) if q[t] else 0.0)
+        for t in (1, 2, 3)
+    ) / 2
+    assert r["jsd"] == pytest.approx(want)
+    assert 0.0 < r["jsd"] < math.log(2.0)
+
+
+def test_vocab_growth_curve(spark):
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    rows = [
+        ("s0", datetime(2026, 1, 1, 0, 1), [1, 2, 0]),
+        ("s0", datetime(2026, 1, 1, 1, 1), [2, 3]),
+        ("s0", datetime(2026, 1, 1, 2, 1), [1, 4, 4]),
+        ("s0", datetime(2026, 1, 1, 3, 1), [0, 0]),  # all-PAD: no bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    out = {
+        r["bucket_ts"].hour: (r["new_tokens"], r["cum_vocab"])
+        for r in textops.vocab_growth(df, trunc="hour").collect()
+    }
+    assert out == {0: (2, 2), 1: (1, 3), 2: (1, 4)}

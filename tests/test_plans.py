@@ -305,3 +305,57 @@ def test_level_shift_uses_bounded_running_frames(spark, events_path):
     assert "unboundedfollowing" not in plan.lower()
     assert "specifiedwindowframe(RowFrame, -15, currentrow$())" in plan
     assert "specifiedwindowframe(RowFrame, 1, 16)" in plan
+
+
+def test_dist_drift_no_window_all_partial_aggs(spark):
+    """JSD drift is joins+aggs ONLY: no Window operator anywhere (the
+    prev-bucket pairing is epoch arithmetic, not lag), and the
+    corpus-sized explode→count shows map-side partial aggregation."""
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [("s0", None, [1, 2])], "source string, event_ts timestamp, tokens array<int>"
+    )
+    plan = _plan(textops.dist_drift(df))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan
+
+
+def test_vocab_growth_window_stays_per_group(spark):
+    """The cumulative-vocab running sum must partition by the group
+    key — never a SinglePartition global funnel."""
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [("s0", None, [1, 2])], "source string, event_ts timestamp, tokens array<int>"
+    )
+    plan = _plan(textops.vocab_growth(df))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_sax_stats_join_broadcasts(spark, events_path):
+    """Per-key mean/std is a keys-bounded frame — it must come back as
+    a BroadcastHashJoin against the PAA frame, and the hourly word
+    assembly must not funnel into a single partition (segment order is
+    restored row-locally by array_sort)."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.sax_symbols(ev, ["event_type"], ts_col="ts"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_acf_no_window_function(spark, events_path):
+    """ACF pairs via bucket-epoch equi-join on the buckets-bounded
+    frame: no Window operator (row-lag would be gap-incorrect), and
+    both the bucket agg and the final Pearson agg are map-side
+    combinable."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.acf(ev, ["event_type"], ts_col="ts", max_lag=3))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan

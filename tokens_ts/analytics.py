@@ -545,3 +545,138 @@ def gap_stats(
         ).cast("bigint").alias("n_gaps_over"),
     )
     return out.withColumnRenamed("_gp_day", "day")
+
+
+def sax_symbols(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    paa_trunc: str = "minute",
+    word_trunc: str = "hour",
+) -> DataFrame:
+    """SAX symbolization (Lin et al., "Symbolic Aggregate
+    approXimation"): turn each key's numeric series into a short
+    symbol word per coarse window — the series-to-TOKENS bridge
+    (SAX words feed the same dedup / n-gram / drift operators this
+    engine runs on token streams; motif mining and whole-series
+    near-dup become string problems).
+
+    Stages (each rule pinned for the cross-engine oracle):
+      1. PAA: mean value per (keys, paa_trunc bucket).
+      2. z-normalize PAA values per key over the WHOLE key series
+         (mean / population std, ddof=0); std = 0 ⇒ z = 0.
+      3. Symbolize on the E6-ROUNDED z against the N(0,1) quartile
+         breakpoints (alphabet a..d, cuts at ±0.674490, 0): an
+         ulp-level z difference between engines must not flip a
+         symbol, so both engines compare round(z·1e6) to the integer
+         cuts ±674490 / 0 (half-open: z_e6 < −674490 → 'a',
+         < 0 → 'b', < 674490 → 'c', else 'd').
+      4. Word: symbols of the PAA buckets inside each word_trunc
+         window concatenated in bucket order.
+
+    Shapes: PAA is one partial-agg shuffle of raw rows; per-key stats
+    are a key-bounded agg joined back (broadcast-scale); the word
+    assembly groups the PAA frame (already buckets-bounded) — sorting
+    segment structs inside each word row-locally, never a global
+    sort."""
+    paa = df.where(F.col(value_col).isNotNull()).groupBy(
+        *keys, F.date_trunc(paa_trunc, F.col(ts_col)).alias("_seg")
+    ).agg(F.avg(value_col).alias("_paa"))
+    stats = paa.groupBy(*keys).agg(
+        F.avg("_paa").alias("_mu"), F.stddev_pop("_paa").alias("_sd")
+    )
+    z = F.when(
+        (F.col("_sd").isNull()) | (F.col("_sd") == 0), F.lit(0.0)
+    ).otherwise((F.col("_paa") - F.col("_mu")) / F.col("_sd"))
+    z_e6 = F.round(z * 1e6).cast("bigint")
+    sym = (
+        F.when(z_e6 < -674490, F.lit("a"))
+        .when(z_e6 < 0, F.lit("b"))
+        .when(z_e6 < 674490, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    symbolized = paa.join(F.broadcast(stats), keys).select(
+        *keys,
+        F.date_trunc(word_trunc, F.col("_seg")).alias("bucket_ts"),
+        F.col("_seg").alias("_seg"),
+        sym.alias("_sym"),
+    )
+    word = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_seg", "_sym"))),
+            lambda s: s["_sym"],
+        ),
+        "",
+    )
+    return symbolized.groupBy(*keys, "bucket_ts").agg(
+        word.alias("sax_word"), F.count("*").cast("bigint").alias("n_seg")
+    )
+
+
+def acf(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "minute",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function per key over the `trunc`-bucketed
+    series: Pearson r between (v_t, v_{t+lag·step}) for lag = 1..max_lag
+    — the seasonality / memory fingerprint (a daily-periodic source
+    shows an ACF peak at its period; white noise decays instantly).
+
+    GAP-CORRECT by construction: pairing is on bucket-EPOCH
+    arithmetic, not row adjacency — a missing bucket simply
+    contributes no pair at the lags it breaks, instead of silently
+    pairing non-adjacent rows the way lag(row) would on a gapped
+    series. Pearson r is written out as the five explicit sums
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+
+    (the trend() rule) so the oracle mirrors it term-for-term; n < 2
+    or zero variance on either side ⇒ null.
+
+    Shapes: ONE bucket agg over raw rows (the only corpus-sized
+    shuffle), then the lag fan-out (explode 1..max_lag) and the
+    self-equi-join on (keys, epoch) act on the buckets-bounded frame;
+    the final agg is (keys × max_lag)-sized. No window sort at all."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    left = b.select(
+        *keys, "_ep", F.col("_v").alias("_x"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).withColumn("_ep_r", F.col("_ep") + F.col("lag") * F.lit(step))
+    right = b.select(
+        *keys, F.col("_ep").alias("_ep_r"), F.col("_v").alias("_y")
+    )
+    pairs = left.join(right, [*keys, "_ep_r"])
+    agg = pairs.groupBy(*keys, "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r.alias("acf"),
+    )

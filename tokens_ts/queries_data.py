@@ -2855,3 +2855,200 @@ def seq_bigram_pmi(spark, sf_dir):
     range); T_bi is counted before the support filter in BOTH
     engines (pinned rule)."""
     return textops.bigram_pmi_topk(_seq(spark), pad_id=C.PAD_ID, k=20, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution evolution over time: hour-over-hour Jensen-Shannon
+# drift + Heaps'-law vocabulary growth (tokens_ts/textops.py dist_drift /
+# vocab_growth) — the tokens-axis × time-axis fusion operators.
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_jsd_drift",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT * FROM ex WHERE t <> 0),
+    cnt AS (SELECT source, ep, t, count(*) AS c FROM nz GROUP BY 1, 2, 3),
+    tot AS (SELECT source, ep, sum(c) AS tot FROM cnt GROUP BY 1, 2),
+    j AS (
+      SELECT coalesce(cur.source, prv.source) AS source,
+             coalesce(cur.ep, prv.ep + 3600) AS ep,
+             coalesce(cur.c, 0) AS cc, coalesce(prv.c, 0) AS cp
+      FROM cnt cur FULL OUTER JOIN cnt prv
+        ON cur.source = prv.source AND cur.t = prv.t
+       AND cur.ep = prv.ep + 3600
+    ),
+    sc AS (
+      SELECT j.source, j.ep,
+             CAST(cc AS DOUBLE) / tc.tot AS p,
+             CAST(cp AS DOUBLE) / tp.tot AS q
+      FROM j
+      JOIN tot tc ON tc.source = j.source AND tc.ep = j.ep
+      JOIN tot tp ON tp.source = j.source AND tp.ep + 3600 = j.ep
+    )
+    SELECT source, ep AS bucket_ep,
+           CAST(ROUND(sum(
+             (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END +
+              CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2
+           ) * 1e6) AS BIGINT) AS jsd_e6,
+           count(*) AS n_union
+    FROM sc GROUP BY 1, 2
+    """,
+)
+def seq_jsd_drift(spark, sf_dir):
+    """Hour-over-hour Jensen-Shannon divergence of each source's token
+    distribution — the data-mix drift monitor. Pinned rules mirrored
+    in the oracle: a bucket is scored only when the bucket exactly one
+    hour earlier has non-PAD tokens (both totals join inner); tokens
+    absent on one side contribute p·ln 2 one-sidedly. JSD is e6-
+    rounded (summation-order ulp budget)."""
+    out = textops.dist_drift(_seq(spark), by="source", pad_id=C.PAD_ID, trunc="hour")
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_ep"),
+        _e("jsd", 6).alias("jsd_e6"),
+        "n_union",
+    )
+
+
+@q(
+    "seq_vocab_growth",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT * FROM ex WHERE t <> 0),
+    fs AS (SELECT source, t, min(ep) AS ep FROM nz GROUP BY 1, 2),
+    nb AS (SELECT source, ep, count(*) AS new_tokens FROM fs GROUP BY 1, 2),
+    sp AS (SELECT DISTINCT source, ep FROM nz)
+    SELECT sp.source, sp.ep AS bucket_ep,
+           CAST(coalesce(nb.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(sum(coalesce(nb.new_tokens, 0)) OVER (
+             PARTITION BY sp.source ORDER BY sp.ep) AS BIGINT) AS cum_vocab
+    FROM sp LEFT JOIN nb ON nb.source = sp.source AND nb.ep = sp.ep
+    """,
+)
+def seq_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth per source per hour: new-token
+    count (first-occurrence bucket pinning) + running cumulative
+    distinct vocabulary. Integer-exact — no rounding grain at all."""
+    out = textops.vocab_growth(_seq(spark), by="source", pad_id=C.PAD_ID, trunc="hour")
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_ep"),
+        "new_tokens",
+        "cum_vocab",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Series shape analysis: SAX symbolization (series → token words) and
+# gap-correct ACF (tokens_ts/analytics.py sax_symbols / acf).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_sax_words",
+    """
+    WITH paa AS (
+      SELECT event_type AS series_id, date_trunc('minute', ts) AS seg,
+             avg(value) AS paa
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT series_id, avg(paa) AS mu, stddev_pop(paa) AS sd
+      FROM paa GROUP BY 1
+    ),
+    sy AS (
+      SELECT p.series_id, date_trunc('hour', seg) AS b, seg,
+             CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0
+                  ELSE CAST(ROUND((p.paa - st.mu) / st.sd * 1e6) AS BIGINT)
+             END AS z6
+      FROM paa p JOIN st ON st.series_id = p.series_id
+    ),
+    s2 AS (
+      SELECT series_id, b, seg,
+             CASE WHEN z6 < -674490 THEN 'a' WHEN z6 < 0 THEN 'b'
+                  WHEN z6 < 674490 THEN 'c' ELSE 'd' END AS sym
+      FROM sy
+    )
+    SELECT series_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           string_agg(sym, '' ORDER BY seg) AS sax_word,
+           count(*) AS n_seg
+    FROM s2 GROUP BY 1, 2
+    """,
+)
+def ts_sax_words(spark, sf_dir):
+    """SAX symbolization: minute-PAA → per-series z-normalization
+    (ddof=0, std=0 ⇒ z=0) → alphabet-4 symbols on the e6-rounded z
+    against integer breakpoint cuts (±674490, 0 — an ulp cannot flip
+    a symbol) → hourly words in segment order. The series-to-tokens
+    bridge: SAX words feed the same n-gram/dedup/drift machinery as
+    real token streams."""
+    out = analytics.sax_symbols(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", paa_trunc="minute", word_trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        _fmt("bucket_ts").alias("bucket_ts"),
+        "sax_word",
+        "n_seg",
+    )
+
+
+@q(
+    "ts_acf",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT series_id, ep, v AS x, lg.lag
+      FROM b CROSS JOIN (SELECT unnest(range(1, 6)) AS lag) lg
+    ),
+    p AS (
+      SELECT l.series_id, l.lag, l.x, r.v AS y
+      FROM l JOIN b r ON r.series_id = l.series_id
+                     AND r.ep = l.ep + l.lag * 60
+    ),
+    a AS (
+      SELECT series_id, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT series_id, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                THEN CAST(ROUND((n*sxy - sx*sy)
+                     / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6)
+                     AS BIGINT)
+           END AS acf_e6
+    FROM a
+    """,
+)
+def ts_acf(spark, sf_dir):
+    """Gap-correct autocorrelation per series at minute-bucket lags
+    1..5: pairing on bucket-EPOCH arithmetic (a missing bucket breaks
+    only the lags it touches — lag(row) would silently pair
+    non-adjacent samples), Pearson r via the five explicit sums
+    (trend() rule), e6-rounded; degenerate variance ⇒ null."""
+    out = analytics.acf(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="minute", max_lag=5,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "lag",
+        "n_pairs",
+        _e("acf", 6).alias("acf_e6"),
+    )

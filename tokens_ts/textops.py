@@ -613,3 +613,123 @@ def bigram_pmi_topk(
             "pmi_e6",
         )
     )
+
+
+def dist_drift(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+) -> DataFrame:
+    """Jensen-Shannon divergence between each time bucket's token
+    distribution and the IMMEDIATELY PRECEDING bucket's, per group —
+    the data-mix drift monitor (a source whose token histogram jumps
+    hour-over-hour changed upstream: new scrape, new dedup config,
+    poisoning). Natural-log JSD ∈ [0, ln 2].
+
+    Pinned rules: a bucket is scored only if the bucket exactly one
+    `trunc` step earlier has ≥1 non-PAD token (gaps break the chain —
+    drift across a gap is not adjacent drift); missing tokens
+    contribute p·ln(2) one-sidedly (q=0 ⇒ p·ln(2p/p) = p·ln 2, the
+    JSD limit).
+
+    Shapes: the only corpus-sized op is explode → map-side-combined
+    (group, bucket, token) counts; everything downstream is
+    vocab×buckets-bounded. The cur↔prev token join is an equi-join on
+    (group, token, bucket-epoch arithmetic) between two such bounded
+    frames; per-bucket totals ride along via a second bounded join."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    counts = (
+        seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+            F.explode(tokens_col).alias("t"),
+        )
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "ep", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
+    cur = counts.select(by, "ep", "t", F.col("c").alias("cc"))
+    prv = counts.select(
+        by, (F.col("ep") + step).alias("ep"), "t", F.col("c").alias("cp")
+    )
+    joined = cur.join(prv, [by, "ep", "t"], "full_outer").select(
+        by, "ep", "t",
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+    )
+    tp = totals.select(by, "ep", F.col("tot").alias("tot_c"))
+    tq = totals.select(by, (F.col("ep") + step).alias("ep"), F.col("tot").alias("tot_p"))
+    scored = joined.join(tp, [by, "ep"]).join(tq, [by, "ep"])
+    p = F.col("cc") / F.col("tot_c")
+    qq = F.col("cp") / F.col("tot_p")
+    m = (p + qq) / 2
+    term = (
+        F.when(F.col("cc") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cp") > 0, qq * F.log(qq / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        scored.groupBy(by, "ep")
+        .agg(F.sum(term).alias("jsd"), F.count("*").alias("n_union"))
+        .select(
+            by,
+            F.timestamp_seconds(F.col("ep")).alias("bucket_ts"),
+            "jsd",
+            F.col("n_union").cast("bigint").alias("n_union"),
+        )
+    )
+
+
+def vocab_growth(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve per group: for every time
+    bucket with data, how many NEVER-BEFORE-SEEN tokens appear, and
+    the cumulative distinct vocabulary up to that bucket — the
+    saturation monitor (a source whose cum_vocab flatlines is
+    recycling content; one that grows linearly is still novel).
+
+    Cumulative-distinct without a distinct-per-window pass: each
+    token's contribution is pinned to its FIRST bucket (min-agg over
+    the vocab-bounded (group, token, bucket) frame), then a running
+    sum over the buckets-per-group frame — control-plane sized —
+    yields the cumulative curve exactly.
+
+    Shapes: explode → map-side-combined min-agg is the only
+    corpus-sized op; the bucket spine (distinct buckets per group) and
+    the cumulative window are buckets-bounded. No distinct-count
+    shuffle per bucket, no growing state."""
+    bucketed = seq.select(
+        by,
+        F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        F.explode(tokens_col).alias("t"),
+    ).where(F.col("t") != pad_id)
+    first_seen = bucketed.groupBy(by, "t").agg(F.min("ep").alias("ep"))
+    new_per_bucket = first_seen.groupBy(by, "ep").agg(
+        F.count("*").alias("new_tokens")
+    )
+    spine = bucketed.select(by, "ep").distinct()
+    w = (
+        Window.partitionBy(by)
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(new_per_bucket, [by, "ep"], "left")
+        .select(by, "ep", F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
+        .withColumn("cum_vocab", F.sum("new_tokens").over(w))
+        .select(
+            by,
+            F.timestamp_seconds(F.col("ep")).alias("bucket_ts"),
+            F.col("new_tokens").cast("bigint").alias("new_tokens"),
+            F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        )
+    )
