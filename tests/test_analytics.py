@@ -604,3 +604,47 @@ def test_acf_alternating_and_gapped(spark):
     n, a = out[("B", 1)]
     assert n == 3 and a == pytest.approx(-1.0)  # gap-correct pairing
     assert out[("C", 1)] == (3, None)
+
+
+def test_ccf_detects_lead_lag(spark):
+    from datetime import datetime
+
+    from tokens_ts import analytics
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 7.0, 4.0, 6.0]
+    rows = [
+        ("A", datetime(2026, 1, 1, 0, m, 0), vals[m]) for m in range(8)
+    ] + [
+        # B is A delayed by one minute: B(t) = A(t-1) -> a_t pairs
+        # perfectly with b_{t+1}, i.e. peak r=1 at lag=+1
+        ("B", datetime(2026, 1, 1, 0, m + 1, 0), vals[m]) for m in range(8)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        r["lag"]: (r["n_pairs"], r["ccf"])
+        for r in analytics.ccf(df, key_col="k", max_lag=2).collect()
+    }
+    n, r1 = out[1]
+    assert n == 8 and r1 == pytest.approx(1.0)
+    assert out[0][1] != pytest.approx(1.0)
+    # only ordered pairs A<B, lags -2..2
+    assert set(out) == {-2, -1, 0, 1, 2}
+
+
+def test_seasonal_naive_error_periodic_series(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    # hour-of-day alternation repeated exactly across 2 days:
+    # naive (prev hour) is always off by 10, seasonal (same hour
+    # yesterday) is exact on day 2
+    rows = [
+        ("S", t0 + timedelta(hours=h), 10.0 * (h % 2)) for h in range(48)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    [r] = analytics.seasonal_naive_error(df, keys=["k"]).collect()
+    assert r["n_naive"] == 47 and r["mae_naive"] == pytest.approx(10.0)
+    assert r["n_seasonal"] == 24 and r["mae_seasonal"] == pytest.approx(0.0)
+    assert r["mase"] == pytest.approx(0.0)

@@ -799,3 +799,74 @@ def test_vocab_growth_curve(spark):
         for r in textops.vocab_growth(df, trunc="hour").collect()
     }
     assert out == {0: (2, 2), 1: (1, 3), 2: (1, 4)}
+
+
+def test_topk_turnover_known_sets(spark):
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    def row(h, toks):
+        return ("s0", datetime(2026, 1, 1, h, 0, 0), toks)
+
+    df = spark.createDataFrame(
+        [
+            row(0, [1, 2, 3]),
+            row(1, [2, 3, 4]),
+            row(2, [2, 3, 4]),
+            # hour 3 missing -> hour 4 has no predecessor, not scored
+            row(4, [9, 9, 9]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = {
+        r["bucket_ts"].hour: (r["n_cur"], r["n_prev"], r["n_inter"], r["jaccard"])
+        for r in textops.topk_turnover(df, trunc="hour", k=3).collect()
+    }
+    assert set(out) == {1, 2}  # hour 0 has no prev; hour 4 gap-broken
+    assert out[1] == (3, 3, 2, pytest.approx(0.5))
+    assert out[2] == (3, 3, 3, pytest.approx(1.0))
+
+
+def test_topk_turnover_rank_rule(spark):
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    # k=2: hour0 counts 5:2,1:1,9:1 -> top2 {5,1} (count desc, token
+    # asc tie-break); hour1 counts 5:1,9:1 -> top2 {5,9}; inter={5}
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [5, 5, 9, 1]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [9, 5]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    [r] = textops.topk_turnover(df, trunc="hour", k=2).collect()
+    assert (r["n_cur"], r["n_prev"], r["n_inter"]) == (2, 2, 1)
+    assert r["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_token_burst_known_scores(spark):
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    def row(h, toks):
+        return ("s0", datetime(2026, 1, 1, h, 0, 0), toks)
+
+    # 4 buckets, each total 4 tokens. token 5 all in bucket 0 ->
+    # burst = 1.0/(1.0/4) = 4; tokens 6,7 even over buckets 1-3 ->
+    # burst = .5/(1.5/4) = 4/3; rank ties broken token ASC
+    df = spark.createDataFrame(
+        [
+            row(0, [5, 5, 5, 5]),
+            row(1, [7, 7, 6, 6]),
+            row(2, [7, 7, 6, 6]),
+            row(3, [7, 7, 6, 6]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = textops.token_burst(df, trunc="hour", k=10, min_count=4).collect()
+    got = [(r["token"], r["burst_e6"], r["rank"]) for r in out]
+    assert got == [(5, 4000000, 1), (6, 1333333, 2), (7, 1333333, 3)]

@@ -359,3 +359,43 @@ def test_acf_no_window_function(spark, events_path):
     plan = _plan(analytics.acf(ev, ["event_type"], ts_col="ts", max_lag=3))
     assert "Window" not in plan, plan
     assert "partial_" in plan
+
+
+def test_ccf_no_window_function(spark, events_path):
+    """CCF pairs via bucket-epoch equi-join with the a<b filter: no
+    Window operator, bucket agg map-side combinable."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.ccf(ev, "event_type", ts_col="ts", max_lag=2))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan
+
+
+def test_seasonal_naive_error_no_window(spark, events_path):
+    """Backtest is two self-equi-joins on the buckets-bounded frame:
+    no Window operator anywhere."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(
+        analytics.seasonal_naive_error(ev, ["event_type"], ts_col="ts")
+    )
+    assert "Window" not in plan, plan
+
+
+def test_turnover_burst_windows_stay_bounded(spark):
+    """topk_turnover ranks within (group, bucket) and token_burst
+    within group — neither may plan a SinglePartition window."""
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [("s0", None, [1, 2])], "source string, event_ts timestamp, tokens array<int>"
+    )
+    for out in (
+        textops.topk_turnover(df),
+        textops.token_burst(df),
+    ):
+        plan = _plan(out)
+        assert "SinglePartition" not in plan, plan
+        assert "hashpartitioning(source" in plan

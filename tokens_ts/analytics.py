@@ -680,3 +680,139 @@ def acf(
         F.col("n").cast("bigint").alias("n_pairs"),
         r.alias("acf"),
     )
+
+
+def ccf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "minute",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Cross-correlation function between every ORDERED-DISTINCT pair
+    of series at bucket lags −max_lag..+max_lag: Pearson r between
+    (a_t, b_{t+lag·step}) — the lead-lag detector (the lag with peak
+    |r| says which series moves first and by how much; lag 0 is plain
+    co-movement).
+
+    Same gap-correct contract as acf(): pairing is on bucket-EPOCH
+    arithmetic, never row adjacency, so a hole in either series drops
+    exactly the pairs it breaks. Pair identity is pinned to
+    series_a < series_b (string order) — negative lags cover the
+    other orientation. Pearson r via the five explicit sums; n < 2 or
+    zero variance on either side ⇒ null.
+
+    Shapes: ONE bucket agg over raw rows; the pair join is a
+    self-equi-join on (epoch) between two buckets-bounded frames with
+    the a<b filter; lag fan-out explodes 2·max_lag+1 on the bounded
+    frame; final agg is (#pairs × #lags)-sized."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            key_col,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    left = b.select(
+        F.col(key_col).alias("series_a"), "_ep", F.col("_v").alias("_x"),
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    ).withColumn("_ep_r", F.col("_ep") + F.col("lag") * F.lit(step))
+    right = b.select(
+        F.col(key_col).alias("series_b"),
+        F.col("_ep").alias("_ep_r"),
+        F.col("_v").alias("_y"),
+    )
+    pairs = left.join(right, "_ep_r").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    agg = pairs.groupBy("series_a", "series_b", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        "series_a",
+        "series_b",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r.alias("ccf"),
+    )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    season: str = "day",
+) -> DataFrame:
+    """Forecast-baseline backtest per key: MAE of the NAIVE forecast
+    (previous bucket's value) vs the SEASONAL-NAIVE forecast (the
+    value one full season earlier, e.g. same hour yesterday), plus
+    their ratio — the one-query answer to "is this series seasonal
+    enough that same-hour-yesterday beats last-hour?" (ratio < 1e6 ⇒
+    yes) and the denominator every MASE-style model eval needs.
+
+    Pinned rules: a bucket contributes to an MAE only when its
+    forecast bucket exists (naive: ep−step; seasonal: ep−season) —
+    inner equi-joins, no imputation; MAEs are e6-rounded; the ratio
+    seasonal/naive is e6-rounded and null when either side has no
+    pairs or naive MAE is 0.
+
+    Shapes: ONE bucket agg over raw rows, then two self-equi-joins on
+    (keys, epoch arithmetic) between buckets-bounded frames and a
+    per-key finisher agg."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    sstep = {"hour": 3600, "day": 86400, "week": 604800}[season]
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.avg(value_col).alias("_v"))
+    )
+
+    def _mae(shift: int, name: str) -> DataFrame:
+        fc = b.select(
+            *keys, (F.col("_ep") + shift).alias("_ep"), F.col("_v").alias("_f")
+        )
+        return (
+            b.join(fc, [*keys, "_ep"])
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias(f"n_{name}"),
+                F.avg(F.abs(F.col("_v") - F.col("_f"))).alias(f"mae_{name}"),
+            )
+        )
+
+    out = _mae(step, "naive").join(_mae(sstep, "seasonal"), keys, "full_outer")
+    ratio = F.when(
+        (F.col("mae_naive") > 0)
+        & F.col("mae_seasonal").isNotNull(),
+        F.col("mae_seasonal") / F.col("mae_naive"),
+    )
+    return out.select(
+        *keys,
+        F.coalesce("n_naive", F.lit(0)).cast("bigint").alias("n_naive"),
+        F.coalesce("n_seasonal", F.lit(0)).cast("bigint").alias("n_seasonal"),
+        F.col("mae_naive").alias("mae_naive"),
+        F.col("mae_seasonal").alias("mae_seasonal"),
+        ratio.alias("mase"),
+    )

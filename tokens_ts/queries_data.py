@@ -3052,3 +3052,229 @@ def ts_acf(spark, sf_dir):
         "n_pairs",
         _e("acf", 6).alias("acf_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Head-of-distribution drift + burst detection on token streams
+# (tokens_ts/textops.py topk_turnover / token_burst).
+# ---------------------------------------------------------------------------
+
+@q(
+    "seq_topk_turnover",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT * FROM ex WHERE t <> 0),
+    cnt AS (SELECT source, ep, t, count(*) AS c FROM nz GROUP BY 1, 2, 3),
+    tk AS (
+      SELECT source, ep, t,
+             row_number() OVER (PARTITION BY source, ep
+                                ORDER BY c DESC, t ASC) AS rn
+      FROM cnt
+    ),
+    topk AS (SELECT source, ep, t FROM tk WHERE rn <= 16),
+    sz AS (SELECT source, ep, count(*) AS n FROM topk GROUP BY 1, 2),
+    sc AS (
+      SELECT c.source, c.ep, c.n AS n_cur, p.n AS n_prev
+      FROM sz c JOIN sz p
+        ON p.source = c.source AND p.ep + 3600 = c.ep
+    ),
+    iv AS (
+      SELECT c.source, c.ep, count(*) AS n_inter
+      FROM topk c JOIN topk p
+        ON p.source = c.source AND p.t = c.t AND p.ep + 3600 = c.ep
+      GROUP BY 1, 2
+    )
+    SELECT sc.source, sc.ep AS bucket_ep,
+           CAST(sc.n_cur AS BIGINT) AS n_cur,
+           CAST(sc.n_prev AS BIGINT) AS n_prev,
+           CAST(coalesce(iv.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(ROUND(CAST(coalesce(iv.n_inter, 0) AS DOUBLE)
+             / (sc.n_cur + sc.n_prev - coalesce(iv.n_inter, 0)) * 1e6)
+             AS BIGINT) AS jaccard_e6
+    FROM sc LEFT JOIN iv ON iv.source = sc.source AND iv.ep = sc.ep
+    """,
+)
+def seq_topk_turnover(spark, sf_dir):
+    """Hour-over-hour Jaccard turnover of each source's top-16 token
+    set. Pinned rules mirrored in the oracle: rank by (count DESC,
+    token ASC) row_number; score only buckets whose predecessor
+    exists; Jaccard e6-rounded."""
+    out = textops.topk_turnover(
+        _seq(spark), by="source", pad_id=C.PAD_ID, trunc="hour", k=16
+    )
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_ep"),
+        "n_cur",
+        "n_prev",
+        "n_inter",
+        _e("jaccard", 6).alias("jaccard_e6"),
+    )
+
+
+@q(
+    "seq_token_burst",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT source, ep, 1 + t % 64 AS t FROM ex WHERE t <> 0),
+    cnt AS (SELECT source, ep, t, count(*) AS c FROM nz GROUP BY 1, 2, 3),
+    tot AS (SELECT source, ep, sum(c) AS tot FROM cnt GROUP BY 1, 2),
+    nb AS (SELECT source, count(*) AS n_buckets FROM tot GROUP BY 1),
+    sh AS (
+      SELECT cnt.source, cnt.t, cnt.c,
+             CAST(cnt.c AS DOUBLE) / tot.tot AS share
+      FROM cnt JOIN tot ON tot.source = cnt.source AND tot.ep = cnt.ep
+    ),
+    pt AS (
+      SELECT source, t, sum(c) AS total_c, max(share) AS max_share,
+             sum(share) AS sum_share, count(*) AS n_present
+      FROM sh GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT pt.source, pt.t, pt.total_c, pt.n_present,
+             CAST(ROUND(pt.max_share / (pt.sum_share / nb.n_buckets) * 1e6)
+                  AS BIGINT) AS burst_e6
+      FROM pt JOIN nb ON nb.source = pt.source
+      WHERE pt.total_c >= 4
+    )
+    SELECT source, CAST(t AS BIGINT) AS token,
+           CAST(total_c AS BIGINT) AS total_c,
+           CAST(n_present AS BIGINT) AS n_present,
+           burst_e6,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY burst_e6 DESC, t ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def seq_token_burst(spark, sf_dir):
+    """Top-10 bursty token BUCKETS per source (tokens coarsened to
+    `1 + t % 64` before the operator — the synthetic vocab is so wide
+    that raw tokens appear ≤2×, which would make burst vacuous; the
+    coarsening is applied identically in both engines and PAD stays
+    PAD): peak bucket share over mean share across ALL of the
+    source's data buckets, min 4 total occurrences, ranked on the
+    e6-rounded burst score (token ASC tie-break) — both engines rank
+    integers, an ulp cannot flip."""
+    s = _seq(spark)
+    coarse = s.withColumn(
+        "tokens",
+        F.transform(
+            "tokens",
+            lambda x: F.when(x == C.PAD_ID, x).otherwise(1 + (x % 64)),
+        ),
+    )
+    return textops.token_burst(
+        coarse, by="source", pad_id=C.PAD_ID, trunc="hour",
+        k=10, min_count=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag detection + forecast-baseline backtest on the events series
+# (tokens_ts/analytics.py ccf / seasonal_naive_error).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_ccf",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT b.sid AS series_a, b.ep, b.v AS x, lg.lag
+      FROM b CROSS JOIN (SELECT unnest(range(-5, 6)) AS lag) lg
+    ),
+    p AS (
+      SELECT l.series_a, r.sid AS series_b, l.lag, l.x, r.v AS y
+      FROM l JOIN b r ON r.ep = l.ep + l.lag * 60
+      WHERE l.series_a < r.sid
+    ),
+    a AS (
+      SELECT series_a, series_b, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT series_a, series_b, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                THEN CAST(ROUND((n*sxy - sx*sy)
+                     / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6)
+                     AS BIGINT)
+           END AS ccf_e6
+    FROM a
+    """,
+)
+def ts_ccf(spark, sf_dir):
+    """Cross-correlation between every ordered-distinct pair of event
+    types at minute-bucket lags −5..+5 — gap-correct epoch pairing,
+    Pearson r via the five explicit sums, e6-rounded."""
+    out = analytics.ccf(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="minute", max_lag=5,
+    )
+    return out.select(
+        "series_a", "series_b", "lag", "n_pairs",
+        _e("ccf", 6).alias("ccf_e6"),
+    )
+
+
+@q(
+    "ts_mase_backtest",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    nv AS (
+      SELECT c.sid, count(*) AS n, avg(abs(c.v - p.v)) AS mae
+      FROM b c JOIN b p ON p.sid = c.sid AND p.ep + 3600 = c.ep
+      GROUP BY 1
+    ),
+    sn AS (
+      SELECT c.sid, count(*) AS n, avg(abs(c.v - p.v)) AS mae
+      FROM b c JOIN b p ON p.sid = c.sid AND p.ep + 86400 = c.ep
+      GROUP BY 1
+    )
+    SELECT coalesce(nv.sid, sn.sid) AS series_id,
+           CAST(coalesce(nv.n, 0) AS BIGINT) AS n_naive,
+           CAST(coalesce(sn.n, 0) AS BIGINT) AS n_seasonal,
+           CAST(ROUND(nv.mae * 1e6) AS BIGINT) AS mae_naive_e6,
+           CAST(ROUND(sn.mae * 1e6) AS BIGINT) AS mae_seasonal_e6,
+           CASE WHEN nv.mae > 0 AND sn.mae IS NOT NULL
+                THEN CAST(ROUND(sn.mae / nv.mae * 1e6) AS BIGINT)
+           END AS mase_e6
+    FROM nv FULL OUTER JOIN sn ON sn.sid = nv.sid
+    """,
+)
+def ts_mase_backtest(spark, sf_dir):
+    """Naive vs seasonal-naive MAE backtest per series at hourly
+    buckets (season = same hour previous day): inner-join forecast
+    pairing (no imputation), e6-rounded MAEs and ratio — the MASE
+    denominator every forecast eval needs."""
+    out = analytics.seasonal_naive_error(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", season="day",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n_naive",
+        "n_seasonal",
+        _e("mae_naive", 6).alias("mae_naive_e6"),
+        _e("mae_seasonal", 6).alias("mae_seasonal_e6"),
+        _e("mase", 6).alias("mase_e6"),
+    )

@@ -733,3 +733,147 @@ def vocab_growth(
             F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+def topk_turnover(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    k: int = 16,
+) -> DataFrame:
+    """Hour-over-hour turnover of each group's top-k token SET:
+    Jaccard between the current bucket's top-k tokens and the
+    immediately preceding bucket's — the head-of-distribution drift
+    monitor (JSD integrates the whole histogram; turnover answers the
+    sharper operational question "did the dominant tokens change?").
+
+    Pinned rules: top-k ranked by (count DESC, token ASC) row_number —
+    count ties cannot reorder between engines; a bucket is scored only
+    when the bucket exactly one `trunc` step earlier exists (gaps
+    break the chain); buckets with < k distinct tokens use their full
+    set. Jaccard is e6-rounded.
+
+    Shapes: explode → map-side-combined (group, bucket, token) count
+    is the only corpus-sized op; the ranking window partitions by
+    (group, bucket) over ≤ vocab rows per partition; everything after
+    is k×buckets-bounded."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    counts = (
+        seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+            F.explode(tokens_col).alias("t"),
+        )
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "ep", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy(by, "ep").orderBy(F.desc("c"), F.asc("t"))
+    topk = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    sz = topk.groupBy(by, "ep").agg(F.count("*").alias("n"))
+    scored = sz.join(
+        sz.select(by, (F.col("ep") + step).alias("ep"), F.col("n").alias("n_prev")),
+        [by, "ep"],
+    )
+    inter = topk.join(
+        topk.select(by, (F.col("ep") + step).alias("ep"), "t"),
+        [by, "ep", "t"],
+    ).groupBy(by, "ep").agg(F.count("*").alias("n_inter"))
+    out = scored.join(inter, [by, "ep"], "left").select(
+        by,
+        "ep",
+        F.col("n").alias("n_cur"),
+        "n_prev",
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_cur") + F.col("n_prev") - F.col("n_inter")
+    )
+    return out.select(
+        by,
+        F.timestamp_seconds(F.col("ep")).alias("bucket_ts"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("n_prev").cast("bigint").alias("n_prev"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        jac.alias("jaccard"),
+    )
+
+
+def token_burst(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    k: int = 10,
+    min_count: int = 4,
+) -> DataFrame:
+    """Top-k BURSTY tokens per group: burstiness = a token's peak
+    per-bucket share divided by its mean share over ALL of the
+    group's data buckets (absent buckets contribute 0 to the mean) —
+    a steady token scores ~1, a token concentrated in one bucket out
+    of B scores ~B. The spam/event-spike detector on token streams.
+
+    Pinned rules: shares are count/bucket_total; the mean divides by
+    the group's TOTAL bucket count (a broadcast-scale dim), not the
+    token's present-bucket count; tokens below `min_count` total
+    occurrences are dropped BEFORE ranking; ranking is on the
+    e6-rounded burst score (tfidf rule — an ulp cannot flip a rank),
+    token ASC tie-break.
+
+    Shapes: one corpus-sized explode+count; per-bucket totals and
+    per-group bucket counts are bounded aggs joined back; the ranking
+    window partitions by group over ≤ vocab rows."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]  # noqa: F841
+    counts = (
+        seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+            F.explode(tokens_col).alias("t"),
+        )
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "ep", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
+    nb = totals.groupBy(by).agg(F.count("*").alias("n_buckets"))
+    shares = counts.join(totals, [by, "ep"]).select(
+        by, "t", "c", (F.col("c") / F.col("tot")).alias("share")
+    )
+    per_tok = shares.groupBy(by, "t").agg(
+        F.sum("c").cast("bigint").alias("total_c"),
+        F.max("share").alias("max_share"),
+        F.sum("share").alias("sum_share"),
+        F.count("*").cast("bigint").alias("n_present"),
+    )
+    scored = (
+        per_tok.where(F.col("total_c") >= min_count)
+        .join(F.broadcast(nb), by)
+        .withColumn(
+            "burst_e6",
+            F.round(
+                F.col("max_share")
+                / (F.col("sum_share") / F.col("n_buckets"))
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("burst_e6"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            by,
+            F.col("t").cast("bigint").alias("token"),
+            "total_c",
+            "n_present",
+            "burst_e6",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
