@@ -648,3 +648,42 @@ def test_seasonal_naive_error_periodic_series(spark):
     assert r["n_naive"] == 47 and r["mae_naive"] == pytest.approx(10.0)
     assert r["n_seasonal"] == 24 and r["mae_seasonal"] == pytest.approx(0.0)
     assert r["mase"] == pytest.approx(0.0)
+
+
+def test_holt_linear_hand_recursion(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate([0.0, 10.0, 0.0])]
+    rows += [("one", t0, 5.0)]  # 1-bucket series: trend 0, fitted null
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["k"], r["ep"]): (r["level"], r["trend"], r["fitted"])
+        for r in analytics.holt_linear(df, keys=["k"]).collect()
+    }
+    ep0 = int(t0.replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+    # hand recursion (alpha=.5, beta=.25): l1=0 b1=10; l2=10 b2=10
+    # (fit2=10); l3=.5*0+.5*20=10 b3=.25*0+.75*10=7.5 (fit3=20)
+    assert out[("S", ep0)] == (0.0, 10.0, None)
+    assert out[("S", ep0 + 3600)] == (10.0, 10.0, 10.0)
+    assert out[("S", ep0 + 7200)] == (10.0, 7.5, 20.0)
+    assert out[("one", ep0)] == (5.0, 0.0, None)
+
+
+def test_holt_perfect_trend_fitted_exact(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), 2.0 * (h + 1)) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.holt_linear(df, keys=["k"]).collect(), key=lambda r: r["ep"]
+    )
+    # a perfectly linear series is forecast exactly from step 2 on
+    for r in out[1:]:
+        assert r["fitted"] == pytest.approx(r["v"])
+        assert r["trend"] == pytest.approx(2.0)

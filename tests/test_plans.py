@@ -399,3 +399,16 @@ def test_turnover_burst_windows_stay_bounded(spark):
         plan = _plan(out)
         assert "SinglePartition" not in plan, plan
         assert "hashpartitioning(source" in plan
+
+
+def test_holt_single_key_shuffle(spark, events_path):
+    """Holt's Arrow stage shuffles ONCE on the series key after the
+    bucket agg — FlatMapGroupsInPandas over hashpartitioning(key),
+    never SinglePartition."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.holt_linear(ev, ["event_type"], ts_col="ts"))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(event_type" in plan

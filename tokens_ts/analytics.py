@@ -816,3 +816,80 @@ def seasonal_naive_error(
         F.col("mae_seasonal").alias("mae_seasonal"),
         ratio.alias("mase"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing per key over the
+    `trunc`-bucketed series — level + trend state at every bucket and
+    the one-step-ahead fitted forecast, the classic trending-series
+    smoother EWMA can't provide (EWMA lags a trending series forever;
+    Holt's trend term removes the lag).
+
+    The recursion
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    is INHERENTLY sequential (no finite-horizon rewrite exists — the
+    trend term feeds back), so this is the sanctioned custom-stateful
+    path: an Arrow `applyInPandas` stage, one numpy pass per key
+    group. Pinned rules mirrored by the cross-engine recursive-CTE
+    oracle: buckets are consumed in epoch order and treated as
+    CONSECUTIVE steps (gap handling = none, documented); init
+    l_1 = y_1, b_1 = y_2 − y_1 (b_1 = 0 for a 1-bucket series);
+    fitted_t = l_{t−1} + b_{t−1} (null at t=1). Both engines evaluate
+    the same expression shapes on doubles; outputs are e6-roundable.
+
+    Shapes: ONE bucket agg over raw rows, then ONE shuffle on the key
+    to co-locate each series; per-group state is O(#buckets per key)
+    — bounded by the calendar, never by corpus rows."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    import pandas as pd  # noqa: F401  (Arrow stage dependency)
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in b.select(*keys).schema.fields
+    )
+    schema = (
+        f"{out_fields}, ep bigint, v double, level double, "
+        "trend double, fitted double"
+    )
+
+    def _holt(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ep").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype="float64")
+        n = len(y)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        fit = np.full(n, np.nan)
+        lvl[0] = y[0]
+        trd[0] = (y[1] - y[0]) if n >= 2 else 0.0
+        for t in range(1, n):
+            prev = lvl[t - 1] + trd[t - 1]
+            fit[t] = prev
+            lvl[t] = alpha * y[t] + (1.0 - alpha) * prev
+            trd[t] = beta * (lvl[t] - lvl[t - 1]) + (1.0 - beta) * trd[t - 1]
+        res = pdf[[*keys, "ep", "v"]].copy()
+        res["level"] = lvl
+        res["trend"] = trd
+        res["fitted"] = pd.array(fit).astype(object)
+        res.loc[0, "fitted"] = None
+        return res
+
+    return b.groupBy(*keys).applyInPandas(_holt, schema=schema)

@@ -3278,3 +3278,138 @@ def ts_mase_backtest(spark, sf_dir):
         _e("mae_seasonal", 6).alias("mae_seasonal_e6"),
         _e("mase", 6).alias("mase_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inherently-sequential smoothing (the sanctioned Arrow-stateful path)
+# + motif mining over SAX words (tokens_ts/analytics.py holt_linear /
+# sax_symbols composition).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_holt",
+    """
+    WITH RECURSIVE b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT sid, ep, v,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS rn,
+             lead(v) OVER (PARTITION BY sid ORDER BY ep) AS v2,
+             count(*) OVER (PARTITION BY sid) AS n
+      FROM b
+    ),
+    r AS (
+      SELECT sid, ep, rn, v,
+             v AS level,
+             CASE WHEN n >= 2 THEN v2 - v ELSE 0.0 END AS trend,
+             CAST(NULL AS DOUBLE) AS fitted
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.sid, o.ep, o.rn, o.v,
+             0.5 * o.v + 0.5 * (r.level + r.trend),
+             0.25 * ((0.5 * o.v + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.75 * r.trend,
+             r.level + r.trend
+      FROM r JOIN o ON o.sid = r.sid AND o.rn = r.rn + 1
+    )
+    SELECT sid AS series_id, ep,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS v_e6,
+           CAST(ROUND(level * 1e6) AS BIGINT) AS level_e6,
+           CAST(ROUND(trend * 1e6) AS BIGINT) AS trend_e6,
+           CAST(ROUND(fitted * 1e6) AS BIGINT) AS fitted_e6
+    FROM r
+    """,
+)
+def ts_holt(spark, sf_dir):
+    """Holt linear smoothing per series at hourly buckets — the
+    inherently-sequential recursion runs as an Arrow applyInPandas
+    stage in Spark and as a RECURSIVE CTE in DuckDB; both evaluate
+    the identical α=0.5/β=0.25 expression shapes (binary-exact
+    coefficients) on the same epoch-ordered buckets, e6-rounded.
+    Init pinned: l₁=y₁, b₁=y₂−y₁, fitted₁=null."""
+    out = analytics.holt_linear(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", alpha=0.5, beta=0.25,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        _e("level", 6).alias("level_e6"),
+        _e("trend", 6).alias("trend_e6"),
+        _e("fitted", 6).alias("fitted_e6"),
+    )
+
+
+@q(
+    "ts_sax_motifs",
+    """
+    WITH paa AS (
+      SELECT event_type AS series_id, date_trunc('minute', ts) AS seg,
+             avg(value) AS paa
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT series_id, avg(paa) AS mu, stddev_pop(paa) AS sd
+      FROM paa GROUP BY 1
+    ),
+    sy AS (
+      SELECT p.series_id, date_trunc('hour', seg) AS b, seg,
+             CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0
+                  ELSE CAST(ROUND((p.paa - st.mu) / st.sd * 1e6) AS BIGINT)
+             END AS z6
+      FROM paa p JOIN st ON st.series_id = p.series_id
+    ),
+    s2 AS (
+      SELECT series_id, b, seg,
+             CASE WHEN z6 < -674490 THEN 'a' WHEN z6 < 0 THEN 'b'
+                  WHEN z6 < 674490 THEN 'c' ELSE 'd' END AS sym
+      FROM sy
+    ),
+    words AS (
+      SELECT series_id, b, string_agg(sym, '' ORDER BY seg) AS sax_word
+      FROM s2 GROUP BY 1, 2
+    ),
+    mc AS (
+      SELECT series_id, sax_word, count(*) AS n_occur
+      FROM words GROUP BY 1, 2
+    )
+    SELECT series_id, sax_word, CAST(n_occur AS BIGINT) AS n_occur,
+           CAST(row_number() OVER (PARTITION BY series_id
+                ORDER BY n_occur DESC, sax_word ASC) AS BIGINT) AS rank
+    FROM mc
+    QUALIFY rank <= 3
+    """,
+)
+def ts_sax_motifs(spark, sf_dir):
+    """Motif mining as a SAX composition: the top-3 recurring hourly
+    SAX words per series (count DESC, word ASC row_number) — repeated
+    shapes in a numeric series found by exact string grouping, the
+    payoff of the series→tokens bridge. Ranking is over the
+    words-bounded frame (≤ buckets rows per series)."""
+    words = analytics.sax_symbols(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", paa_trunc="minute", word_trunc="hour",
+    )
+    mc = words.groupBy("event_type", "sax_word").agg(
+        F.count("*").cast("bigint").alias("n_occur")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("n_occur"), F.asc("sax_word")
+    )
+    return (
+        mc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("event_type").alias("series_id"),
+            "sax_word",
+            "n_occur",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
