@@ -870,3 +870,63 @@ def test_token_burst_known_scores(spark):
     out = textops.token_burst(df, trunc="hour", k=10, min_count=4).collect()
     got = [(r["token"], r["burst_e6"], r["rank"]) for r in out]
     assert got == [(5, 4000000, 1), (6, 1333333, 2), (7, 1333333, 3)]
+
+
+def test_token_histogram_tier_serves_all_monitors(spark, tmp_path):
+    """Materialize the token-histogram tier to parquet, read it back,
+    and serve dist_drift / topk_turnover / token_burst / vocab_growth
+    from `counts=`: every row must equal the direct computation."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    rows = []
+    for h in range(5):
+        for toks in ([1, 2, 2, 3], [3, 4, h + 1]):
+            rows.append(("s0", datetime(2026, 1, 1, h, 0, 0), toks))
+        rows.append(("s1", datetime(2026, 1, 1, h, 0, 0), [7, 7, h]))
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    path = str(tmp_path / "tok_hist")
+    textops.token_histogram(df).write.parquet(path)
+    tier = spark.read.parquet(path)
+
+    for op, kw in [
+        (textops.dist_drift, {}),
+        (textops.topk_turnover, {"k": 3}),
+        (textops.token_burst, {"min_count": 2}),
+        (textops.vocab_growth, {}),
+    ]:
+        direct = sorted(map(tuple, op(df, **kw).collect()))
+        served = sorted(map(tuple, op(df, counts=tier, **kw).collect()))
+        assert served == direct, op.__name__
+
+
+def test_token_histogram_additive_increment(spark):
+    """The tier's incremental contract: histogram(full corpus) equals
+    re-summing the UNION of per-batch histograms — counts are
+    algebraic partial states, same as the value tiers."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from tokens_ts import textops
+
+    rows = [
+        ("s0", datetime(2026, 1, 1, h % 3, 0, 0), [1, 2, 2, h]) for h in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    full = textops.token_histogram(df)
+    b1 = textops.token_histogram(df.limit(0).union(df.where("tokens[3] < 3")))
+    b2 = textops.token_histogram(df.where("tokens[3] >= 3"))
+    merged = (
+        b1.unionByName(b2)
+        .groupBy("source", "ep", "t")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )

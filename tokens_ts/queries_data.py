@@ -3413,3 +3413,59 @@ def ts_sax_motifs(spark, sf_dir):
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@q(
+    "seq_drift_tier_served",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT * FROM ex WHERE t <> 0),
+    cnt AS (SELECT source, ep, t, count(*) AS c FROM nz GROUP BY 1, 2, 3),
+    tot AS (SELECT source, ep, sum(c) AS tot FROM cnt GROUP BY 1, 2),
+    j AS (
+      SELECT coalesce(cur.source, prv.source) AS source,
+             coalesce(cur.ep, prv.ep + 3600) AS ep,
+             coalesce(cur.c, 0) AS cc, coalesce(prv.c, 0) AS cp
+      FROM cnt cur FULL OUTER JOIN cnt prv
+        ON cur.source = prv.source AND cur.t = prv.t
+       AND cur.ep = prv.ep + 3600
+    ),
+    sc AS (
+      SELECT j.source, j.ep,
+             CAST(cc AS DOUBLE) / tc.tot AS p,
+             CAST(cp AS DOUBLE) / tp.tot AS q
+      FROM j
+      JOIN tot tc ON tc.source = j.source AND tc.ep = j.ep
+      JOIN tot tp ON tp.source = j.source AND tp.ep + 3600 = j.ep
+    )
+    SELECT source, ep AS bucket_ep,
+           CAST(ROUND(sum(
+             (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END +
+              CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2
+           ) * 1e6) AS BIGINT) AS jsd_e6,
+           count(*) AS n_union
+    FROM sc GROUP BY 1, 2
+    """,
+)
+def seq_drift_tier_served(spark, sf_dir):
+    """dist_drift SERVED FROM THE TOKEN-HISTOGRAM TIER (counts= path):
+    the tier is built once by textops.token_histogram and handed to
+    the monitor, which must produce row-for-row the same drift as the
+    direct corpus computation — the oracle is therefore identical to
+    seq_jsd_drift (the tier is an implementation detail, like the
+    bucketed gapfill twin). pytest additionally pins the served≡direct
+    equality through a real parquet round trip for all four
+    tier-served monitors."""
+    s = _seq(spark)
+    tier = textops.token_histogram(s, by="source", pad_id=C.PAD_ID, trunc="hour")
+    out = textops.dist_drift(s, by="source", trunc="hour", counts=tier)
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_ep"),
+        _e("jsd", 6).alias("jsd_e6"),
+        "n_union",
+    )

@@ -615,6 +615,39 @@ def bigram_pmi_topk(
     )
 
 
+def token_histogram(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+) -> DataFrame:
+    """The token-histogram TIER: non-PAD token counts per (group,
+    `trunc` bucket, token) — `(by, ep, t, c)`. This is the ONE
+    corpus-sized computation (explode → map-side-combined count)
+    behind every head-of-distribution monitor in this module;
+    `dist_drift` / `topk_turnover` / `token_burst` / `vocab_growth`
+    all accept it pre-built via their `counts=` parameter.
+
+    At 100 TB this is what you materialize: counts are ADDITIVE, so
+    the tier updates per increment by unioning the new batch's
+    histogram and re-summing only touched (group, bucket) partitions
+    — the same partial-state contract as the value tiers
+    (tiers.rollup) — and every drift query then reads
+    vocab×buckets-bounded rows instead of re-exploding the corpus."""
+    return (
+        seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+            F.explode(tokens_col).alias("t"),
+        )
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "ep", "t")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def dist_drift(
     seq: DataFrame,
     by: str = "source",
@@ -622,6 +655,7 @@ def dist_drift(
     tokens_col: str = "tokens",
     pad_id: int = 0,
     trunc: str = "hour",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Jensen-Shannon divergence between each time bucket's token
     distribution and the IMMEDIATELY PRECEDING bucket's, per group —
@@ -639,18 +673,12 @@ def dist_drift(
     (group, bucket, token) counts; everything downstream is
     vocab×buckets-bounded. The cur↔prev token join is an equi-join on
     (group, token, bucket-epoch arithmetic) between two such bounded
-    frames; per-bucket totals ride along via a second bounded join."""
+    frames; per-bucket totals ride along via a second bounded join.
+    Pass `counts=` (a token_histogram frame) to serve from the
+    materialized tier instead of re-exploding the corpus."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
-    counts = (
-        seq.select(
-            by,
-            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
-            F.explode(tokens_col).alias("t"),
-        )
-        .where(F.col("t") != pad_id)
-        .groupBy(by, "ep", "t")
-        .agg(F.count("*").alias("c"))
-    )
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
     totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
     cur = counts.select(by, "ep", "t", F.col("c").alias("cc"))
     prv = counts.select(
@@ -690,6 +718,7 @@ def vocab_growth(
     tokens_col: str = "tokens",
     pad_id: int = 0,
     trunc: str = "hour",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Heaps'-law vocabulary growth curve per group: for every time
     bucket with data, how many NEVER-BEFORE-SEEN tokens appear, and
@@ -706,17 +735,18 @@ def vocab_growth(
     Shapes: explode → map-side-combined min-agg is the only
     corpus-sized op; the bucket spine (distinct buckets per group) and
     the cumulative window are buckets-bounded. No distinct-count
-    shuffle per bucket, no growing state."""
-    bucketed = seq.select(
-        by,
-        F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
-        F.explode(tokens_col).alias("t"),
-    ).where(F.col("t") != pad_id)
-    first_seen = bucketed.groupBy(by, "t").agg(F.min("ep").alias("ep"))
+    shuffle per bucket, no growing state. Pass `counts=` (a
+    token_histogram frame) to serve from the materialized tier —
+    first-seen minima and the bucket spine derive from the tier
+    exactly (every (group, bucket, token) present in raw is present
+    in the tier)."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    first_seen = counts.groupBy(by, "t").agg(F.min("ep").alias("ep"))
     new_per_bucket = first_seen.groupBy(by, "ep").agg(
         F.count("*").alias("new_tokens")
     )
-    spine = bucketed.select(by, "ep").distinct()
+    spine = counts.select(by, "ep").distinct()
     w = (
         Window.partitionBy(by)
         .orderBy("ep")
@@ -743,6 +773,7 @@ def topk_turnover(
     pad_id: int = 0,
     trunc: str = "hour",
     k: int = 16,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Hour-over-hour turnover of each group's top-k token SET:
     Jaccard between the current bucket's top-k tokens and the
@@ -759,18 +790,11 @@ def topk_turnover(
     Shapes: explode → map-side-combined (group, bucket, token) count
     is the only corpus-sized op; the ranking window partitions by
     (group, bucket) over ≤ vocab rows per partition; everything after
-    is k×buckets-bounded."""
+    is k×buckets-bounded. Pass `counts=` (a token_histogram frame) to
+    serve from the materialized tier."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
-    counts = (
-        seq.select(
-            by,
-            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
-            F.explode(tokens_col).alias("t"),
-        )
-        .where(F.col("t") != pad_id)
-        .groupBy(by, "ep", "t")
-        .agg(F.count("*").alias("c"))
-    )
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
     w = Window.partitionBy(by, "ep").orderBy(F.desc("c"), F.asc("t"))
     topk = counts.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= k
@@ -813,6 +837,7 @@ def token_burst(
     trunc: str = "hour",
     k: int = 10,
     min_count: int = 4,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BURSTY tokens per group: burstiness = a token's peak
     per-bucket share divided by its mean share over ALL of the
@@ -829,18 +854,10 @@ def token_burst(
 
     Shapes: one corpus-sized explode+count; per-bucket totals and
     per-group bucket counts are bounded aggs joined back; the ranking
-    window partitions by group over ≤ vocab rows."""
-    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]  # noqa: F841
-    counts = (
-        seq.select(
-            by,
-            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
-            F.explode(tokens_col).alias("t"),
-        )
-        .where(F.col("t") != pad_id)
-        .groupBy(by, "ep", "t")
-        .agg(F.count("*").alias("c"))
-    )
+    window partitions by group over ≤ vocab rows. Pass `counts=` (a
+    token_histogram frame) to serve from the materialized tier."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
     totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
     nb = totals.groupBy(by).agg(F.count("*").alias("n_buckets"))
     shares = counts.join(totals, [by, "ep"]).select(
