@@ -897,6 +897,10 @@ def test_token_histogram_tier_serves_all_monitors(spark, tmp_path):
         (textops.topk_turnover, {"k": 3}),
         (textops.token_burst, {"min_count": 2}),
         (textops.vocab_growth, {}),
+        (textops.decay_topk, {"k": 5}),
+        (textops.token_novelty, {}),
+        (textops.dist_entropy, {}),
+        (textops.source_similarity, {}),
     ]:
         direct = sorted(map(tuple, op(df, **kw).collect()))
         served = sorted(map(tuple, op(df, counts=tier, **kw).collect()))
@@ -929,4 +933,87 @@ def test_token_histogram_additive_increment(spark):
     )
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, merged.collect())
+    )
+
+
+def test_decay_topk_known_scores(spark):
+    """Hand-worked: h0=[1,1,2], h1=[2,3] → ages 1,0; decay .5.
+    token2: 1 + 1·.5 = 1.5; token1: 2·.5 = 1.0; token3: 1.0.
+    Ties at 1.0 break toward the smaller token id."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 1, 2]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [2, 3]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = textops.decay_topk(df).orderBy("rank").collect()
+    got = [(r["token"], r["score_e6"], r["rank"]) for r in out]
+    assert got == [(2, 1500000, 1), (1, 1000000, 2), (3, 1000000, 3)]
+
+
+def test_token_novelty_known_rates(spark):
+    """h0=[1,2,2] all novel (rate 1); h1=[2,3,3,1] → only token 3 is
+    new, carrying 2 of 4 occurrences (rate .5)."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 2, 2]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [2, 3, 3, 1]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = textops.token_novelty(df).orderBy("bucket_ep").collect()
+    got = [(r["novel_c"], r["total_c"], r["novelty_e6"]) for r in out]
+    assert got == [(3, 3, 1000000), (2, 4, 500000)]
+
+
+def test_dist_entropy_known_values(spark):
+    """{a:2,b:2} → H=ln2 (693147 e6), norm=1; single-token bucket →
+    H=0, norm null."""
+    import math
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 1, 2, 2]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [3, 3, 3, 3, 3]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = textops.dist_entropy(df).orderBy("bucket_ep").collect()
+    assert out[0]["entropy_e6"] == round(math.log(2) * 1e6)
+    assert out[0]["norm_entropy_e6"] == 1000000
+    assert out[0]["n_distinct"] == 2
+    assert out[1]["entropy_e6"] == 0
+    assert out[1]["norm_entropy_e6"] is None
+
+
+def test_source_similarity_known_cosine(spark):
+    """s0={1:2,2:1}, s1={2:2,3:1} → dot=2, |a|=|b|=√5, cos=0.4."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 1, 2]),
+            ("s1", datetime(2026, 1, 1, 0, 0, 0), [2, 2, 3]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = textops.source_similarity(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"], r["dot"], r["cos_e6"]) == (
+        "s0", "s1", 2, 400000,
     )

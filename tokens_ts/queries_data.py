@@ -3469,3 +3469,134 @@ def seq_drift_tier_served(spark, sf_dir):
         _e("jsd", 6).alias("jsd_e6"),
         "n_union",
     )
+
+
+_HIST_CTE = """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq
+    ),
+    nz AS (SELECT * FROM ex WHERE t <> 0),
+    cnt AS (SELECT source, ep, t, count(*) AS c FROM nz GROUP BY 1, 2, 3)
+"""
+
+
+@q(
+    "seq_decay_topk",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    , latest AS (SELECT source, max(ep) AS mep FROM cnt GROUP BY 1),
+    aged AS (
+      SELECT c.source, c.t, c.c,
+             CAST((l.mep - c.ep) / 3600 AS BIGINT) AS age
+      FROM cnt c JOIN latest l USING (source)
+    ),
+    sc AS (
+      SELECT source, t, sum(c * power(0.5, age)) AS score,
+             CAST(sum(c) AS BIGINT) AS total_c
+      FROM aged GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT source, t, total_c,
+             CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(score * 1e6) DESC, t ASC) AS rank
+      FROM sc
+    )
+    SELECT source, CAST(t AS BIGINT) AS token, total_c, score_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def seq_decay_topk(spark, sf_dir):
+    """Recency-weighted trending tokens: decay=0.5 per hourly bucket
+    makes every weight an exact power of two, so the score is
+    cross-engine EXACT before the e6 canonicalization. Served from
+    the token_histogram tier (counts=) to keep the tier path under
+    the driver gate too."""
+    s = _seq(spark)
+    tier = textops.token_histogram(s, by="source", pad_id=C.PAD_ID, trunc="hour")
+    return textops.decay_topk(s, by="source", trunc="hour", counts=tier)
+
+
+@q(
+    "seq_token_novelty",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    , fs AS (SELECT source, t, min(ep) AS fep FROM cnt GROUP BY 1, 2),
+    nov AS (
+      SELECT c.source, c.ep, CAST(sum(c.c) AS BIGINT) AS novel_c
+      FROM cnt c
+      JOIN fs ON fs.source = c.source AND fs.t = c.t AND fs.fep = c.ep
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, ep, CAST(sum(c) AS BIGINT) AS total_c
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT tot.source, tot.ep AS bucket_ep,
+           CAST(coalesce(novel_c, 0) AS BIGINT) AS novel_c, total_c,
+           CAST(ROUND(coalesce(novel_c, 0) * 1.0 / total_c * 1e6) AS BIGINT)
+             AS novelty_e6
+    FROM tot LEFT JOIN nov ON nov.source = tot.source AND nov.ep = tot.ep
+    """,
+)
+def seq_token_novelty(spark, sf_dir):
+    """Occurrence-weighted novelty rate per (source, hour) — the
+    'how much of this hour is genuinely new text' monitor; the
+    type-count twin is seq_vocab_growth."""
+    return textops.token_novelty(_seq(spark), by="source", trunc="hour")
+
+
+@q(
+    "seq_dist_entropy",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    SELECT source, ep AS bucket_ep,
+           CAST(sum(c) AS BIGINT) AS total_c,
+           count(*) AS n_distinct,
+           CAST(ROUND((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1e6)
+             AS BIGINT) AS entropy_e6,
+           CASE WHEN count(*) > 1 THEN
+             CAST(ROUND((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                        / ln(count(*)) * 1e6) AS BIGINT)
+           END AS norm_entropy_e6
+    FROM cnt GROUP BY 1, 2
+    """,
+)
+def seq_dist_entropy(spark, sf_dir):
+    """Shannon + normalized entropy of each (source, hour) token
+    distribution via the join-free H = ln(tot) − Σc·ln(c)/tot form —
+    the mode-collapse monitor."""
+    return textops.dist_entropy(_seq(spark), by="source", trunc="hour")
+
+
+@q(
+    "seq_source_similarity",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    , vec AS (SELECT source, t, sum(c) AS c FROM cnt GROUP BY 1, 2),
+    norms AS (SELECT source, sum(c * c) AS sq FROM vec GROUP BY 1),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM vec a JOIN vec b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, dot,
+           CAST(ROUND(dot / (sqrt(na.sq) * sqrt(nb.sq)) * 1e6) AS BIGINT)
+             AS cos_e6
+    FROM dots
+    JOIN norms na ON na.source = src_a
+    JOIN norms nb ON nb.source = src_b
+    """,
+)
+def seq_source_similarity(spark, sf_dir):
+    """Pairwise cosine between sources' token-count vectors — corpus
+    mix-shift monitor; integer dot products are cross-engine exact."""
+    return textops.source_similarity(_seq(spark), by="source")

@@ -894,3 +894,195 @@ def token_burst(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def decay_topk(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    decay: float = 0.5,
+    k: int = 10,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """'Trending now' tokens per group: each token's per-bucket counts
+    are weighted by decay^age (age = buckets before the group's most
+    recent bucket) and summed — recency-weighted frequency, the
+    streaming-dashboard ranking a plain total-count top-k can't give
+    (a token dominant last week but dead today still tops total
+    counts; here its weight is decay^168).
+
+    decay defaults to 0.5 (half-life = one bucket) which makes every
+    weight an exact power of two, so both engines compute IDENTICAL
+    products c·2^-age and cross-engine e6 rounding is ulp-safe by
+    construction, not by luck.
+
+    Shapes: serve from the token-histogram tier (`counts=`) or build
+    it (the one corpus-sized op); the per-group max-bucket frame is
+    groups-bounded and broadcast back; scoring + ranking are
+    vocab-bounded. Rank ties → smaller token id."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    latest = counts.groupBy(by).agg(F.max("ep").alias("max_ep"))
+    aged = counts.join(F.broadcast(latest), by).withColumn(
+        "age", ((F.col("max_ep") - F.col("ep")) / step).cast("bigint")
+    )
+    scored = aged.groupBy(by, "t").agg(
+        F.sum(F.col("c") * F.pow(F.lit(decay), F.col("age"))).alias("score"),
+        F.sum("c").cast("bigint").alias("total_c"),
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.desc(F.round(F.col("score") * 1e6)), F.asc("t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            by,
+            F.col("t").cast("bigint").alias("token"),
+            "total_c",
+            F.round(F.col("score") * 1e6).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def token_novelty(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Occurrence-weighted novelty rate per (group, bucket): the
+    fraction of this bucket's token OCCURRENCES whose token type was
+    never seen in ANY earlier bucket of the group. vocab_growth counts
+    new TYPES; this weights them by how much of the bucket's volume
+    they carry — the 'how much of this hour is genuinely new text'
+    monitor (a spam flood of one novel token shows novelty≈1 here but
+    only +1 type there). First bucket is 1.0 by definition.
+
+    Shapes: first-seen minima and per-bucket totals both derive from
+    the token-histogram tier (vocab- and buckets-bounded); the novel
+    join is an equi-join between two tier-bounded frames."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    first_seen = counts.groupBy(by, "t").agg(F.min("ep").alias("fep"))
+    novel = (
+        counts.join(
+            first_seen.withColumnRenamed("fep", "ep"), [by, "t", "ep"]
+        )
+        .groupBy(by, "ep")
+        .agg(F.sum("c").cast("bigint").alias("novel_c"))
+    )
+    totals = counts.groupBy(by, "ep").agg(
+        F.sum("c").cast("bigint").alias("total_c")
+    )
+    return (
+        totals.join(novel, [by, "ep"], "left")
+        .withColumn("novel_c", F.coalesce("novel_c", F.lit(0)))
+        .select(
+            by,
+            F.col("ep").alias("bucket_ep"),
+            "novel_c",
+            "total_c",
+            F.round(F.col("novel_c") / F.col("total_c") * 1e6)
+            .cast("bigint")
+            .alias("novelty_e6"),
+        )
+    )
+
+
+def dist_entropy(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Shannon entropy of each (group, bucket)'s token distribution,
+    plus the distinct-token count and the normalized entropy
+    H/ln(n_distinct) in [0,1] — the mode-collapse / repetition-flood
+    monitor (entropy dropping while volume holds = the corpus is
+    degenerating). Uses H = ln(tot) − Σ c·ln(c)/tot so the whole
+    computation is two tier-bounded aggregations with no per-token
+    probability join. Normalized entropy is null for single-token
+    buckets (0/0)."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    agg = counts.groupBy(by, "ep").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    ent = F.log("tot") - F.col("clogc") / F.col("tot")
+    return agg.select(
+        by,
+        F.col("ep").alias("bucket_ep"),
+        F.col("tot").cast("bigint").alias("total_c"),
+        "n_distinct",
+        F.round(ent * 1e6).cast("bigint").alias("entropy_e6"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(ent / F.log("n_distinct") * 1e6).cast("bigint"),
+        ).alias("norm_entropy_e6"),
+    )
+
+
+def source_similarity(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise cosine similarity between groups' token-count vectors
+    — the corpus-mix monitor ('did source A start emitting source B's
+    distribution?') and the mixture-dedup screen at source granularity.
+    Emits each unordered pair once (a < b) with the integer dot
+    product (exact — counts are integers, so cross-engine equality is
+    exact pre-rounding) and cos_e6.
+
+    Shapes: per-group vectors are vocab-bounded aggregations of the
+    token-histogram tier; the pair join is an equi-join ON TOKEN
+    between two vocab-bounded frames (never groups² × vocab
+    materialized — only tokens shared by a pair contribute rows);
+    norms are groups-bounded and broadcast."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, "hour")
+    vec = counts.groupBy(by, "t").agg(F.sum("c").alias("c"))
+    norms = vec.groupBy(by).agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    a = vec.select(F.col(by).alias("src_a"), "t", F.col("c").alias("ca"))
+    bb = vec.select(F.col(by).alias("src_b"), "t", F.col("c").alias("cb"))
+    dots = (
+        a.join(bb, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col(by).alias("src_a"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col(by).alias("src_b"), F.col("sq").alias("sqb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            F.round(
+                F.col("dot") / (F.sqrt("sqa") * F.sqrt("sqb")) * 1e6
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+    )
