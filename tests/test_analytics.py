@@ -687,3 +687,66 @@ def test_holt_perfect_trend_fitted_exact(spark):
     for r in out[1:]:
         assert r["fitted"] == pytest.approx(r["v"])
         assert r["trend"] == pytest.approx(2.0)
+
+
+def test_cusum_known_shift(spark):
+    """Step series [0×4, 10×4]: μ=5, σ=5, z=∓1; hand-worked S⁺ ramps
+    0,0,0,0,.5,1,1.5,2 and S⁻ ramps .5,1,1.5,2,.5,0,0,0 (reflection
+    identity == textbook recurrence); threshold 1.75 alarms exactly
+    at the first-regime end (S⁻=2) and the series end (S⁺=2)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("S", t0 + timedelta(hours=h), 0.0 if h < 4 else 10.0)
+        for h in range(8)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.cusum(df, keys=["k"], threshold=1.75).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert [r["s_up"] for r in out] == pytest.approx(
+        [0, 0, 0, 0, 0.5, 1.0, 1.5, 2.0]
+    )
+    assert [r["s_dn"] for r in out] == pytest.approx(
+        [0.5, 1.0, 1.5, 2.0, 0.5, 0, 0, 0]
+    )
+    assert [r["alarm"] for r in out] == [
+        False, False, False, True, False, False, False, True,
+    ]
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), 7.5) for h in range(5)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = analytics.cusum(df, keys=["k"]).collect()
+    assert all(r["z"] == 0.0 and not r["alarm"] for r in out)
+    assert all(r["s_up"] == 0.0 and r["s_dn"] == 0.0 for r in out)
+
+
+def test_robust_zscore_known_values(spark):
+    """[1,2,3,4,100]: med=3, MAD=1 → rz(100)=97/1.4826≈65.4 (outlier),
+    rz(1)≈−1.35 (not). A ≥50%-constant key has MAD=0 → null rz."""
+    from tokens_ts import analytics
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)] + [
+        ("b", float(v)) for v in (5, 5, 5, 9)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = analytics.robust_zscore(df, keys=["k"]).collect()
+    a = {r["value"]: r for r in out if r["k"] == "a"}
+    assert a[100.0]["robust_z"] == pytest.approx(97 / 1.4826)
+    assert a[100.0]["is_outlier"] is True
+    assert a[1.0]["robust_z"] == pytest.approx(-2 / 1.4826)
+    assert a[1.0]["is_outlier"] is False
+    for r in out:
+        if r["k"] == "b":
+            assert r["robust_z"] is None and r["is_outlier"] is None

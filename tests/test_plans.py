@@ -412,3 +412,30 @@ def test_holt_single_key_shuffle(spark, events_path):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_cusum_no_python_and_broadcast_stats(spark, events_path):
+    """CUSUM via the reflection identity stays pure Catalyst: no
+    Arrow/Python stage anywhere, the per-key stats join back is a
+    BroadcastHashJoin, and both cumulative passes run as RunningWindow
+    frames over hashpartitioning on the key — never SinglePartition."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.cusum(ev, ["event_type"], ts_col="ts"))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_robust_zscore_broadcast_joins_only(spark, events_path):
+    """Both median/MAD frames join back broadcast — the fact side is
+    never shuffled for a join (only the two keys-bounded aggs
+    exchange), and no sort-merge join appears."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.robust_zscore(ev, ["event_type"]))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

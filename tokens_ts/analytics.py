@@ -893,3 +893,117 @@ def holt_linear(
         return res
 
     return b.groupBy(*keys).applyInPandas(_holt, schema=schema)
+
+
+def cusum(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Two-sided standardized CUSUM changepoint scores per key over
+    the `trunc`-bucketed series — the small-persistent-shift detector
+    (a 0.5σ drift that never trips a per-point z-score accumulates
+    here within a few buckets).
+
+    The textbook recurrence S_t = max(0, S_{t−1} + a_t) is NOT run as
+    a sequential loop: it equals P_t − min(0, min_{j≤t} P_j) for the
+    prefix sums P of a_t (the reflection identity), so both sides run
+    as two O(n) cumulative window passes — pure Catalyst, whole-stage
+    codegen, one shuffle on the key, and the identical shape in the
+    SQL oracle. a⁺_t = z_t − slack, a⁻_t = −z_t − slack with
+    z standardized against the key's own bucket mean/σ (σ=0 or a
+    1-bucket series → z=0). slack=0.5 and threshold=4 are
+    binary-exact doubles. Alarm = either side exceeds threshold."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    stats = b.groupBy(*keys).agg(
+        F.avg("v").alias("_mu"), F.stddev_pop("v").alias("_sd")
+    )
+    z = b.join(F.broadcast(stats), keys).withColumn(
+        "z",
+        F.when(
+            F.col("_sd") > 0, (F.col("v") - F.col("_mu")) / F.col("_sd")
+        ).otherwise(F.lit(0.0)),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pu = F.sum(F.col("z") - F.lit(slack)).over(w)
+    pd_ = F.sum(-F.col("z") - F.lit(slack)).over(w)
+    scored = z.select(
+        *keys,
+        "ep",
+        "v",
+        "z",
+        pu.alias("_pu"),
+        pd_.alias("_pd"),
+    )
+    s_up = F.col("_pu") - F.least(F.lit(0.0), F.min("_pu").over(w))
+    s_dn = F.col("_pd") - F.least(F.lit(0.0), F.min("_pd").over(w))
+    return scored.select(
+        *keys,
+        "ep",
+        "v",
+        "z",
+        s_up.alias("s_up"),
+        s_dn.alias("s_dn"),
+    ).withColumn(
+        "alarm",
+        (F.col("s_up") > threshold) | (F.col("s_dn") > threshold),
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    clip: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust z-score per row against its key's own
+    distribution — the outlier scorer whose baseline outliers cannot
+    poison (mean/σ z-scores famously mask the very anomalies that
+    inflate σ; the 50% breakdown point of median+MAD does not).
+    rz = (x − median) / (1.4826·MAD); null when MAD = 0 (≥half the
+    key's values identical — no robust scale exists).
+
+    Two exact-median aggregations (Spark `median` = interpolated
+    percentile(0.5), matching the oracle's quantile_cont) + one
+    broadcast join back; the outlier flag |rz| > clip rides along.
+    Keys-bounded state, one fact-side shuffle only for the agg."""
+    med = df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.median(value_col).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), keys, "left")
+    mad = (
+        with_med.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
+        )
+    )
+    out = with_med.join(F.broadcast(mad), keys, "left").withColumn(
+        "robust_z",
+        F.when(
+            F.col("_mad") > 0,
+            (F.col(value_col) - F.col("_med"))
+            / (F.lit(1.4826) * F.col("_mad")),
+        ),
+    )
+    return out.withColumn(
+        "is_outlier",
+        F.when(
+            F.col("robust_z").isNotNull(), F.abs("robust_z") > clip
+        ),
+    ).drop("_med", "_mad")

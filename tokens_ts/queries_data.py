@@ -3600,3 +3600,108 @@ def seq_source_similarity(spark, sf_dir):
     """Pairwise cosine between sources' token-count vectors — corpus
     mix-shift monitor; integer dot products are cross-engine exact."""
     return textops.source_similarity(_seq(spark), by="source")
+
+
+@q(
+    "ts_cusum",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (SELECT sid, avg(v) AS mu, stddev_pop(v) AS sd FROM b GROUP BY 1),
+    z AS (
+      SELECT b.sid, ep, v,
+             CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END AS z
+      FROM b JOIN st USING (sid)
+    ),
+    p AS (
+      SELECT sid, ep, z,
+             sum(z - 0.5) OVER w AS pu,
+             sum(-z - 0.5) OVER w AS pd
+      FROM z
+      WINDOW w AS (PARTITION BY sid ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT sid, ep, z,
+             pu - least(0, min(pu) OVER w) AS s_up,
+             pd - least(0, min(pd) OVER w) AS s_dn
+      FROM p
+      WINDOW w AS (PARTITION BY sid ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT sid AS series_id, ep,
+           CAST(ROUND(z * 1e6) AS BIGINT) AS z_e6,
+           CAST(ROUND(s_up * 1e4) AS BIGINT) AS s_up_e4,
+           CAST(ROUND(s_dn * 1e4) AS BIGINT) AS s_dn_e4,
+           (CAST(ROUND(s_up * 1e4) AS BIGINT) > 40000
+            OR CAST(ROUND(s_dn * 1e4) AS BIGINT) > 40000) AS alarm
+    FROM m
+    """,
+)
+def ts_cusum(spark, sf_dir):
+    """Two-sided CUSUM per event_type at hourly buckets — the
+    sequential recurrence rewritten as the prefix-min reflection
+    identity, so BOTH engines run the identical two cumulative window
+    passes (no recursion anywhere). The alarm flag is derived from
+    the e4-rounded scores in both engines, making the threshold
+    boundary deterministic by construction."""
+    out = analytics.cusum(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", slack=0.5, threshold=4.0,
+    )
+    up4 = _e("s_up", 4)
+    dn4 = _e("s_dn", 4)
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("z", 6).alias("z_e6"),
+        up4.alias("s_up_e4"),
+        dn4.alias("s_dn_e4"),
+        ((up4 > 40000) | (dn4 > 40000)).alias("alarm"),
+    )
+
+
+@q(
+    "ts_robust_z",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(value - med)) AS mad
+      FROM events e JOIN med USING (event_type)
+      WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_id,
+           CASE WHEN mad > 0 THEN
+             CAST(ROUND((value - med) / (1.4826 * mad) * 1e4) AS BIGINT)
+           END AS rz_e4,
+           CASE WHEN mad > 0 AND value IS NOT NULL THEN
+             (abs(CAST(ROUND((value - med) / (1.4826 * mad) * 1e4)
+                  AS BIGINT)) > 35000)
+           END AS is_outlier
+    FROM events
+    LEFT JOIN med USING (event_type)
+    LEFT JOIN mad USING (event_type)
+    """,
+)
+def ts_robust_z(spark, sf_dir):
+    """Median/MAD robust z-score per event against its event_type —
+    both engines use exact interpolated medians (Spark `median` ≡
+    DuckDB quantile_cont(0.5)); the outlier flag is derived from the
+    e4-rounded score so the |rz| > 3.5 boundary cannot ulp-flip."""
+    out = analytics.robust_zscore(
+        _ev(spark, sf_dir), keys=["event_type"], value_col="value",
+        clip=3.5,
+    )
+    rz4 = _e("robust_z", 4)
+    return out.select(
+        "event_id",
+        rz4.alias("rz_e4"),
+        F.when(rz4.isNotNull(), F.abs(rz4) > 35000).alias("is_outlier"),
+    )
