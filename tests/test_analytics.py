@@ -750,3 +750,23 @@ def test_robust_zscore_known_values(spark):
     for r in out:
         if r["k"] == "b":
             assert r["robust_z"] is None and r["is_outlier"] is None
+
+
+def test_rolling_median_known_window(spark):
+    """Window of 3: series 1,100,3,5 → medians 1, 50.5, 3, 5 (spike
+    ejected at t3 while a mean would still carry it); nulls drop out
+    of the frame population."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [1.0, 100.0, 3.0, 5.0, None, 7.0]
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.rolling_median(df, keys=["k"], n_preceding=2).collect(),
+        key=lambda r: r["event_ts"],
+    )
+    assert [r["roll_median"] for r in out] == [1.0, 50.5, 3.0, 5.0, 4.0, 6.0]
+    assert [r["roll_n"] for r in out] == [1, 2, 3, 3, 2, 2]

@@ -248,3 +248,42 @@ def test_downsample_ohlc_known_answers(spark):
     r = tiers.downsample_ohlc(df, "1h").collect()[0]
     assert (r["open"], r["high"], r["low"], r["close"]) == (4.0, 9.0, 1.0, 6.0)
     assert r["cnt"] == 5
+
+
+def test_lttb_keeps_spikes_and_endpoints(spark):
+    """Hand-worked: 10 hourly points with one spike per middle bucket
+    (v=5 at h3, v=7 at h7), n_out=4 → 2 middle buckets. LTTB must
+    keep both endpoints and pick exactly the spikes (largest triangle
+    vs neighbor-bucket centroids)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import tiers
+
+    t0 = datetime(2026, 1, 1)
+    vals = [0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 7.0, 0.0, 0.0]
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "sid string, wts timestamp, v double")
+    out = sorted(
+        tiers.downsample_lttb(
+            df, n_out=4, keys=["sid"], ts_col="wts", value_col="v"
+        ).collect(),
+        key=lambda r: r["event_ts"],
+    )
+    got = [(r["event_ts"].hour, r["value"], r["bucket"]) for r in out]
+    assert got == [(0, 0.0, -1), (3, 5.0, 0), (7, 7.0, 1), (9, 0.0, 2)]
+
+
+def test_lttb_short_series_passthrough(spark):
+    """A series with ≤ n_out points comes back complete (every middle
+    point wins its own bucket)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import tiers
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), float(h)) for h in range(5)]
+    df = spark.createDataFrame(rows, "sid string, wts timestamp, v double")
+    out = tiers.downsample_lttb(
+        df, n_out=16, keys=["sid"], ts_col="wts", value_col="v"
+    ).collect()
+    assert sorted(r["value"] for r in out) == [0.0, 1.0, 2.0, 3.0, 4.0]

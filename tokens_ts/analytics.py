@@ -1007,3 +1007,52 @@ def robust_zscore(
             F.col("robust_z").isNotNull(), F.abs("robust_z") > clip
         ),
     ).drop("_med", "_mad")
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    n_preceding: int = 9,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Exact rolling median of the trailing `n_preceding`+1 rows per
+    key — the robust smoother for spiky series (a rolling MEAN drags
+    a single 100× spike through the whole window; the median ejects
+    it). Nulls are excluded from the frame's population, matching the
+    SQL aggregate convention; an all-null frame yields null.
+
+    Pure expression shape: collect the BOUNDED frame into an array
+    (≤ n+1 elements — O(n) state per row, never a corpus collect),
+    sort it, and index the middle — interpolating even-sized
+    populations exactly like percentile_cont(0.5). One shuffle on the
+    key; the frame is ROWS-bounded so Spark's running-window
+    machinery applies (no unbounded-following scan).
+
+    ROWS frames are only well-defined under a total order: pass
+    `order_cols` (e.g. [ts, event_id]) when (keys, ts) can repeat —
+    the default [ts_col] alone would make frame contents
+    nondeterministic across runs on duplicate timestamps."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*(order_cols or [ts_col]))
+        .rowsBetween(-n_preceding, Window.currentRow)
+    )
+    arr = F.sort_array(
+        F.filter(
+            F.collect_list(F.col(value_col)).over(w),
+            lambda x: x.isNotNull(),
+        )
+    )
+    m = F.size(arr)
+    mid_hi = F.element_at(arr, (m / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (m / 2).cast("int"))
+    med = F.when(m == 0, F.lit(None).cast("double")).otherwise(
+        F.when(m % 2 == 1, F.element_at(arr, (m / 2 + 1).cast("int"))).otherwise(
+            (mid_lo + mid_hi) / 2.0
+        )
+    )
+    return df.withColumn("roll_n", m.cast("bigint")).withColumn(
+        "roll_median", med
+    )

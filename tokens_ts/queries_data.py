@@ -3705,3 +3705,107 @@ def ts_robust_z(spark, sf_dir):
         rz4.alias("rz_e4"),
         F.when(rz4.isNotNull(), F.abs(rz4) > 35000).alias("is_outlier"),
     )
+
+
+@q(
+    "ts_rolling_median",
+    """
+    SELECT event_id,
+           CAST(count(value) OVER w AS BIGINT) AS roll_n,
+           CAST(ROUND(median(value) OVER w * 1e6) AS BIGINT) AS med_e6
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_median(spark, sf_dir):
+    """Exact trailing-10-row median per event_type — Spark sorts the
+    bounded frame array and interpolates the middle, DuckDB runs its
+    native windowed median; both exclude nulls from the frame
+    population. Ordering made total with (ts, event_id)."""
+    out = analytics.rolling_median(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", n_preceding=9, order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        "roll_n",
+        _e("roll_median", 6).alias("med_e6"),
+    )
+
+
+@q(
+    "ts_lttb",
+    """
+    WITH b AS (
+      SELECT event_type AS sid, date_trunc('hour', ts) AS wts,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT sid, wts, epoch_us(wts) AS x, v,
+             row_number() OVER (PARTITION BY sid ORDER BY wts) AS rn,
+             count(*) OVER (PARTITION BY sid) AS n
+      FROM b
+    ),
+    g AS (
+      SELECT *, CASE WHEN rn = 1 THEN -1 WHEN rn = n THEN 22
+                     ELSE CAST(floor((rn - 2) * 22.0 / (n - 2)) AS BIGINT)
+                END AS g
+      FROM p
+    ),
+    cent AS (
+      SELECT sid, g, avg(CAST(x AS DOUBLE)) AS cx, avg(v) AS cy
+      FROM g GROUP BY 1, 2
+    ),
+    mid AS (
+      SELECT g.sid, g.g, g.wts, g.x, g.v,
+             a.cx AS ax, a.cy AS ay, c.cx AS cx2, c.cy AS cy2
+      FROM g
+      LEFT JOIN cent a ON a.sid = g.sid AND a.g = g.g - 1
+      LEFT JOIN cent c ON c.sid = g.sid AND c.g = g.g + 1
+      WHERE g.g >= 0 AND g.g < 22
+    ),
+    sel AS (
+      SELECT sid, g, wts, v,
+             row_number() OVER (
+               PARTITION BY sid, g
+               ORDER BY ROUND(abs((ax - cx2) * (v - ay)
+                          - (ax - CAST(x AS DOUBLE)) * (cy2 - ay)) * 1e6)
+                        DESC, wts ASC) AS r
+      FROM mid
+    ),
+    outp AS (
+      SELECT sid, g, wts, v FROM sel WHERE r = 1
+      UNION ALL
+      SELECT sid, g, wts, v FROM g WHERE g = -1 OR g = 22
+    )
+    SELECT sid AS series_id, g AS bucket,
+           CAST(epoch(wts) AS BIGINT) AS ep,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS v_e6
+    FROM outp
+    """,
+)
+def ts_lttb(spark, sf_dir):
+    """Static-anchor LTTB decimation of the hourly mean tier to 24
+    plot points per series — both engines bucket by identical integer
+    arithmetic, pick by identical e6-rounded triangle areas with
+    earlier-timestamp tie-break, and keep both endpoints."""
+    hourly = (
+        _ev(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("sid"),
+            F.date_trunc("hour", "ts").alias("wts"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    out = tiers.downsample_lttb(
+        hourly, n_out=24, keys=["sid"], ts_col="wts", value_col="v"
+    )
+    return out.select(
+        F.col("sid").alias("series_id"),
+        "bucket",
+        F.unix_timestamp("event_ts").alias("ep"),
+        _e("value", 6).alias("v_e6"),
+    )

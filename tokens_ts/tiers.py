@@ -472,3 +472,102 @@ def query_windows(
 
 
 TIER_NAME_BY_WIDTH = {"1m": "t1m", "1h": "t1h", "1d": "t1d"}
+
+
+def downsample_lttb(
+    raw: DataFrame,
+    n_out: int = 64,
+    keys: Sequence[str] | None = None,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets plot decimation, STATIC-anchor
+    variant: per key, keep the first and last points plus — from each
+    of n_out−2 equal row-count buckets — the point forming the largest
+    triangle with the NEIGHBORING BUCKETS' CENTROIDS. The anchor
+    choice is the one pinned deviation from Steinarsson's sequential
+    LTTB (which anchors on the previously *selected* point): centroids
+    make every bucket's selection independent, so the whole operator
+    is two bounded window passes + a broadcast centroid join — pure
+    Catalyst, no per-series sequential state, embarrassingly parallel
+    across keys AND buckets, which sequential LTTB structurally is not.
+    Visual fidelity is equivalent for decimation purposes (both keep
+    extremes; only near-tie picks differ).
+
+    Determinism: triangle areas are e6-rounded before ranking and ties
+    break to the earlier timestamp, so the pick is stable across
+    engines and runs. Null values are excluded up front. Keys with
+    ≤ n_out points pass through untouched (every middle point lands in
+    its own bucket and wins it).
+
+    Shapes: ONE shuffle on the key for the row-number pass; centroids
+    are keys×n_out rows — broadcast back; the per-bucket ranking
+    window partitions on (key, bucket). The per-key count comes from a
+    keys-bounded agg, not an unbounded window frame."""
+    from pyspark.sql import Window
+
+    keys = list(keys) if keys is not None else list(KEYS)
+    m = n_out - 2
+    pts = raw.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_x"),
+    )
+    counts = pts.groupBy(*keys).agg(F.count("*").alias("_n"))
+    wrn = Window.partitionBy(*keys).orderBy("_ts", "_x")
+    rn = pts.withColumn("_rn", F.row_number().over(wrn)).join(
+        F.broadcast(counts), keys
+    )
+    # bucket id for middle points: g in [0, m); first/last get g = -1 / m
+    g = (
+        F.when(F.col("_rn") == 1, F.lit(-1))
+        .when(F.col("_rn") == F.col("_n"), F.lit(m))
+        .otherwise(
+            F.floor(
+                (F.col("_rn") - 2)
+                * F.lit(float(m))
+                / (F.col("_n") - 2)
+            )
+        )
+    )
+    binned = rn.withColumn("_g", g.cast("bigint"))
+    cent = binned.groupBy(*keys, "_g").agg(
+        F.avg(F.col("_x").cast("double")).alias("cx"),
+        F.avg("_v").alias("cy"),
+    )
+    prv = cent.select(
+        *keys, (F.col("_g") + 1).alias("_g"),
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+    )
+    nxt = cent.select(
+        *keys, (F.col("_g") - 1).alias("_g"),
+        F.col("cx").alias("cx2"), F.col("cy").alias("cy2"),
+    )
+    mid = (
+        binned.where((F.col("_g") >= 0) & (F.col("_g") < m))
+        .join(F.broadcast(prv), [*keys, "_g"], "left")
+        .join(F.broadcast(nxt), [*keys, "_g"], "left")
+    )
+    area = F.abs(
+        (F.col("ax") - F.col("cx2")) * (F.col("_v") - F.col("ay"))
+        - (F.col("ax") - F.col("_x").cast("double"))
+        * (F.col("cy2") - F.col("ay"))
+    )
+    wsel = Window.partitionBy(*keys, "_g").orderBy(
+        F.desc(F.round(area * 1e6)), F.asc("_ts")
+    )
+    picked = (
+        mid.withColumn("_sel", F.row_number().over(wsel))
+        .where(F.col("_sel") == 1)
+        .select(*keys, "_g", "_ts", "_v")
+    )
+    ends = binned.where((F.col("_g") == -1) | (F.col("_g") == m)).select(
+        *keys, "_g", "_ts", "_v"
+    )
+    return picked.unionByName(ends).select(
+        *keys,
+        F.col("_g").alias("bucket"),
+        F.col("_ts").alias("event_ts"),
+        F.col("_v").alias("value"),
+    )
