@@ -212,6 +212,32 @@ def main():
     bench("token_pack", lambda: _materialize(
         codec.decode_token_blobs(codec.encode_token_blobs(seq))
     ))
+    # round-5d: CUSUM via the prefix-min reflection identity (two
+    # cumulative window passes, zero Python) and static-anchor LTTB
+    # decimation of the hourly tier (bucket-parallel)
+    bench("cusum", lambda: _materialize(
+        analytics.cusum(ev_raw, keys=["series_id"])
+    ))
+    hourly = (
+        ev_raw.where(F.col("value").isNotNull())
+        .groupBy("series_id", F.date_trunc("hour", "event_ts").alias("wts"))
+        .agg(F.avg("value").alias("v"))
+    )
+    bench("lttb", lambda: _materialize(tiers.downsample_lttb(
+        hourly, n_out=64, keys=["series_id"], ts_col="wts", value_col="v"
+    )))
+    # token-histogram tier serving: build the ONE corpus-sized
+    # explode+count ONCE, then run all four distribution monitors
+    # from the materialized tier — the 100-TB read-path shape
+    # (the drift/turnover joins over the tier are measured by the
+    # jsd_drift row — at the synthetic 131k vocab the tier is nearly
+    # corpus-sized, which a real BPE vocab is not; see BENCH/BASELINE)
+    tok_tier = textops.token_histogram(grid.with_event_time(seq)).cache()
+    tok_tier.count()
+    bench("token_tier_monitors", lambda: [
+        _materialize(textops.token_burst(None, counts=tok_tier)),
+        _materialize(textops.decay_topk(None, counts=tok_tier)),
+    ])
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -439,3 +439,28 @@ def test_robust_zscore_broadcast_joins_only(spark, events_path):
     plan = _plan(analytics.robust_zscore(ev, ["event_type"]))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_lttb_single_scan_single_shuffle(spark, events_path):
+    """LTTB reads its input exactly ONCE: the Arrow stage replaces the
+    4-branch declarative form whose centroid/count/candidate/endpoint
+    legs each rescanned the corpus (no exchange reuse across
+    window/agg branches — the measured defect that motivated the
+    rewrite). Shuffle is hashpartitioning on the key, never
+    SinglePartition."""
+    from tokens_ts import tiers
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("sid"),
+        F.date_trunc("hour", "ts").alias("wts"),
+    ).agg(F.avg("value").alias("v"))
+    plan = _plan(
+        tiers.downsample_lttb(
+            hourly, n_out=16, keys=["sid"], ts_col="wts", value_col="v"
+        )
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(sid" in plan, plan

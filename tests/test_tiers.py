@@ -287,3 +287,27 @@ def test_lttb_short_series_passthrough(spark):
         df, n_out=16, keys=["sid"], ts_col="wts", value_col="v"
     ).collect()
     assert sorted(r["value"] for r in out) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_lttb_sequential_anchor_picks_spikes(spark):
+    """anchor='selected' (true Steinarsson recursion: left anchor =
+    previously picked point) on the same fixture still keeps the
+    spikes and endpoints."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import tiers
+
+    t0 = datetime(2026, 1, 1)
+    vals = [0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 7.0, 0.0, 0.0]
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "sid string, wts timestamp, v double")
+    out = sorted(
+        tiers.downsample_lttb(
+            df, n_out=4, keys=["sid"], ts_col="wts", value_col="v",
+            anchor="selected",
+        ).collect(),
+        key=lambda r: r["event_ts"],
+    )
+    assert [(r["event_ts"].hour, r["value"]) for r in out] == [
+        (0, 0.0), (3, 5.0), (7, 7.0), (9, 0.0),
+    ]

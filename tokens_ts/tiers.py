@@ -480,94 +480,112 @@ def downsample_lttb(
     keys: Sequence[str] | None = None,
     ts_col: str = "event_ts",
     value_col: str = "value",
+    anchor: str = "centroid",
 ) -> DataFrame:
-    """Largest-Triangle-Three-Buckets plot decimation, STATIC-anchor
-    variant: per key, keep the first and last points plus — from each
-    of n_out−2 equal row-count buckets — the point forming the largest
-    triangle with the NEIGHBORING BUCKETS' CENTROIDS. The anchor
-    choice is the one pinned deviation from Steinarsson's sequential
-    LTTB (which anchors on the previously *selected* point): centroids
-    make every bucket's selection independent, so the whole operator
-    is two bounded window passes + a broadcast centroid join — pure
-    Catalyst, no per-series sequential state, embarrassingly parallel
-    across keys AND buckets, which sequential LTTB structurally is not.
-    Visual fidelity is equivalent for decimation purposes (both keep
-    extremes; only near-tie picks differ).
+    """Largest-Triangle-Three-Buckets plot decimation: per key, keep
+    the first and last points plus — from each of n_out−2 equal
+    row-count buckets — the point forming the largest triangle.
 
-    Determinism: triangle areas are e6-rounded before ranking and ties
-    break to the earlier timestamp, so the pick is stable across
-    engines and runs. Null values are excluded up front. Keys with
-    ≤ n_out points pass through untouched (every middle point lands in
-    its own bucket and wins it).
+    anchor='centroid' (default): both triangle anchors are the
+    NEIGHBORING BUCKETS' CENTROIDS, making every bucket's pick
+    independent and the result expressible in plain SQL — this is the
+    variant the cross-engine oracle pins. anchor='selected' is
+    Steinarsson's sequential rule (left anchor = the previously
+    selected point); picks differ only on near-ties. Both keep
+    extremes; ties in e6-rounded area break to the earlier timestamp
+    (half-up rounding, matching SQL ROUND).
 
-    Shapes: ONE shuffle on the key for the row-number pass; centroids
-    are keys×n_out rows — broadcast back; the per-bucket ranking
-    window partitions on (key, bucket). The per-key count comes from a
-    keys-bounded agg, not an unbounded window frame."""
-    from pyspark.sql import Window
-
+    Physical shape — the reason this is an Arrow stage and not a
+    DataFrame composition: the declarative form needs the corpus-sized
+    binned frame in FOUR places (count, centroids, candidates,
+    endpoints), and Spark plans that as four separate scans of the
+    input (no exchange reuse across window/agg branches — measured).
+    One applyInPandas = ONE scan, ONE shuffle on the key, then a
+    vectorized numpy pass whose state is the key's own series —
+    bounded by the tier calendar (decimate tiers, not raw corpora;
+    same per-key-memory contract as holt_linear). Output is ≤ n_out
+    rows per key."""
+    if anchor not in ("centroid", "selected"):
+        raise ValueError(f"anchor must be centroid/selected, got {anchor!r}")
     keys = list(keys) if keys is not None else list(KEYS)
     m = n_out - 2
     pts = raw.where(F.col(value_col).isNotNull()).select(
-        *keys,
-        F.col(ts_col).alias("_ts"),
-        F.col(value_col).alias("_v"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_x"),
+        *keys, F.col(ts_col).alias("_ts"), F.col(value_col).cast("double").alias("_v")
     )
-    counts = pts.groupBy(*keys).agg(F.count("*").alias("_n"))
-    wrn = Window.partitionBy(*keys).orderBy("_ts", "_x")
-    rn = pts.withColumn("_rn", F.row_number().over(wrn)).join(
-        F.broadcast(counts), keys
+    ts_type = dict(raw.dtypes)[ts_col]
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pts.select(*keys).schema.fields
     )
-    # bucket id for middle points: g in [0, m); first/last get g = -1 / m
-    g = (
-        F.when(F.col("_rn") == 1, F.lit(-1))
-        .when(F.col("_rn") == F.col("_n"), F.lit(m))
-        .otherwise(
-            F.floor(
-                (F.col("_rn") - 2)
-                * F.lit(float(m))
-                / (F.col("_n") - 2)
+    schema = f"{key_fields}, bucket bigint, event_ts {ts_type}, value double"
+    sequential = anchor == "selected"
+
+    def _lttb(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("_ts", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pdf.iloc[0:0][[*keys]].assign(
+                bucket=np.array([], dtype="int64"),
+                event_ts=pdf["_ts"].iloc[0:0],
+                value=np.array([], dtype="float64"),
             )
+        # micros to match unix_micros/epoch_us in the SQL oracle —
+        # the e6-rounded area ranking must see identical doubles
+        x = (pdf["_ts"].to_numpy().astype("datetime64[us]").astype("int64")).astype(
+            "float64"
         )
-    )
-    binned = rn.withColumn("_g", g.cast("bigint"))
-    cent = binned.groupBy(*keys, "_g").agg(
-        F.avg(F.col("_x").cast("double")).alias("cx"),
-        F.avg("_v").alias("cy"),
-    )
-    prv = cent.select(
-        *keys, (F.col("_g") + 1).alias("_g"),
-        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
-    )
-    nxt = cent.select(
-        *keys, (F.col("_g") - 1).alias("_g"),
-        F.col("cx").alias("cx2"), F.col("cy").alias("cy2"),
-    )
-    mid = (
-        binned.where((F.col("_g") >= 0) & (F.col("_g") < m))
-        .join(F.broadcast(prv), [*keys, "_g"], "left")
-        .join(F.broadcast(nxt), [*keys, "_g"], "left")
-    )
-    area = F.abs(
-        (F.col("ax") - F.col("cx2")) * (F.col("_v") - F.col("ay"))
-        - (F.col("ax") - F.col("_x").cast("double"))
-        * (F.col("cy2") - F.col("ay"))
-    )
-    wsel = Window.partitionBy(*keys, "_g").orderBy(
-        F.desc(F.round(area * 1e6)), F.asc("_ts")
-    )
-    picked = (
-        mid.withColumn("_sel", F.row_number().over(wsel))
-        .where(F.col("_sel") == 1)
-        .select(*keys, "_g", "_ts", "_v")
-    )
-    ends = binned.where((F.col("_g") == -1) | (F.col("_g") == m)).select(
-        *keys, "_g", "_ts", "_v"
-    )
-    return picked.unionByName(ends).select(
-        *keys,
-        F.col("_g").alias("bucket"),
-        F.col("_ts").alias("event_ts"),
-        F.col("_v").alias("value"),
-    )
+        v = pdf["_v"].to_numpy(dtype="float64")
+        idx = np.arange(n)
+        g = np.empty(n, dtype="int64")
+        if n <= 2:
+            g[:] = [-1, m][: n] if n == 1 else [-1, m]
+        else:
+            g[1:-1] = np.floor((idx[1:-1] - 1) * float(m) / (n - 2)).astype(
+                "int64"
+            )
+            g[-1] = m
+            g[0] = -1
+        # per-bucket centroids, buckets shifted to [0, m+2)
+        gs = g + 1
+        cnt = np.bincount(gs, minlength=m + 2).astype("float64")
+        sx = np.bincount(gs, weights=x, minlength=m + 2)
+        sv = np.bincount(gs, weights=v, minlength=m + 2)
+        with np.errstate(invalid="ignore"):
+            cx = np.where(cnt > 0, sx / np.maximum(cnt, 1.0), np.nan)
+            cy = np.where(cnt > 0, sv / np.maximum(cnt, 1.0), np.nan)
+        picks = [0] if n >= 1 else []
+        ax, ay = cx[0], cy[0]
+        for b in range(m):
+            cand = np.nonzero(g == b)[0]
+            if cand.size == 0:
+                continue
+            if not sequential:
+                ax, ay = cx[b], cy[b]  # centroid of bucket b-1 (shifted)
+            # next anchor: first non-empty bucket centroid after b
+            nb = b + 2
+            while nb < m + 2 and cnt[nb] == 0:
+                nb += 1
+            if nb < m + 2:
+                bx, by = cx[nb], cy[nb]
+            else:
+                bx, by = ax, ay
+            area = np.abs(
+                (ax - bx) * (v[cand] - ay) - (ax - x[cand]) * (by - ay)
+            )
+            r = np.floor(area * 1e6 + 0.5)  # SQL ROUND (half-up)
+            best = cand[int(np.argmax(r))]  # first max = earliest ts
+            picks.append(best)
+            if sequential:
+                ax, ay = x[best], v[best]
+        if n >= 2:
+            picks.append(n - 1)
+        sel = np.array(sorted(set(picks)), dtype="int64")
+        out = pdf.iloc[sel][[*keys]].copy()
+        out["bucket"] = g[sel]
+        out["event_ts"] = pdf["_ts"].iloc[sel].to_numpy()
+        out["value"] = v[sel]
+        return out
+
+    return pts.groupBy(*keys).applyInPandas(_lttb, schema=schema)
