@@ -770,3 +770,48 @@ def test_rolling_median_known_window(spark):
     )
     assert [r["roll_median"] for r in out] == [1.0, 50.5, 3.0, 5.0, 4.0, 6.0]
     assert [r["roll_n"] for r in out] == [1, 2, 3, 3, 2, 2]
+
+
+def test_bollinger_breach_sides(spark):
+    """Width .5, frame of 2: [1,3,1] breaches up at t2 (3 > 2.5) and
+    down at t3 (1 < 1.5); the seed point sits on its own zero-width
+    band (not a breach)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate([1.0, 3.0, 1.0])]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.bollinger(
+            df, keys=["k"], n_preceding=1, width=0.5
+        ).collect(),
+        key=lambda r: r["event_ts"],
+    )
+    assert [r["bb_breach"] for r in out] == [0, 1, -1]
+    assert out[1]["bb_mid"] == 2.0 and out[1]["bb_up"] == 2.5
+
+
+def test_corr_matrix_known_pairs(spark):
+    """x=[1,2,3], y=2x, z=reversed(x): r(x,y)=1, r(x,z)=r(y,z)=−1."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h, (a, b, c) in enumerate([(1, 2, 3), (2, 4, 2), (3, 6, 1)]):
+        rows += [
+            ("a", t0 + timedelta(hours=h), float(a)),
+            ("b", t0 + timedelta(hours=h), float(b)),
+            ("c", t0 + timedelta(hours=h), float(c)),
+        ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["ka"], r["kb"]): r["pearson_r"]
+        for r in analytics.corr_matrix(df, keys=["k"]).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)

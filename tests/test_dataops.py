@@ -1017,3 +1017,25 @@ def test_source_similarity_known_cosine(spark):
     assert (r["src_a"], r["src_b"], r["dot"], r["cos_e6"]) == (
         "s0", "s1", 2, 400000,
     )
+
+
+def test_token_gini_known_values(spark):
+    """{a:1,b:1,c:2} → ranked [1,1,2], G=(2·9−4·4)/(3·4)=1/6; a
+    uniform bucket has G=0."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 2, 3, 3]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [4, 4, 5, 5]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = sorted(
+        textops.token_gini(df).collect(), key=lambda r: r["bucket_ep"]
+    )
+    assert out[0]["gini_e6"] == 166667
+    assert out[0]["n_distinct"] == 3
+    assert out[1]["gini_e6"] == 0

@@ -1056,3 +1056,96 @@ def rolling_median(
     return df.withColumn("roll_n", m.cast("bigint")).withColumn(
         "roll_median", med
     )
+
+
+def bollinger(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    n_preceding: int = 19,
+    width: float = 2.0,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Bollinger bands per key: trailing-(n+1)-row mean +/- width*sigma
+    (population) and the breach side per point — the volatility-scaled
+    envelope monitor (a fixed threshold fires constantly on a volatile
+    series and never on a quiet one; bands scale with local sigma).
+
+    Two aggregates over ONE bounded running ROWS frame (Spark
+    evaluates both in a single window pass), one shuffle on the key.
+    sigma of a constant frame is 0 — bands collapse onto the mean and
+    any deviation breaches. Pass order_cols to make the frame total
+    under duplicate timestamps."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*(order_cols or [ts_col]))
+        .rowsBetween(-n_preceding, Window.currentRow)
+    )
+    mid = F.avg(value_col).over(w)
+    sd = F.stddev_pop(value_col).over(w)
+    out = (
+        df.withColumn("bb_mid", mid)
+        .withColumn("bb_up", mid + F.lit(width) * sd)
+        .withColumn("bb_dn", mid - F.lit(width) * sd)
+    )
+    return out.withColumn(
+        "bb_breach",
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+        .when(F.col(value_col) > F.col("bb_up"), F.lit(1))
+        .when(F.col(value_col) < F.col("bb_dn"), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two series over
+    their COMMON `trunc` buckets — the co-movement matrix behind
+    'which metrics move together' dashboards and redundancy pruning
+    (ccf answers lag structure for a chosen pair; this screens all
+    pairs at lag 0 to find the ones worth a ccf). Emits each
+    unordered pair once (a < b) with the common-bucket count.
+
+    Shapes: ONE bucket agg over raw rows (corpus-sized, map-side
+    combined), then an equi-join of the buckets-bounded series frames
+    ON BUCKET and a per-pair algebraic agg — series^2 x buckets-
+    bounded, never corpus-sized. Pairs with <2 common buckets or a
+    constant side emit null."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    kid = F.concat_ws("", *keys)
+    a = b.select(kid.alias("ka"), "ep", F.col("v").alias("x"))
+    bb = b.select(kid.alias("kb"), "ep", F.col("v").alias("y"))
+    j = a.join(bb, "ep").where(F.col("ka") < F.col("kb"))
+    agg = j.groupBy("ka", "kb").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "ka",
+        "kb",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (dx > 0) & (dy > 0),
+            num / F.sqrt(dx * dy),
+        ).alias("pearson_r"),
+    )

@@ -3809,3 +3809,119 @@ def ts_lttb(spark, sf_dir):
         F.unix_timestamp("event_ts").alias("ep"),
         _e("value", 6).alias("v_e6"),
     )
+
+
+@q(
+    "seq_token_gini",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    , r AS (
+      SELECT source, ep, c,
+             row_number() OVER (PARTITION BY source, ep
+                                ORDER BY c ASC, t ASC) AS i
+      FROM cnt
+    )
+    SELECT source, ep AS bucket_ep,
+           CAST(sum(c) AS BIGINT) AS total_c,
+           count(*) AS n_distinct,
+           CAST(ROUND(CAST(2 * sum(i * c) - (count(*) + 1) * sum(c)
+                           AS DOUBLE)
+                      / (count(*) * sum(c)) * 1e6) AS BIGINT) AS gini_e6
+    FROM r GROUP BY 1, 2
+    """,
+)
+def seq_token_gini(spark, sf_dir):
+    """Gini concentration of each (source, hour)'s token counts —
+    rank-sum formula over integer sums, cross-engine exact before the
+    e6 canonicalization."""
+    return textops.token_gini(_seq(spark), by="source", trunc="hour")
+
+
+@q(
+    "ts_bollinger",
+    """
+    WITH w_ AS (
+      SELECT event_id, value,
+             avg(value) OVER w AS mid,
+             stddev_pop(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+      SELECT event_id, value,
+             CAST(ROUND(mid * 1e4) AS BIGINT) AS mid_e4,
+             CAST(ROUND((mid + 2 * sd) * 1e4) AS BIGINT) AS up_e4,
+             CAST(ROUND((mid - 2 * sd) * 1e4) AS BIGINT) AS dn_e4
+      FROM w_
+    )
+    SELECT event_id, mid_e4, up_e4, dn_e4,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN CAST(ROUND(value * 1e4) AS BIGINT) > up_e4 THEN 1
+                WHEN CAST(ROUND(value * 1e4) AS BIGINT) < dn_e4 THEN -1
+                ELSE 0 END AS breach
+    FROM r
+    """,
+)
+def ts_bollinger(spark, sf_dir):
+    """Bollinger bands per event_type over the trailing 20 rows —
+    the breach side is re-derived from e4-rounded band/value integers
+    in both engines so the band boundary cannot ulp-flip."""
+    out = analytics.bollinger(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", n_preceding=19, width=2.0,
+        order_cols=["ts", "event_id"],
+    )
+    v4 = _e("value", 4)
+    up4 = _e("bb_up", 4)
+    dn4 = _e("bb_dn", 4)
+    return out.select(
+        "event_id",
+        _e("bb_mid", 4).alias("mid_e4"),
+        up4.alias("up_e4"),
+        dn4.alias("dn_e4"),
+        F.when(F.col("value").isNull(), F.lit(None).cast("int"))
+        .when(v4 > up4, F.lit(1))
+        .when(v4 < dn4, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("breach"),
+    )
+
+
+@q(
+    "ts_corr_matrix",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.k AS ka, b2.k AS kb, a.v AS x, b2.v AS y
+      FROM b a JOIN b b2 ON a.ep = b2.ep AND a.k < b2.k
+    ),
+    agg AS (
+      SELECT ka, kb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j GROUP BY 1, 2
+    )
+    SELECT ka, kb, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0 THEN
+             CAST(ROUND((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                        * 1e4) AS BIGINT)
+           END AS r_e4
+    FROM agg
+    """,
+)
+def ts_corr_matrix(spark, sf_dir):
+    """All-pairs Pearson correlation of event_type series at hourly
+    buckets — algebraic sums mirrored term-for-term; e4-rounded."""
+    out = analytics.corr_matrix(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select("ka", "kb", "n", _e("pearson_r", 4).alias("r_e4"))

@@ -1086,3 +1086,46 @@ def source_similarity(
             .alias("cos_e6"),
         )
     )
+
+
+def token_gini(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Gini coefficient of each (group, bucket)'s token-count
+    distribution — the concentration monitor complementing entropy
+    (entropy asks 'how many effective tokens'; Gini asks 'how unequal
+    are the shares' and moves earlier when a handful of tokens start
+    swallowing the bucket). G = (2*sum_i(i*c_i) - (n+1)*sum(c)) /
+    (n*sum(c)) over counts ranked ascending — every sum is INTEGER,
+    so the score is cross-engine exact before rounding (ties in c
+    permute equal values between adjacent ranks, leaving sum i*c_i
+    unchanged). Single-token buckets emit G = 0.
+
+    Shapes: the ranking window partitions on (group, bucket) over
+    <= vocab rows; the final agg is tier-bounded. `counts=` serves
+    from the materialized token-histogram tier."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    w = Window.partitionBy(by, "ep").orderBy(F.asc("c"), F.asc("t"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy(by, "ep").agg(
+        F.sum(F.col("i").cast("bigint") * F.col("c")).alias("ic"),
+        F.sum("c").alias("tot"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    g = (
+        2 * F.col("ic") - (F.col("n_distinct") + 1) * F.col("tot")
+    ) / (F.col("n_distinct") * F.col("tot"))
+    return agg.select(
+        by,
+        F.col("ep").alias("bucket_ep"),
+        F.col("tot").cast("bigint").alias("total_c"),
+        "n_distinct",
+        F.round(g * 1e6).cast("bigint").alias("gini_e6"),
+    )
