@@ -815,3 +815,58 @@ def test_corr_matrix_known_pairs(spark):
     assert out[("a", "b")] == pytest.approx(1.0)
     assert out[("a", "c")] == pytest.approx(-1.0)
     assert out[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_ewma_irregular_gap_adaptive(spark):
+    """One half-life gap discounts exactly half: x=[0,10] at t,t+1h →
+    l2 = .5·0 + .5·10 = 5; a tiny 1-s gap barely moves the level;
+    matches pandas ewm(halflife=..., times=...) semantics."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("A", t0, 0.0),
+        ("A", t0 + timedelta(hours=1), 10.0),
+        ("B", t0, 0.0),
+        ("B", t0 + timedelta(seconds=1), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["k"], r["event_ts"]): r["ewma"]
+        for r in analytics.ewma_irregular(
+            df, keys=["k"], halflife_s=3600.0
+        ).collect()
+    }
+    assert out[("A", t0 + timedelta(hours=1))] == pytest.approx(5.0)
+    b2 = out[("B", t0 + timedelta(seconds=1))]
+    assert b2 == pytest.approx(10.0 * (1 - 2 ** (-1 / 3600.0)), rel=1e-9)
+    assert b2 < 0.01  # a 1-s gap at 1-h half-life barely moves it
+
+
+def test_ewma_irregular_matches_reference_recurrence(spark):
+    """Cross-check against an independently-written single-node
+    recurrence on an irregular grid (pandas ewm(times=) only supports
+    adjust=True, a different estimator — hence the direct loop)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    gaps = [0, 7, 8, 130, 131, 7200, 7201]
+    vals = [3.0, -1.0, 4.0, 1.0, -5.0, 9.0, 2.0]
+    rows = [("S", t0 + timedelta(seconds=g), v) for g, v in zip(gaps, vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    got = [
+        r["ewma"]
+        for r in sorted(
+            analytics.ewma_irregular(df, keys=["k"], halflife_s=60.0).collect(),
+            key=lambda r: r["event_ts"],
+        )
+    ]
+    want = [vals[0]]
+    for i in range(1, len(vals)):
+        w = 2.0 ** (-(gaps[i] - gaps[i - 1]) / 60.0)
+        want.append(w * want[-1] + (1 - w) * vals[i])
+    assert got == pytest.approx(want, rel=1e-12)

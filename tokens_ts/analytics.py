@@ -1149,3 +1149,62 @@ def corr_matrix(
             num / F.sqrt(dx * dy),
         ).alias("pearson_r"),
     )
+
+
+def ewma_irregular(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    halflife_s: float = 3600.0,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Time-aware EWMA for IRREGULARLY sampled series: the smoothing
+    weight adapts to the actual gap,
+
+        w_t = 2^(-dt_t / halflife),  l_t = w_t*l_{t-1} + (1-w_t)*x_t
+
+    so a point arriving after 2 half-lives discounts the old level to
+    a quarter while a burst of closely-spaced points barely moves it —
+    the semantics pandas ewm(halflife=, times=) implements and the
+    fixed-alpha EWMA (with_ewma) gets wrong on gappy data (it treats
+    a 1-second and a 1-day gap identically).
+
+    The gap-dependent weight breaks every finite-horizon or
+    prefix-product rewrite (the products underflow at real series
+    lengths), so this is the sanctioned sequential path: one Arrow
+    applyInPandas stage, ONE shuffle on the key, per-group state =
+    the key's own series. Init l_1 = x_1; null values are dropped
+    first; timestamps are consumed in (ts, order_cols) order."""
+    pts = df.where(F.col(value_col).isNotNull())
+    extra = [c for c in (order_cols or []) if c != ts_col]
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pts.select(*keys, *extra).schema.fields
+    )
+    ts_type = dict(df.dtypes)[ts_col]
+    schema = f"{key_fields}, {ts_col} {ts_type}, v double, ewma double"
+    order = [ts_col, *extra]
+
+    def _ewma(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        t = (
+            pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            / 1e6
+        )
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        lvl = np.empty(n)
+        if n:
+            lvl[0] = x[0]
+            for i in range(1, n):
+                w = 2.0 ** (-(t[i] - t[i - 1]) / halflife_s)
+                lvl[i] = w * lvl[i - 1] + (1.0 - w) * x[i]
+        out = pdf[[*keys, *extra, ts_col]].copy()
+        out["v"] = x
+        out["ewma"] = lvl
+        return out
+
+    return pts.groupBy(*keys).applyInPandas(_ewma, schema=schema)

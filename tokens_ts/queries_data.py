@@ -3925,3 +3925,47 @@ def ts_corr_matrix(spark, sf_dir):
         value_col="value", trunc="hour",
     )
     return out.select("ka", "kb", "n", _e("pearson_r", 4).alias("r_e4"))
+
+
+@q(
+    "ts_ewma_irregular",
+    """
+    WITH RECURSIVE p AS (
+      SELECT event_type AS sid, ts, event_id,
+             epoch_us(ts) / 1e6 AS tsec, value AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND event_id % 97 = 0
+    ),
+    r AS (
+      SELECT sid, rn, event_id, tsec, v, v AS l FROM p WHERE rn = 1
+      UNION ALL
+      SELECT p.sid, p.rn, p.event_id, p.tsec, p.v,
+             power(2, -(p.tsec - r.tsec) / 3600.0) * r.l
+             + (1 - power(2, -(p.tsec - r.tsec) / 3600.0)) * p.v
+      FROM r JOIN p ON p.sid = r.sid AND p.rn = r.rn + 1
+    )
+    SELECT sid AS series_id, event_id,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS v_e6,
+           CAST(ROUND(l * 1e6) AS BIGINT) AS ewma_e6
+    FROM r
+    """,
+)
+def ts_ewma_irregular(spark, sf_dir):
+    """Time-aware EWMA on a 1-in-97 systematic sample of events —
+    irregular gaps by construction (the whole point of the operator).
+    The Arrow stage's sequential recurrence is mirrored by a
+    recursive CTE evaluating the identical 2^(-dt/hl) weights; the
+    sample bounds the oracle's recursion depth."""
+    ev = _ev(spark, sf_dir).where(F.col("event_id") % 97 == 0)
+    out = analytics.ewma_irregular(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        halflife_s=3600.0, order_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "event_id",
+        _e("v", 6).alias("v_e6"),
+        _e("ewma", 6).alias("ewma_e6"),
+    )
