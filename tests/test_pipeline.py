@@ -685,3 +685,65 @@ def test_enforce_retention_multi_tier_and_read_side_parity(spark, tmp_path):
         .collect()
     }
     assert ids == {"retention:raw", "retention:t1m"}
+
+
+def test_token_tier_increment_exactly_once(spark, tmp_path):
+    """Two batches folded into the materialized token tier equal the
+    full-corpus histogram; replaying a batch (same batch_id) is a
+    no-op via the manifest gate AND converges even with the gate
+    bypassed (partition-identity idempotence, not add-to-existing)."""
+    from datetime import datetime
+
+    from tokens_ts import pipeline, textops
+
+    root = str(tmp_path / "wh")
+    rows = [
+        ("s0", datetime(2026, 1, 1, h % 3, 0, 0), [1, 2, 2, h + 1])
+        for h in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    b1 = df.where("tokens[3] <= 3")
+    b2 = df.where("tokens[3] > 3")
+
+    r1 = pipeline.run_token_tier_increment(spark, b1, root, batch_id="b1")
+    r2 = pipeline.run_token_tier_increment(spark, b2, root, batch_id="b2")
+    assert not r1["skipped"] and not r2["skipped"]
+
+    served = pipeline.read_token_tier(spark, root)
+    full = textops.token_histogram(df)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # replay hits the manifest gate
+    r1b = pipeline.run_token_tier_increment(spark, b1, root, batch_id="b1")
+    assert r1b["skipped"]
+
+    # even a gate-bypassing retry (crash before the marker committed)
+    # converges: rewrite b1's partitions directly and recheck equality
+    from tokens_ts import checkpoint as cp
+    from tokens_ts.io.catalog import Catalog
+    import pyspark.sql.functions as F
+
+    cat = Catalog(root, "parquet")
+    hist = (
+        textops.token_histogram(b1)
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit("b1"))
+    )
+    cat.overwrite_partitions(hist, "tok_hist", ["source", "day", "batch_id"])
+    served2 = pipeline.read_token_tier(spark, root)
+    assert sorted(map(tuple, served2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # the served tier feeds the monitors' counts= path directly
+    # (served2: re-read AFTER the overwrite — the pre-overwrite frame
+    # holds a stale file listing by design of dynamic overwrite)
+    direct = sorted(map(tuple, textops.dist_drift(df).collect()))
+    via_tier = sorted(
+        map(tuple, textops.dist_drift(None, counts=served2).collect())
+    )
+    assert via_tier == direct

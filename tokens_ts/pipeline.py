@@ -438,3 +438,68 @@ def run_increment(
     )
     new_raw.unpersist()
     return {"touched": touched, "batch_id": bid}
+
+
+def run_token_tier_increment(
+    spark: SparkSession,
+    new_seq: DataFrame,
+    out_root: str,
+    fmt: str = "parquet",
+    batch_id: str | None = None,
+    trunc: str = "hour",
+    by: str = "source",
+) -> dict:
+    """Incrementally maintain the MATERIALIZED token-histogram tier
+    (textops.token_histogram) — the corpus-sized explode+count behind
+    every distribution monitor — one append-only batch at a time.
+
+    Counts are additive, but naive add-to-existing double-counts on
+    replay. Instead the tier stores PER-BATCH partial states
+    partitioned by (group, day, batch_id): folding a batch writes
+    exactly its own partitions (dynamic partition overwrite), so a
+    crashed/retried batch CONVERGES instead of double-counting —
+    idempotence comes from partition identity, with a manifest marker
+    (`tok:<batch_id>`) as the fast replay gate, the same exactly-once
+    contract as run_increment. Readers re-sum across batch_id
+    (read_token_tier), which costs nothing extra: every monitor
+    aggregates the tier anyway. A compaction that merges old batches
+    into one keeps partition counts bounded (same append-then-delete
+    shape as checkpoint.compact_manifest).
+
+    Requires new_seq to carry event_ts (grid.with_event_time)."""
+    from tokens_ts import textops
+
+    cat = Catalog(out_root, fmt)
+    if batch_id is None:
+        batch_id, _ = _batch_id_and_count(new_seq)
+    marker = f"tok:{batch_id}"
+    if checkpoint.is_done(spark, cat, marker):
+        return {"batch_id": batch_id, "skipped": True}
+
+    hist = (
+        textops.token_histogram(new_seq, by=by, trunc=trunc)
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    cat.overwrite_partitions(hist, "tok_hist", [by, "day", "batch_id"])
+    checkpoint.record_done(
+        spark,
+        cat,
+        [{"partition_id": marker, "rows_in": -1}],
+        job_run_id=f"tok-{batch_id}",
+    )
+    return {"batch_id": batch_id, "skipped": False}
+
+
+def read_token_tier(
+    spark: SparkSession, out_root: str, fmt: str = "parquet", by: str = "source"
+) -> DataFrame:
+    """The monitor-facing view of the materialized token tier: re-sum
+    the per-batch partial states to (group, ep, t, c) — directly
+    consumable via the monitors' `counts=` parameter."""
+    cat = Catalog(out_root, fmt)
+    return (
+        cat.read(spark, "tok_hist")
+        .groupBy(by, "ep", "t")
+        .agg(F.sum("c").alias("c"))
+    )
