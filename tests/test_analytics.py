@@ -870,3 +870,39 @@ def test_ewma_irregular_matches_reference_recurrence(spark):
         w = 2.0 ** (-(gaps[i] - gaps[i - 1]) / 60.0)
         want.append(w * want[-1] + (1 - w) * vals[i])
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_holt_winters_periodic_series_exact(spark):
+    """A perfectly periodic, trendless series is forecast EXACTLY:
+    m1=m2=mean, b=0, seasonals = the pattern, and every fitted value
+    equals the observation."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    pat = [4.0, 9.0, 2.0]
+    rows = [
+        ("S", t0 + timedelta(hours=h), pat[h % 3]) for h in range(9)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.holt_winters(df, keys=["k"], period=3).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert len(out) == 6  # emitted from bucket P+1 on
+    for r in out:
+        assert r["fitted"] == pytest.approx(r["v"])
+        assert r["trend"] == pytest.approx(0.0)
+        assert r["level"] == pytest.approx(5.0)
+
+
+def test_holt_winters_short_series_empty(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), 1.0) for h in range(5)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    assert analytics.holt_winters(df, keys=["k"], period=3).count() == 0

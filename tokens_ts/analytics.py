@@ -1208,3 +1208,95 @@ def ewma_irregular(
         return out
 
     return pts.groupBy(*keys).applyInPandas(_ewma, schema=schema)
+
+
+def holt_winters(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    period: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key over the
+    `trunc`-bucketed series — level + trend + a period-P seasonal
+    state, the classic forecaster for daily-cycle metrics that Holt
+    linear (no seasonal term) systematically lags every morning peak.
+
+        l_t = a*(y_t - s_{t-P}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+        s_t = g*(y_t - l_t)     + (1-g)*s_{t-P}
+        fitted_t = l_{t-1} + b_{t-1} + s_{t-P}
+
+    Pinned init (mirrored exactly by the cross-engine recursive-CTE
+    oracle, which carries the seasonal vector as a LIST): with m1/m2
+    the means of the first/second period, l = m1, b = (m2-m1)/P,
+    s_i = y_i - m1 over the first period; smoothing starts at bucket
+    P+1 (1-based), and only those buckets are emitted. Keys shorter
+    than 2 periods emit nothing (insufficient data to initialize —
+    fail-silent per key, count your output). Buckets are consumed in
+    epoch order as CONSECUTIVE steps (gap rule = none, as holt_linear).
+    alpha/beta/gamma default to binary-exact doubles.
+
+    Shapes: ONE bucket agg, ONE key shuffle into the Arrow stage,
+    O(buckets + P) state per key."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in b.select(*keys).schema.fields
+    )
+    schema = (
+        f"{key_fields}, ep bigint, v double, level double, trend double, "
+        "seasonal double, fitted double"
+    )
+    P = period
+
+    def _hw(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("ep").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype="float64")
+        n = len(y)
+        if n < 2 * P:
+            return pdf.iloc[0:0][[*keys]].assign(
+                ep=np.array([], dtype="int64"),
+                v=np.array([], dtype="float64"),
+                level=np.array([], dtype="float64"),
+                trend=np.array([], dtype="float64"),
+                seasonal=np.array([], dtype="float64"),
+                fitted=np.array([], dtype="float64"),
+            )
+        m1 = y[:P].mean()
+        m2 = y[P : 2 * P].mean()
+        lvl = m1
+        trd = (m2 - m1) / P
+        s = list(y[:P] - m1)
+        out_rows = []
+        for t in range(P, n):
+            s_old = s[0]
+            fit = lvl + trd + s_old
+            l_new = alpha * (y[t] - s_old) + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (l_new - lvl) + (1.0 - beta) * trd
+            s_new = gamma * (y[t] - l_new) + (1.0 - gamma) * s_old
+            s = s[1:] + [s_new]
+            lvl = l_new
+            out_rows.append((t, lvl, trd, s_new, fit))
+        idx = [r[0] for r in out_rows]
+        out = pdf.iloc[idx][[*keys, "ep", "v"]].copy()
+        out["level"] = [r[1] for r in out_rows]
+        out["trend"] = [r[2] for r in out_rows]
+        out["seasonal"] = [r[3] for r in out_rows]
+        out["fitted"] = [r[4] for r in out_rows]
+        return out
+
+    return b.groupBy(*keys).applyInPandas(_hw, schema=schema)

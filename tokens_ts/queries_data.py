@@ -3969,3 +3969,82 @@ def ts_ewma_irregular(spark, sf_dir):
         _e("v", 6).alias("v_e6"),
         _e("ewma", 6).alias("ewma_e6"),
     )
+
+
+@q(
+    "ts_holt_winters",
+    """
+    WITH RECURSIVE b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT sid, ep, v,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS rn,
+             count(*) OVER (PARTITION BY sid) AS n
+      FROM b
+    ),
+    init AS (
+      SELECT sid,
+             avg(v) FILTER (WHERE rn <= 24) AS m1,
+             avg(v) FILTER (WHERE rn > 24 AND rn <= 48) AS m2
+      FROM o WHERE n >= 48 GROUP BY sid
+    ),
+    sl AS (
+      SELECT o.sid, list(o.v - i.m1 ORDER BY o.rn) AS s0, i.m1, i.m2
+      FROM o JOIN init i ON i.sid = o.sid
+      WHERE o.rn <= 24
+      GROUP BY o.sid, i.m1, i.m2
+    ),
+    r AS (
+      SELECT sid, 24 AS t, m1 AS l, (m2 - m1) / 24.0 AS tr, s0 AS s,
+             CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS yv,
+             CAST(NULL AS BIGINT) AS ep, CAST(NULL AS DOUBLE) AS snew
+      FROM sl
+      UNION ALL
+      SELECT o.sid, r.t + 1,
+             0.5 * (o.v - r.s[1]) + 0.5 * (r.l + r.tr),
+             0.25 * ((0.5 * (o.v - r.s[1]) + 0.5 * (r.l + r.tr)) - r.l)
+               + 0.75 * r.tr,
+             list_append(
+               r.s[2:],
+               0.25 * (o.v - (0.5 * (o.v - r.s[1]) + 0.5 * (r.l + r.tr)))
+                 + 0.75 * r.s[1]
+             ),
+             r.l + r.tr + r.s[1],
+             o.v, o.ep,
+             0.25 * (o.v - (0.5 * (o.v - r.s[1]) + 0.5 * (r.l + r.tr)))
+               + 0.75 * r.s[1]
+      FROM r JOIN o ON o.sid = r.sid AND o.rn = r.t + 1
+    )
+    SELECT sid AS series_id, ep,
+           CAST(ROUND(yv * 1e6) AS BIGINT) AS v_e6,
+           CAST(ROUND(l * 1e6) AS BIGINT) AS level_e6,
+           CAST(ROUND(tr * 1e6) AS BIGINT) AS trend_e6,
+           CAST(ROUND(snew * 1e6) AS BIGINT) AS seasonal_e6,
+           CAST(ROUND(fitted * 1e6) AS BIGINT) AS fitted_e6
+    FROM r WHERE t > 24
+    """,
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing (P=24 hour-of-day)
+    per event_type — the oracle's recursive CTE carries the seasonal
+    vector as a LIST and evaluates the identical binary-exact
+    a=.5/B=.25/g=.25 expression shapes; init m1/m2/(m2-m1)/P and the
+    emit-from-bucket-P+1 rule pinned on both sides."""
+    out = analytics.holt_winters(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", period=24,
+        alpha=0.5, beta=0.25, gamma=0.25,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        _e("level", 6).alias("level_e6"),
+        _e("trend", 6).alias("trend_e6"),
+        _e("seasonal", 6).alias("seasonal_e6"),
+        _e("fitted", 6).alias("fitted_e6"),
+    )
