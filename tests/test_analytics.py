@@ -906,3 +906,52 @@ def test_holt_winters_short_series_empty(spark):
     rows = [("S", t0 + timedelta(hours=h), 1.0) for h in range(5)]
     df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
     assert analytics.holt_winters(df, keys=["k"], period=3).count() == 0
+
+
+def test_sliding_window_stats_range_semantics(spark):
+    """RANGE frame: events at 0s, 1800s, 3600s, 3601s with a 3600s
+    window — the 3600s event still sees the 0s event (inclusive
+    edge); the 3601s event does not. Same-timestamp peers share one
+    frame."""
+    from tokens_ts import analytics
+
+    rows = [("k", i, t, 1.0) for i, t in enumerate([0, 1800, 3600, 3601])]
+    rows.append(("k", 9, 3601, 1.0))  # peer of event 3
+    df = spark.createDataFrame(
+        rows, "key string, eid int, t long, value double"
+    ).select("key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["eid"]: r["win_n"]
+        for r in analytics.sliding_window_stats(
+            df, ["key"], window_s=3600
+        ).collect()
+    }
+    assert out[0] == 1
+    assert out[1] == 2
+    assert out[2] == 3          # inclusive lower edge: sees t=0
+    # frame at 3601 covers [1, 3601]: t=0 aged out; peers share it
+    assert out[3] == 4 and out[9] == 4
+
+
+def test_winsorized_mean_caps_leverage(spark):
+    """[1..9, 1000] in one bucket: p05/p95 interpolated (1.45/595.45);
+    the winsorized mean caps the spike's leverage while raw mean is
+    dragged to ~104."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [("S", t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    r = analytics.winsorized_mean(df, keys=["k"]).collect()[0]
+    lo, hi = np.percentile(np.array(vals), [5, 95], method="linear")
+    assert r["p_lo"] == pytest.approx(lo)
+    assert r["p_hi"] == pytest.approx(hi)
+    want = float(np.clip(np.array(vals), lo, hi).mean())
+    assert r["win_mean"] == pytest.approx(want)
+    assert r["raw_mean"] == pytest.approx(sum(vals) / 10)
+    assert r["win_mean"] < r["raw_mean"]

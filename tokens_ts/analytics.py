@@ -1300,3 +1300,80 @@ def holt_winters(
         return out
 
     return b.groupBy(*keys).applyInPandas(_hw, schema=schema)
+
+
+def sliding_window_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE aggregates per point: count / sum / mean of
+    everything in the last `window_s` seconds INCLUDING the current
+    row — the rate-limiter / rolling-SLA shape ('requests in the past
+    hour as of each event'). This is a RANGE frame keyed on the event
+    TIME, not a ROWS frame: ten events in one second all see each
+    other; a ROWS-10 frame would not, and a bucketed rollup quantizes
+    the trailing edge to bucket boundaries.
+
+    One shuffle on the key; Spark evaluates the moving frame in a
+    single sorted pass with an O(window) sliding state (rows enter
+    and leave monotonically). Ordering is by epoch MICROSECONDS
+    (RANGE needs one numeric sort key, and integer micros make the
+    frame edge exact — second-truncated keys silently shift the edge
+    for sub-second timestamps); same-timestamp rows share identical
+    frames by definition of RANGE, so no tie-break is needed for
+    determinism."""
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ep.alias("_ep"))
+        .rangeBetween(-window_s * 1_000_000, Window.currentRow)
+    )
+    return (
+        df.withColumn("win_n", F.count(value_col).over(w).cast("bigint"))
+        .withColumn("win_sum", F.sum(value_col).over(w))
+        .withColumn("win_mean", F.avg(value_col).over(w))
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized rollup: per (key, bucket), clamp values to that
+    bucket's own [p_lo, p_hi] exact percentiles, then average — the
+    robust mean that keeps outliers' VOTES but caps their LEVERAGE
+    (trimming discards them entirely; plain mean lets one 1000x spike
+    own the bucket). Emits the plain mean alongside so the
+    contamination delta is visible per bucket.
+
+    Two-pass shape: an exact-percentile agg per (key, bucket) —
+    interpolated, matching quantile_cont — broadcast back onto the
+    facts (buckets-bounded frame), then the same one-shuffle bucket
+    agg as rollup. Buckets with < 2 values clamp to themselves
+    (p05 = p95 = the value)."""
+    b = F.date_trunc(trunc, F.col(ts_col)).alias("window_start")
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        *keys, b, F.col(value_col).alias("_v")
+    )
+    cuts = pts.groupBy(*keys, "window_start").agg(
+        F.percentile("_v", p_lo).alias("_lo"),
+        F.percentile("_v", p_hi).alias("_hi"),
+    )
+    clamped = pts.join(F.broadcast(cuts), [*keys, "window_start"]).withColumn(
+        "_w", F.greatest(F.least(F.col("_v"), F.col("_hi")), F.col("_lo"))
+    )
+    return clamped.groupBy(*keys, "window_start").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.avg("_w").alias("win_mean"),
+        F.avg("_v").alias("raw_mean"),
+        F.first("_lo").alias("p_lo"),
+        F.first("_hi").alias("p_hi"),
+    )

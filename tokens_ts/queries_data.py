@@ -4048,3 +4048,86 @@ def ts_holt_winters(spark, sf_dir):
         _e("seasonal", 6).alias("seasonal_e6"),
         _e("fitted", 6).alias("fitted_e6"),
     )
+
+
+@q(
+    "ts_sliding_1h",
+    """
+    SELECT event_id,
+           CAST(count(value) OVER w AS BIGINT) AS win_n,
+           CAST(ROUND(sum(value) OVER w * 1e4) AS BIGINT) AS sum_e4,
+           CAST(ROUND(CAST(ROUND(sum(value) OVER w * 1e4) AS BIGINT)
+                      * 100.0 / count(value) OVER w) AS BIGINT) AS mean_e6
+    FROM (
+      SELECT event_id, value,
+             event_type, epoch_us(ts) AS ep
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY ep
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_sliding_1h(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame stats as of every event — the
+    time-based moving frame (ROWS frames and bucket rollups cannot
+    express 'the past hour as of this exact event'). Same-timestamp
+    rows share identical frames, so the result is deterministic
+    without a tie-break column."""
+    out = analytics.sliding_window_stats(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", window_s=3600,
+    )
+    s4 = _e("win_sum", 4)
+    # canonical mean from the ROUNDED integer sum: the raw frame sums
+    # differ in ulps across engines (incremental vs segment-tree
+    # sliding aggregation), and sum/32 lands exactly on .5 e6 ticks
+    return out.select(
+        "event_id",
+        "win_n",
+        s4.alias("sum_e4"),
+        F.round(s4 * 100.0 / F.col("win_n")).cast("bigint").alias("mean_e6"),
+    )
+
+
+@q(
+    "ts_winsorized_1h",
+    """
+    WITH pts AS (
+      SELECT event_type, date_trunc('hour', ts) AS w, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+      SELECT event_type, w,
+             quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT p.event_type AS series_id,
+           CAST(epoch(p.w) AS BIGINT) AS ep,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(ROUND(avg(greatest(least(p.v, c.hi), c.lo)) * 1e6)
+             AS BIGINT) AS win_mean_e6,
+           CAST(ROUND(avg(p.v) * 1e6) AS BIGINT) AS raw_mean_e6,
+           CAST(ROUND(any_value(c.lo) * 1e6) AS BIGINT) AS p_lo_e6,
+           CAST(ROUND(any_value(c.hi) * 1e6) AS BIGINT) AS p_hi_e6
+    FROM pts p JOIN cuts c ON c.event_type = p.event_type AND c.w = p.w
+    GROUP BY 1, 2
+    """,
+)
+def ts_winsorized_1h(spark, sf_dir):
+    """Winsorized hourly mean per event_type: per-bucket exact
+    [p05, p95] clamp then average, plain mean alongside — Spark
+    F.percentile and DuckDB quantile_cont share the interpolated
+    definition."""
+    out = analytics.winsorized_mean(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", p_lo=0.05, p_hi=0.95,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("window_start").alias("ep"),
+        "cnt",
+        _e("win_mean", 6).alias("win_mean_e6"),
+        _e("raw_mean", 6).alias("raw_mean_e6"),
+        _e("p_lo", 6).alias("p_lo_e6"),
+        _e("p_hi", 6).alias("p_hi_e6"),
+    )
