@@ -955,3 +955,51 @@ def test_winsorized_mean_caps_leverage(spark):
     assert r["win_mean"] == pytest.approx(want)
     assert r["raw_mean"] == pytest.approx(sum(vals) / 10)
     assert r["win_mean"] < r["raw_mean"]
+
+
+def test_spearman_monotone_invariance(spark):
+    """Spearman sees a perfect monotone relation through a nonlinear
+    transform: y = exp(x) → rho = 1 while Pearson r < 1; reversing
+    gives rho = −1; ties get average ranks."""
+    import math
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = []
+    for h, x in enumerate(xs):
+        rows += [
+            ("a", t0 + timedelta(hours=h), x),
+            ("b", t0 + timedelta(hours=h), math.exp(x)),
+            ("c", t0 + timedelta(hours=h), -x),
+        ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    rho = {
+        (r["ka"], r["kb"]): r["spearman_rho"]
+        for r in analytics.spearman_matrix(df, keys=["k"]).collect()
+    }
+    assert rho[("a", "b")] == pytest.approx(1.0)
+    assert rho[("a", "c")] == pytest.approx(-1.0)
+    pear = {
+        (r["ka"], r["kb"]): r["pearson_r"]
+        for r in analytics.corr_matrix(df, keys=["k"]).collect()
+    }
+    assert pear[("a", "b")] < 0.999  # Pearson penalizes the curvature
+
+
+def test_theil_sen_ignores_outlier_hour(spark):
+    """Hourly values [0,1,2,3,100,5]: OLS slope is wrecked by the
+    spike; the pairwise-slope median stays 1.0/hour."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [0.0, 1.0, 2.0, 3.0, 100.0, 5.0]
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    r = analytics.theil_sen(df, keys=["k"]).collect()[0]
+    assert r["n_buckets"] == 6 and r["n_pairs"] == 15
+    assert r["slope_per_h"] == pytest.approx(1.0)

@@ -1377,3 +1377,113 @@ def winsorized_mean(
         F.first("_lo").alias("p_lo"),
         F.first("_hi").alias("p_hi"),
     )
+
+
+def spearman_matrix(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between series over their
+    common `trunc` buckets — corr_matrix's robust twin: invariant to
+    monotone transforms and immune to the single-outlier-bucket that
+    drags a Pearson r (one 100x hour can fabricate r=0.9; ranks cap
+    it at one step). Proper per-pair semantics: values are re-ranked
+    WITHIN each pair's common-bucket frame (not globally), ties get
+    the textbook average rank (min-rank + (peers-1)/2), then the
+    five-sum Pearson runs on the ranks.
+
+    Shapes: one corpus-sized bucket agg; the pair join and both
+    ranking windows are series^2 x buckets-bounded. Pairs with <2
+    common buckets or an all-tied side emit null."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    kid = F.concat_ws("", *keys)
+    a = b.select(kid.alias("ka"), "ep", F.col("v").alias("x"))
+    bb = b.select(kid.alias("kb"), "ep", F.col("v").alias("y"))
+    j = a.join(bb, "ep").where(F.col("ka") < F.col("kb"))
+    wx = Window.partitionBy("ka", "kb").orderBy("x")
+    wy = Window.partitionBy("ka", "kb").orderBy("y")
+    wtx = Window.partitionBy("ka", "kb", "x")
+    wty = Window.partitionBy("ka", "kb", "y")
+    ranked = j.select(
+        "ka",
+        "kb",
+        (F.rank().over(wx) + (F.count("*").over(wtx) - 1) / 2.0).alias("rx"),
+        (F.rank().over(wy) + (F.count("*").over(wty) - 1) / 2.0).alias("ry"),
+    )
+    agg = ranked.groupBy("ka", "kb").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "ka",
+        "kb",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)
+        ).alias("spearman_rho"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    per: str = "day",
+) -> DataFrame:
+    """Theil-Sen robust trend per (key, `per` bucket): the MEDIAN of
+    all pairwise slopes between the window's `trunc` sub-bucket means
+    — the 29%-breakdown slope estimator (OLS trend hands one wild
+    hour the full lever arm; the pairwise-slope median shrugs it
+    off). Emitted in units/hour.
+
+    Shapes: the pairwise self-join runs WITHIN each (key, per) group
+    only — at hourly sub-buckets per day that is <= C(24,2) = 276
+    pairs per group, bounded by the calendar, never by corpus rows;
+    the exact median is per-group. Groups with <2 sub-buckets emit
+    null."""
+    sub = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(per, F.col(ts_col)).alias("w"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    l = sub.select(*keys, "w", F.col("ep").alias("e1"), F.col("v").alias("v1"))
+    r = sub.select(*keys, "w", F.col("ep").alias("e2"), F.col("v").alias("v2"))
+    pairs = l.join(r, [*keys, "w"]).where(F.col("e1") < F.col("e2"))
+    slopes = pairs.withColumn(
+        "_s", (F.col("v2") - F.col("v1")) / ((F.col("e2") - F.col("e1")) / 3600.0)
+    )
+    out = slopes.groupBy(*keys, "w").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.median("_s").alias("slope_per_h"),
+    )
+    nb = sub.groupBy(*keys, "w").agg(F.count("*").cast("bigint").alias("n_buckets"))
+    return nb.join(out, [*keys, "w"], "left").select(
+        *keys,
+        F.col("w").alias("window_start"),
+        "n_buckets",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "slope_per_h",
+    )

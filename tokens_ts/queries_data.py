@@ -4131,3 +4131,94 @@ def ts_winsorized_1h(spark, sf_dir):
         _e("p_lo", 6).alias("p_lo_e6"),
         _e("p_hi", 6).alias("p_hi_e6"),
     )
+
+
+@q(
+    "ts_spearman_matrix",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.k AS ka, b2.k AS kb, a.v AS x, b2.v AS y
+      FROM b a JOIN b b2 ON a.ep = b2.ep AND a.k < b2.k
+    ),
+    ranked AS (
+      SELECT ka, kb,
+             rank() OVER (PARTITION BY ka, kb ORDER BY x)
+               + (count(*) OVER (PARTITION BY ka, kb, x) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY ka, kb ORDER BY y)
+               + (count(*) OVER (PARTITION BY ka, kb, y) - 1) / 2.0 AS ry
+      FROM j
+    ),
+    agg AS (
+      SELECT ka, kb, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT ka, kb, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0 THEN
+             CAST(ROUND((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                        * 1e4) AS BIGINT)
+           END AS rho_e4
+    FROM agg
+    """,
+)
+def ts_spearman_matrix(spark, sf_dir):
+    """All-pairs Spearman rank correlation (per-pair re-rank over the
+    common buckets, average-rank ties) — corr_matrix's robust twin;
+    rank sums are near-integer so the five-sum Pearson on ranks is
+    ulp-stable at e4."""
+    out = analytics.spearman_matrix(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select("ka", "kb", "n", _e("spearman_rho", 4).alias("rho_e4"))
+
+
+@q(
+    "ts_theil_sen",
+    """
+    WITH sub AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS w,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.k, a.w, (b.v - a.v) / ((b.ep - a.ep) / 3600.0) AS s
+      FROM sub a JOIN sub b
+        ON a.k = b.k AND a.w = b.w AND a.ep < b.ep
+    ),
+    sl AS (
+      SELECT k, w, count(*) AS n_pairs, median(s) AS slope
+      FROM pairs GROUP BY 1, 2
+    ),
+    nb AS (SELECT k, w, count(*) AS n_buckets FROM sub GROUP BY 1, 2)
+    SELECT nb.k AS series_id, CAST(epoch(nb.w) AS BIGINT) AS ep,
+           CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+           CAST(coalesce(sl.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(ROUND(sl.slope * 1e6) AS BIGINT) AS slope_e6
+    FROM nb LEFT JOIN sl ON sl.k = nb.k AND sl.w = nb.w
+    """,
+)
+def ts_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily trend per event_type from hourly means
+    — pairwise-slope median (<=276 pairs per group, calendar-bounded
+    self-join), exact interpolated median both sides."""
+    out = analytics.theil_sen(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", per="day",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("window_start").alias("ep"),
+        "n_buckets",
+        "n_pairs",
+        _e("slope_per_h", 6).alias("slope_e6"),
+    )
