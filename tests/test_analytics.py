@@ -1003,3 +1003,35 @@ def test_theil_sen_ignores_outlier_hour(spark):
     r = analytics.theil_sen(df, keys=["k"]).collect()[0]
     assert r["n_buckets"] == 6 and r["n_pairs"] == 15
     assert r["slope_per_h"] == pytest.approx(1.0)
+
+
+def test_decompose_recovers_planted_structure(spark):
+    """Plant v = 10 + period-3 pattern (zero-mean) on hours 0..23 with
+    half_window=3 (full 7-bucket frames away from edges). The centered
+    MA of a zero-mean period-3 pattern over 7 rows is NOT exactly the
+    level, but over ANY multiple-of-period window it is: use
+    half_window=1 (3 rows = one period) → trend = 10 exactly,
+    seasonal = the pattern, residual = 0; edges have null trend."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    pat = [3.0, -1.0, -2.0]  # sums to zero
+    # 26 hours → interior hours 1..24 cover each hour-of-day exactly
+    # once (24 slots), so the profile re-centering term is exactly 0
+    # and the planted pattern is recovered verbatim
+    rows = [
+        ("S", t0 + timedelta(hours=h), 10.0 + pat[h % 3]) for h in range(26)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.decompose(df, keys=["k"], half_window=1).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert out[0]["trend"] is None and out[-1]["trend"] is None
+    for r in out[1:-1]:
+        assert r["trend"] == pytest.approx(10.0)
+        hod = (r["ep"] // 3600) % 24
+        assert r["seasonal"] == pytest.approx(pat[hod % 3])
+        assert r["residual"] == pytest.approx(0.0, abs=1e-9)

@@ -1039,3 +1039,26 @@ def test_token_gini_known_values(spark):
     assert out[0]["gini_e6"] == 166667
     assert out[0]["n_distinct"] == 3
     assert out[1]["gini_e6"] == 0
+
+
+def test_hapax_rate_known_values(spark):
+    """[1,2,2,3]: types {1:1, 2:2, 3:1} → 2 hapax of 3 types →
+    666667; a bucket of all-repeats → 0."""
+    from datetime import datetime
+
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            ("s0", datetime(2026, 1, 1, 0, 0, 0), [1, 2, 2, 3]),
+            ("s0", datetime(2026, 1, 1, 1, 0, 0), [4, 4, 5, 5]),
+        ],
+        "source string, event_ts timestamp, tokens array<int>",
+    )
+    out = sorted(
+        textops.hapax_rate(df).collect(), key=lambda r: r["bucket_ep"]
+    )
+    assert (out[0]["n_hapax"], out[0]["n_distinct"], out[0]["hapax_e6"]) == (
+        2, 3, 666667,
+    )
+    assert out[1]["hapax_e6"] == 0

@@ -1487,3 +1487,66 @@ def theil_sen(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         "slope_per_h",
     )
+
+
+def decompose(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) per key at `trunc`
+    buckets: value = trend + seasonal + residual.
+
+    - trend: CENTERED moving average over +/- half_window buckets,
+      null unless the frame is FULL (2w+1 buckets) — partial-edge
+      averages masquerading as trend are the classic decomposition
+      bug, so edges are explicit nulls instead;
+    - seasonal: hour-of-day mean of the detrended series per key,
+      RE-CENTERED to sum to zero over the 24 profile slots (otherwise
+      the profile absorbs level and residuals lie);
+    - residual: what neither explains — the anomaly feed (a residual
+      spike is a real event; a seasonal spike is just 9am).
+
+    Shapes: one bucket agg; one bounded centered ROWS frame; the
+    24-slot profile is keys-bounded and broadcast back. Everything
+    after the bucket agg is buckets-bounded."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ep")
+        .rowsBetween(-half_window, half_window)
+    )
+    full = F.count("*").over(w) == (2 * half_window + 1)
+    t = b.withColumn("trend", F.when(full, F.avg("v").over(w)))
+    det = t.withColumn("detr", F.col("v") - F.col("trend"))
+    hod = F.hour(F.timestamp_seconds(F.col("ep")))
+    prof = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy(*keys, hod.alias("hod"))
+        .agg(F.avg("detr").alias("s_raw"))
+    )
+    pm = prof.groupBy(*keys).agg(F.avg("s_raw").alias("s_mean"))
+    prof_c = prof.join(F.broadcast(pm), keys).select(
+        *keys, "hod", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    out = det.withColumn("hod", hod).join(
+        F.broadcast(prof_c), [*keys, "hod"], "left"
+    )
+    return out.select(
+        *keys,
+        "ep",
+        "v",
+        "trend",
+        "seasonal",
+        (F.col("v") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )

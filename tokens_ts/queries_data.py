@@ -4222,3 +4222,81 @@ def ts_theil_sen(spark, sf_dir):
         "n_pairs",
         _e("slope_per_h", 6).alias("slope_e6"),
     )
+
+
+@q(
+    "ts_decompose",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT sid, ep, v,
+             CASE WHEN count(*) OVER w = 25 THEN avg(v) OVER w END AS trend
+      FROM b
+      WINDOW w AS (PARTITION BY sid ORDER BY ep
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, v - trend AS detr,
+             CAST(EXTRACT(hour FROM to_timestamp(ep)) AS INT) AS hod
+      FROM t
+    ),
+    prof AS (
+      SELECT sid, hod, avg(detr) AS s_raw
+      FROM det WHERE detr IS NOT NULL GROUP BY 1, 2
+    ),
+    pm AS (SELECT sid, avg(s_raw) AS s_mean FROM prof GROUP BY 1),
+    pc AS (
+      SELECT p.sid, p.hod, p.s_raw - m.s_mean AS seasonal
+      FROM prof p JOIN pm m ON m.sid = p.sid
+    )
+    SELECT d.sid AS series_id, d.ep,
+           CAST(ROUND(d.v * 1e6) AS BIGINT) AS v_e6,
+           CAST(ROUND(d.trend * 1e6) AS BIGINT) AS trend_e6,
+           CAST(ROUND(pc.seasonal * 1e6) AS BIGINT) AS seasonal_e6,
+           CAST(ROUND((d.v - d.trend - pc.seasonal) * 1e6) AS BIGINT)
+             AS residual_e6
+    FROM det d LEFT JOIN pc ON pc.sid = d.sid AND pc.hod = d.hod
+    """,
+)
+def ts_decompose(spark, sf_dir):
+    """STL-lite decomposition per event_type: full-frame-only
+    centered MA trend, zero-centered hour-of-day seasonal profile,
+    residual = the anomaly feed."""
+    out = analytics.decompose(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", half_window=12,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        _e("trend", 6).alias("trend_e6"),
+        _e("seasonal", 6).alias("seasonal_e6"),
+        _e("residual", 6).alias("residual_e6"),
+    )
+
+
+@q(
+    "seq_hapax_rate",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    SELECT source, ep AS bucket_ep,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS total_c,
+           CAST(ROUND(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                      / count(*) * 1e6) AS BIGINT) AS hapax_e6
+    FROM cnt GROUP BY 1, 2
+    """,
+)
+def seq_hapax_rate(spark, sf_dir):
+    """Hapax legomena rate per (source, hour) — integer-exact from
+    the token-histogram tier."""
+    return textops.hapax_rate(_seq(spark), by="source", trunc="hour")

@@ -1129,3 +1129,41 @@ def token_gini(
         "n_distinct",
         F.round(g * 1e6).cast("bigint").alias("gini_e6"),
     )
+
+
+def hapax_rate(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Hapax legomena rate per (group, bucket): the share of token
+    TYPES occurring exactly once in the bucket — the
+    generated-vs-natural text discriminator (natural language holds
+    ~40-60% hapax under Zipf; templated or looping output collapses
+    it) and Heaps-law's bucket-local companion.
+
+    One tier-bounded aggregation; `counts=` serves from the
+    materialized token-histogram tier."""
+    if counts is None:
+        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    agg = counts.groupBy(by, "ep").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum("c").cast("bigint").alias("total_c"),
+    )
+    return agg.select(
+        by,
+        F.col("ep").alias("bucket_ep"),
+        "n_distinct",
+        "n_hapax",
+        "total_c",
+        F.round(F.col("n_hapax") / F.col("n_distinct") * 1e6)
+        .cast("bigint")
+        .alias("hapax_e6"),
+    )
