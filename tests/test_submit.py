@@ -44,7 +44,7 @@ def _run(zip_path, args):
     return json.loads(lines[-1])
 
 
-def test_spark_submit_pipeline_end_to_end(tmp_path):
+def test_spark_submit_pipeline_end_to_end(spark, tmp_path):
     # build the py-files artifact fresh (what a deploy would ship)
     subprocess.run(
         [sys.executable, str(ROOT / "tools" / "make_pyfiles.py")],
@@ -52,21 +52,16 @@ def test_spark_submit_pipeline_end_to_end(tmp_path):
     )
     zip_path = ROOT / "tokens_ts.zip"
 
-    # input fixture written by the local test session (driver-side)
+    # input fixture written with the suite's SHARED session fixture.
+    # Deliberately NOT builder.getOrCreate()+stop(): getOrCreate
+    # returns the already-active shared session, so stop() here used
+    # to kill Spark for every module sorted after this one
+    # (test_synth/test_tiers failed with _jsc=None in full-suite runs
+    # while passing standalone).
     from tokens_ts import synth
 
-    import tests.conftest  # noqa: F401  (session fixture not needed; use a tiny local session)
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[2]")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
     seq_path = str(tmp_path / "sequences")
     synth.sequences(spark, 120, 3).write.mode("overwrite").parquet(seq_path)
-    spark.stop()
 
     out = str(tmp_path / "wh")
 
