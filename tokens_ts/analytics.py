@@ -1397,7 +1397,10 @@ def spearman_matrix(
 
     Shapes: one corpus-sized bucket agg; the pair join and both
     ranking windows are series^2 x buckets-bounded. Pairs with <2
-    common buckets or an all-tied side emit null."""
+    common buckets or an all-tied side emit null. The bucket agg
+    feeds TWO join branches (Spark re-executes it per branch): at
+    corpus scale pass the materialized tier (finish(t1h) means) as
+    `df` so the re-executed input is buckets-bounded, not raw."""
     b = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
@@ -1512,7 +1515,10 @@ def decompose(
 
     Shapes: one bucket agg; one bounded centered ROWS frame; the
     24-slot profile is keys-bounded and broadcast back. Everything
-    after the bucket agg is buckets-bounded."""
+    after the bucket agg is buckets-bounded. The detrended frame
+    feeds both the profile agg and the output join (two branches →
+    the upstream agg re-executes): decompose a materialized TIER at
+    corpus scale so the re-executed input is buckets-bounded."""
     b = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
