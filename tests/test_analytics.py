@@ -1035,3 +1035,76 @@ def test_decompose_recovers_planted_structure(spark):
         hod = (r["ep"] // 3600) % 24
         assert r["seasonal"] == pytest.approx(pat[hod % 3])
         assert r["residual"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ks_drift_hand_computed(spark):
+    # day1 = {1,2,3,4}, day2 = {3,4,5,6}: pooled ECDF max gap = 0.5
+    # (at v in [2,3): F1=0.5, F2=0.0 ... at v=4: 1.0 vs 0.5)
+    rows = [("k", 0, float(v)) for v in [1, 2, 3, 4]]
+    rows += [("k", 86400, float(v)) for v in [3, 4, 5, 6]]
+    # second key: identical days -> KS exactly 0
+    rows += [("z", 0, float(v)) for v in [7, 8, 9]]
+    rows += [("z", 86400, float(v)) for v in [7, 8, 9]]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["key"]: r
+        for r in analytics.ks_drift(df, ["key"], trunc="day").collect()
+    }
+    # first day of each key has no predecessor -> exactly one row per key
+    assert set(out) == {"k", "z"}
+    assert out["k"]["n_prev"] == 4 and out["k"]["n_cur"] == 4
+    assert out["k"]["ks_stat"] == pytest.approx(0.5, abs=0)
+    assert out["z"]["ks_stat"] == 0.0
+
+
+def test_ks_drift_ties_weighted(spark):
+    # day1 = {1,1,1,2}, day2 = {1,2,2,2}: at v=1 F1=0.75, F2=0.25
+    rows = [("k", 0, v) for v in [1.0, 1.0, 1.0, 2.0]]
+    rows += [("k", 86400, v) for v in [1.0, 2.0, 2.0, 2.0]]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    (r,) = analytics.ks_drift(df, ["key"], trunc="day").collect()
+    assert r["ks_stat"] == pytest.approx(0.5, abs=0)
+
+
+def test_psi_drift_zero_on_identical_and_alarms_on_shift(spark):
+    # identical bucket profiles -> every term (p-p)*ln(1) == 0.0
+    rows = [("k", 0, v) for v in [10.0, 30.0, 50.0, 70.0]]
+    rows += [("k", 86400, v) for v in [10.0, 30.0, 50.0, 70.0]]
+    # hard shift: all mass moves ~200 buckets-wide away
+    rows += [("s", 0, v) for v in [10.0, 20.0, 30.0, 40.0]]
+    rows += [("s", 86400, v) for v in [410.0, 420.0, 430.0, 440.0]]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["key"]: r
+        for r in analytics.psi_drift(
+            df, ["key"], trunc="day", lo=0.0, hi=500.0, nbins=20
+        ).collect()
+    }
+    assert out["k"]["psi"] == 0.0
+    assert out["s"]["psi"] > 0.25  # industry alarm threshold
+
+
+def test_psi_drift_symmetric(spark):
+    # PSI formula is symmetric in (prev, cur); swapping the two days
+    # must give the same score
+    a = [5.0, 100.0, 100.0, 250.0]
+    b = [5.0, 5.0, 250.0, 490.0]
+    rows = [("f", 0, v) for v in a] + [("f", 86400, v) for v in b]
+    rows += [("r", 0, v) for v in b] + [("r", 86400, v) for v in a]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["key"]: r["psi"]
+        for r in analytics.psi_drift(
+            df, ["key"], trunc="day", lo=0.0, hi=500.0, nbins=20
+        ).collect()
+    }
+    assert out["f"] == pytest.approx(out["r"], rel=1e-12)
+    assert out["f"] > 0.0

@@ -1556,3 +1556,171 @@ def decompose(
         "seasonal",
         (F.col("v") - F.col("trend") - F.col("seasonal")).alias("residual"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "day",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between each
+    `trunc` window and its immediate predecessor, per series — the
+    distribution-shift alarm behind "did this source's value profile
+    change overnight": KS = max over pooled distinct values of
+    |ECDF_prev − ECDF_cur| (the standard ties-aware form; each ECDF
+    steps by multiplicity/n at its own sample's values).
+
+    Shapes: each row participates in exactly TWO comparisons (as
+    `cur` of its own window, as `prev` of the next), expressed as a
+    2× union projection — no self-join of the raw table. One
+    map-side-combined count agg collapses the union to distinct
+    (key, window, value) rows; the ECDF cumulative window then runs
+    over that DISTINCT-VALUES-bounded frame, never the corpus, so
+    per-task sort volume is |distinct values in two adjacent windows|
+    regardless of row count. Windows missing either side are dropped
+    (a KS against an empty sample is undefined, not 1.0). All
+    arithmetic is IEEE-exact on integer counts (two divisions, one
+    subtraction, max) — cross-engine bit-identical, no rounding
+    tolerance needed.
+    """
+    step = {
+        "minute": "INTERVAL 1 MINUTE",
+        "hour": "INTERVAL 1 HOUR",
+        "day": "INTERVAL 1 DAY",
+    }[trunc]
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.date_trunc(trunc, F.col(ts_col)).alias("w"),
+        F.col(value_col).alias("v"),
+    )
+    cur = base.select(
+        *keys, F.col("w").alias("cw"), F.lit(1).alias("is_cur"), "v"
+    )
+    prev = base.select(
+        *keys,
+        (F.col("w") + F.expr(step)).alias("cw"),
+        F.lit(0).alias("is_cur"),
+        "v",
+    )
+    counts = (
+        cur.unionByName(prev)
+        .groupBy(*keys, "cw", "v")
+        .agg(
+            F.sum("is_cur").alias("c_cur"),
+            F.sum(F.lit(1) - F.col("is_cur")).alias("c_prev"),
+        )
+    )
+    part = Window.partitionBy(*keys, "cw")
+    ordw = part.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_cur = F.sum("c_cur").over(part)
+    n_prev = F.sum("c_prev").over(part)
+    # try_divide: windows missing one side (first/last window of a
+    # series) hit n=0 before the >0 filter below can drop them —
+    # under ANSI mode a plain `/` would fail the whole job there.
+    d = F.abs(
+        F.try_divide(F.sum("c_cur").over(ordw), n_cur)
+        - F.try_divide(F.sum("c_prev").over(ordw), n_prev)
+    )
+    return (
+        counts.select(
+            *keys,
+            "cw",
+            d.alias("d"),
+            n_cur.alias("n_cur"),
+            n_prev.alias("n_prev"),
+        )
+        .groupBy(*keys, "cw")
+        .agg(
+            F.max("n_prev").cast("bigint").alias("n_prev"),
+            F.max("n_cur").cast("bigint").alias("n_cur"),
+            F.max("d").alias("ks_stat"),
+        )
+        .where((F.col("n_prev") > 0) & (F.col("n_cur") > 0))
+        .withColumnRenamed("cw", "window_start")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "day",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 20,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between each `trunc` window and its
+    predecessor, per series: PSI = Σ_b (p_cur − p_prev)·ln(p_cur/p_prev)
+    over fixed width_bucket(lo, hi, nbins) value buckets, with additive
+    smoothing p = (c + smooth)/(n + smooth·B) (B = buckets observed in
+    the pooled pair) so empty-on-one-side buckets contribute a finite
+    penalty instead of ±inf. The credit-risk-standard drift score:
+    <0.1 stable, 0.1–0.25 shifting, >0.25 alarm.
+
+    Shapes: same 2×-union trick as ks_drift, but collapsed to AT MOST
+    nbins+2 buckets per comparison before any window/agg — the
+    post-union agg is map-side combined (bucket keys repeat heavily
+    within every input partition), and the per-comparison frame is
+    O(nbins), so the second stage is negligible at any corpus size.
+    ln() is the one transcendental (engines may differ in final-ulp);
+    consumers hash at e6 after summing ≤ nbins+2 terms — safe.
+    """
+    step = {
+        "minute": "INTERVAL 1 MINUTE",
+        "hour": "INTERVAL 1 HOUR",
+        "day": "INTERVAL 1 DAY",
+    }[trunc]
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.date_trunc(trunc, F.col(ts_col)).alias("w"),
+        F.width_bucket(
+            value_col, F.lit(float(lo)), F.lit(float(hi)), F.lit(nbins)
+        ).alias("bucket"),
+    )
+    cur = base.select(
+        *keys, F.col("w").alias("cw"), F.lit(1).alias("is_cur"), "bucket"
+    )
+    prev = base.select(
+        *keys,
+        (F.col("w") + F.expr(step)).alias("cw"),
+        F.lit(0).alias("is_cur"),
+        "bucket",
+    )
+    counts = (
+        cur.unionByName(prev)
+        .groupBy(*keys, "cw", "bucket")
+        .agg(
+            F.sum("is_cur").alias("c_cur"),
+            F.sum(F.lit(1) - F.col("is_cur")).alias("c_prev"),
+        )
+    )
+    part = Window.partitionBy(*keys, "cw")
+    n_cur = F.sum("c_cur").over(part)
+    n_prev = F.sum("c_prev").over(part)
+    nb = F.count("*").over(part)
+    p_cur = (F.col("c_cur") + F.lit(smooth)) / (n_cur + F.lit(smooth) * nb)
+    p_prev = (F.col("c_prev") + F.lit(smooth)) / (n_prev + F.lit(smooth) * nb)
+    term = (p_cur - p_prev) * F.log(p_cur / p_prev)
+    return (
+        counts.select(
+            *keys,
+            "cw",
+            term.alias("term"),
+            n_cur.alias("n_cur"),
+            n_prev.alias("n_prev"),
+        )
+        .groupBy(*keys, "cw")
+        .agg(
+            F.max("n_prev").cast("bigint").alias("n_prev"),
+            F.max("n_cur").cast("bigint").alias("n_cur"),
+            F.sum("term").alias("psi"),
+        )
+        .where((F.col("n_prev") > 0) & (F.col("n_cur") > 0))
+        .withColumnRenamed("cw", "window_start")
+    )

@@ -4300,3 +4300,116 @@ def seq_hapax_rate(spark, sf_dir):
     """Hapax legomena rate per (source, hour) — integer-exact from
     the token-histogram tier."""
     return textops.hapax_rate(_seq(spark), by="source", trunc="hour")
+
+
+@q(
+    "ts_ks_drift",
+    """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS w, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT k, w AS cw, 1 AS is_cur, v FROM b
+      UNION ALL
+      SELECT k, w + INTERVAL 1 DAY AS cw, 0 AS is_cur, v FROM b
+    ),
+    c AS (
+      SELECT k, cw, v,
+             sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+      FROM u GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT k, cw,
+             abs(sum(c_cur) OVER (PARTITION BY k, cw ORDER BY v)
+                   / sum(c_cur) OVER (PARTITION BY k, cw)
+               - sum(c_prev) OVER (PARTITION BY k, cw ORDER BY v)
+                   / sum(c_prev) OVER (PARTITION BY k, cw)) AS d,
+             sum(c_cur) OVER (PARTITION BY k, cw) AS n_cur,
+             sum(c_prev) OVER (PARTITION BY k, cw) AS n_prev
+      FROM c
+    )
+    SELECT k AS series_id, CAST(epoch(cw) AS BIGINT) AS ep,
+           CAST(max(n_prev) AS BIGINT) AS n_prev,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(ROUND(max(d) * 1e9) AS BIGINT) AS ks_e9
+    FROM e GROUP BY 1, 2
+    HAVING max(n_prev) > 0 AND max(n_cur) > 0
+    """,
+)
+def ts_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic, each day vs its predecessor per
+    event_type — counts-ratio arithmetic is IEEE-exact cross-engine,
+    so the e9 hash carries the full double precision."""
+    out = analytics.ks_drift(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="day",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("window_start").alias("ep"),
+        "n_prev",
+        "n_cur",
+        _e("ks_stat", 9).alias("ks_e9"),
+    )
+
+
+@q(
+    "ts_psi_drift",
+    """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS w,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 21
+                  ELSE CAST(floor(value / 500.0 * 20) AS BIGINT) + 1
+             END AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT k, w AS cw, 1 AS is_cur, bucket FROM b
+      UNION ALL
+      SELECT k, w + INTERVAL 1 DAY AS cw, 0 AS is_cur, bucket FROM b
+    ),
+    c AS (
+      SELECT k, cw, bucket,
+             sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+      FROM u GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT k, cw,
+             ((c_cur + 0.5) / (sum(c_cur) OVER pw + 0.5 * count(*) OVER pw)
+              - (c_prev + 0.5)
+                  / (sum(c_prev) OVER pw + 0.5 * count(*) OVER pw))
+             * ln(((c_cur + 0.5)
+                     / (sum(c_cur) OVER pw + 0.5 * count(*) OVER pw))
+                  / ((c_prev + 0.5)
+                     / (sum(c_prev) OVER pw + 0.5 * count(*) OVER pw)))
+               AS term,
+             sum(c_cur) OVER pw AS n_cur,
+             sum(c_prev) OVER pw AS n_prev
+      FROM c WINDOW pw AS (PARTITION BY k, cw)
+    )
+    SELECT k AS series_id, CAST(epoch(cw) AS BIGINT) AS ep,
+           CAST(max(n_prev) AS BIGINT) AS n_prev,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(ROUND(sum(term) * 1e6) AS BIGINT) AS psi_e6
+    FROM e GROUP BY 1, 2
+    HAVING max(n_prev) > 0 AND max(n_cur) > 0
+    """,
+)
+def ts_psi_drift(spark, sf_dir):
+    """Population Stability Index day-over-day per event_type over
+    width_bucket(0, 500, 20) value bins with 0.5 additive smoothing;
+    the ≤22-term ln sum hashes at e6."""
+    out = analytics.psi_drift(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="day", lo=0.0, hi=500.0, nbins=20,
+        smooth=0.5,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("window_start").alias("ep"),
+        "n_prev",
+        "n_cur",
+        _e("psi", 6).alias("psi_e6"),
+    )
