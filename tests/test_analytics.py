@@ -1108,3 +1108,36 @@ def test_psi_drift_symmetric(spark):
     }
     assert out["f"] == pytest.approx(out["r"], rel=1e-12)
     assert out["f"] > 0.0
+
+
+def test_completeness_emits_zero_coverage_day(spark):
+    # hourly data on day 0 (hours 10..23) and day 2 (hours 0..5),
+    # NOTHING on day 1 -> day 1 must appear with coverage 0
+    rows = [("k", (10 + h) * 3600) for h in range(14)]  # d0 h10..h23
+    rows += [("k", 2 * 86400 + h * 3600) for h in range(6)]
+    df = spark.createDataFrame(rows, "key string, t int").select(
+        "key", F.timestamp_seconds("t").alias("event_ts")
+    )
+    out = {
+        int(r["day_ts"].timestamp() // 86400): r
+        for r in analytics.completeness(df, ["key"], trunc="hour").collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # day 0: active span starts at h10 -> expected 14, present 14
+    assert out[0]["slots_expected"] == 14 and out[0]["slots_present"] == 14
+    assert out[0]["coverage"] == 1.0
+    # day 1: fully inside the span, zero data
+    assert out[1]["slots_expected"] == 24 and out[1]["slots_present"] == 0
+    assert out[1]["coverage"] == 0.0
+    # day 2: span ends at h5 -> expected 6
+    assert out[2]["slots_expected"] == 6 and out[2]["slots_present"] == 6
+
+
+def test_completeness_counts_slots_not_rows(spark):
+    # 100 events inside one hour = ONE present slot
+    rows = [("k", 3600 + i * 30) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, t int").select(
+        "key", F.timestamp_seconds("t").alias("event_ts")
+    )
+    (r,) = analytics.completeness(df, ["key"], trunc="hour").collect()
+    assert r["slots_expected"] == 1 and r["slots_present"] == 1

@@ -1062,3 +1062,50 @@ def test_hapax_rate_known_values(spark):
         2, 3, 666667,
     )
     assert out[1]["hapax_e6"] == 0
+
+
+def test_mixture_sample_monotone_and_deterministic(spark):
+    from tokens_ts import textops
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    lo = spark.createDataFrame(
+        [("a", 0.3), ("b", 0.3)], "source string, rate double"
+    )
+    hi = spark.createDataFrame(
+        [("a", 0.6), ("b", 0.6)], "source string, rate double"
+    )
+    kept_lo = {
+        r["doc_id"] for r in textops.mixture_sample(docs, lo).collect()
+    }
+    kept_hi = {
+        r["doc_id"] for r in textops.mixture_sample(docs, hi).collect()
+    }
+    # raising the rate only ADDS docs
+    assert kept_lo <= kept_hi
+    # deterministic across invocations
+    kept_lo2 = {
+        r["doc_id"] for r in textops.mixture_sample(docs, lo).collect()
+    }
+    assert kept_lo == kept_lo2
+    # empirical rate near target (md5 uniformity; 2000 ids)
+    assert abs(len(kept_lo) / 2000 - 0.3) < 0.05
+    assert abs(len(kept_hi) / 2000 - 0.6) < 0.05
+
+
+def test_mixture_sample_unknown_source_default_drop(spark):
+    from tokens_ts import textops
+
+    docs = spark.createDataFrame(
+        [(1, "known"), (2, "mystery")], "doc_id long, source string"
+    )
+    rates = spark.createDataFrame(
+        [("known", 1.0)], "source string, rate double"
+    )
+    kept = textops.mixture_sample(docs, rates).collect()
+    assert [r["source"] for r in kept] == ["known"]
+    # explicit default keeps them all
+    kept2 = textops.mixture_sample(docs, rates, default_rate=1.0).collect()
+    assert len(kept2) == 2

@@ -1724,3 +1724,64 @@ def psi_drift(
         .where((F.col("n_prev") > 0) & (F.col("n_cur") > 0))
         .withColumnRenamed("cw", "window_start")
     )
+
+
+def completeness(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Grid-slot completeness per (keys, UTC day): of the `trunc`
+    slots a series SHOULD have while active (its global [first, last]
+    slot span, clipped to each day), how many actually contain data —
+    the data-SLA number a tier engine alerts and backfills on. Days
+    inside the span with ZERO data are emitted (coverage 0), which is
+    the whole point: absence is the alarm, and a groupBy over present
+    rows can never produce it — the day spine comes from a
+    per-series sequence() explode instead.
+
+    Shapes: ONE corpus-sized distinct on (keys, slot) — everything
+    after runs on series×slots / series×days frames (span agg, spine
+    explode, a left join that AQE broadcasts at any corpus size since
+    both sides are calendar-bounded). All slot/day math is integer
+    epoch arithmetic, cross-engine exact; coverage is a ratio of small
+    ints (IEEE-exact)."""
+    step = {"minute": 60, "hour": 3600}[trunc]
+    slot = F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col)))
+    slots = df.select(*keys, slot.alias("slot")).distinct()
+    present = (
+        slots.withColumn("day", F.col("slot") - F.col("slot") % 86400)
+        .groupBy(*keys, "day")
+        .agg(F.count("*").cast("bigint").alias("slots_present"))
+    )
+    span = slots.groupBy(*keys).agg(
+        F.min("slot").alias("s0"), F.max("slot").alias("s1")
+    )
+    days = span.select(
+        *keys,
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.col("s0") - F.col("s0") % 86400,
+                F.col("s1") - F.col("s1") % 86400,
+                F.lit(86400),
+            )
+        ).alias("day"),
+    )
+    lo = F.greatest(F.col("day"), F.col("s0"))
+    hi = F.least(F.col("day") + F.lit(86400 - step), F.col("s1"))
+    expected = (F.floor((hi - lo) / F.lit(step)) + 1).cast("bigint")
+    out = days.join(present, [*keys, "day"], "left")
+    return out.select(
+        *keys,
+        F.timestamp_seconds("day").alias("day_ts"),
+        expected.alias("slots_expected"),
+        F.coalesce(F.col("slots_present"), F.lit(0)).cast("bigint").alias(
+            "slots_present"
+        ),
+        (
+            F.coalesce(F.col("slots_present"), F.lit(0)) / expected
+        ).alias("coverage"),
+    )

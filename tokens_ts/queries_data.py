@@ -4413,3 +4413,82 @@ def ts_psi_drift(spark, sf_dir):
         "n_cur",
         _e("psi", 6).alias("psi_e6"),
     )
+
+
+@q(
+    "ts_completeness",
+    """
+    WITH slots AS (
+      SELECT DISTINCT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS slot
+      FROM events
+    ),
+    present AS (
+      SELECT k, slot - slot % 86400 AS day, count(*) AS np
+      FROM slots GROUP BY 1, 2
+    ),
+    span AS (SELECT k, min(slot) AS s0, max(slot) AS s1 FROM slots GROUP BY 1),
+    days AS (
+      SELECT k, s0, s1,
+             unnest(range(s0 - s0 % 86400,
+                          s1 - s1 % 86400 + 86400, 86400)) AS day
+      FROM span
+    ),
+    calc AS (
+      SELECT d.k, d.day,
+             (least(d.day + 86400 - 3600, d.s1)
+              - greatest(d.day, d.s0)) // 3600 + 1 AS ne,
+             coalesce(p.np, 0) AS npres
+      FROM days d LEFT JOIN present p ON p.k = d.k AND p.day = d.day
+    )
+    SELECT k AS series_id, day AS day_ep,
+           CAST(ne AS BIGINT) AS slots_expected,
+           CAST(npres AS BIGINT) AS slots_present,
+           CAST(ROUND(npres * 1.0 / ne * 1e9) AS BIGINT) AS coverage_e9
+    FROM calc
+    """,
+)
+def ts_completeness(spark, sf_dir):
+    """Hour-slot completeness per (event_type, UTC day) incl.
+    zero-coverage days from the per-series day spine — integer epoch
+    math throughout, the coverage ratio is IEEE-exact."""
+    out = analytics.completeness(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts", trunc="hour"
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("day_ts").alias("day_ep"),
+        "slots_expected",
+        "slots_present",
+        _e("coverage", 9).alias("coverage_e9"),
+    )
+
+
+@q(
+    "doc_mixture_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+             CAST(concat('0x',
+               substr(md5(concat_ws('#', 'mix',
+                                    CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(ROUND(u * 1e9) AS BIGINT) AS u_e9
+    FROM u
+    WHERE u < (CAST(substr(source, 4) AS INT) % 4 + 1) * 0.2
+    """,
+)
+def doc_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling of documents at per-source
+    rates 0.2/0.4/0.6/0.8 (source number mod 4) — md5_60-derived
+    uniform, broadcast rate dim, membership stable across engines
+    and re-runs."""
+    rates = spark.createDataFrame(
+        [(f"src{i}", ((i % 4) + 1) * 0.2) for i in range(20)],
+        "source string, rate double",
+    )
+    out = textops.mixture_sample(_docs(spark, sf_dir), rates, seed="mix")
+    return out.select("doc_id", "source", _e("u", 9).alias("u_e9"))

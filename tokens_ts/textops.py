@@ -1167,3 +1167,49 @@ def hapax_rate(
         .cast("bigint")
         .alias("hapax_e6"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the data-mixing
+    step of a training pipeline ("20% of crawl, 80% of curated"):
+    keep a doc iff u(doc) < rate(source), where u = md5_60(seed#id) /
+    2^60 is a content-free uniform in [0, 1) that both engines (and
+    any re-run) compute identically — no RNG state, no sampleBy
+    nondeterminism, and membership is STABLE under corpus growth: a
+    doc's fate never depends on what else is in the batch.
+
+    `rates` is a (source, rate) dim — broadcast-joined, so the whole
+    op is a single scan with a map-side filter at any corpus size;
+    sources missing from the dim fall back to default_rate (0.0 =
+    drop unknown sources, the safe curation default). Subset
+    monotonicity holds by construction: raising a rate only ADDS
+    docs (u is rate-independent).
+
+    Emits the kept rows plus the sampling variate `u` for audit."""
+    from tokens_ts.dedup import md5_60
+
+    u = md5_60(
+        F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))
+    ) / F.lit(float(2**60))
+    r = F.coalesce(F.col("_mix_rate"), F.lit(float(default_rate)))
+    dim = rates.select(
+        F.col(source_col).alias("_mix_src"),
+        F.col("rate").cast("double").alias("_mix_rate"),
+    )
+    return (
+        docs.withColumn("u", u)
+        .join(
+            F.broadcast(dim),
+            F.col(source_col) == F.col("_mix_src"),
+            "left",
+        )
+        .where(F.col("u") < r)
+        .drop("_mix_src", "_mix_rate")
+    )
