@@ -1109,3 +1109,89 @@ def test_mixture_sample_unknown_source_default_drop(spark):
     # explicit default keeps them all
     kept2 = textops.mixture_sample(docs, rates, default_rate=1.0).collect()
     assert len(kept2) == 2
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from tokens_ts import sketch
+
+    # heavy-hitter stream: item i appears (i+1)*3 times, 50 items
+    rows = [(i,) for i in range(50) for _ in range((i + 1) * 3)]
+    items = spark.createDataFrame(rows, "t int")
+    sk = sketch.count_min(items, "t", depth=4, width=32)
+    est = {
+        r["t"]: r["est_c"]
+        for r in sketch.cm_estimate(
+            sk, items, "t", depth=4, width=32
+        ).collect()
+    }
+    exact = {i: (i + 1) * 3 for i in range(50)}
+    # hard guarantee: NEVER underestimates, for every item
+    assert all(est[i] >= exact[i] for i in exact)
+    # total mass conserved per row -> average overestimate bounded by
+    # collisions: est <= exact + total (trivial sanity) and the top
+    # item's estimate is within the classic N/width slack
+    total = sum(exact.values())
+    assert est[49] <= exact[49] + 2 * total / 32
+
+    # weighted build from pre-aggregated counts == raw-stream build
+    agg = items.groupBy("t").agg(F.count("*").alias("c"))
+    sk_w = sketch.count_min(agg, "t", weight_col="c", depth=4, width=32)
+    a = {(r["j"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    b = {(r["j"], r["bucket"]): r["cnt"] for r in sk_w.collect()}
+    assert a == b
+
+    # merge identity: sketch(A) + sketch(B) == sketch(A union B)
+    half_a = items.where(F.col("t") < 25)
+    half_b = items.where(F.col("t") >= 25)
+    merged = sketch.cm_merge(
+        sketch.count_min(half_a, "t", depth=4, width=32),
+        sketch.count_min(half_b, "t", depth=4, width=32),
+    )
+    m = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert m == a
+
+
+def test_countmin_unseen_item_zero_if_bucket_empty(spark):
+    from tokens_ts import sketch
+
+    items = spark.createDataFrame([(1,)], "t int")
+    sk = sketch.count_min(items, "t", depth=4, width=1024)
+    # an unseen item in a wide sketch: with width 1024 and one
+    # occupied cell per row, odds are its buckets are empty -> 0;
+    # the guarantee est >= exact(=0) always holds either way
+    probe = spark.createDataFrame([(999999,)], "t int")
+    (r,) = sketch.cm_estimate(sk, probe, "t", depth=4, width=1024).collect()
+    assert r["est_c"] >= 0
+
+
+def test_dup_ngram_known_answers(spark):
+    from tokens_ts import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4, 5, 6]),        # all 3 4-grams distinct
+            (2, [7, 7, 7, 7, 7, 7]),        # all 3 4-grams identical
+            (3, [1, 2]),                    # shorter than n -> nulls
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in textops.with_dup_ngram(df, n=4).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["dup_frac"] == 0.0
+    assert out[2]["n_grams"] == 3 and out[2]["n_distinct_grams"] == 1
+    assert out[2]["dup_frac"] == pytest.approx(2 / 3)
+    assert out[3]["n_grams"] is None and out[3]["dup_frac"] is None
+
+
+def test_dup_ngram_no_separator_ambiguity(spark):
+    from tokens_ts import textops
+
+    # [1, 23] vs [12, 3]: a naive digit-concat would collide; the
+    # comma separator must keep them distinct
+    df = spark.createDataFrame(
+        [(1, [1, 23, 1, 23]), (2, [12, 3, 12, 3])],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in textops.with_dup_ngram(df, n=2).collect()}
+    # doc 1 grams: "1,23" "23,1" "1,23" -> 2 distinct of 3
+    assert out[1]["n_distinct_grams"] == 2
+    assert out[2]["n_distinct_grams"] == 2

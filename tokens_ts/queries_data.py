@@ -4492,3 +4492,84 @@ def doc_mixture_sample(spark, sf_dir):
     )
     out = textops.mixture_sample(_docs(spark, sf_dir), rates, seed="mix")
     return out.select("doc_id", "source", _e("u", 9).alias("u_e9"))
+
+
+@q(
+    "seq_dup_ngram",
+    _synth_cte()
+    + """
+    SELECT doc_id,
+           CAST(len(tokens) - 3 AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(list_transform(
+                  range(0, len(tokens) - 3),
+                  i -> array_to_string(tokens[i+1:i+4], ',')
+                ))) AS BIGINT) AS n_distinct_grams,
+           CAST(ROUND((1.0 - len(list_distinct(list_transform(
+                  range(0, len(tokens) - 3),
+                  i -> array_to_string(tokens[i+1:i+4], ',')
+                ))) * 1.0 / (len(tokens) - 3)) * 1e9) AS BIGINT)
+             AS dup_frac_e9
+    FROM seq
+    """,
+)
+def seq_dup_ngram(spark, sf_dir):
+    """Token-level duplicate 4-gram fraction per sequence — Gopher
+    repetition on token ids, row-local, zero shuffles."""
+    out = textops.with_dup_ngram(_seq(spark), n=4)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_distinct_grams").cast("bigint").alias("n_distinct_grams"),
+        _e("dup_frac", 9).alias("dup_frac_e9"),
+    )
+
+
+@q(
+    "seq_countmin_est",
+    _synth_cte()
+    + _HIST_CTE
+    + """
+    , tc AS (SELECT t, CAST(sum(c) AS BIGINT) AS exact_c FROM cnt GROUP BY 1),
+    js AS (SELECT unnest(range(0, 4)) AS j),
+    sk AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat_ws('#',
+               CAST(j AS VARCHAR), CAST(t AS VARCHAR))), 1, 15))
+               AS BIGINT) % 64 AS bucket,
+             sum(exact_c) AS cnt
+      FROM tc CROSS JOIN js GROUP BY 1, 2
+    ),
+    top AS (SELECT t, exact_c FROM tc ORDER BY exact_c DESC, t LIMIT 20),
+    qe AS (
+      SELECT tp.t, tp.exact_c, js.j,
+             CAST(concat('0x', substr(md5(concat_ws('#',
+               CAST(js.j AS VARCHAR), CAST(tp.t AS VARCHAR))), 1, 15))
+               AS BIGINT) % 64 AS bucket
+      FROM top tp CROSS JOIN js
+    )
+    SELECT qe.t AS token, max(qe.exact_c) AS exact_c,
+           CAST(min(sk.cnt) AS BIGINT) AS est_c
+    FROM qe JOIN sk ON sk.j = qe.j AND sk.bucket = qe.bucket
+    GROUP BY 1
+    """,
+)
+def seq_countmin_est(spark, sf_dir):
+    """Count-min sketch (4×64, md5_60 rows) built from the token
+    histogram tier, point-queried for the top-20 tokens — estimates
+    are integer-exact cross-engine and ≥ the true counts by
+    construction."""
+    from tokens_ts import sketch
+
+    hist = textops.token_histogram(_seq(spark))
+    tc = hist.groupBy("t").agg(F.sum("c").cast("bigint").alias("exact_c"))
+    sk = sketch.count_min(tc, "t", weight_col="exact_c", depth=4, width=64)
+    top = tc.orderBy(F.desc("exact_c"), "t").limit(20)
+    est = sketch.cm_estimate(sk, top, "t", depth=4, width=64)
+    return (
+        top.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            "exact_c",
+            "est_c",
+        )
+    )

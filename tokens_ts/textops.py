@@ -1213,3 +1213,41 @@ def mixture_sample(
         .where(F.col("u") < r)
         .drop("_mix_src", "_mix_rate")
     )
+
+
+def with_dup_ngram(
+    seq: DataFrame, tokens_col: str = "tokens", n: int = 4
+) -> DataFrame:
+    """Token-level duplicate n-gram fraction per sequence — the
+    Gopher repetition rule applied to token IDS instead of text
+    (with_repetition's twin for pre-tokenized corpora): of the
+    len−n+1 sliding n-grams in the token array, what fraction are
+    repeats of an earlier one. Row-local Catalyst throughout
+    (transform/slice/array_distinct) — zero shuffles, zero Python;
+    sequences shorter than n emit nulls."""
+    toks = F.col(tokens_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(toks, i + 1, n), lambda x: x.cast("string")
+            ),
+        ),
+    )
+    n_grams = F.size(toks) - n + 1
+    guarded = F.when(F.size(toks) >= n, grams)
+    return (
+        seq.withColumn("_dg", guarded)
+        .withColumn("n_grams", F.when(F.size(toks) >= n, n_grams))
+        .withColumn(
+            "n_distinct_grams",
+            F.size(F.array_distinct(F.col("_dg"))),
+        )
+        .withColumn(
+            "dup_frac",
+            F.lit(1.0)
+            - F.col("n_distinct_grams") / F.col("n_grams"),
+        )
+        .drop("_dg")
+    )
