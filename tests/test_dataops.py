@@ -1195,3 +1195,31 @@ def test_dup_ngram_no_separator_ambiguity(spark):
     # doc 1 grams: "1,23" "23,1" "1,23" -> 2 distinct of 3
     assert out[1]["n_distinct_grams"] == 2
     assert out[2]["n_distinct_grams"] == 2
+
+
+def test_token_contamination_planted(spark):
+    from tokens_ts import dedup
+
+    ev_toks = list(range(100, 116))  # 16 tokens -> 9 8-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, "s", ev_toks),                      # identical -> 1.0
+            (2, "s", list(range(200, 208)) + ev_toks[:8]),  # shares ONE 8-gram
+            (3, "s", [1, 2, 3]),                    # too short -> 0 grams
+            # PAD-laced copy of the eval doc: stripping the 0s must
+            # restore full overlap
+            (4, "s", [0] + ev_toks[:8] + [0, 0] + ev_toks[8:] + [0]),
+        ],
+        "doc_id long, source string, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [(99, "e", ev_toks)], "doc_id long, source string, tokens array<int>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.token_contamination(corpus, ev, n=8).collect()
+    }
+    assert out[1]["n_grams"] == 9 and out[1]["overlap_ratio"] == 1.0
+    assert out[2]["n_grams"] == 9 and out[2]["n_hit"] == 1
+    assert out[3]["n_grams"] == 0 and out[3]["overlap_ratio"] is None
+    assert out[4]["n_grams"] == 9 and out[4]["overlap_ratio"] == 1.0

@@ -500,3 +500,63 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def token_contamination(
+    seq: DataFrame,
+    eval_seq: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    pad_id: int = 0,
+) -> DataFrame:
+    """Decontamination on TOKEN IDS — contamination()'s twin for
+    pre-tokenized corpora, where re-detokenizing just to shingle text
+    would be wasteful and lossy: per corpus sequence, the fraction of
+    its sliding token n-grams (PAD-stripped first, so padding never
+    manufactures or breaks a match) that appear anywhere in the eval
+    set's n-gram set.
+
+    Same scale shape as contamination(): the eval side's distinct
+    gram hashes are broadcast (eval suites are small by definition),
+    the corpus explodes its grams ONCE, and one map-side-combined
+    regroup emits per-doc counts — no corpus-side shuffle before the
+    final agg. Sequences with < n non-PAD tokens survive with
+    n_grams = 0 and a null ratio (explode_outer) rather than silently
+    vanishing. Hashing is md5_60 → every value is DuckDB-checkable."""
+    def grams(col):
+        clean = F.filter(F.col(col), lambda x: x != pad_id)
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(clean) - n),
+            lambda i: F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(clean, i + 1, n), lambda x: x.cast("string")
+                ),
+            ),
+        )
+        return F.when(F.size(clean) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    eval_hashes = (
+        eval_seq.select(F.explode(grams(tokens_col)).alias("s"))
+        .select(md5_60(F.col("s")).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = seq.select(
+        id_col, source_col, F.explode_outer(grams(tokens_col)).alias("s")
+    ).select(id_col, source_col, md5_60(F.col("s")).alias("h"))
+    marked = corpus.join(F.broadcast(eval_hashes), "h", "left")
+    agg = marked.groupBy(id_col, source_col).agg(
+        F.sum(
+            F.when(F.col("h").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hit"),
+    )
+    return agg.withColumn(
+        "overlap_ratio",
+        F.try_divide(F.col("n_hit"), F.col("n_grams")),
+    )

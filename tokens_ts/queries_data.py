@@ -4573,3 +4573,59 @@ def seq_countmin_est(spark, sf_dir):
             "est_c",
         )
     )
+
+
+@q(
+    "seq_token_contamination",
+    _synth_cte()
+    + """
+    , clean AS (
+      SELECT doc_id, source, s, k,
+             list_filter(tokens, x -> x <> 0) AS ct
+      FROM seq
+    ),
+    evg AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15))
+               AS BIGINT) AS h
+      FROM (
+        SELECT unnest(list_transform(range(0, len(ct) - 7),
+                 i -> array_to_string(ct[i+1:i+8], ','))) AS g
+        FROM clean WHERE s = 0 AND k % 37 = 0 AND len(ct) >= 8
+      )
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_transform(range(0, len(ct) - 7),
+               i -> array_to_string(ct[i+1:i+8], ','))) AS g
+      FROM clean WHERE len(ct) >= 8
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM cg JOIN evg
+        ON evg.h = CAST(concat('0x', substr(md5(cg.g), 1, 15)) AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT c.doc_id, c.source,
+           CAST(CASE WHEN len(c.ct) >= 8 THEN len(c.ct) - 7 ELSE 0 END
+             AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN len(c.ct) >= 8 THEN
+             CAST(ROUND(coalesce(h.n_hit, 0) * 1.0 / (len(c.ct) - 7) * 1e9)
+               AS BIGINT)
+           END AS overlap_e9
+    FROM clean c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def seq_token_contamination(spark, sf_dir):
+    """Decontamination on token IDS: 8-gram overlap of every synth
+    sequence against the deterministic eval subset (src00, k % 37 == 0)
+    — PAD-stripped, md5_60-hashed, eval grams broadcast."""
+    seq = _seq(spark)
+    ev = seq.where((F.col("source") == "src00") & (F.col("k") % 37 == 0))
+    out = dedup.token_contamination(seq, ev, n=8)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_hit",
+        _e("overlap_ratio", 9).alias("overlap_e9"),
+    )
