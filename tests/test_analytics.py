@@ -1141,3 +1141,103 @@ def test_completeness_counts_slots_not_rows(spark):
     )
     (r,) = analytics.completeness(df, ["key"], trunc="hour").collect()
     assert r["slots_expected"] == 1 and r["slots_present"] == 1
+
+
+# ---------------------------------------------------------------------------
+# pettitt
+# ---------------------------------------------------------------------------
+
+
+def _pettitt_df(spark, values, key="k"):
+    rows = [(key, 3600 * i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+
+
+def test_pettitt_matches_naive_double_sum(spark):
+    """U_t from the midrank identity == the O(n²) textbook double sum,
+    on a tied, shifted series."""
+    vals = [1.0, 2.0, 2.0, 1.0, 9.0, 8.0, 9.0, 9.0]
+    out = analytics.pettitt(
+        _pettitt_df(spark, vals), ["key"], trunc="hour"
+    ).collect()[0]
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    n = len(vals)
+    us = [
+        sum(sgn(vals[i] - vals[j]) for i in range(t + 1) for j in range(t + 1, n))
+        for t in range(n - 1)
+    ]
+    k_naive = max(abs(u) for u in us)
+    t_star = min(t for t, u in enumerate(us) if abs(u) == k_naive)
+    assert out["k_stat"] == k_naive
+    assert out["n"] == n
+    assert out["cp_ep"] == 3600 * t_star
+    p = min(1.0, 2.0 * math.exp(-6.0 * k_naive**2 / (n**3 + n**2)))
+    assert out["p_e6"] == round(p * 1e6)
+
+
+def test_pettitt_locates_obvious_changepoint(spark):
+    """10 low then 10 high: the split belongs at the last low bucket."""
+    out = analytics.pettitt(
+        _pettitt_df(spark, [1.0] * 10 + [100.0] * 10), ["key"], trunc="hour"
+    ).collect()[0]
+    # K = max U = 10·10 pairs all sgn −1 → |U| = 100 at t = 9 (0-based)
+    assert out["k_stat"] == 100
+    assert out["cp_ep"] == 3600 * 9
+    assert out["p_e6"] < 10_000  # p ≪ 0.01: a real change
+
+
+def test_pettitt_drops_single_bucket_keys(spark):
+    out = analytics.pettitt(_pettitt_df(spark, [5.0]), ["key"], trunc="hour")
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def _iv_df(spark, triples):
+    return spark.createDataFrame(
+        [("k", s, e) for s, e in triples], "key string, start_s long, end_s long"
+    )
+
+
+def test_interval_coverage_merges_overlaps_and_touching(spark):
+    # [0,10) ∪ [5,20) ∪ [20,25) = one island of 25s; [40,41) separate.
+    out = analytics.interval_coverage(
+        _iv_df(spark, [(0, 10), (5, 20), (20, 25), (40, 41)]),
+        ["key"],
+    ).collect()[0]
+    assert out["covered_s"] == 26
+    assert out["n_islands"] == 2
+    assert out["n_intervals"] == 4
+
+
+def test_interval_coverage_contained_interval_adds_nothing(spark):
+    out = analytics.interval_coverage(
+        _iv_df(spark, [(0, 100), (10, 20)]), ["key"]
+    ).collect()[0]
+    assert out["covered_s"] == 100
+    assert out["n_islands"] == 1
+
+
+def test_interval_coverage_buckets_by_start(spark):
+    # one interval starting day 0 spilling into day 1: credited to day 0
+    rows = analytics.interval_coverage(
+        _iv_df(spark, [(86390, 86410), (86400 + 50, 86400 + 60)]), ["key"]
+    ).collect()
+    by_day = {r["bucket_ep"]: r for r in rows}
+    assert by_day[0]["covered_s"] == 20
+    assert by_day[86400]["covered_s"] == 10
+
+
+def test_interval_coverage_drops_empty_intervals(spark):
+    out = analytics.interval_coverage(
+        _iv_df(spark, [(5, 5), (7, 6), (10, 12)]), ["key"]
+    ).collect()
+    assert len(out) == 1 and out[0]["covered_s"] == 2

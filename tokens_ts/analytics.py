@@ -1785,3 +1785,125 @@ def completeness(
             F.coalesce(F.col("slots_present"), F.lit(0)) / expected
         ).alias("coverage"),
     )
+
+
+def pettitt(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Pettitt rank-based changepoint test per key over the
+    `trunc`-bucketed series — the nonparametric single-changepoint
+    locator (CUSUM's distribution-free sibling: no mean/σ model, so a
+    heavy-tailed series can't fake or mask a shift).
+
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) is NOT computed as the O(n²)
+    double sum: with midranks m_i it collapses to the exact identity
+    U_t = Σ_{i≤t} (2·m_i) − t·(n+1), and 2·m_i = 2·rank + ties − 1 is
+    an INTEGER (rank = competition rank, ties = count of equal
+    values), so the whole statistic is integer-exact cross-engine —
+    two window passes (one rank shuffle on (key, value) order, one
+    cumulative sum in time order), no self-join anywhere.
+
+    Output per key: n buckets, K = max_{1≤t<n} |U_t|, the earliest
+    epoch achieving K (pinned tie rule), and the asymptotic
+    p ≈ min(1, 2·exp(−6K²/(n³+n²))) — integer-argument exp, rounded
+    e6. Keys with n < 2 have no interior split and are dropped."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "ep",
+        (
+            2 * F.rank().over(wk.orderBy("v"))
+            + F.count("*").over(Window.partitionBy(*keys, "v"))
+            - 1
+        ).alias("m2"),
+        F.count("*").over(wk).alias("n"),
+    )
+    wt = wk.orderBy("ep").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = r.select(
+        *keys,
+        "ep",
+        "n",
+        (
+            F.sum("m2").over(wt)
+            - F.row_number().over(wk.orderBy("ep")) * (F.col("n") + 1)
+        ).alias("u_t"),
+        F.row_number().over(wk.orderBy("ep")).alias("t"),
+    ).where(F.col("t") < F.col("n"))
+    k = u.groupBy(*keys).agg(
+        F.max("n").alias("n"), F.max(F.abs("u_t")).alias("k_stat")
+    )
+    at_max = u.drop("n").join(k, keys).where(F.abs("u_t") == F.col("k_stat"))
+    kd = F.col("n").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0
+        * F.exp(
+            -6.0 * F.col("k_stat") * F.col("k_stat") / (kd * kd * kd + kd * kd)
+        ),
+    )
+    return at_max.groupBy(*keys).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k_stat").cast("bigint").alias("k_stat"),
+        F.min("ep").cast("bigint").alias("cp_ep"),
+        F.round(F.max(p) * 1e6).cast("bigint").alias("p_e6"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    trunc_s: int = 86400,
+) -> DataFrame:
+    """Union length of (possibly overlapping) half-open intervals
+    [start, end) per (key, bucket-of-start) — the uptime / SLA-credit
+    primitive where naive sum(duration) double-counts overlaps.
+
+    Gaps-and-islands WITHOUT a self-join: sorted by start, the running
+    max of prior ends tells each interval exactly how many new seconds
+    it contributes — greatest(0, e − greatest(s, cummax_prev_e)) —
+    one window pass, one shuffle on (key, bucket). Touching intervals
+    ([0,5) then [5,8)) merge into one island (pinned rule: a new
+    island starts iff s > running-end, strict). An interval belongs
+    ENTIRELY to the bucket of its start (pinned; cross-bucket spill
+    is credited to the start bucket — the alternative, clipping at
+    bucket edges, is a different operator, not a bugfix of this one).
+    All arithmetic on integer epoch seconds: cross-engine exact."""
+    s, e = F.col(start_col), F.col(end_col)
+    iv = df.select(
+        *keys,
+        (s - s % F.lit(trunc_s)).alias("bucket_ep"),
+        s.alias("_s"),
+        e.alias("_e"),
+    ).where(e > s)
+    w = (
+        Window.partitionBy(*keys, "bucket_ep")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = iv.withColumn("_pe", F.max("_e").over(w))
+    new_cov = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("_e") - F.greatest(F.col("_s"), F.coalesce("_pe", F.col("_s"))),
+    )
+    island = F.when(
+        F.col("_pe").isNull() | (F.col("_s") > F.col("_pe")), 1
+    ).otherwise(0)
+    return g.groupBy(*keys, "bucket_ep").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(new_cov).cast("bigint").alias("covered_s"),
+        F.sum(island).cast("bigint").alias("n_islands"),
+    )

@@ -4629,3 +4629,101 @@ def seq_token_contamination(spark, sf_dir):
         "n_hit",
         _e("overlap_ratio", 9).alias("overlap_e9"),
     )
+
+
+@q(
+    "ts_pettitt",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT k, ep,
+             2 * rank() OVER (PARTITION BY k ORDER BY v)
+               + count(*) OVER (PARTITION BY k, v) - 1 AS m2,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM b
+    ),
+    u AS (
+      SELECT k, ep, n,
+             sum(m2) OVER (PARTITION BY k ORDER BY ep)
+               - row_number() OVER (PARTITION BY k ORDER BY ep) * (n + 1)
+               AS u_t,
+             row_number() OVER (PARTITION BY k ORDER BY ep) AS t
+      FROM r
+    ),
+    m AS (SELECT k, ep, n, abs(u_t) AS au FROM u WHERE t < n),
+    x AS (SELECT k, max(n) AS n, max(au) AS k_stat FROM m GROUP BY 1)
+    SELECT m.k AS series_id,
+           CAST(x.n AS BIGINT) AS n,
+           CAST(x.k_stat AS BIGINT) AS k_stat,
+           CAST(min(m.ep) AS BIGINT) AS cp_ep,
+           CAST(ROUND(LEAST(1.0,
+                 2.0 * exp(-6.0 * x.k_stat * x.k_stat
+                           / (CAST(x.n AS DOUBLE) * x.n * x.n
+                              + CAST(x.n AS DOUBLE) * x.n))) * 1e6)
+             AS BIGINT) AS p_e6
+    FROM m JOIN x ON m.k = x.k AND m.au = x.k_stat
+    GROUP BY m.k, x.n, x.k_stat
+    """,
+)
+def ts_pettitt(spark, sf_dir):
+    """Pettitt rank changepoint per event_type over hourly means —
+    integer-exact U_t via the midrank identity (no O(n²) pair sum)."""
+    return analytics.pettitt(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    ).select(
+        F.col("event_type").alias("series_id"), "n", "k_stat", "cp_ep", "p_e6"
+    )
+
+
+@q(
+    "ts_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + GREATEST(1, LEAST(300, CAST(floor(value) AS BIGINT))) AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT k, s - s % 86400 AS bucket_ep, s, e,
+             max(e) OVER (PARTITION BY k, s - s % 86400 ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pe
+      FROM iv
+    )
+    SELECT k AS series_id, bucket_ep,
+           count(*) AS n_intervals,
+           CAST(sum(GREATEST(0, e - GREATEST(s, COALESCE(pe, s))))
+             AS BIGINT) AS covered_s,
+           CAST(sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_islands
+    FROM g GROUP BY 1, 2
+    """,
+)
+def ts_interval_coverage(spark, sf_dir):
+    """Interval-union coverage per (event_type, day): each event spans
+    [ts, ts + clamp(floor(value), 1, 300)) seconds; overlaps must not
+    double-count. Gaps-and-islands via one cummax window, no self-join."""
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    iv = ev.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("ts").alias("start_s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(
+                F.lit(1).cast("long"),
+                F.least(F.lit(300).cast("long"), F.floor("value").cast("long")),
+            )
+        ).alias("end_s"),
+    )
+    return analytics.interval_coverage(
+        iv, keys=["series_id"], start_col="start_s", end_col="end_s",
+        trunc_s=86400,
+    )
