@@ -1223,3 +1223,87 @@ def test_token_contamination_planted(spark):
     assert out[2]["n_grams"] == 9 and out[2]["n_hit"] == 1
     assert out[3]["n_grams"] == 0 and out[3]["overlap_ratio"] is None
     assert out[4]["n_grams"] == 9 and out[4]["overlap_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# good_turing
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_hand_computed(spark):
+    import math
+
+    # corpus: a×3, b×2, c×2, d×1, e×1, f×1 (PAD=0 ignored)
+    seq = spark.createDataFrame(
+        [("s", [1, 1, 1, 2, 2, 3, 0]), ("s", [3, 4, 5, 6, 0, 0])],
+        "source string, tokens array<int>",
+    )
+    rows = {
+        r["r"]: r
+        for r in textops.good_turing(seq, by="source", pad_id=0).collect()
+    }
+    assert rows[1]["n_r"] == 3 and rows[2]["n_r"] == 2 and rows[3]["n_r"] == 1
+    # r*=（r+1)·N_{r+1}/N_r:  r=1 → 2·2/3,  r=2 → 3·1/2,  r=3 → NULL
+    assert math.isclose(rows[1]["r_star"], 4.0 / 3.0)
+    assert math.isclose(rows[2]["r_star"], 1.5)
+    assert rows[3]["r_star"] is None
+
+
+def test_good_turing_total_mass_identity(spark):
+    """Σ_r r·N_r = total non-PAD token count (bookkeeping identity)."""
+    seq = spark.createDataFrame(
+        [("s", [1, 2, 2, 3, 3, 3, 0, 7, 7, 7, 7])],
+        "source string, tokens array<int>",
+    )
+    out = textops.good_turing(seq, by="source", pad_id=0)
+    total = out.select(F.sum(F.col("r") * F.col("n_r"))).collect()[0][0]
+    assert total == 10
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    # docs: [1,2,3] and [1,2] → bigrams (1,2)×2, (2,3)×1; V = 3
+    seq = spark.createDataFrame(
+        [("d1", [1, 2, 3]), ("d2", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.bigram_logprob(seq, pad_id=0, k=0.5).collect()
+    }
+    v = 3.0
+    p12 = (2 + 0.5) / (2 + 0.5 * v)   # C(1,2)=2, C(1·)=2
+    p23 = (1 + 0.5) / (1 + 0.5 * v)   # C(2,3)=1, C(2·)=1
+    assert out["d1"]["n_bigrams"] == 2
+    assert math.isclose(out["d1"]["logprob"], math.log(p12) + math.log(p23))
+    assert math.isclose(out["d2"]["avg_nll"], -math.log(p12))
+
+
+def test_bigram_logprob_pad_breaks_adjacency(spark):
+    # [1,0,2] has NO kept bigram (PAD in the middle) → doc dropped
+    seq = spark.createDataFrame(
+        [("d1", [1, 0, 2]), ("d2", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    ids = {r["doc_id"] for r in textops.bigram_logprob(seq).collect()}
+    assert ids == {"d2"}
+
+
+def test_bigram_logprob_orders_score_differently(spark):
+    """The same bag of tokens in corpus-typical vs scrambled order:
+    the typical order must score higher (the unigram LM cannot see
+    this)."""
+    rows = [("t%d" % i, [1, 2, 3, 4]) for i in range(9)]
+    rows += [("typical", [1, 2, 3, 4]), ("scrambled", [4, 2, 1, 3])]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: r["logprob"]
+        for r in textops.bigram_logprob(seq, pad_id=0).collect()
+    }
+    assert out["typical"] > out["scrambled"]

@@ -4727,3 +4727,66 @@ def ts_interval_coverage(spark, sf_dir):
         iv, keys=["series_id"], start_col="start_s", end_col="end_s",
         trunc_s=86400,
     )
+
+
+@q(
+    "seq_good_turing",
+    _synth_cte()
+    + """
+    , cnt AS (
+      SELECT source, t, count(*) AS c
+      FROM (SELECT source, unnest(tokens) AS t FROM seq)
+      WHERE t <> 0 GROUP BY 1, 2
+    ),
+    coc AS (SELECT source, c AS r, count(*) AS n_r FROM cnt GROUP BY 1, 2)
+    SELECT a.source, CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(ROUND((a.r + 1) * 1.0 * b.n_r / a.n_r * 1e6) AS BIGINT)
+             AS r_star_e6
+    FROM coc a LEFT JOIN coc b ON a.source = b.source AND b.r = a.r + 1
+    """,
+)
+def seq_good_turing(spark, sf_dir):
+    """Good-Turing counts-of-counts per source with the r* estimate —
+    integer-ratio exact, vocab-bounded after one explode."""
+    out = textops.good_turing(_seq(spark), by="source", pad_id=C.PAD_ID)
+    return out.select(
+        "source", "r", "n_r", _e("r_star", 6).alias("r_star_e6")
+    )
+
+
+@q(
+    "seq_bigram_logprob",
+    _synth_cte()
+    + """
+    , bg AS (
+      SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+    ua AS (SELECT a, sum(cab) AS ca FROM bgc GROUP BY 1),
+    vv AS (
+      SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT unnest(tokens) AS t FROM seq) WHERE t <> 0
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(sum(ln((bgc.cab + 0.5) / (ua.ca + 0.5 * vv.v)))
+                      * 1e6) AS BIGINT) AS lp_e6,
+           CAST(ROUND(-sum(ln((bgc.cab + 0.5) / (ua.ca + 0.5 * vv.v)))
+                      / count(*) * 1e6) AS BIGINT) AS nll_e6
+    FROM bg JOIN bgc USING (a, b) JOIN ua USING (a) CROSS JOIN vv
+    GROUP BY 1
+    """,
+)
+def seq_bigram_logprob(spark, sf_dir):
+    """Per-doc log-likelihood under the corpus add-0.5 bigram LM —
+    the order-sensitive fluency score (shuffled docs drop, repeated
+    boilerplate rises); docs with <2 non-PAD tokens are absent."""
+    out = textops.bigram_logprob(_seq(spark), pad_id=C.PAD_ID, k=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _e("logprob", 6).alias("lp_e6"),
+        _e("avg_nll", 6).alias("nll_e6"),
+    )

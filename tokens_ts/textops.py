@@ -1251,3 +1251,107 @@ def with_dup_ngram(
         )
         .drop("_dg")
     )
+
+
+def good_turing(
+    seq: DataFrame,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table per group: for each
+    observed count r, how many distinct tokens occur exactly r times
+    (N_r), and the Turing-smoothed estimate r* = (r+1)·N_{r+1}/N_r —
+    the standard unseen-mass / rare-token calibration for corpus LMs
+    (r* NULL where N_{r+1} = 0: no smoothing evidence at that rank).
+
+    One corpus-sized explode → map-side-combined (group, token)
+    counts; everything after is vocab-bounded, and the N_{r+1} lookup
+    is a self-equi-join of the counts-of-counts frame against itself
+    shifted by one — a frame bounded by #distinct COUNT VALUES, i.e.
+    tiny at any corpus scale. r* is one integer ratio: IEEE-exact
+    cross-engine."""
+    cnt = (
+        seq.select(by, F.explode(tokens_col).alias("t"))
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "t")
+        .agg(F.count("*").alias("c"))
+    )
+    coc = cnt.groupBy(by, F.col("c").alias("r")).agg(
+        F.count("*").alias("n_r")
+    )
+    nxt = coc.select(
+        by, (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    out = coc.join(nxt, [by, "r"], "left")
+    return out.select(
+        by,
+        F.col("r").cast("bigint").alias("r"),
+        F.col("n_r").cast("bigint").alias("n_r"),
+        (
+            (F.col("r") + 1).cast("double") * F.col("_n_next") / F.col("n_r")
+        ).alias("r_star"),
+    )
+
+
+def bigram_logprob(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    pad_id: int = 0,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document log-likelihood under the corpus's own add-k
+    bigram LM — the fluency/quality scorer one level above
+    unigram_logprob (catches shuffled-token and wrong-order junk that
+    unigram stats cannot): lp = Σ ln((C(ab)+k) / (C(a·)+k·V)) over the
+    doc's adjacent non-PAD bigrams, V = distinct non-PAD tokens.
+
+    Pinned rules: a bigram is kept iff BOTH sides are non-PAD (PAD
+    breaks adjacency — same rule as bigram_pmi); C(a·) counts a as the
+    LEFT element of kept bigrams, so the smoothed conditionals
+    normalize exactly; docs with zero kept bigrams are dropped.
+
+    Shapes: the bigram stream is row-local (transform over positions,
+    no posexplode self-join); the corpus count frames are vocab²- and
+    vocab-bounded; the one corpus-sized join is doc-bigrams ⋈ bigram
+    counts on (a, b) — an equi-join AQE can broadcast when the
+    observed-bigram set is small. avg_nll = −lp/n rides along as the
+    filterable quality score."""
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg"),
+    ).select(id_col, "bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    bgc = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ua = bgc.groupBy("a").agg(F.sum("cab").alias("ca"))
+    v = (
+        seq.select(F.explode(tokens_col).alias("t"))
+        .where(F.col("t") != pad_id)
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    term = F.log(
+        (F.col("cab") + F.lit(k)) / (F.col("ca") + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        pairs.join(bgc, ["a", "b"])
+        .join(F.broadcast(ua), "a")
+        .crossJoin(F.broadcast(v))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(term).alias("logprob"),
+        (-F.sum(term) / F.count("*")).alias("avg_nll"),
+    )
