@@ -1307,3 +1307,140 @@ def test_bigram_logprob_orders_score_differently(spark):
         for r in textops.bigram_logprob(seq, pad_id=0).collect()
     }
     assert out["typical"] > out["scrambled"]
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),          # dl=2, tf(cat)=1
+            (2, "cat cat cat dog"),  # dl=4, tf(cat)=3
+            (3, "bird bird"),        # dl=2, no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.bm25_topk(docs, ["cat"], k=10).collect()
+    }
+    assert set(out) == {1, 2}
+    n, df, avgdl, k1, b = 3.0, 2, 8.0 / 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1]["score_e6"] == round(score(1, 2) * 1e6)
+    assert out[2]["score_e6"] == round(score(3, 4) * 1e6)
+    # heavier tf wins despite longer doc
+    assert out[2]["score_e6"] > out[1]["score_e6"]
+
+
+def test_bm25_multi_term_sums_and_ties_break_on_id(spark):
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "a b"), (12, "z z")],
+        "doc_id long, text string",
+    )
+    rows = textops.bm25_topk(docs, ["a", "b"], k=2).collect()
+    # identical docs → identical scores → doc_id ASC tie-break
+    assert [r["doc_id"] for r in rows] == [10, 11]
+    assert rows[0]["n_terms"] == 2
+    assert rows[0]["score_e6"] == rows[1]["score_e6"]
+
+
+def test_bm25_rejects_empty_terms(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        textops.bm25_topk(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    """Two docs sharing a ≥ k+w−1 char substring MUST share ≥1
+    selected fingerprint (the winnowing guarantee, k=8 w=4 → 11)."""
+    common = "the-exact-shared-run-of-text"
+    docs = spark.createDataFrame(
+        [(1, "aaaa " + common + " bbbb"), (2, "cccccc " + common + " dd")],
+        "doc_id long, text string",
+    )
+    out = dedup.winnowing_fingerprints(docs, k=8, w=4)
+    # recompute the sets to intersect (fp_md5 digests don't intersect)
+    import hashlib
+
+    def fps(text, k=8, w=4):
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    s1, s2 = fps("aaaa " + common + " bbbb"), fps("cccccc " + common + " dd")
+    assert s1 & s2, "winnowing guarantee broken in the reference model"
+    assert rows[1]["n_fp"] == len(s1) and rows[2]["n_fp"] == len(s2)
+
+
+def test_winnowing_matches_python_reference(spark):
+    import hashlib
+
+    text = "abcdefghijklmnop"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dedup.winnowing_fingerprints(docs, k=8, w=4).collect()[0]
+    hs = [
+        int(hashlib.md5(text[i : i + 8].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - 7)
+    ]
+    sel = sorted({min(hs[j : j + 4]) for j in range(len(hs) - 3)})
+    assert r["n_grams"] == len(hs)
+    assert r["n_fp"] == len(sel)
+    digest = hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+    assert r["fp_md5"] == digest
+
+
+def test_winnowing_drops_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "0123456789"), (2, "0123456789a")],  # 10 < 11 ≤ 11
+        "doc_id long, text string",
+    )
+    ids = {r["doc_id"] for r in dedup.winnowing_fingerprints(docs).collect()}
+    assert ids == {2}
+
+
+# ---------------------------------------------------------------------------
+# normalized_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_dedup_folds_case_punct_whitespace(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO-WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.normalized_dedup(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 3 and rows[0]["keep_id"] == 1
+
+
+def test_normalized_dedup_no_false_merges(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alphabeta")],  # different after canon
+        "doc_id long, text string",
+    )
+    assert dedup.normalized_dedup(docs).count() == 0

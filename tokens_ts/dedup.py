@@ -560,3 +560,82 @@ def token_contamination(
         "overlap_ratio",
         F.try_divide(F.col("n_hit"), F.col("n_grams")),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-char gram, then keep the MINIMUM hash of each w-gram window —
+    the guarantee-bearing selection (any match of length ≥ k+w−1
+    between two docs shares a selected fingerprint, which fixed-stride
+    sampling cannot promise). The per-doc fingerprint SET is the
+    plagiarism / near-copy index key.
+
+    Entirely ROW-LOCAL: gram hashes, window minima, and the distinct
+    set are array expressions over the doc's own text (O(m·w) work per
+    row, no shuffle, embarrassingly parallel — at 100 TB this is a
+    mapper). The tie rule (rightmost-min vs leftmost-min) does not
+    affect the fingerprint SET — only which position gets recorded —
+    so the set output is tie-free by construction. Docs shorter than
+    k+w−1 chars have no full window and are dropped (pinned). Hashes
+    are md5_60, so the whole op is DuckDB-reproducible; fp_md5 digests
+    the ascending-sorted set for O(1) cross-engine comparison."""
+    n = F.length(F.col(text_col))
+    m = n - k + 1  # number of k-grams
+    hs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: md5_60(F.substring(F.col(text_col), i, F.lit(k))),
+    )
+    base = docs.where(n >= k + w - 1).select(
+        id_col, m.cast("bigint").alias("n_grams"), hs.alias("_hs")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_grams") - w + 1),
+            lambda j: F.array_min(F.slice("_hs", j, w)),
+        )
+    )
+    return base.select(
+        id_col,
+        "n_grams",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.sort_array(fps), lambda x: x.cast("string"))
+            )
+        ).alias("fp_md5"),
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup after canonicalization — the cheap fuzzy-dup tier
+    between byte-exact dedup and MinHash (case, punctuation, and
+    whitespace variants of the same document are the most common
+    near-dups in web corpora, and they hash apart byte-exactly):
+    canon = trim(lower(text) with every [^a-z0-9]+ run → one space).
+
+    One hash-groupBy shuffle on md5(canon) (the canon string itself
+    never shuffles); emits only groups with ≥ 2 members, keeping the
+    min doc_id as survivor (deterministic at any id range — ids here
+    are numeric-or-string orderable, no negation involved)."""
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.select(id_col, F.md5(canon).alias("canon_md5"))
+        .groupBy("canon_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

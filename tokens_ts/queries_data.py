@@ -4790,3 +4790,115 @@ def seq_bigram_logprob(spark, sf_dir):
         _e("logprob", 6).alias("lp_e6"),
         _e("avg_nll", 6).alias("nll_e6"),
     )
+
+
+@q(
+    "doc_bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS dl,
+             text
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+    ),
+    tfl AS (
+      SELECT doc_id, dl, t.term,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x = t.term)) AS tf
+      FROM base, (VALUES ('fast'), ('merge'), ('query')) t(term)
+    ),
+    kept AS (SELECT * FROM tfl WHERE tf > 0),
+    dfc AS (SELECT term, count(*) AS df FROM kept GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(ROUND(sum(
+             ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+             * (kept.tf * 2.2)
+               / (kept.tf + 1.2 * (0.25 + 0.75 * kept.dl / st.avgdl))
+           ) * 1e6) AS BIGINT) AS score_e6
+    FROM kept JOIN dfc USING (term) CROSS JOIN st
+    GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for the fixed query {fast, merge, query} — Lucene
+    idf, k1=1.2 / b=0.75, row-local tf (no vocab shuffle), ranked on
+    the e6-rounded score with doc_id tie-break."""
+    return textops.bm25_topk(
+        _docs(spark, sf_dir), terms=["fast", "merge", "query"],
+        k=10, k1=1.2, b=0.75,
+    )
+
+
+@q(
+    "doc_winnowing",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - 8 + 2),
+               i -> CAST(concat('0x', substr(md5(text[i:i+7]), 1, 15))
+                      AS BIGINT)) AS hs
+      FROM documents WHERE length(text) >= 11
+    ),
+    f AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+               j -> list_min(hs[j:j+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_md5
+    FROM f
+    """,
+)
+def doc_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, 8-char grams × window 4 — the
+    full selected-hash set digested per doc, value-checked
+    cross-engine (md5_60 grams in both engines)."""
+    return dedup.winnowing_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+@q(
+    "doc_normalized_dedup",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             upper(text) || '!!  ' || chr(10)
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS canon_md5
+      FROM aug
+    )
+    SELECT canon_md5, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM c GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def doc_normalized_dedup(spark, sf_dir):
+    """Canonicalized exact dedup (lower + punctuation/whitespace
+    collapse): duplicate groups with min-doc_id survivor — the cheap
+    fuzzy tier between byte-exact and MinHash. The corpus has no
+    native case/punct variants, so both engines plant the same
+    deterministic ones (every doc_id % 7 == 0 doc re-ingested
+    uppercased with trailing junk) — the operator must fold each
+    planted variant onto its original."""
+    d = _docs(spark, sf_dir)
+    aug = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!  \n")).alias("text"),
+        )
+    )
+    return dedup.normalized_dedup(aug)

@@ -1355,3 +1355,81 @@ def bigram_logprob(
         F.sum(term).alias("logprob"),
         (-F.sum(term) / F.count("*")).alias("avg_nll"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a fixed query-term set —
+    the lexical-search baseline every RAG/retrieval pipeline needs
+    next to the ANN path (simsearch scores embeddings; this scores
+    exact lexical evidence with the Lucene idf
+    ln(1 + (N − df + 0.5)/(df + 0.5)) and k1/b length normalization).
+
+    Zero corpus-sized exploded frames: per-doc term frequencies are
+    ROW-LOCAL array expressions (the query-term set is a literal list,
+    so tf-per-term is a filter over the doc's own words — no
+    vocab-keyed shuffle at all, unlike tfidf_top_terms); df and the
+    corpus (N, avgdl) stats are query-terms- and 1-row-bounded
+    broadcast frames; top-k plans as TakeOrderedAndProject. avgdl is
+    over ALL docs (pinned), dl = non-empty whitespace tokens.
+
+    Ranking is on the E6-ROUNDED score (the tfidf ulp rule), ties
+    broken doc_id ASC."""
+    if not terms:
+        raise ValueError("bm25_topk: empty query-term list")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        id_col,
+        F.size(words).alias("dl"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(
+                        # one-param lambda ONLY: a second parameter —
+                        # even defaulted — makes F.filter pass the
+                        # array INDEX as that argument
+                        F.filter(words, lambda x: x == F.lit(t))
+                    ).alias("tf"),
+                )
+                for t in terms
+            ]
+        ).alias("_tfs"),
+    )
+    st = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tfl = (
+        base.select(id_col, "dl", F.explode("_tfs").alias("e"))
+        .select(id_col, "dl", "e.term", "e.tf")
+        .where(F.col("tf") > 0)
+    )
+    dfc = tfl.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tfl.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(st))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    doc_scores = scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.sum(idf * tfn) * 1e6).cast("bigint").alias("score_e6"),
+    )
+    return doc_scores.orderBy(
+        F.desc("score_e6"), F.asc(id_col)
+    ).limit(k)
