@@ -1241,3 +1241,113 @@ def test_interval_coverage_drops_empty_intervals(spark):
         _iv_df(spark, [(5, 5), (7, 6), (10, 12)]), ["key"]
     ).collect()
     assert len(out) == 1 and out[0]["covered_s"] == 2
+
+
+# ---------------------------------------------------------------------------
+# ljung_box
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_periodic_alarms_noise_does_not(spark):
+    import math as _m
+
+    # strongly periodic series (period 2): ACF(2) = +1, ACF(1) = −1
+    per = [("p", 60 * i, 10.0 if i % 2 == 0 else -10.0) for i in range(40)]
+    # deterministic "noise": weyl-sequence fractional parts, no period
+    noise = [("n", 60 * i, _m.modf(i * 0.754877666)[0]) for i in range(40)]
+    df = spark.createDataFrame(
+        per + noise, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    rows = {
+        r["key"]: r
+        for r in analytics.ljung_box(df, ["key"], max_lag=5).collect()
+    }
+    assert rows["p"]["alarm"] is True
+    assert rows["p"]["q_lb"] > 100.0
+    assert rows["n"]["q_lb"] < rows["p"]["q_lb"]
+
+
+def test_ljung_box_matches_direct_formula(spark):
+    rows = [("k", 60 * i, float((i * 7) % 5)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    got = analytics.ljung_box(df, ["key"], max_lag=3).collect()[0]
+    acf_rows = analytics.acf(df, ["key"], max_lag=3).collect()
+    n = 20
+    q = n * (n + 2) * sum(
+        r["acf"] ** 2 / (n - r["lag"]) for r in acf_rows if r["acf"] is not None
+    )
+    assert abs(got["q_lb"] - q) < 1e-9
+    assert got["n"] == n
+
+
+def test_ljung_box_rejects_oversized_lag(spark):
+    df = spark.createDataFrame(
+        [("k", 0, 1.0)], "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    with pytest.raises(ValueError):
+        analytics.ljung_box(df, ["key"], max_lag=11)
+
+
+# ---------------------------------------------------------------------------
+# permutation_entropy
+# ---------------------------------------------------------------------------
+
+
+def _pe_df(spark, values):
+    rows = [("k", i, 60 * i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "key string, eid int, t int, value double"
+    ).select(
+        "key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value"
+    )
+
+
+def test_perm_entropy_monotone_series_is_zero(spark):
+    out = analytics.permutation_entropy(
+        _pe_df(spark, range(10)), ["key"], order_cols=["eid"]
+    ).collect()[0]
+    # every triple is ascending → one pattern → H = 0
+    assert out["n_triples"] == 8
+    assert abs(out["pe"]) < 1e-12
+
+
+def test_perm_entropy_hand_computed_mixture(spark):
+    import math as _m
+
+    # 1,3,2,4 → triples: (1,3,2)=up,down,up-overall; (3,2,4)=down,up,up
+    out = analytics.permutation_entropy(
+        _pe_df(spark, [1, 3, 2, 4]), ["key"], order_cols=["eid"]
+    ).collect()[0]
+    assert out["n_triples"] == 2
+    assert abs(out["pe"] - _m.log(2)) < 1e-12  # two distinct patterns
+    assert abs(out["pe_norm"] - _m.log(2) / _m.log(6)) < 1e-12
+
+
+def test_perm_entropy_ties_are_own_pattern(spark):
+    # constant series: one ALL-TIES code, H = 0, never null
+    out = analytics.permutation_entropy(
+        _pe_df(spark, [5, 5, 5, 5, 5]), ["key"], order_cols=["eid"]
+    ).collect()[0]
+    assert out["n_triples"] == 3
+    assert abs(out["pe"]) < 1e-12
+
+
+def test_perm_entropy_nulls_removed_before_tripling(spark):
+    rows = [
+        ("k", 0, 0, 1.0),
+        ("k", 1, 60, None),
+        ("k", 2, 120, 2.0),
+        ("k", 3, 180, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid int, t int, value double"
+    ).select(
+        "key", "eid", F.timestamp_seconds("t").alias("event_ts"), "value"
+    )
+    out = analytics.permutation_entropy(
+        df, ["key"], order_cols=["eid"]
+    ).collect()
+    # non-null subsequence 1,2,3 → exactly one ascending triple
+    assert len(out) == 1 and out[0]["n_triples"] == 1

@@ -1907,3 +1907,129 @@ def interval_coverage(
         F.sum(new_cov).cast("bigint").alias("covered_s"),
         F.sum(island).cast("bigint").alias("n_islands"),
     )
+
+
+#: chi-square 0.95 quantiles for df = 1..10 (public table values) —
+#: the Ljung-Box alarm thresholds when h lags are summed.
+CHI2_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+}
+
+
+def ljung_box(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "minute",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per key, composed on the
+    GAP-CORRECT acf: Q = n(n+2)·Σ_{j≤h} ρ_j²/(n−j) with n = bucket
+    count and ρ_j the epoch-paired Pearson ACF (a null ρ_j — too few
+    pairs or zero variance — drops its term and shrinks h; pinned).
+    alarm = Q > χ²₀.₉₅(h): residuals that still carry autocorrelation
+    after a model/detrend step fail here long before a human eyeballs
+    a lag plot.
+
+    Cost on top of acf: one buckets-bounded count agg and one
+    (keys × max_lag) → keys re-agg. No new corpus-sized work."""
+    if max_lag > len(CHI2_95):
+        raise ValueError(f"ljung_box: max_lag > {len(CHI2_95)} needs a bigger χ² table")
+    a = acf(df, keys, ts_col, value_col, trunc, max_lag)
+    n = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+    )
+    terms = a.join(F.broadcast(n), keys).where(
+        F.col("acf").isNotNull() & (F.col("n") > F.col("lag"))
+    )
+    nd = F.col("n").cast("double")
+    q = F.sum(
+        F.col("acf") * F.col("acf") / (nd - F.col("lag"))
+    )
+    crit = F.array(
+        *[F.lit(CHI2_95[h]) for h in sorted(CHI2_95)]
+    )
+    out = terms.groupBy(*keys).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("h"),
+        (F.max(nd) * (F.max(nd) + 2) * q).alias("q_lb"),
+    )
+    return out.withColumn(
+        "alarm", F.col("q_lb") > F.get(crit, (F.col("h") - 1).cast("int"))
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    trunc: str = "day",
+) -> DataFrame:
+    """Permutation entropy (order m = 3, lag 1) per (key, `trunc`
+    bucket) — the model-free complexity gauge: ordinal patterns of
+    consecutive value triples, H = −Σ p·ln p over the pattern
+    distribution, normalized by ln 6. A sine sweep scores near 0, iid
+    noise near 1, and a regime change moves it bucket-over-bucket.
+
+    Pinned rules: null values are removed BEFORE tripling (triples
+    span the non-null subsequence); a triple anchors at its FIRST
+    element's bucket and may span a bucket edge; ties use the
+    27-code ordinal alphabet code = (sgn(v₁−v₀)+1)·9 +
+    (sgn(v₂−v₁)+1)·3 + (sgn(v₂−v₀)+1) (strict-order data uses 6 of
+    the 27; ties are first-class codes, not broken arbitrarily), so
+    normalization stays ln 6 of the tie-free alphabet. H is computed
+    as ln n − (Σ c·ln c)/n — one two-level count agg, integer counts.
+
+    Shapes: two lead() columns over ONE per-key time-order window
+    (order_cols break duplicate-ts ties deterministically), then
+    (keys × buckets × ≤27)-bounded aggs. At 100 TB the per-key window
+    is the skew point — same contract as every per-series window op
+    in this module: series are the unit of parallelism."""
+    oc = order_cols or []
+    base = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(ts_col, *oc)
+    v0 = F.col(value_col)
+    v1 = F.lead(value_col, 1).over(w)
+    v2 = F.lead(value_col, 2).over(w)
+    code = (
+        (F.signum(v1 - v0) + 1) * 9
+        + (F.signum(v2 - v1) + 1) * 3
+        + (F.signum(v2 - v0) + 1)
+    ).cast("int")
+    triples = base.select(
+        *keys,
+        F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias(
+            "bucket_ep"
+        ),
+        code.alias("_code"),
+        v1.alias("_v1"),
+        v2.alias("_v2"),
+    ).where(F.col("_v1").isNotNull() & F.col("_v2").isNotNull())
+    cnt = triples.groupBy(*keys, "bucket_ep", "_code").agg(
+        F.count("*").alias("c")
+    )
+    out = cnt.groupBy(*keys, "bucket_ep").agg(
+        F.sum("c").cast("bigint").alias("n_triples"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+    )
+    h = F.log(F.col("n_triples").cast("double")) - F.col("_clnc") / F.col(
+        "n_triples"
+    )
+    return out.select(
+        *keys,
+        "bucket_ep",
+        "n_triples",
+        h.alias("pe"),
+        (h / F.log(F.lit(6.0))).alias("pe_norm"),
+    )

@@ -4902,3 +4902,120 @@ def doc_normalized_dedup(spark, sf_dir):
         )
     )
     return dedup.normalized_dedup(aug)
+
+
+@q(
+    "ts_ljung_box",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    nn AS (SELECT series_id, count(*) AS n FROM b GROUP BY 1),
+    l AS (
+      SELECT series_id, ep, v AS x, lg.lag
+      FROM b CROSS JOIN (SELECT unnest(range(1, 6)) AS lag) lg
+    ),
+    p AS (
+      SELECT l.series_id, l.lag, l.x, r.v AS y
+      FROM l JOIN b r ON r.series_id = l.series_id
+                     AND r.ep = l.ep + l.lag * 60
+    ),
+    a AS (
+      SELECT series_id, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT series_id, lag,
+             CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                  THEN (n*sxy - sx*sy)
+                       / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+             END AS r
+      FROM a
+    ),
+    t AS (
+      SELECT rho.series_id, nn.n, rho.r, rho.lag
+      FROM rho JOIN nn USING (series_id)
+      WHERE rho.r IS NOT NULL AND nn.n > rho.lag
+    )
+    SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS h,
+           CAST(ROUND(CAST(max(n) AS DOUBLE) * (CAST(max(n) AS DOUBLE) + 2)
+                 * sum(r * r / (CAST(n AS DOUBLE) - lag)) * 1e6)
+             AS BIGINT) AS q_e6,
+           CAST(max(n) AS DOUBLE) * (CAST(max(n) AS DOUBLE) + 2)
+             * sum(r * r / (CAST(n AS DOUBLE) - lag))
+             > (CASE count(*) WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 END)
+             AS alarm
+    FROM t GROUP BY 1
+    """,
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box whiteness Q per series over minute buckets, lags
+    1..5, composed on the gap-correct ACF; alarm vs χ²₀.₉₅(h)."""
+    out = analytics.ljung_box(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="minute", max_lag=5,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n",
+        "h",
+        _e("q_lb", 6).alias("q_e6"),
+        "alarm",
+    )
+
+
+@q(
+    "ts_perm_entropy",
+    """
+    WITH base AS (
+      SELECT event_type AS k, ts, event_id, value AS v,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ep
+      FROM events WHERE value IS NOT NULL
+    ),
+    tr AS (
+      SELECT k, day_ep,
+             CAST((sign(lead(v, 1) OVER w - v) + 1) * 9
+                + (sign(lead(v, 2) OVER w - lead(v, 1) OVER w) + 1) * 3
+                + (sign(lead(v, 2) OVER w - v) + 1) AS INT) AS code,
+             lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2
+      FROM base WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)
+    ),
+    cnt AS (
+      SELECT k, day_ep, code, count(*) AS c FROM tr
+      WHERE v1 IS NOT NULL AND v2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT k, day_ep, sum(c) AS n, sum(c * ln(c)) AS clnc
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT k AS series_id, day_ep AS bucket_ep, CAST(n AS BIGINT) AS n_triples,
+           CAST(ROUND((ln(CAST(n AS DOUBLE)) - clnc / n) * 1e6) AS BIGINT)
+             AS pe_e6,
+           CAST(ROUND((ln(CAST(n AS DOUBLE)) - clnc / n) / ln(6.0) * 1e6)
+             AS BIGINT) AS pe_norm_e6
+    FROM agg
+    """,
+)
+def ts_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy per (series, day): ordinal codes of
+    consecutive non-null value triples (ties are first-class codes),
+    H = ln n − Σc·ln c / n, normalized by ln 6; duplicate timestamps
+    disambiguated by event_id in BOTH engines."""
+    out = analytics.permutation_entropy(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", order_cols=["event_id"], trunc="day",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "bucket_ep",
+        "n_triples",
+        _e("pe", 6).alias("pe_e6"),
+        _e("pe_norm", 6).alias("pe_norm_e6"),
+    )
