@@ -1351,3 +1351,55 @@ def test_perm_entropy_nulls_removed_before_tripling(spark):
     ).collect()
     # non-null subsequence 1,2,3 → exactly one ascending triple
     assert len(out) == 1 and out[0]["n_triples"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dtw_daily
+# ---------------------------------------------------------------------------
+
+
+def _dtw_days(spark, day0, day1):
+    rows = []
+    for h, v in enumerate(day0):
+        rows.append(("k", 3600 * h, float(v)))
+    for h, v in enumerate(day1):
+        rows.append(("k", 86400 + 3600 * h, float(v)))
+    return spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+
+
+def test_dtw_identical_profiles_zero(spark):
+    prof = [1.0, 5.0, 2.0, 8.0]
+    out = analytics.dtw_daily(_dtw_days(spark, prof, prof), ["key"]).collect()
+    assert len(out) == 1
+    assert out[0]["dtw"] == 0.0
+    assert out[0]["n_prev"] == 4 and out[0]["n_cur"] == 4
+
+
+def test_dtw_matches_reference_dp(spark):
+    a, b = [1.0, 3.0, 2.0, 7.0], [2.0, 3.0, 3.0, 6.0, 7.0]
+    out = analytics.dtw_daily(_dtw_days(spark, a, b), ["key"]).collect()[0]
+    assert out["dtw"] == analytics._dtw_ref(a, b)
+
+
+def test_dtw_shift_scores_below_pointwise_l1(spark):
+    """A profile shifted by one hour: DTW must beat point-wise L1 —
+    the whole reason to warp."""
+    a = [0.0, 0.0, 10.0, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 0.0, 10.0, 0.0, 0.0]  # same spike, 1h later
+    out = analytics.dtw_daily(_dtw_days(spark, a, b), ["key"]).collect()[0]
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert out["dtw"] < l1
+    assert out["dtw"] == 0.0  # pure shift is free under full-window DTW
+
+
+def test_dtw_unequal_lengths(spark):
+    # gap in day 1 (only 3 present hours) still pairs and scores
+    out = analytics.dtw_daily(
+        _dtw_days(spark, [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0]), ["key"]
+    ).collect()[0]
+    assert out["n_prev"] == 4 and out["n_cur"] == 3
+    assert out["dtw"] == analytics._dtw_ref(
+        [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0]
+    )

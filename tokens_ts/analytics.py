@@ -2033,3 +2033,97 @@ def permutation_entropy(
         h.alias("pe"),
         (h / F.log(F.lit(6.0))).alias("pe_norm"),
     )
+
+
+def _dtw_ref(a, b):
+    """Reference DTW (|·| cost, full window) — row-major DP, the same
+    cell order the SQL oracle's recursive CTE walks. numpy-free so the
+    recurrence is plain IEEE double ops in a fixed order."""
+    na, nb = len(a), len(b)
+    prev = None
+    cur = [0.0] * nb
+    for i in range(na):
+        for j in range(nb):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                cur[j] = c
+            elif i == 0:
+                cur[j] = c + cur[j - 1]
+            elif j == 0:
+                cur[j] = c + prev[0]
+            else:
+                cur[j] = c + min(prev[j], prev[j - 1], cur[j - 1])
+        prev, cur = cur, [0.0] * nb
+    return prev[nb - 1]
+
+
+def dtw_daily(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dynamic-time-warping distance between each day's hourly profile
+    and the previous day's, per key — the shape-aware day-over-day
+    drift score (a profile shifted two hours by a DST bug or a late
+    batch scores NEAR ZERO here but large under point-wise L1; a
+    genuinely different shape scores large under both).
+
+    Pinned rules: the day vector is the time-ordered sequence of
+    PRESENT hourly means (gaps shrink the vector, never zero-fill),
+    each mean E6-ROUNDED before the DP — rounding makes the vectors
+    bit-identical cross-engine, after which the O(na·nb) recurrence
+    dtw[i,j] = |a_i−b_j| + min(up, diag, left) is a fixed sequence of
+    IEEE ops both engines replay exactly (the oracle walks the same
+    row-major order in a recursive CTE). Full window, |·| cost.
+
+    Shapes: one corpus-sized hourly agg; day vectors are a ≤24-element
+    collect per (key, day) — bounded, never a corpus collect; the
+    prev↔cur pairing is the ks_drift epoch-shift equi-join; the DP is
+    a scalar Arrow pandas_udf over two ≤24-vectors — row-local,
+    embarrassingly parallel, ~10³ flops per day-pair."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dtw_udf(va, vb):
+        return pd.Series(
+            [
+                _dtw_ref(list(map(float, a)), list(map(float, b)))
+                for a, b in zip(va, vb)
+            ]
+        )
+
+    hourly = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc("day", F.col(ts_col))).alias(
+                "day_ep"
+            ),
+            F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias(
+                "_hr"
+            ),
+        )
+        .agg((F.round(F.avg(value_col) * 1e6) / 1e6).alias("_v"))
+    )
+    vec = hourly.groupBy(*keys, "day_ep").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_hr", "_v"))),
+            lambda s: s["_v"],
+        ).alias("vec")
+    )
+    prev = vec.select(
+        *keys,
+        (F.col("day_ep") + 86400).alias("day_ep"),
+        F.col("vec").alias("_va"),
+    )
+    cur = vec.select(*keys, "day_ep", F.col("vec").alias("_vb"))
+    paired = cur.join(prev, [*keys, "day_ep"])
+    return paired.select(
+        *keys,
+        "day_ep",
+        F.size("_va").cast("bigint").alias("n_prev"),
+        F.size("_vb").cast("bigint").alias("n_cur"),
+        _dtw_udf("_va", "_vb").alias("dtw"),
+    )

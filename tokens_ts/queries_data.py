@@ -5019,3 +5019,67 @@ def ts_perm_entropy(spark, sf_dir):
         _e("pe", 6).alias("pe_e6"),
         _e("pe_norm", 6).alias("pe_norm_e6"),
     )
+
+
+@q(
+    "ts_dtw_daily",
+    """
+    WITH RECURSIVE
+    h AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ep,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+             ROUND(avg(value) * 1e6) / 1e6 AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    vec AS (
+      SELECT k, day_ep, list(v ORDER BY hr) AS vec FROM h GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.k, b.day_ep AS d, a.vec AS va, b.vec AS vb,
+             len(a.vec) AS na, len(b.vec) AS nb
+      FROM vec a JOIN vec b ON a.k = b.k AND b.day_ep = a.day_ep + 86400
+    ),
+    dp AS (
+      SELECT k, d, va, vb, na, nb,
+             1 AS i, 1 AS j,
+             CAST([] AS DOUBLE[]) AS prev_row,
+             [abs(va[1] - vb[1])] AS cur_row
+      FROM pr
+      UNION ALL
+      SELECT k, d, va, vb, na, nb,
+             CASE WHEN j = nb THEN i + 1 ELSE i END,
+             CASE WHEN j = nb THEN 1 ELSE j + 1 END,
+             CASE WHEN j = nb THEN cur_row ELSE prev_row END,
+             CASE WHEN j = nb
+                  THEN [abs(va[i + 1] - vb[1]) + cur_row[1]]
+                  ELSE list_append(cur_row,
+                    abs(va[i] - vb[j + 1]) +
+                    CASE WHEN i = 1 THEN cur_row[j]
+                         ELSE least(prev_row[j + 1], prev_row[j], cur_row[j])
+                    END)
+             END
+      FROM dp WHERE NOT (i = na AND j = nb)
+    )
+    SELECT k AS series_id, d AS day_ep,
+           CAST(na AS BIGINT) AS n_prev, CAST(nb AS BIGINT) AS n_cur,
+           CAST(ROUND(cur_row[nb] * 1e6) AS BIGINT) AS dtw_e6
+    FROM dp WHERE i = na AND j = nb
+    """,
+)
+def ts_dtw_daily(spark, sf_dir):
+    """DTW distance between each day's hourly-mean profile and the
+    previous day's, per series — Arrow DP stage in Spark, the SAME
+    row-major recurrence replayed by a recursive CTE in DuckDB
+    (e6-rounded input means pin the vectors bit-identical first)."""
+    out = analytics.dtw_daily(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "day_ep",
+        "n_prev",
+        "n_cur",
+        _e("dtw", 6).alias("dtw_e6"),
+    )
