@@ -1403,3 +1403,52 @@ def test_dtw_unequal_lengths(spark):
     assert out["dtw"] == analytics._dtw_ref(
         [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0]
     )
+
+
+# ---------------------------------------------------------------------------
+# spectral_power
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_pure_daily_cycle(spark):
+    import math as _m
+
+    # 10 days of a clean 24h sine sampled hourly, amplitude 3
+    rows = [
+        ("k", 3600 * t, 50.0 + 3.0 * _m.sin(2 * _m.pi * t / 24.0))
+        for t in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    out = {
+        r["period_s"]: r
+        for r in analytics.spectral_power(
+            df, ["key"], periods_s=[86400, 43200]
+        ).collect()
+    }
+    # amplitude recovered at the true period, ~0 at the harmonic
+    assert abs(out[86400]["amplitude"] - 3.0) < 1e-9
+    assert out[43200]["amplitude"] < 1e-9
+    assert out[86400]["n"] == 240
+
+
+def test_spectral_constant_series_zero_everywhere(spark):
+    rows = [("k", 3600 * t, 7.5) for t in range(48)]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    for r in analytics.spectral_power(df, ["key"], [86400]).collect():
+        assert abs(r["power"]) < 1e-18
+
+
+def test_spectral_gap_correct_no_zero_fill(spark):
+    """Dropping half the samples of a constant series must NOT create
+    phantom power (an implicit zero-fill would)."""
+    rows = [("k", 3600 * t, 5.0) for t in range(96) if t % 3 != 0]
+    df = spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+    r = analytics.spectral_power(df, ["key"], [86400]).collect()[0]
+    assert abs(r["power"]) < 1e-18
+    assert r["n"] == 64

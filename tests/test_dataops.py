@@ -1444,3 +1444,42 @@ def test_normalized_dedup_no_false_merges(spark):
         "doc_id long, text string",
     )
     assert dedup.normalized_dedup(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# run_length_stats
+# ---------------------------------------------------------------------------
+
+
+def test_run_length_hand_computed(spark):
+    seq = spark.createDataFrame(
+        [
+            ("a", [1, 1, 1, 2, 2, 7]),   # runs 3,2,1
+            ("b", [4]),                   # single token
+            ("c", [9, 9, 9, 9]),          # one run
+            ("d", [1, 2, 1, 2]),          # alternating
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in textops.run_length_stats(seq).collect()}
+    assert (out["a"]["n_runs"], out["a"]["max_run"]) == (3, 3)
+    assert abs(out["a"]["mean_run"] - 2.0) < 1e-15
+    assert (out["b"]["n_runs"], out["b"]["max_run"]) == (1, 1)
+    assert (out["c"]["n_runs"], out["c"]["max_run"]) == (1, 4)
+    assert (out["d"]["n_runs"], out["d"]["max_run"]) == (4, 1)
+
+
+def test_run_length_pad_runs_count(spark):
+    # PAD (0) runs are the pathology this flags — included by design
+    seq = spark.createDataFrame(
+        [("a", [5, 0, 0, 0, 5])], "doc_id string, tokens array<int>"
+    )
+    r = textops.run_length_stats(seq).collect()[0]
+    assert r["n_runs"] == 3 and r["max_run"] == 3
+
+
+def test_run_length_empty_dropped(spark):
+    seq = spark.createDataFrame(
+        [("a", []), ("b", [1])], "doc_id string, tokens array<int>"
+    )
+    assert {r["doc_id"] for r in textops.run_length_stats(seq).collect()} == {"b"}

@@ -2127,3 +2127,65 @@ def dtw_daily(
         F.size("_vb").cast("bigint").alias("n_cur"),
         _dtw_udf("_va", "_vb").alias("dtw"),
     )
+
+
+def spectral_power(
+    df: DataFrame,
+    keys: list[str],
+    periods_s: list[int],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Spectral power of each key's `trunc`-bucketed series at FIXED
+    periods (e.g. 24 h, 12 h) — the seasonality-strength probe that
+    answers "does this source actually have a daily cycle?" without
+    an FFT: for one known frequency the DFT projection is just two
+    weighted sums, S = Σ v̂·sin(2π·ep/P) and C = Σ v̂·cos(·), power =
+    (S² + C²)/n², amplitude = 2·√(S²+C²)/n.
+
+    Pinned rules: v̂ is DEMEANED per key (otherwise DC leaks into
+    every non-integer-cycle window); the phase is computed on the
+    bucket epoch directly (gaps simply contribute no term — the same
+    gap-correctness stance as acf, not a resampled FFT's implicit
+    zero-fill). One bucket agg + one broadcast mean join + one
+    (keys × periods)-bounded agg; sin/cos are ~1-ulp libm calls on
+    identical inputs, drowned by the e6 grain after summation."""
+    import math
+
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    mu = b.groupBy(*keys).agg(F.avg("v").alias("_mu"))
+    d = b.join(F.broadcast(mu), keys).select(
+        *keys,
+        "ep",
+        (F.col("v") - F.col("_mu")).alias("_vd"),
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in periods_s])
+        ).alias("period_s"),
+    )
+    ph = (
+        F.lit(2.0 * math.pi)
+        * (F.col("ep") % F.col("period_s"))
+        / F.col("period_s")
+    )
+    agg = d.groupBy(*keys, "period_s").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("_vd") * F.sin(ph)).alias("_s"),
+        F.sum(F.col("_vd") * F.cos(ph)).alias("_c"),
+    )
+    nd = F.col("n").cast("double")
+    mag2 = F.col("_s") * F.col("_s") + F.col("_c") * F.col("_c")
+    return agg.select(
+        *keys,
+        "period_s",
+        "n",
+        (mag2 / (nd * nd)).alias("power"),
+        (F.lit(2.0) * F.sqrt(mag2) / nd).alias("amplitude"),
+    )

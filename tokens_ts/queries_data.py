@@ -5083,3 +5083,79 @@ def ts_dtw_daily(spark, sf_dir):
         "n_cur",
         _e("dtw", 6).alias("dtw_e6"),
     )
+
+
+@q(
+    "ts_spectral_power",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (SELECT k, avg(v) AS mu FROM b GROUP BY 1),
+    d AS (
+      SELECT b.k, b.ep, b.v - m.mu AS vd, p.period_s
+      FROM b JOIN m USING (k), (VALUES (86400), (43200)) p(period_s)
+    ),
+    a AS (
+      SELECT k, period_s, count(*) AS n,
+             sum(vd * sin(2 * pi() * (ep % period_s) / period_s)) AS s,
+             sum(vd * cos(2 * pi() * (ep % period_s) / period_s)) AS c
+      FROM d GROUP BY 1, 2
+    )
+    SELECT k AS series_id, CAST(period_s AS BIGINT) AS period_s,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND((s*s + c*c) / (CAST(n AS DOUBLE) * n) * 1e6)
+             AS BIGINT) AS power_e6,
+           CAST(ROUND(2.0 * sqrt(s*s + c*c) / CAST(n AS DOUBLE) * 1e6)
+             AS BIGINT) AS amplitude_e6
+    FROM a
+    """,
+)
+def ts_spectral_power(spark, sf_dir):
+    """DFT projection at the 24 h and 12 h periods per series over
+    demeaned hourly means — gap-correct seasonality strength (no FFT,
+    no zero-fill: missing buckets contribute no term)."""
+    out = analytics.spectral_power(
+        _ev(spark, sf_dir), keys=["event_type"], periods_s=[86400, 43200],
+        ts_col="ts", value_col="value", trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "period_s",
+        "n",
+        _e("power", 6).alias("power_e6"),
+        _e("amplitude", 6).alias("amplitude_e6"),
+    )
+
+
+@q(
+    "seq_run_length",
+    _synth_cte()
+    + """
+    , st AS (
+      SELECT doc_id, len(tokens) AS n,
+             list_filter(range(1, len(tokens) + 1),
+               i -> i = 1 OR tokens[i] <> tokens[i - 1]) AS starts
+      FROM seq WHERE len(tokens) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+           CAST(len(starts) AS BIGINT) AS n_runs,
+           CAST(list_max(list_transform(range(1, len(starts) + 1),
+             k -> (CASE WHEN k < len(starts) THEN starts[k + 1]
+                        ELSE n + 1 END) - starts[k])) AS BIGINT) AS max_run,
+           CAST(ROUND(n * 1.0 / len(starts) * 1e6) AS BIGINT) AS mean_run_e6
+    FROM st
+    """,
+)
+def seq_run_length(spark, sf_dir):
+    """Run-length degeneracy stats per sequence (runs over the raw
+    array, PAD included): n_runs, longest run, mean run — row-local
+    Catalyst, no explode."""
+    out = textops.run_length_stats(_seq(spark))
+    return out.select(
+        "doc_id", "n_tok", "n_runs", "max_run",
+        _e("mean_run", 6).alias("mean_run_e6"),
+    )

@@ -1433,3 +1433,40 @@ def bm25_topk(
     return doc_scores.orderBy(
         F.desc("score_e6"), F.asc(id_col)
     ).limit(k)
+
+
+def run_length_stats(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run-length degeneracy stats per sequence: number of maximal
+    equal-token runs, longest run, and mean run length — the
+    stuck-generation / repetition-collapse detector (a sampler stuck
+    on one token shows max_run ≈ n; healthy text stays near 1).
+    Computed over the RAW token array, PAD included (pad runs are
+    exactly the padding pathology this flags; pinned).
+
+    Entirely row-local Catalyst: run starts are the positions where
+    t[i] ≠ t[i−1], run lengths are adjacent-start differences — two
+    array expressions, no explode, no shuffle, whole-stage codegen.
+    mean_run = n / n_runs is one integer ratio (IEEE-exact)."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.get(toks, i) != F.get(toks, i - 1)),
+    )
+    n_runs = F.size(starts)
+    lens = F.zip_with(
+        starts,
+        F.concat(F.slice(starts, 2, n_runs - 1), F.array(n)),
+        lambda s, nxt: nxt - s,
+    )
+    return seq.where(n > 0).select(
+        id_col,
+        n.cast("bigint").alias("n_tok"),
+        n_runs.cast("bigint").alias("n_runs"),
+        F.array_max(lens).cast("bigint").alias("max_run"),
+        (n.cast("double") / n_runs).alias("mean_run"),
+    )
