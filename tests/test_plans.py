@@ -464,3 +464,80 @@ def test_lttb_single_scan_single_shuffle(spark, events_path):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(sid" in plan, plan
+
+
+def test_bm25_no_vocab_shuffle_and_take_ordered(spark, events_path):
+    """bm25_topk: tf is ROW-LOCAL (no corpus word explode→groupBy);
+    the only aggs are query-terms-/1-row-bounded; final top-k is
+    TakeOrderedAndProject, never a global Sort."""
+    from tokens_ts import textops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 5 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(textops.bm25_topk(docs, ["alpha", "beta"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    # the corpus-sized side must not explode WORDS — the only Generate
+    # allowed is the |terms|-wide per-doc fan-out (it appears once per
+    # consumer branch: df-count and score — still ×2, never ×vocab)
+    assert plan.count("Generate") <= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winnowing_is_shuffle_free(spark):
+    """Winnowing fingerprints are row-local array expressions: the
+    whole plan runs without any Exchange."""
+    from tokens_ts import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    assert "Exchange" not in _plan(dedup.winnowing_fingerprints(docs))
+
+
+def test_run_length_is_shuffle_free(spark, seq_tiny):
+    from tokens_ts import textops
+
+    assert "Exchange" not in _plan(textops.run_length_stats(seq_tiny))
+
+
+def test_pettitt_no_self_join(spark, events_path):
+    """Pettitt uses the midrank identity: window passes only, never a
+    pair-level self-join of the bucket frame."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(
+        analytics.pettitt(ev, ["event_type"], ts_col="ts", trunc="hour")
+    )
+    # exactly one join (the keys-bounded k_stat attach), no cartesian
+    assert plan.count("Join") <= 2
+    assert "Cartesian" not in plan
+
+
+def test_spectral_broadcast_mean_join(spark, events_path):
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(
+        analytics.spectral_power(
+            ev, ["event_type"], [86400], ts_col="ts", trunc="hour"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dtw_collect_is_bounded_and_arrow(spark, events_path):
+    """dtw_daily: the Python stage is an ArrowEvalPython (vectorized
+    scalar pandas_udf), not a row-at-a-time BatchEvalPython; vectors
+    are built per (key, day) group — no corpus-wide collect_list."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(
+        analytics.dtw_daily(ev, ["event_type"], ts_col="ts")
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
