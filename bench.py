@@ -239,6 +239,24 @@ def main():
         _materialize(textops.decay_topk(None, counts=tok_tier)),
     ])
 
+    # round-5e: lexical retrieval (row-local tf, no vocab shuffle),
+    # winnowing fingerprints (pure row-local array exprs), and two
+    # shape-aware series monitors (Arrow DP / ordinal-pattern counts)
+    bench("bm25", lambda: _materialize(
+        textops.bm25_topk(docs, ["fast", "merge", "query"], k=10)
+    ))
+    bench("winnowing", lambda: _materialize(
+        dedup.winnowing_fingerprints(docs)
+    ))
+    bench("dtw_daily", lambda: _materialize(
+        analytics.dtw_daily(ev_raw, keys=["series_id"], ts_col="event_ts")
+    ))
+    bench("perm_entropy", lambda: _materialize(
+        analytics.permutation_entropy(
+            ev_raw, keys=["series_id"], ts_col="event_ts"
+        )
+    ))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",
