@@ -6,7 +6,8 @@ finishers.
 
 queries()/oracle_sql(): one pair per implemented operator from
 SURVEY.md §2 plus the training-data ops (tokens_ts/queries_driver.py,
-queries_data.py). 120 pairs carry a full ANSI-SQL oracle (GATES_r5.json
+queries_data.py). All but two pairs carry a full ANSI-SQL oracle
+(GATES_r5.json
 = the committed full-registry run at both SFs); exactly two are
 rows-only by design — doc_minhash_lsh and doc_simhash use
 xxhash64, which DuckDB lacks. Each has a fully-oracled md5-hashed

@@ -1452,3 +1452,37 @@ def test_spectral_gap_correct_no_zero_fill(spark):
     r = analytics.spectral_power(df, ["key"], [86400]).collect()[0]
     assert abs(r["power"]) < 1e-18
     assert r["n"] == 64
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_hand_computed(spark):
+    rows = [
+        # user 1: gaps 10, 20; user 2: gap 40
+        ("k", 1, 1, 0), ("k", 1, 2, 10), ("k", 1, 3, 30),
+        ("k", 2, 4, 100), ("k", 2, 5, 140),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, uid int, eid int, t int"
+    ).select("key", "uid", "eid", F.timestamp_seconds("t").alias("event_ts"))
+    r = analytics.interarrival_stats(
+        df, ["key"], user_col="uid", order_cols=["eid"]
+    ).collect()[0]
+    assert r["n_gaps"] == 3
+    assert r["p50_s"] == 20.0          # median of 10,20,40
+    assert r["max_s"] == 40
+    # interpolated p95 of (10,20,40): idx=0.95*2=1.9 → 20+0.9*20 = 38
+    assert abs(r["p95_s"] - 38.0) < 1e-9
+
+
+def test_interarrival_never_crosses_users(spark):
+    rows = [("k", 1, 1, 0), ("k", 2, 2, 5)]  # different users → no gap
+    df = spark.createDataFrame(
+        rows, "key string, uid int, eid int, t int"
+    ).select("key", "uid", "eid", F.timestamp_seconds("t").alias("event_ts"))
+    assert analytics.interarrival_stats(
+        df, ["key"], user_col="uid", order_cols=["eid"]
+    ).count() == 0

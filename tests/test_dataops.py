@@ -1483,3 +1483,43 @@ def test_run_length_empty_dropped(spark):
         [("a", []), ("b", [1])], "doc_id string, tokens array<int>"
     )
     assert {r["doc_id"] for r in textops.run_length_stats(seq).collect()} == {"b"}
+
+
+# ---------------------------------------------------------------------------
+# cond_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_cond_entropy_deterministic_chain_is_zero(spark):
+    # 1→2→1→2…: every prev has exactly one next → H(next|prev) = 0
+    seq = spark.createDataFrame(
+        [("s", [1, 2, 1, 2, 1, 2])], "source string, tokens array<int>"
+    )
+    r = textops.cond_entropy(seq).collect()[0]
+    assert abs(r["h_cond"]) < 1e-12
+    assert r["n_bigrams"] == 5 and r["v_left"] == 2
+
+
+def test_cond_entropy_hand_computed_uniform_branch(spark):
+    import math
+
+    # prev=1 goes to 2 and 3 equally → H = ln 2 (weighted fully on a=1)
+    seq = spark.createDataFrame(
+        [("s", [1, 2]), ("s", [1, 3]), ("s", [1, 2]), ("s", [1, 3])],
+        "source string, tokens array<int>",
+    )
+    r = textops.cond_entropy(seq).collect()[0]
+    assert abs(r["h_cond"] - math.log(2)) < 1e-12
+
+
+def test_cond_entropy_higher_for_random_than_templated(spark):
+    rows_t = [("tpl", [1, 2, 3, 4] * 8) for _ in range(6)]
+    rows_r = [
+        ("rnd", [((7 * i + 13 * j * j) % 9) + 1 for j in range(32)])
+        for i in range(6)
+    ]
+    seq = spark.createDataFrame(
+        rows_t + rows_r, "source string, tokens array<int>"
+    )
+    out = {r["source"]: r["h_cond"] for r in textops.cond_entropy(seq).collect()}
+    assert out["rnd"] > out["tpl"] + 0.5

@@ -2189,3 +2189,34 @@ def spectral_power(
         (mag2 / (nd * nd)).alias("power"),
         (F.lit(2.0) * F.sqrt(mag2) / nd).alias("amplitude"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    keys: list[str],
+    user_col: str,
+    ts_col: str = "event_ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inter-arrival gap distribution per key, pooled across users:
+    each user's consecutive-event gaps (whole seconds), then exact
+    interpolated p50/p95 and the max per key — the arrival-process
+    fingerprint behind heartbeat SLAs and session-gap tuning.
+
+    One window pass partitioned by (key, user) — the NATURAL
+    parallelism unit (millions of users ⇒ millions of small
+    partitions, no giant per-key sort), then one keys-bounded agg.
+    Gaps are integer epoch-second differences (cross-engine exact);
+    the percentiles are ratios/interpolations of those integers.
+    order_cols break duplicate-timestamp ties deterministically."""
+    oc = order_cols or []
+    w = Window.partitionBy(*keys, user_col).orderBy(ts_col, *oc)
+    ep = F.unix_timestamp(F.col(ts_col))
+    gap = ep - F.lag(ep).over(w)
+    g = df.select(*keys, gap.alias("_gap")).where(F.col("_gap").isNotNull())
+    return g.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.percentile("_gap", F.lit(0.5)).alias("p50_s"),
+        F.percentile("_gap", F.lit(0.95)).alias("p95_s"),
+        F.max("_gap").cast("bigint").alias("max_s"),
+    )

@@ -5159,3 +5159,68 @@ def seq_run_length(spark, sf_dir):
         "doc_id", "n_tok", "n_runs", "max_run",
         _e("mean_run", 6).alias("mean_run_e6"),
     )
+
+
+@q(
+    "seq_cond_entropy",
+    _synth_cte()
+    + """
+    , bg AS (
+      SELECT source, tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    bgc AS (SELECT source, a, b, count(*) AS cab FROM bg GROUP BY 1, 2, 3),
+    ua AS (SELECT source, a, sum(cab) AS ca FROM bgc GROUP BY 1, 2)
+    SELECT bgc.source,
+           CAST(sum(cab) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT bgc.a) AS BIGINT) AS v_left,
+           CAST(ROUND(sum(cab * (ln(ca) - ln(cab))) / sum(cab) * 1e6)
+             AS BIGINT) AS h_cond_e6
+    FROM bgc JOIN ua ON bgc.source = ua.source AND bgc.a = ua.a
+    GROUP BY 1
+    """,
+)
+def seq_cond_entropy(spark, sf_dir):
+    """Conditional bigram entropy H(next|prev) per source in nats —
+    sequence predictability; PAD breaks adjacency (pmi rule)."""
+    out = textops.cond_entropy(_seq(spark), by="source", pad_id=C.PAD_ID)
+    return out.select(
+        "source", "n_bigrams", "v_left", _e("h_cond", 6).alias("h_cond_e6")
+    )
+
+
+@q(
+    "ts_interarrival",
+    """
+    WITH g AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT k AS series_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(ROUND(quantile_cont(gap, 0.5) * 1e6) AS BIGINT) AS p50_e6,
+           CAST(ROUND(quantile_cont(gap, 0.95) * 1e6) AS BIGINT) AS p95_e6,
+           CAST(max(gap) AS BIGINT) AS max_s
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def ts_interarrival(spark, sf_dir):
+    """Per-type inter-arrival gap distribution pooled over users:
+    (event_type, user) windows — the natural parallelism unit — then
+    exact interpolated p50/p95 over integer-second gaps."""
+    out = analytics.interarrival_stats(
+        _ev(spark, sf_dir), keys=["event_type"], user_col="user_id",
+        ts_col="ts", order_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n_gaps",
+        _e("p50_s", 6).alias("p50_e6"),
+        _e("p95_s", 6).alias("p95_e6"),
+        "max_s",
+    )

@@ -1470,3 +1470,53 @@ def run_length_stats(
         F.array_max(lens).cast("bigint").alias("max_run"),
         (n.cast("double") / n_runs).alias("mean_run"),
     )
+
+
+def cond_entropy(
+    seq: DataFrame,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+) -> DataFrame:
+    """Conditional bigram entropy H(next | prev) per group, in nats —
+    the sequence-predictability gauge one level above unigram entropy
+    (boilerplate-heavy or template-generated token streams collapse
+    here long before their unigram mix looks degenerate):
+    H = Σ_ab c_ab·(ln c_a − ln c_ab) / T over kept adjacent bigrams
+    (both sides non-PAD — the bigram_pmi adjacency rule), c_a = count
+    of a as LEFT element so the conditionals normalize exactly.
+
+    One row-local bigram stream → vocab²-bounded counts; everything
+    downstream is counts-frame-sized. ln of INTEGER counts keeps the
+    cross-engine error at libm-ulp level, far under the e6 grain."""
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        by,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg"),
+    ).select(by, "bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    bgc = pairs.groupBy(by, "a", "b").agg(F.count("*").alias("cab"))
+    ua = bgc.groupBy(by, "a").agg(F.sum("cab").alias("ca"))
+    j = bgc.join(ua, [by, "a"])
+    out = j.groupBy(by).agg(
+        F.sum("cab").cast("bigint").alias("n_bigrams"),
+        F.countDistinct("a").cast("bigint").alias("v_left"),
+        (
+            F.sum(
+                F.col("cab") * (F.log("ca") - F.log("cab"))
+            )
+            / F.sum("cab")
+        ).alias("h_cond"),
+    )
+    return out
