@@ -1486,3 +1486,82 @@ def test_interarrival_never_crosses_users(spark):
     assert analytics.interarrival_stats(
         df, ["key"], user_col="uid", order_cols=["eid"]
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hurst_rs
+# ---------------------------------------------------------------------------
+
+
+def _hurst_df(spark, values, key="k"):
+    rows = [(key, 3600 * i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "key string, t int, value double"
+    ).select("key", F.timestamp_seconds("t").alias("event_ts"), "value")
+
+
+def test_hurst_matches_numpy_reference(spark):
+    import math as _m
+
+    # deterministic pseudo-random walk-ish series
+    vals, acc = [], 0.0
+    for i in range(128):
+        acc += _m.sin(i * 1.7) + 0.3
+        vals.append(acc)
+    rows = analytics.hurst_rs(
+        _hurst_df(spark, vals), ["key"], sizes=(8, 16, 32)
+    ).collect()
+    got = {r["w"]: r for r in rows}
+
+    def rs_mean(vals, w):
+        out = []
+        for b in range(len(vals) // w):
+            blk = vals[b * w : (b + 1) * w]
+            mu = sum(blk) / w
+            sd = _m.sqrt(sum((x - mu) ** 2 for x in blk) / w)
+            if sd == 0:
+                continue
+            cum, c = [], 0.0
+            for x in blk:
+                c += x - mu
+                cum.append(c)
+            out.append((max(cum) - min(cum)) / sd)
+        return sum(out) / len(out), len(out)
+
+    xs, ys = [], []
+    for w in (8, 16, 32):
+        m, nb = rs_mean(vals, w)
+        assert got[w]["n_blocks"] == nb
+        assert abs(got[w]["rs_mean"] - m) < 1e-9
+        xs.append(_m.log(w))
+        ys.append(_m.log(m))
+    n = 3
+    slope = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    assert abs(got[8]["hurst"] - slope) < 1e-9
+
+
+def test_hurst_trending_beats_alternating(spark):
+    trend = analytics.hurst_rs(
+        _hurst_df(spark, [float(i) for i in range(96)]), ["key"]
+    ).collect()[0]["hurst"]
+    alt = analytics.hurst_rs(
+        _hurst_df(spark, [float(i % 2) for i in range(96)]), ["key"]
+    ).collect()[0]["hurst"]
+    # persistent trend → H near 1; alternating → strongly anti-persistent
+    assert trend > 0.9
+    assert alt < 0.3
+
+
+def test_hurst_ragged_tail_dropped(spark):
+    rows = analytics.hurst_rs(
+        _hurst_df(spark, [float((i * 13) % 7) for i in range(20)]),
+        ["key"],
+        sizes=(8, 16, 32),
+    ).collect()
+    got = {r["w"]: r for r in rows}
+    assert got[8]["n_blocks"] == 2      # 20 // 8
+    assert got[16]["n_blocks"] == 1
+    assert 32 not in got                 # no complete block
+    assert got[8]["hurst"] is not None   # 2 usable sizes → H defined

@@ -2220,3 +2220,102 @@ def interarrival_stats(
         F.percentile("_gap", F.lit(0.95)).alias("p95_s"),
         F.max("_gap").cast("bigint").alias("max_s"),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    sizes: tuple = (8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis per key over
+    the `trunc`-bucketed series — the long-memory diagnostic (H ≈ 0.5
+    memoryless, H > 0.5 persistent/trending, H < 0.5 mean-reverting;
+    a capacity planner sizing burst headroom needs exactly this).
+
+    Per block size w: the series (ordered, 0-indexed) splits into
+    COMPLETE blocks of w buckets (the ragged tail is dropped —
+    pinned); per block R = max − min of the cumulative
+    mean-deviations and S = population σ; blocks with S = 0 are
+    excluded (no rescale exists — and R = 0 there anyway). H is the
+    closed-form OLS slope of ln(mean R/S) on ln w; keys with < 2
+    usable sizes get a NULL H but keep their per-size rows.
+
+    Output one row per (key, w): n_blocks, rs_mean, and the key's H
+    repeated — the per-size rows make the scaling line auditable.
+
+    Shapes: one corpus bucket agg, then TWO window passes over the
+    same (key, w, block) partitioning (moments + running sum — one
+    shuffle since the explode is only |sizes|×buckets), then
+    blocks-/keys-bounded aggs and one broadcast H join back."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    idx = F.row_number().over(
+        Window.partitionBy(*keys).orderBy("ep")
+    ) - 1
+    e = (
+        b.withColumn("idx", idx)
+        .select(
+            *keys,
+            "idx",
+            "v",
+            F.explode(
+                F.array(*[F.lit(int(s)).cast("long") for s in sizes])
+            ).alias("w"),
+        )
+        .withColumn("block", F.floor(F.col("idx") / F.col("w")))
+    )
+    wb = Window.partitionBy(*keys, "w", "block")
+    wc = wb.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    moments = e.select(
+        *keys,
+        "w",
+        "block",
+        "idx",
+        "v",
+        F.count("*").over(wb).alias("_nb"),
+        F.stddev_pop("v").over(wb).alias("_sd"),
+        F.avg("v").over(wb).alias("_mu"),
+    ).where(F.col("_nb") == F.col("w"))
+    scored = moments.select(
+        *keys,
+        "w",
+        "block",
+        "_sd",
+        F.sum(F.col("v") - F.col("_mu")).over(wc).alias("_cum"),
+    )
+    blocks = scored.groupBy(*keys, "w", "block").agg(
+        (F.max("_cum") - F.min("_cum")).alias("_r"),
+        F.max("_sd").alias("_s"),
+    ).where(F.col("_s") > 0)
+    per_size = blocks.groupBy(*keys, "w").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.avg(F.col("_r") / F.col("_s")).alias("rs_mean"),
+    )
+    x = F.log(F.col("w").cast("double"))
+    y = F.log("rs_mean")
+    h = per_size.groupBy(*keys).agg(
+        F.count("*").alias("_np"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    slope = F.when(
+        (F.col("_np") >= 2)
+        & (F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0),
+        (F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+    )
+    hh = h.select(*keys, slope.alias("hurst"))
+    return per_size.join(F.broadcast(hh), keys).select(
+        *keys, "w", "n_blocks", "rs_mean", "hurst"
+    )

@@ -5224,3 +5224,78 @@ def ts_interarrival(spark, sf_dir):
         _e("p95_s", 6).alias("p95_e6"),
         "max_s",
     )
+
+
+@q(
+    "ts_hurst",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    ix AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY ep) - 1 AS idx
+      FROM b
+    ),
+    e AS (
+      SELECT k, v, idx, w.w, CAST(floor(idx / w.w) AS BIGINT) AS block
+      FROM ix, (VALUES (8), (16), (32)) w(w)
+    ),
+    mo AS (
+      SELECT k, w, block, idx, v,
+             count(*) OVER pb AS nb,
+             stddev_pop(v) OVER pb AS sd,
+             avg(v) OVER pb AS mu
+      FROM e WINDOW pb AS (PARTITION BY k, w, block)
+    ),
+    cm AS (
+      SELECT k, w, block, sd,
+             sum(v - mu) OVER (PARTITION BY k, w, block ORDER BY idx
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM mo WHERE nb = w
+    ),
+    bl AS (
+      SELECT k, w, block, max(cum) - min(cum) AS r, max(sd) AS s
+      FROM cm GROUP BY 1, 2, 3 HAVING max(sd) > 0
+    ),
+    ps AS (
+      SELECT k, w, count(*) AS n_blocks, avg(r / s) AS rs_mean
+      FROM bl GROUP BY 1, 2
+    ),
+    hh AS (
+      SELECT k,
+             CASE WHEN count(*) >= 2
+                   AND count(*) * sum(ln(w) * ln(w))
+                       - sum(ln(w)) * sum(ln(w)) > 0
+                  THEN (count(*) * sum(ln(w) * ln(rs_mean))
+                        - sum(ln(w)) * sum(ln(rs_mean)))
+                       / (count(*) * sum(ln(w) * ln(w))
+                          - sum(ln(w)) * sum(ln(w)))
+             END AS hurst
+      FROM (SELECT k, CAST(w AS DOUBLE) AS w, rs_mean FROM ps) GROUP BY 1
+    )
+    SELECT ps.k AS series_id, CAST(ps.w AS BIGINT) AS w,
+           CAST(ps.n_blocks AS BIGINT) AS n_blocks,
+           CAST(ROUND(ps.rs_mean * 1e6) AS BIGINT) AS rs_e6,
+           CAST(ROUND(hh.hurst * 1e6) AS BIGINT) AS hurst_e6
+    FROM ps JOIN hh ON ps.k = hh.k
+    """,
+)
+def ts_hurst(spark, sf_dir):
+    """Hurst exponent via R/S at block sizes {8,16,32} hourly buckets
+    per series: per-size mean rescaled range plus the ln-ln OLS slope
+    repeated per row (the scaling line stays auditable)."""
+    out = analytics.hurst_rs(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", sizes=(8, 16, 32),
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "w",
+        "n_blocks",
+        _e("rs_mean", 6).alias("rs_e6"),
+        _e("hurst", 6).alias("hurst_e6"),
+    )
