@@ -1523,3 +1523,50 @@ def test_cond_entropy_higher_for_random_than_templated(spark):
     )
     out = {r["source"]: r["h_cond"] for r in textops.cond_entropy(seq).collect()}
     assert out["rnd"] > out["tpl"] + 0.5
+
+
+# ---------------------------------------------------------------------------
+# pca_top_component
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    rng_vecs = [
+        [float(((i * 37 + j * j * 11) % 97) / 97.0 - 0.5) for j in range(8)]
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = simsearch.pca_top_component(emb, dim=8, n_iter=3)
+    rows = {r["dim"]: r for r in out.collect()}
+
+    x = np.array(rng_vecs)
+    d = x - x.mean(axis=0)
+    v = np.full(8, 0.125)
+    for _ in range(3):
+        raw = d.T @ (d @ v)
+        lam = float(v @ raw) / len(d)
+        v = raw / np.linalg.norm(raw)
+    tv = float((d * d).sum(axis=1).mean())
+    for j in range(8):
+        assert abs(rows[j + 1]["loading"] - v[j]) < 1e-9
+    assert abs(rows[1]["eigenvalue"] - lam) < 1e-9
+    assert abs(rows[1]["explained"] - lam / tv) < 1e-12
+
+
+def test_pca_finds_planted_dominant_direction(spark):
+    # variance planted on axis 2; loadings must concentrate there
+    rows = [
+        (i, [0.01 * ((i * 7) % 3), float(i % 11) * 5.0, 0.01 * ((i * 13) % 5), 0.0])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in simsearch.pca_top_component(
+        emb, dim=4, n_iter=3
+    ).collect()}
+    assert abs(out[2]["loading"]) > 0.999
+    assert out[2]["explained"] > 0.99

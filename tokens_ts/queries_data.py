@@ -5299,3 +5299,65 @@ def ts_hurst(spark, sf_dir):
         _e("rs_mean", 6).alias("rs_e6"),
         _e("hurst", 6).alias("hurst_e6"),
     )
+
+
+def _pca_sql(dim: int = 64) -> str:
+    """Unrolled 3-iteration power-iteration oracle (the Lloyd-unrolled
+    contract): DuckDB replays mean-subtraction, three dot/sum/normalize
+    rounds from the exact-binary 1/8 start vector, λ and explained
+    variance — value-for-value against simsearch.pca_top_component."""
+    sums = ", ".join(f"sum(d[{j}] * dot)" for j in range(1, dim + 1))
+    avgs = ", ".join(f"avg(x[{j}])" for j in range(1, dim + 1))
+    v0 = ", ".join(["0.125"] * dim)
+    norm = (
+        "list_transform(nv, z -> z / sqrt(list_sum("
+        "list_transform(nv, y -> y*y))))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    mu AS (SELECT [{avgs}] AS mu FROM e),
+    d AS (
+      SELECT list_transform(range(1, {dim + 1}), j -> x[j] - mu.mu[j]) AS d
+      FROM e, mu
+    ),
+    s1 AS (SELECT d, list_dot_product(d, [{v0}]) AS dot FROM d),
+    i1 AS (SELECT count(*) AS n, [{sums}] AS nv FROM s1),
+    n1 AS (SELECT {norm} AS v FROM i1),
+    s2 AS (SELECT d.d AS d, list_dot_product(d.d, n1.v) AS dot FROM d, n1),
+    i2 AS (SELECT count(*) AS n, [{sums}] AS nv FROM s2),
+    n2 AS (SELECT {norm} AS v FROM i2),
+    s3 AS (SELECT d.d AS d, list_dot_product(d.d, n2.v) AS dot FROM d, n2),
+    i3 AS (SELECT count(*) AS n, [{sums}] AS nv FROM s3),
+    lamc AS (
+      SELECT list_dot_product(n2.v, i3.nv) / i3.n AS lam, i3.n AS n
+      FROM n2, i3
+    ),
+    vf AS (SELECT {norm} AS v FROM i3),
+    tv AS (
+      SELECT avg(list_sum(list_transform(d, z -> z*z))) AS tv FROM d
+    )
+    SELECT u.j AS dim,
+           CAST(ROUND(vf.v[u.j] * 1e6) AS BIGINT) AS loading_e6,
+           CAST(ROUND(lamc.lam * 1e4) AS BIGINT) AS eig_e4,
+           CAST(ROUND(lamc.lam / tv.tv * 1e6) AS BIGINT) AS explained_e6,
+           CAST(lamc.n AS BIGINT) AS n
+    FROM vf, lamc, tv, (SELECT unnest(range(1, {dim + 1})) AS j) u
+    """
+
+
+@q("emb_pca_top", _pca_sql())
+def emb_pca_top(spark, sf_dir):
+    """Top principal component of the embedding cloud (3 power
+    iterations, deterministic 1/8 start): per-dimension loadings, λ,
+    explained-variance ratio — embedding-collapse / drift probe."""
+    out = simsearch.pca_top_component(_emb(spark, sf_dir))
+    return out.select(
+        "dim",
+        _e("loading", 6).alias("loading_e6"),
+        _e("eigenvalue", 4).alias("eig_e4"),
+        _e("explained", 6).alias("explained_e6"),
+        "n",
+    )

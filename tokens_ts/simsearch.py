@@ -357,3 +357,85 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "sim_e6")
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 3,
+):
+    """Top principal component of the embedding cloud by UNROLLED
+    power iteration — the embedding-drift / index-conditioning probe
+    (a collapsing embedder shows one direction eating the variance;
+    IVF cell balance degrades the same way).
+
+    Fully deterministic and oracle-mirrorable (the lloyd_centroids
+    contract): start vector is the exact binary double 1/8 in every
+    coordinate; each iteration is (1) a row-local demeaned dot
+    product, (2) ONE map-side-combined agg of dim F.sum expressions,
+    (3) a driver-side normalize over dim control-plane doubles. The
+    mean is broadcast as literals from one dim-wide F.avg agg.
+    λ = v_{T−1}·(Σd(d·v_{T−1}))/n after the last iteration;
+    explained = λ / mean squared demeaned norm. Power iteration is
+    contractive toward the dominant eigenvector, so cross-engine
+    ulp-level sum differences damp instead of amplifying — the e6
+    grain holds through all iterations.
+
+    Cost: n_iter + 2 corpus scans, each reduced map-side; zero
+    corpus shuffles, zero Python in the per-row path.
+
+    Returns (spark DataFrame of one row per dimension with the
+    loading, λ, explained ratio, n) — built driver-side from
+    control-plane values."""
+    import math
+
+    spark = emb.sparkSession
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("x")
+    )
+    mu_row = e.agg(
+        *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(dim)]
+    ).collect()[0]
+    mu_arr = F.array(*[F.lit(float(mu_row[f"m{j}"])) for j in range(dim)])
+    d = e.select(
+        F.zip_with(F.col("x"), mu_arr, lambda a, b: a - b).alias("d")
+    )
+    v = [0.125] * dim
+    lam = None
+    n = 0
+    for _ in range(n_iter):
+        vcol = F.array(*[F.lit(float(z)) for z in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("d"), vcol, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        scored = d.select("d", dot.alias("_dot"))
+        row = scored.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.col("d")[j] * F.col("_dot")).alias(f"s{j}")
+                for j in range(dim)
+            ],
+        ).collect()[0]
+        raw = [float(row[f"s{j}"]) for j in range(dim)]
+        n = int(row["n"])
+        lam = sum(a * b for a, b in zip(v, raw)) / n
+        norm = math.sqrt(sum(z * z for z in raw))
+        v = [z / norm for z in raw]
+    tv = d.agg(
+        F.avg(
+            F.aggregate(
+                F.col("d"), F.lit(0.0), lambda acc, z: acc + z * z
+            )
+        ).alias("tv")
+    ).collect()[0]["tv"]
+    rows = [
+        (j + 1, v[j], float(lam), float(lam) / float(tv), n)
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, loading double, eigenvalue double, "
+        "explained double, n long"
+    )
