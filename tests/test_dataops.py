@@ -1570,3 +1570,61 @@ def test_pca_finds_planted_dominant_direction(spark):
     ).collect()}
     assert abs(out[2]["loading"]) > 0.999
     assert out[2]["explained"] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# nll_drift
+# ---------------------------------------------------------------------------
+
+
+def _nll_seq(spark, rows):
+    # rows: (source, hour_index, tokens)
+    import datetime as dt
+
+    data = [
+        (s, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), t)
+        for s, h, t in rows
+    ]
+    return spark.createDataFrame(
+        data, "source string, event_ts timestamp, tokens array<int>"
+    )
+
+
+def test_nll_drift_identical_hours_score_low_shifted_high(spark):
+    import math
+
+    same = [1, 2, 3, 1, 2, 3, 1, 2]
+    diff = [7, 8, 9, 7, 8, 9, 7, 8]
+    seq = _nll_seq(spark, [
+        ("stable", 0, same), ("stable", 1, same),
+        ("shift", 0, same), ("shift", 1, diff),
+    ])
+    out = {r["source"]: r for r in textops.nll_drift(seq, trunc="hour").collect()}
+    # the shifted source is 100% OOV and must score far worse
+    assert out["shift"]["oov_rate"] == 1.0
+    assert out["stable"]["oov_rate"] == 0.0
+    assert out["shift"]["avg_nll"] > out["stable"]["avg_nll"] + math.log(2)
+
+
+def test_nll_drift_hand_computed(spark):
+    import math
+
+    # hour 0: bigrams (1,2)x2 → c_ab=2, c_a=2, V={1,2} → v=2
+    # hour 1: doc [1,2,1] → bigrams (1,2),(2,1)
+    seq = _nll_seq(spark, [
+        ("s", 0, [1, 2]), ("s", 0, [1, 2]), ("s", 1, [1, 2, 1]),
+    ])
+    rows = textops.nll_drift(seq, trunc="hour", k=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    p_seen = (2 + 0.5) / (2 + 0.5 * 2)      # (1,2) under hour-0 LM
+    p_oov = (0 + 0.5) / (0 + 0.5 * 2)       # (2,1): unseen a-side count
+    expect = -(math.log(p_seen) + math.log(p_oov)) / 2
+    assert abs(r["avg_nll"] - expect) < 1e-12
+    assert abs(r["oov_rate"] - 0.5) < 1e-12
+
+
+def test_nll_drift_no_predecessor_unscored(spark):
+    seq = _nll_seq(spark, [("s", 0, [1, 2, 3]), ("s", 5, [1, 2, 3])])
+    # hour 0 has no hour −1; hour 5 has no hour 4 → nothing scored
+    assert textops.nll_drift(seq, trunc="hour").count() == 0

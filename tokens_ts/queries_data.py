@@ -5361,3 +5361,59 @@ def emb_pca_top(spark, sf_dir):
         _e("explained", 6).alias("explained_e6"),
         "n",
     )
+
+
+@q(
+    "seq_nll_drift",
+    _synth_cte()
+    + """
+    , bgd AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep,
+             tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    bgc AS (
+      SELECT source, ep, a, b, count(*) AS cab FROM bgd GROUP BY 1, 2, 3, 4
+    ),
+    ua AS (SELECT source, ep, a, sum(cab) AS ca FROM bgc GROUP BY 1, 2, 3),
+    vv AS (
+      SELECT source, ep, CAST(count(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT source, epoch_s - epoch_s % 3600 AS ep,
+                   unnest(tokens) AS t FROM seq)
+      WHERE t <> 0 GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bgd.source, bgd.ep, pb.cab AS p_cab, pu.ca AS p_ca, pv.v AS p_v
+      FROM bgd
+      JOIN (SELECT source, ep + 3600 AS ep, v FROM vv) pv
+        USING (source, ep)
+      LEFT JOIN (SELECT source, ep + 3600 AS ep, a, ca FROM ua) pu
+        USING (source, ep, a)
+      LEFT JOIN (SELECT source, ep + 3600 AS ep, a, b, cab FROM bgc) pb
+        USING (source, ep, a, b)
+    )
+    SELECT source, CAST(ep AS BIGINT) AS ep,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(sum(-ln((coalesce(p_cab, 0) + 0.5)
+                              / (coalesce(p_ca, 0) + 0.5 * p_v)))
+                      / count(*) * 1e6) AS BIGINT) AS nll_e6,
+           CAST(ROUND(sum(CASE WHEN p_cab IS NULL THEN 1 ELSE 0 END) * 1.0
+                      / count(*) * 1e9) AS BIGINT) AS oov_e9
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def seq_nll_drift(spark, sf_dir):
+    """Hour-over-hour model-space drift: each hour's mean bigram NLL
+    under the PREVIOUS hour's add-0.5 LM per source, with OOV-bigram
+    rate — structure drift that value/unigram monitors miss."""
+    out = textops.nll_drift(
+        _seq(spark), by="source", pad_id=C.PAD_ID, k=0.5, trunc="hour",
+    )
+    return out.select(
+        "source",
+        "ep",
+        "n_bigrams",
+        _e("avg_nll", 6).alias("nll_e6"),
+        _e("oov_rate", 9).alias("oov_e9"),
+    )

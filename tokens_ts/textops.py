@@ -1520,3 +1520,90 @@ def cond_entropy(
         ).alias("h_cond"),
     )
     return out
+
+
+def nll_drift(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    k: float = 0.5,
+    trunc: str = "day",
+) -> DataFrame:
+    """Token-distribution drift in MODEL space: each bucket's mean
+    bigram negative log-likelihood under the PREVIOUS bucket's add-k
+    bigram LM, per group — the fusion of bigram_logprob with the
+    day-over-day drift pattern (ks_drift/psi_drift watch values; this
+    watches sequence structure: a new scrape or tokenizer change moves
+    NLL even when the unigram mix holds still).
+
+    Pinned rules: bigrams kept iff both sides non-PAD; the LM for
+    bucket t is trained on bucket t−1 only (counts c_ab, left totals
+    c_a·, vocab V = distinct non-PAD tokens of t−1); unseen bigrams
+    smooth to k/(c_a·+k·V) with c_a· = 0 when the left token is
+    itself unseen; buckets with no predecessor bigrams are unscored;
+    oov_rate = share of scored bigrams unseen in t−1.
+
+    Shapes: ONE row-local bigram stream; per-bucket count frames are
+    vocab²×buckets-bounded; the scoring join is cur-bigrams ⋈ shifted
+    prev-counts on (group, a, b, epoch arithmetic) — the ks_drift
+    epoch-shift equi-join, no windows, no corpus self-join."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        by,
+        F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg"),
+    ).select(by, "ep", "bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    bgc = pairs.groupBy(by, "ep", "a", "b").agg(F.count("*").alias("cab"))
+    ua = bgc.groupBy(by, "ep", "a").agg(F.sum("cab").alias("ca"))
+    vv = (
+        seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+            F.explode(tokens_col).alias("t"),
+        )
+        .where(F.col("t") != pad_id)
+        .groupBy(by, "ep")
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    prev_bg = bgc.select(
+        by, (F.col("ep") + step).alias("ep"), "a", "b",
+        F.col("cab").alias("p_cab"),
+    )
+    prev_ua = ua.select(
+        by, (F.col("ep") + step).alias("ep"), "a", F.col("ca").alias("p_ca")
+    )
+    prev_v = vv.select(
+        by, (F.col("ep") + step).alias("ep"), F.col("v").alias("p_v")
+    )
+    scored = (
+        pairs.join(prev_v, [by, "ep"])  # inner: gates on predecessor
+        .join(prev_ua, [by, "ep", "a"], "left")
+        .join(prev_bg, [by, "ep", "a", "b"], "left")
+    )
+    nll = -F.log(
+        (F.coalesce("p_cab", F.lit(0)) + F.lit(k))
+        / (F.coalesce("p_ca", F.lit(0)) + F.lit(k) * F.col("p_v"))
+    )
+    return scored.groupBy(by, "ep").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum(nll) / F.count("*")).alias("avg_nll"),
+        (
+            F.sum(F.when(F.col("p_cab").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).alias("oov_rate"),
+    )
