@@ -1628,3 +1628,48 @@ def test_nll_drift_no_predecessor_unscored(spark):
     seq = _nll_seq(spark, [("s", 0, [1, 2, 3]), ("s", 5, [1, 2, 3])])
     # hour 0 has no hour −1; hour 5 has no hour 4 → nothing scored
     assert textops.nll_drift(seq, trunc="hour").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    quote = "the exact quoted sentence fragment here"
+    filler_a = " ".join(f"lead{i} word{i} filler{i}" for i in range(8))
+    filler_b = " ".join(f"tail{i} more{i} content{i}" for i in range(8))
+    long_doc = filler_a + " " + quote + " " + filler_b
+    docs = spark.createDataFrame(
+        [(1, quote, "en"), (2, long_doc, "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = dedup.containment_pairs(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cont_a_in_b"] > 0.8       # quote ⊂ long doc
+    assert r["cont_b_in_a"] < 0.2       # not vice versa
+    # and jaccard would have been small:
+    jac = r["n_common"] / (
+        r["n_common"] / r["cont_a_in_b"]
+        + r["n_common"] / r["cont_b_in_a"]
+        - r["n_common"]
+    )
+    assert jac < 0.2
+
+
+def test_containment_blocks_cross_lang(spark):
+    docs = spark.createDataFrame(
+        [(1, "same words here", "en"), (2, "same words here", "de")],
+        "doc_id long, text string, lang string",
+    )
+    assert dedup.containment_pairs(docs, threshold=0.1).count() == 0
+
+
+def test_containment_identical_docs_both_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "en"), (2, "a b c d e f", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = dedup.containment_pairs(docs, threshold=0.9).collect()[0]
+    assert r["cont_a_in_b"] == 1.0 and r["cont_b_in_a"] == 1.0

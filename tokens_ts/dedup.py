@@ -639,3 +639,47 @@ def normalized_dedup(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+) -> DataFrame:
+    """ASYMMETRIC containment C(a→b) = |Sa ∩ Sb| / |Sa| over k-word
+    shingle sets, both directions per pair — the quote/subset detector
+    Jaccard structurally misses: a paragraph wholly contained in a
+    10×-longer doc has Jaccard ≈ 0.1 (passes every dedup gate) but
+    containment 1.0. Emitted when EITHER direction ≥ threshold.
+
+    Like ngram_jaccard this is the exact verification-side tool over
+    block-bounded candidate pairs (same `block_col` equi-join + id<id
+    shape); the 100-TB candidate generator stays the capped LSH bucket
+    join — feed its pairs through this scorer instead of the blocked
+    join when blocks are large. Counts are integers; both ratios are
+    single divisions (IEEE-exact cross-engine)."""
+    d = docs.withColumn("_sh", word_shingles(text_col, k))
+    a = d.select(
+        F.col(id_col).alias("a"), F.col(block_col).alias("_blk"),
+        F.col("_sh").alias("_sa"),
+    )
+    b = d.select(
+        F.col(id_col).alias("b"), F.col(block_col).alias("_blk"),
+        F.col("_sh").alias("_sb"),
+    )
+    j = a.join(b, "_blk").where(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    out = j.select(
+        "a",
+        "b",
+        inter.cast("bigint").alias("n_common"),
+        (inter.cast("double") / F.size("_sa")).alias("cont_a_in_b"),
+        (inter.cast("double") / F.size("_sb")).alias("cont_b_in_a"),
+    )
+    return out.where(
+        (F.col("cont_a_in_b") >= threshold)
+        | (F.col("cont_b_in_a") >= threshold)
+    )

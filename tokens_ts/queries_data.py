@@ -5417,3 +5417,36 @@ def seq_nll_drift(spark, sf_dir):
         _e("avg_nll", 6).alias("nll_e6"),
         _e("oov_rate", 9).alias("oov_e9"),
     )
+
+
+@q(
+    "doc_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+             )) AS s3
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.s3, b.s3)) AS BIGINT) AS n_common,
+           CAST(ROUND(len(list_intersect(a.s3, b.s3)) * 1.0
+                      / len(a.s3) * 1e9) AS BIGINT) AS cont_a_e9,
+           CAST(ROUND(len(list_intersect(a.s3, b.s3)) * 1.0
+                      / len(b.s3) * 1e9) AS BIGINT) AS cont_b_e9
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s3, b.s3)) * 1.0 / len(a.s3) >= 0.3
+       OR len(list_intersect(a.s3, b.s3)) * 1.0 / len(b.s3) >= 0.3
+    """,
+)
+def doc_containment(spark, sf_dir):
+    """Asymmetric shingle containment both directions (threshold 0.3
+    either way) — the subset/quote detector Jaccard misses."""
+    out = dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return out.select(
+        "a", "b", "n_common",
+        _e("cont_a_in_b", 9).alias("cont_a_e9"),
+        _e("cont_b_in_a", 9).alias("cont_b_e9"),
+    )
