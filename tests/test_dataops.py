@@ -1673,3 +1673,80 @@ def test_containment_identical_docs_both_one(spark):
     )
     r = dedup.containment_pairs(docs, threshold=0.9).collect()[0]
     assert r["cont_a_in_b"] == 1.0 and r["cont_b_in_a"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# label_cohesion / quantize_error
+# ---------------------------------------------------------------------------
+
+
+def test_label_cohesion_tight_vs_spread(spark):
+    tight = [(i, [1.0, 0.0, 0.01 * (i % 3)], 1) for i in range(12)]
+    # spread class: vectors pointing in different quadrants
+    spread = [
+        (100 + i, [float((-1) ** i), float((-1) ** (i // 2)), 0.5], 2)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        tight + spread, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in simsearch.label_cohesion(emb, dim=3).collect()
+    }
+    assert out[1]["cohesion"] > 0.999
+    assert out[2]["cohesion"] < 0.7
+    assert out[1]["n"] == 12
+
+
+def test_label_cohesion_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [
+        [float(((i * 7 + j * 3) % 11) - 5) for j in range(4)] for i in range(9)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 1) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = simsearch.label_cohesion(emb, dim=4).collect()[0]
+    x = np.array(vecs)
+    c = x.mean(axis=0)
+    cos = (x @ c) / (np.linalg.norm(x, axis=1) * np.linalg.norm(c))
+    assert abs(r["cohesion"] - float(cos.mean())) < 1e-12
+    assert abs(r["centroid_norm"] - float(np.linalg.norm(c))) < 1e-12
+
+
+def test_quantize_error_exact_on_grid(spark):
+    # values already on the int8 grid (k/127 with scale 1) quantize
+    # losslessly
+    grid = [-1.0, -64.0 / 127.0, 0.0, 64.0 / 127.0, 1.0]
+    emb = spark.createDataFrame(
+        [(i, [grid[i % 5]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r = simsearch.quantize_error(emb, dim=1).collect()[0]
+    assert r["mse"] < 1e-30 and r["max_abs_err"] < 1e-15
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    import numpy as np
+
+    vals = [[float(np.float32(((i * 37) % 101) / 101.0 - 0.5))] for i in range(50)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    )
+    r = simsearch.quantize_error(emb, dim=1).collect()[0]
+    half_step = r["scale"] / 127.0 / 2.0
+    assert r["max_abs_err"] <= half_step + 1e-12
+    assert r["n"] == 50
+
+
+def test_quantize_error_zero_dim(spark):
+    emb = spark.createDataFrame(
+        [(i, [0.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in simsearch.quantize_error(emb, dim=2).collect()}
+    assert rows[1]["mse"] == 0.0 and rows[1]["scale"] == 0.0

@@ -5450,3 +5450,85 @@ def doc_containment(spark, sf_dir):
         _e("cont_a_in_b", 9).alias("cont_a_e9"),
         _e("cont_b_in_a", 9).alias("cont_b_e9"),
     )
+
+
+def _cohesion_sql(dim: int = 64) -> str:
+    avgs = ", ".join(f"avg(x[{j}])" for j in range(1, dim + 1))
+    return f"""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    c AS (
+      SELECT label, count(*) AS n, [{avgs}] AS c FROM e GROUP BY 1
+    ),
+    s AS (
+      SELECT e.label, c.n,
+             sqrt(list_dot_product(c.c, c.c)) AS cn,
+             CASE WHEN list_dot_product(e.x, e.x) > 0
+                   AND list_dot_product(c.c, c.c) > 0
+                  THEN list_dot_product(e.x, c.c)
+                       / (sqrt(list_dot_product(e.x, e.x))
+                          * sqrt(list_dot_product(c.c, c.c)))
+             END AS cos
+      FROM e JOIN c USING (label)
+    )
+    SELECT label, CAST(max(n) AS BIGINT) AS n,
+           CAST(ROUND(max(cn) * 1e6) AS BIGINT) AS centroid_norm_e6,
+           CAST(ROUND(avg(cos) * 1e6) AS BIGINT) AS cohesion_e6
+    FROM s GROUP BY 1
+    """
+
+
+@q("emb_label_cohesion", _cohesion_sql())
+def emb_label_cohesion(spark, sf_dir):
+    """Per-label centroid norm + mean member-to-centroid cosine —
+    labeled-embedding QA (mislabeled/bimodal classes sag here)."""
+    out = simsearch.label_cohesion(_emb(spark, sf_dir))
+    return out.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n",
+        _e("centroid_norm", 6).alias("centroid_norm_e6"),
+        _e("cohesion", 6).alias("cohesion_e6"),
+    )
+
+
+def _quant_sql(dim: int = 64) -> str:
+    maxes = ", ".join(f"max(abs(x[{j}]))" for j in range(1, dim + 1))
+    return f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    sc AS (SELECT [{maxes}] AS s FROM e),
+    er AS (
+      SELECT u.j, sc.s[u.j] AS scale,
+             e.x[u.j] - CASE WHEN sc.s[u.j] > 0
+               THEN GREATEST(-127.0, LEAST(127.0,
+                      ROUND(e.x[u.j] * 127.0 / sc.s[u.j])))
+                    * sc.s[u.j] / 127.0
+               ELSE 0.0 END AS err
+      FROM e, sc, (SELECT unnest(range(1, {dim + 1})) AS j) u
+    )
+    SELECT j AS dim,
+           CAST(ROUND(max(scale) * 1e6) AS BIGINT) AS scale_e6,
+           CAST(ROUND(avg(err * err) * 1e9) AS BIGINT) AS mse_e9,
+           CAST(ROUND(max(abs(err)) * 1e9) AS BIGINT) AS maxerr_e9,
+           CAST(count(*) AS BIGINT) AS n
+    FROM er GROUP BY 1
+    """
+
+
+@q("emb_quantize_error", _quant_sql())
+def emb_quantize_error(spark, sf_dir):
+    """Symmetric per-dim int8 quantization error table (scale =
+    max |x_j|, exact order-independent agg): MSE + max abs error per
+    dimension — the 4×-smaller-index cost sheet."""
+    out = simsearch.quantize_error(_emb(spark, sf_dir))
+    return out.select(
+        "dim",
+        _e("scale", 6).alias("scale_e6"),
+        _e("mse", 9).alias("mse_e9"),
+        _e("max_abs_err", 9).alias("maxerr_e9"),
+        "n",
+    )

@@ -439,3 +439,116 @@ def pca_top_component(
         rows, "dim long, loading double, eigenvalue double, "
         "explained double, n long"
     )
+
+
+def label_cohesion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label embedding cohesion: each class's centroid norm and
+    the mean cosine of members to their own centroid — the labeled-
+    embedding QA gauge (a class whose cohesion sags is mislabeled,
+    bimodal, or the embedder regressed on it; run per ingest batch).
+
+    One dim-wide map-side-combined centroid agg (labels × dim,
+    broadcast back), then a row-local cosine fold and one labels-
+    bounded mean — zero corpus shuffles beyond the two partial-state
+    aggs. Rows with zero norm are excluded from cohesion (cosine
+    undefined; pinned)."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    cents = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(dim)],
+    ).select(
+        "label",
+        "n",
+        F.array(*[F.col(f"m{j}") for j in range(dim)]).alias("c"),
+    )
+    j = e.join(F.broadcast(cents), "label")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    xx = _dot(F.col("x"), F.col("x"))
+    cc = _dot(F.col("c"), F.col("c"))
+    xc = _dot(F.col("x"), F.col("c"))
+    cos = xc / (F.sqrt(xx) * F.sqrt(cc))
+    scored = j.select(
+        "label", "n", F.sqrt(cc).alias("_cn"),
+        F.when((xx > 0) & (cc > 0), cos).alias("_cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.max("_cn").alias("centroid_norm"),
+        F.avg("_cos").alias("cohesion"),
+    )
+
+
+def quantize_error(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization error — the
+    memory-vs-recall planning table for an ANN index (int8 storage is
+    4× smaller than float32; this says what it costs): per dim,
+    scale s_j = max |x_j| (an ORDER-INDEPENDENT agg — exact
+    cross-engine), q = round(x·127/s) ∈ [−127, 127], and the MSE and
+    max abs error of dequantized values.
+
+    Shape: ONE dim-wide max agg (order-independent — exact
+    cross-engine) broadcast back as a 1-row frame, then ONE pass of
+    2·dim more map-side-combined agg expressions (avg sqerr, max
+    abserr per dim) — the corpus is scanned twice and NEVER exploded
+    (a per-dim explode would push 64× the rows through the partial
+    agg). The per-dim output table is unpivoted from the single
+    result row. Dims with s = 0 quantize to 0 with zero error
+    (pinned)."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("x")
+    )
+    scales = e.agg(
+        *[F.max(F.abs(F.col("x")[j])).alias(f"s{j}") for j in range(dim)]
+    )
+    j = e.crossJoin(F.broadcast(scales))
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for jdim in range(dim):
+        x = F.col("x")[jdim]
+        s = F.col(f"s{jdim}")
+        q = F.when(
+            s > 0,
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(x * 127.0 / s)),
+            ),
+        ).otherwise(F.lit(0.0))
+        err = x - F.when(s > 0, q * s / 127.0).otherwise(F.lit(0.0))
+        aggs.append(F.avg(err * err).alias(f"mse{jdim}"))
+        aggs.append(F.max(F.abs(err)).alias(f"mx{jdim}"))
+        aggs.append(F.max(s).alias(f"sc{jdim}"))
+    one = j.agg(*aggs)
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(jdim + 1).cast("long").alias("dim"),
+                F.col(f"sc{jdim}").alias("scale"),
+                F.col(f"mse{jdim}").alias("mse"),
+                F.col(f"mx{jdim}").alias("max_abs_err"),
+            )
+            for jdim in range(dim)
+        ]
+    )
+    return one.select("n", F.explode(per_dim).alias("r")).select(
+        "r.dim", "r.scale", "r.mse", "r.max_abs_err", "n"
+    )
