@@ -1565,3 +1565,61 @@ def test_hurst_ragged_tail_dropped(spark):
     assert got[16]["n_blocks"] == 1
     assert 32 not in got                 # no complete block
     assert got[8]["hurst"] is not None   # 2 usable sizes → H defined
+
+
+def test_kalman_hand_recursion(spark):
+    """q=.25, r=1, P1=1 on [0, 9, 0]: pp2=1.25 K2=5/9 l2=5 P2=5/9;
+    pp3=5/9+1/4=29/36 K3=29/65 l3=5-145/65=5*36/65=36/13."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate([0.0, 9.0, 0.0])]
+    rows += [("one", t0, 5.0)]  # 1-bucket series: init state only
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["k"], r["ep"]): r
+        for r in analytics.kalman_level(df, keys=["k"]).collect()
+    }
+    ep0 = int(t0.replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+    r1 = out[("S", ep0)]
+    assert (r1["level"], r1["pvar"], r1["gain"], r1["fitted"]) == (0.0, 1.0, None, None)
+    r2 = out[("S", ep0 + 3600)]
+    assert r2["gain"] == pytest.approx(5.0 / 9.0)
+    assert r2["level"] == pytest.approx(5.0)
+    assert r2["pvar"] == pytest.approx(5.0 / 9.0)
+    assert r2["fitted"] == 0.0 and r2["innovation"] == 9.0
+    r3 = out[("S", ep0 + 7200)]
+    assert r3["gain"] == pytest.approx(29.0 / 65.0)
+    assert r3["level"] == pytest.approx(36.0 / 13.0)
+    assert r3["innovation"] == pytest.approx(-5.0)
+    assert out[("one", ep0)]["level"] == 5.0
+
+
+def test_kalman_gain_converges_to_steady_state(spark):
+    """The gain sequence converges monotonically to the closed-form
+    steady state K* solving K = (P+q)/(P+q+r) with P = (1-K)(P+q):
+    K* = (-q + sqrt(q^2 + 4 q r)) / (2 r); constant input keeps the
+    level exact while the gain still converges (state variance is
+    input-independent)."""
+    import math
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("S", t0 + timedelta(hours=h), 7.0) for h in range(40)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.kalman_level(df, keys=["k"], q=0.25, r=1.0).collect(),
+        key=lambda r: r["ep"],
+    )
+    q_, r_ = 0.25, 1.0
+    k_star = (-q_ + math.sqrt(q_ * q_ + 4 * q_ * r_)) / (2 * r_)
+    gains = [r["gain"] for r in out[1:]]
+    assert abs(gains[-1] - k_star) < 1e-12
+    assert all(a >= b - 1e-15 for a, b in zip(gains, gains[1:]))  # monotone down
+    for r in out:
+        assert r["level"] == 7.0  # constant series: level exact at every t
+        assert r["innovation"] in (None, 0.0)

@@ -2319,3 +2319,87 @@ def hurst_rs(
     return per_size.join(F.broadcast(hh), keys).select(
         *keys, "w", "n_blocks", "rs_mean", "hurst"
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    q: float = 0.25,
+    r: float = 1.0,
+    p0: float = 1.0,
+) -> DataFrame:
+    """Steady-state-free scalar Kalman filter (local-level / random-walk
+    model) per key over the `trunc`-bucketed series — the optimal
+    recursive smoother when both the level drift (q) and the
+    measurement noise (r) are modeled explicitly; unlike EWMA its gain
+    ADAPTS (high while the state is uncertain, converging to the
+    steady-state gain), so startup transients don't smear.
+
+    Recursion (buckets consumed in epoch order, treated as consecutive
+    steps — gap handling = none, same documented rule as holt_linear):
+        P'_t = P_{t-1} + q            (predict variance)
+        K_t  = P'_t / (P'_t + r)      (gain)
+        l_t  = l_{t-1} + K_t (y_t - l_{t-1})
+        P_t  = (1 - K_t) P'_t
+    Init pinned: l_1 = y_1, P_1 = p0, gain_1 = null, fitted_1 = null;
+    fitted_t = l_{t-1} (the one-step-ahead forecast of a random walk),
+    innovation_t = y_t - fitted_t.
+
+    Inherently sequential (the gain feeds back through P), so this is
+    the sanctioned Arrow `applyInPandas` path: one numpy pass per key
+    group; the cross-engine oracle replays the IDENTICAL expression
+    shapes in a recursive CTE — IEEE doubles make the recursion
+    bit-deterministic, e6-roundable.
+
+    Shapes: ONE bucket agg, ONE shuffle on the key; per-group state is
+    O(#buckets per key) — calendar-bounded, never corpus-bounded."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in b.select(*keys).schema.fields
+    )
+    schema = (
+        f"{out_fields}, ep bigint, v double, level double, pvar double, "
+        "gain double, fitted double, innovation double"
+    )
+
+    def _kalman(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ep").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype="float64")
+        n = len(y)
+        lvl = np.empty(n)
+        pv = np.empty(n)
+        gn = np.full(n, np.nan)
+        fit = np.full(n, np.nan)
+        lvl[0] = y[0]
+        pv[0] = p0
+        for t in range(1, n):
+            pp = pv[t - 1] + q
+            k = pp / (pp + r)
+            fit[t] = lvl[t - 1]
+            lvl[t] = lvl[t - 1] + k * (y[t] - lvl[t - 1])
+            pv[t] = (1.0 - k) * pp
+            gn[t] = k
+        res = pdf[[*keys, "ep", "v"]].copy()
+        res["level"] = lvl
+        res["pvar"] = pv
+        res["gain"] = pd.array(gn).astype(object)
+        res["fitted"] = pd.array(fit).astype(object)
+        res["innovation"] = res["v"] - pd.to_numeric(res["fitted"])
+        res.loc[0, ["gain", "fitted", "innovation"]] = None
+        return res
+
+    return b.groupBy(*keys).applyInPandas(_kalman, schema=schema)

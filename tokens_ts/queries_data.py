@@ -5532,3 +5532,72 @@ def emb_quantize_error(spark, sf_dir):
         _e("max_abs_err", 9).alias("maxerr_e9"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5g: Kalman local-level filter (Arrow recursion, recursive-CTE
+# oracle — same sanctioned-stateful family as ts_holt).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_kalman",
+    """
+    WITH RECURSIVE b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT sid, ep, v,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS rn
+      FROM b
+    ),
+    r AS (
+      SELECT sid, ep, rn, v,
+             v AS level, CAST(1.0 AS DOUBLE) AS pvar,
+             CAST(NULL AS DOUBLE) AS gain,
+             CAST(NULL AS DOUBLE) AS fitted,
+             CAST(NULL AS DOUBLE) AS innovation
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.sid, o.ep, o.rn, o.v,
+             r.level + ((r.pvar + 0.25) / (r.pvar + 0.25 + 1.0))
+               * (o.v - r.level),
+             (1.0 - (r.pvar + 0.25) / (r.pvar + 0.25 + 1.0))
+               * (r.pvar + 0.25),
+             (r.pvar + 0.25) / (r.pvar + 0.25 + 1.0),
+             r.level,
+             o.v - r.level
+      FROM r JOIN o ON o.sid = r.sid AND o.rn = r.rn + 1
+    )
+    SELECT sid AS series_id, ep,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS v_e6,
+           CAST(ROUND(level * 1e6) AS BIGINT) AS level_e6,
+           CAST(ROUND(pvar * 1e9) AS BIGINT) AS pvar_e9,
+           CAST(ROUND(gain * 1e9) AS BIGINT) AS gain_e9,
+           CAST(ROUND(fitted * 1e6) AS BIGINT) AS fitted_e6,
+           CAST(ROUND(innovation * 1e6) AS BIGINT) AS innovation_e6
+    FROM r
+    """,
+)
+def ts_kalman(spark, sf_dir):
+    """Scalar Kalman local-level filter per series at hourly buckets
+    (q=0.25, r=1, P1=1 — binary-exact params): the gain-adaptive
+    smoother. Arrow applyInPandas recursion in Spark, recursive CTE in
+    DuckDB, identical expression shapes on IEEE doubles; init pinned
+    l1=y1, P1=p0, gain/fitted/innovation null at t=1."""
+    out = analytics.kalman_level(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", q=0.25, r=1.0, p0=1.0,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        _e("level", 6).alias("level_e6"),
+        _e("pvar", 9).alias("pvar_e9"),
+        _e("gain", 9).alias("gain_e9"),
+        _e("fitted", 6).alias("fitted_e6"),
+        _e("innovation", 6).alias("innovation_e6"),
+    )
