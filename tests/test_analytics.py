@@ -1623,3 +1623,61 @@ def test_kalman_gain_converges_to_steady_state(spark):
     for r in out:
         assert r["level"] == 7.0  # constant series: level exact at every t
         assert r["innovation"] in (None, 0.0)
+
+
+def test_variance_ratio_hand_and_degenerate(spark):
+    """v=[0,1,3,6] (q=2): d1=[1,2,3] var_pop=2/3; dq=[3,5] var_pop=1;
+    VR = 1/(2*2/3) = 0.75. Perfect trend: var1=0 -> vr null. Short
+    series (< q+1 buckets): nq=0 -> vr null."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("A", t0 + timedelta(hours=h), v) for h, v in enumerate([0.0, 1.0, 3.0, 6.0])]
+    rows += [("T", t0 + timedelta(hours=h), float(h)) for h in range(5)]
+    rows += [("S", t0 + timedelta(hours=h), float(h * h)) for h in range(2)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["k"]: r for r in analytics.variance_ratio(df, keys=["k"], q=2).collect()}
+    a = out["A"]
+    assert (a["n_buckets"], a["n1"], a["nq"]) == (4, 3, 2)
+    assert a["var1"] == pytest.approx(2.0 / 3.0)
+    assert a["varq"] == pytest.approx(1.0)
+    assert a["vr"] == pytest.approx(0.75)
+    assert out["T"]["var1"] == 0.0 and out["T"]["vr"] is None
+    assert out["S"]["nq"] == 0 and out["S"]["vr"] is None
+
+
+def test_variance_ratio_mean_reversion_vs_walk(spark):
+    """Alternating series (pure mean reversion): v_t - v_{t-2} = 0
+    everywhere -> VR(2)=0. A cumulative +1/+1/-1/-1 square-wave walk
+    scores strictly higher (persistence at lag 2)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    alt = [1.0 if h % 2 == 0 else -1.0 for h in range(12)]
+    steps = [1.0, 1.0, -1.0, -1.0] * 3
+    walk, acc = [], 0.0
+    for s in steps:
+        acc += s
+        walk.append(acc)
+    rows = [("alt", t0 + timedelta(hours=h), v) for h, v in enumerate(alt)]
+    rows += [("walk", t0 + timedelta(hours=h), v) for h, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["k"]: r for r in analytics.variance_ratio(df, keys=["k"], q=2).collect()}
+    assert out["alt"]["vr"] == pytest.approx(0.0)
+    assert out["walk"]["vr"] > out["alt"]["vr"]
+
+
+def test_variance_ratio_rejects_bad_q(spark):
+    from tokens_ts import analytics
+
+    df = spark.range(1).select(
+        F.lit("k").alias("k"),
+        F.current_timestamp().alias("event_ts"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError):
+        analytics.variance_ratio(df, keys=["k"], q=1)

@@ -2403,3 +2403,59 @@ def kalman_level(
         return res
 
     return b.groupBy(*keys).applyInPandas(_kalman, schema=schema)
+
+
+def variance_ratio(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    q: int = 4,
+) -> DataFrame:
+    """Variance-ratio random-walk diagnostic per key over the
+    `trunc`-bucketed series: VR(q) = Var(v_t − v_{t−q}) /
+    (q · Var(v_t − v_{t−1})) on population variances. A random walk
+    has VR ≈ 1; VR < 1 flags mean reversion, VR > 1 persistence — the
+    standard Lo–MacKinlay shape, here on levels (callers pass
+    log-values for the classical returns form).
+
+    Buckets are consumed in epoch order as CONSECUTIVE steps (row
+    lags, same documented gap rule as holt_linear/kalman_level).
+    Degenerate cases pinned: Var₁ = 0 (e.g. a perfect linear trend) or
+    fewer than q+1 buckets → vr null; the per-lag pair counts and both
+    variances are emitted so the null is auditable.
+
+    Shapes: one corpus bucket agg, ONE window pass computing both lags
+    over the same (key, ep) sort, one keys-bounded agg. No self-join,
+    no Python."""
+    if q < 2:
+        raise ValueError(f"variance_ratio: q must be >= 2, got {q}")
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    w = Window.partitionBy(*keys).orderBy("ep")
+    d = b.select(
+        *keys,
+        (F.col("v") - F.lag("v", 1).over(w)).alias("d1"),
+        (F.col("v") - F.lag("v", q).over(w)).alias("dq"),
+    )
+    agg = d.groupBy(*keys).agg(
+        (F.count("d1") + 1).cast("bigint").alias("n_buckets"),
+        F.count("d1").cast("bigint").alias("n1"),
+        F.count("dq").cast("bigint").alias("nq"),
+        F.var_pop("d1").alias("var1"),
+        F.var_pop("dq").alias("varq"),
+    )
+    vr = F.when(
+        (F.col("nq") >= 1) & (F.col("var1") > 0),
+        F.col("varq") / (F.lit(float(q)) * F.col("var1")),
+    )
+    return agg.select(
+        *keys, "n_buckets", "n1", "nq", "var1", "varq", vr.alias("vr")
+    )

@@ -5601,3 +5601,57 @@ def ts_kalman(spark, sf_dir):
         _e("fitted", 6).alias("fitted_e6"),
         _e("innovation", 6).alias("innovation_e6"),
     )
+
+
+@q(
+    "ts_variance_ratio",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT sid,
+             v - lag(v, 1) OVER (PARTITION BY sid ORDER BY ep) AS d1,
+             v - lag(v, 4) OVER (PARTITION BY sid ORDER BY ep) AS dq
+      FROM b
+    ),
+    a AS (
+      SELECT sid,
+             count(d1) + 1 AS n_buckets,
+             count(d1) AS n1,
+             count(dq) AS nq,
+             var_pop(d1) AS var1,
+             var_pop(dq) AS varq
+      FROM d GROUP BY 1
+    )
+    SELECT sid AS series_id,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(nq AS BIGINT) AS nq,
+           CAST(ROUND(var1 * 1e6) AS BIGINT) AS var1_e6,
+           CAST(ROUND(varq * 1e6) AS BIGINT) AS varq_e6,
+           CASE WHEN nq >= 1 AND var1 > 0
+                THEN CAST(ROUND(varq / (4.0 * var1) * 1e6) AS BIGINT)
+           END AS vr_e6
+    FROM a
+    """,
+)
+def ts_variance_ratio(spark, sf_dir):
+    """Variance-ratio VR(4) per series at hourly buckets — the
+    random-walk / mean-reversion / persistence diagnostic; population
+    variances of row-lag diffs, degenerate rules pinned (var1=0 or
+    no q-lag pairs -> null)."""
+    out = analytics.variance_ratio(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", q=4,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n_buckets", "n1", "nq",
+        _e("var1", 6).alias("var1_e6"),
+        _e("varq", 6).alias("varq_e6"),
+        _e("vr", 6).alias("vr_e6"),
+    )
