@@ -1681,3 +1681,64 @@ def test_variance_ratio_rejects_bad_q(spark):
     )
     with pytest.raises(ValueError):
         analytics.variance_ratio(df, keys=["k"], q=1)
+
+
+def test_kendall_matrix_known_taus(spark):
+    """Three series over 4 common hourly buckets in one day:
+    B = monotone with A -> tau(A,B)=1; C = reverse of A -> tau=-1;
+    and a tie case checked against the hand tau-b formula."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    a = [1.0, 2.0, 3.0, 4.0]
+    bvals = [10.0, 20.0, 30.0, 40.0]
+    c = [4.0, 3.0, 2.0, 1.0]
+    d = [1.0, 1.0, 2.0, 2.0]  # ties in x vs A
+    rows = []
+    for h in range(4):
+        rows += [
+            ("A", t0 + timedelta(hours=h), a[h]),
+            ("B", t0 + timedelta(hours=h), bvals[h]),
+            ("C", t0 + timedelta(hours=h), c[h]),
+            ("D", t0 + timedelta(hours=h), d[h]),
+        ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {
+        (r["ka"], r["kb"]): r
+        for r in analytics.kendall_matrix(df, keys=["k"]).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["n0"], ab["nc"], ab["nd"]) == (6, 6, 0)
+    assert ab["tau_b"] == pytest.approx(1.0)
+    assert out[("A", "C")]["tau_b"] == pytest.approx(-1.0)
+    # A vs D: D has tied pairs (1,1) and (2,2): ty=2 (y tied, x not);
+    # nc=4, nd=0, n0=6 -> tau_b = 4 / sqrt(6 * 4)
+    ad = out[("A", "D")]
+    assert (ad["nc"], ad["nd"], ad["ty"], ad["txy"]) == (4, 0, 2, 0)
+    assert ad["tau_b"] == pytest.approx(4.0 / (6.0 * 4.0) ** 0.5)
+
+
+def test_kendall_matrix_constant_side_null_and_day_split(spark):
+    """A constant series yields ty=n0 -> denominator 0 -> null tau;
+    buckets never pair across day boundaries."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h in range(3):
+        rows += [
+            ("A", t0 + timedelta(hours=h), float(h)),
+            ("K", t0 + timedelta(hours=h), 5.0),
+        ]
+    # day 2: a single common bucket -> no pairs -> no row for that day
+    rows += [("A", t0 + timedelta(days=1), 9.0), ("K", t0 + timedelta(days=1), 9.0)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = analytics.kendall_matrix(df, keys=["k"]).collect()
+    days = {r["day"] for r in out}
+    assert days == {"2026-01-01"}  # single-bucket day emits nothing
+    r = out[0]
+    assert r["tau_b"] is None and r["ty"] == 3

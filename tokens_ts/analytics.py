@@ -2459,3 +2459,80 @@ def variance_ratio(
     return agg.select(
         *keys, "n_buckets", "n1", "nq", "var1", "varq", vr.alias("vr")
     )
+
+
+def kendall_matrix(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grain: int = 6,
+) -> DataFrame:
+    """Pairwise Kendall tau-b between every two series per DAY over
+    their common `trunc` buckets — the rank-based co-movement matrix
+    (Pearson's corr_matrix is moment-based and outlier-fragile;
+    Spearman needs full ranks; Kendall counts concordant vs discordant
+    bucket pairs, with the tau-b tie correction).
+
+    Bucket means are pre-rounded to a 10^-grain grid (integer e-grain
+    values) BEFORE any comparison, so tie classification is
+    integer-exact and cross-engine-stable — a tie on raw doubles would
+    flip on ulp differences between engines. All pair counts (nc, nd,
+    tx, ty, txy) are integers; tau_b = (nc − nd) /
+    sqrt((n0 − tx − txy)(n0 − ty − txy)) with n0 = total bucket pairs,
+    null when either denominator leg is 0 (a constant side).
+
+    Shapes: one corpus bucket agg; the series×series alignment join is
+    buckets-bounded; the bucket-pair self-join is per (pair, DAY) —
+    ≤ C(24,2) = 276 rows per pair-day at hourly grain, calendar-
+    bounded, never corpus-sized. No Python."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(
+            F.round(F.avg(value_col) * F.lit(float(10 ** grain)))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    kid = F.concat_ws("", *keys)
+    a = b.select(kid.alias("ka"), "day", "ep", F.col("v").alias("x"))
+    bb = b.select(kid.alias("kb"), "day", "ep", F.col("v").alias("y"))
+    j = a.join(bb, ["day", "ep"]).where(F.col("ka") < F.col("kb"))
+    j1 = j.select(
+        "ka", "kb", "day",
+        F.col("ep").alias("ep1"), F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    j2 = j.select(
+        "ka", "kb", "day",
+        F.col("ep").alias("ep2"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    p = j1.join(j2, ["ka", "kb", "day"]).where(F.col("ep1") < F.col("ep2"))
+    dx = F.col("x1") - F.col("x2")
+    dy = F.col("y1") - F.col("y2")
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    agg = p.groupBy("ka", "kb", "day").agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(F.when(dx * dy > 0, one).otherwise(zero)).alias("nc"),
+        F.sum(F.when(dx * dy < 0, one).otherwise(zero)).alias("nd"),
+        F.sum(F.when((dx == 0) & (dy != 0), one).otherwise(zero)).alias("tx"),
+        F.sum(F.when((dy == 0) & (dx != 0), one).otherwise(zero)).alias("ty"),
+        F.sum(F.when((dx == 0) & (dy == 0), one).otherwise(zero)).alias("txy"),
+    )
+    den_x = F.col("n0") - F.col("tx") - F.col("txy")
+    den_y = F.col("n0") - F.col("ty") - F.col("txy")
+    tau = F.when(
+        (den_x > 0) & (den_y > 0),
+        (F.col("nc") - F.col("nd"))
+        / F.sqrt(den_x.cast("double") * den_y.cast("double")),
+    )
+    return agg.select(
+        "ka", "kb", "day", "n0", "nc", "nd", "tx", "ty", "txy",
+        tau.alias("tau_b"),
+    )

@@ -5655,3 +5655,65 @@ def ts_variance_ratio(spark, sf_dir):
         _e("varq", 6).alias("varq_e6"),
         _e("vr", 6).alias("vr_e6"),
     )
+
+
+@q(
+    "ts_kendall_matrix",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT a.k AS ka, bb.k AS kb, a.day, a.ep, a.v AS x, bb.v AS y
+      FROM b a JOIN b bb ON a.day = bb.day AND a.ep = bb.ep
+      WHERE a.k < bb.k
+    ),
+    p AS (
+      SELECT j1.ka, j1.kb, j1.day,
+             j1.x - j2.x AS dx, j1.y - j2.y AS dy
+      FROM j j1 JOIN j j2
+        ON j1.ka = j2.ka AND j1.kb = j2.kb AND j1.day = j2.day
+       AND j1.ep < j2.ep
+    ),
+    a AS (
+      SELECT ka, kb, day,
+             count(*) AS n0,
+             sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS nd,
+             sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS tx,
+             sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS ty,
+             sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS txy
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT ka, kb, day,
+           CAST(n0 AS BIGINT) AS n0,
+           CAST(nc AS BIGINT) AS nc,
+           CAST(nd AS BIGINT) AS nd,
+           CAST(tx AS BIGINT) AS tx,
+           CAST(ty AS BIGINT) AS ty,
+           CAST(txy AS BIGINT) AS txy,
+           CASE WHEN n0 - tx - txy > 0 AND n0 - ty - txy > 0
+                THEN CAST(ROUND((nc - nd)
+                       / sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                              * CAST(n0 - ty - txy AS DOUBLE)) * 1e6)
+                     AS BIGINT)
+           END AS tau_e6
+    FROM a
+    """,
+)
+def ts_kendall_matrix(spark, sf_dir):
+    """Per-day Kendall tau-b matrix over hourly bucket means — rank
+    co-movement with integer-exact tie classification (bucket means
+    pre-rounded to the e6 grid in BOTH engines before comparison)."""
+    out = analytics.kendall_matrix(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", grain=6,
+    )
+    return out.select(
+        "ka", "kb", "day", "n0", "nc", "nd", "tx", "ty", "txy",
+        _e("tau_b", 6).alias("tau_e6"),
+    )
