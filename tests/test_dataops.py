@@ -1750,3 +1750,56 @@ def test_quantize_error_zero_dim(spark):
     )
     rows = {r["dim"]: r for r in simsearch.quantize_error(emb, dim=2).collect()}
     assert rows[1]["mse"] == 0.0 and rows[1]["scale"] == 0.0
+
+
+def test_keyness_g2_hand_computed(spark):
+    """Two groups: 'cat' appears 3x in A (of 4 words) and 1x in B (of
+    4 words). Hand G2 with a=3 b=1 c=4 d=4 T=8 ab=4:
+    2*(3 ln(3*8/(4*4)) + 1 ln(8/16)) = 2*(3 ln 1.5 + ln .5).
+    Direction: a*d=12 > b*c=4 -> overused in A; the same word in B
+    scores the SAME G2 but overused=False (symmetry)."""
+    import math
+
+    from tokens_ts import textops
+
+    rows = [
+        (1, "cat cat cat dog", "A"),
+        (2, "cat fish bird worm", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source"], r["w"]): r
+        for r in textops.keyness_g2(df, top_k=10).collect()
+    }
+    a_cat = out[("A", "cat")]
+    want = 2.0 * (3.0 * math.log(1.5) + math.log(0.5))
+    assert a_cat["g2"] == pytest.approx(want)
+    assert a_cat["overused"] is True and (a_cat["a"], a_cat["b"]) == (3, 1)
+    b_cat = out[("B", "cat")]
+    assert b_cat["g2"] == pytest.approx(want)
+    assert b_cat["overused"] is False
+    # a group-exclusive word: b=0 -> second term drops, G2 = 2 a ln(T/c)
+    a_dog = out[("A", "dog")]
+    assert a_dog["g2"] == pytest.approx(2.0 * math.log(2.0))
+    assert a_dog["overused"] is True
+
+
+def test_keyness_g2_rank_and_topk(spark):
+    """Ranking is (rounded G2 desc, word asc) and capped at top_k; a
+    word distributed proportionally to group sizes scores G2 ~ 0 and
+    ranks below any skewed word."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "alpha alpha alpha beta common common", "A"),
+        (2, "gamma gamma gamma delta common common", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.keyness_g2(df, top_k=2).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r)
+    for g, rs in by_g.items():
+        assert len(rs) == 2  # top_k respected
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2]
+        assert all(r["w"] != "common" for r in rs)  # balanced word never tops

@@ -5717,3 +5717,55 @@ def ts_kendall_matrix(spark, sf_dir):
         "ka", "kb", "day", "n0", "nc", "nd", "tx", "ty", "txy",
         _e("tau_b", 6).alias("tau_e6"),
     )
+
+
+@q(
+    "doc_keyness_g2",
+    """
+    WITH words AS (
+      SELECT source AS g,
+             unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT g, w FROM words WHERE w != ''),
+    gw AS (SELECT g, w, count(*) AS a FROM w2 GROUP BY 1, 2),
+    gtot AS (SELECT g, sum(a) AS c FROM gw GROUP BY 1),
+    wtot AS (SELECT w, sum(a) AS ab FROM gw GROUP BY 1),
+    tot AS (SELECT sum(a) AS t FROM gw),
+    j AS (
+      SELECT gw.g, gw.w, gw.a, wtot.ab - gw.a AS b,
+             gtot.c, tot.t - gtot.c AS d, tot.t, wtot.ab
+      FROM gw JOIN wtot USING (w) JOIN gtot USING (g) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT g, w, a, b,
+             2.0 * (
+               CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * t / (CAST(c AS DOUBLE) * ab)) ELSE 0.0 END
+             + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * t / (CAST(d AS DOUBLE) * ab)) ELSE 0.0 END
+             ) AS g2,
+             a * d > b * c AS overused
+      FROM j
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY g
+        ORDER BY CAST(ROUND(g2 * 1e6) AS BIGINT) DESC, w ASC) AS rank
+      FROM scored
+    )
+    SELECT g AS source, w, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(ROUND(g2 * 1e6) AS BIGINT) AS g2_e6,
+           CAST(overused AS BIGINT) AS overused,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def doc_keyness_g2(spark, sf_dir):
+    """Top-10 Dunning G² keyness words per source vs the rest of the
+    corpus — integer cross-product direction flag, e6-ranked."""
+    out = textops.keyness_g2(_docs(spark, sf_dir), top_k=10)
+    return out.select(
+        "source", "w", "a", "b",
+        _e("g2", 6).alias("g2_e6"),
+        F.col("overused").cast("bigint").alias("overused"),
+        "rank",
+    )

@@ -1607,3 +1607,65 @@ def nll_drift(
             / F.count("*")
         ).alias("oov_rate"),
     )
+
+
+def keyness_g2(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness: the top-k words most
+    DISTINCTIVE of each group vs the rest of the corpus — the
+    corpus-linguistics standard for "what does this source talk about
+    that the others don't" (raw frequency ranks stopwords; tf-idf is
+    per-doc; G² compares a group against its complement with a proper
+    likelihood-ratio statistic).
+
+    For word w in group g: a = count in g, b = count elsewhere,
+    c = total words in g, d = total words elsewhere, T = c + d,
+    G² = 2·(a·ln(aT/(c(a+b))) + b·ln(bT/(d(a+b)))), zero-count terms
+    dropped (their limit is 0). `overused` = a·d > b·c — an INTEGER
+    cross-product, so the direction flag is cross-engine exact; only
+    words occurring in g (a ≥ 1) are candidates. Ranking: e6-rounded
+    G² desc, word asc — deterministic ties.
+
+    Shapes: one explode → (group, word) count (groups×vocab-bounded
+    from there on); word totals re-aggregated from those counts (NOT a
+    second corpus pass); group totals broadcast; rank window over
+    groups×vocab rows. No corpus-sized join anywhere."""
+    words = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("a"))
+    gtot = gw.groupBy("g").agg(F.sum("a").cast("bigint").alias("c"))
+    wtot = gw.groupBy("w").agg(F.sum("a").cast("bigint").alias("ab"))
+    tot = gtot.agg(F.sum("c").cast("bigint").alias("t"))
+    j = (
+        gw.join(wtot, "w")
+        .join(F.broadcast(gtot), "g")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("b", F.col("ab") - F.col("a"))
+        .withColumn("d", F.col("t") - F.col("c"))
+    )
+    a, b, c, d, t, ab = (F.col(x).cast("double") for x in ("a", "b", "c", "d", "t", "ab"))
+    term1 = F.when(F.col("a") > 0, a * F.log(a * t / (c * ab))).otherwise(F.lit(0.0))
+    term2 = F.when(F.col("b") > 0, b * F.log(b * t / (d * ab))).otherwise(F.lit(0.0))
+    scored = j.select(
+        F.col("g").alias(group_col),
+        "w",
+        "a",
+        "b",
+        (F.lit(2.0) * (term1 + term2)).alias("g2"),
+        (F.col("a") * F.col("d") > F.col("b") * F.col("c")).alias("overused"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.round(F.col("g2") * 1e6).cast("bigint").desc(), F.col("w").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )
