@@ -1803,3 +1803,40 @@ def test_keyness_g2_rank_and_topk(spark):
         assert len(rs) == 2  # top_k respected
         assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2]
         assert all(r["w"] != "common" for r in rs)  # balanced word never tops
+
+
+def test_mattr_hand_computed_and_short_doc(spark):
+    """'a b a b a b' at window 4: spans [a b a b]x3 -> each 2 distinct
+    -> MATTR = 0.5 while TTR = 2/6; a 3-word doc falls back to plain
+    TTR with n_windows=0; an all-distinct doc scores MATTR=1."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "a b a b a b", "s"),
+        (2, "x y z", "s"),
+        (3, "p q r s t u", "s"),
+        (4, "   ", "s"),  # zero words -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in textops.mattr(df, window=4).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_windows"]) == (6, 3)
+    assert r1["mattr"] == pytest.approx(0.5)
+    assert r1["ttr"] == pytest.approx(2.0 / 6.0)
+    r2 = out[2]
+    assert (r2["n_windows"], r2["mattr"]) == (0, pytest.approx(1.0))
+    assert out[3]["mattr"] == pytest.approx(1.0)
+
+
+def test_mattr_length_invariance_vs_ttr(spark):
+    """Repeating the same text k times leaves MATTR (window << n)
+    nearly unchanged while TTR collapses — the reason MATTR exists."""
+    from tokens_ts import textops
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [(1, base, "s"), (2, " ".join([base] * 8), "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in textops.mattr(df, window=10).collect()}
+    assert out[2]["ttr"] < out[1]["ttr"] / 4  # TTR collapses with length
+    assert abs(out[2]["mattr"] - out[1]["mattr"]) < 0.15  # MATTR stable

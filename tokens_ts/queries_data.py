@@ -5769,3 +5769,47 @@ def doc_keyness_g2(spark, sf_dir):
         F.col("overused").cast("bigint").alias("overused"),
         "rank",
     )
+
+
+@q(
+    "doc_mattr",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w != '') AS ws
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id, source, ws, len(ws) AS n
+      FROM d WHERE len(ws) >= 1
+    ),
+    scored AS (
+      SELECT doc_id, source, n,
+             CASE WHEN n >= 10 THEN n - 10 + 1 ELSE 0 END AS n_windows,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / n AS ttr,
+             CASE WHEN n >= 10 THEN
+               CAST(list_sum(list_transform(range(1, n - 10 + 2),
+                 p -> len(list_distinct(ws[p : p + 9])))) AS DOUBLE)
+               / (10.0 * (n - 10 + 1))
+             ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / n END AS mattr
+      FROM d2
+    )
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(ROUND(ttr * 1e6) AS BIGINT) AS ttr_e6,
+           CAST(ROUND(mattr * 1e6) AS BIGINT) AS mattr_e6
+    FROM scored
+    """,
+)
+def doc_mattr(spark, sf_dir):
+    """MATTR lexical diversity (window 10) + plain TTR per doc —
+    length-robust vocabulary-richness QA; integer span-distinct sums
+    make the rational identical cross-engine."""
+    out = textops.mattr(_docs(spark, sf_dir), window=10)
+    return out.select(
+        "doc_id", "source", "n_words", "n_windows",
+        _e("ttr", 6).alias("ttr_e6"),
+        _e("mattr", 6).alias("mattr_e6"),
+    )

@@ -1669,3 +1669,55 @@ def keyness_g2(
         scored.withColumn("rank", rk.cast("bigint"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def mattr(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall):
+    the length-robust lexical-diversity score — plain TTR shrinks
+    mechanically with document length, so it can't be compared across
+    docs; MATTR averages the TTR of every length-`window` sliding
+    span, which is length-invariant.
+
+    Pinned rules: words = whitespace split (empty dropped); docs with
+    n < window fall back to plain TTR (distinct/n) with n_windows = 0
+    — the standard short-text convention; zero-word docs are dropped.
+    MATTR is computed as an INTEGER sum of per-span distinct counts
+    divided by window·n_windows, so both engines round from the same
+    rational.
+
+    Shapes: everything is row-local array expressions (sequence →
+    slice → array_distinct → size) inside whole-stage codegen — zero
+    shuffles, O(n·window) work per doc, embarrassingly parallel at any
+    corpus size."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    d = docs.withColumn("_ws", words).withColumn(
+        "n_words", F.size("_ws").cast("bigint")
+    ).where(F.col("n_words") >= 1)
+    n = F.col("n_words")
+    w = F.lit(window)
+    n_win = F.greatest(n - w + 1, F.lit(0)).cast("bigint")
+    span_distinct = F.transform(
+        F.sequence(F.lit(1), (n - w + 1).cast("int")),
+        lambda p: F.size(F.array_distinct(F.slice(F.col("_ws"), p, w))),
+    )
+    sum_distinct = F.aggregate(
+        span_distinct, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    ttr = F.size(F.array_distinct(F.col("_ws"))).cast("double") / n
+    mattr_col = F.when(
+        n >= w,
+        sum_distinct.cast("double") / (w.cast("double") * n_win.cast("double")),
+    ).otherwise(ttr)
+    return d.select(
+        *[c for c in docs.columns],
+        "n_words",
+        F.when(n >= w, n_win).otherwise(F.lit(0).cast("bigint")).alias("n_windows"),
+        ttr.alias("ttr"),
+        mattr_col.alias("mattr"),
+    )
