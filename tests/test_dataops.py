@@ -1840,3 +1840,73 @@ def test_mattr_length_invariance_vs_ttr(spark):
     out = {r["doc_id"]: r for r in textops.mattr(df, window=10).collect()}
     assert out[2]["ttr"] < out[1]["ttr"] / 4  # TTR collapses with length
     assert abs(out[2]["mattr"] - out[1]["mattr"]) < 0.15  # MATTR stable
+
+
+def _textrank_ref(docs, damping=0.85, iters=3):
+    """Independent python reference: same pinned rules (adjacency
+    bigrams, self-loops dropped, symmetrized counts, init 1)."""
+    from collections import defaultdict
+
+    edges = defaultdict(float)
+    for text in docs:
+        ws = [w for w in text.strip().split() if w]
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                edges[(a, b)] += 1.0
+                edges[(b, a)] += 1.0
+    deg = defaultdict(float)
+    for (a, _b), w in edges.items():
+        deg[a] += w
+    r = {n: 1.0 for n in deg}
+    for _ in range(iters):
+        nxt = defaultdict(float)
+        for (a, b), w in edges.items():
+            nxt[b] += w * r[a] / deg[a]
+        r = {n: 1.0 - damping + damping * m for n, m in nxt.items()}
+    return r
+
+
+def test_textrank_matches_reference_and_hub_tops(spark):
+    from tokens_ts import textops
+
+    texts = [
+        "hub x hub y hub z",
+        "x y z x w q hub w",
+        "alpha beta alpha gamma",
+    ]
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["w"]: r for r in textops.textrank_keywords(df, top_k=50).collect()}
+    ref = _textrank_ref(texts)
+    assert set(out) == set(ref)
+    for w, want in ref.items():
+        assert out[w]["textrank"] == pytest.approx(want), w
+    # rank 1 = the reference's argmax (e6-rounded, word-asc ties)
+    best = min(ref, key=lambda w: (-round(ref[w] * 1e6), w))
+    assert out[best]["rank"] == 1
+    # the pure hub doc alone DOES crown its hub
+    df1 = spark.createDataFrame(
+        [(1, texts[0], "s")], "doc_id long, text string, source string"
+    )
+    solo = {r["w"]: r for r in textops.textrank_keywords(df1, top_k=50).collect()}
+    assert solo["hub"]["rank"] == 1
+
+
+def test_textrank_groups_isolated_and_topk(spark):
+    """Groups never mix; single-word docs contribute nothing; top_k
+    caps each group's output independently."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "a b c a b", "g1"),
+        (2, "z", "g1"),           # no adjacency -> no contribution
+        (3, "p q p q p", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.textrank_keywords(df, top_k=2).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], set()).add(r["w"])
+    assert "z" not in by_g["g1"]
+    assert by_g["g2"] == {"p", "q"}
+    assert all(len(v) <= 2 for v in by_g.values())

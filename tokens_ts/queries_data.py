@@ -5813,3 +5813,74 @@ def doc_mattr(spark, sf_dir):
         _e("ttr", 6).alias("ttr_e6"),
         _e("mattr", 6).alias("mattr_e6"),
     )
+
+
+def _textrank_sql(iters: int = 3, damping: float = 0.85, top_k: int = 10) -> str:
+    """Unrolled TextRank rounds as chained CTEs (same design as the
+    emb_pca_top unrolled power iteration)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    r{i} AS (
+      SELECT ew.g, ew.b AS node,
+             1.0 - {damping} + {damping} * sum(ew.w * p.r / ew.deg) AS r
+      FROM ew JOIN {prev} p ON ew.g = p.g AND ew.a = p.node
+      GROUP BY 1, 2
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH d AS (
+      SELECT source AS g,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w != '') AS ws
+      FROM documents
+    ),
+    bigr AS (
+      SELECT g, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS e
+      FROM d WHERE len(ws) >= 2
+    ),
+    pairs AS (
+      SELECT g, e.a AS a, e.b AS b FROM bigr WHERE e.a != e.b
+    ),
+    sym AS (
+      SELECT g, a, b FROM pairs
+      UNION ALL SELECT g, b, a FROM pairs
+    ),
+    edges AS (
+      SELECT g, a, b, CAST(count(*) AS DOUBLE) AS w
+      FROM sym GROUP BY 1, 2, 3
+    ),
+    deg AS (SELECT g, a, sum(w) AS deg FROM edges GROUP BY 1, 2),
+    ew AS (
+      SELECT e.g, e.a, e.b, e.w, deg.deg
+      FROM edges e JOIN deg ON e.g = deg.g AND e.a = deg.a
+    ),
+    r0 AS (SELECT g, a AS node, 1.0 AS r FROM deg),{",".join(rounds)},
+    ranked AS (
+      SELECT g, node, r, row_number() OVER (
+        PARTITION BY g
+        ORDER BY CAST(ROUND(r * 1e6) AS BIGINT) DESC, node ASC) AS rank
+      FROM {prev}
+    )
+    SELECT g AS source, node AS w,
+           CAST(ROUND(r * 1e6) AS BIGINT) AS textrank_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {top_k}
+    """
+
+
+@q("doc_textrank", _textrank_sql())
+def doc_textrank(spark, sf_dir):
+    """Top-10 TextRank keywords per source — 3 unrolled PageRank
+    rounds over the symmetrized word-adjacency graph, d=0.85, e6
+    ranking; DuckDB replays the identical rounds as chained CTEs."""
+    out = textops.textrank_keywords(
+        _docs(spark, sf_dir), damping=0.85, iters=3, top_k=10
+    )
+    return out.select(
+        "source", "w",
+        _e("textrank", 6).alias("textrank_e6"),
+        "rank",
+    )

@@ -1721,3 +1721,83 @@ def mattr(
         ttr.alias("ttr"),
         mattr_col.alias("mattr"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    damping: float = 0.85,
+    iters: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """TextRank keyword extraction per group: PageRank over the word
+    ADJACENCY graph (undirected, weight = corpus co-occurrence count
+    of the word bigram, self-loops dropped), run as a fixed number of
+    UNROLLED power-iteration rounds — the graph-centrality keyword
+    ranker (frequency ranks stopwords; G² needs a contrast corpus;
+    TextRank scores a word by the rank mass of its neighborhood).
+
+    r ← (1−d) + d·Σ_{j∈N(i)} w_ji·r_j/deg_j, init r = 1, deg_j =
+    Σ_k w_jk. `iters` is FIXED and unrolled (same design as
+    pca_top_component: a deterministic, oracle-replayable recursion;
+    the iteration is contractive so ulp noise damps, and outputs are
+    e6-rounded). Candidates = words in ≥1 adjacency; ties broken by
+    word asc on the e6-rounded rank.
+
+    Shapes: bigram edges are ROW-LOCAL array expressions, then one
+    (group, a, b) count — edge-set-bounded from there on; each
+    iteration is ONE vocab-bounded join + agg (3 total), never a
+    corpus rescan; degrees are attached once up front."""
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    d = docs.select(F.col(group_col).alias("g"), ws.alias("_ws")).where(
+        F.size("_ws") >= 2
+    )
+    bigr = d.select(
+        "g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("_ws") - 1).cast("int")),
+                lambda i: F.struct(
+                    F.get(F.col("_ws"), i - 1).alias("a"),
+                    F.get(F.col("_ws"), i).alias("b"),
+                ),
+            )
+        ).alias("e"),
+    ).select("g", F.col("e.a").alias("a"), F.col("e.b").alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = bigr.union(bigr.select("g", F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = sym.groupBy("g", "a", "b").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    deg = edges.groupBy("g", "a").agg(F.sum("w").alias("deg"))
+    ew = edges.join(deg, ["g", "a"])
+    r = deg.select("g", F.col("a").alias("node"), F.lit(1.0).alias("r"))
+    dmp = F.lit(float(damping))
+    for _ in range(iters):
+        contrib = ew.join(
+            r.select("g", F.col("node").alias("a"), "r"), ["g", "a"]
+        ).groupBy("g", F.col("b").alias("node")).agg(
+            F.sum(F.col("w") * F.col("r") / F.col("deg")).alias("_m")
+        )
+        r = contrib.select(
+            "g", "node", (F.lit(1.0) - dmp + dmp * F.col("_m")).alias("r")
+        )
+    rk = F.row_number().over(
+        Window.partitionBy("g").orderBy(
+            F.round(F.col("r") * 1e6).cast("bigint").desc(), F.col("node").asc()
+        )
+    )
+    return (
+        r.withColumn("rank", rk.cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("node").alias("w"),
+            F.col("r").alias("textrank"),
+            "rank",
+        )
+    )
