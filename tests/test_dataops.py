@@ -1910,3 +1910,50 @@ def test_textrank_groups_isolated_and_topk(spark):
     assert "z" not in by_g["g1"]
     assert by_g["g2"] == {"p", "q"}
     assert all(len(v) <= 2 for v in by_g.values())
+
+
+def test_silhouette_centroid_separated_vs_overlapping(spark):
+    """Two tight, far-apart clusters score silhouette ~1; merging the
+    SAME points under interleaved labels scores ~<=0; numpy parity on
+    the exact per-label means."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    a = rng.randn(20, dim) * 0.05
+    b = rng.randn(20, dim) * 0.05
+    b[:, 0] += 50.0  # far apart on one axis
+    rows = [(i, [float(v) for v in a[i]], 0) for i in range(20)]
+    rows += [(100 + i, [float(v) for v in b[i]], 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in simsearch.silhouette_centroid(df).collect()}
+    assert out[0]["silhouette"] > 0.99 and out[1]["silhouette"] > 0.99
+
+    # numpy reference on the same data
+    X = np.vstack([a, b])
+    labels = np.array([0] * 20 + [1] * 20)
+    cents = {l: X[labels == l].mean(axis=0) for l in (0, 1)}
+    for l in (0, 1):
+        own = np.linalg.norm(X[labels == l] - cents[l], axis=1)
+        oth = np.linalg.norm(X[labels == l] - cents[1 - l], axis=1)
+        s = (oth - own) / np.maximum(own, oth)
+        assert out[l]["silhouette"] == pytest.approx(float(s.mean()))
+        assert out[l]["mean_own_dist"] == pytest.approx(float(own.mean()))
+
+    # interleaved labels on one blob: silhouette collapses toward <= 0
+    rows2 = [(i, [float(v) for v in a[i]], i % 2) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>, label int")
+    out2 = simsearch.silhouette_centroid(df2).collect()
+    assert all(r["silhouette"] < 0.3 for r in out2)
+
+
+def test_silhouette_single_label_null(spark):
+    from tokens_ts import simsearch
+
+    rows = [(i, [float(i)] * 64, 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = simsearch.silhouette_centroid(df).collect()
+    assert len(out) == 1
+    assert out[0]["mean_other_dist"] is None and out[0]["silhouette"] is None

@@ -5884,3 +5884,57 @@ def doc_textrank(spark, sf_dir):
         _e("textrank", 6).alias("textrank_e6"),
         "rank",
     )
+
+
+def _silhouette_sql(dim: int = 64) -> str:
+    avgs = ", ".join(f"avg(x[{j}])" for j in range(1, dim + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    c AS (
+      SELECT label, [{avgs}] AS c FROM e GROUP BY 1
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.label AS cl,
+             sqrt(list_sum(list_transform(range(1, {dim + 1}),
+               k -> (e.x[k] - c.c[k]) * (e.x[k] - c.c[k])))) AS d
+      FROM e CROSS JOIN c
+    ),
+    per_row AS (
+      SELECT vec_id, label,
+             max(CASE WHEN cl = label THEN d END) AS a,
+             min(CASE WHEN cl != label THEN d END) AS b
+      FROM dists GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT label, a, b,
+             CASE WHEN b IS NOT NULL THEN
+               CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END
+             END AS s
+      FROM per_row
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(avg(a) * 1e6) AS BIGINT) AS mean_own_e6,
+           CAST(ROUND(avg(b) * 1e6) AS BIGINT) AS mean_other_e6,
+           CAST(ROUND(avg(s) * 1e6) AS BIGINT) AS silhouette_e6
+    FROM scored GROUP BY 1
+    """
+
+
+@q("emb_silhouette", _silhouette_sql())
+def emb_silhouette(spark, sf_dir):
+    """Centroid-based silhouette per label: separation QA that charges
+    a class for sitting close to a NEIGHBORING class (cohesion alone
+    misses that failure mode)."""
+    out = simsearch.silhouette_centroid(_emb(spark, sf_dir))
+    return out.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n",
+        _e("mean_own_dist", 6).alias("mean_own_e6"),
+        _e("mean_other_dist", 6).alias("mean_other_e6"),
+        _e("silhouette", 6).alias("silhouette_e6"),
+    )

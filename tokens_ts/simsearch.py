@@ -552,3 +552,70 @@ def quantize_error(
     return one.select("n", F.explode(per_dim).alias("r")).select(
         "r.dim", "r.scale", "r.mse", "r.max_abs_err", "n"
     )
+
+
+def silhouette_centroid(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each row,
+    a = Euclidean distance to its OWN label centroid, b = min distance
+    to any OTHER label centroid, s = (b − a)/max(a, b) — the
+    cluster-separation QA score (label_cohesion measures tightness
+    only; silhouette also charges a class for sitting close to a
+    NEIGHBORING class, which is what actually breaks classifiers and
+    dedup thresholds). The full silhouette is O(n²); the centroid form
+    is the standard large-scale surrogate.
+
+    Pinned rules: rows with null vec/label excluded; a = b = 0 → s = 0
+    (degenerate); single-label corpora emit b = s = null.
+
+    Shapes: one dim-wide centroid agg (labels × dim), collected to ONE
+    labels-bounded row and broadcast; per-row a/b are then ROW-LOCAL
+    folds over the centroid array (no n×L shuffle, no corpus
+    self-join); one labels-bounded mean agg finishes."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    cents = e.groupBy("label").agg(
+        *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(dim)],
+    ).select(
+        "label",
+        F.array(*[F.col(f"m{j}") for j in range(dim)]).alias("c"),
+    )
+    cl = cents.agg(
+        F.collect_list(F.struct("label", "c")).alias("cs")
+    )
+    j = e.crossJoin(F.broadcast(cl))
+
+    def _dist(c):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("x"), c, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    own = F.filter(F.col("cs"), lambda s: s["label"] == F.col("label"))
+    oth = F.filter(F.col("cs"), lambda s: s["label"] != F.col("label"))
+    a = F.get(F.transform(own, lambda s: _dist(s["c"])), 0)
+    b = F.array_min(F.transform(oth, lambda s: _dist(s["c"])))
+    s = F.when(
+        b.isNotNull(),
+        F.when(
+            F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+        ).otherwise(F.lit(0.0)),
+    )
+    scored = j.select("label", a.alias("_a"), b.alias("_b"), s.alias("_s"))
+    return scored.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("_a").alias("mean_own_dist"),
+        F.avg("_b").alias("mean_other_dist"),
+        F.avg("_s").alias("silhouette"),
+    )
