@@ -1957,3 +1957,43 @@ def test_silhouette_single_label_null(spark):
     out = simsearch.silhouette_centroid(df).collect()
     assert len(out) == 1
     assert out[0]["mean_other_dist"] is None and out[0]["silhouette"] is None
+
+
+def test_knn_outlier_planted_outlier(spark):
+    """A tight blob plus one far-away vector: the outlier's kth-NN
+    similarity is far below every inlier's; inliers score ~0."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64) * 0.01 + 1.0
+    rows = [
+        (int(i * 37), [float(v) for v in base + rng.randn(64) * 0.01], 0)
+        for i in range(8)
+    ]
+    out_vec = -base  # antipodal: cosine ~ -1 to everything
+    rows.append((370, [float(v) for v in out_vec], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["qid"]: r for r in simsearch.knn_outlier(df, sample_mod=37, k=3).collect()}
+    assert set(out) == {r[0] for r in rows}  # every id is %37==0 -> all queries
+    outlier = out[370]
+    inliers = [v for k, v in out.items() if k != 370]
+    assert outlier["outlier_score"] > 1.5  # cosine ~ -1 -> distance ~ 2
+    assert all(v["outlier_score"] < 0.01 for v in inliers)
+    assert all(v["n_found"] == 3 for v in out.values())
+
+
+def test_knn_outlier_small_corpus_n_found(spark):
+    """Corpus smaller than k+1: n_found reports the true neighbor
+    count instead of silently padding."""
+    from tokens_ts import simsearch
+
+    rows = [(0, [1.0] * 64), (37, [1.0] * 64), (74, [0.5] * 32 + [-0.5] * 32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.knn_outlier(df, sample_mod=37, k=5).collect()
+    assert all(r["n_found"] == 2 for r in out)
+    by_q = {r["qid"]: r for r in out}
+    # query 0's neighbors: identical id 37 (cos 1) + orthogonal id 74 (cos 0)
+    assert by_q[0]["kth_sim"] == pytest.approx(0.0)
+    assert by_q[0]["mean_topk_sim"] == pytest.approx(0.5)

@@ -5938,3 +5938,51 @@ def emb_silhouette(spark, sf_dir):
         _e("mean_other_dist", 6).alias("mean_other_e6"),
         _e("silhouette", 6).alias("silhouette_e6"),
     )
+
+
+@q(
+    "emb_knn_outlier",
+    """
+    WITH e AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 37 = 0
+    ),
+    scored AS (
+      SELECT q.qid, e.nid,
+             CAST(ROUND(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
+               AS sim_e6
+      FROM q CROSS JOIN e WHERE e.nid != q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY sim_e6 DESC, nid ASC) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_found,
+           max_by(nid, rank) AS kth_nid,
+           CAST(ROUND(min(sim_e6) / 1e6 * 1e6) AS BIGINT) AS kth_sim_e6,
+           CAST(ROUND(avg(sim_e6) / 1e6 * 1e6) AS BIGINT) AS mean_topk_e6,
+           CAST(ROUND((1.0 - min(sim_e6) / 1e6) * 1e6) AS BIGINT) AS outlier_e6
+    FROM top GROUP BY 1
+    """,
+)
+def emb_knn_outlier(spark, sf_dir):
+    """k-NN-distance outlier scores for the deterministic 1-in-37
+    query sample: cosine distance to the 5th nearest neighbor, exact
+    brute-force over the corpus (the audit path; lsh_topk is the
+    full-volume path)."""
+    out = simsearch.knn_outlier(_emb(spark, sf_dir), sample_mod=37, k=5)
+    return out.select(
+        "qid", "n_found", "kth_nid",
+        _e("kth_sim", 6).alias("kth_sim_e6"),
+        _e("mean_topk_sim", 6).alias("mean_topk_e6"),
+        _e("outlier_score", 6).alias("outlier_e6"),
+    )

@@ -619,3 +619,56 @@ def silhouette_centroid(
         F.avg("_b").alias("mean_other_dist"),
         F.avg("_s").alias("silhouette"),
     )
+
+
+def knn_outlier(
+    emb: DataFrame,
+    sample_mod: int = 37,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN-distance outlier scoring over a DETERMINISTIC query sample
+    (id % sample_mod == 0): each sampled row's cosine distance to its
+    k-th nearest neighbor in the full corpus — the classic
+    density-based outlier signal for embedding QA (garbage inputs,
+    embedder failures, and near-empty texts land far from everything;
+    a duplicate-rich row lands at distance ~0).
+
+    Per query: neighbors ranked by (e6-rounded sim desc, id asc) —
+    the cosine_topk determinism rule; kth_sim = the rank-k similarity,
+    outlier_score = 1 − kth_sim, mean_topk_sim = mean of the top-k
+    e6 similarities (a rational of integers — exact cross-engine).
+    Queries with fewer than k neighbors report their last available
+    rank (n_found < k flags them).
+
+    Shapes: ONE corpus scan × a broadcast query set (the exact/audit
+    path, same as cosine_topk; at full-corpus query volume use
+    lsh_topk — this operator's sampled contract IS the scale story:
+    |corpus|/sample_mod queries, the corpus is never self-joined)."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = emb.where(
+        (F.col(id_col) % sample_mod == 0) & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    return top.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_found"),
+        F.max_by("nid", F.col("rank")).alias("kth_nid"),
+        (F.min("sim_e6") / 1e6).alias("kth_sim"),
+        (F.avg("sim_e6") / 1e6).alias("mean_topk_sim"),
+        (F.lit(1.0) - F.min("sim_e6") / 1e6).alias("outlier_score"),
+    )
