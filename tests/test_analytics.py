@@ -1742,3 +1742,39 @@ def test_kendall_matrix_constant_side_null_and_day_split(spark):
     assert days == {"2026-01-01"}  # single-bucket day emits nothing
     r = out[0]
     assert r["tau_b"] is None and r["ty"] == 3
+
+
+def test_ar1_half_life_exact_decay(spark):
+    """v_t = 0.5^t is EXACTLY AR(1) with rho=.5 -> half-life = 1
+    bucket; v_t = 0.25^t -> half-life = 0.5 buckets. A perfect
+    trend (rho=1 boundary, zero residual OLS still gives rho=1)
+    yields null half-life; an alternating series has rho<0 -> null."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("h1", t0 + timedelta(hours=h), 0.5 ** h) for h in range(8)]
+    rows += [("hq", t0 + timedelta(hours=h), 0.25 ** h) for h in range(8)]
+    rows += [("alt", t0 + timedelta(hours=h), float((-1) ** h)) for h in range(8)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["k"]: r for r in analytics.ar1_half_life(df, keys=["k"]).collect()}
+    assert out["h1"]["rho"] == pytest.approx(0.5)
+    assert out["h1"]["half_life"] == pytest.approx(1.0)
+    assert out["hq"]["half_life"] == pytest.approx(0.5)
+    assert out["alt"]["rho"] == pytest.approx(-1.0)
+    assert out["alt"]["half_life"] is None
+
+
+def test_ar1_half_life_degenerate_rules(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("const", t0 + timedelta(hours=h), 3.0) for h in range(6)]  # var x = 0
+    rows += [("short", t0 + timedelta(hours=h), float(h * h)) for h in range(3)]  # 2 pairs
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["k"]: r for r in analytics.ar1_half_life(df, keys=["k"]).collect()}
+    assert out["const"]["rho"] is None
+    assert out["short"]["n_pairs"] == 2 and out["short"]["rho"] is None

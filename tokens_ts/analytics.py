@@ -2536,3 +2536,59 @@ def kendall_matrix(
         "ka", "kb", "day", "n0", "nc", "nd", "tx", "ty", "txy",
         tau.alias("tau_b"),
     )
+
+
+def ar1_half_life(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """AR(1) mean-reversion half-life per key: OLS of v_t on v_{t−1}
+    over the `trunc`-bucketed series gives the autoregressive
+    coefficient ρ; a mean-reverting series (0 < ρ < 1) halves its
+    deviation in −ln 2 / ln ρ buckets — the capacity/alerting answer
+    to "how long does a spike take to decay" (hurst_rs says WHETHER it
+    reverts, variance_ratio at what horizon; this says HOW FAST).
+
+    OLS on lag pairs (x = v_{t−1}, y = v_t, row-lag, consecutive-step
+    rule): ρ = (n·Σxy − Σx·Σy)/(n·Σxx − (Σx)²). Pinned nulls: < 3
+    pairs, zero x-variance, or ρ outside (0, 1) (an explosive or
+    oscillating series has NO half-life — emitting a number would be
+    wrong, so ρ is still reported and half_life is null).
+
+    Shapes: one bucket agg, one window pass for the lag, one
+    keys-bounded agg — no Python, no self-join."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    w = Window.partitionBy(*keys).orderBy("ep")
+    p = b.select(
+        *keys,
+        F.col("v").alias("y"),
+        F.lag("v", 1).over(w).alias("x"),
+    ).where(F.col("x").isNotNull())
+    a = p.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    rho = F.when(
+        (F.col("n_pairs") >= 3) & (den > 0),
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )
+    out = a.select(*keys, "n_pairs", rho.alias("rho"))
+    hl = F.when(
+        (F.col("rho") > 0) & (F.col("rho") < 1),
+        -F.log(F.lit(2.0)) / F.log("rho"),
+    )
+    return out.select(*keys, "n_pairs", "rho", hl.alias("half_life"))

@@ -5986,3 +5986,56 @@ def emb_knn_outlier(spark, sf_dir):
         _e("mean_topk_sim", 6).alias("mean_topk_e6"),
         _e("outlier_score", 6).alias("outlier_e6"),
     )
+
+
+@q(
+    "ts_ar1_half_life",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT sid, v AS y,
+             lag(v, 1) OVER (PARTITION BY sid ORDER BY ep) AS x
+      FROM b
+    ),
+    p2 AS (SELECT * FROM p WHERE x IS NOT NULL),
+    a AS (
+      SELECT sid, count(*) AS n_pairs,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p2 GROUP BY 1
+    ),
+    r AS (
+      SELECT sid, n_pairs,
+             CASE WHEN n_pairs >= 3 AND n_pairs * sxx - sx * sx > 0
+                  THEN (n_pairs * sxy - sx * sy) / (n_pairs * sxx - sx * sx)
+             END AS rho
+      FROM a
+    )
+    SELECT sid AS series_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(ROUND(rho * 1e6) AS BIGINT) AS rho_e6,
+           CASE WHEN rho > 0 AND rho < 1
+                THEN CAST(ROUND(-ln(2.0) / ln(rho) * 1e6) AS BIGINT)
+           END AS half_life_e6
+    FROM r
+    """,
+)
+def ts_ar1_half_life(spark, sf_dir):
+    """AR(1) half-life per series at hourly buckets — how fast a
+    deviation decays; rho outside (0,1) has no half-life (null,
+    pinned)."""
+    out = analytics.ar1_half_life(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n_pairs",
+        _e("rho", 6).alias("rho_e6"),
+        _e("half_life", 6).alias("half_life_e6"),
+    )
