@@ -1997,3 +1997,43 @@ def test_knn_outlier_small_corpus_n_found(spark):
     # query 0's neighbors: identical id 37 (cos 1) + orthogonal id 74 (cos 0)
     assert by_q[0]["kth_sim"] == pytest.approx(0.0)
     assert by_q[0]["mean_topk_sim"] == pytest.approx(0.5)
+
+
+def test_ngram_uniqueness_hand_counts_and_pad_rule(spark):
+    """tokens [1,2,1,2]: unigrams 4 total/2 distinct; bigrams
+    (1,2),(2,1),(1,2) -> 3 total/2 distinct; trigrams 2/2; 4-grams
+    1/1. A PAD inside kills every gram crossing it."""
+    from tokens_ts import textops
+
+    rows = [
+        ("A", [1, 2, 1, 2]),
+        ("P", [1, 0, 1, 2]),  # PAD at pos 2: unigrams 3/2; bigram only (1,2)
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {
+        (r["source"], r["n"]): (r["total"], r["distinct_grams"], r["uniq_ratio"])
+        for r in textops.ngram_uniqueness(df, max_n=4).collect()
+    }
+    assert out[("A", 1)] == (4, 2, pytest.approx(0.5))
+    assert out[("A", 2)] == (3, 2, pytest.approx(2 / 3))
+    assert out[("A", 3)] == (2, 2, pytest.approx(1.0))
+    assert out[("A", 4)] == (1, 1, pytest.approx(1.0))
+    assert out[("P", 1)] == (3, 2, pytest.approx(2 / 3))
+    assert out[("P", 2)] == (1, 1, pytest.approx(1.0))
+    assert ("P", 3) not in out and ("P", 4) not in out  # PAD blocks all
+
+
+def test_ngram_uniqueness_detects_template_spam(spark):
+    """A source of identical docs shows collapsing 4-gram uniqueness
+    vs a varied source of the same volume."""
+    from tokens_ts import textops
+
+    spam = [("spam", [1, 2, 3, 4, 5, 6, 7, 8]) for _ in range(10)]
+    varied = [("var", [10 * i + j for j in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(spam + varied, "source string, tokens array<int>")
+    out = {
+        (r["source"], r["n"]): r["uniq_ratio"]
+        for r in textops.ngram_uniqueness(df, max_n=4).collect()
+    }
+    assert out[("spam", 4)] == pytest.approx(0.1)  # 5 distinct / 50 total
+    assert out[("var", 4)] == pytest.approx(1.0)

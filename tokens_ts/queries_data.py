@@ -6039,3 +6039,46 @@ def ts_ar1_half_life(spark, sf_dir):
         _e("rho", 6).alias("rho_e6"),
         _e("half_life", 6).alias("half_life_e6"),
     )
+
+
+def _ngram_uniq_sql(max_n: int = 4) -> str:
+    legs = []
+    for n in range(1, max_n + 1):
+        legs.append(f"""
+      SELECT source AS g, {n} AS n,
+             array_to_string(list_transform(tokens[p : p + {n - 1}],
+               x -> CAST(x AS VARCHAR)), ',') AS gram
+      FROM seq, (SELECT unnest(range(1, 258)) AS p) ps  -- n_tok <= 16+240 = 256
+      WHERE p <= len(tokens) - {n} + 1
+        AND len(list_filter(tokens[p : p + {n - 1}], x -> x = 0)) = 0""")
+    union = " UNION ALL ".join(legs)
+    return (
+        _synth_cte()
+        + f""",
+    grams AS ({union}),
+    counts AS (
+      SELECT g, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT g AS source, CAST(n AS INT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           CAST(ROUND(count(*) * 1e6 / sum(cnt)) AS BIGINT) AS uniq_ratio_e6
+    FROM counts GROUP BY 1, 2
+    """
+    )
+
+
+@q("seq_ngram_uniqueness", _ngram_uniq_sql())
+def seq_ngram_uniqueness(spark, sf_dir):
+    """Unique-n-gram ratio curve (n=1..4) per source over the
+    synthetic token streams — the corpus dedup-health monitor; PAD
+    breaks adjacency, ',' serialization separator-safe on int ids."""
+    out = textops.ngram_uniqueness(_seq(spark), max_n=4)
+    return out.select(
+        "source",
+        F.col("n").cast("int").alias("n"),
+        "total", "distinct_grams",
+        F.round(F.col("distinct_grams") * 1e6 / F.col("total"))
+        .cast("bigint")
+        .alias("uniq_ratio_e6"),
+    )

@@ -1801,3 +1801,66 @@ def textrank_keywords(
             "rank",
         )
     )
+
+
+def ngram_uniqueness(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    pad_id: int = 0,
+    max_n: int = 4,
+) -> DataFrame:
+    """Unique-n-gram ratio curve per group for n = 1..max_n: distinct
+    n-grams / total n-grams over the token streams — the corpus-level
+    dedup-health / memorization monitor (a source whose 4-gram
+    uniqueness sags is template-spam or duplicate-laden even when
+    whole-doc dedup finds nothing; the CURVE localizes the repetition
+    scale). Complements the per-doc dup_ngram fraction with the
+    cross-doc aggregate view.
+
+    Pinned rules: an n-gram is kept iff ALL n positions are non-PAD
+    (PAD breaks adjacency — the bigram_pmi rule generalized); grams
+    are serialized with a ',' join (separator-safe: token ids are
+    integers, so ',' cannot occur inside an element); groups with zero
+    kept n-grams at some n emit no row for that n.
+
+    Shapes: the n-gram streams are ROW-LOCAL array expressions flattened
+    into one explode; ONE (group, n, gram) count agg (map-side
+    combined) then a groups×n-bounded finish. Exact distincts — at
+    extreme vocab the approx_count_distinct twin shape applies, noted
+    not hidden."""
+    toks = F.col(tokens_col)
+
+    def grams(n: int):
+        sl = lambda p: F.slice(toks, p, n)  # noqa: E731
+        raw = F.transform(
+            F.sequence(F.lit(1), (F.size(toks) - n + 1).cast("int")),
+            lambda p: F.when(
+                ~F.exists(sl(p), lambda x: x == pad_id),
+                F.array_join(
+                    F.transform(sl(p), lambda x: x.cast("string")), ","
+                ),
+            ),
+        )
+        kept = F.filter(raw, lambda g: g.isNotNull())
+        arr = F.when(F.size(toks) >= n, kept).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    combined = F.flatten(F.array(*[grams(n) for n in range(1, max_n + 1)]))
+    rows = seq.select(
+        F.col(group_col).alias("g"), F.explode(combined).alias("e")
+    ).select("g", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    counts = rows.groupBy("g", "n", "gram").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return counts.groupBy("g", "n").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("distinct_grams"),
+        (F.count("*") / F.sum("cnt")).alias("uniq_ratio"),
+    ).select(
+        F.col("g").alias(group_col), "n", "total", "distinct_grams", "uniq_ratio"
+    )
