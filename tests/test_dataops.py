@@ -2037,3 +2037,77 @@ def test_ngram_uniqueness_detects_template_spam(spark):
     }
     assert out[("spam", 4)] == pytest.approx(0.1)  # 5 distinct / 50 total
     assert out[("var", 4)] == pytest.approx(1.0)
+
+
+def _mmr_ref(qv, cands, k=3, pool=10):
+    """Independent greedy MMR reference on e6-rounded sims, 4x integer
+    score, nid-asc ties."""
+    import numpy as np
+
+    def sim_e6(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))) * 1e6
+        )
+
+    scored = sorted(
+        ((sim_e6(qv, v), -nid, nid, v) for nid, v in cands.items()),
+        key=lambda t: (-t[0], t[2]),
+    )[:pool]
+    sel = [scored[0]]
+    rest = scored[1:]
+    while rest and len(sel) < k:
+        best = None
+        for s, _m, nid, v in rest:
+            mx = max(sim_e6(v, sv) for _s, _mm, _snid, sv in sel)
+            key = (-(3 * s - mx), nid)
+            if best is None or key < best[0]:
+                best = (key, (s, _m, nid, v))
+        sel.append(best[1])
+        rest = [t for t in rest if t[2] != best[1][2]]
+    return [t[2] for t in sel]
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    """A query with a cluster of near-duplicate high-sim candidates
+    plus a slightly-less-similar but DIFFERENT candidate: pure top-k
+    takes the duplicates; MMR's step 2 jumps to the different one.
+    Exact parity with an independent greedy reference."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    # geometry where diversity MUST win at step 2 under 4x-score
+    # 3s - p: identical dups (p = 1e6) score 3*.95e6 - 1e6 = 1.85e6;
+    # the different-direction candidate scores 3*.93e6 - ~.77e6 ~ 2.02e6
+    qv = np.zeros(64)
+    qv[0] = 1.0
+    d = np.zeros(64)
+    d[0], d[1] = 0.95, np.sqrt(1 - 0.95**2)
+    o = np.zeros(64)
+    o[0], o[1] = 0.93, -np.sqrt(1 - 0.93**2)
+    rows = [(0, [float(x) for x in qv])]  # the query (id%97==0)
+    cands = {}
+    for i in range(3):  # identical duplicate cluster (pairwise cos = 1)
+        cands[i + 1] = d
+        rows.append((i + 1, [float(x) for x in d]))
+    cands[50] = o
+    rows.append((50, [float(x) for x in o]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        simsearch.mmr_topk(df, sample_mod=97, k=3, pool=10).collect(),
+        key=lambda r: r["step"],
+    )
+    got = [r["nid"] for r in out]
+    want = _mmr_ref(qv, cands, k=3, pool=10)
+    assert got == want
+    assert got[1] == 50  # diversity pick at step 2, not the next dup
+
+
+def test_mmr_pool_exhaustion_emits_fewer(spark):
+    from tokens_ts import simsearch
+
+    rows = [(0, [1.0] * 64), (1, [1.0] * 64), (2, [0.5] * 32 + [-0.5] * 32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.mmr_topk(df, sample_mod=97, k=5, pool=10).collect()
+    assert len(out) == 2  # only 2 candidates exist
+    assert sorted(r["step"] for r in out) == [1, 2]

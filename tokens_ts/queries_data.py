@@ -6082,3 +6082,76 @@ def seq_ngram_uniqueness(spark, sf_dir):
         .cast("bigint")
         .alias("uniq_ratio_e6"),
     )
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, sample_mod: int = 97) -> str:
+    """Unrolled greedy MMR steps as chained CTEs (integer 4x-score:
+    3*sim_e6 - max-selected-sim_e6, ties nid asc)."""
+    steps = []
+    prev = "s1"
+    for i in range(2, k + 1):
+        steps.append(f"""
+    m{i} AS (
+      SELECT p.qid, p.a AS nid, max(p.p_e6) AS mx
+      FROM pairs p JOIN {prev} s ON p.qid = s.qid AND p.b = s.nid
+      GROUP BY 1, 2
+    ),
+    r{i} AS (
+      SELECT c.qid, c.nid, c.sim_e6,
+             row_number() OVER (PARTITION BY c.qid
+               ORDER BY 3 * c.sim_e6 - m.mx DESC, c.nid ASC) AS rn
+      FROM cand c JOIN m{i} m ON c.qid = m.qid AND c.nid = m.nid
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.qid = c.qid AND s.nid = c.nid)
+    ),
+    p{i} AS (SELECT qid, nid, {i} AS step, sim_e6 FROM r{i} WHERE rn = 1),
+    s{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})""")
+        prev = f"s{i}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % {sample_mod} = 0
+    ),
+    scored AS (
+      SELECT q.qid, e.nid, e.v,
+             CAST(ROUND(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
+               AS sim_e6
+      FROM q CROSS JOIN e WHERE e.nid != q.qid
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT qid, nid, v, sim_e6, row_number() OVER (
+          PARTITION BY qid ORDER BY sim_e6 DESC, nid ASC) AS rank
+        FROM scored
+      ) WHERE rank <= {pool}
+    ),
+    pairs AS (
+      SELECT a.qid, a.nid AS a, b.nid AS b,
+             CAST(ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) * 1e6) AS BIGINT)
+               AS p_e6
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid
+    ),
+    s1 AS (
+      SELECT qid, nid, 1 AS step, sim_e6 FROM cand WHERE rank = 1
+    ),{",".join(steps)}
+    SELECT qid, nid, CAST(step AS BIGINT) AS step, sim_e6
+    FROM {prev}
+    """
+
+
+@q("emb_mmr_topk", _mmr_sql())
+def emb_mmr_topk(spark, sf_dir):
+    """MMR-diversified top-5 from a brute top-20 pool for the 1-in-97
+    query sample — greedy redundancy-penalized re-ranking, integer
+    4x-score determinism, k-1 unrolled selection rounds replayed as
+    chained CTEs."""
+    out = simsearch.mmr_topk(_emb(spark, sf_dir), sample_mod=97, k=5, pool=20)
+    return out.select("qid", "nid", "step", "sim_e6")

@@ -672,3 +672,99 @@ def knn_outlier(
         (F.avg("sim_e6") / 1e6).alias("mean_topk_sim"),
         (F.lit(1.0) - F.min("sim_e6") / 1e6).alias("outlier_score"),
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    sample_mod: int = 97,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k for a
+    deterministic query sample (id % sample_mod == 0): greedy
+    re-ranking of the brute-force top-`pool` cosine candidates with
+    λ = 3/4 — MMR_score = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    the standard redundancy-killer for retrieval-augmented sampling
+    (plain top-k returns near-duplicates; MMR charges each pick for
+    its similarity to what's already picked).
+
+    Determinism is INTEGER-exact: similarities are e6-rounded bigints
+    and λ = 3/4 makes 4·score = 3·sim_e6 − maxsel_e6 an integer;
+    ties break on candidate id asc. Step 1 picks pure relevance; each
+    later step is one candidates-bounded join + argmax (k−1 unrolled
+    rounds, same design as the PCA/TextRank unrolled iterations).
+    Queries whose pool is exhausted early just emit fewer rows.
+
+    Shapes: candidate pooling is the cosine_topk broadcast shape (one
+    corpus scan); everything after is bounded by queries × pool
+    (pairwise frame ≤ pool² per query) — the corpus is touched
+    exactly once."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = emb.where(
+        (F.col(id_col) % sample_mod == 0) & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("sim_e6"), F.asc("nid")
+    )
+    cand = (
+        j.select(
+            "qid", "nid", "v",
+            F.round(sim * 1e6).cast("bigint").alias("sim_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pool)
+        .cache()
+    )
+    ca = cand.select("qid", F.col("nid").alias("a"), F.col("v").alias("va"))
+    cb = cand.select("qid", F.col("nid").alias("b"), F.col("v").alias("vb"))
+    psim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    pairs = (
+        ca.join(cb, "qid")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "qid", "a", "b", F.round(psim * 1e6).cast("bigint").alias("p_e6")
+        )
+        .cache()
+    )
+    sel = cand.where(F.col("rank") == 1).select(
+        "qid", "nid", F.lit(1).alias("step"), "sim_e6"
+    )
+    for step in range(2, k + 1):
+        mx = (
+            pairs.join(
+                sel.select("qid", F.col("nid").alias("b")), ["qid", "b"]
+            )
+            .groupBy("qid", F.col("a").alias("nid"))
+            .agg(F.max("p_e6").alias("mx"))
+        )
+        remaining = cand.join(
+            sel.select("qid", "nid"), ["qid", "nid"], "left_anti"
+        )
+        scored = remaining.join(mx, ["qid", "nid"]).select(
+            "qid", "nid", "sim_e6",
+            (F.lit(3) * F.col("sim_e6") - F.col("mx")).alias("score4"),
+        )
+        wpick = Window.partitionBy("qid").orderBy(
+            F.desc("score4"), F.asc("nid")
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(wpick))
+            .where(F.col("_rn") == 1)
+            .select("qid", "nid", F.lit(step).alias("step"), "sim_e6")
+        )
+        sel = sel.union(pick)
+    return sel.select(
+        "qid", "nid", F.col("step").cast("bigint").alias("step"), "sim_e6"
+    )
