@@ -2111,3 +2111,67 @@ def test_mmr_pool_exhaustion_emits_fewer(spark):
     out = simsearch.mmr_topk(df, sample_mod=97, k=5, pool=10).collect()
     assert len(out) == 2  # only 2 candidates exist
     assert sorted(r["step"] for r in out) == [1, 2]
+
+
+def test_centroid_confusion_planted_mislabels(spark):
+    """Two far blobs; 3 rows of blob B carry label 0 -> they pull to
+    B's centroid, so the (0, 1) cell counts exactly those 3; clean
+    rows stay diagonal."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(15, 64) * 0.05
+    b = rng.randn(15, 64) * 0.05
+    b[:, 0] += 40.0
+    rows = [(i, [float(v) for v in a[i]], 0) for i in range(15)]
+    rows += [(100 + i, [float(v) for v in b[i]], 1) for i in range(12)]
+    rows += [(200 + i, [float(v) for v in b[12 + i]], 0) for i in range(3)]  # mislabeled
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        (r["label"], r["pred"]): r["n"]
+        for r in simsearch.centroid_confusion(df).collect()
+    }
+    # centroid of label 0 is dragged slightly toward B by the 3 bad
+    # rows, but 3/18 at distance 40 still leaves it near blob A
+    assert out[(0, 0)] == 15
+    assert out[(0, 1)] == 3
+    assert out[(1, 1)] == 12
+    assert (1, 0) not in out
+
+
+def test_centroid_confusion_tie_breaks_label_asc(spark):
+    """A point exactly between two centroids predicts the LOWER
+    label (e9-rounded distance tie, pred-asc rule)."""
+    from tokens_ts import simsearch
+
+    rows = [
+        (1, [0.0] * 64, 3),
+        (2, [2.0] + [0.0] * 63, 7),
+        (3, [1.0] + [0.0] * 63, 7),  # exactly between both centroids?
+    ]
+    # centroids: label 3 -> [0,...]; label 7 -> mean of rows 2,3 = [1.5, 0...]
+    # row 3 at [1,0..]: d(3)=1.0, d(7)=0.5 -> pred 7. Make a true tie instead:
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        (r["label"], r["pred"]): r["n"]
+        for r in simsearch.centroid_confusion(df).collect()
+    }
+    assert out[(3, 3)] == 1 and out[(7, 7)] == 2
+
+    # exact tie: both labels' centroids land on the SAME point [1,0..]
+    # (label 1: rows at 0 and 2; label 4: rows at -1 and 3) -> every
+    # row is equidistant to both centroids -> all predict label 1 (asc)
+    rows2 = [
+        (1, [0.0] * 64, 1),
+        (2, [2.0] + [0.0] * 63, 1),
+        (3, [-1.0] + [0.0] * 63, 4),
+        (4, [3.0] + [0.0] * 63, 4),
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>, label int")
+    out2 = {
+        (r["label"], r["pred"]): r["n"]
+        for r in simsearch.centroid_confusion(df2).collect()
+    }
+    assert out2 == {(1, 1): 2, (4, 1): 2}

@@ -6155,3 +6155,44 @@ def emb_mmr_topk(spark, sf_dir):
     chained CTEs."""
     out = simsearch.mmr_topk(_emb(spark, sf_dir), sample_mod=97, k=5, pool=20)
     return out.select("qid", "nid", "step", "sim_e6")
+
+
+def _confusion_sql(dim: int = 64) -> str:
+    avgs = ", ".join(f"avg(x[{j}])" for j in range(1, dim + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    c AS (SELECT label, [{avgs}] AS c FROM e GROUP BY 1),
+    dists AS (
+      SELECT e.vec_id, e.label, c.label AS pred,
+             CAST(ROUND(sqrt(list_sum(list_transform(range(1, {dim + 1}),
+               k -> (e.x[k] - c.c[k]) * (e.x[k] - c.c[k])))) * 1e9) AS BIGINT)
+               AS d9
+      FROM e CROSS JOIN c
+    ),
+    picked AS (
+      SELECT vec_id, label, pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d9 ASC, pred ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+    FROM picked GROUP BY 1, 2
+    """
+
+
+@q("emb_centroid_confusion", _confusion_sql())
+def emb_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid confusion matrix over labeled embeddings —
+    e9-rounded argmin with pred-asc ties; hot off-diagonal cells name
+    the confusable class pairs."""
+    out = simsearch.centroid_confusion(_emb(spark, sf_dir))
+    return out.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("pred").cast("bigint").alias("pred"),
+        "n",
+    )

@@ -768,3 +768,60 @@ def mmr_topk(
     return sel.select(
         "qid", "nid", F.col("step").cast("bigint").alias("step"), "sim_e6"
     )
+
+
+def centroid_confusion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: assign every labeled row to
+    its closest label centroid (Euclidean) and count (label, pred)
+    cells — the label-quality triage view (a hot off-diagonal cell
+    names the mislabeled/confusable class PAIR, which silhouette's
+    scalar score cannot).
+
+    Argmin determinism is pinned cross-engine: distances are e9-rounded
+    bigints and ties break on predicted label asc (a struct/tuple min
+    in both engines). Same shapes as silhouette_centroid: one dim-wide
+    centroid agg collected to ONE labels-bounded broadcast row, then a
+    ROW-LOCAL argmin fold and one labels²-bounded count agg."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    cents = e.groupBy("label").agg(
+        *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(dim)],
+    ).select(
+        "label",
+        F.array(*[F.col(f"m{j}") for j in range(dim)]).alias("c"),
+    )
+    cl = cents.agg(F.collect_list(F.struct("label", "c")).alias("cs"))
+    j = e.crossJoin(F.broadcast(cl))
+    dists = F.transform(
+        F.col("cs"),
+        lambda s: F.struct(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("x"), s["c"], lambda p, q: (p - q) * (p - q)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    )
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("d9"),
+            s["label"].alias("pred"),
+        ),
+    )
+    picked = j.select("label", F.array_min(dists)["pred"].alias("pred"))
+    return picked.groupBy("label", "pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
