@@ -1778,3 +1778,51 @@ def test_ar1_half_life_degenerate_rules(spark):
     out = {r["k"]: r for r in analytics.ar1_half_life(df, keys=["k"]).collect()}
     assert out["const"]["rho"] is None
     assert out["short"]["n_pairs"] == 2 and out["short"]["rho"] is None
+
+
+def test_benford_digits_exact_counts_and_chi2(spark):
+    """Hand counts: values 1.5, 19.0, 0.02, -25.0, 1e-10, 0.0, null ->
+    digits 1,1,2,2 (the 1e-10 is zero at the e9 grain, excluded);
+    chi2 = sum over all 9 digits of (obs - n p)^2 / (n p)."""
+    import math
+    from datetime import datetime
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [1.5, 19.0, 0.02, -25.0, 1e-10, 0.0, None]
+    rows = [("A", t0, v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["digit"]: r for r in analytics.benford_digits(df, keys=["k"]).collect()}
+    assert set(out) == set(range(1, 10))  # all 9 rows present
+    assert out[1]["obs"] == 2 and out[2]["obs"] == 2
+    assert all(out[d]["obs"] == 0 for d in range(3, 10))
+    assert out[1]["n"] == 4
+    chi2 = sum(
+        (out[d]["obs"] - 4 * math.log10(1 + 1 / d)) ** 2
+        / (4 * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert out[1]["chi2"] == pytest.approx(chi2)
+
+
+def test_benford_alarm_on_uniform_digits(spark):
+    """Digits drawn 1..9 uniformly (200 values) violate Benford ->
+    alarm; a geometric series 1.07^i (300 values) satisfies it ->
+    no alarm."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("uni", t0 + timedelta(minutes=i), float((i % 9) + 1) * 10.0)
+        for i in range(200)
+    ]
+    rows += [
+        ("geo", t0 + timedelta(minutes=i), 1.07 ** i) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {(r["k"], r["digit"]): r for r in analytics.benford_digits(df, keys=["k"]).collect()}
+    assert out[("uni", 1)]["alarm"] is True
+    assert out[("geo", 1)]["alarm"] is False

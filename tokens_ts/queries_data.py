@@ -6196,3 +6196,60 @@ def emb_centroid_confusion(spark, sf_dir):
         F.col("pred").cast("bigint").alias("pred"),
         "n",
     )
+
+
+@q(
+    "ts_benford",
+    """
+    WITH v AS (
+      SELECT event_type AS sid,
+             CAST(ROUND(abs(value) * 1e9) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT sid, CAST(substring(CAST(s AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM v WHERE s >= 1
+    ),
+    obs AS (SELECT sid, digit, count(*) AS obs FROM d GROUP BY 1, 2),
+    keyn AS (SELECT sid, count(*) AS n FROM d GROUP BY 1),
+    spine AS (
+      SELECT unnest(range(1, 10)) AS digit
+    ),
+    full_ AS (
+      SELECT k.sid, s.digit, k.n,
+             COALESCE(o.obs, 0) AS obs,
+             log10(1.0 + 1.0 / s.digit) AS p
+      FROM keyn k CROSS JOIN spine s
+      LEFT JOIN obs o ON o.sid = k.sid AND o.digit = s.digit
+    ),
+    cells AS (
+      SELECT *, (obs - n * p) * (obs - n * p) / (n * p) AS cell
+      FROM full_
+    ),
+    chi AS (SELECT sid, sum(cell) AS chi2 FROM cells GROUP BY 1)
+    SELECT c.sid AS series_id,
+           CAST(c.digit AS INT) AS digit,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.obs AS BIGINT) AS obs,
+           CAST(ROUND(c.p * 1e6) AS BIGINT) AS benford_p_e6,
+           CAST(ROUND(chi.chi2 * 1e6) AS BIGINT) AS chi2_e6,
+           CAST(chi.chi2 > 15.507 AS BIGINT) AS alarm
+    FROM cells c JOIN chi USING (sid)
+    """,
+)
+def ts_benford(spark, sf_dir):
+    """Benford first-digit audit per series: engine-stable digit
+    extraction via the e9-bigint decimal string, all 9 digit rows
+    emitted, chi-square 0.95 alarm."""
+    out = analytics.benford_digits(
+        _ev(spark, sf_dir).withColumnRenamed("event_type", "series_id"),
+        keys=["series_id"],
+    )
+    return out.select(
+        "series_id",
+        F.col("digit").cast("int").alias("digit"),
+        "n", "obs",
+        _e("benford_p", 6).alias("benford_p_e6"),
+        _e("chi2", 6).alias("chi2_e6"),
+        F.col("alarm").cast("bigint").alias("alarm"),
+    )
