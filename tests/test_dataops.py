@@ -2175,3 +2175,41 @@ def test_centroid_confusion_tie_breaks_label_asc(spark):
         for r in simsearch.centroid_confusion(df2).collect()
     }
     assert out2 == {(1, 1): 2, (4, 1): 2}
+
+
+def test_burrows_delta_hand_two_groups(spark):
+    """Two groups, tiny vocab: with 2 groups z is ±1 for any word
+    whose frequencies differ (ddof=0 over 2 points), so Delta = mean
+    |z_a - z_b| = 2 over differing words, and sd=0 words drop."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "x x y", "A"),   # A: f(x)=2/3 f(y)=1/3
+        (2, "x y y", "B"),   # B: f(x)=1/3 f(y)=2/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.burrows_delta(df, top_m=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ga"], r["gb"], r["n_words"]) == ("A", "B", 2)
+    assert r["delta"] == pytest.approx(2.0)
+
+    # identical usage profiles -> every word sd=0 -> no kept words
+    rows2 = [(1, "x y", "A"), (2, "x y", "B")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    assert textops.burrows_delta(df2).collect() == []
+
+
+def test_burrows_delta_style_neighbors(spark):
+    """Three sources: two share a word-usage profile, the third is
+    skewed — the matching pair's Delta is the smallest."""
+    from tokens_ts import textops
+
+    a = "the of and to in " * 10 + "alpha"
+    b = "the of and to in " * 10 + "beta"
+    c = "the the the the the of " * 10 + "gamma"
+    rows = [(1, a, "A"), (2, b, "B"), (3, c, "C")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["ga"], r["gb"]): r["delta"] for r in textops.burrows_delta(df).collect()}
+    assert out[("A", "B")] < out[("A", "C")]
+    assert out[("A", "B")] < out[("B", "C")]

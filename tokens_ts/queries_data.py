@@ -6253,3 +6253,52 @@ def ts_benford(spark, sf_dir):
         _e("chi2", 6).alias("chi2_e6"),
         F.col("alarm").cast("bigint").alias("alarm"),
     )
+
+
+@q(
+    "doc_burrows_delta",
+    """
+    WITH words AS (
+      SELECT source AS g,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT g, w FROM words WHERE w != ''),
+    gw AS (SELECT g, w, count(*) AS cnt FROM w2 GROUP BY 1, 2),
+    panel AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (
+          ORDER BY sum(cnt) DESC, w ASC) AS rk
+        FROM gw GROUP BY w
+      ) WHERE rk <= 30
+    ),
+    gtot AS (SELECT g, sum(cnt) AS gt FROM gw GROUP BY 1),
+    cells AS (
+      SELECT gtot.g, panel.w,
+             COALESCE(gw.cnt, 0) * 1.0 / gtot.gt AS f
+      FROM gtot CROSS JOIN panel
+      LEFT JOIN gw ON gw.g = gtot.g AND gw.w = panel.w
+    ),
+    stats AS (
+      SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+      FROM cells GROUP BY 1 HAVING stddev_pop(f) > 0
+    ),
+    z AS (
+      SELECT c.g, c.w, (c.f - s.mu) / s.sd AS z
+      FROM cells c JOIN stats s USING (w)
+    )
+    SELECT a.g AS ga, b.g AS gb,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(ROUND(avg(abs(a.z - b.z)) * 1e6) AS BIGINT) AS delta_e6
+    FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+    GROUP BY 1, 2
+    """,
+)
+def doc_burrows_delta(spark, sf_dir):
+    """Burrows' Delta between every source pair over the corpus
+    top-30 word panel — z-scored relative-frequency L1 stylometry."""
+    out = textops.burrows_delta(_docs(spark, sf_dir), top_m=30)
+    return out.select(
+        "ga", "gb", "n_words",
+        _e("delta", 6).alias("delta_e6"),
+    )

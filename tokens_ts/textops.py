@@ -1864,3 +1864,66 @@ def ngram_uniqueness(
     ).select(
         F.col("g").alias(group_col), "n", "total", "distinct_grams", "uniq_ratio"
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_m: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of
+    groups: z-score the per-group RELATIVE frequencies of the corpus's
+    top-M words (mean/σ over groups, ddof = 0), then
+    Δ(a,b) = mean_w |z_a,w − z_b,w| — the standard authorship /
+    register-shift detector (keyness finds WHAT differs; Delta says
+    HOW FAR two sources' word-usage profiles sit apart, comparable
+    across corpora because of the z-normalization).
+
+    Pinned rules: the word panel is the corpus top-M by (count desc,
+    word asc) — integer-exact selection; every (group, word) cell
+    exists (absent = frequency 0, via the groups×M spine); words with
+    σ = 0 across groups carry no signal and are DROPPED from the mean
+    (n_words reports the kept panel size); single-group corpora emit
+    nothing.
+
+    Shapes: one explode → (group, word) count; the panel, spine, z
+    matrix and pair join are all groups×M / groups²×M bounded — the
+    corpus is scanned once."""
+    words = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("cnt"))
+    panel = (
+        gw.groupBy("w")
+        .agg(F.sum("cnt").alias("tot"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("tot"), F.asc("w"))
+            ),
+        )
+        .where(F.col("_rk") <= top_m)
+        .select("w")
+    )
+    gtot = gw.groupBy("g").agg(F.sum("cnt").alias("gt"))
+    spine = gtot.crossJoin(F.broadcast(panel))
+    cells = (
+        spine.join(gw, ["g", "w"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .select("g", "w", (F.col("cnt") / F.col("gt")).alias("f"))
+    )
+    stats = cells.groupBy("w").agg(
+        F.avg("f").alias("mu"), F.stddev_pop("f").alias("sd")
+    ).where(F.col("sd") > 0)
+    z = cells.join(F.broadcast(stats), "w").select(
+        "g", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    za = z.select(F.col("g").alias("ga"), "w", F.col("z").alias("za"))
+    zb = z.select(F.col("g").alias("gb"), "w", F.col("z").alias("zb"))
+    pairs = za.join(zb, "w").where(F.col("ga") < F.col("gb"))
+    return pairs.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"),
+    )
