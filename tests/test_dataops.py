@@ -2213,3 +2213,30 @@ def test_burrows_delta_style_neighbors(spark):
     out = {(r["ga"], r["gb"]): r["delta"] for r in textops.burrows_delta(df).collect()}
     assert out[("A", "B")] < out[("A", "C")]
     assert out[("A", "B")] < out[("B", "C")]
+
+
+def test_positional_entropy_templated_prefix(spark):
+    """Two docs sharing a constant 4-token header [7,7,7,7]: band 0
+    holds a single symbol -> H = 0 (the templated-prefix signature);
+    band 1 holds tokens 1,2,3,4 once each -> H = ln 4; PADs never
+    count."""
+    import math
+
+    from tokens_ts import textops
+
+    rows = [
+        ("A", [7, 7, 7, 7, 1, 2, 0]),
+        ("A", [7, 7, 7, 7, 3, 4, 0]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {
+        r["band"]: r
+        for r in textops.positional_entropy(df, bucket=4).collect()
+    }
+    b0 = out[0]
+    assert (b0["n"], b0["distinct_tokens"]) == (8, 1)
+    assert b0["entropy"] == pytest.approx(0.0)
+    b1 = out[1]
+    # band 1 holds tokens 1,2,3,4 once each (PADs excluded): H = ln 4
+    assert (b1["n"], b1["distinct_tokens"]) == (4, 4)
+    assert b1["entropy"] == pytest.approx(math.log(4.0))

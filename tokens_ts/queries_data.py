@@ -6302,3 +6302,38 @@ def doc_burrows_delta(spark, sf_dir):
         "ga", "gb", "n_words",
         _e("delta", 6).alias("delta_e6"),
     )
+
+
+@q(
+    "seq_positional_entropy",
+    _synth_cte()
+    + """,
+    ex AS (
+      SELECT source AS g, tokens[p] AS t, p - 1 AS pos
+      FROM seq, (SELECT unnest(range(1, 258)) AS p) ps  -- n_tok <= 256
+      WHERE p <= len(tokens) AND tokens[p] != 0
+    ),
+    banded AS (
+      SELECT g, CAST(floor(pos / 8) AS BIGINT) AS band, t FROM ex
+    ),
+    counts AS (
+      SELECT g, band, t, count(*) AS c FROM banded GROUP BY 1, 2, 3
+    )
+    SELECT g AS source, band,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(ROUND((ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
+             * 1e6) AS BIGINT) AS entropy_e6
+    FROM counts GROUP BY 1, 2
+    """,
+)
+def seq_positional_entropy(spark, sf_dir):
+    """Per-source token entropy by 8-wide position band over the
+    synthetic sequences — the templated-prefix detector; exact
+    integer-count ln-form, PAD excluded."""
+    out = textops.positional_entropy(_seq(spark), bucket=8)
+    return out.select(
+        "source", "band", "n", "distinct_tokens",
+        _e("entropy", 6).alias("entropy_e6"),
+    )

@@ -1927,3 +1927,49 @@ def burrows_delta(
         F.count("*").cast("bigint").alias("n_words"),
         F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"),
     )
+
+
+def positional_entropy(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    pad_id: int = 0,
+    bucket: int = 8,
+) -> DataFrame:
+    """Token entropy BY SEQUENCE POSITION per group: Shannon entropy
+    of the token distribution inside each `bucket`-wide position band
+    — the templated-prefix/suffix detector (a source whose positions
+    0–7 carry near-zero entropy starts every sequence with the same
+    boilerplate header; corpus-level entropy, which dist_entropy
+    already gives, averages that signal away).
+
+    H = ln n − Σ c·ln c / n over integer counts (the exact ln-form
+    every entropy op in this engine uses — both engines evaluate ln on
+    integers, no probability division before the fold). PAD tokens are
+    excluded (they are structure, not content); single-token bands
+    emit H = 0 via c = n.
+
+    Shapes: one posexplode → (group, band, token) count (map-side
+    combined, vocab×bands-bounded after it), one bands-bounded finish.
+    No joins."""
+    g = F.col(group_col).alias("g")
+    ex = seq.select(
+        g, F.posexplode(F.col(tokens_col)).alias("pos", "t")
+    ).where(F.col("t") != pad_id)
+    banded = ex.select(
+        "g", F.floor(F.col("pos") / bucket).cast("bigint").alias("band"), "t"
+    )
+    counts = banded.groupBy("g", "band", "t").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return counts.groupBy("g", "band").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("distinct_tokens"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c")
+        ).alias("entropy"),
+    ).select(
+        F.col("g").alias(group_col), "band", "n", "distinct_tokens", "entropy"
+    )
