@@ -2240,3 +2240,42 @@ def test_positional_entropy_templated_prefix(spark):
     # band 1 holds tokens 1,2,3,4 once each (PADs excluded): H = ln 4
     assert (b1["n"], b1["distinct_tokens"]) == (4, 4)
     assert b1["entropy"] == pytest.approx(math.log(4.0))
+
+
+def test_readability_hand_counts(spark):
+    """'The cat sat. It ran!' -> 2 sentences, 5 words, syllables:
+    the(1) cat(1) sat(1) it(1) ran(1) = 5 -> FRE = 206.835 -
+    1.015*(5/2) - 84.6*1 = 119.6975. A no-punctuation doc floors at
+    1 sentence; 'rhythm' (no vowel groups... y counts) and 'xzq'
+    (none) floor at 1 syllable."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "The cat sat. It ran!", "s"),
+        (2, "beautiful code", "s"),   # beau-ti-ful: groups eau,i,u =3; code: o,e =2
+        (3, "xzq", "s"),              # 0 vowel groups -> floored to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in textops.readability(df).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["flesch"] == pytest.approx(206.835 - 1.015 * 2.5 - 84.6)
+    r2 = out[2]
+    assert (r2["n_sentences"], r2["n_syllables"]) == (1, 5)
+    assert out[3]["n_syllables"] == 1
+
+
+def test_readability_orders_simple_vs_complex(spark):
+    from tokens_ts import textops
+
+    simple = "I like cats. Cats are fun. We play."
+    complex_ = (
+        "Notwithstanding institutional heterogeneity, organizational "
+        "epistemologies necessitate multidimensional reconceptualization."
+    )
+    df = spark.createDataFrame(
+        [(1, simple, "s"), (2, complex_, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r["flesch"] for r in textops.readability(df).collect()}
+    assert out[1] > 80 and out[2] < 0

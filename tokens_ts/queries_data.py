@@ -6337,3 +6337,42 @@ def seq_positional_entropy(spark, sf_dir):
         "source", "band", "n", "distinct_tokens",
         _e("entropy", 6).alias("entropy_e6"),
     )
+
+
+@q(
+    "doc_readability",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w != '') AS ws,
+             greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> trim(s) != '')), 1) AS n_sentences
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id, source, len(ws) AS n_words, n_sentences,
+             list_sum(list_transform(ws,
+               w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+               AS n_syllables
+      FROM d WHERE len(ws) >= 1
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(ROUND((206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 1e4)
+             AS BIGINT) AS flesch_e4
+    FROM d2
+    """,
+)
+def doc_readability(spark, sf_dir):
+    """Flesch Reading Ease per doc — deterministic vowel-group
+    syllable estimate, integer counts, row-local only."""
+    out = textops.readability(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "n_words", "n_sentences", "n_syllables",
+        _e("flesch", 4).alias("flesch_e4"),
+    )

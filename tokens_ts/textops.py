@@ -1973,3 +1973,56 @@ def positional_entropy(
     ).select(
         F.col("g").alias(group_col), "band", "n", "distinct_tokens", "entropy"
     )
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch Reading Ease per doc with a DETERMINISTIC syllable
+    estimator: syllables(word) = max(1, count of [aeiouy]+ vowel
+    groups, case-folded) — the standard public approximation; FRE =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words). The
+    classic complexity/quality feature for curation mixes (too-low =
+    legalese/generated sludge, implausibly-high = word-salad).
+
+    Pinned rules: sentences = non-empty [.!?]+ segments, floored at 1
+    (headline-style docs); words = whitespace split; zero-word docs
+    dropped. All three counts are INTEGERS, so both engines derive FRE
+    from the same rationals.
+
+    Shapes: entirely row-local regexp/array expressions in whole-stage
+    codegen — zero shuffles, zero joins."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    d = docs.withColumn("n_words", F.size(words).cast("bigint")).where(
+        F.col("n_words") >= 1
+    )
+    d = d.withColumn("n_sentences", sents.cast("bigint")).withColumn(
+        "n_syllables", syl
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return d.withColumn("flesch", fre)
