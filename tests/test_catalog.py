@@ -241,3 +241,77 @@ def test_iceberg_drop_partitions_statement_shape():
     log2 = []
     assert cat.drop_partitions(_FakeSqlSpark(log2), "raw", []) == 0
     assert log2 == []
+
+
+def test_iceberg_compact_partitions_statement_shape():
+    """Compaction on Iceberg: one rewrite_data_files CALL per
+    partition with a partition-aligned where and the target file
+    size, nothing else."""
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    out = cat.compact_partitions(
+        _FakeSqlSpark(log),
+        "raw",
+        [{"source": "srcA", "day": "2026-01-01"}],
+        target_mb=64,
+    )
+    assert out == [
+        {"partition": {"source": "srcA", "day": "2026-01-01"}, "rewritten": True}
+    ]
+    assert log == [
+        (
+            "sql",
+            "CALL lake.system.rewrite_data_files("
+            "table => 'lake.db.raw', "
+            "where => \"source = 'srcA' AND day = '2026-01-01'\", "
+            "options => map('target-file-size-bytes', '67108864'))",
+        )
+    ]
+    assert cat.compact_partitions(_FakeSqlSpark([]), "raw", []) == []
+
+
+def test_compact_partitions_parquet_swap(spark, tmp_path):
+    """Parquet compaction: a partition written as many small files
+    collapses to one file with byte-identical rows; untouched
+    partitions keep their exact files; rerun is a no-op-shaped
+    idempotent rewrite."""
+    import os
+
+    root = str(tmp_path / "wh")
+    cat = Catalog(root, "parquet")
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 2 AS STRING) AS source", "id AS v"
+    )
+    # force many small files per partition
+    df.repartition(8).write.partitionBy("source").mode("overwrite").parquet(
+        cat.path("raw")
+    )
+    part0 = os.path.join(cat.path("raw"), "source=0")
+    part1 = os.path.join(cat.path("raw"), "source=1")
+    files_of = lambda p: sorted(  # noqa: E731
+        f for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    before0, before1 = files_of(part0), files_of(part1)
+    assert len(before0) > 1
+    rows_before = sorted(
+        r["v"] for r in spark.read.parquet(cat.path("raw")).where("source = 0").collect()
+    )
+    out = cat.compact_partitions(spark, "raw", [{"source": "0"}], target_mb=1024)
+    assert len(out) == 1
+    assert out[0]["files_before"] == len(before0)
+    assert out[0]["files_after"] == 1
+    assert out[0]["rows"] == 1000
+    assert len(files_of(part0)) == 1
+    assert files_of(part1) == before1  # untouched partition keeps its files
+    rows_after = sorted(
+        r["v"] for r in spark.read.parquet(cat.path("raw")).where("source = 0").collect()
+    )
+    assert rows_after == rows_before
+    # no leftover tmp/trash dirs
+    assert not os.path.exists(part0 + ".compacting")
+    assert not os.path.exists(part0 + ".trash")
+    # idempotent rerun: still 1 file, same rows
+    out2 = cat.compact_partitions(spark, "raw", [{"source": "0"}], target_mb=1024)
+    assert out2[0]["files_after"] == 1 and out2[0]["rows"] == 1000
+    # missing partition: skipped silently
+    assert cat.compact_partitions(spark, "raw", [{"source": "9"}]) == []

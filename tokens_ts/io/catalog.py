@@ -194,3 +194,104 @@ class Catalog:
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(self.path(name))
+
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: list[dict],
+        target_mb: int = 128,
+    ) -> list[dict]:
+        """Rewrite each listed partition's many small files into
+        ceil(bytes / target_mb) files — the small-file compaction every
+        long-lived incremental table needs (streaming/increment waves
+        append a few files per commit; after thousands of commits the
+        scan's task count and the namenode/S3 listing cost are
+        file-bound, not data-bound).
+
+        Iceberg: ONE `CALL <catalog>.system.rewrite_data_files` with a
+        partition-aligned `where` per key set — snapshot-atomic,
+        statement shape pinned the same way as merge_upsert /
+        drop_partitions. Parquet: per partition, (1) write compacted
+        files to `<dir>.compacting` with the SAME schema, (2) verify
+        the row count matches, (3) swap via two renames
+        (dir → `<dir>.trash`, tmp → dir), (4) delete the trash.
+        Crash semantics, pinned: a crash before (3) leaves the
+        partition untouched (plus a stale tmp a rerun overwrites); a
+        crash between the renames leaves the partition ABSENT but the
+        trash intact (operator restores by renaming back; rerunning the
+        job re-backfills) — the window is never DUPLICATED data, which
+        is the failure mode consumers cannot detect. A row-count
+        mismatch aborts before any rename.
+
+        Returns one dict per partition: files_before/files_after/rows.
+        """
+        out: list[dict] = []
+        if not keys:
+            return out
+        if self.fmt == "iceberg":
+            cat = self.root.split(".")[0]
+            for k in keys:
+                where = " AND ".join(f"{c} = '{v}'" for c, v in k.items())
+                spark.sql(
+                    f"CALL {cat}.system.rewrite_data_files("
+                    f"table => '{self.ident(name)}', "
+                    f"where => \"{where}\", "
+                    f"options => map('target-file-size-bytes', "
+                    f"'{target_mb * 1024 * 1024}'))"
+                )
+                out.append({"partition": k, "rewritten": True})
+            return out
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        base = HPath(self.path(name))
+        fs = base.getFileSystem(hconf)
+        for k in keys:
+            rel = "/".join(f"{c}={v}" for c, v in k.items())
+            part = HPath(base, rel)
+            if not fs.exists(part):
+                continue
+            files = [
+                f
+                for f in fs.listStatus(part)
+                if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+            ]
+            size = sum(f.getLen() for f in files)
+            n_target = max(1, -(-size // (target_mb * 1024 * 1024)))
+            df = spark.read.parquet(str(part))
+            rows_before = df.count()
+            tmp = HPath(str(part) + ".compacting")
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+            df.coalesce(int(n_target)).write.mode("overwrite").parquet(str(tmp))
+            rows_after = spark.read.parquet(str(tmp)).count()
+            if rows_after != rows_before:
+                fs.delete(tmp, True)
+                raise RuntimeError(
+                    f"compact_partitions: row count changed for {rel} "
+                    f"({rows_before} -> {rows_after}); aborting before swap"
+                )
+            trash = HPath(str(part) + ".trash")
+            if fs.exists(trash):
+                fs.delete(trash, True)
+            fs.rename(part, trash)
+            fs.rename(tmp, part)
+            fs.delete(trash, True)
+            n_after = len(
+                [
+                    f
+                    for f in fs.listStatus(part)
+                    if f.isFile()
+                    and not f.getPath().getName().startswith(("_", "."))
+                ]
+            )
+            out.append(
+                {
+                    "partition": dict(k),
+                    "files_before": len(files),
+                    "files_after": n_after,
+                    "rows": rows_before,
+                }
+            )
+        return out
