@@ -257,6 +257,27 @@ def main():
         )
     ))
 
+    # round-5g: gain-adaptive Kalman recursion (Arrow per-series
+    # stage), per-day Kendall tau-b (calendar-bounded pair self-join),
+    # TextRank keywords (3 vocab-bounded PageRank rounds), and the
+    # n-gram uniqueness curve (the heaviest new shuffle: one 4x-token
+    # explode + map-side-combined count)
+    bench("kalman", lambda: _materialize(
+        analytics.kalman_level(ev_raw, keys=["series_id"], trunc="minute")
+    ))
+    bench("kendall", lambda: _materialize(
+        analytics.kendall_matrix(ev_raw, keys=["series_id"], trunc="hour")
+    ))
+    bench("textrank", lambda: _materialize(
+        textops.textrank_keywords(docs, top_k=10)
+    ))
+    # the heaviest new row by design: a ~4x-token explode through a
+    # mostly-unique-key agg (xxhash64 gram keys measured NO faster —
+    # explode-volume-bound; BENCH/BASELINE.md). Wave-bounded at scale.
+    bench("ngram_uniq", lambda: _materialize(
+        textops.ngram_uniqueness(seq, max_n=4)
+    ))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",

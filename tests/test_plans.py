@@ -541,3 +541,89 @@ def test_dtw_collect_is_bounded_and_arrow(spark, events_path):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kalman_single_key_shuffle(spark, events_path):
+    """Kalman rides the same sanctioned-stateful shape as Holt: ONE
+    FlatMapGroupsInPandas over hashpartitioning(key), never
+    SinglePartition."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.kalman_level(ev, ["event_type"], ts_col="ts"))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_variance_ratio_ar1_pure_catalyst(spark, events_path):
+    """The memory diagnostics (VR, AR(1)) are one window pass + one
+    keys-bounded agg: no Python stage, no join at all."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    for df in (
+        analytics.variance_ratio(ev, ["event_type"], ts_col="ts"),
+        analytics.ar1_half_life(ev, ["event_type"], ts_col="ts"),
+    ):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Join" not in plan, plan
+        assert "SinglePartition" not in plan, plan
+
+
+def test_keyness_no_second_corpus_pass(spark, seq_path):
+    """G² keyness re-aggregates word totals from the (group, word)
+    counts: the corpus parquet is scanned ONCE; the totals come back
+    as broadcast/vocab-bounded joins, never a corpus self-join."""
+    from tokens_ts import textops
+
+    docs = spark.read.parquet(seq_path).selectExpr(
+        "source", "CAST(doc_id AS STRING) AS text"
+    )
+    plan = _plan(textops.keyness_g2(docs, top_k=5))
+    # the (group, word) count frame is cached: every FileScan in the
+    # printed plan is the REPRINT inside an InMemoryTableScan build
+    # (each InMemoryTableScan node re-prints its cached child), so at
+    # runtime the corpus parquet is read exactly once
+    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert plan.count("Scan parquet") == plan.count("InMemoryTableScan"), plan
+
+
+def test_benford_no_python_broadcast_spine(spark, events_path):
+    """Benford: row-local digit projection, digit spine and chi2 both
+    broadcast back — no sort-merge join, no Python."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet").withColumnRenamed(
+        "event_type", "series_id"
+    )
+    plan = _plan(analytics.benford_digits(ev, keys=["series_id"]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mmr_corpus_scanned_once_broadcast_queries(spark):
+    """MMR touches the corpus exactly once (the candidate-pool scan);
+    every unrolled selection round joins candidate-bounded frames.
+    The query side is broadcast (BroadcastNestedLoopJoin, the
+    cosine_topk shape)."""
+    from tokens_ts import simsearch
+
+    rows = [(i, [float(i % 7)] * 8) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = str(spark.range(0).sparkSession.conf.get("spark.sql.warehouse.dir"))
+    del p  # warehouse not needed; write a parquet to count scans
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="plans_mmr_") + "/emb"
+    emb.write.mode("overwrite").parquet(path)
+    emb2 = spark.read.parquet(path)
+    plan = _plan(simsearch.mmr_topk(emb2, sample_mod=7, k=3, pool=5))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # candidate/pair frames are cached after the single corpus pass:
+    # every remaining FileScan line is a cache-build REPRINT inside an
+    # InMemoryTableScan (2 file scans per build: corpus + query side)
+    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert plan.count("Scan parquet") <= 2 * plan.count("InMemoryTableScan"), plan

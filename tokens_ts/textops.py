@@ -1638,7 +1638,12 @@ def keyness_g2(
         F.col(group_col).alias("g"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("a"))
+    # gw feeds four consumers (totals, word totals, grand total, the
+    # join); WITHOUT materialization Catalyst re-derives it per
+    # consumer and the CORPUS is rescanned 5x (caught by
+    # test_plans.py::test_keyness_no_second_corpus_pass). The frame is
+    # groups*vocab-bounded - safe executor state at any corpus size.
+    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("a")).cache()
     gtot = gw.groupBy("g").agg(F.sum("a").cast("bigint").alias("c"))
     wtot = gw.groupBy("w").agg(F.sum("a").cast("bigint").alias("ab"))
     tot = gtot.agg(F.sum("c").cast("bigint").alias("t"))
@@ -1774,7 +1779,10 @@ def textrank_keywords(
         F.count("*").cast("double").alias("w")
     )
     deg = edges.groupBy("g", "a").agg(F.sum("w").alias("deg"))
-    ew = edges.join(deg, ["g", "a"])
+    # each unrolled round joins onto ew; without materialization every
+    # round re-derives edges from the CORPUS (iters+1 scans). Edge-set
+    # bounded - safe to cache at any corpus size.
+    ew = edges.join(deg, ["g", "a"]).cache()
     r = deg.select("g", F.col("a").alias("node"), F.lit(1.0).alias("r"))
     dmp = F.lit(float(damping))
     for _ in range(iters):
@@ -1826,9 +1834,14 @@ def ngram_uniqueness(
 
     Shapes: the n-gram streams are ROW-LOCAL array expressions flattened
     into one explode; ONE (group, n, gram) count agg (map-side
-    combined) then a groups×n-bounded finish. Exact distincts — at
-    extreme vocab the approx_count_distinct twin shape applies, noted
-    not hidden."""
+    combined) then a groups×n-bounded finish. The wall cost is the
+    ~4×-token-volume explode through a mostly-unique-key partial agg
+    (map-side combine cannot shrink unique grams); an xxhash64-keyed
+    variant (8-byte keys, no gram strings) measured NO faster at bench
+    volume (interleaved A/B in BENCH/BASELINE.md) and was dropped —
+    the agg is explode-volume-bound, not key-width-bound. At 10^12
+    scale this op rides the per-(source, day) wave bound like every
+    tier job, never one corpus-wide agg."""
     toks = F.col(tokens_col)
 
     def grams(n: int):
@@ -1894,7 +1907,9 @@ def burrows_delta(
         F.col(group_col).alias("g"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("cnt"))
+    # groups*vocab-bounded and reused 3x (panel, totals, cells) -
+    # cached for the same single-corpus-scan guarantee as keyness_g2
+    gw = words.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("cnt")).cache()
     panel = (
         gw.groupBy("w")
         .agg(F.sum("cnt").alias("tot"))
