@@ -1826,3 +1826,77 @@ def test_benford_alarm_on_uniform_digits(spark):
     out = {(r["k"], r["digit"]): r for r in analytics.benford_digits(df, keys=["k"]).collect()}
     assert out[("uni", 1)]["alarm"] is True
     assert out[("geo", 1)]["alarm"] is False
+
+
+def test_hampel_planted_spike_repaired_neighbors_untouched(spark):
+    """Flat-ish series 10,10.1,10,...,SPIKE=50,...: the spike bucket is
+    flagged and repaired to the window median; every other bucket keeps
+    its own value (Hampel repairs ONLY flagged points — that's the
+    contract vs a rolling-median smoother)."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [10.0, 10.1, 10.0, 10.1, 10.0, 50.0, 10.1, 10.0, 10.1, 10.0, 10.1]
+    rows = [("s", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.hampel_filter(df, keys=["k"], half=4, k=3.0).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert len(out) == len(vals)
+    flags = [r["hampel_flag"] for r in out]
+    assert flags[5] is True and sum(flags) == 1
+    # repaired spike = median of its +-4 window (9 values incl the spike)
+    win = sorted(vals[1:10])
+    assert out[5]["hampel_value"] == pytest.approx(win[4])
+    for i in (0, 1, 4, 6, 10):
+        assert out[i]["hampel_flag"] is False
+        assert out[i]["hampel_value"] == pytest.approx(vals[i])
+
+
+def test_hampel_hand_median_mad_even_edge_window(spark):
+    """First bucket of a 3-long series with half=4 sees a truncated
+    3-wide window; a 4-long series' edge bucket sees an EVEN window ->
+    interpolated median. Hand-check median, sigma = 1.4826*MAD, n."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i), v) for i, v in enumerate([1.0, 5.0, 9.0])]
+    rows += [("b", t0 + timedelta(hours=i), v) for i, v in enumerate([1.0, 2.0, 7.0, 11.0])]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {(r["k"], r["ep"]): r for r in analytics.hampel_filter(df, keys=["k"]).collect()}
+    ep0 = int(t0.timestamp())
+    a0 = out[("a", ep0)]
+    assert a0["hampel_n"] == 3 and a0["hampel_median"] == pytest.approx(5.0)
+    # devs from 5: [0,4,4] -> MAD 4
+    assert a0["hampel_sigma"] == pytest.approx(1.4826 * 4.0)
+    b0 = out[("b", ep0)]
+    assert b0["hampel_n"] == 4
+    assert b0["hampel_median"] == pytest.approx((2.0 + 7.0) / 2)  # even interp
+    # devs from 4.5: [0.5,2.5,3.5,6.5] -> MAD (2.5+3.5)/2 = 3
+    assert b0["hampel_sigma"] == pytest.approx(1.4826 * 3.0)
+
+
+def test_hampel_mad_zero_flags_e9_visible_deviation(spark):
+    """MAD = 0 (constant window majority): any e9-visible deviation is
+    flagged — the literal formula's degenerate rule, stated in the
+    docstring."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [3.0, 3.0, 3.0, 3.0, 3.0000001, 3.0, 3.0, 3.0, 3.0]
+    rows = [("c", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.hampel_filter(df, keys=["k"], half=4).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert out[4]["hampel_flag"] is True
+    assert out[4]["hampel_value"] == pytest.approx(3.0)
+    assert all(not r["hampel_flag"] for i, r in enumerate(out) if i != 4)

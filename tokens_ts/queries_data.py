@@ -6376,3 +6376,73 @@ def doc_readability(spark, sf_dir):
         "doc_id", "source", "n_words", "n_sentences", "n_syllables",
         _e("flesch", 4).alias("flesch_e4"),
     )
+
+
+@q(
+    "ts_hampel",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT sid, ep, v,
+             list_sort(list(v) OVER (PARTITION BY sid ORDER BY ep
+               ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)) AS arr
+      FROM b
+    ),
+    med AS (
+      SELECT sid, ep, v, arr, len(arr) AS m,
+             CASE WHEN len(arr) % 2 = 1
+                  THEN arr[len(arr) // 2 + 1]
+                  ELSE (arr[len(arr) // 2]
+                        + arr[len(arr) // 2 + 1]) / 2.0
+             END AS hm
+      FROM fr
+    ),
+    sig AS (
+      SELECT sid, ep, v, m, hm,
+             list_sort(list_transform(arr, x -> abs(x - hm))) AS devs
+      FROM med
+    ),
+    sig2 AS (
+      SELECT sid, ep, v, m, hm,
+             1.4826 * CASE WHEN len(devs) % 2 = 1
+                  THEN devs[len(devs) // 2 + 1]
+                  ELSE (devs[len(devs) // 2]
+                        + devs[len(devs) // 2 + 1]) / 2.0
+             END AS sigma
+      FROM sig
+    )
+    SELECT sid AS series_id, ep,
+           CAST(ROUND(v * 1e6) AS BIGINT) AS v_e6,
+           CAST(m AS BIGINT) AS hampel_n,
+           CAST(ROUND(hm * 1e6) AS BIGINT) AS median_e6,
+           CAST(ROUND(sigma * 1e6) AS BIGINT) AS sigma_e6,
+           CAST(CAST(ROUND(abs(v - hm) * 1e9) AS BIGINT)
+                > CAST(ROUND(3.0 * sigma * 1e9) AS BIGINT) AS BIGINT) AS flag,
+           CAST(ROUND(CASE WHEN CAST(ROUND(abs(v - hm) * 1e9) AS BIGINT)
+                > CAST(ROUND(3.0 * sigma * 1e9) AS BIGINT)
+                THEN hm ELSE v END * 1e6) AS BIGINT) AS repaired_e6
+    FROM sig2
+    """,
+)
+def ts_hampel(spark, sf_dir):
+    """Hampel despike per series at hourly buckets (centered ±4
+    window, k=3, e9-grain boundary): flags + repaired values."""
+    out = analytics.hampel_filter(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", half=4, k=3.0,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        "hampel_n",
+        _e("hampel_median", 6).alias("median_e6"),
+        _e("hampel_sigma", 6).alias("sigma_e6"),
+        F.col("hampel_flag").cast("bigint").alias("flag"),
+        _e("hampel_value", 6).alias("repaired_e6"),
+    )
