@@ -1900,3 +1900,94 @@ def test_hampel_mad_zero_flags_e9_visible_deviation(spark):
     assert out[4]["hampel_flag"] is True
     assert out[4]["hampel_value"] == pytest.approx(3.0)
     assert all(not r["hampel_flag"] for i, r in enumerate(out) if i != 4)
+
+
+def _spc_ref(vals):
+    """Exact-integer reference for spc_rules on one series (python
+    ints are arbitrary-precision, so this mirrors the engine's
+    A/B/A^2 arithmetic with no width concerns)."""
+    v6 = [int(round(v * 1e6)) for v in vals]
+    n, S = len(v6), sum(v6)
+    Q = sum(x * x for x in v6)
+    B = n * Q - S * S
+    A = [x * n - S for x in v6]
+    side = [(a > 0) - (a < 0) for a in A]
+    beyond = lambda a, k: a * a > k * k * B  # noqa: E731
+    p2 = [int(a > 0 and beyond(a, 2)) for a in A]
+    m2 = [int(a < 0 and beyond(a, 2)) for a in A]
+    p1 = [int(a > 0 and beyond(a, 1)) for a in A]
+    m1 = [int(a < 0 and beyond(a, 1)) for a in A]
+    out = []
+    for i in range(n):
+        r1 = beyond(A[i], 3)
+        r2 = sum(p2[max(0, i - 2): i + 1]) >= 2 or sum(m2[max(0, i - 2): i + 1]) >= 2
+        r3 = sum(p1[max(0, i - 4): i + 1]) >= 4 or sum(m1[max(0, i - 4): i + 1]) >= 4
+        r4 = i >= 7 and side[i] != 0 and all(s == side[i] for s in side[i - 7: i + 1])
+        out.append((side[i], r1, r2, r3, r4))
+    return out
+
+
+def _spc_run(spark, vals, key="s"):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = [(key, t0 + timedelta(hours=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    return sorted(analytics.spc_rules(df, keys=["k"]).collect(), key=lambda r: r["ep"])
+
+
+def test_spc_r1_spike_only_fires_rule1(spark):
+    """20 buckets at 10 + one at 31: center 11, sigma sqrt(20); the
+    spike (dev 20 > 3*4.47) fires r1, nothing else does; sides are
+    -1 everywhere except the spike."""
+    vals = [10.0] * 20 + [31.0]
+    out = _spc_run(spark, vals)
+    assert [r["spc_r1"] for r in out] == [False] * 20 + [True]
+    assert [r["spc_side"] for r in out] == [-1] * 20 + [1]
+    assert out[0]["spc_n"] == 21
+    assert out[0]["spc_center_e6"] == 11_000_000
+    assert out[0]["spc_sigma_e6"] == round(math.sqrt(20.0) * 1e6)
+
+
+def test_spc_r4_run_of_eight_and_strict_1sigma_boundary(spark):
+    """8 buckets at +1 then 8 at -1 (center 0, sigma exactly 1):
+    r4 fires exactly at positions 7 and 15 (the 8th same-side bucket);
+    r3 NEVER fires because |dev| == 1 sigma exactly and band tests are
+    STRICT (A^2 > B fails at equality) — the boundary semantics pin."""
+    vals = [1.0] * 8 + [-1.0] * 8
+    out = _spc_run(spark, vals)
+    assert [r["spc_r4"] for r in out] == [i in (7, 15) for i in range(16)]
+    assert not any(r["spc_r3"] for r in out)
+    assert not any(r["spc_r1"] for r in out)
+
+
+def test_spc_center_point_side_zero_breaks_r4_run(spark):
+    """A bucket exactly ON the center line is side 0 and breaks a
+    rule-4 run (the literal WE rule): [+1 x7, 0, -1 x7, 0] has center
+    0 and never 8 consecutive same-side buckets."""
+    vals = [1.0] * 7 + [0.0] + [-1.0] * 7 + [0.0]
+    out = _spc_run(spark, vals)
+    assert out[7]["spc_side"] == 0 and out[15]["spc_side"] == 0
+    assert not any(r["spc_r4"] for r in out)
+
+
+def test_spc_matches_exact_integer_reference(spark):
+    """Every flag on a varied two-key series (pseudo-random walk plus
+    planted 2-of-3 and 4-of-5 excursions) matches the arbitrary-
+    precision python reference row-for-row, and each of r1..r4
+    actually fires somewhere (non-vacuous)."""
+    vals = [((i * 37) % 11) - 5 + 0.001 * ((i * 13) % 7) for i in range(40)]
+    vals += [19.0, 19.5, -0.25, 18.75]               # 2-of-3 beyond 2 sigma
+    vals += [11.0, 11.5, 12.0, -0.25, 11.25, 11.75]  # 4-of-5 beyond 1 sigma
+    vals += [33.0]                                   # spike for r1
+    vals += [8.0] * 9                                # same-side run for r4
+    ref = _spc_ref(vals)
+    out = _spc_run(spark, vals)
+    assert len(out) == len(ref)
+    got = [
+        (r["spc_side"], r["spc_r1"], r["spc_r2"], r["spc_r3"], r["spc_r4"])
+        for r in out
+    ]
+    assert got == ref
+    for j in range(1, 5):
+        assert any(row[j] for row in ref), f"rule {j} never fired — vacuous test"

@@ -2723,3 +2723,95 @@ def hampel_filter(
         "hampel_value",
         F.when(flag, F.col("hampel_median")).otherwise(F.col("v")),
     )
+
+
+def spc_rules(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Western Electric control-chart rules per series over the
+    `trunc`-bucketed means — the classic SPC monitor that catches
+    both spikes (rule 1) and slow drifts a 3-sigma band never trips
+    (rules 2-4):
+
+      r1: point beyond 3 sigma            (either side)
+      r2: 2 of the last 3 beyond 2 sigma  (same side)
+      r3: 4 of the last 5 beyond 1 sigma  (same side)
+      r4: 8 consecutive on one side of the center line
+
+    Center/sigma are the per-series population stats over ALL buckets
+    (deterministic baseline; a trailing baseline is bollinger's job).
+
+    Pinned arithmetic — every rule flag is INTEGER-exact cross-engine:
+    the bucket mean is pre-rounded to the e6 grid (v6, the one accepted
+    rounding pin, same as kendall/dtw), then with n = buckets in the
+    series, S = Σ v6, Q = Σ v6² (exact wide-integer sums),
+
+      v − center  ∝  A := v6·n − S            (bigint, exact)
+      n²·σ²       ∝  B := n·Q − S²            (decimal(38), exact)
+      |v−center| > k·σ  ⟺  A² > k²·B          (strict, integer)
+
+    so band membership, side (sign A; exactly-on-center is side 0 and
+    BREAKS a rule-4 run — the literal WE rule), and all quota counts
+    are identical in any engine. Trailing windows shorter than their
+    nominal span cannot fire (the truncated frame can't reach the
+    quota). spc_center_e6/spc_sigma_e6 are pinned display values
+    (round(S/n), round(sqrt(B)/n) — IEEE ops on identical integers).
+
+    Shapes: one bucket agg (map-side combined), ONE shuffle on the
+    key; n/S/Q ride a whole-partition frame and the rule windows are
+    bounded ROWS frames over the same sort — no joins, no Python."""
+    d19 = "decimal(19,0)"
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("_v6"))
+    )
+    wall = Window.partitionBy(*keys)
+    st = b.select(
+        *keys, "ep", "_v6",
+        F.count("*").over(wall).alias("spc_n"),
+        F.sum("_v6").over(wall).alias("_s"),
+        F.sum(F.col("_v6").cast(d19) * F.col("_v6")).over(wall).alias("_q"),
+    )
+    a = F.col("_v6") * F.col("spc_n") - F.col("_s")
+    bb = (
+        F.col("spc_n").cast(d19) * F.col("_q")
+        - F.col("_s").cast(d19) * F.col("_s")
+    )
+    d = st.select(
+        "*",
+        a.alias("_a"),
+        (a.cast(d19) * a).alias("_a2"),
+        bb.alias("_b"),
+        F.when(a > 0, F.lit(1)).when(a < 0, F.lit(-1)).otherwise(F.lit(0)).alias("spc_side"),
+    )
+    pos = lambda k: ((F.col("_a") > 0) & (F.col("_a2") > k * k * F.col("_b"))).cast("int")  # noqa: E731
+    neg = lambda k: ((F.col("_a") < 0) & (F.col("_a2") > k * k * F.col("_b"))).cast("int")  # noqa: E731
+    wo = Window.partitionBy(*keys).orderBy("ep")
+    w3, w5, w8 = (wo.rowsBetween(-(m - 1), 0) for m in (3, 5, 8))
+    out = d.select(
+        *keys, "ep", "spc_n", "spc_side",
+        (F.col("_v6") / 1e6).alias("v"),
+        F.round(F.col("_s").cast("double") / F.col("spc_n")).cast("bigint").alias("spc_center_e6"),
+        F.round(F.sqrt(F.col("_b").cast("double")) / F.col("spc_n")).cast("bigint").alias("spc_sigma_e6"),
+        (F.col("_a2") > 9 * F.col("_b")).alias("spc_r1"),
+        ((F.sum(pos(2)).over(w3) >= 2) | (F.sum(neg(2)).over(w3) >= 2)).alias("spc_r2"),
+        ((F.sum(pos(1)).over(w5) >= 4) | (F.sum(neg(1)).over(w5) >= 4)).alias("spc_r3"),
+        (
+            (F.count("*").over(w8) == 8)
+            & (F.min("spc_side").over(w8) == F.max("spc_side").over(w8))
+            & (F.col("spc_side") != 0)
+        ).alias("spc_r4"),
+    )
+    return out.select(
+        "*",
+        (F.col("spc_center_e6") / 1e6).alias("spc_center"),
+        (F.col("spc_sigma_e6") / 1e6).alias("spc_sigma"),
+    )

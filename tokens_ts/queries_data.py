@@ -6446,3 +6446,75 @@ def ts_hampel(spark, sf_dir):
         F.col("hampel_flag").cast("bigint").alias("flag"),
         _e("hampel_value", 6).alias("repaired_e6"),
     )
+
+
+@q(
+    "ts_spc_rules",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v6
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT sid, ep, v6,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(v6 AS HUGEINT)) OVER w AS s,
+             SUM(CAST(v6 AS HUGEINT) * v6) OVER w AS q
+      FROM b WINDOW w AS (PARTITION BY sid)
+    ),
+    d AS (
+      SELECT sid, ep, v6, n, s,
+             CAST(v6 AS HUGEINT) * n - s AS a,
+             n * q - s * s AS bb
+      FROM st
+    ),
+    f AS (
+      SELECT sid, ep, v6, n, s, bb, a, a * a AS a2,
+             CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 ELSE 0 END AS side,
+             CAST(a > 0 AND a * a > 4 * bb AS INT) AS p2,
+             CAST(a < 0 AND a * a > 4 * bb AS INT) AS m2,
+             CAST(a > 0 AND a * a > 1 * bb AS INT) AS p1,
+             CAST(a < 0 AND a * a > 1 * bb AS INT) AS m1
+      FROM d
+    )
+    SELECT sid AS series_id, ep, v6 AS v_e6,
+           CAST(n AS BIGINT) AS spc_n,
+           CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) AS center_e6,
+           CAST(ROUND(sqrt(CAST(bb AS DOUBLE)) / n) AS BIGINT) AS sigma_e6,
+           CAST(side AS BIGINT) AS side,
+           CAST(a2 > 9 * bb AS BIGINT) AS r1,
+           CAST(sum(p2) OVER w3 >= 2 OR sum(m2) OVER w3 >= 2 AS BIGINT) AS r2,
+           CAST(sum(p1) OVER w5 >= 4 OR sum(m1) OVER w5 >= 4 AS BIGINT) AS r3,
+           CAST(count(*) OVER w8 = 8
+                AND min(side) OVER w8 = max(side) OVER w8
+                AND side != 0 AS BIGINT) AS r4
+    FROM f
+    WINDOW
+      w3 AS (PARTITION BY sid ORDER BY ep ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      w5 AS (PARTITION BY sid ORDER BY ep ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      w8 AS (PARTITION BY sid ORDER BY ep ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_spc_rules(spark, sf_dir):
+    """Western Electric SPC rules per series at hourly buckets —
+    all four rule flags integer-exact (A² > k²·B over e6-grid
+    bucket means; see analytics.spc_rules)."""
+    out = analytics.spc_rules(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep",
+        _e("v", 6).alias("v_e6"),
+        "spc_n",
+        F.col("spc_center_e6").alias("center_e6"),
+        F.col("spc_sigma_e6").alias("sigma_e6"),
+        F.col("spc_side").cast("bigint").alias("side"),
+        F.col("spc_r1").cast("bigint").alias("r1"),
+        F.col("spc_r2").cast("bigint").alias("r2"),
+        F.col("spc_r3").cast("bigint").alias("r3"),
+        F.col("spc_r4").cast("bigint").alias("r4"),
+    )
