@@ -2279,3 +2279,81 @@ def test_readability_orders_simple_vs_complex(spark):
     )
     out = {r["doc_id"]: r["flesch"] for r in textops.readability(df).collect()}
     assert out[1] > 80 and out[2] < 0
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_pairs_planted_near_dup_and_reference_lev(spark):
+    """Two docs differing by one 3-char word swap are LSH candidates
+    and survive the 0.8 edit-similarity verify with lev exactly equal
+    to the python DP reference; an unrelated doc pairs with nothing."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    ta, tb = base + "one", base + "two"
+    tc = "completely different words nothing shared here at all " * 4
+    df = spark.createDataFrame(
+        [(1, ta), (2, tb), (3, tc)], "doc_id long, text string"
+    )
+    out = dedup.edit_similarity_pairs(df, hash_mode="md5").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["lev"] == _lev_ref(ta, tb) == 3
+    assert r["max_len"] == len(ta)
+    assert r["sim_e6"] == round((1 - 3 / len(ta)) * 1e6)
+
+
+def test_edit_pairs_boundary_inclusive_and_cut(spark):
+    """A pure-suffix insertion of exactly max_len/5 chars sits ON the
+    0.8 boundary (lev*100 == 20*max_len) and is KEPT (inclusive); a
+    longer suffix falls below 0.8 and is cut — same candidate bucket,
+    so the filter (not the LSH stage) decides."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    assert len(base) == 228
+    pad = "x" * 57  # lev 57, max_len 285, 57*100 == 20*285
+    df = spark.createDataFrame(
+        [(1, base), (2, base + pad)], "doc_id long, text string"
+    )
+    out = dedup.edit_similarity_pairs(df, hash_mode="md5").collect()
+    assert len(out) == 1 and out[0]["lev"] == 57
+    assert out[0]["sim_e6"] == 800000
+    df2 = spark.createDataFrame(
+        [(1, base), (2, base + pad + "y")], "doc_id long, text string"
+    )
+    # still a candidate (same shingle mass) but below the cut
+    cand = dedup.lsh_candidates(df2, hash_mode="md5").collect()
+    assert len(cand) == 1
+    assert dedup.edit_similarity_pairs(df2, hash_mode="md5").count() == 0
+
+
+def test_pii_redact_counts_order_and_controls(spark):
+    """Planted PII: counts and redacted text exact; digits inside an
+    email are consumed by the email replace (order contract); 8-digit
+    runs stay, 9-digit runs go; no-PII text is unchanged."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "write a.b+c@mail.example.co from 192.168.0.1 order 123456789 ok"),
+        (2, "user123@ex.org"),
+        (3, "no pii here"),
+        (4, "short 12345678 run"),
+        (5, "1.2.3.4"),
+        (6, "dotted 1234.5.6.7 is not an ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.pii_redact(df).collect()}
+    assert (out[1]["pii_email_n"], out[1]["pii_ip_n"], out[1]["pii_num_n"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "write <EMAIL> from <IP> order <NUM> ok"
+    assert (out[2]["pii_email_n"], out[2]["pii_num_n"]) == (1, 0)
+    assert out[2]["redacted"] == "<EMAIL>"
+    assert out[3]["redacted"] == "no pii here"
+    assert out[4]["pii_num_n"] == 0 and out[4]["redacted"] == rows[3][1]
+    assert out[5]["pii_ip_n"] == 1 and out[5]["redacted"] == "<IP>"
+    assert out[6]["pii_ip_n"] == 0 and out[6]["redacted"] == rows[5][1]

@@ -683,3 +683,59 @@ def containment_pairs(
         (F.col("cont_a_in_b") >= threshold)
         | (F.col("cont_b_in_a") >= threshold)
     )
+
+
+def edit_similarity_pairs(
+    docs: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
+    min_sim_pct: int = 80,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: MinHash-LSH
+    candidates (capped buckets — never an all-pairs join) verified
+    with EXACT character-level Levenshtein distance, the strictest
+    near-dup criterion in the chain (shingle Jaccard is order-blind;
+    SimHash is lossy; edit distance is the literal rewrite cost).
+
+    The acceptance test is INTEGER-exact: keep a pair iff
+      lev * 100 <= (100 - min_sim_pct) * max(len_a, len_b)
+    (similarity = 1 - lev/max_len >= pct, boundary INCLUSIVE), so the
+    cut is cross-engine identical; sim_e6 = round((1 - lev/m)*1e6) is
+    derived from the same two integers (IEEE division of identical
+    ints) on both engines.
+
+    Scale shape: candidates are bucket-capped by the LSH stage; the
+    two text lookups are equi-joins on the id; levenshtein runs
+    JVM-side (F.levenshtein, whole-stage codegen) at O(len_a*len_b)
+    per CANDIDATE — the bounded verify cost every production near-dup
+    pipeline pays, never O(corpus^2)."""
+    cand = lsh_candidates(
+        docs, n_perm=n_perm, bands=bands, text_col=text_col,
+        max_bucket=max_bucket, hash_mode=hash_mode,
+    )
+    ta = docs.select(
+        F.col(id_col).alias("a"), F.col(text_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("_tb")
+    )
+    lev = F.levenshtein("_ta", "_tb")
+    m = F.greatest(F.length("_ta"), F.length("_tb"))
+    out = (
+        cand.join(ta, "a").join(tb, "b")
+        .select(
+            "a", "b",
+            lev.cast("bigint").alias("lev"),
+            m.cast("bigint").alias("max_len"),
+        )
+        .where(F.col("lev") * 100 <= (100 - min_sim_pct) * F.col("max_len"))
+    )
+    return out.select(
+        "a", "b", "lev", "max_len",
+        F.round((1.0 - F.col("lev") / F.col("max_len")) * 1e6)
+        .cast("bigint").alias("sim_e6"),
+    )

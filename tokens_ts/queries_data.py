@@ -6518,3 +6518,115 @@ def ts_spc_rules(spark, sf_dir):
         F.col("spc_r3").cast("bigint").alias("r3"),
         F.col("spc_r4").cast("bigint").alias("r4"),
     )
+
+
+@q(
+    "doc_edit_dups",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    , cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    v AS (
+      SELECT c.a, c.b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.a
+      JOIN documents db ON db.doc_id = c.b
+    )
+    SELECT a, b, lev, max_len,
+           CAST(ROUND((1 - CAST(lev AS DOUBLE) / max_len) * 1e6) AS BIGINT) AS sim_e6
+    FROM v WHERE lev * 100 <= 20 * max_len
+    """,
+)
+def doc_edit_dups(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: md5-LSH candidates →
+    exact character Levenshtein, integer-exact >=0.8 similarity cut
+    (lev*100 <= 20*max_len, boundary inclusive)."""
+    return dedup.edit_similarity_pairs(
+        _docs(spark, sf_dir), n_perm=32, bands=8,
+        hash_mode="md5", min_sim_pct=80,
+    )
+
+
+_PII_AUG_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text
+                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.0.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+                       || ' ref ' || CAST(900000000 + doc_id AS VARCHAR)
+             END AS text
+      FROM documents
+"""
+
+
+@q(
+    "doc_pii_redact",
+    "WITH aug AS ("
+    + _PII_AUG_SQL
+    + """
+    ),
+    r AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM aug
+    ),
+    r2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t2
+      FROM r
+    ),
+    r3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t2, '\\d{9,}')) AS n_num,
+             regexp_replace(t2, '\\d{9,}', '<NUM>', 'g') AS t3
+      FROM r2
+    )
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS pii_email_n,
+           CAST(n_ip AS BIGINT) AS pii_ip_n,
+           CAST(n_num AS BIGINT) AS pii_num_n,
+           md5(t3) AS red_md5,
+           CAST(length(t3) AS BIGINT) AS red_len
+    FROM r3
+    """,
+)
+def doc_pii_redact(spark, sf_dir):
+    """PII scrub counts + redacted-text md5 over a deterministically
+    PII-augmented corpus (emails/IPv4/9+-digit refs synthesized from
+    doc_id on BOTH engines; doc_id%5==0 docs stay clean as the
+    zero-count control). Chained replace order pinned in textops."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org ip 10."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."), ((F.col("doc_id") * 3) % 250).cast("string"),
+                F.lit(" ref "), (F.col("doc_id") + 900000000).cast("string"),
+            )
+        ).alias("text"),
+    )
+    out = textops.pii_redact(aug)
+    return out.select(
+        "doc_id", "pii_email_n", "pii_ip_n", "pii_num_n",
+        F.md5("redacted").alias("red_md5"),
+        F.length("redacted").cast("bigint").alias("red_len"),
+    )

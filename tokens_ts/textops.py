@@ -2041,3 +2041,42 @@ def readability(
         - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
     )
     return d.withColumn("flesch", fre)
+
+
+# PII patterns: the conservative ASCII subset whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB) — no lookaround, no
+# backrefs, \b and {m,n} mean the same thing in both. Replacement
+# ORDER is part of the contract: emails first (so the digits inside
+# user123@... are consumed as part of the email, not double-counted
+# as a number run), then IPv4, then long digit runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_NUM = r"\d{9,}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: count and redact emails / IPv4s / long digit runs —
+    the standard pre-release curation pass for a training corpus.
+
+    Emits per doc: pii_email_n / pii_ip_n / pii_num_n (match counts
+    on the ORIGINAL text for email, post-email text for ip/num — each
+    count is "what the corresponding replace actually redacted") and
+    `redacted` (chained regexp_replace with <EMAIL>/<IP>/<NUM>).
+
+    Pure row-local regexp expressions — whole-stage codegen, zero
+    shuffles, zero Python; patterns are the Java∩RE2-portable subset
+    so a DuckDB oracle replays them byte-for-byte."""
+    t0 = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_num = F.size(F.regexp_extract_all(t2, F.lit(PII_NUM), 0))
+    t3 = F.regexp_replace(t2, PII_NUM, "<NUM>")
+    return docs.select(
+        "*",
+        n_email.cast("bigint").alias("pii_email_n"),
+        n_ip.cast("bigint").alias("pii_ip_n"),
+        n_num.cast("bigint").alias("pii_num_n"),
+        t3.alias("redacted"),
+    )
