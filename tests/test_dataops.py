@@ -2357,3 +2357,58 @@ def test_pii_redact_counts_order_and_controls(spark):
     assert out[4]["pii_num_n"] == 0 and out[4]["redacted"] == rows[3][1]
     assert out[5]["pii_ip_n"] == 1 and out[5]["redacted"] == "<IP>"
     assert out[6]["pii_ip_n"] == 0 and out[6]["redacted"] == rows[5][1]
+
+
+def test_rrf_fuse_hand_computed_and_single_list_docs(spark):
+    """Hand-check: doc 1 ranked 1st+2nd beats doc 2 ranked 2nd+1st
+    only on tie-break? No — they tie exactly (1/61+1/62 both) and the
+    id breaks it; doc 3 appears in ONE list and scores 1/(60+1) from
+    that list alone with n_lists=1."""
+    from tokens_ts import simsearch
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    l2 = spark.createDataFrame([(2, 1), (1, 2), (3, 3)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in simsearch.rrf_fuse([l1, l2], topk=10).collect()}
+    both = round((1 / 61 + 1 / 62) * 1e9)
+    assert out[1]["rrf_e9"] == out[2]["rrf_e9"] == both
+    assert out[1]["fused_rank"] == 1 and out[2]["fused_rank"] == 2  # id tie-break
+    assert out[3]["rrf_e9"] == round((1 / 63) * 1e9)
+    assert out[3]["n_lists"] == 1 and out[3]["rank_0"] is None
+
+
+def test_hybrid_rrf_blends_lexical_and_vector_evidence(spark):
+    """Doc 10 is the lexical hit (contains every query term thrice),
+    doc 20 is the vector hit (closest to the query vector), doc 30 is
+    both-but-mild: with both retrievers contributing, the both-lists
+    doc must outrank the single-list docs under RRF."""
+    from tokens_ts import simsearch
+
+    filler = "alpha beta gamma delta " * 5
+    docs = spark.createDataFrame(
+        [
+            (10, filler + "fast fast fast merge merge merge query query query"),
+            (20, filler + "nothing relevant lexically at all"),
+            (30, filler + "fast merge query"),
+            (40, filler + "also irrelevant filler words only"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (7, [1.0, 0.0, 0.0]),    # the query vector
+            (10, [0.0, 1.0, 0.0]),   # orthogonal: worst cosine
+            (20, [0.99, 0.1, 0.0]),  # nearest
+            (30, [0.8, 0.6, 0.0]),   # second
+            (40, [0.1, 0.9, 0.44]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = simsearch.hybrid_rrf(
+        docs, emb, terms=["fast", "merge", "query"], query_vec_id=7,
+        pool=3, topk=4,
+    ).collect()
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[30]["n_lists"] == 2
+    assert byid[30]["fused_rank"] == 1  # in both lists → beats single-list leaders
+    assert byid[10]["bm_rank"] == 1 and byid[10]["emb_rank"] is None
+    assert byid[20]["emb_rank"] == 1

@@ -6630,3 +6630,104 @@ def doc_pii_redact(spark, sf_dir):
         F.md5("redacted").alias("red_md5"),
         F.length("redacted").cast("bigint").alias("red_len"),
     )
+
+
+@q(
+    "doc_hybrid_rrf",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS dl,
+             text
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+    ),
+    tfl AS (
+      SELECT doc_id, dl, t.term,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x = t.term)) AS tf
+      FROM base, (VALUES ('fast'), ('merge'), ('query')) t(term)
+    ),
+    kept AS (SELECT * FROM tfl WHERE tf > 0),
+    dfc AS (SELECT term, count(*) AS df FROM kept GROUP BY 1),
+    bm_scores AS (
+      SELECT doc_id,
+             CAST(ROUND(sum(
+               ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (kept.tf * 2.2)
+                 / (kept.tf + 1.2 * (0.25 + 0.75 * kept.dl / st.avgdl))
+             ) * 1e6) AS BIGINT) AS score_e6
+      FROM kept JOIN dfc USING (term) CROSS JOIN st
+      GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank
+        FROM bm_scores
+      ) WHERE rank <= 20
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = 7),
+    c AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    vr AS (
+      SELECT nid AS doc_id, rank FROM (
+        SELECT nid,
+               row_number() OVER (
+                 ORDER BY CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) DESC,
+                          nid ASC
+               ) AS rank
+        FROM c
+      ) WHERE rank <= 20
+    ),
+    f AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank AS bm_rank, v.rank AS emb_rank
+      FROM bm b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(bm_rank AS BIGINT) AS bm_rank,
+             CAST(emb_rank AS BIGINT) AS emb_rank,
+             CAST(CASE WHEN bm_rank IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN emb_rank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS n_lists,
+             CAST(ROUND((
+               COALESCE(CAST(1 AS DOUBLE) / (60 + bm_rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + emb_rank), 0)
+             ) * 1e9) AS BIGINT) AS rrf_e9
+      FROM f
+    )
+    SELECT doc_id, bm_rank, emb_rank, n_lists, rrf_e9,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *,
+             row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS fused_rank
+      FROM scored
+    ) WHERE fused_rank <= 10
+    """,
+)
+def doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 ({fast, merge, query}) + brute
+    cosine top-20 (query vector = embedding of vec_id 7; doc_id ≡
+    vec_id) fused with reciprocal-rank fusion (k=60), top-10. Fused
+    score is a fixed-arity sum of exact-integer divisions — rrf_e9 is
+    cross-engine identical (see simsearch.rrf_fuse)."""
+    out = simsearch.hybrid_rrf(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        terms=["fast", "merge", "query"], query_vec_id=7,
+        pool=20, topk=10, rrf_k=60,
+    )
+    return out.select(
+        "doc_id", "bm_rank", "emb_rank", "n_lists", "rrf_e9",
+        F.col("fused_rank").cast("bigint").alias("fused_rank"),
+    )

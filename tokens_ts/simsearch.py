@@ -825,3 +825,98 @@ def centroid_confusion(
     return picked.groupBy("label", "pred").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    rrf_k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the
+    standard hybrid-search combiner (Cormack et al.): each list
+    contributes 1/(rrf_k + rank) for the ids it ranked, missing ids
+    contribute 0, final order is fused score desc then id asc.
+
+    Every input is (id_col, rank) with rank 1-based. Cross-engine
+    exactness: each contribution is one IEEE division of two exact
+    integers and the fused score is a FIXED-ARITY expression sum of
+    those terms (plus exact 0.0 for absences) — no aggregation-order
+    ambiguity anywhere — so rrf_e9 = round(score·1e9) is identical in
+    any engine.
+
+    Scale shape: the inputs are top-pool lists (pool ≈ tens), so the
+    full-outer fusion join and the final row_number run on
+    pool·N-bounded frames — the corpus is only touched by the
+    upstream retrievers."""
+    if not lists:
+        raise ValueError("rrf_fuse: no input lists")
+    fused = None
+    for i, df in enumerate(lists):
+        t = df.select(
+            F.col(id_col).alias("_id"),
+            F.col("rank").cast("bigint").alias(f"rank_{i}"),
+        )
+        fused = t if fused is None else fused.join(t, "_id", "full_outer")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(len(lists))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_lists = sum(
+        F.col(f"rank_{i}").isNotNull().cast("int") for i in range(len(lists))
+    )
+    scored = fused.select(
+        F.col("_id").alias(id_col),
+        *[F.col(f"rank_{i}") for i in range(len(lists))],
+        n_lists.cast("bigint").alias("n_lists"),
+        F.round(score * 1e9).cast("bigint").alias("rrf_e9"),
+    )
+    w = Window.orderBy(F.desc("rrf_e9"), F.asc(id_col))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+    )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    pool: int = 20,
+    topk: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-pool for the term
+    query and brute cosine top-pool for the query vector, fused with
+    reciprocal-rank fusion. The query vector's own row is absent from
+    the vector list (cosine_topk excludes self) but may still arrive
+    via the lexical list — a retrieval-semantics pin, not a bug.
+
+    One row-local BM25 corpus pass + one broadcast-query cosine pass;
+    everything after is pool-bounded (see rrf_fuse)."""
+    from tokens_ts import textops
+
+    wb = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    bm = (
+        textops.bm25_topk(docs, terms, k=pool)
+        .withColumn("rank", F.row_number().over(wb))
+        .select("doc_id", "rank")
+    )
+    em = cosine_topk(emb, [query_vec_id], k=pool).select(
+        F.col("nid").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse([bm, em], rrf_k=rrf_k, topk=topk, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("rank_0").alias("bm_rank"),
+        F.col("rank_1").alias("emb_rank"),
+        "n_lists",
+        "rrf_e9",
+        "fused_rank",
+    )
