@@ -1991,3 +1991,58 @@ def test_spc_matches_exact_integer_reference(spark):
     assert got == ref
     for j in range(1, 5):
         assert any(row[j] for row in ref), f"rule {j} never fired — vacuous test"
+
+
+def test_quantile_normalize_two_scales_map_to_pooled(spark):
+    """Series a = {1,2,3}, series b = {100,200,300} on the same day:
+    both have ranks 1..3 over n_s=3 of N=6 pooled values
+    {1,2,3,100,200,300}; pos = 1 + (r-1)*5//2 → positions 1,3,6 →
+    both series normalize to (1, 3, 300) — identical after
+    normalization, which is the point of the operator."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i), v) for i, v in enumerate([1.0, 2.0, 3.0])]
+    rows += [("b", t0 + timedelta(hours=i), v) for i, v in enumerate([100.0, 200.0, 300.0])]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.quantile_normalize(df, keys=["k"]).collect(),
+        key=lambda r: (r["k"], r["ep"]),
+    )
+    assert [r["qn_value"] for r in out if r["k"] == "a"] == [1.0, 3.0, 300.0]
+    assert [r["qn_value"] for r in out if r["k"] == "b"] == [1.0, 3.0, 300.0]
+    assert [r["qn_rank"] for r in out if r["k"] == "b"] == [1, 2, 3]
+
+
+def test_quantile_normalize_singleton_series_gets_pooled_median(spark):
+    """A series with ONE bucket on the day maps to the pooled
+    lower-median position 1 + (N-1)//2 — the pinned degenerate rule."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i), float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [("solo", t0, 999.0)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = {r["k"]: r for r in analytics.quantile_normalize(df, keys=["k"]).collect() if r["k"] == "solo"}
+    # pooled sorted: 10,20,30,40,999 (N=5) → pos = 1+2 = 3 → 30
+    assert out["solo"]["qn_value"] == 30.0 and out["solo"]["qn_n"] == 1
+
+
+def test_quantile_normalize_preserves_within_series_order(spark):
+    """Monotonicity: within a series-day, qn_value is nondecreasing in
+    v (rank mapping cannot cross), exercised on interleaved values
+    across three series with ties."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    vals = {"a": [5.0, 1.0, 3.0, 3.0], "b": [2.0, 8.0, 2.0, 4.0], "c": [7.0, 0.0, 6.0, 6.0]}
+    rows = [
+        (k, t0 + timedelta(hours=i), v)
+        for k, vs in vals.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = analytics.quantile_normalize(df, keys=["k"]).collect()
+    for k in vals:
+        sub = sorted([r for r in out if r["k"] == k], key=lambda r: r["v"])
+        qn = [r["qn_value"] for r in sub]
+        assert qn == sorted(qn)

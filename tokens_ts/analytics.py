@@ -2815,3 +2815,69 @@ def spc_rules(
         (F.col("spc_center_e6") / 1e6).alias("spc_center"),
         (F.col("spc_sigma_e6") / 1e6).alias("spc_sigma"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Per-day quantile normalization across series: each series' set
+    of `trunc`-bucket means is mapped onto the POOLED same-day
+    distribution by rank — the batch-effect corrector that makes
+    series with different scales/offsets comparable (rank geometry is
+    preserved; the value scale becomes the pooled one).
+
+    Mapping is INTEGER-exact end-to-end: bucket means pre-rounded to
+    the e6 grid (the one accepted pin), per-series rank r of n_s
+    (ties ordered by (v6, ep) — a total order), pooled position
+      pos = 1 + (r−1)·(N−1) div (n_s−1)      [n_s = 1 → 1 + (N−1) div 2]
+    and qn_e6 = the pooled day's v6 at that position. Equal pooled
+    values occupy a contiguous rank block, so pooled[pos] is engine-
+    independent even though tie order inside the block is not.
+
+    Scale shape: the pooled rank rides a per-DAY window — frames are
+    calendar×keys-bounded (24·#series rows/day), never corpus-wide;
+    this is the tier-served exact variant (raw-row normalization at
+    10^12 scale would swap the pooled rank for a percentile sketch,
+    the same trade as A4's GK twin). Two keyed window passes + one
+    pos equi-join, no Python."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v6"))
+    )
+    ws = Window.partitionBy(*keys, "day").orderBy("v6", "ep")
+    wsd = Window.partitionBy(*keys, "day")
+    wd = Window.partitionBy("day")
+    wp = Window.partitionBy("day").orderBy("v6", *keys, "ep")
+    ranked = b.select(
+        *keys, "day", "ep", "v6",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(wsd).alias("ns"),
+        F.count("*").over(wd).alias("nn"),
+        F.row_number().over(wp).alias("pr"),
+    )
+    pos = F.when(
+        F.col("ns") > 1,
+        1 + F.floor((F.col("r") - 1) * (F.col("nn") - 1) / (F.col("ns") - 1)),
+    ).otherwise(1 + F.floor((F.col("nn") - 1) / 2))
+    left = ranked.select(
+        *keys, "day", "ep", "v6", "r", "ns",
+        pos.cast("bigint").alias("pos"),
+    )
+    pooled = ranked.select("day", F.col("pr").alias("pos"), F.col("v6").alias("qn6"))
+    out = left.join(pooled, ["day", "pos"])
+    return out.select(
+        *keys, "day", "ep",
+        (F.col("v6") / 1e6).alias("v"),
+        F.col("r").alias("qn_rank"),
+        F.col("ns").alias("qn_n"),
+        (F.col("qn6") / 1e6).alias("qn_value"),
+    )

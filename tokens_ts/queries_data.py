@@ -6731,3 +6731,52 @@ def doc_hybrid_rrf(spark, sf_dir):
         "doc_id", "bm_rank", "emb_rank", "n_lists", "rrf_e9",
         F.col("fused_rank").cast("bigint").alias("fused_rank"),
     )
+
+
+@q(
+    "ts_quantile_norm",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v6
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT sid, day, ep, v6,
+             row_number() OVER (PARTITION BY sid, day ORDER BY v6, ep) AS r,
+             count(*) OVER (PARTITION BY sid, day) AS ns,
+             count(*) OVER (PARTITION BY day) AS nn,
+             row_number() OVER (PARTITION BY day ORDER BY v6, sid, ep) AS pr
+      FROM b
+    ),
+    lpos AS (
+      SELECT sid, day, ep, v6, r, ns,
+             CASE WHEN ns > 1 THEN 1 + (r - 1) * (nn - 1) // (ns - 1)
+                  ELSE 1 + (nn - 1) // 2 END AS pos
+      FROM ranked
+    ),
+    pooled AS (SELECT day, pr AS pos, v6 AS qn6 FROM ranked)
+    SELECT l.sid AS series_id, l.day, l.ep, l.v6 AS v_e6,
+           CAST(l.r AS BIGINT) AS qn_rank, CAST(l.ns AS BIGINT) AS qn_n,
+           p.qn6 AS qn_e6
+    FROM lpos l JOIN pooled p ON p.day = l.day AND p.pos = l.pos
+    """,
+)
+def ts_quantile_norm(spark, sf_dir):
+    """Per-day quantile normalization of each series' hourly-mean
+    distribution onto the pooled day distribution — integer-exact
+    rank mapping (see analytics.quantile_normalize)."""
+    out = analytics.quantile_normalize(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "day", "ep",
+        _e("v", 6).alias("v_e6"),
+        F.col("qn_rank").cast("bigint").alias("qn_rank"),
+        F.col("qn_n").cast("bigint").alias("qn_n"),
+        _e("qn_value", 6).alias("qn_e6"),
+    )
