@@ -2046,3 +2046,50 @@ def test_quantile_normalize_preserves_within_series_order(spark):
         sub = sorted([r for r in out if r["k"] == k], key=lambda r: r["v"])
         qn = [r["qn_value"] for r in sub]
         assert qn == sorted(qn)
+
+
+def test_croston_hand_recursion_and_subthreshold_ignored(spark):
+    """Demands 2@h0, 3@h2, 1@h5 (sub-threshold rows present but
+    ignored): z = 2, 2.25, 1.9375; p = 1, 1.25, 1.6875; forecast z/p;
+    sba = 0.875·z/p; gap = null, 2, 3; zero-demand hours absent."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h, n in [(0, 2), (2, 3), (5, 1)]:
+        rows += [("s", t0 + timedelta(hours=h, minutes=m), 150.0) for m in range(n)]
+    rows += [("s", t0 + timedelta(hours=1), 50.0),  # sub-threshold
+             ("s", t0 + timedelta(hours=3), 99.9)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.croston(df, keys=["k"], threshold=100.0).collect(),
+        key=lambda r: r["ep"],
+    )
+    assert len(out) == 3
+    assert [r["q"] for r in out] == [2, 3, 1]
+    assert [r["gap"] for r in out] == [None, 2, 3]
+    assert [r["cr_size"] for r in out] == [2.0, 2.25, 1.9375]
+    assert [r["cr_interval"] for r in out] == [1.0, 1.25, 1.6875]
+    assert out[2]["cr_forecast"] == pytest.approx(1.9375 / 1.6875)
+    assert out[2]["cr_sba"] == pytest.approx(0.875 * 1.9375 / 1.6875)
+
+
+def test_croston_steady_demand_converges_to_rate(spark):
+    """Constant demand q=2 every 4 hours: z → 2, p → 4, forecast →
+    0.5 demands/hour — Croston recovers the true rate where a naive
+    per-bucket EWMA (over the 75% zero buckets) would read ~0.5·α
+    noise decaying to 0 between demands."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for j in range(40):
+        rows += [("s", t0 + timedelta(hours=4 * j, minutes=m), 200.0) for m in range(2)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = sorted(
+        analytics.croston(df, keys=["k"]).collect(), key=lambda r: r["ep"]
+    )
+    last = out[-1]
+    assert last["cr_size"] == pytest.approx(2.0)
+    assert last["cr_interval"] == pytest.approx(4.0, abs=1e-4)
+    assert last["cr_forecast"] == pytest.approx(0.5, abs=1e-4)

@@ -2881,3 +2881,81 @@ def quantile_normalize(
         F.col("ns").alias("qn_n"),
         (F.col("qn6") / 1e6).alias("qn_value"),
     )
+
+
+def croston(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    threshold: float = 100.0,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand per key: demand = the
+    count of events with value > threshold in each `trunc` bucket;
+    buckets with zero demand are exactly the gaps Croston models (the
+    method smooths demand SIZE and demand INTERVAL separately, which
+    plain EWMA/Holt get badly wrong on sparse series — they decay
+    toward zero between demands).
+
+    Recursion over demand points only (j = 1, 2, ... per key):
+        z_j = z_{j-1} + α (q_j − z_{j-1})    (size smoother)
+        p_j = p_{j-1} + α (i_j − p_{j-1})    (interval smoother)
+    i_j = hours since the previous demand. Init pinned: z_1 = q_1,
+    p_1 = 1.0, gap_1 = null (no prior demand to measure from).
+    forecast = z/p (demand per bucket), sba = (1 − α/2)·z/p — the
+    Syntetos-Boylan bias correction. α = 0.25 (dyadic, exact double).
+
+    Inherently sequential → Arrow applyInPandas per key (the
+    sanctioned Python path, kalman/holt pattern); IEEE doubles make
+    the recursion bit-deterministic, so a recursive-CTE oracle
+    replaying the same expression shapes matches exactly. One bucket
+    agg + ONE key shuffle; per-group state is demand-points-bounded."""
+    d = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > threshold))
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.count("*").alias("q"))
+    )
+    w = Window.partitionBy(*keys).orderBy("ep")
+    d = d.withColumn(
+        "gap",
+        ((F.col("ep") - F.lag("ep").over(w)) / 3600).cast("bigint"),
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in d.select(*keys).schema.fields
+    )
+    schema = (
+        f"{out_fields}, ep bigint, q bigint, gap bigint, "
+        "cr_size double, cr_interval double, cr_forecast double, cr_sba double"
+    )
+    sba_f = 1.0 - alpha / 2.0
+
+    def _croston(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("ep").reset_index(drop=True)
+        qv = pdf["q"].to_numpy(dtype="float64")
+        gv = pdf["gap"].to_numpy(dtype="float64")  # NaN on row 0
+        n = len(qv)
+        z = np.empty(n)
+        p = np.empty(n)
+        z[0] = qv[0]
+        p[0] = 1.0
+        for t in range(1, n):
+            z[t] = z[t - 1] + alpha * (qv[t] - z[t - 1])
+            p[t] = p[t - 1] + alpha * (gv[t] - p[t - 1])
+        res = pdf[[*keys, "ep", "q"]].copy()
+        res["gap"] = pdf["gap"].astype(object).where(pdf["gap"].notna(), None)
+        res["cr_size"] = z
+        res["cr_interval"] = p
+        res["cr_forecast"] = z / p
+        res["cr_sba"] = sba_f * (z / p)
+        return res[[*keys, "ep", "q", "gap", "cr_size", "cr_interval",
+                    "cr_forecast", "cr_sba"]]
+
+    return d.groupBy(*keys).applyInPandas(_croston, schema=schema)

@@ -6780,3 +6780,57 @@ def ts_quantile_norm(spark, sf_dir):
         F.col("qn_n").cast("bigint").alias("qn_n"),
         _e("qn_value", 6).alias("qn_e6"),
     )
+
+
+@q(
+    "ts_croston",
+    """
+    WITH RECURSIVE b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             count(*) AS q
+      FROM events WHERE value IS NOT NULL AND value > 100.0 GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT sid, ep, q,
+             (ep - lag(ep) OVER (PARTITION BY sid ORDER BY ep)) // 3600 AS gap,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS rn
+      FROM b
+    ),
+    r AS (
+      SELECT sid, ep, q, gap, rn,
+             CAST(q AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.sid, o.ep, o.q, o.gap, o.rn,
+             r.z + 0.25 * (o.q - r.z),
+             r.p + 0.25 * (o.gap - r.p)
+      FROM r JOIN o ON o.sid = r.sid AND o.rn = r.rn + 1
+    )
+    SELECT sid AS series_id, ep,
+           CAST(q AS BIGINT) AS q,
+           CAST(gap AS BIGINT) AS gap,
+           CAST(ROUND(z * 1e6) AS BIGINT) AS size_e6,
+           CAST(ROUND(p * 1e6) AS BIGINT) AS interval_e6,
+           CAST(ROUND(z / p * 1e6) AS BIGINT) AS forecast_e6,
+           CAST(ROUND(0.875 * (z / p) * 1e6) AS BIGINT) AS sba_e6
+    FROM r
+    """,
+)
+def ts_croston(spark, sf_dir):
+    """Croston intermittent-demand smoother per series (demand =
+    hourly count of value>100 events — 33% nonzero hours at sf0.01;
+    α=0.25, init z1=q1 p1=1, SBA 0.875 correction). Arrow recursion
+    vs recursive CTE, identical IEEE expression shapes."""
+    out = analytics.croston(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", threshold=100.0, alpha=0.25,
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "ep", "q", "gap",
+        _e("cr_size", 6).alias("size_e6"),
+        _e("cr_interval", 6).alias("interval_e6"),
+        _e("cr_forecast", 6).alias("forecast_e6"),
+        _e("cr_sba", 6).alias("sba_e6"),
+    )
