@@ -2093,3 +2093,49 @@ def test_croston_steady_demand_converges_to_rate(spark):
     assert last["cr_size"] == pytest.approx(2.0)
     assert last["cr_interval"] == pytest.approx(4.0, abs=1e-4)
     assert last["cr_forecast"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_rfm_hand_scores_and_strict_boundary(spark):
+    """Four users with strictly ordered recency/freq/monetary: the
+    best-on-all-axes user scores 444, the worst 111; a user sitting
+    EXACTLY on a quartile boundary takes the lower score (strict
+    comparison pin)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # user u: last event at t0 + u hours, freq = u events, value 10*u each
+    for u in (1, 2, 3, 4):
+        rows += [
+            (100 + u, t0 + timedelta(hours=u, minutes=-m), 10.0 * u)
+            for m in range(u)
+        ]
+    df = spark.createDataFrame(rows, "user_id long, event_ts timestamp, value double")
+    out = {r["user_id"]: r for r in analytics.rfm_scores(df).collect()}
+    assert out[104]["rfm_segment"] == 444  # most recent, most frequent, biggest
+    assert out[101]["rfm_segment"] == 111
+    # freq quartiles of {1,2,3,4} are (1.75, 2.5, 3.25): u=2 beats only
+    # the first boundary -> f_score 2; u=3 beats two -> 3
+    assert out[102]["f_score"] == 2 and out[103]["f_score"] == 3
+    # monetary exact: u events * 10u value = 1000*u*u cents
+    for u in (1, 2, 3, 4):
+        assert out[100 + u]["monetary_c"] == 1000 * u * u
+
+
+def test_rfm_nulls_excluded_and_cents_grid(spark):
+    """Null user_id rows are dropped; null values do not poison the
+    cents sum; fractional cents round half-up on the e2 grid."""
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 0.015),   # 1.5 cents -> rounds to 2
+            (1, t0, None),
+            (None, t0, 99.0),
+        ],
+        "user_id long, event_ts timestamp, value double",
+    )
+    out = analytics.rfm_scores(df).collect()
+    assert len(out) == 1
+    assert out[0]["monetary_c"] == 2 and out[0]["freq"] == 2

@@ -2959,3 +2959,72 @@ def croston(
                     "cr_forecast", "cr_sba"]]
 
     return d.groupBy(*keys).applyInPandas(_croston, schema=schema)
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation per user: recency (seconds since the user's
+    last event, measured from the corpus max), frequency (event
+    count), monetary (value total), each quartile-scored 1-4 and
+    combined as the classic 3-digit segment (444 = best).
+
+    Exactness pins: monetary is summed on the CENTS grid —
+    sum(round(value·100)) as bigint — so the per-user total is an
+    integer sum (no float accumulation-order risk at all, unlike a
+    rounded double sum); recency/frequency are already integers.
+    Quartile boundaries are exact type-7 interpolated percentiles of
+    those integers (F.percentile ≡ DuckDB quantile_cont, the
+    ts_quantiles precedent); scores use STRICT comparisons (a user
+    sitting exactly on a boundary takes the lower score — pinned).
+
+    Scale shape: one per-user agg (one shuffle), then a 1-row global
+    max and a 1-row quartile agg broadcast back — NO corpus-wide
+    ntile/sort window (the usual RFM antipattern at 10^9 users);
+    scoring is row-local. Exact percentiles are the tier-served
+    variant; at raw 10^12 scale the boundary agg swaps to
+    percentile_approx exactly like A4's GK twin."""
+    per = (
+        df.where(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("last_s"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("monetary_c"),
+        )
+    )
+    g = per.agg(F.max("last_s").alias("_tmax"))
+    r = per.join(F.broadcast(g)).withColumn(
+        "recency_s", F.col("_tmax") - F.col("last_s")
+    )
+    qs = r.agg(
+        F.percentile("recency_s", [0.25, 0.5, 0.75]).alias("_rq"),
+        F.percentile("freq", [0.25, 0.5, 0.75]).alias("_fq"),
+        F.percentile("monetary_c", [0.25, 0.5, 0.75]).alias("_mq"),
+    )
+    d = r.join(F.broadcast(qs))
+    score_lt = lambda c, q: (  # noqa: E731  — smaller is better (recency)
+        F.lit(1)
+        + (F.col(c) < F.get(F.col(q), 0)).cast("int")
+        + (F.col(c) < F.get(F.col(q), 1)).cast("int")
+        + (F.col(c) < F.get(F.col(q), 2)).cast("int")
+    )
+    score_gt = lambda c, q: (  # noqa: E731  — bigger is better (freq/monetary)
+        F.lit(1)
+        + (F.col(c) > F.get(F.col(q), 0)).cast("int")
+        + (F.col(c) > F.get(F.col(q), 1)).cast("int")
+        + (F.col(c) > F.get(F.col(q), 2)).cast("int")
+    )
+    out = d.select(
+        user_col, "recency_s", "freq", "monetary_c",
+        score_lt("recency_s", "_rq").alias("r_score"),
+        score_gt("freq", "_fq").alias("f_score"),
+        score_gt("monetary_c", "_mq").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
+    )

@@ -6834,3 +6834,57 @@ def ts_croston(spark, sf_dir):
         _e("cr_forecast", 6).alias("forecast_e6"),
         _e("cr_sba", 6).alias("sba_e6"),
     )
+
+
+@q(
+    "ts_rfm",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
+             count(*) AS freq,
+             sum(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    g AS (SELECT max(last_s) AS tmax FROM per),
+    r AS (
+      SELECT p.user_id, g.tmax - p.last_s AS recency_s, p.freq, p.monetary_c
+      FROM per p CROSS JOIN g
+    ),
+    qs AS (
+      SELECT quantile_cont(recency_s, 0.25) AS r1, quantile_cont(recency_s, 0.5) AS r2,
+             quantile_cont(recency_s, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(monetary_c, 0.25) AS m1, quantile_cont(monetary_c, 0.5) AS m2,
+             quantile_cont(monetary_c, 0.75) AS m3
+      FROM r
+    ),
+    s AS (
+      SELECT r.user_id, r.recency_s, CAST(r.freq AS BIGINT) AS freq, r.monetary_c,
+             1 + CAST(r.recency_s < qs.r1 AS INT) + CAST(r.recency_s < qs.r2 AS INT)
+               + CAST(r.recency_s < qs.r3 AS INT) AS r_score,
+             1 + CAST(r.freq > qs.f1 AS INT) + CAST(r.freq > qs.f2 AS INT)
+               + CAST(r.freq > qs.f3 AS INT) AS f_score,
+             1 + CAST(r.monetary_c > qs.m1 AS INT) + CAST(r.monetary_c > qs.m2 AS INT)
+               + CAST(r.monetary_c > qs.m3 AS INT) AS m_score
+      FROM r CROSS JOIN qs
+    )
+    SELECT user_id, recency_s, freq, monetary_c,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_segment
+    FROM s
+    """,
+)
+def ts_rfm(spark, sf_dir):
+    """RFM quartile segmentation per user — cents-grid integer
+    monetary, broadcast exact quartile boundaries, strict-comparison
+    scores (see analytics.rfm_scores)."""
+    out = analytics.rfm_scores(
+        _ev(spark, sf_dir), user_col="user_id", ts_col="ts", value_col="value"
+    )
+    return out.select(
+        "user_id", "recency_s", "freq", "monetary_c",
+        "r_score", "f_score", "m_score", "rfm_segment",
+    )
