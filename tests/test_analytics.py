@@ -2139,3 +2139,53 @@ def test_rfm_nulls_excluded_and_cents_grid(spark):
     out = analytics.rfm_scores(df).collect()
     assert len(out) == 1
     assert out[0]["monetary_c"] == 2 and out[0]["freq"] == 2
+
+
+def test_max_drawdown_hand_case_and_tie_rules(spark):
+    """Series A walks 10, 30, 20, 5, 25, 30, 12: peak is set at the
+    2nd bucket (30), deepest trough is the 4th (5) -> depth 25, and a
+    LATER re-touch of 30 must not move the recorded peak. Series B is
+    the equal-depth tie: two troughs at depth 10 -> FIRST one wins."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i, v in enumerate([10.0, 30.0, 20.0, 5.0, 25.0, 30.0, 12.0]):
+        rows.append((1000 + i, t0 + timedelta(hours=i), 1, "A", v, None))
+    for i, v in enumerate([20.0, 10.0, 20.0, 10.0]):
+        rows.append((2000 + i, t0 + timedelta(hours=i), 1, "B", v, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {
+        r["event_type"]: r
+        for r in analytics.max_drawdown(
+            df, keys=["event_type"], ts_col="ts", value_col="value"
+        ).collect()
+    }
+    a = out["A"]
+    assert a["mdd_e6"] == 25_000_000
+    assert a["trough_ep"] - a["peak_ep"] == 2 * 3600 and a["dur_s"] == 2 * 3600
+    assert a["underwater_buckets"] == 4 and a["n_buckets"] == 7
+    b = out["B"]
+    assert b["mdd_e6"] == 10_000_000
+    # first trough (bucket index 1) wins; peak is the first bucket
+    assert b["trough_ep"] - b["peak_ep"] == 1 * 3600
+
+
+def test_max_drawdown_nondecreasing_is_zero_at_first_bucket(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(hours=i), 1, "U", float(i), None) for i in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = analytics.max_drawdown(
+        df, keys=["event_type"], ts_col="ts", value_col="value"
+    ).collect()[0]
+    assert r["mdd_e6"] == 0 and r["dur_s"] == 0
+    assert r["peak_ep"] == r["trough_ep"]
+    assert r["underwater_buckets"] == 0

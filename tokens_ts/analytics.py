@@ -3028,3 +3028,81 @@ def rfm_scores(
         "rfm_segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Maximum drawdown per series over `trunc` bucket means: the
+    deepest drop from a running peak — the standard "how far below
+    its best has this metric fallen" monitor (throughput regressions,
+    cache hit-rate decay), plus how long it stayed there.
+
+    Exactness pins: bucket means are snapped to the e6 integer grid
+    BEFORE the running max, so peak/trough comparisons and the depth
+    are pure bigint arithmetic — no float boundary anywhere. Trough =
+    the FIRST bucket achieving the maximum depth; peak = the FIRST
+    bucket that set the running max standing at that trough (ties
+    with an existing peak do not reset it). A non-decreasing series
+    has depth 0 and trough = peak = its first bucket. Per-key outputs:
+    depth (e6), peak/trough epochs, underwater seconds
+    (trough_ep - peak_ep), underwater bucket count (dd > 0), buckets.
+
+    Scale shape: one corpus-sized bucket agg (map-side combined),
+    then three window passes + one ranked filter on the
+    keys x buckets-bounded frame — a single shuffle on the key."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(
+            F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v_e6"),
+        )
+    )
+    wrun = Window.partitionBy(*keys).orderBy("ep").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlag = Window.partitionBy(*keys).orderBy("ep")
+    wall = Window.partitionBy(*keys)
+    r = (
+        b.withColumn("runmax", F.max("v_e6").over(wrun))
+        .withColumn("_prevmax", F.lag("runmax").over(wlag))
+        .withColumn(
+            "_peak_mark",
+            F.when(
+                F.col("_prevmax").isNull()
+                | (F.col("runmax") > F.col("_prevmax")),
+                F.col("ep"),
+            ),
+        )
+        .withColumn("peak_ep", F.last("_peak_mark", ignorenulls=True).over(wrun))
+        .withColumn("dd_e6", F.col("runmax") - F.col("v_e6"))
+    )
+    r = (
+        r.withColumn(
+            "underwater_buckets",
+            F.sum((F.col("dd_e6") > 0).cast("bigint")).over(wall),
+        )
+        .withColumn("n_buckets", F.count("*").over(wall))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col("dd_e6").desc(), "ep")
+            ),
+        )
+    )
+    return r.where(F.col("_rn") == 1).select(
+        *keys,
+        F.col("dd_e6").alias("mdd_e6"),
+        F.col("peak_ep").cast("bigint"),
+        F.col("ep").cast("bigint").alias("trough_ep"),
+        (F.col("ep") - F.col("peak_ep")).cast("bigint").alias("dur_s"),
+        "underwater_buckets",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    )

@@ -6888,3 +6888,59 @@ def ts_rfm(spark, sf_dir):
         "user_id", "recency_s", "freq", "monetary_c",
         "r_score", "f_score", "m_score", "rfm_segment",
     )
+
+
+@q(
+    "ts_max_drawdown",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v_e6
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r0 AS (
+      SELECT k, ep, v_e6,
+             max(v_e6) OVER (PARTITION BY k ORDER BY ep
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmax
+      FROM b
+    ),
+    r AS (
+      SELECT *,
+             lag(runmax) OVER (PARTITION BY k ORDER BY ep) AS prevmax
+      FROM r0
+    ),
+    p AS (
+      SELECT *,
+             last_value(CASE WHEN prevmax IS NULL OR runmax > prevmax
+                             THEN ep END IGNORE NULLS) OVER wr AS peak_ep,
+             runmax - v_e6 AS dd_e6
+      FROM r
+      WINDOW wr AS (PARTITION BY k ORDER BY ep
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *,
+             sum(CASE WHEN dd_e6 > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY k)
+               AS underwater_buckets,
+             count(*) OVER (PARTITION BY k) AS n_buckets,
+             row_number() OVER (PARTITION BY k ORDER BY dd_e6 DESC, ep)
+               AS rn
+      FROM p
+    )
+    SELECT k AS event_type, dd_e6 AS mdd_e6, peak_ep, ep AS trough_ep,
+           ep - peak_ep AS dur_s,
+           CAST(underwater_buckets AS BIGINT) AS underwater_buckets,
+           CAST(n_buckets AS BIGINT) AS n_buckets
+    FROM s WHERE rn = 1
+    """,
+)
+def ts_max_drawdown(spark, sf_dir):
+    """Max drawdown per event_type over e6-grid hourly means —
+    integer-exact peak/trough/depth, first-trough and first-peak tie
+    rules pinned (see analytics.max_drawdown)."""
+    return analytics.max_drawdown(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
