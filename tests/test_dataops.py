@@ -2412,3 +2412,102 @@ def test_hybrid_rrf_blends_lexical_and_vector_evidence(spark):
     assert byid[30]["fused_rank"] == 1  # in both lists → beats single-list leaders
     assert byid[10]["bm_rank"] == 1 and byid[10]["emb_rank"] is None
     assert byid[20]["emb_rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_hand_computed(spark):
+    import math
+
+    # d1=[1,2,1,2], d2=[3,2]: C(1,2)=2 C(2,1)=1 C(3,2)=1; T=3 types;
+    # N1+(·2)=2 (contexts {1,3}), N1+(·1)=1; every N1+(a·)=1.
+    seq = spark.createDataFrame(
+        [("d1", [1, 2, 1, 2]), ("d2", [3, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.kneser_ney_logprob(seq, pad_id=0, d=0.75).collect()
+    }
+    p12 = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (2 / 3)   # = 0.875
+    p21 = (1 - 0.75) / 1 + 0.75 * 1 / 1 * (1 / 3)   # = 0.5
+    p32 = (1 - 0.75) / 1 + 0.75 * 1 / 1 * (2 / 3)   # = 0.75
+    assert out["d1"]["n_bigrams"] == 3
+    assert math.isclose(
+        out["d1"]["logprob"], 2 * math.log(p12) + math.log(p21)
+    )
+    assert math.isclose(out["d2"]["logprob"], math.log(p32))
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The signature KN property: token 9 is FREQUENT but always in
+    the single context (8,9); token 5 is rarer but completes many
+    contexts. For a novel-ish pairing carrying the same observed
+    count, the many-context token must be likelier — i.e. the backoff
+    mass favors continuation breadth, not raw frequency.
+
+    Corpus: (8,9)x6 vs (1,5),(2,5),(3,5). Test bigrams (7,9) vs
+    (7,5), each observed once from context 7: identical first term,
+    so the order is decided purely by N1+(.9)=1 < N1+(.5)=4."""
+    import math
+
+    rows = [("f%d" % i, [8, 9]) for i in range(6)]
+    rows += [("c1", [1, 5]), ("c2", [2, 5]), ("c3", [3, 5])]
+    rows += [("t9", [7, 9]), ("t5", [7, 5])]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["doc_id"]: r["logprob"]
+        for r in textops.kneser_ney_logprob(seq, pad_id=0).collect()
+    }
+    assert out["t5"] > out["t9"]
+
+
+def test_kneser_ney_python_reference_parity(spark):
+    """Arbitrary corpus (PAD-laced) vs an independent dict-based KN."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = {
+        "a": [1, 2, 3, 0, 2, 3],
+        "b": [3, 2, 1, 1],
+        "c": [0, 5, 1, 2, 0, 0, 3],
+        "d": [4, 5],
+        "e": [2],
+    }
+    d = 0.75
+    bg = []
+    per_doc = defaultdict(list)
+    for did, toks in docs.items():
+        for x, y in zip(toks, toks[1:]):
+            if x != 0 and y != 0:
+                bg.append((x, y))
+                per_doc[did].append((x, y))
+    cab = Counter(bg)
+    ca = Counter()
+    n1pa = Counter()
+    n1pb = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        n1pa[a] += 1
+        n1pb[b] += 1
+    T = len(cab)
+    def p(a, b):
+        return (cab[(a, b)] - d) / ca[a] + d * n1pa[a] / ca[a] * (n1pb[b] / T)
+    want = {
+        did: sum(math.log(p(a, b)) for a, b in pairs)
+        for did, pairs in per_doc.items()
+        if pairs
+    }
+    seq = spark.createDataFrame(
+        list(docs.items()), "doc_id string, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: r["logprob"]
+        for r in textops.kneser_ney_logprob(seq, pad_id=0, d=d).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k]), k

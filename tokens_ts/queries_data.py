@@ -6944,3 +6944,43 @@ def ts_max_drawdown(spark, sf_dir):
         _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "seq_kneser_ney",
+    _synth_cte()
+    + """
+    , bg AS (
+      SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+    ua AS (SELECT a, sum(cab) AS ca, count(*) AS n1pa FROM bgc GROUP BY 1),
+    ub AS (SELECT b, count(*) AS n1pb FROM bgc GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(sum(ln((bgc.cab - 0.75) / ua.ca
+                             + 0.75 * ua.n1pa / ua.ca * (ub.n1pb / tt.t)))
+                      * 1e6) AS BIGINT) AS kn_lp_e6,
+           CAST(ROUND(-sum(ln((bgc.cab - 0.75) / ua.ca
+                              + 0.75 * ua.n1pa / ua.ca * (ub.n1pb / tt.t)))
+                      / count(*) * 1e6) AS BIGINT) AS kn_nll_e6
+    FROM bg JOIN bgc USING (a, b) JOIN ua USING (a) JOIN ub USING (b)
+         CROSS JOIN tt
+    GROUP BY 1
+    """,
+)
+def seq_kneser_ney(spark, sf_dir):
+    """Per-doc log-likelihood under the corpus interpolated
+    Kneser-Ney bigram LM (d=0.75) — continuation-probability
+    smoothing vs seq_bigram_logprob's add-k (see
+    textops.kneser_ney_logprob for the pinned rules)."""
+    out = textops.kneser_ney_logprob(_seq(spark), pad_id=C.PAD_ID, d=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _e("logprob", 6).alias("kn_lp_e6"),
+        _e("avg_nll", 6).alias("kn_nll_e6"),
+    )

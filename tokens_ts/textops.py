@@ -2080,3 +2080,74 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_num.cast("bigint").alias("pii_num_n"),
         t3.alias("redacted"),
     )
+
+
+def kneser_ney_logprob(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    pad_id: int = 0,
+    d: float = 0.75,
+) -> DataFrame:
+    """Per-document log-likelihood under the corpus's interpolated
+    Kneser-Ney bigram LM — the classic smoothing that scores a word
+    by how many CONTEXTS it completes, not how often it occurs
+    (add-k over-rewards high-frequency tokens glued to the wrong
+    neighbors; KN's continuation probability is the standard fix):
+
+        p(b|a) = (C(ab) − d)/C(a·) + d·N1+(a·)/C(a·) · N1+(·b)/T
+
+    with N1+(a·)/N1+(·b) the distinct right/left-neighbor counts, T
+    the distinct-bigram-type total, d the absolute discount. C(ab)≥1
+    > d for every OBSERVED bigram (the only ones a doc can contain),
+    so the max(·,0) clamp is vacuous here and omitted — pinned.
+
+    Exactness: every LM input is an integer count and d is dyadic,
+    so both engines evaluate the IDENTICAL IEEE expression tree per
+    bigram (the croston/kalman precedent); per-doc sums are rounded
+    to e6 after summation. PAD breaks adjacency (bigram kept iff
+    both sides non-PAD, as bigram_logprob); docs with zero kept
+    bigrams are dropped.
+
+    Shapes: row-local bigram stream; count frames vocab²/vocab-
+    bounded; neighbor-count dims broadcast; ONE corpus-sized
+    equi-join on (a, b)."""
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg"),
+    ).select(id_col, "bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    bgc = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ua = bgc.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count("*").alias("n1pa")
+    )
+    ub = bgc.groupBy("b").agg(F.count("*").alias("n1pb"))
+    t = bgc.agg(F.count("*").cast("double").alias("t"))
+    term = F.log(
+        (F.col("cab") - F.lit(d)) / F.col("ca")
+        + F.lit(d) * F.col("n1pa") / F.col("ca")
+        * (F.col("n1pb") / F.col("t"))
+    )
+    scored = (
+        pairs.join(bgc, ["a", "b"])
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(t))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(term).alias("logprob"),
+        (-F.sum(term) / F.count("*")).alias("avg_nll"),
+    )
