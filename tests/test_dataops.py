@@ -2511,3 +2511,72 @@ def test_kneser_ney_python_reference_parity(spark):
     assert set(got) == set(want)
     for k in want:
         assert math.isclose(got[k], want[k]), k
+
+
+# ---------------------------------------------------------------------------
+# ndcg_topk
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_perfect_retriever_scores_one(spark):
+    """A corpus small enough that every LSH table holds every vector
+    in reach: the approximate ranking equals the exact one, so every
+    query scores EXACTLY 1e6 with all k hits."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(64)], 0) for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # n_planes=0 would be degenerate; use 1 plane x enough tables so the
+    # union of half-space buckets covers everything
+    out = simsearch.ndcg_topk(
+        emb, list(range(4)), k=3, n_planes=1, n_tables=24
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_hits"] == 3 and r["ndcg_e6"] == 1_000_000
+
+
+def test_ndcg_python_reference_parity(spark):
+    """Recompute NDCG in python from the two (already-oracled)
+    retriever rankings and demand exact e6 agreement with the
+    engine's metric join."""
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(8))
+    k, planes, tables = 5, 3, 6
+    exact = {
+        (r["qid"], r["nid"]): r["rank"]
+        for r in simsearch.cosine_topk(emb, qids, k=k).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"]): r["rank"]
+        for r in simsearch.lsh_topk(
+            emb, qids, k=k, n_planes=planes, n_tables=tables
+        ).collect()
+    }
+    idcg = sum((k + 1 - r) / math.log(r + 1) for r in range(1, k + 1))
+    want = {}
+    hits = {}
+    for (qid, nid), tr in exact.items():
+        ar = approx.get((qid, nid))
+        want.setdefault(qid, 0.0)
+        hits.setdefault(qid, 0)
+        if ar is not None:
+            want[qid] += (k + 1 - tr) / math.log(ar + 1)
+            hits[qid] += 1
+    got = {
+        r["qid"]: r
+        for r in simsearch.ndcg_topk(
+            emb, qids, k=k, n_planes=planes, n_tables=tables
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for qid in want:
+        assert got[qid]["n_hits"] == hits[qid]
+        assert got[qid]["ndcg_e6"] == round(want[qid] / idcg * 1e6)

@@ -756,10 +756,10 @@ def emb_ann_ivf(spark, sf_dir):
     )
 
 
-_ANN_RECALL_SQL = """
+_ANN_CTES = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
     exact AS (
-      SELECT qid, nid FROM (
+      SELECT qid, nid, rank FROM (
         SELECT q.qid, e.vec_id AS nid,
                row_number() OVER (
                  PARTITION BY q.qid
@@ -799,7 +799,7 @@ _ANN_RECALL_SQL = """
       WHERE qb.vec_id < 20 AND nb.vec_id <> qb.vec_id
     ),
     approx AS (
-      SELECT qid, nid FROM (
+      SELECT qid, nid, rank FROM (
         SELECT c.qid, c.nid,
                row_number() OVER (
                  PARTITION BY c.qid
@@ -815,6 +815,9 @@ _ANN_RECALL_SQL = """
         JOIN embeddings ne ON ne.vec_id = c.nid
       ) WHERE rank <= 5
     )
+"""
+
+_ANN_RECALL_SQL = _ANN_CTES + """
     SELECT e.qid,
            CAST(count(a.nid) AS BIGINT) AS n_hits,
            CAST(ROUND(count(a.nid) / 5.0 * 1e6) AS BIGINT) AS recall_e6
@@ -6983,4 +6986,30 @@ def seq_kneser_ney(spark, sf_dir):
         "n_bigrams",
         _e("logprob", 6).alias("kn_lp_e6"),
         _e("avg_nll", 6).alias("kn_nll_e6"),
+    )
+
+
+@q(
+    "emb_ann_ndcg",
+    _ANN_CTES
+    + """
+    SELECT e.qid,
+           CAST(count(a.nid) AS BIGINT) AS n_hits,
+           CAST(ROUND(
+             sum(CASE WHEN a.rank IS NOT NULL
+                      THEN (6 - e.rank) / ln(a.rank + 1.0)
+                      ELSE 0.0 END)
+             / (5.0/ln(2.0) + 4.0/ln(3.0) + 3.0/ln(4.0)
+                + 2.0/ln(5.0) + 1.0/ln(6.0))
+             * 1e6) AS BIGINT) AS ndcg_e6
+    FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+    GROUP BY e.qid
+    """,
+)
+def emb_ann_ndcg(spark, sf_dir):
+    """NDCG@5 of the 12x3 LSH ranking vs exact cosine ground truth —
+    position-discounted ranking quality alongside emb_ann_recall's
+    set-overlap (see simsearch.ndcg_topk for the grading pins)."""
+    return simsearch.ndcg_topk(
+        _emb(spark, sf_dir), list(range(20)), k=5, n_planes=3, n_tables=12
     )

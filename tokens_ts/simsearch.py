@@ -920,3 +920,54 @@ def hybrid_rrf(
         "rrf_e9",
         "fused_rank",
     )
+
+
+def ndcg_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NDCG@k of the multi-table LSH ANN ranking against the exact
+    cosine ground truth — recall@k says WHETHER the true neighbors
+    were found; NDCG says whether they landed in the right ORDER
+    (position-discounted graded gain, the standard ranking metric).
+
+    Grading: the item at true rank r carries relevance k+1−r
+    (top neighbor = k ... k-th = 1); the approximate list earns
+    rel/ln(pos+1) at each position it placed a true-top-k item, and
+    the sum is normalized by the ideal ln-form DCG, so ndcg ∈ [0, 1]
+    (ln vs log2 cancels in the ratio). Missed items contribute 0;
+    a query whose candidate set misses everything scores an honest
+    0, not NULL.
+
+    Both rankings break ties on (e6-scaled similarity, nid) so the
+    ranks themselves are cross-engine exact; the e6-rounded NDCG
+    then follows the repo's IEEE-identical-expression-shape rule.
+    Shapes: both retrievers are broadcast-query-set scans (zero
+    corpus shuffles, see cosine_topk/lsh_topk); the metric join is
+    queries×k-bounded."""
+    exact = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(
+        emb, query_ids, k=k, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    )
+    e = exact.select("qid", "nid", F.col("rank").alias("_trank"))
+    a = approx.select("qid", "nid", F.col("rank").alias("_arank"))
+    j = e.join(a, ["qid", "nid"], "left")
+    contrib = F.when(
+        F.col("_arank").isNotNull(),
+        (F.lit(k + 1) - F.col("_trank"))
+        / F.log(F.col("_arank") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    idcg = None
+    for r in range(1, k + 1):
+        term = F.lit(float(k + 1 - r)) / F.log(F.lit(float(r + 1)))
+        idcg = term if idcg is None else idcg + term
+    return j.groupBy("qid").agg(
+        F.count("_arank").cast("bigint").alias("n_hits"),
+        F.round(F.sum(contrib) / idcg * 1e6).cast("bigint").alias("ndcg_e6"),
+    )
