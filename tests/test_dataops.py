@@ -2580,3 +2580,92 @@ def test_ndcg_python_reference_parity(spark):
     for qid in want:
         assert got[qid]["n_hits"] == hits[qid]
         assert got[qid]["ndcg_e6"] == round(want[qid] / idcg * 1e6)
+
+
+def test_chunk_sliding_boundaries_and_reassembly(spark):
+    """width=4, stride=3: a 10-word doc cuts 1+ceil(6/3)=3 chunks at
+    starts 0/3/6, the last one 4 words ending at word 10; an exactly-
+    width doc and a shorter-than-width doc each yield ONE chunk; and
+    concatenating each chunk's stride-prefix (full last chunk)
+    reassembles the doc — no word lost, none duplicated."""
+    from tokens_ts import textops
+
+    w10 = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, w10, "s"), (2, "a b c d", "s"), (3, "x y", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.chunk_sliding(df, width=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_word"], r["n_words"]) for r in c1] == [(0, 4), (3, 4), (6, 4)]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_words"] == 4
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_words"] == 2
+    # reassembly: stride-prefixes + full tail == original word stream
+    import hashlib
+
+    words = w10.split()
+    rebuilt = []
+    for i, r in enumerate(c1):
+        seg = words[r["start_word"] : r["start_word"] + (4 if i == len(c1) - 1 else 3)]
+        rebuilt.extend(seg)
+    assert rebuilt == words
+    # chunk_md5 is the md5 of the space-joined slice
+    want = hashlib.md5(" ".join(words[3:7]).encode()).hexdigest()
+    assert c1[1]["chunk_md5"] == want
+    with pytest.raises(ValueError):
+        textops.chunk_sliding(df, width=3, stride=4)
+
+
+def test_split_assign_content_keyed_and_exhaustive(spark):
+    """Byte-identical texts always land in the same split regardless of
+    id/source; buckets are md5-derived in [0,100); every doc gets
+    exactly one split; ratios roughly honor 96/2/2 over many texts."""
+    from tokens_ts import textops
+
+    rows = [(i, f"text number {i}", "a") for i in range(300)]
+    rows += [(1000 + i, f"text number {i}", "b") for i in range(300)]  # dupes, new ids
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.split_assign(df).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+        assert 0 <= r["split_bucket"] < 100
+        assert r["split"] in ("train", "val", "test")
+    assert all(len(s) == 1 for s in by_text.values())  # content-keyed: dupes never straddle
+    n = len(out)
+    n_train = sum(r["split"] == "train" for r in out)
+    assert n_train / n > 0.85  # 96% nominal, wide tolerance at n=600
+    with pytest.raises(ValueError):
+        textops.split_assign(df, train_pct=99, val_pct=2)
+
+
+def test_blocklist_word_boundaries_and_counts(spark):
+    """'slow' must not match inside 'slowly'; multi-word phrases match
+    across messy whitespace; IMMEDIATELY-adjacent repeats count once —
+    the first match consumes the shared separator space (the pinned
+    left-to-right non-overlapping rule both engines share) — while a
+    word between repeats restores the boundary; clean docs get
+    blocked=false."""
+    from tokens_ts import textops
+
+    rows = [
+        (1, "the slow merge batch was slow", "s"),
+        (2, "slowly but surely", "s"),
+        (3, "merge  batch\tmerge batch", "s"),  # adjacent repeat: counts 1
+        (5, "merge batch and merge batch", "s"),  # separated repeat: counts 2
+        (4, "totally clean", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.blocklist_tag(df, ["slow", "merge batch"]).collect()
+    }
+    assert (out[1]["hits_slow"], out[1]["hits_merge_batch"]) == (2, 1)
+    assert out[1]["blocklist_hits"] == 3 and out[1]["blocked"]
+    assert out[2]["hits_slow"] == 0 and not out[2]["blocked"]
+    assert out[3]["hits_merge_batch"] == 1  # shared space consumed (pinned)
+    assert out[5]["hits_merge_batch"] == 2
+    assert out[4]["blocklist_hits"] == 0 and not out[4]["blocked"]
+    with pytest.raises(ValueError):
+        textops.blocklist_tag(df, [])

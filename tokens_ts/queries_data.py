@@ -7013,3 +7013,119 @@ def emb_ann_ndcg(spark, sf_dir):
     return simsearch.ndcg_topk(
         _emb(spark, sf_dir), list(range(20)), k=5, n_planes=3, n_tables=12
     )
+
+
+@q(
+    "doc_chunk_sliding",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    c AS (
+      -- pinned chunk rule: 1 + ceil(max(n-32,0)/24) in integer form
+      SELECT doc_id, words,
+             1 + (greatest(len(words) - 32, 0) + 23) // 24 AS nch
+      FROM w
+    ),
+    ex AS (
+      SELECT doc_id, words, unnest(range(0, nch)) AS ci FROM c
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(ci * 24 AS BIGINT) AS start_word,
+           CAST(len(list_slice(words, ci*24 + 1, ci*24 + 32)) AS BIGINT) AS n_words,
+           md5(array_to_string(list_slice(words, ci*24 + 1, ci*24 + 32), ' ')) AS chunk_md5
+    FROM ex
+    """,
+)
+def doc_chunk_sliding(spark, sf_dir):
+    """RAG chunker: width-32 stride-24 word windows per doc, md5 per
+    chunk — both engines must cut identical window boundaries AND
+    identical chunk contents (see textops.chunk_sliding pins)."""
+    return textops.chunk_sliding(
+        _docs(spark, sf_dir), width=32, stride=24
+    )
+
+
+@q(
+    "doc_split_hash",
+    """
+    WITH b AS (
+      SELECT source, doc_id, text,
+             CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+    FROM b
+    GROUP BY source, 2
+    """,
+)
+def doc_split_hash(spark, sf_dir):
+    """Content-hash train/val/test split (96/2/2), summarized per
+    (source, split): count + id-sum + distinct-text count. The split
+    key is md5(text) so byte-identical dupes can never straddle
+    train/eval (textops.split_assign pins the bucket rule)."""
+    d = textops.split_assign(_docs(spark, sf_dir), train_pct=96, val_pct=2)
+    return d.groupBy("source", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_texts"),
+    )
+
+
+_BLOCKLIST = ["slow", "merge batch", "big vector"]
+
+
+@q(
+    "doc_blocklist",
+    r"""
+    WITH p AS (
+      SELECT source,
+             ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ' AS pt
+      FROM documents
+    ),
+    hits AS (
+      SELECT source, 'slow' AS phrase,
+             (len(pt) - len(replace(pt, ' slow ', ''))) // len(' slow ') AS h
+      FROM p
+      UNION ALL
+      SELECT source, 'merge batch',
+             (len(pt) - len(replace(pt, ' merge batch ', ''))) // len(' merge batch ')
+      FROM p
+      UNION ALL
+      SELECT source, 'big vector',
+             (len(pt) - len(replace(pt, ' big vector ', ''))) // len(' big vector ')
+      FROM p
+    )
+    SELECT source, phrase,
+           CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(h) AS BIGINT) AS hits
+    FROM hits
+    GROUP BY source, phrase
+    """,
+)
+def doc_blocklist(spark, sf_dir):
+    """Blocklist phrase histogram per source: docs-hit + total
+    occurrences for each banned word/phrase, word-boundary matched
+    (textops.blocklist_tag pins the left-to-right non-overlapping
+    counting rule both engines share)."""
+    d = textops.blocklist_tag(_docs(spark, sf_dir), _BLOCKLIST)
+    pairs = []
+    for p in _BLOCKLIST:
+        c = f"hits_{p.replace(' ', '_')}"
+        pairs.extend([F.lit(p), F.col(c)])
+    ex = d.select(
+        "source", F.explode(F.create_map(*pairs)).alias("phrase", "h")
+    )
+    return ex.groupBy("source", "phrase").agg(
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+        F.sum("h").cast("bigint").alias("hits"),
+    )

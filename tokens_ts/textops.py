@@ -2151,3 +2151,143 @@ def kneser_ney_logprob(
         F.sum(term).alias("logprob"),
         (-F.sum(term) / F.count("*")).alias("avg_nll"),
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style sliding-window chunker: cut each doc's word stream
+    into width-`width` chunks every `stride` words (overlap =
+    width − stride), the per-document retrieval-chunking op that
+    packing's corpus-wide concat-and-chunk deliberately is not
+    (packing crosses doc boundaries; a retrieval index must never).
+
+    Chunk rule, pinned: n_chunks = 1 + ⌈max(n_words − width, 0) /
+    stride⌉ (integer form, no float ceil), chunk i starts at word
+    i·stride; the LAST chunk may be shorter than `width` but always
+    reaches the final word, and with stride ≤ width every word is in
+    ≥1 chunk (reassembly test pins stride-prefix concatenation
+    reproducing the doc). A doc of ≤ width words yields exactly one
+    chunk — never zero, so no doc silently vanishes from the index.
+
+    Scale: pure row-local split/sequence/slice expressions + one
+    posexplode — zero shuffles, zero Python, output rows bounded by
+    n_words/stride per doc. 100-TB shape: embarrassingly parallel,
+    whole-stage codegen end to end."""
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError("need 0 < stride <= width")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - width, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    ex = docs.select(
+        id_col,
+        words.alias("_w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_idx", "_ci"
+        ),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_ci") * stride + 1, width)
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("_ci") * stride).cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 96,
+    val_pct: int = 2,
+) -> DataFrame:
+    """Deterministic leakage-aware train/val/test assignment: the
+    split key is a CONTENT hash (md5 of the text), so byte-identical
+    duplicates land in the SAME split by construction — the standard
+    guard against a duplicated document straddling train and eval
+    (id- or random-keyed splits leak exactly this way; content-keyed
+    splits cannot). Re-ingesting a doc under a new id, a new source,
+    or at a different corpus scale never moves it across splits.
+
+    bucket = first-4-bytes-of-md5(text) mod 100 (big-endian hex→int:
+    the one md5-derived integer both engines express natively —
+    Spark conv(hex,16,10), oracle CAST('0x'||hex)); split = train if
+    bucket < train_pct, val if bucket < train_pct+val_pct, else test.
+
+    Scale: one row-local hash expression, no shuffle; downstream
+    consumers filter on the `split` column and the filter pushes to
+    the scan."""
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct < 100):
+        raise ValueError("need 0 < train_pct, train_pct + val_pct < 100")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "*", bucket.alias("split_bucket"), split.alias("split")
+    )
+
+
+def blocklist_tag(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-phrase blocklist tagger: per-doc occurrence counts for a
+    small list of banned words/phrases (profanity, boilerplate, eval
+    markers) with word-boundary matching — the curation filter every
+    corpus release runs.
+
+    Counting rule, pinned: the doc is single-spaced and space-padded
+    (' '+text+' '), each phrase matched as ' phrase ' via the
+    length-difference-after-replace identity, so 'slow' never matches
+    inside 'slowly'. replace() consumes matches LEFT-TO-RIGHT
+    NON-OVERLAPPING in both engines, so immediately-adjacent repeats
+    (' slow slow ') count once per consumed pad space — the shared
+    greedy semantics, not a float or engine quirk (same rule the
+    trigram langid counter rides).
+
+    Scale: pure row-local string expressions per phrase (blocklists
+    are O(10-10^3) phrases: compiled into the projection, never a
+    join); zero shuffles, whole-stage codegen."""
+    if not phrases:
+        raise ValueError("empty blocklist")
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+        F.lit(" "),
+    )
+    out = docs
+    hit_cols = []
+    for p in phrases:
+        needle = f" {p.strip()} "
+        c = f"hits_{p.strip().replace(' ', '_')}"
+        cnt = (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))
+        ).cast("bigint")
+        out = out.withColumn(c, cnt)
+        hit_cols.append(c)
+    total = None
+    for c in hit_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    return out.withColumn("blocklist_hits", total.cast("bigint")).withColumn(
+        "blocked", F.col("blocklist_hits") > 0
+    )
