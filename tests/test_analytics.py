@@ -2189,3 +2189,70 @@ def test_max_drawdown_nondecreasing_is_zero_at_first_bucket(spark):
     assert r["mdd_e6"] == 0 and r["dur_s"] == 0
     assert r["peak_ep"] == r["trough_ep"]
     assert r["underwater_buckets"] == 0
+
+
+def test_scd2_history_runs_versions_and_half_open_tiling(spark):
+    """Key A: states 1,1,2,2,1,null,null -> four versions (1,2,1,null)
+    with half-open [valid_from, valid_to) bounds tiling the lifetime,
+    adjacent nulls ONE run, re-touched state 1 a NEW version (type-2);
+    only the last version is_current. Duplicate-ts conflict on key B
+    collapses to the MAX state before run detection."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i, st in enumerate([1, 1, 2, 2, 1, None, None]):
+        rows.append(("A", t0 + timedelta(minutes=i), st))
+    rows += [("B", t0, 5), ("B", t0, 9), ("B", t0 + timedelta(minutes=1), 9)]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, state int")
+    out = analytics.scd2_history(df, keys=["k"], state_col="state").collect()
+    a = sorted([r for r in out if r["k"] == "A"], key=lambda r: r["version"])
+    assert [r["state"] for r in a] == [1, 2, 1, None]
+    assert [r["version"] for r in a] == [1, 2, 3, 4]
+    assert [r["n_events"] for r in a] == [2, 2, 1, 2]
+    # half-open tiling: each valid_to == next valid_from, last is open
+    for prev, nxt in zip(a, a[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+    assert a[-1]["valid_to"] is None
+    assert [r["is_current"] for r in a] == [False, False, False, True]
+    b = sorted([r for r in out if r["k"] == "B"], key=lambda r: r["version"])
+    assert len(b) == 1 and b[0]["state"] == 9 and b[0]["n_events"] == 2
+
+
+def test_proportion_drift_hand_z_and_degenerate_rules(spark):
+    """Day0 10/100 vs day1 30/100 successes: z = (0.3-0.1)/sqrt(0.2*
+    0.8*(2/100)) = 3.5355 -> drifted; identical days z=0 not drifted;
+    an all-failure pair (pooled p=0) yields null z, drifted=False; the
+    first day of a key has no previous bucket -> null z."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for day, ns in [(0, 10), (1, 30)]:
+        for i in range(100):
+            rows.append(
+                ("A", t0 + timedelta(days=day, seconds=i),
+                 20.0 if i < ns else 0.0)
+            )
+    for day in (0, 1):  # identical days
+        for i in range(50):
+            rows.append(
+                ("C", t0 + timedelta(days=day, seconds=i),
+                 20.0 if i < 10 else 0.0)
+            )
+    for day in (0, 1):  # pooled p = 0
+        for i in range(20):
+            rows.append(("D", t0 + timedelta(days=day, seconds=i), 1.0))
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, value double")
+    out = analytics.proportion_drift(df, keys=["k"], threshold=10.0)
+    got = {(r["k"], r["ep"]): r for r in out.collect()}
+    days = sorted(ep for k, ep in got if k == "A")
+    first, second = got[("A", days[0])], got[("A", days[1])]
+    assert first["z_e6"] is None and not first["drifted"]
+    z = (0.3 - 0.1) / math.sqrt(0.2 * 0.8 * (1 / 100 + 1 / 100))
+    assert second["z_e6"] == round(z * 1e6) and second["drifted"]
+    c2 = got[("C", days[1])]
+    assert c2["z_e6"] == 0 and not c2["drifted"]
+    d2 = got[("D", days[1])]
+    assert d2["z_e6"] is None and not d2["drifted"]
+    assert (d2["n"], d2["s"]) == (20, 0)

@@ -3106,3 +3106,131 @@ def max_drawdown(
         "underwater_buckets",
         F.col("n_buckets").cast("bigint").alias("n_buckets"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    state_col: str = "state",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse a
+    change-event stream into versioned validity intervals — one row
+    per (key, run of consecutive equal states) with [valid_from,
+    valid_to) half-open bounds, a version ordinal, and an is_current
+    flag on the open tail. The warehouse op that turns an event log
+    into a point-in-time-joinable dimension (as-of lookups against it
+    ride the existing asof_join).
+
+    Pinned rules: rows sharing (keys, ts) are collapsed FIRST, keeping
+    the MAX state (deterministic cross-engine; an SCD feed with true
+    simultaneous conflicting writes has no defined order anywhere);
+    a run breaks when the state IS DISTINCT FROM its predecessor —
+    null is a real state, adjacent nulls are ONE run; valid_to of
+    version v = valid_from of version v+1 (half-open, so intervals
+    tile the key's lifetime with no gaps/overlaps), null on the
+    current version; re-touching an earlier state after a change
+    opens a NEW version (type-2, never type-1 overwrite).
+
+    Scale shape: one groupBy shuffle on (keys, ts) for the tie
+    collapse, then lag/cumsum/lead window passes all partitioned by
+    the same keys — a single key-shuffle lineage end to end; output
+    is runs-bounded, far smaller than the input at any scale."""
+    wk = Window.partitionBy(*keys).orderBy("_ts")
+    d = (
+        df.groupBy(*keys, F.col(ts_col).alias("_ts"))
+        .agg(F.max(state_col).alias("_st"))
+        .withColumn(
+            "_chg",
+            (~F.col("_st").eqNullSafe(F.lag("_st").over(wk))).cast("bigint"),
+        )
+        .withColumn(
+            "_ver",
+            F.sum("_chg").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    g = d.groupBy(*keys, "_ver").agg(
+        F.min("_ts").alias("valid_from"),
+        F.first("_st").alias(state_col),  # constant within the run
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(*keys).orderBy("_ver")
+    return g.select(
+        *keys,
+        F.col("_ver").cast("int").alias("version"),
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+def proportion_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    threshold: float = 10.0,
+    trunc: str = "day",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test drift per series, bucket over bucket: did
+    the success rate (value >= threshold) move more than sampling
+    noise explains? The categorical counterpart of ks_drift/psi_drift
+    (those watch a numeric distribution; this watches a conversion /
+    error / hit RATE, the thing most SLOs are written against).
+
+    z = (p1 - p0) / sqrt(p(1-p)(1/n1 + 1/n0)) with p the pooled rate.
+    Cross-engine exactness: both engines build z from the SAME four
+    bigint counts (s0,n0,s1,n1) through the SAME expression tree —
+    correctly-rounded /, *, sqrt on identical rationals give identical
+    doubles, the repo-wide integer-inputs pattern; emitted e6-rounded.
+    Null values count in n (a null is a failed success test), pinned;
+    a degenerate pooled rate (p in {0,1}: zero variance) or an
+    absent previous bucket yields z null, drifted false — honest
+    no-evidence, never a division blow-up.
+
+    Scale shape: one corpus-sized count agg (map-side combined) to
+    keys x buckets, then a single lag window on that bounded frame —
+    one key shuffle, no joins."""
+    b = (
+        df.groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col(value_col) >= threshold, 1).otherwise(0)
+            ).cast("bigint").alias("s"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("ep")
+    r = (
+        b.withColumn("n0", F.lag("n").over(w))
+        .withColumn("s0", F.lag("s").over(w))
+    )
+    pooled = (F.col("s") + F.col("s0")) / (F.col("n") + F.col("n0"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n") + F.lit(1.0) / F.col("n0"))
+    )
+    z = F.when(
+        F.col("n0").isNotNull()
+        & (F.col("s") + F.col("s0") > 0)
+        & (F.col("s") + F.col("s0") < F.col("n") + F.col("n0")),
+        (F.col("s") / F.col("n") - F.col("s0") / F.col("n0")) / se,
+    )
+    return r.select(
+        *keys,
+        F.col("ep").cast("bigint"),
+        "n",
+        "s",
+        F.col("n0"),
+        F.col("s0"),
+        F.round(z * 1e6).cast("bigint").alias("z_e6"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_crit)), F.lit(False)
+        ).alias("drifted"),
+    )

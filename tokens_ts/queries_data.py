@@ -7129,3 +7129,115 @@ def doc_blocklist(spark, sf_dir):
         F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs"),
         F.sum("h").cast("bigint").alias("hits"),
     )
+
+
+@q(
+    "ts_scd2",
+    """
+    WITH d AS (
+      SELECT event_type AS k, ts,
+             max(CASE WHEN value IS NULL THEN -1
+                      WHEN value < 10 THEN 0 ELSE 1 END) AS st
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT k, ts, st,
+             CASE WHEN st IS DISTINCT FROM
+                       lag(st) OVER (PARTITION BY k ORDER BY ts)
+                  THEN 1 ELSE 0 END AS chg
+      FROM d
+    ),
+    i AS (
+      SELECT k, ts, st,
+             sum(chg) OVER (PARTITION BY k ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ver
+      FROM c
+    ),
+    g AS (
+      SELECT k, ver, st, min(ts) AS vf, count(*) AS n
+      FROM i GROUP BY 1, 2, 3
+    )
+    SELECT k AS event_type,
+           CAST(ver AS INT) AS version,
+           CAST(st AS INT) AS state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY k ORDER BY ver),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(n AS BIGINT) AS n_events,
+           lead(vf) OVER (PARTITION BY k ORDER BY ver) IS NULL AS is_current
+    FROM g
+    """,
+)
+def ts_scd2(spark, sf_dir):
+    """SCD type-2 history per event_type over the 3-state value
+    discretization (null / <10 / >=10) — half-open validity intervals,
+    duplicate-ts max-state collapse and null-is-a-state run rules
+    pinned (see analytics.scd2_history)."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").alias("event_ts"),
+        F.when(F.col("value").isNull(), -1)
+        .when(F.col("value") < 10, 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("state"),
+    )
+    h = analytics.scd2_history(
+        ev, keys=["event_type"], ts_col="event_ts", state_col="state"
+    )
+    return h.select(
+        "event_type",
+        "version",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        "is_current",
+    )
+
+
+@q(
+    "ts_prop_drift",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ep,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, lag(n) OVER w AS n0, lag(s) OVER w AS s0
+      FROM b WINDOW w AS (PARTITION BY k ORDER BY ep)
+    ),
+    z AS (
+      SELECT *,
+             CASE WHEN n0 IS NOT NULL AND s + s0 > 0 AND s + s0 < n + n0
+                  THEN (CAST(s AS DOUBLE) / n - CAST(s0 AS DOUBLE) / n0)
+                       / sqrt(((s + s0) / CAST(n + n0 AS DOUBLE))
+                              * (1.0 - (s + s0) / CAST(n + n0 AS DOUBLE))
+                              * (1.0 / n + 1.0 / n0))
+             END AS zz
+      FROM r
+    )
+    SELECT k AS event_type, ep, n, s, n0, s0,
+           CAST(ROUND(zz * 1e6) AS BIGINT) AS z_e6,
+           coalesce(abs(zz) > 1.96, false) AS drifted
+    FROM z
+    """,
+)
+def ts_prop_drift(spark, sf_dir):
+    """Two-proportion z-test day-over-day per event_type (success =
+    value >= 10): identical bigint counts through an identical IEEE
+    expression tree in both engines, degenerate pooled rates null
+    (see analytics.proportion_drift)."""
+    return analytics.proportion_drift(
+        _ev(spark, sf_dir),
+        keys=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        threshold=10.0,
+        trunc="day",
+    )
