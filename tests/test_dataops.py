@@ -2669,3 +2669,122 @@ def test_blocklist_word_boundaries_and_counts(spark):
     assert out[4]["blocklist_hits"] == 0 and not out[4]["blocked"]
     with pytest.raises(ValueError):
         textops.blocklist_tag(df, [])
+
+
+# ---------------------------------------------------------------------------
+# jl_project / jl_distortion / ivf_balance
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_python_parity(spark):
+    """Recompute the projection with a sequential left-to-right float
+    fold over the SAME deterministic sign matrix (jl_signs is the
+    shared contract): every projected coordinate must equal the
+    engine's F.aggregate fold bit-for-bit — same doubles, same
+    accumulation order."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(64)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    signs = simsearch.jl_signs(16, 64)
+    # mirror the engine's array<float> -> array<double> cast
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    got = {r["nid"]: list(r["y"]) for r in simsearch.jl_project(emb).collect()}
+    for i, v in vecs.items():
+        for j, srow in enumerate(signs):
+            acc = 0.0
+            for s, x in zip(srow, v):
+                acc = acc + float(s) * x
+            assert got[i][j] == acc, (i, j)
+
+
+def test_jl_distortion_identical_pair_null_and_parity(spark):
+    """Vectors 0 and 7 identical -> pair (0,7) has d2x_e6=0 and a null
+    ratio (pinned degenerate rule); every other pair's integer ratio
+    must match a python re-derivation from the same e6 integers."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    base = [[float(x) for x in rng.randn(64)] for _ in range(17)]
+    base[7] = list(base[0])  # (0, 7) is a stride-7 pair of clones
+    rows = [(int(i), v) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    signs = simsearch.jl_signs(16, 64)
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+
+    def proj(v):
+        out = []
+        for srow in signs:
+            acc = 0.0
+            for s, x in zip(srow, v):
+                acc = acc + float(s) * x
+            out.append(acc)
+        return out
+
+    def d2(u, w):
+        acc = 0.0
+        for x, y in zip(u, w):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    got = {
+        (r["aid"], r["bid"]): r
+        for r in simsearch.jl_distortion(emb).collect()
+    }
+    assert set(got) == {(i, i + 7) for i in range(10)}
+    assert got[(0, 7)]["d2x_e6"] == 0 and got[(0, 7)]["ratio_e4"] is None
+    for (a, b), r in got.items():
+        dx = round(d2(vecs[a], vecs[b]) * 1e6)
+        dy = round(d2(proj(vecs[a]), proj(vecs[b])) * 1e6)
+        assert (r["d2x_e6"], r["d2y_e6"]) == (dx, dy)
+        if dx > 0:
+            assert r["ratio_e4"] == round(1e4 * dy / (16 * dx))
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    """On the real sf0.001 embedding table the JL bound must show up
+    in the measurement: the mean distance ratio sits near 1 (k=16 ->
+    spread ~sqrt(2/16)=0.35 per pair, so the MEAN over hundreds of
+    pairs lands well inside ±10%)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = simsearch.jl_distortion(emb).where("ratio_e4 is not null")
+    stats = rows.agg(
+        F.count("*").alias("n"), F.avg("ratio_e4").alias("m")
+    ).collect()[0]
+    assert stats["n"] >= 100
+    assert 9_000 <= stats["m"] <= 11_000
+
+
+def test_ivf_balance_shares_and_planted_hot_cell(spark):
+    """Sizes partition the corpus (sum == N), shares sum to 1e6 within
+    per-cell rounding, load == share x C within 1 ulp of the rounding,
+    and a corpus deliberately piled onto centroid 3's direction makes
+    cell 3 the max-load cell with load >> 1e6."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    cents = [[float(x) for x in rng.randn(64)] for _ in range(8)]
+    rows = [(int(i), cents[i]) for i in range(8)]
+    # 24 vectors hugging centroid 3, 8 spread one per cell
+    for i in range(8, 32):
+        rows.append(
+            (
+                int(i),
+                [
+                    float(c + 0.01 * e)
+                    for c, e in zip(cents[3], rng.randn(64))
+                ],
+            )
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cid"]: r for r in simsearch.ivf_balance(emb).collect()}
+    n = sum(r["n_vecs"] for r in out.values())
+    assert n == 32
+    assert abs(sum(r["share_e6"] for r in out.values()) - 1_000_000) <= len(out)
+    for r in out.values():
+        assert abs(r["load_e6"] - 8 * r["share_e6"]) <= 8
+        assert r["min_id"] <= r["max_id"]
+    hot = max(out.values(), key=lambda r: r["load_e6"])
+    assert hot["cid"] == 3 and hot["n_vecs"] == 25
+    assert hot["load_e6"] > 1_000_000

@@ -7241,3 +7241,108 @@ def ts_prop_drift(spark, sf_dir):
         threshold=10.0,
         trunc="day",
     )
+
+
+def _jl_sql(out_dim: int = 16, dim: int = 64, stride: int = 7) -> str:
+    # The sign matrix enters as a 16-row VALUES relation (one list
+    # literal per row, materialized ONCE) rather than a nested 16x64
+    # literal indexed inside the projection lambda — the oracle engine
+    # re-builds a literal list on every [j][i] access, which turns a
+    # 2k-row projection into ~2e9 element constructions (measured:
+    # minutes at sf0.1; milliseconds this way).
+    signs = simsearch.jl_signs(out_dim, dim)
+    svalues = ",\n        ".join(
+        f"({j + 1}, [{', '.join(f'{float(s):.1f}' for s in row)}])"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+    WITH sgn(j, srow) AS (
+      VALUES
+        {svalues}
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pj AS (
+      SELECT e.vec_id, s.j,
+             list_sum(list_transform(range(1, {dim + 1}),
+                      i -> s.srow[i] * e.v[i])) AS yj
+      FROM e CROSS JOIN sgn s
+    ),
+    py AS (
+      SELECT vec_id, list(yj ORDER BY j) AS y FROM pj GROUP BY vec_id
+    ),
+    p AS (
+      SELECT e.vec_id, e.v, py.y FROM e JOIN py USING (vec_id)
+    ),
+    pr AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             CAST(ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) * 1e6)
+               AS BIGINT) AS d2x_e6,
+             CAST(ROUND(list_sum(list_transform(range(1, {out_dim + 1}),
+                    j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) * 1e6)
+               AS BIGINT) AS d2y_e6
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + {stride}
+    )
+    SELECT aid, bid, d2x_e6, d2y_e6,
+           CASE WHEN d2x_e6 > 0
+                THEN CAST(ROUND(1e4 * d2y_e6 / ({out_dim} * d2x_e6)) AS BIGINT)
+           END AS ratio_e4
+    FROM pr
+    """
+
+
+@q("emb_jl_distortion", _jl_sql())
+def emb_jl_distortion(spark, sf_dir):
+    """JL ±1 projection 64→16 with measured pairwise distance
+    distortion on the deterministic (id, id+7) pair sample — ratio
+    derived from e6-rounded integer distances so the quotient is
+    cross-engine exact (see simsearch.jl_distortion)."""
+    return simsearch.jl_distortion(_emb(spark, sf_dir))
+
+
+@q(
+    "emb_ivf_balance",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    csim AS (
+      SELECT e.vec_id AS nid, c.cid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               * 1e6) AS BIGINT) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT nid, cid FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim
+      ) WHERE r = 1
+    ),
+    sz AS (
+      SELECT cid, count(*) AS n, min(nid) AS mn, max(nid) AS mx
+      FROM assign GROUP BY 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(ROUND(n * 1e6 / sum(n) OVER ()) AS BIGINT) AS share_e6,
+           CAST(ROUND(n * 8.0 * 1e6 / sum(n) OVER ()) AS BIGINT) AS load_e6,
+           CAST(mn AS BIGINT) AS min_id,
+           CAST(mx AS BIGINT) AS max_id
+    FROM sz
+    """,
+)
+def emb_ivf_balance(spark, sf_dir):
+    """IVF posting-list balance audit over the default 8-cell index:
+    size / corpus share / load factor per cell (load 1e6 = perfectly
+    balanced), the partitioned-index skew monitor (see
+    simsearch.ivf_balance)."""
+    return simsearch.ivf_balance(_emb(spark, sf_dir), n_centroids=8)

@@ -971,3 +971,154 @@ def ndcg_topk(
         F.count("_arank").cast("bigint").alias("n_hits"),
         F.round(F.sum(contrib) / idcg * 1e6).cast("bigint").alias("ndcg_e6"),
     )
+
+
+def jl_signs(out_dim: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix: s[j][i] =
+    1 − 2·(md5("jl:i:j") first-nibble parity) — content-addressed like
+    split_assign's bucket hash, so BOTH engines (and any future
+    re-implementation) can rebuild the identical matrix from the
+    string rule alone; computed once at plan-build time and inlined
+    as literals (control-plane, out_dim×dim ≤ a few thousand)."""
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:4], 16
+                )
+                % 2
+            )
+            for i in range(1, dim + 1)
+        ]
+        for j in range(1, out_dim + 1)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y_j = s_j · x over the
+    deterministic ±1 sign matrix — the 4× dimensionality cut that
+    preserves pairwise distances in expectation (E‖y‖² = k·‖x‖² for
+    ±1 rows), the standard pre-index shrink for ANN at corpus scale.
+
+    Scale shape: the sign rows are plan-time literals folded into
+    row-local dot products — zero shuffles, zero Python, whole-stage
+    codegen; composing with the LSH/IVF retrievers leaves their
+    zero-corpus-shuffle plans untouched (they only see a shorter
+    vector)."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = [
+        F.array(*[F.lit(float(s)) for s in srow])
+        for srow in jl_signs(out_dim, dim)
+    ]
+    return emb.select(
+        F.col(id_col).alias("nid"),
+        v.alias("v"),
+        F.array(*[_dot(r, v) for r in rows]).alias("y"),
+    )
+
+
+def jl_distortion(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    stride: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured JL distance distortion on a deterministic pair sample:
+    for each pair (id, id+stride), ratio = ‖y_a−y_b‖² / (k·‖x_a−x_b‖²)
+    — 1.0 means the projection preserved that distance exactly; the JL
+    bound says ratios concentrate around 1 with spread ~√(2/k). The
+    audit that must accompany any projected index (recall measurements
+    alone can't say whether the GEOMETRY survived).
+
+    Exactness pins: both squared distances are e6-rounded bigints and
+    the ratio is derived FROM those integers (round(1e4·d2y_e6 /
+    (k·d2x_e6))) — the quotient is integer-input IEEE-identical
+    cross-engine; identical vectors (d2x_e6 = 0) get a null ratio.
+
+    Scale shape: one projection scan + ONE id-offset equi-join — one
+    pair per vector, never a cross join; output is corpus-bounded."""
+    p = jl_project(emb, out_dim, dim, id_col, vec_col)
+    a = p.select(
+        F.col("nid").alias("aid"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        (F.col("nid") - stride).alias("aid"),
+        F.col("nid").alias("bid"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    j = a.join(b, "aid")
+    d2x = F.round(d2(F.col("va"), F.col("vb")) * 1e6).cast("bigint")
+    d2y = F.round(d2(F.col("ya"), F.col("yb")) * 1e6).cast("bigint")
+    out = j.select(
+        "aid",
+        "bid",
+        d2x.alias("d2x_e6"),
+        d2y.alias("d2y_e6"),
+    )
+    return out.withColumn(
+        "ratio_e4",
+        F.when(
+            F.col("d2x_e6") > 0,
+            F.round(
+                F.lit(1e4) * F.col("d2y_e6") / (F.lit(out_dim) * F.col("d2x_e6"))
+            ).cast("bigint"),
+        ),
+    )
+
+
+def ivf_balance(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF posting-list balance monitor: size, corpus share, and load
+    factor (share × n_centroids; 1.0 = perfectly balanced) per cell —
+    the skew audit for the partitioned index. A cell with load ≫ 1 is
+    the ANN analogue of a hot aggregation key: probes hitting it scan
+    that whole list, so tail latency tracks max load, and the fix
+    (re-train centroids / split the cell) is the same rebalancing
+    decision the salted-rollup path makes for aggregates.
+
+    Scale shape: the assignment is the existing broadcast-centroid
+    corpus scan (zero corpus shuffles); sizes are one map-side-combined
+    count agg to a centroids-bounded frame; shares use a window over
+    that C-row frame (control-plane sized). min/max member ids ride
+    along for a cheap audit handle into each cell."""
+    a = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=centroids)
+    sizes = a.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("nid").cast("bigint").alias("min_id"),
+        F.max("nid").cast("bigint").alias("max_id"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_vecs").over(w)
+    return sizes.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        "n_vecs",
+        F.round(F.col("n_vecs") * 1e6 / total).cast("bigint").alias("share_e6"),
+        F.round(F.col("n_vecs") * F.lit(float(n_centroids)) * 1e6 / total)
+        .cast("bigint")
+        .alias("load_e6"),
+        "min_id",
+        "max_id",
+    )
