@@ -2788,3 +2788,73 @@ def test_ivf_balance_shares_and_planted_hot_cell(spark):
     hot = max(out.values(), key=lambda r: r["load_e6"])
     assert hot["cid"] == 3 and hot["n_vecs"] == 25
     assert hot["load_e6"] > 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_plan / hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_hand_walk_and_adjacent_merge(spark):
+    """Hand-walked mask rule (t_i*31 + i) % 7 == 0, PAD never noised:
+    doc 1 noises positions 2 and 7 (two 1-token spans); doc 2 is built
+    so positions 3 AND 4 both noise — adjacent, so they merge into ONE
+    span and the length accounting reflects the merge; all-PAD doc has
+    a null rate; empty doc is dropped."""
+    rows = [
+        (1, [3, 4, 0, 18, 25, 7, 7]),
+        # (t*31+i)%7==0 <=> (3t+i)%7==0: t=6@i=3 and t=8@i=4 both fire
+        (2, [1, 1, 6, 8, 1, 1]),
+        (3, [0, 0, 0]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in textops.span_corruption_plan(df).collect()}
+    assert 4 not in out  # empty dropped (pinned, mirrors the oracle)
+    r1 = out[1]
+    assert (r1["n_noised"], r1["n_spans"]) == (2, 2)
+    assert r1["input_len"] == 7 - 2 + 2 and r1["target_len"] == 2 + 2 + 1
+    assert r1["noise_rate_e6"] == round(2 / 6 * 1e6)
+    # doc 2: check which positions noise, then demand the merge math
+    noised = [
+        i + 1
+        for i, t in enumerate(rows[1][1])
+        if t != 0 and (t * 31 + i + 1) % 7 == 0
+    ]
+    spans = sum(
+        1 for j, p in enumerate(noised) if j == 0 or noised[j - 1] != p - 1
+    )
+    assert len(noised) >= 2 and spans < len(noised)  # adjacency exercised
+    r2 = out[2]
+    assert (r2["n_noised"], r2["n_spans"]) == (len(noised), spans)
+    assert r2["input_len"] == 6 - len(noised) + spans
+    assert r2["target_len"] == len(noised) + spans + 1
+    r3 = out[3]
+    assert (r3["n_noised"], r3["n_spans"]) == (0, 0)
+    assert r3["noise_rate_e6"] is None
+
+
+def test_hard_negatives_margin_and_unique_label(spark):
+    """The hard negative must beat a farther same-label positive
+    (margin < 0 flags the boundary crossing); a query whose label is
+    unique gets null positive columns and a null margin; sim-tied
+    negatives break to the lowest id."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0], 1),     # hardest positive for 0
+        (2, [0.95, 0.05, 0.0], 2),   # hard negative, closer than 1
+        (3, [0.0, 1.0, 0.0], 3),     # unique label
+        (37, [0.0, 1.0, 0.0], 5),    # sampled query, unique label
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["qid"]: r for r in simsearch.hard_negatives(emb).collect()}
+    assert set(out) == {0, 37}
+    assert out[0]["pos_id"] == 1 and out[0]["neg_id"] == 2
+    assert out[0]["margin_e6"] < 0
+    assert out[0]["pos_sim_e6"] > 900_000 and out[0]["neg_sim_e6"] > out[0]["pos_sim_e6"]
+    r37 = out[37]
+    assert r37["pos_id"] is None and r37["margin_e6"] is None
+    assert r37["neg_id"] == 3  # exact duplicate vector, other label
+    assert r37["neg_sim_e6"] == 1_000_000

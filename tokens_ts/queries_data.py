@@ -7346,3 +7346,123 @@ def emb_ivf_balance(spark, sf_dir):
     balanced), the partitioned-index skew monitor (see
     simsearch.ivf_balance)."""
     return simsearch.ivf_balance(_emb(spark, sf_dir), n_centroids=8)
+
+
+@q(
+    "seq_span_corruption",
+    _synth_cte()
+    + f"""
+    , mk AS (
+      SELECT doc_id, len(tokens) AS n, tokens,
+             list_transform(range(1, len(tokens) + 1),
+               i -> CASE WHEN tokens[i] <> {C.PAD_ID}
+                          AND (tokens[i] * 31 + i) % 7 = 0
+                         THEN 1 ELSE 0 END) AS m
+      FROM seq WHERE len(tokens) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+           CAST(list_sum(m) AS BIGINT) AS n_noised,
+           CAST(list_sum(list_transform(range(1, n + 1),
+             i -> CASE WHEN m[i] = 1 AND (i = 1 OR m[i - 1] = 0)
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+           CAST(n - list_sum(m)
+                + list_sum(list_transform(range(1, n + 1),
+                    i -> CASE WHEN m[i] = 1 AND (i = 1 OR m[i - 1] = 0)
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS input_len,
+           CAST(list_sum(m)
+                + list_sum(list_transform(range(1, n + 1),
+                    i -> CASE WHEN m[i] = 1 AND (i = 1 OR m[i - 1] = 0)
+                              THEN 1 ELSE 0 END)) + 1 AS BIGINT) AS target_len,
+           CASE WHEN len(list_filter(tokens, x -> x <> {C.PAD_ID})) > 0
+                THEN CAST(ROUND(CAST(list_sum(m) AS DOUBLE)
+                       / len(list_filter(tokens, x -> x <> {C.PAD_ID}))
+                       * 1e6) AS BIGINT)
+           END AS noise_rate_e6
+    FROM mk
+    """,
+)
+def seq_span_corruption(spark, sf_dir):
+    """T5-style span-corruption plan per sequence: content-addressed
+    mask (t_i*31 + i) % 7 == 0 on non-PAD positions, adjacent noised
+    positions merged into sentinel spans, encoder/decoder lengths
+    derived (see textops.span_corruption_plan)."""
+    return textops.span_corruption_plan(_seq(spark), pad_id=C.PAD_ID)
+
+
+@q(
+    "emb_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CAST(label AS BIGINT) AS lab
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, lab AS qlab FROM e WHERE vec_id % 37 = 0),
+    s AS (
+      SELECT q.qid, q.qlab, e.vec_id AS nid, e.lab AS nlab,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.v[i]))
+               / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+               * 1e6) AS BIGINT) AS sim_e6
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+    ),
+    pos AS (
+      SELECT qid, nid, sim_e6,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, nid) AS r
+      FROM s WHERE nlab = qlab
+    ),
+    neg AS (
+      SELECT qid, nid, sim_e6,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, nid) AS r
+      FROM s WHERE nlab <> qlab
+    )
+    SELECT q.qid, q.qlab AS q_label,
+           p.nid AS pos_id, p.sim_e6 AS pos_sim_e6,
+           n.nid AS neg_id, n.sim_e6 AS neg_sim_e6,
+           p.sim_e6 - n.sim_e6 AS margin_e6
+    FROM q
+    LEFT JOIN (SELECT * FROM pos WHERE r = 1) p USING (qid)
+    LEFT JOIN (SELECT * FROM neg WHERE r = 1) n USING (qid)
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining on the deterministic 1-in-37 query sample:
+    most-similar other-label vector, hardest same-label positive, and
+    the margin between them (see simsearch.hard_negatives)."""
+    return simsearch.hard_negatives(_emb(spark, sf_dir))
+
+
+def _zorder_sql(bits: int = 8, prefix_bits: int = 6) -> str:
+    zterms = " + ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) + (((h >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    mask = (1 << bits) - 1
+    return f"""
+    WITH b AS (
+      SELECT (user_id & {mask}) AS u,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) & {mask}) AS h
+      FROM events
+    ),
+    z AS (SELECT u, h, ({zterms}) AS zv FROM b)
+    SELECT CAST(zv >> {2 * bits - prefix_bits} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(u) AS BIGINT) AS u_min,
+           CAST(max(u) AS BIGINT) AS u_max,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max,
+           CAST(max(u) - min(u) AS BIGINT) AS u_span,
+           CAST(max(h) - min(h) AS BIGINT) AS h_span
+    FROM z GROUP BY 1
+    """
+
+
+@q("ts_zorder_layout", _zorder_sql())
+def ts_zorder_layout(spark, sf_dir):
+    """Morton/Z-order clustering key over (user, hour) with the layout
+    audit: per z-prefix bucket (≈ one file under a z-sorted write),
+    row count and the bounding rectangle in (user, hour) space — both
+    spans bounded by the z-curve closed form (see
+    tiers.zorder_layout)."""
+    return tiers.zorder_layout(_ev(spark, sf_dir))

@@ -1122,3 +1122,76 @@ def ivf_balance(
         "min_id",
         "max_id",
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    sample_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining over labeled embeddings, on the same
+    deterministic query sample as knn_outlier (id % sample_mod == 0):
+    for each query, the most-similar OTHER-label vector (the hard
+    negative a contrastive/retrieval trainer should pair it with) and
+    the most-similar SAME-label vector (its hardest positive), plus
+    margin = pos_sim − neg_sim. margin ≤ 0 flags queries whose nearest
+    neighbor crosses the label boundary — the rows metric learning
+    gets wrong today and the first rows to audit for mislabels.
+
+    Determinism: candidates rank by (e6-rounded sim desc, id asc) —
+    the cosine_topk rule — expressed as one max_by struct comparator
+    (sim_e6, −id) per side, so both engines pick identical winners at
+    equal similarity. Queries whose label is unique in the corpus get
+    null positive columns and a null margin (pinned).
+
+    Shapes: ONE corpus scan × a broadcast query set; the per-side
+    argmax is a map-side-combined groupBy(qid) — partial maxima per
+    partition, |Q|-bounded shuffle rows, the corpus is never
+    self-joined or windowed."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).cast("bigint").alias("nlabel"),
+    )
+    q = emb.where(
+        (F.col(id_col) % sample_mod == 0) & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).cast("bigint").alias("qlabel"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        F.round(sim * 1e6).cast("bigint").alias("sim_e6"),
+    )
+
+    def best(side_cond, tag):
+        pick = F.when(
+            side_cond,
+            F.struct(
+                F.col("sim_e6").alias("s"), (-F.col("nid")).alias("negid")
+            ),
+        )
+        val = F.when(side_cond, F.struct(F.col("nid"), F.col("sim_e6")))
+        return F.max_by(val, pick).alias(tag)
+
+    agg = scored.groupBy("qid", "qlabel").agg(
+        best(F.col("nlabel") == F.col("qlabel"), "_pos"),
+        best(F.col("nlabel") != F.col("qlabel"), "_neg"),
+    )
+    return agg.select(
+        "qid",
+        F.col("qlabel").alias("q_label"),
+        F.col("_pos.nid").alias("pos_id"),
+        F.col("_pos.sim_e6").alias("pos_sim_e6"),
+        F.col("_neg.nid").alias("neg_id"),
+        F.col("_neg.sim_e6").alias("neg_sim_e6"),
+        (F.col("_pos.sim_e6") - F.col("_neg.sim_e6")).alias("margin_e6"),
+    )

@@ -2291,3 +2291,63 @@ def blocklist_tag(
     return out.withColumn("blocklist_hits", total.cast("bigint")).withColumn(
         "blocked", F.col("blocklist_hits") > 0
     )
+
+
+def span_corruption_plan(
+    seq: DataFrame,
+    mult: int = 31,
+    mod: int = 7,
+    pad_id: int = 0,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption planning stats per sequence: which
+    positions a denoising objective would mask, merged into spans,
+    and the resulting encoder/decoder lengths — the batch-shape
+    planner a seq2seq pretraining pipeline runs BEFORE packing (input
+    and target lengths, not the raw n_tok, are what the packer must
+    budget).
+
+    The mask rule is deterministic and content-addressed so any
+    engine can rebuild it from the array alone: 1-based position i of
+    a non-PAD token is noised iff (t_i·mult + i) % mod == 0 (≈1/mod
+    noise rate); PAD positions are never noised (pinned). Adjacent
+    noised positions merge into one span; each span costs one
+    sentinel, so input_len = n_tok − n_noised + n_spans and
+    target_len = n_noised + n_spans + 1 (the +1 is the final EOS,
+    pinned). noise_rate = n_noised / n_nonpad, null for all-PAD rows.
+
+    Entirely row-local Catalyst (two transform/filter passes over the
+    array, no explode, no shuffle, whole-stage codegen) — at corpus
+    scale this is a map-only stage like the other per-doc token ops."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    m = F.transform(
+        toks,
+        lambda x, i: F.when(
+            (x != pad_id) & ((x * mult + i + 1) % mod == 0), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    seq = seq.where(n > 0).withColumn("_m", m)
+    mc = F.col("_m")
+    n_noised = F.aggregate(mc, F.lit(0), lambda a, x: a + x)
+    n_spans = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size(mc) - 1),
+            lambda i: (F.get(mc, i) == 1)
+            & ((i == 0) | (F.get(mc, i - 1) == 0)),
+        )
+    )
+    n_nonpad = F.size(F.filter(toks, lambda x: x != pad_id))
+    return seq.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tok"),
+        n_noised.cast("bigint").alias("n_noised"),
+        n_spans.cast("bigint").alias("n_spans"),
+        (F.size(toks) - n_noised + n_spans).cast("bigint").alias("input_len"),
+        (n_noised + n_spans + 1).cast("bigint").alias("target_len"),
+        F.when(
+            n_nonpad > 0,
+            F.round(n_noised.cast("double") / n_nonpad * 1e6).cast("bigint"),
+        ).alias("noise_rate_e6"),
+    )

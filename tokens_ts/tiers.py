@@ -589,3 +589,74 @@ def downsample_lttb(
         return out
 
     return pts.groupBy(*keys).applyInPandas(_lttb, schema=schema)
+
+
+def zorder_key(
+    user_col="user_id",
+    ts_col="ts",
+    bits: int = 8,
+):
+    """Morton (Z-order) clustering key over (user, hour): interleave
+    the low `bits` of user_id with the low `bits` of the hour index —
+    user bit i lands at position 2i, hour bit i at 2i+1. Writing files
+    sorted by this key gives every file a bounded RECTANGLE in
+    (user, time) space, so min/max column stats prune scans filtered
+    on EITHER dimension — the multi-dimensional layout a plain
+    (source, day) partitioning can't give (its user-filtered scans
+    read every file of the day). This is the sort key to hand the
+    table format's file-rewrite/cluster action; the expression is pure
+    integer bit arithmetic, row-local, whole-stage codegen."""
+    uid = F.col(user_col).cast("bigint")
+    hour = (F.unix_timestamp(F.col(ts_col)) / 3600).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(uid, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(hour, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z, (uid.bitwiseAND(F.lit((1 << bits) - 1))), (
+        hour.bitwiseAND(F.lit((1 << bits) - 1))
+    )
+
+
+def zorder_layout(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bits: int = 8,
+    prefix_bits: int = 6,
+) -> DataFrame:
+    """Z-order layout audit: bucket rows by the top `prefix_bits` of
+    their Morton key (one bucket ≈ one file under a z-sorted write)
+    and report each bucket's row count plus its bounding rectangle in
+    (user, hour) space. The z-curve guarantee made measurable: a
+    prefix of p bits pins ceil(p/2) high user bits and floor(p/2)
+    high hour bits, so every bucket's user span is < 2^(bits−ceil(p/2))
+    and hour span < 2^(bits−floor(p/2)) — the test and the oracle
+    both check the engine against that closed form. Compare with a
+    time-only sort: identical hour spans but user spans covering the
+    whole key range (nothing prunable on user).
+
+    Scale shape: the key is a row-local expression; the audit is ONE
+    map-side-combined groupBy on a 2^prefix_bits-bounded frame. The
+    operational use at 100 TB is sorting/clustering writes by z —
+    which shuffles once on z ranges, exactly what a sorted table
+    write already costs."""
+    z, ulow, hlow = zorder_key(user_col, ts_col, bits)
+    b = events.select(
+        F.shiftright(z, 2 * bits - prefix_bits).alias("bucket"),
+        ulow.alias("u"),
+        hlow.alias("h"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("u").cast("bigint").alias("u_min"),
+        F.max("u").cast("bigint").alias("u_max"),
+        F.min("h").cast("bigint").alias("h_min"),
+        F.max("h").cast("bigint").alias("h_max"),
+        (F.max("u") - F.min("u")).cast("bigint").alias("u_span"),
+        (F.max("h") - F.min("h")).cast("bigint").alias("h_span"),
+    )
