@@ -2256,3 +2256,36 @@ def test_proportion_drift_hand_z_and_degenerate_rules(spark):
     d2 = got[("D", days[1])]
     assert d2["z_e6"] is None and not d2["drifted"]
     assert (d2["n"], d2["s"]) == (20, 0)
+
+
+def test_dispersion_poisson_vs_periodic_vs_bursty(spark):
+    """Hand-checkable arrival shapes: a perfectly periodic series
+    (1 event every hour) has var 0 -> fano 0, burstiness -1e6; a
+    bursty series (all 12 events in one hour of a 4-hour grid) has
+    fano = var/mean maximal for the mass and burstiness > 0; empty
+    interior hours count toward the grid (n_buckets from the span,
+    not from observed rows)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(6):
+        rows.append(("per", t0 + dt.timedelta(hours=h, minutes=7)))
+    for i in range(12):
+        rows.append(("bur", t0 + dt.timedelta(minutes=i)))
+    rows.append(("bur", t0 + dt.timedelta(hours=3)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r["event_type"]: r
+        for r in analytics.dispersion_stats(ev, ["event_type"]).collect()
+    }
+    per = out["per"]
+    assert per["n_buckets"] == 6 and per["n_nonzero"] == 6
+    assert per["fano_e6"] == 0 and per["burstiness_e6"] == -1_000_000
+    bur = out["bur"]
+    # grid hours 0..3 -> n=4 (hours 1,2 empty), counts [12,0,0,1]
+    assert bur["n_buckets"] == 4 and bur["n_nonzero"] == 2
+    n, S, Q = 4, 13, 145
+    assert bur["fano_e6"] == round(1e6 * (n * Q - S * S) / (n * S))
+    assert bur["burstiness_e6"] > 0
+    assert bur["zero_frac_e6"] == 500_000

@@ -2858,3 +2858,32 @@ def test_hard_negatives_margin_and_unique_label(spark):
     assert r37["pos_id"] is None and r37["margin_e6"] is None
     assert r37["neg_id"] == 3  # exact duplicate vector, other label
     assert r37["neg_sim_e6"] == 1_000_000
+
+
+def test_mixture_weights_under_and_over_supply(spark):
+    """A tiny corpus with one over-supplied and one under-supplied
+    source: budget 40 over 2 sources -> target 20 each; src a has 30
+    passing tokens (downsampled, weight 666667), src b has 8 (taken
+    whole, weight 1e6); a low-TTR doc and a too-short doc do not
+    count; a source with no passing docs gets no row and does not
+    dilute the split."""
+    rows = [
+        (1, "a b c d e f g h i j", "a"),      # 10 tokens, passes
+        (2, "k l m n o p q r s t", "a"),      # 10 tokens, passes
+        (3, "u v w x y z aa bb cc dd", "a"),  # 10 tokens, passes
+        (4, "one two three four five six seven eight", "b"),  # 8, passes
+        (5, "x x x x x x x x x x", "b"),      # TTR 0.1 -> fails
+        (6, "hi there", "b"),                  # 2 words -> fails
+        (7, "y y y y y", "c"),                 # only doc in c fails
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in textops.mixture_weights(docs, token_budget=40).collect()
+    }
+    assert set(out) == {"a", "b"}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["avail_tokens"], a["target_tokens"]) == (3, 30, 20)
+    assert a["weight_e6"] == round(20 / 30 * 1e6) and a["sampled_tokens"] == 20
+    assert (b["n_docs"], b["avail_tokens"]) == (1, 8)
+    assert b["weight_e6"] == 1_000_000 and b["sampled_tokens"] == 8

@@ -123,3 +123,24 @@ def test_packing_shared_bases_single_totals_job(spark, seq_tiny):
     )
     t2 = packing.pack_tokens(seq_tiny, chunk_len=L).orderBy("chunk_id").collect()
     assert [r["tokens"] for r in t1] == [r["tokens"] for r in t2]
+
+
+def test_length_buckets_ladder_waste_and_overflow(spark):
+    """Bucket rule pinned at the rung boundaries (16 stays in 16, 17
+    spills to 32), waste accounting exact, and an over-top-rung
+    sequence lands in the top rung with the overflow flag set (its
+    negative waste is the truncation mass the audit must surface)."""
+    seq = spark.createDataFrame(
+        [(1, 16), (2, 17), (3, 32), (4, 250), (5, 3000), (6, 0)],
+        "doc_id long, n_tok int",
+    )
+    from tokens_ts import packing
+
+    out = {r["bucket"]: r for r in packing.length_buckets(seq).collect()}
+    assert set(out) == {16, 32, 256, 2048}  # n_tok=0 dropped
+    assert out[16]["n_seqs"] == 1 and out[16]["waste_rate_e6"] == 0
+    assert out[32]["n_seqs"] == 2 and out[32]["real_tokens"] == 49
+    assert out[32]["padded_tokens"] == 64
+    assert out[32]["waste_rate_e6"] == round((64 - 49) / 64 * 1e6)
+    assert out[2048]["n_overflow"] == 1
+    assert out[2048]["waste_rate_e6"] < 0

@@ -3234,3 +3234,64 @@ def proportion_drift(
             F.abs(z) > F.lit(float(z_crit)), F.lit(False)
         ).alias("drifted"),
     )
+
+
+def dispersion_stats(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Index of dispersion (Fano factor) and burstiness per series
+    over bucket EVENT COUNTS: fano = var/mean (1 = Poisson arrivals,
+    >1 = bursty/clumped, <1 = regular), burstiness B = (σ−μ)/(σ+μ)
+    (−1 periodic … 0 Poisson … →1 extreme bursts) — the arrival-
+    process health check next to the value-based monitors (a counter
+    can look calm in its values while its arrivals collapse into
+    bursts that will overload any per-bucket consumer).
+
+    The bucket grid is the series' FULL min..max bucket range
+    including empty buckets (pinned): zero-count buckets contribute
+    nothing to Σc and Σc², so the full-grid stats need NO spine join —
+    only the bucket COUNT n changes, and that is (max−min)/step + 1.
+    All sums are exact bigints; fano_e6 = round(1e6·(nQ−S²)/(nS)) is
+    an integer-input quotient, σ and μ go through one identical
+    sqrt/divide tree for b_e6. zero_frac is the gap share of the grid.
+    Single-bucket-grid series (n=1) report fano 0 honestly and a null
+    burstiness when σ+μ=0 never occurs (S≥1 ⇒ μ>0); degenerate σ=μ=0
+    cannot happen for a series that exists (pinned).
+
+    Scale shape: one map-side-combined count agg to (keys × buckets),
+    then one agg to a keys-bounded frame — a strict subset of the
+    rollup lineage, no windows, no joins."""
+    ep = F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col)))
+    step = {"hour": 3600, "day": 86400, "minute": 60}[trunc]
+    c = events.groupBy(*keys, ep.alias("_ep")).agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    a = c.groupBy(*keys).agg(
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+        F.count("*").cast("bigint").alias("_nz"),
+        ((F.max("_ep") - F.min("_ep")) / F.lit(step)).cast("bigint").alias(
+            "_span"
+        ),
+    )
+    n = F.col("_span") + 1
+    S, Q = F.col("_s"), F.col("_q")
+    num = n * Q - S * S
+    mu = S.cast("double") / n
+    sig = F.sqrt(num.cast("double")) / n
+    return a.select(
+        *keys,
+        n.alias("n_buckets"),
+        F.col("_nz").alias("n_nonzero"),
+        S.alias("n_events"),
+        F.round(F.lit(1e6) * num / (n * S)).cast("bigint").alias("fano_e6"),
+        F.round(F.lit(1e6) * (sig - mu) / (sig + mu))
+        .cast("bigint")
+        .alias("burstiness_e6"),
+        F.round((n - F.col("_nz")).cast("double") / n * 1e6)
+        .cast("bigint")
+        .alias("zero_frac_e6"),
+    )

@@ -168,3 +168,58 @@ def pack_tokens(
         )
         .withColumn("n_filled", F.size("tokens").cast("long"))
     )
+
+
+def length_buckets(
+    seq,
+    ladder: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048),
+    tokens_col: str = "n_tok",
+):
+    """Padding-waste audit for length-bucketed batching: assign every
+    sequence to the smallest power-of-two bucket that holds it and
+    report, per bucket, how many tokens a pad-to-bucket batcher would
+    compute vs how many are real — THE number that decides between
+    bucketed padding and sequence packing (pack_tokens' waste is its
+    fill column; this is the baseline it beats).
+
+    Bucket rule (pinned): smallest ladder rung ≥ n_tok; sequences
+    longer than the top rung land in the top rung (flagged by
+    overflow — a real batcher would truncate or reject, and the audit
+    must show the mass that hits that policy). waste_rate =
+    (padded − real) / padded from exact bigint sums.
+
+    Scale shape: the bucket is a row-local CASE ladder; the audit is
+    one map-side-combined groupBy on a |ladder|-bounded frame."""
+    import pyspark.sql.functions as F
+
+    n = F.col(tokens_col).cast("bigint")
+    b = F.lit(int(ladder[-1])).cast("bigint")
+    for rung in reversed(ladder[:-1]):
+        b = F.when(n <= rung, F.lit(int(rung)).cast("bigint")).otherwise(b)
+    out = (
+        seq.where(n > 0)
+        .select(
+            b.alias("bucket"),
+            n.alias("_n"),
+            (n > int(ladder[-1])).cast("int").alias("_ovf"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.sum("_n").cast("bigint").alias("real_tokens"),
+            F.sum("_ovf").cast("bigint").alias("n_overflow"),
+        )
+    )
+    padded = F.col("bucket") * F.col("n_seqs")
+    return out.select(
+        "bucket",
+        "n_seqs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            (padded - F.col("real_tokens")).cast("double") / padded * 1e6
+        )
+        .cast("bigint")
+        .alias("waste_rate_e6"),
+        "n_overflow",
+    )

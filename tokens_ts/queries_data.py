@@ -7466,3 +7466,106 @@ def ts_zorder_layout(spark, sf_dir):
     spans bounded by the z-curve closed form (see
     tiers.zorder_layout)."""
     return tiers.zorder_layout(_ev(spark, sf_dir))
+
+
+@q(
+    "seq_length_buckets",
+    _synth_cte()
+    + """
+    , lb AS (
+      SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                  WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                  WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                  WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+             n_tok, CASE WHEN n_tok > 2048 THEN 1 ELSE 0 END AS ovf
+      FROM seq WHERE n_tok > 0
+    ),
+    ag AS (
+      SELECT bucket, count(*) AS cnt, sum(n_tok) AS real, sum(ovf) AS novf
+      FROM lb GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(cnt AS BIGINT) AS n_seqs,
+           CAST(real AS BIGINT) AS real_tokens,
+           CAST(bucket * cnt AS BIGINT) AS padded_tokens,
+           CAST(ROUND(CAST(bucket * cnt - real AS DOUBLE)
+                  / (bucket * cnt) * 1e6) AS BIGINT) AS waste_rate_e6,
+           CAST(novf AS BIGINT) AS n_overflow
+    FROM ag
+    """,
+)
+def seq_length_buckets(spark, sf_dir):
+    """Padding-waste audit for length-bucketed batching: smallest
+    power-of-two bucket per sequence, exact real-vs-padded token
+    accounting per bucket (see packing.length_buckets — the baseline
+    sequence packing must beat)."""
+    return packing.length_buckets(_seq(spark))
+
+
+@q(
+    "doc_mixture_weights",
+    r"""
+    WITH w AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ),
+    p AS (
+      SELECT source, len(ws) AS nw FROM w
+      WHERE len(ws) >= 5 AND 10 * len(list_distinct(ws)) > 3 * len(ws)
+    ),
+    s AS (
+      SELECT source, count(*) AS n_docs, sum(nw) AS avail FROM p GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS ns FROM s)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           CAST(50000 // ns AS BIGINT) AS target_tokens,
+           least(CAST(1000000 AS BIGINT),
+                 CAST(ROUND(CAST(50000 // ns AS DOUBLE) / avail * 1e6)
+                   AS BIGINT)) AS weight_e6,
+           least(CAST(avail AS BIGINT), CAST(50000 // ns AS BIGINT))
+             AS sampled_tokens
+    FROM s CROSS JOIN t
+    """,
+)
+def doc_mixture_weights(spark, sf_dir):
+    """Per-source curation mixture plan for a 50k-token budget split
+    equally across sources with ≥1 quality-passing doc: weight =
+    min(1, target/avail) (see textops.mixture_weights)."""
+    return textops.mixture_weights(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_dispersion",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT event_type, sum(c) AS s, sum(c * c) AS q, count(*) AS nz,
+             (max(ep) - min(ep)) // 3600 + 1 AS n
+      FROM c GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(nz AS BIGINT) AS n_nonzero,
+           CAST(s AS BIGINT) AS n_events,
+           CAST(ROUND(1e6 * (n * q - s * s) / (n * s)) AS BIGINT) AS fano_e6,
+           CAST(ROUND(1e6
+                  * (sqrt(CAST(n * q - s * s AS DOUBLE)) / n
+                     - CAST(s AS DOUBLE) / n)
+                  / (sqrt(CAST(n * q - s * s AS DOUBLE)) / n
+                     + CAST(s AS DOUBLE) / n)) AS BIGINT) AS burstiness_e6,
+           CAST(ROUND(CAST(n - nz AS DOUBLE) / n * 1e6) AS BIGINT)
+             AS zero_frac_e6
+    FROM a
+    """,
+)
+def ts_dispersion(spark, sf_dir):
+    """Fano factor + burstiness per series over the FULL hourly grid
+    (empty buckets included without a spine join — zeros add nothing
+    to the sums; see analytics.dispersion_stats)."""
+    return analytics.dispersion_stats(_ev(spark, sf_dir), ["event_type"])

@@ -2351,3 +2351,62 @@ def span_corruption_plan(
             F.round(n_noised.cast("double") / n_nonpad * 1e6).cast("bigint"),
         ).alias("noise_rate_e6"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    token_budget: int = 50_000,
+    min_words: int = 5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Curation mixture planning: per-source sampling weights that hit
+    a global token budget with an equal split across sources — the
+    step between "filtered corpus" and "training mix" (every released
+    data recipe publishes exactly this table: source, available
+    tokens, weight, sampled tokens).
+
+    Quality gate (pinned, integer-exact): a doc counts iff
+    n_words ≥ min_words AND 10·|distinct words| > 3·|words| (TTR > 0.3
+    without a float compare). Only sources with ≥1 passing doc get a
+    row AND share the budget: target = budget // n_sources (integer
+    floor). weight = min(1, target/avail) — an under-supplied source
+    is taken whole (weight 1e6), an over-supplied one is downsampled;
+    sampled_tokens = min(avail, target) so Σ sampled never exceeds the
+    budget.
+
+    Scale shape: one corpus scan → map-side-combined groupBy(source)
+    to a sources-bounded frame; n_sources joins back as a broadcast
+    1-row aggregate (control plane). The weights then drive a
+    row-local hash filter (mixture_sample) — planning and sampling
+    stay two cheap passes."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(w)
+    passes = (nw >= min_words) & (
+        F.size(F.array_distinct(w)) * 10 > nw * 3
+    )
+    per_src = (
+        docs.where(passes)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(nw.cast("bigint")).alias("avail_tokens"),
+        )
+    )
+    n_src = per_src.agg(F.count("*").cast("bigint").alias("_ns"))
+    j = per_src.crossJoin(F.broadcast(n_src))
+    target = (F.lit(token_budget).cast("bigint") / F.col("_ns")).cast(
+        "bigint"
+    )
+    return j.select(
+        source_col,
+        "n_docs",
+        "avail_tokens",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.round(
+                target.cast("double") / F.col("avail_tokens") * 1e6
+            ).cast("bigint"),
+        ).alias("weight_e6"),
+        F.least(F.col("avail_tokens"), target).alias("sampled_tokens"),
+    )
