@@ -2289,3 +2289,23 @@ def test_dispersion_poisson_vs_periodic_vs_bursty(spark):
     assert bur["fano_e6"] == round(1e6 * (n * Q - S * S) / (n * S))
     assert bur["burstiness_e6"] > 0
     assert bur["zero_frac_e6"] == 500_000
+
+
+def test_week_phase_profile_anchor_and_ties(spark):
+    """2024-01-01 is a Monday; phase 0 anchors at the epoch origin
+    (Thursday), so Monday 00:00 UTC = phase 96. Peak ties break to the
+    lowest phase; the trough is the smallest observed count."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)  # Monday
+    rows = (
+        [("a", t0)] * 3                                  # phase 96, n=3
+        + [("a", t0 + dt.timedelta(hours=2))] * 3        # phase 98, n=3 tie
+        + [("a", t0 + dt.timedelta(hours=5))]            # phase 101, n=1
+    )
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = analytics.week_phase_profile(ev, ["event_type"]).collect()[0]
+    assert (r["n_events"], r["n_phases"]) == (7, 3)
+    assert (r["peak_phase"], r["peak_n"]) == (96, 3)  # tie -> lowest phase
+    assert r["peak_share_e6"] == round(3 / 7 * 1e6)
+    assert (r["trough_phase"], r["trough_n"]) == (101, 1)

@@ -2887,3 +2887,49 @@ def test_mixture_weights_under_and_over_supply(spark):
     assert a["weight_e6"] == round(20 / 30 * 1e6) and a["sampled_tokens"] == 20
     assert (b["n_docs"], b["avail_tokens"]) == (1, 8)
     assert b["weight_e6"] == 1_000_000 and b["sampled_tokens"] == 8
+
+
+def test_centroid_drift_null_test_and_planted_drift(spark):
+    """Label 1's cohorts share one direction (cos = 1e6, drift 0 —
+    the null test); label 2's odd cohort points orthogonally (cos ≈ 0);
+    label 3 exists only in the even cohort -> null cosine (pinned);
+    counts report per-cohort sizes."""
+    rows = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[0] = 2.0 + 0.5 * (i % 3)  # same RAY, varying magnitude
+        rows.append((i, v, 1))
+    for i in range(8, 12):
+        v = [0.0] * 64
+        v[i % 2] = 1.0  # even ids -> axis 0, odd ids -> axis 1
+        rows.append((i, v, 2))
+    rows.append((14, [1.0] * 64, 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in simsearch.centroid_drift(emb).collect()}
+    assert out[1]["cos_e6"] == 1_000_000 and out[1]["drift_e6"] == 0
+    assert (out[1]["n_even"], out[1]["n_odd"]) == (4, 4)
+    assert out[2]["cos_e6"] == 0 and out[2]["drift_e6"] == 1_000_000
+    assert out[3]["cos_e6"] is None and (out[3]["n_even"], out[3]["n_odd"]) == (1, 0)
+
+
+def test_lang_mix_dominance_tie_and_entropy(spark):
+    """src a: 2 en + 1 fr -> top en, share 2/3, H = ln3 - (2ln2)/3;
+    src b: 1 de + 1 cs tie -> lexicographically smaller 'cs' wins
+    (pinned); src c single-lang -> entropy exactly 0."""
+    import math
+
+    rows = [
+        (1, "en", "a"), (2, "en", "a"), (3, "fr", "a"),
+        (4, "de", "b"), (5, "cs", "b"),
+        (6, "it", "c"), (7, "it", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {r["source"]: r for r in textops.lang_mix(docs).collect()}
+    a = out["a"]
+    assert (a["top_lang"], a["top_n"], a["n_langs"]) == ("en", 2, 2)
+    assert a["top_share_e6"] == round(2 / 3 * 1e6)
+    assert a["entropy_e6"] == round((math.log(3) - 2 * math.log(2) / 3) * 1e6)
+    assert out["b"]["top_lang"] == "cs"
+    assert out["c"]["entropy_e6"] == 0 and out["c"]["top_share_e6"] == 1_000_000

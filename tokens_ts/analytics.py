@@ -3295,3 +3295,66 @@ def dispersion_stats(
         .cast("bigint")
         .alias("zero_frac_e6"),
     )
+
+
+def week_phase_profile(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-week load profile summary per series: the peak and
+    trough week-phase hours and their event shares — the weekly
+    seasonality fingerprint capacity planning reads (and the shape a
+    forecaster's seasonal term must reproduce). Phase = (epoch_hour
+    mod 168), anchored at the Unix epoch origin (phase 0 =
+    1970-01-01T00Z, a Thursday) — pure integer arithmetic, no
+    calendar/timezone functions to disagree across engines.
+
+    Pins: peak ties break to the LOWEST phase (row_number over
+    (n desc, phase asc)); trough is the minimum over phases OBSERVED
+    ≥1 (an unobserved phase is absence of evidence on a short span —
+    the zero_frac/dispersion ops own empty-bucket accounting);
+    peak_share = peak_n / n_events from exact bigints.
+
+    Scale shape: one map-side-combined (keys, phase) count agg
+    (≤168·|keys| rows), then windows/agg on that bounded frame."""
+    ep = F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))
+    phase = ((ep / 3600).cast("bigint") % 168).alias("phase")
+    c = events.groupBy(*keys, phase).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    agg = c.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_phases"),
+    )
+    wp = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("phase"))
+    wt = Window.partitionBy(*keys).orderBy(F.asc("n"), F.asc("phase"))
+    ranked = c.withColumn("_rp", F.row_number().over(wp)).withColumn(
+        "_rt", F.row_number().over(wt)
+    )
+    peak = ranked.where(F.col("_rp") == 1).select(
+        *keys, F.col("phase").alias("peak_phase"), F.col("n").alias("peak_n")
+    )
+    trough = ranked.where(F.col("_rt") == 1).select(
+        *keys,
+        F.col("phase").alias("trough_phase"),
+        F.col("n").alias("trough_n"),
+    )
+    return (
+        agg.join(peak, keys)
+        .join(trough, keys)
+        .select(
+            *keys,
+            "n_events",
+            "n_phases",
+            "peak_phase",
+            "peak_n",
+            F.round(
+                F.col("peak_n").cast("double") / F.col("n_events") * 1e6
+            )
+            .cast("bigint")
+            .alias("peak_share_e6"),
+            "trough_phase",
+            "trough_n",
+        )
+    )

@@ -7569,3 +7569,138 @@ def ts_dispersion(spark, sf_dir):
     (empty buckets included without a spine join — zeros add nothing
     to the sums; see analytics.dispersion_stats)."""
     return analytics.dispersion_stats(_ev(spark, sf_dir), ["event_type"])
+
+
+@q(
+    "emb_centroid_drift",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS half, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cnts AS (SELECT half, label, count(*) AS n FROM e GROUP BY 1, 2),
+    u AS (
+      SELECT half, label, j, sum(qv[j]) AS s
+      FROM e CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2, 3
+    ),
+    sv AS (
+      SELECT half, label, list(s ORDER BY j) AS v FROM u GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT sv.label, n AS n_even, v AS va
+      FROM sv JOIN cnts USING (half, label) WHERE half = 0
+    ),
+    b AS (
+      SELECT sv.label, n AS n_odd, v AS vb
+      FROM sv JOIN cnts USING (half, label) WHERE half = 1
+    ),
+    j AS (
+      SELECT COALESCE(a.label, b.label) AS label,
+             COALESCE(n_even, 0) AS n_even, COALESCE(n_odd, 0) AS n_odd,
+             CAST(ROUND(
+               1e6 * list_sum(list_transform(range(1, 65),
+                                k -> va[k] * vb[k]))
+               / (sqrt(CAST(list_sum(list_transform(va, x -> x * x))
+                       AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(vb, x -> x * x))
+                       AS DOUBLE)))) AS BIGINT) AS cos_e6
+      FROM a FULL JOIN b ON a.label = b.label
+    )
+    SELECT label, CAST(n_even AS BIGINT) AS n_even,
+           CAST(n_odd AS BIGINT) AS n_odd, cos_e6,
+           CAST(1000000 - cos_e6 AS BIGINT) AS drift_e6
+    FROM j
+    """,
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Per-label centroid cosine between the even-id and odd-id
+    cohorts — the embedding-space A/B null test, exact via e6-integer
+    component sums whose counts cancel in the cosine (see
+    simsearch.centroid_drift)."""
+    return simsearch.centroid_drift(_emb(spark, sf_dir))
+
+
+@q(
+    "doc_lang_mix",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT source, sum(c) AS n, count(*) AS nl,
+             ln(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)
+               AS ent
+      FROM c GROUP BY 1
+    ),
+    t AS (
+      SELECT source, lang, c FROM (
+        SELECT source, lang, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS r
+        FROM c
+      ) WHERE r = 1
+    )
+    SELECT a.source, CAST(n AS BIGINT) AS n_docs,
+           CAST(nl AS BIGINT) AS n_langs,
+           t.lang AS top_lang, CAST(t.c AS BIGINT) AS top_n,
+           CAST(ROUND(CAST(t.c AS DOUBLE) / n * 1e6) AS BIGINT)
+             AS top_share_e6,
+           CAST(ROUND(ent * 1e6) AS BIGINT) AS entropy_e6
+    FROM a JOIN t USING (source)
+    """,
+)
+def doc_lang_mix(spark, sf_dir):
+    """Language-mix diagnostics per source: n_langs, dominant language
+    + share (ties to the lexicographically smallest), Shannon entropy
+    of the mix (see textops.lang_mix)."""
+    return textops.lang_mix(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_week_phase",
+    """
+    WITH c AS (
+      SELECT event_type,
+             (CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600)
+               % 168 AS phase,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT event_type, sum(n) AS ne, count(*) AS np FROM c GROUP BY 1
+    ),
+    p AS (
+      SELECT event_type, phase, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, phase) AS r
+        FROM c
+      ) WHERE r = 1
+    ),
+    t AS (
+      SELECT event_type, phase, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n ASC, phase) AS r
+        FROM c
+      ) WHERE r = 1
+    )
+    SELECT a.event_type, CAST(ne AS BIGINT) AS n_events,
+           CAST(np AS BIGINT) AS n_phases,
+           CAST(p.phase AS BIGINT) AS peak_phase,
+           CAST(p.n AS BIGINT) AS peak_n,
+           CAST(ROUND(CAST(p.n AS DOUBLE) / ne * 1e6) AS BIGINT)
+             AS peak_share_e6,
+           CAST(t.phase AS BIGINT) AS trough_phase,
+           CAST(t.n AS BIGINT) AS trough_n
+    FROM a JOIN p USING (event_type) JOIN t USING (event_type)
+    """,
+)
+def ts_week_phase(spark, sf_dir):
+    """Hour-of-week load fingerprint per series: peak/trough week
+    phase and shares, phase anchored at the Unix epoch origin — pure
+    integer arithmetic, no calendar functions (see
+    analytics.week_phase_profile)."""
+    return analytics.week_phase_profile(_ev(spark, sf_dir), ["event_type"])

@@ -1195,3 +1195,74 @@ def hard_negatives(
         F.col("_neg.sim_e6").alias("neg_sim_e6"),
         (F.col("_pos.sim_e6") - F.col("_neg.sim_e6")).alias("margin_e6"),
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid drift between the two interleaved id-parity
+    cohorts (even ids = batch A, odd = batch B): cosine between the
+    cohort centroids — the embedding-space A/B null test (same
+    distribution ⇒ cos ≈ 1; an embedder change, ingestion bug, or
+    label shift shows up as a label whose cohorts point apart). Parity
+    cohorts make it a NULL test on static data while being exactly the
+    re-ingest/batch comparison shape in production.
+
+    Exactness pin: components are e6-quantized to bigints BEFORE
+    summing, so the per-cohort component sums are order-independent
+    exact integers; the count cancels in the cosine, so cos(centroids)
+    = cos(sum-vectors) is computed from bigint dot/norms through one
+    identical IEEE tree (sums ~1e8/component, dots ≤ ~64·1e16 — inside
+    int64). Labels present in only one cohort emit null cos (pinned).
+
+    Scale shape: ONE corpus scan → map-side-combined (label, parity)
+    agg of 64 integer sums (labels×2 rows) → labels-bounded self-join.
+    No broadcast of the corpus, no windows."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        (F.col(id_col) % 2).alias("half"),
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    sums = e.groupBy("label", "half").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(F.round(F.col("x")[j] * 1e6).cast("bigint")).alias(f"s{j}")
+            for j in range(dim)
+        ],
+    )
+    v = F.array(*[F.col(f"s{j}") for j in range(dim)])
+    a = sums.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_even"), v.alias("va")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_odd"), v.alias("vb")
+    )
+    j = a.join(b, "label", "full")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    q = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    cos = F.lit(1e6) * dot / (
+        F.sqrt(q(F.col("va")).cast("double"))
+        * F.sqrt(q(F.col("vb")).cast("double"))
+    )
+    cos_e6 = F.round(cos).cast("bigint")
+    return j.select(
+        "label",
+        F.coalesce("n_even", F.lit(0).cast("bigint")).alias("n_even"),
+        F.coalesce("n_odd", F.lit(0).cast("bigint")).alias("n_odd"),
+        cos_e6.alias("cos_e6"),
+        (F.lit(1_000_000) - cos_e6).cast("bigint").alias("drift_e6"),
+    )

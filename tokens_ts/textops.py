@@ -2410,3 +2410,53 @@ def mixture_weights(
         ).alias("weight_e6"),
         F.least(F.col("avail_tokens"), target).alias("sampled_tokens"),
     )
+
+
+def lang_mix(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Language-mix diagnostics per source: how many languages, which
+    dominates and by how much, and the Shannon entropy of the mix —
+    the data-mixture monitor that catches a "multilingual" source
+    quietly collapsing to one language (entropy → 0) or an English
+    source picking up crawl contamination (n_langs and entropy rise).
+
+    Pins: dominant ties break to the lexicographically smallest lang
+    (row_number over (c desc, lang asc) — cross-engine stable);
+    entropy uses the exact integer-count ln-form H = ln N − (Σ c·ln c)/N
+    shared by the other entropy ops. Scale shape: one map-side-combined
+    (source, lang) count agg; the window and the finishing agg both run
+    on that sources×langs-bounded frame — the corpus is scanned once."""
+    c = docs.groupBy(source_col, "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = F.sum("c")
+    ent = F.log(n.cast("double")) - F.sum(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    ) / n
+    agg = c.groupBy(source_col).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.round(ent * 1e6).cast("bigint").alias("entropy_e6"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("c"), F.asc("lang")
+    )
+    top = (
+        c.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            source_col,
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_n"),
+        )
+    )
+    return agg.join(top, source_col).select(
+        source_col,
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        "top_n",
+        F.round(F.col("top_n").cast("double") / F.col("n_docs") * 1e6)
+        .cast("bigint")
+        .alias("top_share_e6"),
+        "entropy_e6",
+    )
