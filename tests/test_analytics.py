@@ -2309,3 +2309,37 @@ def test_week_phase_profile_anchor_and_ties(spark):
     assert (r["peak_phase"], r["peak_n"]) == (96, 3)  # tie -> lowest phase
     assert r["peak_share_e6"] == round(3 / 7 * 1e6)
     assert (r["trough_phase"], r["trough_n"]) == (101, 1)
+
+
+def test_burn_rate_multiwindow_alert_logic(spark):
+    """slo=0.25, 6h long window: a single 100%-error blip hour burns
+    the short window (burn1 4x) but not yet the long one when history
+    is clean -> no alert; sustained errors push BOTH windows over 1 ->
+    alert fires; a clean hour alerts on neither."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hours 0-5: clean (1 click/hour)
+    for h in range(6):
+        rows.append((t0 + dt.timedelta(hours=h), "click"))
+    # hour 6: blip — 1 error, 1 click (rate 0.5, burn1 = 2e6) but the
+    # trailing 6h window holds 5 clean hours + this one: 1/7 err
+    rows.append((t0 + dt.timedelta(hours=6), "error"))
+    rows.append((t0 + dt.timedelta(hours=6), "click"))
+    # hours 7-12: sustained 100% errors -> both windows burn
+    for h in range(7, 13):
+        rows.append((t0 + dt.timedelta(hours=h), "error"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["hour"]: r for r in analytics.burn_rate(ev).collect()}
+    blip = out["2024-01-01 06:00:00"]
+    assert blip["burn1_e6"] == 2_000_000  # 0.5 / 0.25
+    # trailing 6 buckets = hours 1..6: 5 clean events + (1 err, 1 click)
+    assert blip["burn_long_e6"] == round(1e6 * 1 / (0.25 * 7))
+    assert blip["alert"] == 0  # long window still inside budget
+    clean = out["2024-01-01 03:00:00"]
+    assert clean["burn1_e6"] == 0 and clean["alert"] == 0
+    sustained = out["2024-01-01 12:00:00"]
+    assert sustained["burn1_e6"] == 4_000_000
+    assert sustained["burn_long_e6"] == 4_000_000  # 6 pure-error hours
+    assert sustained["alert"] == 1

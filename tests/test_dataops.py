@@ -2933,3 +2933,96 @@ def test_lang_mix_dominance_tie_and_entropy(spark):
     assert a["entropy_e6"] == round((math.log(3) - 2 * math.log(2) / 3) * 1e6)
     assert out["b"]["top_lang"] == "cs"
     assert out["c"]["entropy_e6"] == 0 and out["c"]["top_share_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# pq_error / cdc_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_pq_self_codes_tie_rule_and_python_parity(spark):
+    """Codebook members quantize to themselves with zero error; a
+    vector whose two nearest codewords are IDENTICAL (vectors 0 and 1
+    cloned) takes the lower code id (pinned); every other vector's
+    codes and error match a python re-derivation on the same e9
+    integers."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = [[float(x) for x in rng.randn(64)] for _ in range(24)]
+    base[1] = list(base[0])  # duplicate codeword pair
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["nid"]: r for r in simsearch.pq_error(emb).collect()}
+    assert out[0]["codes"] == ",".join(["0"] * 8) and out[0]["err_e9"] == 0
+    # the clone of codeword 0/1 must pick 0 everywhere (tie -> low id)
+    assert out[1]["codes"] == ",".join(["0"] * 8) and out[1]["err_e9"] == 0
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in enumerate(base)}
+
+    def d9(u, w):
+        acc = 0.0
+        for x, y in zip(u, w):
+            acc = acc + (x - y) * (x - y)
+        return round(acc * 1e9)
+
+    for nid, v in vecs.items():
+        want_codes, want_err = [], 0
+        for s in range(8):
+            sub = v[8 * s : 8 * s + 8]
+            scored = [
+                (d9(sub, vecs[c][8 * s : 8 * s + 8]), c) for c in range(16)
+            ]
+            d, c = min(scored)
+            want_codes.append(str(c))
+            want_err += d
+        assert out[nid]["codes"] == ",".join(want_codes), nid
+        assert out[nid]["err_e9"] == want_err, nid
+
+
+def test_cdc_chunks_python_parity_and_insertion_resync(spark):
+    """Boundary positions match a python rolling-hash reference; after
+    inserting ONE token the boundaries beyond one hash window realign
+    (shifted by exactly 1) — the content-defined property a fixed-
+    stride chunker lacks; a doc shorter than the window is one chunk
+    with the md5 of the empty boundary string."""
+    import hashlib
+    import random
+
+    rng = random.Random(3)
+    toks = [rng.randrange(131072) for _ in range(1500)]
+    toks2 = toks[:100] + [7] + toks[100:]
+    df = spark.createDataFrame(
+        [(1, toks), (2, toks2), (3, [5, 6])],
+        "doc_id long, tokens array<int>",
+    )
+    P, M = 1_000_003, 64
+
+    def bounds(t):
+        return [
+            i
+            for i in range(4, len(t))
+            if (
+                (t[i - 1] + 31 * t[i - 2] + 961 * t[i - 3] + 29791 * t[i - 4])
+                % P
+            )
+            % M
+            == 0
+        ]
+
+    b1, b2 = bounds(toks), bounds(toks2)
+    out = {r["doc_id"]: r for r in textops.cdc_chunks(df).collect()}
+    for did, b, n in ((1, b1, 1500), (2, b2, 1501)):
+        r = out[did]
+        assert r["n_chunks"] == len(b) + 1
+        assert r["boundaries_md5"] == hashlib.md5(
+            ",".join(str(x) for x in b).encode()
+        ).hexdigest()
+        assert r["mean_chunk_e6"] == round(n / (len(b) + 1) * 1e6)
+    # resync: boundaries after the edit site + window differ by the shift
+    assert {x for x in b1 if x > 104} == {x - 1 for x in b2 if x > 105}
+    assert len(b1) > 10  # the property test actually exercised chunking
+    r3 = out[3]
+    assert r3["n_chunks"] == 1 and r3["max_chunk"] == 2
+    assert r3["boundaries_md5"] == hashlib.md5(b"").hexdigest()

@@ -3358,3 +3358,67 @@ def week_phase_profile(
             "trough_n",
         )
     )
+
+
+def burn_rate(
+    events: DataFrame,
+    error_type: str = "error",
+    slo: float = 0.25,
+    long_hours: int = 6,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting over the hourly error share:
+    burn = error_rate / slo on a short (1 h) and a long (long_hours,
+    trailing, current bucket included) window; the alert fires only
+    when BOTH exceed 1 — the standard multiwindow rule that suppresses
+    one-bucket blips (short-only) and long-dead incidents (long-only)
+    while catching sustained budget burn. slo is the error-share
+    budget (0.25 = a quarter of events may error before the budget is
+    gone).
+
+    Exactness pins: hourly error/total counts are exact bigints; the
+    long window sums those integers over a ROWS frame (never floats);
+    burn_e6 = round(1e6·err/(slo·tot)) with slo entering as one double
+    literal — an identical IEEE tree from identical integers. Hours
+    with no events cannot exist (no row, no alert); the long window is
+    over OBSERVED hourly buckets (pinned — a silent hour is a
+    freshness incident, heartbeat's department, not an error-budget
+    one).
+
+    Scale shape: one map-side-combined hourly count agg, then one
+    ROWS-bounded lag window over the buckets frame. The window is
+    deliberately unpartitioned — the SLO is service-level, so its
+    state is ONE row per hour (≈9k rows/year): a single-partition
+    window over a calendar-bounded frame, never over event rows. For
+    per-team/per-service budgets pass pre-filtered events (or extend
+    keys into the groupBy and window partition — same lineage)."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    c = events.groupBy(hour.alias("_h")).agg(
+        F.sum((F.col(type_col) == error_type).cast("bigint")).alias("err"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    wl = (
+        Window.orderBy("_h").rowsBetween(-(long_hours - 1), 0)
+    )
+    errl = F.sum("err").over(wl)
+    totl = F.sum("tot").over(wl)
+    burn = lambda e, t: F.round(  # noqa: E731
+        F.lit(1e6) * e / (F.lit(float(slo)) * t)
+    ).cast("bigint")
+    out = c.select(
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("err").alias("err_n"),
+        F.col("tot").alias("tot_n"),
+        burn(F.col("err"), F.col("tot")).alias("burn1_e6"),
+        errl.alias("err_long"),
+        totl.alias("tot_long"),
+        burn(errl, totl).alias("burn_long_e6"),
+    )
+    return out.withColumn(
+        "alert",
+        (
+            (F.col("burn1_e6") > 1_000_000)
+            & (F.col("burn_long_e6") > 1_000_000)
+        ).cast("int"),
+    )

@@ -7704,3 +7704,115 @@ def ts_week_phase(spark, sf_dir):
     integer arithmetic, no calendar functions (see
     analytics.week_phase_profile)."""
     return analytics.week_phase_profile(_ev(spark, sf_dir), ["event_type"])
+
+
+@q(
+    "emb_pq_error",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, v[8 * s + 1 : 8 * s + 8] AS cw
+      FROM e CROSS JOIN range(0, 8) t(s) WHERE vec_id < 16
+    ),
+    d AS (
+      SELECT e.vec_id AS nid, c.s, c.cid,
+             CAST(ROUND(list_sum(list_transform(range(1, 9),
+                    i -> (e.v[8 * c.s + i] - c.cw[i])
+                       * (e.v[8 * c.s + i] - c.cw[i]))) * 1e9)
+               AS BIGINT) AS d9
+      FROM e CROSS JOIN cb c
+    ),
+    b AS (
+      SELECT nid, s, cid, d9 FROM (
+        SELECT *, row_number() OVER (PARTITION BY nid, s
+                                     ORDER BY d9, cid) AS r
+        FROM d
+      ) WHERE r = 1
+    )
+    SELECT nid, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+           CAST(sum(d9) AS BIGINT) AS err_e9
+    FROM b GROUP BY nid
+    """,
+)
+def emb_pq_error(spark, sf_dir):
+    """Product-quantization audit over the deterministic first-16
+    per-subspace codebook: 8 codes per vector (argmin ties to the
+    lowest code id on e9 integers) plus the exact total reconstruction
+    error (see simsearch.pq_error)."""
+    return simsearch.pq_error(_emb(spark, sf_dir))
+
+
+@q(
+    "seq_cdc_chunks",
+    _synth_cte()
+    + """
+    , bd AS (
+      SELECT doc_id, len(tokens) AS n,
+             list_filter(range(4, len(tokens)),
+               i -> ((CAST(tokens[i] AS BIGINT)
+                      + 31 * CAST(tokens[i - 1] AS BIGINT)
+                      + 961 * CAST(tokens[i - 2] AS BIGINT)
+                      + 29791 * CAST(tokens[i - 3] AS BIGINT))
+                     % 1000003) % 64 = 0) AS b
+      FROM seq WHERE len(tokens) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+           CAST(len(b) + 1 AS BIGINT) AS n_chunks,
+           CAST(list_max(list_transform(range(1, len(b) + 2),
+             k -> (CASE WHEN k <= len(b) THEN b[k] ELSE n END)
+                - (CASE WHEN k = 1 THEN 1 ELSE b[k - 1] + 1 END) + 1))
+             AS BIGINT) AS max_chunk,
+           CAST(ROUND(CAST(n AS DOUBLE) / (len(b) + 1) * 1e6) AS BIGINT)
+             AS mean_chunk_e6,
+           md5(COALESCE(array_to_string(b, ','), '')) AS boundaries_md5
+    FROM bd
+    """,
+)
+def seq_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking of the raw token stream (rolling
+    4-token polynomial hash, cut at hash % 64 == 0): chunk counts,
+    extremes, and the boundary-set md5 so both engines must cut
+    identical positions (see textops.cdc_chunks)."""
+    return textops.cdc_chunks(_seq(spark))
+
+
+@q(
+    "ts_burn_rate",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+             count(*) AS tot
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT h, err, tot,
+             sum(err) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS errl,
+             sum(tot) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS totl
+      FROM c
+    ),
+    f AS (
+      SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(err AS BIGINT) AS err_n, CAST(tot AS BIGINT) AS tot_n,
+             CAST(ROUND(1e6 * err / (0.25 * tot)) AS BIGINT) AS burn1_e6,
+             CAST(errl AS BIGINT) AS err_long,
+             CAST(totl AS BIGINT) AS tot_long,
+             CAST(ROUND(1e6 * errl / (0.25 * totl)) AS BIGINT)
+               AS burn_long_e6
+      FROM w
+    )
+    SELECT *, CAST(CASE WHEN burn1_e6 > 1000000 AND burn_long_e6 > 1000000
+                        THEN 1 ELSE 0 END AS INT) AS alert
+    FROM f
+    """,
+)
+def ts_burn_rate(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerts on the hourly error share
+    (slo = 0.25, 1 h + trailing-6 h windows, alert only when BOTH
+    burn > 1; see analytics.burn_rate)."""
+    return analytics.burn_rate(_ev(spark, sf_dir))

@@ -1266,3 +1266,98 @@ def centroid_drift(
         cos_e6.alias("cos_e6"),
         (F.lit(1_000_000) - cos_e6).cast("bigint").alias("drift_e6"),
     )
+
+
+def pq_error(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization audit: split each vector into n_sub
+    contiguous subvectors, assign each to its nearest codeword from a
+    deterministic per-subspace codebook (the first n_codes vectors'
+    subvectors, the same first-N convention as ivf_assign — so the
+    oracle can rebuild the whole index), and report the code string
+    plus the total reconstruction error. PQ is the memory side of ANN
+    at corpus scale (64 dims × 4 B → n_sub bytes per vector); this
+    operator is the audit that must accompany it — codes pin the
+    assignment cross-engine, err_e9 quantifies what the compression
+    destroyed (rising err over reingests = the codebook went stale).
+
+    Pins: per-subspace squared L2 distances are e9-rounded bigints;
+    the argmin breaks ties to the LOWEST code id on that integer;
+    err_e9 = Σ_s of the winning integer distances (exact sum of
+    bigints).
+
+    Scale shape: the codebook is ONE collected broadcast row
+    (n_sub·n_codes structs, control-plane sized); assignment is a
+    row-local materialize-then-fold argmin per subspace inside the
+    single corpus scan — zero corpus shuffles, no joins."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    w = dim // n_sub
+    cb = (
+        e.where(F.col("nid") < n_codes)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col("nid").alias("cid"),
+                            F.slice("v", s * w + 1, w).alias("cw"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("_cb"))
+    )
+    j = e.crossJoin(F.broadcast(cb))
+
+    def best(s):
+        sub = F.slice("v", s * w + 1, w)
+        cands = F.filter(F.col("_cb"), lambda c: c["s"] == s)
+        d9 = lambda c: F.round(  # noqa: E731
+            F.aggregate(
+                F.zip_with(sub, c["cw"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * 1e9
+        ).cast("bigint")
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                d9(c).alias("d"), c["cid"].cast("bigint").alias("cid")
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit((1 << 62)).cast("bigint").alias("d"),
+                F.lit(-1).cast("bigint").alias("cid"),
+            ),
+            lambda acc, x: F.when(
+                (x["d"] < acc["d"])
+                | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+
+    bests = [best(s) for s in range(n_sub)]
+    codes = F.concat_ws(
+        ",", *[b["cid"].cast("string") for b in bests]
+    )
+    err = bests[0]["d"]
+    for b in bests[1:]:
+        err = err + b["d"]
+    return j.select(
+        "nid", codes.alias("codes"), err.cast("bigint").alias("err_e9")
+    )

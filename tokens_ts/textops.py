@@ -2460,3 +2460,62 @@ def lang_mix(docs: DataFrame, source_col: str = "source") -> DataFrame:
         .alias("top_share_e6"),
         "entropy_e6",
     )
+
+
+def cdc_chunks(
+    seq: DataFrame,
+    window: int = 4,
+    mult: int = 31,
+    prime: int = 1_000_003,
+    mask_mod: int = 64,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over the token stream: cut after
+    1-based position i (window ≤ i < n) iff the rolling polynomial
+    hash of the last `window` tokens, H_i = (Σ_j t_{i−j}·mult^j) mod
+    prime, satisfies H_i mod mask_mod == 0 (expected chunk ≈ mask_mod
+    tokens). Content-defined boundaries are what make chunk-level
+    dedup survive INSERTIONS: a fixed-stride chunker shifts every
+    boundary after an edit, CDC re-synchronizes within one window —
+    the storage/dedup counterpart of the RAG sliding chunker. The
+    boundary md5 forces both engines to cut the IDENTICAL positions.
+
+    Pins: the hash runs over the RAW array (PAD included — chunking is
+    a storage decision, not a linguistic one); position n is never a
+    boundary (no empty tail chunk); docs shorter than `window` are one
+    chunk with no boundaries (md5 of the empty string); mean_chunk =
+    n / n_chunks exact. All arithmetic is integer (max term
+    131071·31³ ≈ 3.9e9, sums inside int64).
+
+    Scale shape: one filter over a per-row index sequence + slice
+    arithmetic — row-local, no explode, no shuffle."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    pw = [mult**j for j in range(window)]
+    h = lambda i: sum(  # noqa: E731
+        (F.get(toks, i - 1 - j).cast("bigint") * F.lit(pw[j]))
+        for j in range(window)
+    ) % prime
+    b = F.filter(
+        F.sequence(F.lit(window), n - 1),
+        lambda i: h(i) % mask_mod == 0,
+    )
+    seq = seq.where(n > 0).withColumn("_b", b)
+    bc = F.col("_b")
+    starts = F.concat(F.array(F.lit(1)), F.transform(bc, lambda x: x + 1))
+    ends = F.concat(bc, F.array(n))
+    lens = F.zip_with(starts, ends, lambda s, e: e - s + 1)
+    n_chunks = F.size(bc) + 1
+    return seq.select(
+        id_col,
+        n.cast("bigint").alias("n_tok"),
+        n_chunks.cast("bigint").alias("n_chunks"),
+        F.array_max(lens).cast("bigint").alias("max_chunk"),
+        F.round(n.cast("double") / n_chunks * 1e6)
+        .cast("bigint")
+        .alias("mean_chunk_e6"),
+        F.md5(
+            F.array_join(F.transform(bc, lambda x: x.cast("string")), ",")
+        ).alias("boundaries_md5"),
+    )
