@@ -2343,3 +2343,42 @@ def test_burn_rate_multiwindow_alert_logic(spark):
     assert sustained["burn1_e6"] == 4_000_000
     assert sustained["burn_long_e6"] == 4_000_000  # 6 pure-error hours
     assert sustained["alert"] == 1
+
+
+def test_markov_transitions_hand_counts_and_session_break(spark):
+    """User 1: click->click->purchase inside one session plus an
+    out-of-session error 2h later (broken chain — no transition in or
+    out counted across the gap... the error then chains to a click 5
+    min after it); same-timestamp pair orders by event_id (pinned).
+    Probabilities are exact per-from shares."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "click"),
+        (3, 1, t0 + dt.timedelta(minutes=10), "purchase"),
+        (4, 1, t0 + dt.timedelta(hours=3), "error"),
+        (5, 1, t0 + dt.timedelta(hours=3, minutes=5), "click"),
+        # user 2: two events at the SAME ts -> order by event_id
+        (6, 2, t0, "signup"),
+        (7, 2, t0, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in analytics.markov_transitions(ev).collect()
+    }
+    assert set(out) == {
+        ("click", "click"),
+        ("click", "purchase"),
+        ("error", "click"),
+        ("signup", "click"),
+    }
+    assert out[("click", "click")]["n"] == 1
+    assert out[("click", "click")]["p_e6"] == 500_000
+    assert out[("click", "purchase")]["p_e6"] == 500_000
+    assert out[("error", "click")]["p_e6"] == 1_000_000
+    assert out[("signup", "click")]["n"] == 1  # same-ts pair, id order

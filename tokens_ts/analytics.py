@@ -3422,3 +3422,54 @@ def burn_rate(
             & (F.col("burn_long_e6") > 1_000_000)
         ).cast("int"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """First-order Markov transition matrix between event types: for
+    each user's time-ordered stream, count (prev → next) pairs whose
+    gap is within gap_s (a session boundary breaks the chain — a
+    transition across hours is navigation noise, not behavior), and
+    report each row's transition probability. The generalization of
+    the two-step funnel to ALL type pairs at once: funnel asks one
+    question, the matrix answers every next-step question and feeds
+    anomaly detection (a new hot (error → signup) cell is a bug
+    signature, not a user journey).
+
+    Pins: events order by (ts, event_id) so same-timestamp pairs are
+    deterministic cross-engine; self-transitions count; p =
+    n(from,to)/Σ_to n(from,·) from exact bigints.
+
+    Scale shape: ONE lag window on the (user) key partitioning + one
+    map-side-combined count agg to a types²-bounded frame + a window
+    on that bounded frame for the row sums. Same single-key-shuffle
+    lineage as sessionize."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    p = events.select(
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+        (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.lag(ts_col).over(w))
+        ).alias("_gap"),
+    ).where(F.col("from_type").isNotNull() & (F.col("_gap") <= gap_s))
+    c = p.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / tot * 1e6)
+        .cast("bigint")
+        .alias("p_e6"),
+    )

@@ -7816,3 +7816,33 @@ def ts_burn_rate(spark, sf_dir):
     (slo = 0.25, 1 h + trailing-6 h windows, alert only when BOTH
     burn > 1; see analytics.burn_rate)."""
     return analytics.burn_rate(_ev(spark, sf_dir))
+
+
+@q(
+    "ts_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lag(event_type) OVER w AS from_type,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT from_type, event_type AS to_type, count(*) AS n
+      FROM o WHERE from_type IS NOT NULL AND ep - pep <= 1800
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY from_type) * 1e6) AS BIGINT)
+             AS p_e6
+    FROM c
+    """,
+)
+def ts_markov_transitions(spark, sf_dir):
+    """Session-bounded first-order event-type transition matrix with
+    per-from probabilities — every next-step funnel at once (see
+    analytics.markov_transitions)."""
+    return analytics.markov_transitions(_ev(spark, sf_dir))
