@@ -2382,3 +2382,22 @@ def test_markov_transitions_hand_counts_and_session_break(spark):
     assert out[("click", "purchase")]["p_e6"] == 500_000
     assert out[("error", "click")]["p_e6"] == 1_000_000
     assert out[("signup", "click")]["n"] == 1  # same-ts pair, id order
+
+
+def test_lateness_audit_hand_walk(spark):
+    """Arrival order 1..5 with event times [100, 400, 200, 900, 880]:
+    latenesses are 0 (first), 0 (new max), 200 (behind 400), 0 (new
+    max), 20 — max 200, mean 44, one event >60s late, none >300s."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    secs = [100, 400, 200, 900, 880]
+    rows = [
+        (i + 1, "a", t0 + dt.timedelta(seconds=s)) for i, s in enumerate(secs)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    r = analytics.lateness_audit(ev, ["event_type"]).collect()[0]
+    assert r["n"] == 5 and r["max_late_s"] == 200
+    assert r["mean_late_e6"] == round(220 / 5 * 1e6)
+    assert r["late_60s_e6"] == round(1 / 5 * 1e6)
+    assert r["late_300s_e6"] == 0 and r["late_900s_e6"] == 0

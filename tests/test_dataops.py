@@ -3026,3 +3026,49 @@ def test_cdc_chunks_python_parity_and_insertion_resync(spark):
     r3 = out[3]
     assert r3["n_chunks"] == 1 and r3["max_chunk"] == 2
     assert r3["boundaries_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_neg_sampling_weights_and_rank_pin(spark):
+    """Known counts: token 7 x4, token 3 x2, tokens 1,9 x1 (tie ->
+    ascending token id); PAD never appears; w34 must equal the
+    sqrt-composed 3/4 power of the exact count; share from exact
+    integers."""
+    seq = spark.createDataFrame(
+        [(1, [7, 7, 3, 0]), (2, [7, 7, 3, 1]), (3, [9])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = textops.neg_sampling_table(seq, k=10).collect()
+    got = [(r["token"], r["c"]) for r in rows]
+    assert got == [(7, 4), (3, 2), (1, 1), (9, 1)]
+    import math
+
+    for r in rows:
+        c = float(r["c"])
+        assert r["w34_e6"] == round(
+            math.sqrt(c) * math.sqrt(math.sqrt(c)) * 1e6
+        )
+        assert r["share_e6"] == round(r["c"] / 8 * 1e6)
+
+
+def test_prefix_compression_hand_lcp(spark):
+    """Sorted order pins adjacency: ['aaa1','aaa2','b'] gives lcps
+    0, 3, 0 -> savings 3/7... wait 3/(3+4+1)... lengths 4,4,1 -> 3/9;
+    duplicate texts are adjacent with full-length lcp; a single-doc
+    source saves nothing."""
+    rows = [
+        (1, "aaa1", "s"),
+        (2, "aaa2", "s"),
+        (3, "b", "s"),
+        (4, "dup", "t"),
+        (5, "dup", "t"),
+        (6, "only", "u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in textops.prefix_compression(docs).collect()}
+    s = out["s"]
+    assert (s["total_chars"], s["total_lcp"], s["max_lcp"]) == (9, 3, 3)
+    assert s["savings_e6"] == round(3 / 9 * 1e6)
+    t = out["t"]
+    assert (t["total_lcp"], t["max_lcp"]) == (3, 3)  # identical texts
+    u = out["u"]
+    assert u["total_lcp"] == 0 and u["savings_e6"] == 0

@@ -3473,3 +3473,58 @@ def markov_transitions(
         .cast("bigint")
         .alias("p_e6"),
     )
+
+
+def lateness_audit(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    thresholds_s: tuple = (60, 300, 900),
+) -> DataFrame:
+    """Event-time lateness audit per stream key, using arrival order
+    (the ingest id) as the processing-time axis: an event's lateness
+    is how far its event time sits behind the stream's running
+    event-time maximum at its arrival — EXACTLY the quantity a
+    Structured Streaming watermark must exceed to never drop it. The
+    batch-side measurement that turns 'withWatermark("10 minutes")'
+    from folklore into a number: pick the threshold whose late
+    fraction is an acceptable loss.
+
+    Pins: lateness compares against STRICTLY earlier arrivals (ROWS
+    … 1 PRECEDING); the first arrival is 0 (null running max); all
+    latenesses are integer seconds from second-truncated epochs;
+    fractions are exact count ratios.
+
+    Scale shape: one cumulative max window on the stream-key
+    partitioning (the kafka-partition analogue — never a global
+    order), then one map-side-combined agg to a keys-bounded frame."""
+    ep = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(arrival_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.max(ep).over(w) - ep).cast("bigint"),
+    )
+    e = events.select(*keys, F.coalesce(late, F.lit(0).cast("bigint")).alias("_l"))
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.max("_l").alias("max_late_s"),
+        F.round(F.sum("_l").cast("double") / F.count("*") * 1e6)
+        .cast("bigint")
+        .alias("mean_late_e6"),
+    ]
+    for t in thresholds_s:
+        aggs.append(
+            F.round(
+                F.sum((F.col("_l") > t).cast("bigint")).cast("double")
+                / F.count("*")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias(f"late_{t}s_e6")
+        )
+    return e.groupBy(*keys).agg(*aggs)

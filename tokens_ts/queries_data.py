@@ -7846,3 +7846,112 @@ def ts_markov_transitions(spark, sf_dir):
     per-from probabilities — every next-step funnel at once (see
     analytics.markov_transitions)."""
     return analytics.markov_transitions(_ev(spark, sf_dir))
+
+
+@q(
+    "seq_neg_sampling",
+    _synth_cte()
+    + """
+    , c AS (
+      SELECT t, count(*) AS c FROM (
+        SELECT unnest(tokens) AS t FROM seq
+      ) WHERE t <> 0 GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS total FROM c),
+    top AS (
+      SELECT t, c FROM c ORDER BY c DESC, t LIMIT 64
+    )
+    SELECT CAST(t AS BIGINT) AS token, CAST(c AS BIGINT) AS c,
+           CAST(ROUND(CAST(c AS DOUBLE) / total * 1e6) AS BIGINT)
+             AS share_e6,
+           CAST(ROUND(sqrt(CAST(c AS DOUBLE))
+                      * sqrt(sqrt(CAST(c AS DOUBLE))) * 1e6) AS BIGINT)
+             AS w34_e6
+    FROM top CROSS JOIN tot
+    """,
+)
+def seq_neg_sampling(spark, sf_dir):
+    """Top-64 of the word2vec negative-sampling table: exact counts,
+    count shares, and the 3/4-power weight via the libm-free
+    sqrt(c)·sqrt(sqrt(c)) form (see textops.neg_sampling_table)."""
+    return textops.neg_sampling_table(_seq(spark))
+
+
+@q(
+    "doc_prefix_compression",
+    """
+    WITH o AS (
+      SELECT source, text, length(text) AS la,
+             lag(text) OVER (PARTITION BY source
+                             ORDER BY text, doc_id) AS p
+      FROM documents
+    ),
+    l AS (
+      SELECT source, la,
+             CASE WHEN p IS NULL THEN 0
+                  ELSE COALESCE(
+                    list_filter(range(1, least(la, length(p)) + 1),
+                      i -> text[i:i] <> p[i:i])[1] - 1,
+                    least(la, length(p)))
+             END AS lcp
+      FROM o
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(la) AS BIGINT) AS total_chars,
+           CAST(sum(lcp) AS BIGINT) AS total_lcp,
+           CAST(max(lcp) AS BIGINT) AS max_lcp,
+           CAST(ROUND(CAST(sum(lcp) AS DOUBLE) / sum(la) * 1e6) AS BIGINT)
+             AS savings_e6
+    FROM l GROUP BY 1
+    """,
+)
+def doc_prefix_compression(spark, sf_dir):
+    """Front-coding savings estimator per source over (text, doc_id)-
+    sorted documents: Σ lcp / Σ len plus the max lcp (see
+    textops.prefix_compression)."""
+    return textops.prefix_compression(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_lateness_audit",
+    """
+    WITH a AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             (event_id * 2654435761) % 4294967296 AS arr
+      FROM events
+    ),
+    l AS (
+      SELECT event_type,
+             COALESCE(greatest(CAST(0 AS BIGINT),
+               max(ep) OVER (PARTITION BY event_type ORDER BY arr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ep),
+               0) AS lt
+      FROM a
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(lt) AS BIGINT) AS max_late_s,
+           CAST(ROUND(CAST(sum(lt) AS DOUBLE) / count(*) * 1e6) AS BIGINT)
+             AS mean_late_e6,
+           CAST(ROUND(CAST(sum(CASE WHEN lt > 60 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS late_60s_e6,
+           CAST(ROUND(CAST(sum(CASE WHEN lt > 300 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS late_300s_e6,
+           CAST(ROUND(CAST(sum(CASE WHEN lt > 900 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS late_900s_e6
+    FROM l GROUP BY 1
+    """,
+)
+def ts_lateness_audit(spark, sf_dir):
+    """Watermark-lateness audit per stream key under a deterministic
+    ADVERSARIAL arrival permutation (arr = id·2654435761 mod 2³² — the
+    driver table arrives in event-time order, which would make the
+    audit vacuously zero; production passes the real ingest id; see
+    analytics.lateness_audit)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "arr",
+        F.pmod(
+            F.col("event_id") * F.lit(2654435761), F.lit(4294967296)
+        ).cast("bigint"),
+    )
+    return analytics.lateness_audit(ev, ["event_type"], arrival_col="arr")

@@ -2519,3 +2519,109 @@ def cdc_chunks(
             F.array_join(F.transform(bc, lambda x: x.cast("string")), ",")
         ).alias("boundaries_md5"),
     )
+
+
+def neg_sampling_table(
+    seq: DataFrame,
+    k: int = 64,
+    pad_id: int = 0,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Word2vec-style negative-sampling table head: corpus unigram
+    counts raised to the 3/4 power — the standard flattening that
+    keeps frequent tokens from dominating sampled negatives — for the
+    top-k tokens by count. Emits the exact count, the exact count
+    share, and the unnormalized 3/4-power weight; the consumer
+    normalizes over its own shard (normalizing HERE would mean a
+    131k-term float sum whose accumulation order no two engines
+    share — the one non-deterministic step, deliberately left out).
+
+    Exactness pins: c^0.75 is computed as sqrt(c)·sqrt(sqrt(c)) —
+    sqrt is IEEE-correctly-rounded everywhere, so two correctly-
+    rounded sqrts of an exact integer give the identical double in
+    any engine, where pow(c, 0.75) is libm-dependent (measured: 1 ulp
+    apart on this box). Ranking is on (count desc, token asc) —
+    integers only. PAD is excluded (it is a structural token, never a
+    negative).
+
+    Scale shape: one posexplode + map-side-combined count agg to a
+    vocab-bounded frame; the total joins back as a broadcast 1-row
+    agg; top-k is an orderBy+limit (TakeOrderedAndProject)."""
+    ex = seq.select(F.explode(tokens_col).alias("t")).where(
+        F.col("t") != pad_id
+    )
+    c = ex.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    tot = c.agg(F.sum("c").cast("bigint").alias("_tot"))
+    j = c.crossJoin(F.broadcast(tot))
+    cd = F.col("c").cast("double")
+    w = F.sqrt(cd) * F.sqrt(F.sqrt(cd))
+    return (
+        j.orderBy(F.desc("c"), F.asc("t"))
+        .limit(k)
+        .select(
+            F.col("t").cast("bigint").alias("token"),
+            "c",
+            F.round(cd / F.col("_tot") * 1e6).cast("bigint").alias(
+                "share_e6"
+            ),
+            F.round(w * 1e6).cast("bigint").alias("w34_e6"),
+        )
+    )
+
+
+def prefix_compression(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-compression estimator per source: sort the source's
+    texts, measure each text's longest common prefix with its
+    predecessor, and report the byte share a front-coded (prefix-
+    compressed) encoding would save — the layout probe for string-
+    keyed storage (sorted dictionary pages, SSTable-style key blocks:
+    savings near 0 say the column should be hashed, high savings say
+    sorted front-coding pays).
+
+    Pins: order is (text, doc_id) so duplicate texts are adjacent and
+    deterministic (their lcp = full length — the degenerate best
+    case); the first text of each source contributes lcp 0; savings =
+    Σ lcp / Σ len from exact bigints; lcp is the first mismatching
+    character position minus one (char-array compare, length-bounded).
+
+    Scale shape: one window sort per source key (the same shuffle a
+    sorted write performs anyway) + a row-local char-array scan + one
+    map-side-combined agg to a sources-bounded frame."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.asc(text_col), F.asc(id_col)
+    )
+    prev = F.lag(text_col).over(w)
+    d = docs.select(
+        source_col,
+        F.col(text_col).alias("_t"),
+        prev.alias("_p"),
+    )
+    ca, cb = F.split("_t", ""), F.split("_p", "")
+    la, lb = F.length("_t"), F.length("_p")
+    mn = F.least(la, lb)
+    mism = F.filter(
+        F.sequence(F.lit(1), mn),
+        lambda i: F.get(ca, i - 1) != F.get(cb, i - 1),
+    )
+    lcp = F.when(F.col("_p").isNull(), F.lit(0)).otherwise(
+        F.coalesce(F.get(mism, 0) - 1, mn)
+    )
+    e = d.select(
+        source_col,
+        la.cast("bigint").alias("_len"),
+        lcp.cast("bigint").alias("_lcp"),
+    )
+    return e.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_len").alias("total_chars"),
+        F.sum("_lcp").alias("total_lcp"),
+        F.max("_lcp").alias("max_lcp"),
+        F.round(
+            F.sum("_lcp").cast("double") / F.sum("_len") * 1e6
+        ).cast("bigint").alias("savings_e6"),
+    )
