@@ -2401,3 +2401,33 @@ def test_lateness_audit_hand_walk(spark):
     assert r["mean_late_e6"] == round(220 / 5 * 1e6)
     assert r["late_60s_e6"] == round(1 / 5 * 1e6)
     assert r["late_300s_e6"] == 0 and r["late_900s_e6"] == 0
+
+
+def test_mannwhitney_hand_u_and_degenerates(spark):
+    """Series 'a': first-half hourly means [1,2,3], second [10,20,30]
+    — complete separation gives U2A = 2*(sum of A ranks) - nA(nA+1)
+    = 2*6 - 12 = 0... ranks of A are 1,2,3 -> 2*U_A = 2*(6) - 12 = 0
+    and z < 0 (A below B); series 'b' all-tied -> var 0 -> null z;
+    series 'c' has one bucket -> dropped."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, v in enumerate([1.0, 2.0, 3.0, 10.0, 20.0, 30.0]):
+        rows.append(("a", t0 + dt.timedelta(hours=h), v))
+    for h in range(4):
+        rows.append(("b", t0 + dt.timedelta(hours=h), 7.0))
+    rows.append(("c", t0, 1.0))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r
+        for r in analytics.mannwhitney_drift(ev, ["event_type"]).collect()
+    }
+    assert "c" not in out
+    a = out["a"]
+    assert (a["n_a"], a["n_b"], a["u2_a"]) == (3, 3, 0)
+    # z = (0 - 9)/sqrt(9*7/3) -> exact tree with zero tie term
+    assert a["z_e6"] == round(1e6 * -9 / math.sqrt(9.0 * 7.0 / 3.0))
+    b = out["b"]
+    assert b["z_e6"] is None and b["u2_a"] == 2 * (2 * 2.5) - 2 * 3

@@ -3072,3 +3072,30 @@ def test_prefix_compression_hand_lcp(spark):
     assert (t["total_lcp"], t["max_lcp"]) == (3, 3)  # identical texts
     u = out["u"]
     assert u["total_lcp"] == 0 and u["savings_e6"] == 0
+
+
+def test_token_cube_levels_reconcile(spark):
+    """Every CUBE level must reconcile: Σ cell tokens == each source
+    subtotal == each lang subtotal == the grand total; gid encodes the
+    level (0 cell, 1 lang-rolled, 2 source-rolled, 3 grand)."""
+    rows = [
+        (1, "a b", "en", "s1"),
+        (2, "c d e", "en", "s1"),
+        (3, "f", "fr", "s1"),
+        (4, "g h", "en", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = textops.token_cube(docs).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert sorted(by_gid) == [0, 1, 2, 3]
+    grand = by_gid[3][0]
+    assert grand["n_docs"] == 4 and grand["n_tokens"] == 8
+    assert sum(r["n_tokens"] for r in by_gid[0]) == 8
+    assert sum(r["n_tokens"] for r in by_gid[1]) == 8  # per (source, *)
+    assert sum(r["n_tokens"] for r in by_gid[2]) == 8  # per (*, lang)
+    s1 = {r["source"]: r for r in by_gid[1]}["s1"]
+    assert s1["n_docs"] == 3 and s1["n_tokens"] == 6

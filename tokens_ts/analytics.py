@@ -3528,3 +3528,90 @@ def lateness_audit(
             .alias(f"late_{t}s_e6")
         )
     return e.groupBy(*keys).agg(*aggs)
+
+
+def mannwhitney_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Mann-Whitney U drift test per series: did the value
+    DISTRIBUTION shift between the first and second half of the
+    series' bucket history? Rank-based, so it catches median/shape
+    shifts the mean-based monitors smooth over and is immune to the
+    outliers that break a t-test — the nonparametric sibling of
+    ks_drift (KS weighs the worst single gap; U weighs the whole
+    ordering).
+
+    Exactness pins: values are e6-grid bucket means (bigint); ranks
+    enter through the integer midrank identity (m2 = 2·rank + t − 1,
+    the pettitt trick) so U2 = 2·U is an exact integer; the tie
+    correction Σ(t³−t) is an exact integer; z =
+    (U2A − nA·nB)/sqrt(nA·nB·((n+1) − ties/(n(n−1)))/3) is one
+    identical IEEE tree from those integers. Cohort split: bucket
+    ranks 1..n//2 vs the rest (pinned). All-tied series → var 0 →
+    null z (honest); series with n < 2 buckets are dropped. No
+    continuity correction (pinned).
+
+    Scale shape: one bucket agg, three window passes on the SAME key
+    partitioning, one keys-bounded tie-sum join — the standard
+    keys×buckets lineage, single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "v",
+        F.row_number().over(wk.orderBy("ep")).alias("_i"),
+        F.count("*").over(wk).alias("_n"),
+        (
+            2 * F.rank().over(wk.orderBy("v"))
+            + F.count("*").over(Window.partitionBy(*keys, "v"))
+            - 1
+        ).cast("bigint").alias("_m2"),
+    )
+    agg = r.groupBy(*keys).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.sum((2 * F.col("_i") <= F.col("_n")).cast("bigint")).alias("n_a"),
+        F.sum(
+            F.when(2 * F.col("_i") <= F.col("_n"), F.col("_m2")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_sm2a"),
+    )
+    ties = (
+        b.groupBy(*keys, "v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("_ties")
+        )
+    )
+    j = agg.join(ties, keys).where(F.col("n") >= 2)
+    nA, n = F.col("n_a"), F.col("n")
+    nB = n - nA
+    u2a = F.col("_sm2a") - nA * (nA + 1)
+    var2 = (
+        (nA * nB).cast("double")
+        * ((n + 1).cast("double") - F.col("_ties").cast("double") / (n * (n - 1)))
+        / F.lit(3.0)
+    )
+    z = F.lit(1e6) * (u2a - nA * nB) / F.sqrt(var2)
+    return j.select(
+        *keys,
+        n.alias("n_buckets"),
+        nA.cast("bigint").alias("n_a"),
+        nB.cast("bigint").alias("n_b"),
+        u2a.cast("bigint").alias("u2_a"),
+        F.when(var2 > 0, F.round(z).cast("bigint")).alias("z_e6"),
+    )

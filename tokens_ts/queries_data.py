@@ -7955,3 +7955,76 @@ def ts_lateness_audit(spark, sf_dir):
         ).cast("bigint"),
     )
     return analytics.lateness_audit(ev, ["event_type"], arrival_col="arr")
+
+
+@q(
+    "ts_mannwhitney",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY ep) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type, v) - 1 AS m2
+      FROM b
+    ),
+    a AS (
+      SELECT event_type, max(n) AS n,
+             sum(CASE WHEN 2 * i <= n THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN 2 * i <= n THEN m2 ELSE 0 END) AS sm2a
+      FROM r GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, sum(t * t * t - t) AS ties FROM (
+        SELECT event_type, v, count(*) AS t FROM b GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    f AS (
+      SELECT a.event_type, a.n, a.n_a, a.n - a.n_a AS n_b,
+             a.sm2a - a.n_a * (a.n_a + 1) AS u2a, t.ties
+      FROM a JOIN t USING (event_type) WHERE a.n >= 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2a AS BIGINT) AS u2_a,
+           CASE WHEN CAST(n_a * n_b AS DOUBLE)
+                     * (CAST(n + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE) / (n * (n - 1))) / 3.0 > 0
+                THEN CAST(ROUND(1e6 * (u2a - n_a * n_b)
+                       / sqrt(CAST(n_a * n_b AS DOUBLE)
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST(ties AS DOUBLE) / (n * (n - 1)))
+                              / 3.0)) AS BIGINT)
+           END AS z_e6
+    FROM f
+    """,
+)
+def ts_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U first-half-vs-second-half distribution drift per
+    series over e6-grid hourly means, integer midrank identity + exact
+    tie correction (see analytics.mannwhitney_drift)."""
+    return analytics.mannwhitney_drift(_ev(spark, sf_dir), ["event_type"])
+
+
+@q(
+    "doc_token_cube",
+    r"""
+    SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    GROUP BY CUBE(source, lang)
+    """,
+)
+def doc_token_cube(spark, sf_dir):
+    """Token-accounting CUBE over (source, lang): every aggregation
+    level in one pass with the grouping id disambiguating (see
+    textops.token_cube)."""
+    return textops.token_cube(_docs(spark, sf_dir))

@@ -2625,3 +2625,34 @@ def prefix_compression(
             F.sum("_lcp").cast("double") / F.sum("_len") * 1e6
         ).cast("bigint").alias("savings_e6"),
     )
+
+
+def token_cube(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Token-accounting CUBE over (source, lang): doc and whitespace-
+    token counts at every aggregation level at once — per cell, per
+    source, per lang, and grand total — with the grouping id
+    disambiguating levels. The one-query answer to the four questions
+    every mixture review asks, computed in a single pass (CUBE's
+    partial aggregates share the scan; four separate groupBys would
+    read the corpus four times).
+
+    Scale shape: Spark expands CUBE into grouping sets inside ONE
+    map-side-combined aggregation — corpus scanned once, output
+    bounded by Π(cardinalities+1)."""
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return (
+        docs.withColumn("_nw", nw)
+        .cube(source_col, "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nw").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("gid").cast("bigint").alias("gid"),
+            source_col,
+            "lang",
+            "n_docs",
+            "n_tokens",
+        )
+    )
