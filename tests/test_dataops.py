@@ -3099,3 +3099,19 @@ def test_token_cube_levels_reconcile(spark):
     assert sum(r["n_tokens"] for r in by_gid[2]) == 8  # per (*, lang)
     s1 = {r["source"]: r for r in by_gid[1]}["s1"]
     assert s1["n_docs"] == 3 and s1["n_tokens"] == 6
+
+
+def test_ivf_recall_curve_monotone_and_saturates(spark):
+    """Recall is monotone nondecreasing in nprobe by construction
+    (candidate sets nest), and probing ALL cells makes IVF exhaustive:
+    recall@k == 1e6 at nprobe == n_centroids."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {
+        r["nprobe"]: r
+        for r in simsearch.ivf_recall_curve(
+            emb, list(range(12)), k=3, n_centroids=4, nprobes=(1, 2, 4)
+        ).collect()
+    }
+    assert rows[1]["recall_e6"] <= rows[2]["recall_e6"] <= rows[4]["recall_e6"]
+    assert rows[4]["recall_e6"] == 1_000_000  # all cells probed == brute force
+    assert rows[4]["hits"] == rows[4]["n_exact"]

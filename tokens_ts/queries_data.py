@@ -8028,3 +8028,96 @@ def doc_token_cube(spark, sf_dir):
     level in one pass with the grouping id disambiguating (see
     textops.token_cube)."""
     return textops.token_cube(_docs(spark, sf_dir))
+
+
+def _ivf_curve_sql(nprobes=(1, 2, 3), k: int = 3) -> str:
+    sim = (
+        "CAST(ROUND(list_sum(list_transform(range(1, 65), "
+        "i -> {a}.v[i] * {b}.v[i])) "
+        "/ (sqrt(list_sum(list_transform({a}.v, x -> x * x))) "
+        "* sqrt(list_sum(list_transform({b}.v, x -> x * x)))) * 1e6) "
+        "AS BIGINT)"
+    )
+    blocks, unions = [], []
+    for np_ in nprobes:
+        blocks.append(f"""
+    cand{np_} AS (
+      SELECT DISTINCT p.qid, a.nid
+      FROM prank p JOIN assign a ON a.cid = p.cid
+      WHERE p.r <= {np_} AND a.nid <> p.qid
+    ),
+    top{np_} AS (
+      SELECT qid, nid FROM (
+        SELECT c.qid, c.nid,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY {sim.format(a='qe', b='ne')} DESC, c.nid) AS rank
+        FROM cand{np_} c
+        JOIN e qe ON qe.vec_id = c.qid
+        JOIN e ne ON ne.vec_id = c.nid
+      ) WHERE rank <= {k}
+    ),
+    hit{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS nprobe, count(*) AS hits
+      FROM exact x JOIN top{np_} t ON x.qid = t.qid AND x.nid = t.nid
+    )""")
+        unions.append(f"SELECT * FROM hit{np_}")
+    return (
+        f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    csim AS (
+      SELECT e.vec_id AS nid, c.cid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               * 1e6) AS BIGINT) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT nid, cid FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim
+      ) WHERE r = 1
+    ),
+    prank AS (
+      SELECT nid AS qid, cid, r FROM (
+        SELECT nid, cid,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim WHERE nid < 20
+      ) WHERE r <= {max(nprobes)}
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {sim.format(a='q', b='n')} DESC, n.vec_id) AS rank
+        FROM e q CROSS JOIN e n
+        WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id
+      ) WHERE rank <= {k}
+    ),
+    tot AS (SELECT count(*) AS t FROM exact),"""
+        + ",".join(blocks)
+        + """,
+    u AS ("""
+        + " UNION ALL ".join(unions)
+        + """)
+    SELECT nprobe, CAST(hits AS BIGINT) AS hits,
+           CAST(t AS BIGINT) AS n_exact,
+           CAST(ROUND(CAST(hits AS DOUBLE) / t * 1e6) AS BIGINT)
+             AS recall_e6
+    FROM u CROSS JOIN tot
+    """
+    )
+
+
+@q("emb_ivf_recall_curve", _ivf_curve_sql())
+def emb_ivf_recall_curve(spark, sf_dir):
+    """Measured recall@3 vs nprobe ∈ {1,2,3} for the 8-cell IVF index
+    — the probe-width tuning curve, hits/denominator both exact
+    integers (see simsearch.ivf_recall_curve)."""
+    return simsearch.ivf_recall_curve(_emb(spark, sf_dir), list(range(20)))

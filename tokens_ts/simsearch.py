@@ -1361,3 +1361,54 @@ def pq_error(
     return j.select(
         "nid", codes.alias("codes"), err.cast("bigint").alias("err_e9")
     )
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobes: tuple = (1, 2, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k vs nprobe for the IVF index — the tuning
+    curve that turns 'how many cells should a probe scan' from a
+    guess into a table: recall rises with nprobe while scanned-list
+    cost rises linearly, and the knee is the operating point. recall
+    = Σ hits / Σ exact-neighbors over the query set, both exact
+    integers (queries with fewer than k neighbors shrink the
+    denominator honestly, the emb_ann_recall convention).
+
+    Scale shape: ground truth is ONE broadcast-query exact scan; each
+    curve point reuses the zero-corpus-shuffle ivf_topk plan. The
+    curve is an audit run on a bounded query sample — |nprobes| scans
+    of the corpus by construction, which is the audit's price, not
+    the serving path's."""
+    exact = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    tot = exact.agg(F.count("*").cast("bigint").alias("_tot"))
+    out = None
+    for np_ in nprobes:
+        approx = ivf_topk(
+            emb,
+            query_ids,
+            k=k,
+            n_centroids=n_centroids,
+            nprobe=np_,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        hits = (
+            exact.join(approx, ["qid", "nid"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("hits"))
+            .select(F.lit(int(np_)).cast("bigint").alias("nprobe"), "hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "nprobe",
+        "hits",
+        F.col("_tot").alias("n_exact"),
+        F.round(F.col("hits").cast("double") / F.col("_tot") * 1e6)
+        .cast("bigint")
+        .alias("recall_e6"),
+    )
