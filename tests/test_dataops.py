@@ -3115,3 +3115,26 @@ def test_ivf_recall_curve_monotone_and_saturates(spark):
     assert rows[1]["recall_e6"] <= rows[2]["recall_e6"] <= rows[4]["recall_e6"]
     assert rows[4]["recall_e6"] == 1_000_000  # all cells probed == brute force
     assert rows[4]["hits"] == rows[4]["n_exact"]
+
+
+def test_dedup_funnel_stage_accounting(spark):
+    """src s: two byte-identical docs (4 tokens each), one case-variant
+    of them (canon-dup, 4 tokens), one clean doc: raw 4 -> exact 3 ->
+    canon 2; exact stage removes 4 tokens (g-1 copies), canon stage's
+    upper bound removes one 4-token survivor; funnel is per-source."""
+    rows = [
+        (1, "The cat sat down", "s"),
+        (2, "The cat sat down", "s"),       # byte dup of 1
+        (3, "the CAT sat down!", "s"),      # canon dup of 1
+        (4, "something else entirely here", "s"),
+        (5, "other source", "t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dedup.dedup_funnel(docs).collect()}
+    s = out["s"]
+    assert (s["n_raw"], s["n_exact_unique"], s["n_canon_unique"]) == (4, 3, 2)
+    assert s["exact_removed_tokens"] == 4
+    assert s["canon_removed_tokens_ub"] == 4
+    t = out["t"]
+    assert (t["n_raw"], t["n_exact_unique"], t["n_canon_unique"]) == (1, 1, 1)
+    assert t["exact_removed_tokens"] == 0 and t["canon_removed_tokens_ub"] == 0

@@ -144,3 +144,27 @@ def test_length_buckets_ladder_waste_and_overflow(spark):
     assert out[32]["waste_rate_e6"] == round((64 - 49) / 64 * 1e6)
     assert out[2048]["n_overflow"] == 1
     assert out[2048]["waste_rate_e6"] < 0
+
+
+def test_packing_sweep_closed_form_matches_real_pack(spark):
+    """The sweep's closed form must agree with an ACTUAL pack run:
+    n_chunks at chunk_len 2048 equals pack_tokens' chunk count on the
+    same corpus; fill/waste arithmetic hand-checked on a tiny total."""
+    from tokens_ts import packing, synth
+
+    seq = synth.sequences(spark, 200, 4)
+    sweep = {
+        r["chunk_len"]: r for r in packing.packing_sweep(seq).collect()
+    }
+    real = packing.pack_tokens(seq, chunk_len=2048).count()
+    assert sweep[2048]["n_chunks"] == real
+    tiny = spark.createDataFrame(
+        [(1, 700), (2, 500)], "doc_id long, n_tok int"
+    )
+    row = {
+        r["chunk_len"]: r
+        for r in packing.packing_sweep(tiny, chunk_lens=(512,)).collect()
+    }[512]
+    assert row["n_chunks"] == 3  # ceil(1200/512)
+    assert row["waste_tokens"] == 3 * 512 - 1200
+    assert row["fill_e6"] == round(1200 / 1536 * 1e6)

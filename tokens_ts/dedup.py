@@ -739,3 +739,56 @@ def edit_similarity_pairs(
         F.round((1.0 - F.col("lev") / F.col("max_len")) * 1e6)
         .cast("bigint").alias("sim_e6"),
     )
+
+
+def dedup_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source dedup funnel summary: raw docs → byte-exact unique
+    (md5(text)) → canonicalized unique (the normalized_dedup rule:
+    lower, non-alnum runs → one space, trim) with the doc and token
+    mass removed at each stage — the one-table answer to 'how dirty
+    is this source', and the acceptance report a curation run ships
+    (the per-pair machinery above finds the dups; this prices them).
+
+    Pins: token mass = whitespace tokens of each REMOVED doc, where a
+    group of g byte-identical docs removes g−1 and the survivor is
+    free, so removed_tokens = Σ_group (g−1)·tok(one member) — members
+    are byte-identical so any member's count works (exact). Stage 2
+    counts canon-unique among the byte-exact SURVIVOR set: the funnel
+    is sequential, each stage prices only its OWN catch.
+
+    Scale shape: two hash-groupBy passes (md5 keys, never the text)
+    + one sources-bounded agg."""
+    nw = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    d = docs.select(
+        source_col,
+        nw.alias("_nw"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.md5(canon).alias("_c"),
+    )
+    g1 = d.groupBy(source_col, "_h", "_c").agg(
+        F.count("*").cast("bigint").alias("g"),
+        F.first("_nw").alias("_nw"),
+    )
+    g2 = g1.groupBy(source_col, "_c").agg(
+        F.sum(F.lit(1).cast("bigint")).alias("ng"),
+        F.sum((F.col("g") - 1) * F.col("_nw")).alias("_exact_tok"),
+        F.sum(F.col("g")).alias("_raw"),
+        F.sum(F.col("_nw")).alias("_surv_tok"),
+        F.min("_nw").alias("_min_tok"),
+    )
+    return g2.groupBy(source_col).agg(
+        F.sum("_raw").cast("bigint").alias("n_raw"),
+        F.sum("ng").cast("bigint").alias("n_exact_unique"),
+        F.count("*").cast("bigint").alias("n_canon_unique"),
+        F.sum("_exact_tok").cast("bigint").alias("exact_removed_tokens"),
+        (F.sum("_surv_tok") - F.sum("_min_tok"))
+        .cast("bigint")
+        .alias("canon_removed_tokens_ub"),
+    )

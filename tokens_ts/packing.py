@@ -223,3 +223,45 @@ def length_buckets(
         .alias("waste_rate_e6"),
         "n_overflow",
     )
+
+
+def packing_sweep(
+    seq,
+    chunk_lens: tuple = (512, 1024, 2048, 4096),
+    tokens_col: str = "n_tok",
+):
+    """Chunk-length sweep for the concat-and-pack path: for each
+    candidate length, how many chunks the corpus packs into and the
+    fill it achieves — closed-form from ONE total-token aggregate
+    (pack_tokens concatenates globally, so n_chunks = ceil(total/len)
+    exactly: the sweep needs no packing run, just the arithmetic).
+    Read next to seq_length_buckets: the same corpus under pad-to-
+    bucket batching wastes what this table shows packing saves, and
+    together they price the two batching strategies per length.
+
+    fill = total/(n_chunks·len) from exact bigints; waste is the tail
+    chunk's padding. Scale shape: one map-side-combined scalar agg +
+    |chunk_lens| literal rows."""
+    import pyspark.sql.functions as F
+
+    tot = seq.agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("_t"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    rows = None
+    for cl in chunk_lens:
+        n_chunks = F.ceil(F.col("_t") / F.lit(int(cl))).cast("bigint")
+        r = tot.select(
+            F.lit(int(cl)).cast("bigint").alias("chunk_len"),
+            F.col("_n").alias("n_seqs"),
+            F.col("_t").alias("total_tokens"),
+            n_chunks.alias("n_chunks"),
+            (n_chunks * cl - F.col("_t")).cast("bigint").alias(
+                "waste_tokens"
+            ),
+            F.round(
+                F.col("_t").cast("double") / (n_chunks * cl) * 1e6
+            ).cast("bigint").alias("fill_e6"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -8121,3 +8121,65 @@ def emb_ivf_recall_curve(spark, sf_dir):
     — the probe-width tuning curve, hits/denominator both exact
     integers (see simsearch.ivf_recall_curve)."""
     return simsearch.ivf_recall_curve(_emb(spark, sf_dir), list(range(20)))
+
+
+@q(
+    "seq_packing_sweep",
+    _synth_cte()
+    + """
+    , tot AS (
+      SELECT sum(n_tok) AS t, count(*) AS n FROM seq
+    )
+    SELECT CAST(cl AS BIGINT) AS chunk_len,
+           CAST(n AS BIGINT) AS n_seqs,
+           CAST(t AS BIGINT) AS total_tokens,
+           CAST(ceil(t / CAST(cl AS DOUBLE)) AS BIGINT) AS n_chunks,
+           CAST(CAST(ceil(t / CAST(cl AS DOUBLE)) AS BIGINT) * cl - t
+             AS BIGINT) AS waste_tokens,
+           CAST(ROUND(CAST(t AS DOUBLE)
+                  / (CAST(ceil(t / CAST(cl AS DOUBLE)) AS BIGINT) * cl)
+                  * 1e6) AS BIGINT) AS fill_e6
+    FROM tot CROSS JOIN (VALUES (512), (1024), (2048), (4096)) v(cl)
+    """,
+)
+def seq_packing_sweep(spark, sf_dir):
+    """Closed-form chunk-length sweep for the global concat-and-pack
+    path: n_chunks = ceil(total/len), fill, tail waste per candidate
+    length (see packing.packing_sweep)."""
+    return packing.packing_sweep(_seq(spark))
+
+
+@q(
+    "doc_dedup_funnel",
+    r"""
+    WITH d AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\s+')) AS nw,
+             md5(text) AS h,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS c
+      FROM documents
+    ),
+    g1 AS (
+      SELECT source, h, c, count(*) AS g, min(nw) AS nw
+      FROM d GROUP BY 1, 2, 3
+    ),
+    g2 AS (
+      SELECT source, c, count(*) AS ng, sum((g - 1) * nw) AS exact_tok,
+             sum(g) AS raw, sum(nw) AS surv_tok, min(nw) AS min_tok
+      FROM g1 GROUP BY 1, 2
+    )
+    SELECT source, CAST(sum(raw) AS BIGINT) AS n_raw,
+           CAST(sum(ng) AS BIGINT) AS n_exact_unique,
+           CAST(count(*) AS BIGINT) AS n_canon_unique,
+           CAST(sum(exact_tok) AS BIGINT) AS exact_removed_tokens,
+           CAST(sum(surv_tok) - sum(min_tok) AS BIGINT)
+             AS canon_removed_tokens_ub
+    FROM g2 GROUP BY 1
+    """,
+)
+def doc_dedup_funnel(spark, sf_dir):
+    """Per-source dedup funnel: raw → byte-exact unique → canon-unique
+    with removed doc/token mass priced at each stage (see
+    dedup.dedup_funnel)."""
+    return dedup.dedup_funnel(_docs(spark, sf_dir))
