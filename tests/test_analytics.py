@@ -2431,3 +2431,38 @@ def test_mannwhitney_hand_u_and_degenerates(spark):
     assert a["z_e6"] == round(1e6 * -9 / math.sqrt(9.0 * 7.0 / 3.0))
     b = out["b"]
     assert b["z_e6"] is None and b["u2_a"] == 2 * (2 * 2.5) - 2 * 3
+
+
+def test_regularity_bot_vs_human_and_burst_null(spark):
+    """User 1 ticks every 60 s for 25 events -> CV² == 0, flagged;
+    user 2 has the same CV² but only 5 gaps -> evidence floor holds it
+    back; user 3 has erratic gaps -> CV² >> threshold, not flagged;
+    user 4 fires everything in one second -> null CV², is_regular 0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(25):
+        eid += 1
+        rows.append((eid, 1, t0 + dt.timedelta(seconds=60 * i)))
+    for i in range(6):
+        eid += 1
+        rows.append((eid, 2, t0 + dt.timedelta(seconds=60 * i)))
+    for g in [0, 1, 3, 600, 4, 7000, 2, 90]:
+        eid += 1
+        rows.append((eid, 3, t0 + dt.timedelta(seconds=sum([0, 1, 3, 600, 4, 7000, 2, 90][: [0, 1, 3, 600, 4, 7000, 2, 90].index(g) + 1]))))
+    for i in range(4):
+        eid += 1
+        rows.append((eid, 4, t0))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in analytics.regularity_score(ev).collect()}
+    u1 = out[1]
+    assert u1["cv2_e6"] == 0 and u1["is_regular"] == 1
+    assert u1["mean_gap_e6"] == 60_000_000
+    u2 = out[2]
+    assert u2["cv2_e6"] == 0 and u2["is_regular"] == 0  # n_gaps < 20
+    u3 = out[3]
+    assert u3["cv2_e6"] > 100_000 and u3["is_regular"] == 0
+    u4 = out[4]
+    assert u4["cv2_e6"] is None and u4["is_regular"] == 0

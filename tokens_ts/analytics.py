@@ -3615,3 +3615,56 @@ def mannwhitney_drift(
         u2a.cast("bigint").alias("u2_a"),
         F.when(var2 > 0, F.round(z).cast("bigint")).alias("z_e6"),
     )
+
+
+def regularity_score(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cv2_threshold_e6: int = 100_000,
+    min_gaps: int = 20,
+) -> DataFrame:
+    """Per-user inter-event regularity score — the bot/scripted-
+    traffic heuristic: humans arrive with high gap variance, cron
+    jobs and scrapers tick with CV² near 0. CV² = var/mean² of the
+    integer-second gaps, computed EXACTLY as (n·Q − S²)/S² from
+    bigint sums (the n² factors cancel — no float until the final e6
+    rounding); is_regular fires when CV² < threshold AND the user has
+    at least min_gaps gaps (a pinned evidence floor: two perfectly
+    spaced events prove nothing).
+
+    Pins: gaps order by (ts, id) — same-timestamp determinism; all
+    events in one second (S = 0) yield null CV² and is_regular 0 —
+    that is a burst, the dispersion op's department, not clockwork.
+
+    Scale shape: one lag window on the user-key partitioning + one
+    map-side-combined agg to a users-bounded frame."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ep = F.unix_timestamp(F.col(ts_col))
+    g = events.select(
+        user_col, (ep - F.lag(ep).over(w)).cast("bigint").alias("_g")
+    ).where(F.col("_g").isNotNull())
+    a = g.groupBy(user_col).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("_g").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_q"),
+    )
+    n, S, Q = F.col("n_gaps"), F.col("_s"), F.col("_q")
+    cv2 = F.when(
+        S > 0,
+        F.round(F.lit(1e6) * (n * Q - S * S) / (S * S)).cast("bigint"),
+    )
+    return a.select(
+        user_col,
+        (n + 1).alias("n_events"),
+        "n_gaps",
+        F.round(S.cast("double") / n * 1e6).cast("bigint").alias(
+            "mean_gap_e6"
+        ),
+        cv2.alias("cv2_e6"),
+        F.coalesce(
+            ((cv2 < cv2_threshold_e6) & (n >= min_gaps)).cast("int"),
+            F.lit(0),
+        ).alias("is_regular"),
+    )

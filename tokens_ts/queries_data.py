@@ -8183,3 +8183,40 @@ def doc_dedup_funnel(spark, sf_dir):
     with removed doc/token mass priced at each stage (see
     dedup.dedup_funnel)."""
     return dedup.dedup_funnel(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_regularity",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n, sum(g) AS s, sum(g * g) AS q
+      FROM g WHERE g IS NOT NULL GROUP BY 1
+    ),
+    f AS (
+      SELECT user_id, n, s,
+             CASE WHEN s > 0
+                  THEN CAST(ROUND(1e6 * (n * q - s * s) / (s * s)) AS BIGINT)
+             END AS cv2
+      FROM a
+    )
+    SELECT user_id, CAST(n + 1 AS BIGINT) AS n_events,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(ROUND(CAST(s AS DOUBLE) / n * 1e6) AS BIGINT)
+             AS mean_gap_e6,
+           cv2 AS cv2_e6,
+           CAST(CASE WHEN cv2 < 100000 AND n >= 20 THEN 1
+                     WHEN cv2 IS NULL THEN 0 ELSE 0 END AS INT) AS is_regular
+    FROM f
+    """,
+)
+def ts_regularity(spark, sf_dir):
+    """Per-user inter-event CV² regularity (bot/cron detector) from
+    exact bigint gap sums (see analytics.regularity_score)."""
+    return analytics.regularity_score(_ev(spark, sf_dir))
