@@ -2466,3 +2466,39 @@ def test_regularity_bot_vs_human_and_burst_null(spark):
     assert u3["cv2_e6"] > 100_000 and u3["is_regular"] == 0
     u4 = out[4]
     assert u4["cv2_e6"] is None and u4["is_regular"] == 0
+
+
+def test_haar_energy_scale_separation_and_parseval(spark):
+    """An alternating +1/-1 hourly series puts ALL detail energy at
+    level 1 (levels 2/3 see constant pair-sums -> zero); a slow
+    square wave flipping every 4 hours puts its energy at level 3;
+    incomplete tail pairs are dropped (9 buckets -> 4/2/1 pairs)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(8):
+        rows.append(("fast", t0 + dt.timedelta(hours=h), float(1 if h % 2 == 0 else -1)))
+        rows.append(("slow", t0 + dt.timedelta(hours=h), float(1 if h < 4 else -1)))
+    rows.append(("odd", t0, 1.0))
+    for h in range(9):
+        rows.append(("tail", t0 + dt.timedelta(hours=h), float(h)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["event_type"], r["level"]): r
+        for r in analytics.haar_energy(ev, ["event_type"]).collect()
+    }
+    assert out[("fast", 1)]["share_e6"] == 1_000_000
+    assert out[("fast", 2)]["raw_energy"] == 0
+    assert out[("fast", 3)]["raw_energy"] == 0
+    assert out[("slow", 1)]["raw_energy"] == 0
+    assert out[("slow", 2)]["raw_energy"] == 0
+    assert out[("slow", 3)]["share_e6"] == 1_000_000
+    # slow level-3 detail: (sum of 4 ones - sum of 4 minus-ones) at e3
+    assert out[("slow", 3)]["raw_energy"] == (8 * 1000) ** 2
+    assert ("odd", 1) not in out  # no full pair anywhere
+    assert (
+        out[("tail", 1)]["n_pairs"],
+        out[("tail", 2)]["n_pairs"],
+        out[("tail", 3)]["n_pairs"],
+    ) == (4, 2, 1)

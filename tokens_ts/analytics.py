@@ -3668,3 +3668,99 @@ def regularity_score(
             F.lit(0),
         ).alias("is_regular"),
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    levels: int = 3,
+) -> DataFrame:
+    """Haar multi-resolution detail energy per series: how much of the
+    signal's variation lives at the 2-bucket, 4-bucket, 8-bucket…
+    scale — the FFT-free spectral budget (spectral_power asks about
+    one fixed period; this asks WHICH time scale moves the series:
+    hot fast scales = noise/flapping, hot slow scales = drift/regime).
+
+    Integer-exact across every level: values are e3-grid bucket
+    means (e3, not the usual e6: the cross-level common-denominator
+    scaling below multiplies level-1 energies by 4^{levels−1}, and an
+    e6 grid overflows int64 there — e3 leaves 10^6× headroom, pinned);
+    a level-L detail is (sum of left 2^{L−1} leaves) − (sum of right
+    2^{L−1} leaves), an exact bigint; its energy Σd² is an exact
+    bigint; and the cross-level shares scale each level's raw energy
+    by 4^{levels−L} to a COMMON denominator — still exact integers,
+    so the share is a ratio of bigints and no float sum ever occurs. Normalized energy divides by 4^L (dyadic literal,
+    one identical IEEE division). Incomplete tail pairs are dropped
+    at every level (pinned).
+
+    Scale shape: one bucket agg, then per level one pairing groupBy
+    on the SAME key partitioning (buckets halve each level) — the
+    rollup-cascade lineage, single key shuffle chain, no windows
+    wider than the keys×buckets frame."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys).orderBy("ep")
+    cur = b.select(
+        *keys, F.row_number().over(wk).alias("r"), F.col("v").alias("s")
+    )
+    outs = []
+    for lv in range(1, levels + 1):
+        pair = (F.col("r") + 1) / 2
+        g = (
+            cur.groupBy(*keys, F.floor(pair).cast("bigint").alias("p"))
+            .agg(
+                F.count("*").alias("_c"),
+                F.sum(
+                    F.when(F.col("r") % 2 == 1, F.col("s")).otherwise(
+                        -F.col("s")
+                    )
+                ).alias("d"),
+                F.sum("s").alias("snext"),
+            )
+            .where(F.col("_c") == 2)
+        )
+        outs.append(
+            g.groupBy(*keys).agg(
+                F.lit(lv).cast("bigint").alias("level"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum(F.col("d") * F.col("d")).cast("bigint").alias(
+                    "raw_energy"
+                ),
+            )
+        )
+        wl = Window.partitionBy(*keys).orderBy("p")
+        cur = g.select(
+            *keys,
+            F.row_number().over(wl).alias("r"),
+            F.col("snext").alias("s"),
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    common = F.col("raw_energy") * F.pow(
+        F.lit(4.0), F.lit(levels) - F.col("level")
+    ).cast("bigint")
+    tot = F.sum(common).over(Window.partitionBy(*keys))
+    return u.select(
+        *keys,
+        "level",
+        "n_pairs",
+        "raw_energy",
+        F.round(
+            F.col("raw_energy").cast("double")
+            / F.pow(F.lit(4.0), F.col("level").cast("double"))
+        ).cast("bigint").alias("norm_energy"),
+        F.when(
+            tot > 0,
+            F.round(common.cast("double") / tot * 1e6).cast("bigint"),
+        ).alias("share_e6"),
+    )

@@ -8220,3 +8220,79 @@ def ts_regularity(spark, sf_dir):
     """Per-user inter-event CV² regularity (bot/cron detector) from
     exact bigint gap sums (see analytics.regularity_score)."""
     return analytics.regularity_score(_ev(spark, sf_dir))
+
+
+@q(
+    "ts_haar_energy",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b0 AS (
+      SELECT event_type, v AS s,
+             row_number() OVER (PARTITION BY event_type ORDER BY ep) AS r
+      FROM b
+    ),
+    l1 AS (
+      SELECT event_type, (r + 1) // 2 AS p,
+             sum(CASE WHEN r % 2 = 1 THEN s ELSE -s END) AS d,
+             sum(s) AS s
+      FROM b0 GROUP BY 1, 2 HAVING count(*) = 2
+    ),
+    b1 AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY p) AS r
+      FROM l1
+    ),
+    l2 AS (
+      SELECT event_type, (r + 1) // 2 AS p,
+             sum(CASE WHEN r % 2 = 1 THEN s ELSE -s END) AS d,
+             sum(s) AS s
+      FROM b1 GROUP BY 1, 2 HAVING count(*) = 2
+    ),
+    b2 AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY p) AS r
+      FROM l2
+    ),
+    l3 AS (
+      SELECT event_type, (r + 1) // 2 AS p,
+             sum(CASE WHEN r % 2 = 1 THEN s ELSE -s END) AS d,
+             sum(s) AS s
+      FROM b2 GROUP BY 1, 2 HAVING count(*) = 2
+    ),
+    u AS (
+      SELECT event_type, 1 AS level, count(*) AS n_pairs,
+             sum(d * d) AS raw FROM l1 GROUP BY 1
+      UNION ALL
+      SELECT event_type, 2, count(*), sum(d * d) FROM l2 GROUP BY 1
+      UNION ALL
+      SELECT event_type, 3, count(*), sum(d * d) FROM l3 GROUP BY 1
+    ),
+    c AS (
+      SELECT *, raw * (CASE level WHEN 1 THEN 16 WHEN 2 THEN 4
+                                  ELSE 1 END) AS com
+      FROM u
+    )
+    SELECT event_type, CAST(level AS BIGINT) AS level,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(raw AS BIGINT) AS raw_energy,
+           CAST(ROUND(CAST(raw AS DOUBLE) / pow(4.0, level)) AS BIGINT)
+             AS norm_energy,
+           CASE WHEN sum(com) OVER (PARTITION BY event_type) > 0
+                THEN CAST(ROUND(CAST(com AS DOUBLE)
+                       / sum(com) OVER (PARTITION BY event_type) * 1e6)
+                     AS BIGINT)
+           END AS share_e6
+    FROM c
+    """,
+)
+def ts_haar_energy(spark, sf_dir):
+    """Haar multi-resolution detail energy per series (levels 1-3 over
+    hourly e3-grid means): which time scale moves the series, with
+    integer-exact energies and common-denominator shares (see
+    analytics.haar_energy)."""
+    return analytics.haar_energy(_ev(spark, sf_dir), ["event_type"])
