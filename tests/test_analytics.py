@@ -2502,3 +2502,27 @@ def test_haar_energy_scale_separation_and_parseval(spark):
         out[("tail", 2)]["n_pairs"],
         out[("tail", 3)]["n_pairs"],
     ) == (4, 2, 1)
+
+
+def test_typical_day_band_and_hour_bucketing(spark):
+    """Three days of data where hour 5 always carries value 100±10 and
+    every other hour carries 1: hour 5's band is [~90, ~110] while
+    hour 6's collapses to 1e6; n_obs counts the days."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d, v in enumerate([90.0, 100.0, 110.0]):
+        rows.append(("a", t0 + dt.timedelta(days=d, hours=5), v))
+        rows.append(("a", t0 + dt.timedelta(days=d, hours=6), 1.0))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["hour_of_day"]: r
+        for r in analytics.typical_day(ev, ["event_type"]).collect()
+    }
+    h5, h6 = out[5], out[6]
+    assert h5["n_obs"] == 3 and h6["n_obs"] == 3
+    assert h5["p50_e6"] == 100_000_000
+    assert h5["p10_e6"] == round((90 + 0.2 * 10) * 1e6)  # linear interp
+    assert h5["p90_e6"] == round((100 + 0.8 * 10) * 1e6)
+    assert h6["p10_e6"] == h6["p50_e6"] == h6["p90_e6"] == 1_000_000

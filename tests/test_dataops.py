@@ -3138,3 +3138,27 @@ def test_dedup_funnel_stage_accounting(spark):
     t = out["t"]
     assert (t["n_raw"], t["n_exact_unique"], t["n_canon_unique"]) == (1, 1, 1)
     assert t["exact_removed_tokens"] == 0 and t["canon_removed_tokens_ub"] == 0
+
+
+def test_pad_profile_hand_counts(spark):
+    """Three hand-built sequences per facet: trailing run, leading
+    pad, interior-only pads, and a pad-free source with a null
+    mean-first-pad."""
+    rows = [
+        (1, [5, 6, 0, 0], "s"),   # trailing run 2, first pad @3
+        (2, [0, 7, 8], "s"),      # leading, first pad @1, no trail
+        (3, [1, 0, 2], "s"),      # interior only, first pad @2
+        (4, [9, 9], "t"),         # pad-free source
+    ]
+    seq = spark.createDataFrame(rows, "doc_id long, tokens array<int>, source string")
+    out = {r["source"]: r for r in textops.pad_profile(seq).collect()}
+    s = out["s"]
+    assert s["n_seqs"] == 3
+    assert s["trailing_pad_e6"] == round(1 / 3 * 1e6)
+    assert s["leading_pad_e6"] == round(1 / 3 * 1e6)
+    assert s["mean_trail_run_e6"] == round(2 / 3 * 1e6)
+    assert s["mean_first_pad_e6"] == round((3 + 1 + 2) / 3 * 1e6)
+    assert s["pad_rate_e6"] == round(4 / 10 * 1e6)
+    t = out["t"]
+    assert t["pad_rate_e6"] == 0 and t["mean_first_pad_e6"] is None
+    assert t["trailing_pad_e6"] == 0

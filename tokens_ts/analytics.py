@@ -3764,3 +3764,42 @@ def haar_energy(
             F.round(common.cast("double") / tot * 1e6).cast("bigint"),
         ).alias("share_e6"),
     )
+
+
+def typical_day(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    qs: tuple = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Typical-day envelope per series: p10/p50/p90 of the hourly
+    means at each hour-of-day — the seasonal band an on-call dashboard
+    draws behind the live line (weeks of history collapse into one
+    24-row profile; today's value outside its hour's band is the
+    anomaly a global threshold misses at night and under-fires at
+    peak).
+
+    Pins: hour-of-day = epoch_hour mod 24 (integer, no calendar/TZ
+    functions — the week_phase convention); percentiles are Spark's
+    exact linear-interpolation F.percentile over e6-grid hourly means
+    (the ts_quantiles convention, == quantile_cont in the oracle
+    engine); n_days counts the observations behind each band row.
+
+    Scale shape: one bucket agg, one map-side-combined agg to
+    keys×24 rows."""
+    ep = F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))
+    b = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, ep.alias("_ep"))
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    hod = ((F.col("_ep") / 3600).cast("bigint") % 24).alias("hour_of_day")
+    aggs = [F.count("*").cast("bigint").alias("n_obs")]
+    for q in qs:
+        aggs.append(
+            F.round(F.percentile("v", F.lit(q)))
+            .cast("bigint")
+            .alias(f"p{int(q * 100)}_e6")
+        )
+    return b.groupBy(*keys, hod).agg(*aggs)

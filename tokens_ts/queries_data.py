@@ -8296,3 +8296,66 @@ def ts_haar_energy(spark, sf_dir):
     integer-exact energies and common-denominator shares (see
     analytics.haar_energy)."""
     return analytics.haar_energy(_ev(spark, sf_dir), ["event_type"])
+
+
+@q(
+    "seq_pad_profile",
+    _synth_cte()
+    + """
+    , p AS (
+      SELECT source, len(tokens) AS n,
+             len(tokens) - COALESCE(list_max(list_filter(
+               range(1, len(tokens) + 1), i -> tokens[i] <> 0)), 0)
+               AS trail,
+             COALESCE(list_position(tokens, 0), 0) AS fp,
+             len(list_filter(tokens, x -> x = 0)) AS np,
+             CASE WHEN tokens[1] = 0 THEN 1 ELSE 0 END AS lead
+      FROM seq WHERE len(tokens) > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(ROUND(CAST(sum(CASE WHEN trail > 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS trailing_pad_e6,
+           CAST(ROUND(CAST(sum(lead) AS DOUBLE) / count(*) * 1e6)
+             AS BIGINT) AS leading_pad_e6,
+           CAST(ROUND(CAST(sum(trail) AS DOUBLE) / count(*) * 1e6)
+             AS BIGINT) AS mean_trail_run_e6,
+           CASE WHEN sum(CASE WHEN fp > 0 THEN 1 ELSE 0 END) > 0
+                THEN CAST(ROUND(CAST(sum(CASE WHEN fp > 0 THEN fp ELSE 0 END)
+                       AS DOUBLE)
+                       / sum(CASE WHEN fp > 0 THEN 1 ELSE 0 END) * 1e6)
+                     AS BIGINT)
+           END AS mean_first_pad_e6,
+           CAST(ROUND(CAST(sum(np) AS DOUBLE) / sum(n) * 1e6) AS BIGINT)
+             AS pad_rate_e6
+    FROM p GROUP BY 1
+    """,
+)
+def seq_pad_profile(spark, sf_dir):
+    """PAD-structure QA per source: trailing/leading pad shares, mean
+    trailing run, mean first-PAD position, overall pad rate (see
+    textops.pad_profile)."""
+    return textops.pad_profile(_seq(spark))
+
+
+@q(
+    "ts_typical_day",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, CAST((ep // 3600) % 24 AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(ROUND(quantile_cont(v, 0.1)) AS BIGINT) AS p10_e6,
+           CAST(ROUND(quantile_cont(v, 0.5)) AS BIGINT) AS p50_e6,
+           CAST(ROUND(quantile_cont(v, 0.9)) AS BIGINT) AS p90_e6
+    FROM b GROUP BY 1, 2
+    """,
+)
+def ts_typical_day(spark, sf_dir):
+    """Typical-day p10/p50/p90 envelope per series at each hour-of-day
+    over e6-grid hourly means — the seasonal anomaly band (see
+    analytics.typical_day)."""
+    return analytics.typical_day(_ev(spark, sf_dir), ["event_type"])

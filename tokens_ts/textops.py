@@ -2656,3 +2656,69 @@ def token_cube(docs: DataFrame, source_col: str = "source") -> DataFrame:
             "n_tokens",
         )
     )
+
+
+def pad_profile(
+    seq: DataFrame,
+    pad_id: int = 0,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """PAD-structure QA per source: where padding sits inside the
+    sequences — the truncation/corruption detector (a tokenizer bug
+    that truncates writes trailing-PAD runs; an alignment bug writes
+    LEADING pads; a healthy packed corpus has interior pads only at
+    the documented rate). Reports: sequence share ending in PAD,
+    share starting with PAD, mean trailing-run length, mean first-PAD
+    position among sequences that contain any (1-based; null when no
+    sequence has a pad), and the overall PAD token rate.
+
+    All row-local array expressions (trailing run = n − last
+    non-PAD position, first-PAD via array_position) + one map-side-
+    combined agg to a sources-bounded frame; every emitted number is
+    a ratio of exact bigints."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # last non-pad 1-based position (0 if all pad) via max over indices
+    nonpad_pos = F.filter(
+        F.sequence(F.lit(1), n), lambda i: F.get(toks, i - 1) != pad_id
+    )
+    last_np = F.coalesce(F.array_max(nonpad_pos), F.lit(0))
+    trail = (n - last_np).cast("bigint")
+    first_pad = F.array_position(toks, pad_id).cast("bigint")  # 0 if none
+    d = seq.where(n > 0).select(
+        source_col,
+        n.cast("bigint").alias("_n"),
+        trail.alias("_trail"),
+        first_pad.alias("_fp"),
+        F.size(F.filter(toks, lambda x: x == pad_id))
+        .cast("bigint")
+        .alias("_np"),
+        (F.get(toks, 0) == pad_id).cast("bigint").alias("_lead"),
+    )
+    return d.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_seqs"),
+        F.round(
+            F.sum((F.col("_trail") > 0).cast("bigint")).cast("double")
+            / F.count("*")
+            * 1e6
+        ).cast("bigint").alias("trailing_pad_e6"),
+        F.round(F.sum("_lead").cast("double") / F.count("*") * 1e6)
+        .cast("bigint")
+        .alias("leading_pad_e6"),
+        F.round(F.sum("_trail").cast("double") / F.count("*") * 1e6)
+        .cast("bigint")
+        .alias("mean_trail_run_e6"),
+        F.when(
+            F.sum((F.col("_fp") > 0).cast("bigint")) > 0,
+            F.round(
+                F.sum(F.when(F.col("_fp") > 0, F.col("_fp")).otherwise(0))
+                .cast("double")
+                / F.sum((F.col("_fp") > 0).cast("bigint"))
+                * 1e6
+            ).cast("bigint"),
+        ).alias("mean_first_pad_e6"),
+        F.round(F.sum("_np").cast("double") / F.sum("_n") * 1e6)
+        .cast("bigint")
+        .alias("pad_rate_e6"),
+    )
