@@ -2526,3 +2526,38 @@ def test_typical_day_band_and_hour_bucketing(spark):
     assert h5["p10_e6"] == round((90 + 0.2 * 10) * 1e6)  # linear interp
     assert h5["p90_e6"] == round((100 + 0.8 * 10) * 1e6)
     assert h6["p10_e6"] == h6["p50_e6"] == h6["p90_e6"] == 1_000_000
+
+
+def test_funnel3_greedy_matching_and_deadlines(spark):
+    """User 1 completes the chain inside the window; user 2's purchase
+    arrives after the click deadline even though each hop is short
+    (t3 − t1 rules, pinned); user 3 signs up with no prior click (no
+    anchor); user 4 shows the greedy win: an old click + a late click
+    before the signup — the LATE anchor keeps the chain alive."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta
+    rows = [
+        (1, 1, t0, "click"),
+        (2, 1, t0 + m(minutes=10), "signup"),
+        (3, 1, t0 + m(minutes=20), "purchase"),
+        (4, 2, t0, "click"),
+        (5, 2, t0 + m(minutes=50), "signup"),
+        (6, 2, t0 + m(minutes=80), "purchase"),   # 80m > 60m from click
+        (7, 3, t0 + m(minutes=5), "signup"),
+        (8, 3, t0 + m(minutes=10), "purchase"),
+        (9, 4, t0 - m(hours=5), "click"),          # stale anchor
+        (10, 4, t0 + m(minutes=30), "click"),      # fresh anchor
+        (11, 4, t0 + m(minutes=40), "signup"),
+        (12, 4, t0 + m(minutes=55), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["day"]: r for r in analytics.funnel3(ev).collect()}
+    d = out["2024-01-01"]
+    assert d["n_step3"] == 4
+    assert d["n_converted"] == 2  # users 1 and 4
+    assert d["n_users_converted"] == 2
+    assert d["conversion_e6"] == 500_000

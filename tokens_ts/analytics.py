@@ -3803,3 +3803,84 @@ def typical_day(
             .alias(f"p{int(q * 100)}_e6")
         )
     return b.groupBy(*keys, hod).agg(*aggs)
+
+
+def funnel3(
+    events: DataFrame,
+    steps: tuple = ("click", "signup", "purchase"),
+    window_s: int = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Three-step ordered funnel per day: step1 < step2 < step3 by the
+    same user, all within window_s of the ANCHORING step-1 event —
+    the two-step funnel's missing middle (a signup between click and
+    purchase is the difference between attribution and coincidence).
+
+    Matching rule (pinned, greedy-optimal): each step-2 event anchors
+    to the LATEST step-1 before it (the running click maximum — any
+    other choice has an older anchor and can only lose the deadline);
+    each step-3 event takes the LATEST qualified step-2 before it,
+    whose anchor is the max over qualified signups for the same
+    monotonicity reason; strictness is by (ts, id) arrival order
+    (same-timestamp chains resolve by id). The step-3 deadline is
+    measured from the step-1 anchor: t3 − t1 ≤ window_s.
+
+    Scale shape: TWO cumulative last-ignorenulls passes on the same
+    user-key window (the ffill machinery), then one map-side-combined
+    agg to a days-bounded frame. No joins, no self-products."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ep = F.unix_timestamp(F.col(ts_col))
+    s1, s2, s3 = steps
+    prev_click = F.last(
+        F.when(F.col(type_col) == s1, ep), ignorenulls=True
+    ).over(w)
+    d2 = events.select(
+        user_col,
+        type_col,
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        ep.alias("_ep"),
+        prev_click.alias("_pc"),
+    )
+    qual2 = (
+        (F.col(type_col) == s2)
+        & F.col("_pc").isNotNull()
+        & (F.col("_ep") - F.col("_pc") <= window_s)
+    )
+    d2 = d2.withColumn("_anchor", F.when(qual2, F.col("_pc")))
+    wp = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc("_ts"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the anchor lookback must be materialized BEFORE the step-3 filter:
+    # a window evaluated after .where(type == step3) would only see
+    # step-3 rows and never a signup's anchor
+    d3 = d2.withColumn(
+        "_pa", F.last("_anchor", ignorenulls=True).over(wp)
+    )
+    p = d3.where(F.col(type_col) == s3).select(
+        user_col,
+        F.date_format(F.date_trunc("day", "_ts"), "yyyy-MM-dd").alias("day"),
+        (
+            F.col("_pa").isNotNull()
+            & (F.col("_ep") - F.col("_pa") <= window_s)
+        ).cast("bigint").alias("_conv"),
+    )
+    return p.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_step3"),
+        F.sum("_conv").cast("bigint").alias("n_converted"),
+        F.countDistinct(
+            F.when(F.col("_conv") == 1, F.col(user_col))
+        ).cast("bigint").alias("n_users_converted"),
+        F.round(F.sum("_conv").cast("double") / F.count("*") * 1e6)
+        .cast("bigint")
+        .alias("conversion_e6"),
+    )

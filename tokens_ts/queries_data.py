@@ -8359,3 +8359,53 @@ def ts_typical_day(spark, sf_dir):
     over e6-grid hourly means — the seasonal anomaly band (see
     analytics.typical_day)."""
     return analytics.typical_day(_ev(spark, sf_dir), ["event_type"])
+
+
+@q(
+    "ts_funnel3",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    a AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN ep END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pc
+      FROM e
+    ),
+    b AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'signup' AND pc IS NOT NULL
+                              AND ep - pc <= 21600 THEN pc END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pa
+      FROM a
+    ),
+    p AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+             CASE WHEN pa IS NOT NULL AND ep - pa <= 21600
+                  THEN 1 ELSE 0 END AS conv
+      FROM b WHERE event_type = 'purchase'
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_step3,
+           CAST(sum(conv) AS BIGINT) AS n_converted,
+           CAST(count(DISTINCT CASE WHEN conv = 1 THEN user_id END)
+             AS BIGINT) AS n_users_converted,
+           CAST(ROUND(CAST(sum(conv) AS DOUBLE) / count(*) * 1e6)
+             AS BIGINT) AS conversion_e6
+    FROM p GROUP BY 1
+    """,
+)
+def ts_funnel3(spark, sf_dir):
+    """Three-step ordered funnel (click → signup → purchase, all
+    within 6 h of the anchoring click) per day — greedy latest-anchor
+    matching, provably equivalent to chain existence (see
+    analytics.funnel3)."""
+    return analytics.funnel3(_ev(spark, sf_dir), window_s=21600)
