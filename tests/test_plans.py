@@ -627,3 +627,105 @@ def test_mmr_corpus_scanned_once_broadcast_queries(spark):
     # InMemoryTableScan (2 file scans per build: corpus + query side)
     assert plan.count("InMemoryTableScan") >= 1, plan
     assert plan.count("Scan parquet") <= 2 * plan.count("InMemoryTableScan"), plan
+
+
+# ---------------------------------------------------------------------------
+# round-5h/5i operator plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_cdc_jl_are_shuffle_free(spark, seq_tiny):
+    """The per-sequence token planners (span corruption, CDC chunking)
+    and the JL projection are pure row-local expressions: no Exchange
+    anywhere — map-only stages at any corpus size."""
+    from tokens_ts import simsearch, textops
+
+    for df in (
+        textops.span_corruption_plan(seq_tiny),
+        textops.cdc_chunks(seq_tiny),
+    ):
+        assert "Exchange" not in _plan(df)
+    rows = [(i, [float(i)] * 64) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert "Exchange" not in _plan(simsearch.jl_project(emb))
+
+
+def test_hard_negatives_broadcast_queries_no_corpus_self_join(spark):
+    """Hard-negative mining broadcasts the query sample over ONE
+    corpus scan (BroadcastNestedLoopJoin) and reduces via a partial
+    (map-side) aggregate — never a corpus self-join or corpus-wide
+    window."""
+    from tokens_ts import simsearch
+
+    rows = [(i, [float(i % 5)] * 16, i % 3) for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    plan = _plan(simsearch.hard_negatives(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_pq_error_single_scan_broadcast_codebook(spark):
+    """PQ assignment is row-local inside one corpus scan with the
+    codebook as a broadcast single-row relation: the only join is the
+    broadcast crossJoin, no shuffle of corpus rows (the final plan has
+    exactly the codebook-build exchange, never a corpus Exchange)."""
+    import tempfile
+
+    from tokens_ts import simsearch
+
+    rows = [(i, [float((i * 7 + j) % 11) for j in range(64)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = tempfile.mkdtemp(prefix="plans_pq_") + "/emb"
+    emb.write.mode("overwrite").parquet(path)
+    plan = _plan(simsearch.pq_error(spark.read.parquet(path)))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_zorder_layout_single_partial_agg(spark, events_path):
+    """The z-order audit is ONE map-side-combined aggregation over a
+    row-local key expression: exactly one shuffle (the agg exchange),
+    no window, no join."""
+    from tokens_ts import tiers
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(tiers.zorder_layout(ev))
+    assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_dispersion_and_burn_rate_bounded_frames(spark, events_path):
+    """dispersion_stats: two chained aggs, no joins/windows at all;
+    burn_rate: the only Window sits ABOVE the hourly aggregate (the
+    calendar-bounded frame), with the corpus reduced first."""
+    from tokens_ts import analytics
+
+    ev = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.dispersion_stats(ev, ["event_type"]))
+    assert "Join" not in plan and "Window" not in plan
+    plan2 = _plan(analytics.burn_rate(ev))
+    assert "Join" not in plan2
+    # the window input is the aggregated hourly frame: the Window node
+    # must appear only after a HashAggregate in the plan tree string
+    w_at = plan2.index("Window")
+    assert "HashAggregate" in plan2[w_at:]
+
+
+def test_centroid_drift_no_corpus_broadcast_or_window(spark):
+    """Centroid drift reduces the corpus with ONE (label, parity)
+    partial agg; the self-join afterwards is labels-bounded (broadcast
+    or tiny SMJ is fine) — but no Window and no corpus-side
+    BroadcastNestedLoopJoin may appear."""
+    from tokens_ts import simsearch
+
+    rows = [(i, [float(i % 5)] * 64, i % 4) for i in range(80)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    plan = _plan(simsearch.centroid_drift(emb))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
