@@ -277,6 +277,14 @@ def main():
     bench("ngram_uniq", lambda: _materialize(
         textops.ngram_uniqueness(seq, max_n=4)
     ))
+    # round-5h/5i: per-sequence token planners (row-local, the map-only
+    # denoising/chunking prep over the 60k-seq / ~8M-token corpus) and
+    # the broadcast-codebook PQ assignment over the cached embeddings
+    bench("span_corruption", lambda: _materialize(
+        textops.span_corruption_plan(seq)
+    ))
+    bench("cdc_chunks", lambda: _materialize(textops.cdc_chunks(seq)))
+    bench("pq_error", lambda: _materialize(simsearch.pq_error(emb)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
