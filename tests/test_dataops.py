@@ -3162,3 +3162,29 @@ def test_pad_profile_hand_counts(spark):
     t = out["t"]
     assert t["pad_rate_e6"] == 0 and t["mean_first_pad_e6"] is None
     assert t["trailing_pad_e6"] == 0
+
+
+def test_phrase_search_adjacency_order_and_triples(spark):
+    """Order matters ("hash table" docs don't match "table hash");
+    back-to-back repeats count every start; a 3-word phrase chains two
+    adjacency joins; single-word phrases are rejected."""
+    rows = [
+        (1, "the table hash wins", "s"),
+        (2, "hash table is reversed", "s"),
+        (3, "table hash table hash", "s"),        # starts at 1 and 3
+        (4, "table nothash table hash x", "s"),
+        (5, "big table hash join plan", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in textops.phrase_search(docs, "table hash").collect()
+    }
+    assert out == {1: 1, 3: 2, 4: 1, 5: 1}
+    out3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in textops.phrase_search(docs, "table hash join").collect()
+    }
+    assert out3 == {5: 1}
+    with pytest.raises(ValueError):
+        textops.phrase_search(docs, "table")

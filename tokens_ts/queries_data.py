@@ -8409,3 +8409,27 @@ def ts_funnel3(spark, sf_dir):
     matching, provably equivalent to chain existence (see
     analytics.funnel3)."""
     return analytics.funnel3(_ev(spark, sf_dir), window_s=21600)
+
+
+@q(
+    "doc_phrase_search",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(ws)),
+             i -> ws[i] = 'table' AND ws[i + 1] = 'hash')) AS BIGINT)
+             AS n_matches
+    FROM w
+    WHERE len(list_filter(range(1, len(ws)),
+            i -> ws[i] = 'table' AND ws[i + 1] = 'hash')) > 0
+    """,
+)
+def doc_phrase_search(spark, sf_dir):
+    """Exact phrase search for "table hash" via positional posting-
+    list intersection; the oracle counts the same phrase row-locally
+    by position scan — two independent algorithms, identical counts
+    (see textops.phrase_search)."""
+    return textops.phrase_search(_docs(spark, sf_dir), "table hash")

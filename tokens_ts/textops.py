@@ -2722,3 +2722,44 @@ def pad_profile(
         .cast("bigint")
         .alias("pad_rate_e6"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase search: count exact phrase occurrences
+    per document by intersecting per-word posting lists on adjacent
+    positions — the index-side retrieval primitive BM25 (bag-of-words)
+    cannot express ("hash table" ≠ "table hash"). Overlapping starts
+    all count (distinct-word phrases cannot overlap themselves;
+    pinned).
+
+    Scale shape: the posting build filters the exploded words to the
+    phrase's vocabulary BEFORE any shuffle — the per-word lists that
+    join are phrase-term-frequency sized, never corpus sized; the
+    k−1 adjacency joins are equi-joins on (doc, position+offset). On
+    a real deployment the posting lists are the stored index and the
+    build is amortized; here both build and query are measured
+    together."""
+    words = [w for w in phrase.strip().split() if w]
+    if len(words) < 2:
+        raise ValueError("phrase_search needs a multi-word phrase")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    post = (
+        docs.select(id_col, F.posexplode(ws).alias("pos", "w"))
+        .where(F.col("w").isin(words))
+    )
+    out = post.where(F.col("w") == words[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for k, w in enumerate(words[1:], start=1):
+        nxt = post.where(F.col("w") == w).select(
+            id_col, (F.col("pos") - k).alias("p0")
+        )
+        out = out.join(nxt, [id_col, "p0"])
+    return out.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
