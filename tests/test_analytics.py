@@ -2561,3 +2561,30 @@ def test_funnel3_greedy_matching_and_deadlines(spark):
     assert d["n_converted"] == 2  # users 1 and 4
     assert d["n_users_converted"] == 2
     assert d["conversion_e6"] == 500_000
+
+
+def test_peak_concurrency_sweep_rules(spark):
+    """Three users: A 10:00-10:10, B 10:10-10:20 (touching at 10:10 —
+    counts concurrent, starts before ends), C 10:05 single event
+    (zero-length, overlaps A) -> peak 2 at 10:05 (earliest instant
+    achieving it; the 10:10 touch also reaches 2 but later); a
+    cross-midnight session belongs to its start day."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=10)),
+        (3, 2, t0 + dt.timedelta(minutes=10)), (4, 2, t0 + dt.timedelta(minutes=20)),
+        (5, 3, t0 + dt.timedelta(minutes=5)),
+        (6, 4, dt.datetime(2024, 1, 2, 23, 50)),
+        (7, 4, dt.datetime(2024, 1, 2, 23, 59)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["day"]: r for r in analytics.peak_concurrency(ev).collect()}
+    d1 = out["2024-01-01"]
+    assert d1["n_sessions"] == 3
+    assert d1["peak_concurrency"] == 2
+    assert d1["peak_ts"] == "2024-01-01 10:05:00"
+    d2 = out["2024-01-02"]
+    assert d2["n_sessions"] == 1 and d2["peak_concurrency"] == 1
+    assert "2024-01-03" not in out

@@ -3884,3 +3884,95 @@ def funnel3(
         .cast("bigint")
         .alias("conversion_e6"),
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number
+    (simultaneous connections / license seats / live users) that mean
+    load hides: sessionize each user's stream with the standard
+    gap_s rule, turn every session into a +1 (start) / −1 (end)
+    endpoint, and sweep. Pins: a session belongs to the day its START
+    falls in (cross-midnight sessions count toward the entry day —
+    the on-call convention); at equal timestamps starts process
+    BEFORE ends (touching sessions count as concurrent) and ties then
+    break by user id; peak_ts is the EARLIEST instant achieving the
+    peak; single-event sessions are zero-length intervals and still
+    count where they touch.
+
+    Scale shape: sessionization is the usual user-key lag+cumsum;
+    endpoints collapse to ≤2 rows per session (sessions-bounded, far
+    below event volume); the sweep is a cumulative window per
+    start-day partition of that small frame."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ep = F.unix_timestamp(F.col(ts_col))
+    d = events.select(
+        user_col,
+        F.col(ts_col).alias("_rts"),
+        F.col(id_col).alias("_rid"),
+        ep.alias("_ep"),
+        F.when(
+            (ep - F.lag(ep).over(w) > gap_s)
+            | F.lag(ep).over(w).isNull(),
+            1,
+        ).otherwise(0).alias("_new"),
+    )
+    # the cumsum MUST walk the identical (raw ts, id) total order the
+    # lag pass used — ordering by the second-truncated epoch would let
+    # same-second rows permute and flip session membership
+    d = d.withColumn(
+        "_sid",
+        F.sum("_new").over(
+            Window.partitionBy(user_col)
+            .orderBy(F.asc("_rts"), F.asc("_rid"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = d.groupBy(user_col, "_sid").agg(
+        F.min("_ep").alias("_start"), F.max("_ep").alias("_end")
+    )
+    day = F.date_format(
+        F.to_timestamp(F.col("_start").cast("timestamp")), "yyyy-MM-dd"
+    )
+    pts = s.select(
+        day.alias("day"),
+        F.col("_start").alias("_t"),
+        F.lit(1).alias("_d"),
+        F.col(user_col).alias("_u"),
+    ).unionByName(
+        s.select(
+            day.alias("day"),
+            F.col("_end").alias("_t"),
+            F.lit(-1).alias("_d"),
+            F.col(user_col).alias("_u"),
+        )
+    )
+    ws = Window.partitionBy("day").orderBy(
+        F.asc("_t"), F.desc("_d"), F.asc("_u")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.withColumn("_c", F.sum("_d").over(ws)).withColumn(
+        "_peak", F.max("_c").over(Window.partitionBy("day"))
+    )
+    agg = run.groupBy("day").agg(
+        F.max("_c").cast("bigint").alias("peak_concurrency"),
+        F.sum(F.when(F.col("_d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.min(F.when(F.col("_c") == F.col("_peak"), F.col("_t")))
+        .cast("bigint")
+        .alias("peak_ep"),
+    )
+    return agg.select(
+        "day",
+        "n_sessions",
+        "peak_concurrency",
+        F.date_format(
+            F.to_timestamp(F.col("peak_ep").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("peak_ts"),
+    )

@@ -8433,3 +8433,59 @@ def doc_phrase_search(spark, sf_dir):
     by position scan — two independent algorithms, identical counts
     (see textops.phrase_search)."""
     return textops.phrase_search(_docs(spark, sf_dir), "table hash")
+
+
+@q(
+    "ts_peak_concurrency",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ep
+      FROM l
+    ),
+    iv AS (
+      SELECT user_id, sid, min(ep) AS s, max(ep) AS e
+      FROM sess GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT strftime(to_timestamp(s), '%Y-%m-%d') AS day, s AS t,
+             1 AS d, user_id AS u FROM iv
+      UNION ALL
+      SELECT strftime(to_timestamp(s), '%Y-%m-%d'), e, -1, user_id FROM iv
+    ),
+    run AS (
+      SELECT day, t, d,
+             sum(d) OVER (PARTITION BY day ORDER BY t, d DESC, u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    ),
+    pk AS (
+      SELECT day, t, d, c, max(c) OVER (PARTITION BY day) AS peak
+      FROM run
+    )
+    SELECT day,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(max(c) AS BIGINT) AS peak_concurrency,
+           strftime(to_timestamp(min(CASE WHEN c = peak THEN t END)),
+                    '%Y-%m-%d %H:%M:%S') AS peak_ts
+    FROM pk GROUP BY 1
+    """,
+)
+def ts_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day via the endpoint sweep over
+    gap-sessionized intervals — starts before ends at equal instants,
+    session owned by its start day, earliest peak instant (see
+    analytics.peak_concurrency)."""
+    return analytics.peak_concurrency(_ev(spark, sf_dir))
