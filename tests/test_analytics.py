@@ -2588,3 +2588,71 @@ def test_peak_concurrency_sweep_rules(spark):
     d2 = out["2024-01-02"]
     assert d2["n_sessions"] == 1 and d2["peak_concurrency"] == 1
     assert "2024-01-03" not in out
+
+
+def _tb_events(spark, rows):
+    """rows: (user, event_id, epoch_s)."""
+    return spark.createDataFrame(
+        [(u, i, t) for u, i, t in rows], "user_id string, event_id long, t long"
+    ).select("user_id", "event_id", F.timestamp_seconds("t").alias("event_ts"))
+
+
+def test_token_bucket_burst_then_reject_then_refill(spark):
+    """cap=300, cost=100: bucket starts full → 3 back-to-back admits
+    drain it to 0; a 4th immediate event is rejected and consumes
+    nothing; after 100 s of refill the next event admits again."""
+    df = _tb_events(
+        spark,
+        [("u", 1, 1000), ("u", 2, 1000), ("u", 3, 1000), ("u", 4, 1000),
+         ("u", 5, 1100)],
+    )
+    out = sorted(
+        analytics.token_bucket(df, keys=["user_id"], cap=300, cost=100).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [r["admitted"] for r in out] == [1, 1, 1, 0, 1]
+    assert [r["level_after"] for r in out] == [200, 100, 0, 0, 0]
+
+
+def test_token_bucket_cap_clamp_after_long_gap(spark):
+    """A gap far longer than cap refills to exactly cap, never more:
+    the event after a 10^6-second idle admits and lands at cap−cost."""
+    df = _tb_events(spark, [("u", 1, 0), ("u", 2, 50), ("u", 3, 1_000_050)])
+    out = sorted(
+        analytics.token_bucket(df, keys=["user_id"], cap=300, cost=200).collect(),
+        key=lambda r: r["event_id"],
+    )
+    # e1: full→100; e2: 100+50=150 < 200 → reject, stays 150;
+    # e3: clamp to 300 → admit → 100.
+    assert [r["admitted"] for r in out] == [1, 0, 1]
+    assert [r["level_after"] for r in out] == [100, 150, 100]
+
+
+def test_token_bucket_rejected_consumes_nothing(spark):
+    """Two rejects in a row keep the level walking up by elapsed time
+    only — a rejected event must not debit the bucket."""
+    df = _tb_events(spark, [("u", 1, 0), ("u", 2, 10), ("u", 3, 20), ("u", 4, 200)])
+    out = sorted(
+        analytics.token_bucket(df, keys=["user_id"], cap=100, cost=100).collect(),
+        key=lambda r: r["event_id"],
+    )
+    # e1 admits (full) → 0; e2 pre=10 reject → 10; e3 pre=20 reject → 20;
+    # e4 pre=min(100, 20+180)=100 admit → 0.
+    assert [r["admitted"] for r in out] == [1, 0, 0, 1]
+    assert [r["level_after"] for r in out] == [0, 10, 20, 0]
+
+
+def test_token_bucket_same_second_ordered_by_id_and_keys_isolated(spark):
+    """Same-second arrivals are processed in id order (no refill
+    between them), and each user replays an independent bucket."""
+    df = _tb_events(
+        spark,
+        [("a", 2, 500), ("a", 1, 500), ("b", 7, 500)],
+    )
+    out = {r["event_id"]: r for r in analytics.token_bucket(
+        df, keys=["user_id"], cap=150, cost=100).collect()}
+    # user a: id 1 first (admit, 50), then id 2 (pre=50 reject).
+    assert out[1]["admitted"] == 1 and out[1]["level_after"] == 50
+    assert out[2]["admitted"] == 0 and out[2]["level_after"] == 50
+    # user b unaffected by a's drain.
+    assert out[7]["admitted"] == 1 and out[7]["level_after"] == 50

@@ -3976,3 +3976,74 @@ def peak_concurrency(
             "yyyy-MM-dd HH:mm:ss",
         ).alias("peak_ts"),
     )
+
+
+def token_bucket(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    id_col: str = "event_id",
+    cap: int = 86400,
+    cost: int = 28800,
+) -> DataFrame:
+    """Token-bucket rate-limiter replay per key: decide, for every
+    event in arrival order, whether a bucket of capacity `cap` units
+    refilling at 1 unit per elapsed second would have admitted it at
+    cost `cost` units — the admission-control / quota audit that says
+    what a production rate limit WOULD have rejected, replayed offline
+    over the event log.
+
+    Recurrence per key, events ordered by (raw ts, id):
+        pre_n  = min(cap, post_{n-1} + (ep_n − ep_{n-1}))   n > 1
+        pre_1  = cap                       (bucket starts FULL)
+        admit  = pre_n ≥ cost
+        post_n = pre_n − cost·admit        (REJECTED events consume 0)
+    All state is integer seconds → both engines walk identical exact
+    arithmetic; same-second arrivals refill 0 between them and are
+    ordered by id (the established same-second tie rule — ordering by
+    the truncated epoch would let them permute). The min() clamp makes
+    this a genuinely sequential recurrence no window frame expresses
+    (unlike a plain cumsum, the clamp resets history), so it takes the
+    sanctioned Arrow path: ONE key shuffle into applyInPandas with an
+    int64 numpy loop, per-group state O(events-per-key). The oracle
+    replays the identical recurrence as a recursive CTE stepping
+    row_number — two independent engines, per-event level equality."""
+    d = df.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.unix_timestamp(ts_col).alias("_ep"),
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in d.select(*keys).schema.fields
+    )
+    schema = (
+        f"{out_fields}, {id_col} bigint, ep bigint, "
+        "level_after bigint, admitted bigint"
+    )
+
+    def _replay(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["_ts", "_id"]).reset_index(drop=True)
+        ep = pdf["_ep"].to_numpy(dtype="int64")
+        n = len(ep)
+        lvl = np.empty(n, dtype="int64")
+        adm = np.empty(n, dtype="int64")
+        post = cap
+        prev = ep[0] if n else 0
+        for t in range(n):
+            pre = min(cap, post + (ep[t] - prev)) if t else cap
+            adm[t] = 1 if pre >= cost else 0
+            post = pre - cost * adm[t]
+            lvl[t] = post
+            prev = ep[t]
+        res = pdf[[*keys]].copy()
+        res[id_col] = pdf["_id"]
+        res["ep"] = pdf["_ep"]
+        res["level_after"] = lvl
+        res["admitted"] = adm
+        return res
+
+    return d.groupBy(*keys).applyInPandas(_replay, schema=schema)

@@ -8489,3 +8489,42 @@ def ts_peak_concurrency(spark, sf_dir):
     session owned by its start day, earliest peak instant (see
     analytics.peak_concurrency)."""
     return analytics.peak_concurrency(_ev(spark, sf_dir))
+
+
+@q(
+    "ts_token_bucket",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    tb AS (
+      SELECT user_id, event_id, ep, rn,
+             CAST(CASE WHEN 86400 >= 28800 THEN 86400 - 28800
+                       ELSE 86400 END AS BIGINT) AS lvl,
+             CAST(CASE WHEN 86400 >= 28800 THEN 1 ELSE 0 END
+               AS BIGINT) AS admitted
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ep, e.rn,
+             CASE WHEN least(86400, t.lvl + (e.ep - t.ep)) >= 28800
+                  THEN least(86400, t.lvl + (e.ep - t.ep)) - 28800
+                  ELSE least(86400, t.lvl + (e.ep - t.ep)) END,
+             CASE WHEN least(86400, t.lvl + (e.ep - t.ep)) >= 28800
+                  THEN 1 ELSE 0 END
+      FROM tb t JOIN ev e
+        ON e.user_id = t.user_id AND e.rn = t.rn + 1
+    )
+    SELECT user_id, event_id, ep, lvl AS level_after, admitted FROM tb
+    """,
+)
+def ts_token_bucket(spark, sf_dir):
+    """Token-bucket rate-limiter replay per user (cap 86400 units,
+    cost 28800, refill 1 unit/s): per-event admit/reject decision and
+    post-event bucket level, Spark walking the integer recurrence in
+    an Arrow loop, the oracle replaying it as a recursive CTE (see
+    analytics.token_bucket)."""
+    return analytics.token_bucket(_ev(spark, sf_dir), keys=["user_id"], ts_col="ts")
