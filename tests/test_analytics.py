@@ -2656,3 +2656,52 @@ def test_token_bucket_same_second_ordered_by_id_and_keys_isolated(spark):
     assert out[2]["admitted"] == 0 and out[2]["level_after"] == 50
     # user b unaffected by a's drain.
     assert out[7]["admitted"] == 1 and out[7]["level_after"] == 50
+
+
+def test_dow_hour_pivot_anchor_and_zero_cells(spark):
+    """Epoch origin (1970-01-01, a Thursday) lands in dow3/hour0;
+    +3 days is Sunday (dow6); +4 days is Monday (dow0); cells with no
+    events read exact 0 and n_events sums the row."""
+    rows = [
+        ("a", 0),                 # Thu 00h
+        ("a", 0),                 # same cell
+        ("a", 3 * 86400),         # Sun 00h
+        ("a", 4 * 86400 + 3600),  # Mon 01h
+    ]
+    df = spark.createDataFrame(rows, "event_type string, t long").select(
+        "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+    out = {(r["event_type"], r["hour"]): r
+           for r in analytics.dow_hour_pivot(df).collect()}
+    h0 = out[("a", 0)]
+    assert h0["dow3"] == 2 and h0["dow6"] == 1 and h0["dow0"] == 0
+    assert h0["n_events"] == 3
+    h1 = out[("a", 1)]
+    assert h1["dow0"] == 1 and h1["n_events"] == 1
+    assert len(out) == 2  # (group, hour) rows with no events are absent
+
+
+def test_dow_hour_pivot_unpivots_back_to_long_counts(spark):
+    """stack()-ing the wide matrix reproduces the plain long
+    (group, hour, dow) counts — the pivot loses nothing."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("t%d" % (i % 2), rng.randrange(0, 14 * 86400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_type string, t long").select(
+        "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+    wide = analytics.dow_hour_pivot(df)
+    stacked = wide.select(
+        "event_type", "hour",
+        F.expr("stack(7, 0, dow0, 1, dow1, 2, dow2, 3, dow3, 4, dow4, "
+               "5, dow5, 6, dow6) AS (dow, n)"),
+    ).where(F.col("n") > 0)
+    eh = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast("bigint")
+    long = df.select(
+        "event_type", (eh % 24).alias("hour"),
+        ((F.floor(eh / 24).cast("bigint") + 3) % 7).alias("dow"),
+    ).groupBy("event_type", "hour", "dow").count()
+    a = {(r[0], r[1], r[2]): r[3] for r in stacked.collect()}
+    b = {(r[0], r[1], r[2]): r[3] for r in long.collect()}
+    assert a == b and len(a) > 50

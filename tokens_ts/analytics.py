@@ -4047,3 +4047,54 @@ def token_bucket(
         return res
 
     return d.groupBy(*keys).applyInPandas(_replay, schema=schema)
+
+
+def dow_hour_pivot(
+    df: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week × hour-of-day load matrix per group, WIDE: one row
+    per (group, hour 0–23) with a count column per weekday — the
+    pivoted heat-map a capacity dashboard renders directly, and the
+    relational PIVOT operator's canonical showcase (groupBy().pivot()
+    with the 7 output columns declared up front, so Spark skips the
+    extra distinct-values job and the plan is ONE partial→final
+    aggregation over 7 conditional counters; un-pivoting back is a
+    stack(), so the pair round-trips).
+
+    Calendar-free arithmetic (the week_phase convention): epoch_hour =
+    unix seconds // 3600; hour = epoch_hour mod 24; dow = (epoch_day
+    + 3) mod 7 anchored at the Unix origin (1970-01-01 = Thursday →
+    dow 3), 0 = Monday. Pure integer expressions, so no calendar or
+    timezone function can disagree across engines. Cells with no
+    events are exact 0 (coalesced post-pivot); (group, hour) rows with
+    no events at all are absent — both engines group over observed
+    rows only, pinned.
+
+    Scale shape: map-side partial aggregation directly to the
+    |groups|·24-row frame; no join, no window, no shuffle beyond the
+    single agg exchange."""
+    eh = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600).cast(
+        "bigint"
+    )
+    b = df.select(
+        F.col(by),
+        (eh % 24).alias("hour"),
+        ((F.floor(eh / 24).cast("bigint") + 3) % 7).alias("_dow"),
+    )
+    wide = (
+        b.groupBy(by, "hour")
+        .pivot("_dow", list(range(7)))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(str(d)), F.lit(0)).cast("bigint").alias(f"dow{d}")
+        for d in range(7)
+    ]
+    out = wide.select(by, F.col("hour").cast("bigint").alias("hour"), *cols)
+    total = None
+    for d in range(7):
+        t = F.col(f"dow{d}")
+        total = t if total is None else total + t
+    return out.withColumn("n_events", total.cast("bigint"))

@@ -8528,3 +8528,36 @@ def ts_token_bucket(spark, sf_dir):
     an Arrow loop, the oracle replaying it as a recursive CTE (see
     analytics.token_bucket)."""
     return analytics.token_bucket(_ev(spark, sf_dir), keys=["user_id"], ts_col="ts")
+
+
+@q(
+    "ts_pivot_dow_hour",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+               AS eh
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, eh % 24 AS hour, ((eh // 24) + 3) % 7 AS dow
+      FROM e
+    )
+    SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           CAST(sum(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow0,
+           CAST(sum(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow1,
+           CAST(sum(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow2,
+           CAST(sum(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow3,
+           CAST(sum(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow4,
+           CAST(sum(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow5,
+           CAST(sum(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow6,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def ts_pivot_dow_hour(spark, sf_dir):
+    """Day-of-week × hour-of-day event-count matrix per event type,
+    WIDE via the relational PIVOT with declared output columns; the
+    oracle rebuilds the same matrix as conditional sums (see
+    analytics.dow_hour_pivot)."""
+    return analytics.dow_hour_pivot(_ev(spark, sf_dir))
