@@ -3188,3 +3188,54 @@ def test_phrase_search_adjacency_order_and_triples(spark):
     assert out3 == {5: 1}
     with pytest.raises(ValueError):
         textops.phrase_search(docs, "table")
+
+
+# ---------------------------------------------------------------------------
+# fim_plan
+# ---------------------------------------------------------------------------
+
+
+def test_fim_plan_hand_walked_cuts_and_psm_hash(spark):
+    """tokens [5, 9, 2]: h1 = 5+18+6 = 29, c1 = 29 % 4 = 1;
+    h2 = 5+36+18 = 59, c2 = 1 + 59 % 3 = 3 → prefix [5], middle
+    [9, 2], suffix [] → PSM = [5] + [] + [9, 2] = "5,9,2"."""
+    import hashlib
+
+    df = spark.createDataFrame([("d", [5, 9, 2])], "doc_id string, tokens array<int>")
+    r = textops.fim_plan(df).collect()[0]
+    assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (1, 2, 0)
+    assert r["psm_md5"] == hashlib.md5(b"5,9,2").hexdigest()
+
+
+def test_fim_plan_python_reference_parity_and_reassembly(spark):
+    """The Spark cuts and PSM hash equal an independent python walk
+    for 40 pseudo-random sequences, segment lengths always sum to
+    n_tok, and empty segments appear at least once each."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(40):
+        n = rng.randrange(1, 12)
+        rows.append((f"d{d}", [rng.randrange(0, 50) for _ in range(n)]))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in textops.fim_plan(df).collect()}
+    saw_empty = set()
+    for doc, toks in rows:
+        n = len(toks)
+        h1 = sum((i + 1) * t for i, t in enumerate(toks))
+        h2 = sum((i + 1) * (i + 1) * t for i, t in enumerate(toks))
+        c1 = h1 % (n + 1)
+        c2 = c1 + h2 % (n - c1 + 1)
+        psm = toks[:c1] + toks[c2:] + toks[c1:c2]
+        r = out[doc]
+        assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (
+            c1, c2 - c1, n - c2)
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == n
+        assert r["psm_md5"] == hashlib.md5(
+            ",".join(str(t) for t in psm).encode()).hexdigest()
+        for name, ln in (("p", c1), ("m", c2 - c1), ("s", n - c2)):
+            if ln == 0:
+                saw_empty.add(name)
+    assert saw_empty == {"p", "m", "s"}

@@ -8561,3 +8561,40 @@ def ts_pivot_dow_hour(spark, sf_dir):
     oracle rebuilds the same matrix as conditional sums (see
     analytics.dow_hour_pivot)."""
     return analytics.dow_hour_pivot(_ev(spark, sf_dir))
+
+
+@q(
+    "seq_fim_plan",
+    _synth_cte()
+    + """
+    , f AS (
+      SELECT doc_id, n_tok, tokens,
+             list_sum(list_transform(range(1, n_tok + 1),
+               i -> i * CAST(tokens[i] AS BIGINT))) AS h1,
+             list_sum(list_transform(range(1, n_tok + 1),
+               i -> i * i * CAST(tokens[i] AS BIGINT))) AS h2
+      FROM seq
+    ),
+    c AS (
+      SELECT doc_id, n_tok, tokens,
+             h1 % (n_tok + 1) AS c1,
+             (h1 % (n_tok + 1))
+               + h2 % (n_tok - (h1 % (n_tok + 1)) + 1) AS c2
+      FROM f
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(c1 AS BIGINT) AS prefix_len,
+           CAST(c2 - c1 AS BIGINT) AS middle_len,
+           CAST(n_tok - c2 AS BIGINT) AS suffix_len,
+           md5(array_to_string(list_concat(list_concat(
+             list_slice(tokens, 1, c1),
+             list_slice(tokens, c2 + 1, n_tok)),
+             list_slice(tokens, c1 + 1, c2)), ',')) AS psm_md5
+    FROM c
+    """,
+)
+def seq_fim_plan(spark, sf_dir):
+    """Fill-in-the-middle PSM split plan per sequence: content-
+    addressed cuts, segment lengths, and the md5 of the reordered
+    [prefix][suffix][middle] token array (see textops.fim_plan)."""
+    return textops.fim_plan(_seq(spark))

@@ -2763,3 +2763,79 @@ def phrase_search(
     return out.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_matches")
     )
+
+
+def fim_plan(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) split planning per sequence: the
+    PSM transformation an infilling pretraining objective applies —
+    cut the token array into prefix|middle|suffix and emit it
+    reordered as [prefix][suffix][middle], so the model learns to
+    generate the middle conditioned on both sides. This op plans the
+    byte movement (cuts, lengths, and the md5 of the reordered
+    array); sentinel insertion is the consumer's job, pinned.
+
+    Cuts are deterministic and content-addressed so any engine
+    rebuilds them from the array alone (the span_corruption
+    convention): with 1-based positions,
+        h1 = Σ i·t_i        h2 = Σ i²·t_i          (exact bigints)
+        c1 = h1 mod (n+1)                         ∈ [0, n]
+        c2 = c1 + (h2 mod (n − c1 + 1))           ∈ [c1, n]
+    prefix = t[1..c1], middle = t[c1+1..c2], suffix = t[c2+1..n];
+    empty segments are legal (c1 = 0, c2 = c1, or c2 = n). PAD
+    tokens are ordinary content here — the split is positional, not
+    semantic. The md5 is over the comma-joined decimal tokens of the
+    PSM concatenation, forcing both engines to cut identical
+    boundaries AND move identical bytes.
+
+    Entirely row-local Catalyst (two indexed folds + three slices, no
+    explode, no shuffle) — a map-only stage at any corpus scale."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    h1 = F.aggregate(
+        F.transform(toks, lambda x, i: (i + 1).cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    h2 = F.aggregate(
+        F.transform(
+            toks,
+            lambda x, i: (i + 1).cast("long") * (i + 1).cast("long")
+            * x.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    d = seq.where(n > 0).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tok"),
+        (h1 % (n + 1).cast("long")).alias("_c1"),
+        h2.alias("_h2"),
+        toks.alias("_t"),
+    )
+    c1 = F.col("_c1")
+    c2 = c1 + F.col("_h2") % (F.col("n_tok") - c1 + 1)
+    d = d.withColumn("_c2", c2)
+    pre = F.slice(F.col("_t"), F.lit(1), c1.cast("int"))
+    mid = F.slice(
+        F.col("_t"), (c1 + 1).cast("int"), (F.col("_c2") - c1).cast("int")
+    )
+    suf = F.slice(
+        F.col("_t"),
+        (F.col("_c2") + 1).cast("int"),
+        (F.col("n_tok") - F.col("_c2")).cast("int"),
+    )
+    psm = F.concat(pre, suf, mid)
+    return d.select(
+        id_col,
+        "n_tok",
+        c1.cast("bigint").alias("prefix_len"),
+        (F.col("_c2") - c1).cast("bigint").alias("middle_len"),
+        (F.col("n_tok") - F.col("_c2")).cast("bigint").alias("suffix_len"),
+        F.md5(
+            F.concat_ws(",", F.transform(psm, lambda x: x.cast("string")))
+        ).alias("psm_md5"),
+    )
