@@ -2705,3 +2705,53 @@ def test_dow_hour_pivot_unpivots_back_to_long_counts(spark):
     a = {(r[0], r[1], r[2]): r[3] for r in stacked.collect()}
     b = {(r[0], r[1], r[2]): r[3] for r in long.collect()}
     assert a == b and len(a) > 50
+
+
+def _mi_events(spark, counts):
+    """counts: {type: [per-hour counts]} → events rows inside each hour."""
+    rows = []
+    for t, cs in counts.items():
+        for h, c in enumerate(cs):
+            rows += [(t, h * 3600 + i) for i in range(c)]
+    return spark.createDataFrame(rows, "event_type string, t long").select(
+        "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+
+
+def test_mutual_info_coupled_equals_marginal_and_constant_is_zero(spark):
+    """A series identical to another shares ALL its information
+    (MI == H(a) == H(b)); a constant series carries zero bits
+    (H == 0 → MI == 0), whatever its partner does."""
+    cs = [0, 1, 2, 3, 0, 1, 2, 3]
+    df = _mi_events(
+        spark, {"a": cs, "b": cs, "c": [1] * 8}
+    )
+    out = {(r["type_a"], r["type_b"]): r
+           for r in analytics.mutual_info(df).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_hours"] == 8
+    # 4 bins × 2 hours each → H = ln 4; fully coupled.
+    import math
+    ln4_e6 = round(math.log(4) * 1e6)
+    assert ab["h_a_e6"] == ab["h_b_e6"] == ln4_e6
+    assert ab["mi_e6"] == ln4_e6
+    ac = out[("a", "c")]
+    assert ac["h_b_e6"] == 0 and ac["mi_e6"] == 0
+
+
+def test_mutual_info_absent_hours_land_in_zero_zero_cell(spark):
+    """Hours with no events at all belong to the (0,0) cell: events
+    only at hours 0 and 9 → span 10, 8 absent hours; both series are
+    nonzero together at h0/h9 and zero together elsewhere → the
+    joint has two cells (8,2), fully coupled: MI = H = the two-cell
+    entropy, hand-computed."""
+    import math
+
+    df = _mi_events(spark, {"a": [2] + [0] * 8 + [1], "b": [1] + [0] * 8 + [3]})
+    # a: bins 2@h0, 1@h9; b: 1@h0, 3@h9 — but binning: a h0=2,h9=1; b h0=1,h9=3.
+    r = analytics.mutual_info(df).collect()[0]
+    assert r["n_hours"] == 10
+    # joint cells: (2,1)@h0 ×1, (1,3)@h9 ×1, (0,0) ×8.
+    n, cells = 10, [1, 1, 8]
+    h = math.log(n) - sum(c * math.log(c) for c in cells) / n
+    assert r["mi_e6"] == r["h_a_e6"] == r["h_b_e6"] == round(h * 1e6)

@@ -4098,3 +4098,122 @@ def dow_hour_pivot(
         t = F.col(f"dow{d}")
         total = t if total is None else total + t
     return out.withColumn("n_events", total.cast("bigint"))
+
+
+def mutual_info(
+    events: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    bin_cap: int = 3,
+) -> DataFrame:
+    """Binned mutual information between every pair of series over
+    the shared hourly grid — the dependence monitor that catches
+    nonlinear coupling a Pearson correlation smooths over (an error
+    series that fires exactly when clicks are EITHER silent or
+    saturated correlates ~0 but carries bits). Series = per-`by`
+    hourly event counts; each hour's count is binned to
+    min(count, bin_cap), so the joint distribution is a
+    (bin_cap+1)² contingency table per pair.
+
+    The distribution is over ALL hours of the global span: hours with
+    no events at all for a pair land in the (0,0) cell — computed as
+    span − |observed hours| and added as a literal, never a spine
+    join. MI in ln form from exact bigint cell counts:
+        MI = ln N + (Σ n_ij·ln n_ij − Σ r_i·ln r_i − Σ c_j·ln c_j)/N
+    (the dist_entropy convention; e6-rounded, sums over ≤(cap+1)²
+    cells). Marginal entropies H(A) = ln N − Σ r ln r / N ride along,
+    so the pair report reads MI against its ceiling min(H_A, H_B).
+
+    Scale shape: ONE map-side-combined (hour, type) count agg reduces
+    the corpus to hours×types; the pivot to a types-wide hour frame,
+    the pair binning, and every entropy sum operate on that bounded
+    frame (pairs are types², cells (cap+1)² — control-plane sized).
+    The distinct-type list and the span scalars are the only
+    collects, both types/scalar-bounded."""
+    eh = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600).cast(
+        "bigint"
+    )
+    hc = events.groupBy(eh.alias("h"), F.col(by).alias("_t")).agg(
+        F.count("*").alias("c")
+    )
+    hc = hc.cache()
+    types = sorted(r[0] for r in hc.select("_t").distinct().collect())
+    s = hc.agg(
+        (F.max("h") - F.min("h") + 1).alias("span"),
+        F.count_distinct("h").alias("present"),
+    ).collect()[0]
+    n_hours, n_absent = int(s["span"]), int(s["span"] - s["present"])
+    wide = hc.groupBy("h").pivot("_t", types).agg(F.sum("c"))
+    spark = events.sparkSession
+    parts = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            parts.append(
+                wide.select(
+                    F.lit(a).alias("type_a"),
+                    F.lit(b).alias("type_b"),
+                    F.least(F.coalesce(F.col(a), F.lit(0)), F.lit(bin_cap))
+                    .cast("int")
+                    .alias("ba"),
+                    F.least(F.coalesce(F.col(b), F.lit(0)), F.lit(bin_cap))
+                    .cast("int")
+                    .alias("bb"),
+                )
+            )
+    from functools import reduce
+
+    binned = reduce(lambda x, y: x.unionAll(y), parts)
+    cells = binned.groupBy("type_a", "type_b", "ba", "bb").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    if n_absent > 0:
+        pairs = [
+            (a, b, 0, 0, n_absent)
+            for i, a in enumerate(types)
+            for b in types[i + 1 :]
+        ]
+        extra = spark.createDataFrame(
+            pairs, "type_a string, type_b string, ba int, bb int, n bigint"
+        )
+        cells = (
+            cells.unionAll(extra)
+            .groupBy("type_a", "type_b", "ba", "bb")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+    nlogn = F.sum(F.col("n") * F.log("n"))
+    j = cells.groupBy("type_a", "type_b").agg(nlogn.alias("_j"))
+    ra = (
+        cells.groupBy("type_a", "type_b", "ba")
+        .agg(F.sum("n").alias("n"))
+        .groupBy("type_a", "type_b")
+        .agg(nlogn.alias("_r"))
+    )
+    ca = (
+        cells.groupBy("type_a", "type_b", "bb")
+        .agg(F.sum("n").alias("n"))
+        .groupBy("type_a", "type_b")
+        .agg(nlogn.alias("_c"))
+    )
+    N = F.lit(float(n_hours))
+    out = (
+        j.join(ra, ["type_a", "type_b"])
+        .join(ca, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(n_hours).cast("bigint").alias("n_hours"),
+            F.round(
+                (F.log(N) + (F.col("_j") - F.col("_r") - F.col("_c")) / N)
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("mi_e6"),
+            F.round((F.log(N) - F.col("_r") / N) * 1e6)
+            .cast("bigint")
+            .alias("h_a_e6"),
+            F.round((F.log(N) - F.col("_c") / N) * 1e6)
+            .cast("bigint")
+            .alias("h_b_e6"),
+        )
+    )
+    return out

@@ -8598,3 +8598,73 @@ def seq_fim_plan(spark, sf_dir):
     addressed cuts, segment lengths, and the md5 of the reordered
     [prefix][suffix][middle] token array (see textops.fim_plan)."""
     return textops.fim_plan(_seq(spark))
+
+
+@q(
+    "ts_mutual_info",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+               AS h
+      FROM events
+    ),
+    hc AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+    span AS (
+      SELECT max(h) - min(h) + 1 AS n,
+             count(DISTINCT h) AS present
+      FROM e
+    ),
+    hrs AS (SELECT DISTINCT h FROM e),
+    types AS (SELECT DISTINCT event_type AS t FROM e),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+    ),
+    pres AS (
+      SELECT p.ta, p.tb,
+             least(coalesce(x.c, 0), 3) AS ba,
+             least(coalesce(y.c, 0), 3) AS bb
+      FROM pairs p CROSS JOIN hrs hh
+      LEFT JOIN hc x ON x.h = hh.h AND x.event_type = p.ta
+      LEFT JOIN hc y ON y.h = hh.h AND y.event_type = p.tb
+    ),
+    cells0 AS (
+      SELECT ta, tb, ba, bb, count(*) AS n FROM pres GROUP BY 1, 2, 3, 4
+      UNION ALL
+      SELECT p.ta, p.tb, 0, 0, (SELECT n - present FROM span)
+      FROM pairs p WHERE (SELECT n - present FROM span) > 0
+    ),
+    cells AS (
+      SELECT ta, tb, ba, bb, sum(n) AS n FROM cells0 GROUP BY 1, 2, 3, 4
+    ),
+    jr AS (SELECT ta, tb, sum(n * ln(n)) AS j FROM cells GROUP BY 1, 2),
+    ra AS (
+      SELECT ta, tb, sum(s * ln(s)) AS r
+      FROM (SELECT ta, tb, ba, sum(n) AS s FROM cells GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    ca AS (
+      SELECT ta, tb, sum(s * ln(s)) AS c
+      FROM (SELECT ta, tb, bb, sum(n) AS s FROM cells GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    )
+    SELECT jr.ta AS type_a, jr.tb AS type_b,
+           CAST((SELECT n FROM span) AS BIGINT) AS n_hours,
+           CAST(round((ln((SELECT n FROM span))
+             + (j - r - c) / (SELECT n FROM span)) * 1e6) AS BIGINT)
+             AS mi_e6,
+           CAST(round((ln((SELECT n FROM span))
+             - r / (SELECT n FROM span)) * 1e6) AS BIGINT) AS h_a_e6,
+           CAST(round((ln((SELECT n FROM span))
+             - c / (SELECT n FROM span)) * 1e6) AS BIGINT) AS h_b_e6
+    FROM jr
+    JOIN ra ON ra.ta = jr.ta AND ra.tb = jr.tb
+    JOIN ca ON ca.ta = jr.ta AND ca.tb = jr.tb
+    """,
+)
+def ts_mutual_info(spark, sf_dir):
+    """Binned mutual information (bins = hourly count clamped at 3)
+    between every event-type pair over the shared hourly span, with
+    marginal entropies — ln-form from exact bigint contingency cells
+    (see analytics.mutual_info)."""
+    return analytics.mutual_info(_ev(spark, sf_dir))
