@@ -168,3 +168,38 @@ def test_packing_sweep_closed_form_matches_real_pack(spark):
     assert row["n_chunks"] == 3  # ceil(1200/512)
     assert row["waste_tokens"] == 3 * 512 - 1200
     assert row["fill_e6"] == round(1200 / 1536 * 1e6)
+
+
+def test_curriculum_matches_global_sort_and_is_a_permutation(spark):
+    """The blocked (rung, source)-window + prefix-sum construction
+    reproduces the global (rung, source, md5(id), id) sort exactly,
+    and steps are a 1..N permutation with rungs in nondecreasing
+    step order."""
+    import hashlib
+
+    rows = []
+    for s in range(3):
+        for k in range(40):
+            rows.append((f"s{s}-{k:03d}", f"src{s}", 16 + (k * 37) % 200))
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = sorted(packing.curriculum(df).collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in out] == list(range(1, len(rows) + 1))
+    expect = sorted(
+        rows,
+        key=lambda t: (t[2] // 32, t[1],
+                       hashlib.md5(t[0].encode()).hexdigest(), t[0]),
+    )
+    assert [r["doc_id"] for r in out] == [t[0] for t in expect]
+    rungs = [r["rung"] for r in out]
+    assert rungs == sorted(rungs)
+
+
+def test_curriculum_within_block_is_md5_shuffled_not_id_ordered(spark):
+    """Inside one (rung, source) block the schedule follows md5(id),
+    which differs from plain id order — the shuffle is real."""
+    rows = [(f"d{k:03d}", "s", 16) for k in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = sorted(packing.curriculum(df).collect(), key=lambda r: r["step"])
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == [t[0] for t in rows]
+    assert ids != sorted(ids)

@@ -265,3 +265,62 @@ def packing_sweep(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def curriculum(
+    seq: DataFrame,
+    rung_width: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-curriculum training schedule: assign every sequence a
+    GLOBAL step number such that shorter sequences train first (the
+    classic warmup curriculum — short sequences are cheaper and
+    gradient-stabler early), with deterministic shuffling inside each
+    difficulty rung so the model never sees a systematic within-rung
+    order.
+
+    Order pinned as the lexicographic sort
+        (rung asc, source asc, md5(doc_id) asc, doc_id asc)
+    where rung = n_tok div rung_width: rung-major (the curriculum),
+    source as ordered blocks within a rung, md5 as the content-
+    addressed shuffle key within a block (both engines rebuild it
+    from the id alone; doc_id breaks md5 ties exactly).
+
+    Computed WITHOUT a global sort (the pack_offsets pattern): a
+    row_number inside each (rung, source) window plus driver-side
+    prefix-summed block offsets over the (rung, source) group counts
+    — control-plane sized (rungs × sources rows) — broadcast back.
+    One key shuffle on (rung, source); no SinglePartition anywhere,
+    and the window partitioning carries the rung AND source so no
+    rung-sized skew partition exists at corpus scale."""
+    rung = (F.col("n_tok") / rung_width).cast("bigint")
+    d = seq.select(
+        id_col, "source", F.col("n_tok").cast("bigint").alias("n_tok")
+    ).withColumn("rung", rung)
+    sizes = (
+        d.groupBy("rung", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("rung", "source")
+        .collect()
+    )
+    rows, acc = [], 0
+    for r in sizes:
+        rows.append((int(r["rung"]), r["source"], acc))
+        acc += int(r["n"])
+    offsets = seq.sparkSession.createDataFrame(
+        rows, "rung bigint, source string, base long"
+    )
+    w = Window.partitionBy("rung", "source").orderBy(
+        F.md5(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        d.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["rung", "source"])
+        .select(
+            id_col,
+            "source",
+            "n_tok",
+            "rung",
+            (F.col("base") + F.col("_r")).cast("bigint").alias("step"),
+        )
+    )

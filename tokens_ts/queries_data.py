@@ -8668,3 +8668,24 @@ def ts_mutual_info(spark, sf_dir):
     marginal entropies — ln-form from exact bigint contingency cells
     (see analytics.mutual_info)."""
     return analytics.mutual_info(_ev(spark, sf_dir))
+
+
+@q(
+    "seq_curriculum",
+    _synth_cte()
+    + """
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_tok // 32 AS BIGINT) AS rung,
+           CAST(row_number() OVER (
+             ORDER BY n_tok // 32, source, md5(doc_id), doc_id)
+             AS BIGINT) AS step
+    FROM seq
+    """,
+)
+def seq_curriculum(spark, sf_dir):
+    """Length-curriculum global training schedule (rung-major,
+    source blocks, md5-shuffled within block), built without a global
+    sort via (rung, source) windows + driver-prefix-summed block
+    offsets; the oracle IS the global sort — equality proves the
+    blocked construction reproduces it (see packing.curriculum)."""
+    return packing.curriculum(_seq(spark))
