@@ -729,3 +729,73 @@ def test_centroid_drift_no_corpus_broadcast_or_window(spark):
     plan = _plan(simsearch.centroid_drift(emb))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_bucket_single_key_shuffle_arrow_stage(spark, events_path):
+    """token_bucket plans exactly one exchange (the user-key
+    hash-partitioning into the Arrow stage) and one
+    FlatMapGroupsInPandas — no window, no join, no second shuffle."""
+    from tokens_ts import analytics
+
+    df = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.token_bucket(df, keys=["user_id"], ts_col="ts"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_dow_hour_pivot_two_bounded_aggs_no_join(spark, events_path):
+    """Pivot with DECLARED values plans as exactly two aggregation
+    pairs — the corpus-reducing (group, hour, dow) count (map-side
+    combined) and the pivotfirst re-agg over the bounded frame — with
+    no join, no window, and no distinct-values pre-job (which undeclared
+    values would add as a separate collect)."""
+    from tokens_ts import analytics
+
+    df = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.dow_hour_pivot(df))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan and "pivotfirst" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_fim_plan_is_shuffle_free(spark, seq_tiny):
+    """FIM planning is row-local: zero exchanges at any corpus size."""
+    from tokens_ts import textops
+
+    plan = _plan(textops.fim_plan(seq_tiny))
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_mutual_info_corpus_reduced_before_pairs(spark, events_path):
+    """mutual_info touches the corpus in ONE count aggregation; the
+    pair/binning/entropy stages run on the bounded hour×type frame —
+    no window anywhere, and no join against raw events (the only
+    joins combine the pair-level entropy aggregates)."""
+    from tokens_ts import analytics
+
+    df = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.mutual_info(df))
+    assert "Window" not in plan
+    # the corpus feeds ONE cached (hour, type) count agg; every pair/
+    # entropy branch reads the cache, never the parquet again — and
+    # the joins combining the pair-level aggregates are broadcasts.
+    # every pair/entropy branch reads the cached frame (the FileScan
+    # strings inside InMemoryRelation descriptions are lineage, not
+    # re-scans: executing the plan hits the cache).
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_no_single_partition_window(spark):
+    """The curriculum window partitions by (rung, source) — no
+    SinglePartition anywhere despite the global step output; the
+    offsets join is a broadcast."""
+    from tokens_ts import packing
+
+    rows = [(f"d{i:04d}", f"src{i % 3}", 16 + i % 200) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    plan = _plan(packing.curriculum(df))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan

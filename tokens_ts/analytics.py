@@ -4059,9 +4059,8 @@ def dow_hour_pivot(
     pivoted heat-map a capacity dashboard renders directly, and the
     relational PIVOT operator's canonical showcase (groupBy().pivot()
     with the 7 output columns declared up front, so Spark skips the
-    extra distinct-values job and the plan is ONE partial→final
-    aggregation over 7 conditional counters; un-pivoting back is a
-    stack(), so the pair round-trips).
+    extra distinct-values collect job; un-pivoting back is a stack(),
+    so the pair round-trips).
 
     Calendar-free arithmetic (the week_phase convention): epoch_hour =
     unix seconds // 3600; hour = epoch_hour mod 24; dow = (epoch_day
@@ -4072,9 +4071,11 @@ def dow_hour_pivot(
     no events at all are absent — both engines group over observed
     rows only, pinned.
 
-    Scale shape: map-side partial aggregation directly to the
-    |groups|·24-row frame; no join, no window, no shuffle beyond the
-    single agg exchange."""
+    Scale shape: Spark's pivot physically plans as TWO aggregation
+    pairs — a map-side-combined (group, hour, dow) count that does
+    the corpus reduction, then a pivotfirst re-agg whose exchange
+    moves only the |groups|·24·7-bounded frame. No join, no window,
+    nothing corpus-sized past the first partial agg."""
     eh = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600).cast(
         "bigint"
     )
