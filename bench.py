@@ -285,6 +285,19 @@ def main():
     ))
     bench("cdc_chunks", lambda: _materialize(textops.cdc_chunks(seq)))
     bench("pq_error", lambda: _materialize(simsearch.pq_error(emb)))
+    # round-5j: the stateful Arrow rate-limiter replay over the raw
+    # events (one user-key shuffle into an int64 loop), the FIM PSM
+    # planner (row-local folds+slices over the 60k-seq corpus), and
+    # the curriculum scheduler (per-(rung,source) windows + broadcast
+    # prefix-sum offsets — the no-global-sort global order)
+    ev_full = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        int(cpus) * 2
+    )
+    bench("token_bucket", lambda: _materialize(
+        analytics.token_bucket(ev_full, keys=["user_id"], ts_col="ts")
+    ))
+    bench("fim_plan", lambda: _materialize(textops.fim_plan(seq)))
+    bench("curriculum", lambda: _materialize(packing.curriculum(seq)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
