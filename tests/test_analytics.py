@@ -2755,3 +2755,73 @@ def test_mutual_info_absent_hours_land_in_zero_zero_cell(spark):
     n, cells = 10, [1, 1, 8]
     h = math.log(n) - sum(c * math.log(c) for c in cells) / n
     assert r["mi_e6"] == r["h_a_e6"] == r["h_b_e6"] == round(h * 1e6)
+
+
+def _sess_events(spark, rows):
+    """rows: (user, event_id, epoch_s, type)."""
+    return spark.createDataFrame(
+        rows, "user_id string, event_id long, t long, event_type string"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("t").alias("ts"))
+
+
+def test_basket_lift_hand_counts_and_multiplicity_ignored(spark):
+    """Baskets {a,b} {a,b} {a} {b,c} (one per session; the duplicate
+    'a' inside basket 3 must not count twice): (a,b) n_ab=2, lift =
+    2·4/(3·3); (b,c) n_ab=1, lift = 1·4/(3·1)."""
+    rows = [
+        ("u1", 1, 0, "a"), ("u1", 2, 10, "b"),          # basket 1
+        ("u1", 3, 10000, "a"), ("u1", 4, 10010, "b"),   # basket 2 (gap>1800)
+        ("u2", 5, 0, "a"), ("u2", 6, 5, "a"),           # basket 3: {a} twice
+        ("u3", 7, 0, "b"), ("u3", 8, 20, "c"),          # basket 4
+    ]
+    out = {(r["type_a"], r["type_b"]): r
+           for r in analytics.basket_lift(_sess_events(spark, rows)).collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"], ab["n_baskets"]) == (2, 3, 3, 4)
+    assert ab["support_e6"] == 500000
+    assert ab["conf_ab_e6"] == ab["conf_ba_e6"] == 666667
+    assert ab["lift_e6"] == round(2 * 4 / 9 * 1e6)
+    bc = out[("b", "c")]
+    assert (bc["n_ab"], bc["lift_e6"]) == (1, round(4 / 3 * 1e6))
+    assert ("a", "c") not in out  # never co-present
+
+
+def test_session_nll_rare_transition_scores_highest(spark):
+    """Matrix a→b:2 (p=2/3), a→c:1 (p=1/3): the a→c session scores
+    ln 3 per step, the a→b sessions ln 1.5 — the rare journey tops;
+    single-event sessions are absent."""
+    import math
+
+    rows = [
+        ("u1", 1, 0, "a"), ("u1", 2, 10, "b"),
+        ("u2", 3, 0, "a"), ("u2", 4, 10, "c"),
+        ("u3", 5, 0, "a"), ("u3", 6, 10, "b"),
+        ("u4", 7, 0, "a"),  # no transitions
+    ]
+    out = {r["user_id"]: r
+           for r in analytics.session_nll(_sess_events(spark, rows)).collect()}
+    assert "u4" not in out and len(out) == 3
+    t_ab = round(math.log(3 / 2) * 1e9)
+    t_ac = round(math.log(3 / 1) * 1e9)
+    assert out["u1"]["nll_e9"] == t_ab and out["u1"]["n_steps"] == 1
+    assert out["u2"]["nll_e9"] == t_ac
+    assert out["u2"]["avg_nll_e6"] == round(t_ac / 1e3)
+    assert out["u2"]["avg_nll_e6"] > out["u1"]["avg_nll_e6"]
+
+
+def test_session_nll_gap_breaks_chain_not_matrix(spark):
+    """A >gap_s pause inside one user's stream starts a new session:
+    the cross-gap pair contributes NEITHER to the matrix nor to any
+    session's steps."""
+    rows = [
+        ("u1", 1, 0, "a"), ("u1", 2, 10, "b"),
+        ("u1", 3, 10000, "c"), ("u1", 4, 10010, "b"),
+    ]
+    out = sorted(
+        analytics.session_nll(_sess_events(spark, rows)).collect(),
+        key=lambda r: r["sid"],
+    )
+    # two sessions, one step each; matrix: a→b:1 (p=1), c→b:1 (p=1) → nll 0.
+    assert [r["n_steps"] for r in out] == [1, 1]
+    assert [r["nll_e9"] for r in out] == [0, 0]

@@ -799,3 +799,27 @@ def test_curriculum_no_single_partition_window(spark):
     plan = _plan(packing.curriculum(df))
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_basket_lift_pairs_expand_row_locally_no_items_self_join(spark, events_path):
+    """basket_lift expands each basket's pairs with a row-local
+    nested transform — the plan must contain NO SortMergeJoin (the
+    support joins are broadcasts on the types-bounded frames)."""
+    from tokens_ts import analytics
+
+    df = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.basket_lift(df))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_nll_matrix_broadcast_single_lag_lineage(spark, events_path):
+    """session_nll joins the types²-bounded matrix back via broadcast;
+    the corpus-side lineage is one user-key window (cached) — no
+    SortMergeJoin anywhere."""
+    from tokens_ts import analytics
+
+    df = spark.read.parquet(events_path + "/events.parquet")
+    plan = _plan(analytics.session_nll(df))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

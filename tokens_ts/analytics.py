@@ -4218,3 +4218,170 @@ def mutual_info(
         )
     )
     return out
+
+
+def basket_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Association rules between event types co-present in a session
+    (the market-basket view): for every unordered type pair, the
+    number of gap-sessions containing BOTH, with support, both
+    directed confidences, and lift — the co-presence complement of
+    markov_transitions' adjacency view (a pair can have huge lift
+    while never occurring back-to-back).
+
+    Session rule = the house gap rule (same as peak_concurrency /
+    markov): a new session starts when the integer-second gap to the
+    user's previous event exceeds gap_s, rows ordered by (raw ts, id)
+    so same-second arrivals can't permute membership. A basket is the
+    DISTINCT type set of one session; multiplicity inside a session
+    is deliberately ignored (that's the transition matrix's signal).
+
+    Exactness: counts are bigints; support/confidence are single e6
+    divisions; lift_e6 = round(1e6·(n_ab·N)/(n_a·n_b)) with both
+    products exact bigints — valid while n·N < 2^63 (~3e9 baskets; at
+    larger scale switch to the ratio-of-shares form and accept ulp).
+
+    Scale shape: one user-key lag window (sessionize), one
+    (user, sid) collect_set agg, then ROW-LOCAL pair expansion of
+    each ≤|types|-sized basket (sorted-array nested transform, no
+    self-join of the items frame), and a count agg to the
+    types²-bounded pair frame; item supports and the 1-row basket
+    total broadcast back onto it."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ep = F.unix_timestamp(F.col(ts_col))
+    nw = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ((ep - F.unix_timestamp(F.lag(ts_col).over(w))) > gap_s),
+        1,
+    ).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), nw.alias("_nw"),
+        F.sum(nw).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_sid"),
+    )
+    baskets = sess.groupBy("_u", "_sid").agg(
+        F.sort_array(F.collect_set("_t")).alias("items")
+    )
+    baskets = baskets.cache()
+    n_baskets = baskets.count()
+    items = baskets.select(F.explode("items").alias("t")).groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    arr = F.col("items")
+    pairs_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ia = items.select(F.col("t").alias("type_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("t").alias("type_b"), F.col("n_item").alias("n_b"))
+    N = F.lit(n_baskets).cast("bigint")
+    e6 = lambda c: F.round(c * 1e6).cast("bigint")  # noqa: E731
+    return (
+        pc.join(F.broadcast(ia), "type_a")
+        .join(F.broadcast(ib), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            N.alias("n_baskets"),
+            e6(F.col("n_ab").cast("double") / N.cast("double")).alias(
+                "support_e6"
+            ),
+            e6(F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_ab_e6"
+            ),
+            e6(F.col("n_ab").cast("double") / F.col("n_b").cast("double")).alias(
+                "conf_ba_e6"
+            ),
+            e6(
+                (F.col("n_ab") * N).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift_e6"),
+        )
+    )
+
+
+def session_nll(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Anomalous-journey detector: score every session by its
+    negative log-likelihood under the CORPUS transition matrix — the
+    diff the markov_transitions baseline was built for. A session
+    walking hot paths scores near the corpus mean; a session chaining
+    rare transitions (error→signup→error…) floats to the top.
+
+    Model: first-order Markov over within-session transitions (the
+    markov gap rule, (ts, id) order pin); p(f→t) = n(f,t)/n(f,·)
+    from the SAME events, exact bigints. Per-session
+        nll_e9 = Σ_steps round(1e9·ln(n(f,·)/n(f,t)))
+    — each term is the ln of one exact-bigint ratio, quantized to an
+    e9 integer BEFORE summing (the centroid_drift trick), so the
+    session sum is an order-free exact integer in both engines; no
+    float accumulation exists. avg_nll_e6 = the one IEEE division at
+    the end. Sessions with zero transitions are absent (no evidence,
+    pinned); every observed transition has n ≥ 1 so no ln(0).
+
+    Scale shape: ONE user-key lag window produces the transitions
+    frame (cached — it feeds both the matrix count agg and the
+    scoring pass); the matrix is types²-bounded and broadcast back;
+    the final agg groups by (user, sid) on the same key lineage."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ep = F.unix_timestamp(F.col(ts_col))
+    gap = ep - F.unix_timestamp(F.lag(ts_col).over(w))
+    nw = F.when(F.lag(ts_col).over(w).isNull() | (gap > gap_s), 1).otherwise(0)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+        gap.alias("_gap"),
+        F.sum(nw).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_sid"),
+    )
+    trans = base.where(
+        F.col("from_type").isNotNull() & (F.col("_gap") <= gap_s)
+    ).cache()
+    m = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    row_tot = m.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    m = m.join(row_tot, "from_type")
+    term = F.round(
+        F.log(F.col("tot").cast("double") / F.col("n").cast("double")) * 1e9
+    ).cast("bigint")
+    scored = trans.join(
+        F.broadcast(m.select("from_type", "to_type", term.alias("_t9"))),
+        ["from_type", "to_type"],
+    )
+    return (
+        scored.groupBy(F.col("_u").alias(user_col), F.col("_sid").alias("sid"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_steps"),
+            F.sum("_t9").cast("bigint").alias("nll_e9"),
+        )
+        .withColumn(
+            "avg_nll_e6",
+            F.round(F.col("nll_e9").cast("double") / F.col("n_steps") / 1e3)
+            .cast("bigint"),
+        )
+    )

@@ -8689,3 +8689,104 @@ def seq_curriculum(spark, sf_dir):
     offsets; the oracle IS the global sort — equality proves the
     blocked construction reproduces it (see packing.curriculum)."""
     return packing.curriculum(_seq(spark))
+
+
+_SESS_CTE = """
+    WITH l AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts, ep,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM l
+    )
+"""
+
+
+@q(
+    "ts_basket_lift",
+    _SESS_CTE
+    + """
+    , items AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM sess)),
+    isup AS (SELECT event_type, count(*) AS n_item FROM items GROUP BY 1),
+    pc AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           CAST((SELECT n FROM nb) AS BIGINT) AS n_baskets,
+           CAST(round(CAST(n_ab AS DOUBLE) / (SELECT n FROM nb) * 1e6)
+             AS BIGINT) AS support_e6,
+           CAST(round(CAST(n_ab AS DOUBLE) / ia.n_item * 1e6)
+             AS BIGINT) AS conf_ab_e6,
+           CAST(round(CAST(n_ab AS DOUBLE) / ib.n_item * 1e6)
+             AS BIGINT) AS conf_ba_e6,
+           CAST(round(CAST(n_ab * (SELECT n FROM nb) AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE) * 1e6)
+             AS BIGINT) AS lift_e6
+    FROM pc
+    JOIN isup ia ON ia.event_type = pc.type_a
+    JOIN isup ib ON ib.event_type = pc.type_b
+    """,
+)
+def ts_basket_lift(spark, sf_dir):
+    """Market-basket association rules between event types co-present
+    in a gap-session: pair support, both confidences, and lift — the
+    co-presence complement of the Markov adjacency matrix (see
+    analytics.basket_lift)."""
+    return analytics.basket_lift(_ev(spark, sf_dir))
+
+
+@q(
+    "ts_session_nll",
+    _SESS_CTE
+    + """
+    , tr AS (
+      SELECT user_id, sid, event_type AS to_type,
+             lag(event_type) OVER w2 AS from_type,
+             ep - lag(ep) OVER w2 AS gap
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT user_id, sid, from_type, to_type FROM tr
+      WHERE from_type IS NOT NULL AND gap <= 1800
+    ),
+    m AS (SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2),
+    rt AS (SELECT from_type, sum(n) AS tot FROM m GROUP BY 1),
+    t9 AS (
+      SELECT m.from_type, m.to_type,
+             CAST(round(ln(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+               AS BIGINT) AS t9
+      FROM m JOIN rt USING (from_type)
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(t9) AS BIGINT) AS nll_e9,
+           CAST(round(CAST(sum(t9) AS DOUBLE) / count(*) / 1e3) AS BIGINT)
+             AS avg_nll_e6
+    FROM trans JOIN t9 USING (from_type, to_type)
+    GROUP BY 1, 2
+    """,
+)
+def ts_session_nll(spark, sf_dir):
+    """Per-session negative log-likelihood under the corpus Markov
+    transition matrix — the anomalous-journey score; per-step terms
+    e9-quantized BEFORE summing so the session sum is an order-free
+    exact integer (see analytics.session_nll)."""
+    return analytics.session_nll(_ev(spark, sf_dir))
