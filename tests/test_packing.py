@@ -203,3 +203,45 @@ def test_curriculum_within_block_is_md5_shuffled_not_id_ordered(spark):
     ids = [r["doc_id"] for r in out]
     assert sorted(ids) == [t[0] for t in rows]
     assert ids != sorted(ids)
+
+
+def test_nextfit_hand_walk_oversized_alone_and_tie_order(spark):
+    """cap=100: docs (n desc, id asc) = d-big(150), a(60), b(60),
+    c(40), d(40) → big alone in bin 1 (oversized pin); a opens bin 2;
+    b doesn't fit (60+60>100) → bin 3 with c (60+40=100 exactly fits);
+    d opens bin 4. Equal-length ties walk in id order."""
+    rows = [("a", "s", 60), ("b", "s", 60), ("c", "s", 40),
+            ("dbig", "s", 150), ("d", "s", 40)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = {r["doc_id"]: r for r in
+           packing.nextfit_bins(df, cap=100).collect()}
+    assert (out["dbig"]["bin_idx"], out["dbig"]["fill_after"]) == (1, 150)
+    assert (out["a"]["bin_idx"], out["a"]["fill_after"]) == (2, 60)
+    assert (out["b"]["bin_idx"], out["b"]["fill_after"]) == (3, 60)
+    assert (out["c"]["bin_idx"], out["c"]["fill_after"]) == (3, 100)
+    assert (out["d"]["bin_idx"], out["d"]["fill_after"]) == (4, 40)
+
+
+def test_nextfit_bins_never_split_and_respect_cap(spark):
+    """Property over 200 docs: every doc appears exactly once, every
+    bin's total ≤ cap unless it holds a single oversized doc, and
+    bins restart per source."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(f"d{i:03d}", f"src{i % 2}", rng.randrange(10, 300))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = packing.nextfit_bins(df, cap=512).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    members = defaultdict(list)
+    for r in out:
+        fills[(r["source"], r["bin_idx"])] += r["n_tok"]
+        members[(r["source"], r["bin_idx"])].append(r["n_tok"])
+    for k, tot in fills.items():
+        assert tot <= 512 or len(members[k]) == 1
+    assert min(b for s, b in fills if s == "src0") == 1
+    assert min(b for s, b in fills if s == "src1") == 1

@@ -324,3 +324,64 @@ def curriculum(
             (F.col("base") + F.col("_r")).cast("bigint").alias("step"),
         )
     )
+
+
+def nextfit_bins(
+    seq: DataFrame,
+    cap: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """No-split sequence packing: assign each document WHOLE to a
+    training bin of capacity `cap` tokens by next-fit-decreasing —
+    the packer you use when cross-document attention contamination is
+    forbidden (pack_tokens concatenates and SPLITS; length_buckets
+    pads; this one never cuts a document and never mixes bins once
+    closed, so masks stay per-doc).
+
+    Per source, docs walk in (n_tok desc, doc_id asc) order with the
+    classic next-fit recurrence from (bin 1, fill 0):
+        close iff fill > 0 and fill + n > cap  →  bin += 1, fill = n
+        else fill += n
+    Pins: an oversized doc (n > cap) lands ALONE in its own bin (the
+    recurrence closes before and after it naturally); ties in n_tok
+    walk in doc_id order; bins are per-source (bin ids restart at 1
+    per source — sources are independent packing domains, matching
+    pack_tokens' concatenation domains).
+
+    The open-bin fill is genuinely sequential state (a cumsum with
+    data-dependent resets — no window frame expresses it), so it
+    takes the sanctioned Arrow path: ONE source-key shuffle into
+    applyInPandas with an int64 loop; parallelism = |sources|, the
+    same domain decomposition every packing op here uses. The oracle
+    replays the identical recurrence as a recursive CTE. fill_after
+    makes the hash pin the entire state walk, not just assignments."""
+    d = seq.select(
+        id_col, "source", F.col("n_tok").cast("long").alias("n_tok")
+    )
+    schema = (
+        "source string, doc_id string, n_tok bigint, "
+        "bin_idx bigint, fill_after bigint"
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tok", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = pdf["n_tok"].to_numpy(dtype="int64")
+        bins = [0] * len(n)
+        fills = [0] * len(n)
+        b, fill = 1, 0
+        for i, ni in enumerate(n):
+            if fill > 0 and fill + ni > cap:
+                b += 1
+                fill = int(ni)
+            else:
+                fill += int(ni)
+            bins[i] = b
+            fills[i] = fill
+        res = pdf[["source", id_col, "n_tok"]].copy()
+        res["bin_idx"] = bins
+        res["fill_after"] = fills
+        return res
+
+    return d.groupBy("source").applyInPandas(_pack, schema=schema)

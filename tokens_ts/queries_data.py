@@ -8790,3 +8790,38 @@ def ts_session_nll(spark, sf_dir):
     e9-quantized BEFORE summing so the session sum is an order-free
     exact integer (see analytics.session_nll)."""
     return analytics.session_nll(_ev(spark, sf_dir))
+
+
+@q(
+    "seq_nextfit_bins",
+    _synth_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , ev AS (
+      SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+      FROM seq
+    ),
+    nf AS (
+      SELECT source, doc_id, n_tok, rn,
+             CAST(1 AS BIGINT) AS bin_idx, n_tok AS fill_after
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.source, e.doc_id, e.n_tok, e.rn,
+             CASE WHEN t.fill_after > 0
+                       AND t.fill_after + e.n_tok > 2048
+                  THEN t.bin_idx + 1 ELSE t.bin_idx END,
+             CASE WHEN t.fill_after > 0
+                       AND t.fill_after + e.n_tok > 2048
+                  THEN e.n_tok ELSE t.fill_after + e.n_tok END
+      FROM nf t JOIN ev e ON e.source = t.source AND e.rn = t.rn + 1
+    )
+    SELECT source, doc_id, n_tok, bin_idx, fill_after FROM nf
+    """,
+)
+def seq_nextfit_bins(spark, sf_dir):
+    """No-split next-fit-decreasing packing of whole sequences into
+    2048-token bins per source; Spark walks the recurrence in an
+    Arrow loop, the oracle replays it as a recursive CTE (see
+    packing.nextfit_bins)."""
+    return packing.nextfit_bins(_seq(spark))
