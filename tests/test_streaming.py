@@ -268,3 +268,78 @@ def test_stream_dedup_emits_first_arrival_only(spark, tmp_path):
     assert sorted(len(v) for v in by_hash.values()) == [1, 1, 1]
     emitted_ids = {v[0] for v in by_hash.values()}
     assert emitted_ids == {1, 2, 5}
+
+
+def test_stream_token_bucket_out_of_order_equals_batch(spark, tmp_path):
+    """The streaming bucket must equal the batch replay on the sealed
+    event-time prefix even when arrival order is WRONG: the later
+    event (t+62m) arrives first, the earlier one (t+60m) arrives in a
+    later file, and decisions flush only after the watermark seals
+    them — in correct event-time order."""
+    import datetime as dt
+
+    from tokens_ts import analytics
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming.stream_token_bucket(stream, cap=300, cost=250)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def decided():
+        try:
+            return {
+                (r["event_id"], r["ep"], r["level_after"], r["admitted"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    write_file([(1, 2, t0 + 62 * m)])                    # later event first
+    write_file([(1, 1, t0 + 60 * m), (9, 99, t0 + 600 * m)])  # earlier + wm push
+    run_once()
+    write_file([(9, 100, t0 + 1200 * m)])                # push wm further
+    run_once()
+    out = decided()
+    batch = {
+        (r["event_id"], r["ep"], r["level_after"], r["admitted"])
+        for r in analytics.token_bucket(
+            spark.createDataFrame(
+                [(1, 1, t0 + 60 * m), (1, 2, t0 + 62 * m)],
+                "user_id long, event_id long, ts timestamp",
+            ),
+            keys=["user_id"],
+            ts_col="ts",
+            cap=300,
+            cost=250,
+        ).collect()
+    }
+    # u1's two events sealed and identical to the batch replay
+    # (reject case: e1 admits 300→50, e2 pre=min(300,50+120)=170 <250 → reject)
+    assert batch <= out
+    assert {t[3] for t in batch} == {1, 0}
+    # the sentinel events themselves are not yet sealed
+    assert all(eid not in (100,) for eid, *_ in out)

@@ -358,3 +358,104 @@ def stream_dedup(
         "content_hash", F.md5(F.col(text_col))
     ).withWatermark(ts_col, watermark)
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+BUCKET_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ep bigint, "
+    "level_after bigint, admitted bigint"
+)
+BUCKET_STATE_SCHEMA = (
+    "prev_ep long, level long, pend_ep array<long>, pend_id array<long>"
+)
+
+
+def stream_token_bucket(
+    events: DataFrame,
+    cap: int = 86400,
+    cost: int = 28800,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+):
+    """Streaming twin of analytics.token_bucket: the same per-user
+    admission recurrence (bucket starts FULL, refill 1 unit/s,
+    rejected events consume nothing, (ep, id) processing order)
+    evaluated continuously over an event-time stream.
+
+    The recurrence is order-sensitive, so out-of-order arrivals are
+    BUFFERED in state and an event is decided only once the watermark
+    seals it (strictly: ep_µs < wm_µs — Spark keeps events AT the
+    watermark, the stream_sessionize convention), at which point no
+    earlier event can still arrive and the decision equals the batch
+    replay's. Persistent state per user = (prev_ep, level) — two
+    ints, the entire bucket history — plus the pending buffer, which
+    the watermark bounds to the lateness horizon. An event-time
+    timeout fires when the watermark passes the earliest pending
+    event, so sealed decisions flush even if the user never sends
+    another event. Output therefore equals analytics.token_bucket on
+    the sealed event-time prefix regardless of arrival order —
+    pinned by the pytest equivalence harness."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        prev_ep, level = -1, cap
+        pend = []
+        if state.exists:
+            prev_ep, level, p_ep, p_id = state.get
+            pend = [list(t) for t in zip(p_ep, p_id)]
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                eps = (
+                    pdf[ts_col].astype("datetime64[us]").astype("int64")
+                    // 1_000_000
+                ).tolist()
+                ids = pdf[id_col].astype("int64").tolist()
+                pend.extend([e, i] for e, i in zip(eps, ids))
+        pend.sort()
+        wm_s = state.getCurrentWatermarkMs() // 1000  # floor
+        # strict µs seal → ep < wm at whole-second grain iff ep_s < wm_s
+        sealed = [p for p in pend if p[0] < wm_s]
+        pend = [p for p in pend if p[0] >= wm_s]
+        out = []
+        for ep, eid in sealed:
+            pre = cap if prev_ep < 0 else min(cap, level + (ep - prev_ep))
+            adm = 1 if pre >= cost else 0
+            level = pre - cost * adm
+            prev_ep = ep
+            out.append((user, eid, ep, level, adm))
+        state.update(
+            (
+                prev_ep,
+                level,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+            )
+        )
+        if pend:
+            # fire once the watermark passes the earliest pending event
+            t_next = pend[0][0] * 1000 + 1000
+            state.setTimeoutTimestamp(
+                max(t_next, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "ep", "level_after",
+                         "admitted"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=BUCKET_OUT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
