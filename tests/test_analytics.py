@@ -2825,3 +2825,46 @@ def test_session_nll_gap_breaks_chain_not_matrix(spark):
     # two sessions, one step each; matrix: a→b:1 (p=1), c→b:1 (p=1) → nll 0.
     assert [r["n_steps"] for r in out] == [1, 1]
     assert [r["nll_e9"] for r in out] == [0, 0]
+
+
+def test_seasonal_strength_pure_profile_vs_noise_and_constant_null(spark):
+    """A series that is a pure function of hour-of-day has η² = 1e6
+    (all variance between cells, SSw = 0 → F null by the ssw>0 guard);
+    a series constant everywhere has SSt = 0 → η² null; a series
+    varying WITHIN a single hour cell has η² = 0."""
+    rows = []
+    # k1: value = hour-of-day → pure profile (hours 0..5, 2 days)
+    for d in range(2):
+        for h in range(6):
+            rows.append(("k1", d * 86400 + h * 3600, float(h)))
+    # k2: constant
+    for h in range(4):
+        rows.append(("k2", h * 3600, 7.0))
+    # k3: two different values inside ONE hour cell
+    rows.append(("k3", 100, 1.0))
+    rows.append(("k3", 200, 3.0))
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    out = {r["key"]: r for r in
+           analytics.seasonal_strength(df, keys=["key"]).collect()}
+    assert out["k1"]["eta2_e6"] == 1000000 and out["k1"]["f_e6"] is None
+    assert out["k2"]["eta2_e6"] is None
+    assert out["k3"]["eta2_e6"] == 0 and out["k3"]["k_cells"] == 1
+    assert out["k3"]["f_e6"] is None  # zero between-df
+
+
+def test_seasonal_strength_hand_anova(spark):
+    """Hand ANOVA: cell h0 = {1, 3}, cell h1 = {5, 7} (e3 grid →
+    1000/3000/5000/7000): S=16000, Q=84e6, n=4; SSb = (16e6/2 +
+    144e6/2) − 64e6 = 16e6; SSt = 84e6 − 64e6 = 20e6 → η² = 0.8;
+    F = (16e6/1)/(4e6/2) = 8."""
+    rows = [("k", 60, 1.0), ("k", 120, 3.0),
+            ("k", 3660, 5.0), ("k", 3720, 7.0)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    r = analytics.seasonal_strength(df, keys=["key"]).collect()[0]
+    assert r["n"] == 4 and r["k_cells"] == 2
+    assert r["eta2_e6"] == 800000
+    assert r["f_e6"] == 8000000

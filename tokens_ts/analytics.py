@@ -4385,3 +4385,80 @@ def session_nll(
             .cast("bigint"),
         )
     )
+
+
+def seasonal_strength(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """How much of a series' variance the hour-of-day explains: the
+    one-way ANOVA decomposition SS_total = SS_between + SS_within
+    over the 24 hour-of-day cells, reported as η² = SS_b/SS_t (the
+    seasonal-strength score a forecaster uses to decide whether a
+    seasonal term earns its parameters) plus the F statistic
+    (SS_b/(k−1))/(SS_w/(n−k)). η² near 1 = the daily profile IS the
+    series; near 0 = the profile is noise.
+
+    hour-of-day = epoch_hour mod 24 (calendar-free, the week_phase
+    convention). Values enter on the e3 integer grid (the haar_energy
+    precedent — e6 squares overflow int64 at this value range), so
+    every per-cell (n_h, S_h) and the global (n, S, Q=Σv²) are exact
+    bigints (Q per-row ≤ ~2.4e11 at |v| ≤ 490 → int64-safe past 1e7
+    rows/series); the
+    finishing arithmetic (S_h²/n_h terms, the η² and F quotients) runs
+    in doubles built from those exact integers through one identical
+    IEEE tree, e6-rounded — the [0,1] ratio has ~1e9 headroom over
+    double noise. Pins: constant series (SS_t = 0) → null η² and F;
+    k = 1 observed cell → η² computable (0), F null (zero df);
+    null values excluded.
+
+    Scale shape: ONE map-side-combined (keys, hod) agg to the
+    keys×24 frame; the per-key finish is a 24-row re-agg. No joins,
+    no windows, nothing corpus-sized past the first partial agg."""
+    hod = (
+        (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600).cast(
+            "bigint"
+        )
+        % 24
+    )
+    v = F.round(F.col(value_col) * 1e3).cast("bigint")
+    cells = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, hod.alias("_h"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            F.sum(v).cast("bigint").alias("s_h"),
+            F.sum(v * v).cast("bigint").alias("q_h"),
+        )
+    )
+    agg = cells.groupBy(*keys).agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.sum("s_h").cast("bigint").alias("s"),
+        F.sum("q_h").cast("bigint").alias("q"),
+        F.count("*").cast("bigint").alias("k_cells"),
+        F.sum(
+            F.col("s_h").cast("double") * F.col("s_h").cast("double")
+            / F.col("n_h").cast("double")
+        ).alias("_sb"),
+    )
+    n = F.col("n").cast("double")
+    grand = F.col("s").cast("double") * F.col("s").cast("double") / n
+    sst = F.col("q").cast("double") - grand
+    ssb = F.col("_sb") - grand
+    ssw = F.col("q").cast("double") - F.col("_sb")
+    k = F.col("k_cells").cast("double")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        *keys,
+        "n",
+        "k_cells",
+        F.when(sst > 0, F.round(ssb / sst * 1e6).cast("bigint")).alias(
+            "eta2_e6"
+        ),
+        F.when(
+            (F.col("k_cells") > 1) & (F.col("n") > F.col("k_cells")) & (ssw > 0),
+            F.round(f_stat * 1e6).cast("bigint"),
+        ).alias("f_e6"),
+    )

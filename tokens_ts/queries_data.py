@@ -8825,3 +8825,58 @@ def seq_nextfit_bins(spark, sf_dir):
     Arrow loop, the oracle replays it as a recursive CTE (see
     packing.nextfit_bins)."""
     return packing.nextfit_bins(_seq(spark))
+
+
+@q(
+    "ts_seasonal_strength",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600)
+               % 24 AS h,
+             CAST(round(value * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, h,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(v) AS BIGINT) AS s_h,
+             CAST(sum(v * v) AS BIGINT) AS q_h
+      FROM e GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(n_h) AS BIGINT) AS n,
+             CAST(sum(s_h) AS BIGINT) AS s,
+             CAST(sum(q_h) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS k_cells,
+             sum(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                 / CAST(n_h AS DOUBLE)) AS sb
+      FROM cells GROUP BY 1
+    )
+    SELECT event_type, n, k_cells,
+           CASE WHEN CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                THEN CAST(round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                     / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                     AS BIGINT) END AS eta2_e6,
+           CASE WHEN k_cells > 1 AND n > k_cells
+                     AND CAST(q AS DOUBLE) - sb > 0
+                THEN CAST(round(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(k_cells AS DOUBLE) - 1))
+                     / ((CAST(q AS DOUBLE) - sb)
+                       / (CAST(n AS DOUBLE) - CAST(k_cells AS DOUBLE)))
+                     * 1e6) AS BIGINT) END AS f_e6
+    FROM agg
+    """,
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """One-way ANOVA of value on hour-of-day per series: eta-squared
+    seasonal strength + F statistic from exact e3-grid integer sums
+    (see analytics.seasonal_strength)."""
+    return analytics.seasonal_strength(
+        _ev(spark, sf_dir), keys=["event_type"]
+    )
