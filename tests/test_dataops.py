@@ -3239,3 +3239,52 @@ def test_fim_plan_python_reference_parity_and_reassembly(spark):
             if ln == 0:
                 saw_empty.add(name)
     assert saw_empty == {"p", "m", "s"}
+
+
+# ---------------------------------------------------------------------------
+# davies_bouldin
+# ---------------------------------------------------------------------------
+
+
+def _db_emb(spark, rows, dim=4):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, (v, l) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_davies_bouldin_entangled_pair_tops_and_hand_ratio(spark):
+    """Labels 0/1 overlap around the origin, label 2 sits far away:
+    0 and 1 must pick each other as worst; hand check: s²_0 = s²_1 =
+    0.25·1e12 (points ±0.5 on axis 0), d²(c0,c1) = 1e12·(0.5−(−0.5))²
+    ... with centroids (±0.5, 0, 0, 0)·1e6 → ratio = (0.25+0.25)/1 =
+    0.5; label 2 (identical points) has s² = 0."""
+    rows = [
+        ([0.0, 0, 0, 0], 0), ([1.0, 0, 0, 0], 0),     # c0 = (0.5,...)
+        ([0.0, 0, 0, 0], 1), ([-1.0, 0, 0, 0], 1),    # c1 = (-0.5,...)
+        ([50.0, 50, 0, 0], 2), ([50.0, 50, 0, 0], 2),  # tight far cluster
+    ]
+    out = {r["label"]: r for r in
+           simsearch.davies_bouldin(_db_emb(spark, rows), dim=4).collect()}
+    assert out[0]["worst_label"] == 1 and out[1]["worst_label"] == 0
+    assert out[0]["r_e6"] == 500000  # (0.25+0.25)/1.0
+    assert out[2]["s2_e6"] == 0
+    assert out[2]["r_e6"] < out[0]["r_e6"]  # far tight cluster separates
+
+
+def test_davies_bouldin_duplicate_centroids_skipped(spark):
+    """Two labels with IDENTICAL centroids (d² = 0) must not produce
+    an infinite ratio: with only each other as neighbors, both emit
+    null worst/ratio; a third distinct label becomes their worst."""
+    rows = [
+        ([1.0, 0, 0, 0], 0), ([-1.0, 0, 0, 0], 0),   # centroid 0
+        ([2.0, 0, 0, 0], 1), ([-2.0, 0, 0, 0], 1),   # centroid 0 too
+    ]
+    out = {r["label"]: r for r in
+           simsearch.davies_bouldin(_db_emb(spark, rows), dim=4).collect()}
+    assert out[0]["worst_label"] is None and out[0]["r_e6"] is None
+    assert out[1]["worst_label"] is None
+    rows.append(([9.0, 0, 0, 0], 2))
+    out2 = {r["label"]: r for r in
+            simsearch.davies_bouldin(_db_emb(spark, rows), dim=4).collect()}
+    assert out2[0]["worst_label"] == 2 and out2[1]["worst_label"] == 2

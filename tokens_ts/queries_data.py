@@ -8880,3 +8880,79 @@ def ts_seasonal_strength(spark, sf_dir):
     return analytics.seasonal_strength(
         _ev(spark, sf_dir), keys=["event_type"]
     )
+
+
+def _db_oracle_sql(dim: int = 64) -> str:
+    """DuckDB mirror of simsearch.davies_bouldin — the 64 component
+    sums and both folds unrolled with the identical left-to-right
+    expression trees. Component sums are named cs{j} (NOT s{j}: the
+    scatter alias s2 would collide with component 2's sum and DuckDB
+    silently binds the ambiguous name — caught by the first verify
+    run)."""
+    q6 = lambda expr: f"CAST(round({expr} * 1e6) AS BIGINT)"  # noqa: E731
+    s_cols = ",\n        ".join(
+        f"CAST(sum({q6(f'x[{j + 1}]')}) AS BIGINT) AS cs{j}"
+        for j in range(dim)
+    )
+    cent2 = " + ".join(
+        f"(CAST(cs{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(cs{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        for j in range(dim)
+    )
+    d2 = " + ".join(
+        f"(CAST(a.cs{j} AS DOUBLE) / CAST(a.n AS DOUBLE)"
+        f" - CAST(b.cs{j} AS DOUBLE) / CAST(b.n AS DOUBLE))"
+        f" * (CAST(a.cs{j} AS DOUBLE) / CAST(a.n AS DOUBLE)"
+        f" - CAST(b.cs{j} AS DOUBLE) / CAST(b.n AS DOUBLE))"
+        for j in range(dim)
+    )
+    cs_list = ", ".join(f"cs{j}" for j in range(dim))
+    return f"""
+    WITH e AS (
+      SELECT CAST(label AS BIGINT) AS label, embedding AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    sums AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(list_sum(list_transform(x,
+          c -> {q6('c')} * {q6('c')}))) AS BIGINT) AS q,
+        {s_cols}
+      FROM e GROUP BY 1
+    ),
+    lab AS (
+      SELECT label, n,
+             CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ({cent2}) AS s2,
+             {cs_list}
+      FROM sums
+    ),
+    p AS (
+      SELECT a.label AS li, a.s2 AS s2i, b.label AS lj, b.s2 AS s2j,
+             ({d2}) AS d2
+      FROM lab a JOIN lab b ON a.label != b.label
+    ),
+    r AS (
+      SELECT li, lj,
+             CAST(round((s2i + s2j) / d2 * 1e9) AS BIGINT) AS r9
+      FROM p WHERE d2 > 0
+    ),
+    w AS (
+      SELECT li, lj, r9,
+             row_number() OVER (PARTITION BY li
+               ORDER BY r9 DESC, lj ASC) AS rn
+      FROM r
+    )
+    SELECT lab.label, lab.n,
+           CAST(round(lab.s2 / 1e6) AS BIGINT) AS s2_e6,
+           w.lj AS worst_label,
+           CAST(round(CAST(w.r9 AS DOUBLE) / 1e3) AS BIGINT) AS r_e6
+    FROM lab LEFT JOIN w ON w.li = lab.label AND w.rn = 1
+    """
+
+
+@q("emb_davies_bouldin", _db_oracle_sql())
+def emb_davies_bouldin(spark, sf_dir):
+    """Per-label Davies-Bouldin rows: within-cluster scatter, worst
+    neighbor, and the DB ratio from exact e6-grid integer sums (see
+    simsearch.davies_bouldin)."""
+    return simsearch.davies_bouldin(_emb(spark, sf_dir))

@@ -1412,3 +1412,107 @@ def ivf_recall_curve(
         .cast("bigint")
         .alias("recall_e6"),
     )
+
+
+def davies_bouldin(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-quality audit per label: within-cluster scatter, the
+    worst-separated neighbor, and the Davies-Bouldin ratio
+    R_i = max_{j≠i} (s²_i + s²_j) / d²(c_i, c_j) — the per-cluster
+    rows whose mean is the DB index (lower = tighter/better
+    separated). The confusion matrix says which labels COLLIDE under
+    nearest-centroid; this says which are GEOMETRICALLY entangled
+    even before any classifier.
+
+    Variance identity keeps everything one-pass: s²_i = Q_i/n_i −
+    Σ_d (S_d/n_i)² with Q (Σ|x|² on the e6 grid) and the 64 component
+    sums S_d exact bigints (per-row |x|²_e6 ≤ ~2e13 at |comp| ≤ 0.53
+    → int64-safe past 2e5 rows/label); the finishing quotients and
+    the 64-term d²/scatter folds run in doubles through IDENTICAL
+    left-to-right expression trees in both engines. The neighbor
+    comparator uses r9 = round(1e9·ratio) so selection AND the
+    emitted r_e6 = round(r9/1e3) come from the same integer — no
+    double-tie ambiguity; ties pin to the smallest neighbor label.
+    Pairs with d² = 0 (duplicate centroids) are skipped, pinned; a
+    label with no valid neighbor emits null worst/ratio. s2_e6 is
+    reported in unit² scale (grid² / 1e12 → ×1e6).
+
+    Scale shape: ONE corpus scan → map-side-combined per-label agg of
+    (n, Q, 64 sums) → labels²-bounded self-join. No corpus broadcast,
+    no window over data rows."""
+    q6 = lambda x: F.round(x * 1e6).cast("bigint")  # noqa: E731
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    rowq = F.aggregate(
+        F.transform(F.col("x"), lambda c: q6(c) * q6(c)),
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + t,
+    )
+    sums = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(rowq).cast("bigint").alias("q"),
+        *[F.sum(q6(F.col("x")[j])).alias(f"s{j}") for j in range(dim)],
+    )
+    v = F.array(*[F.col(f"s{j}") for j in range(dim)])
+    nd = F.col("n").cast("double")
+    cent2 = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda a, s: a + (s.cast("double") / nd) * (s.cast("double") / nd),
+    )
+    lab = sums.select(
+        "label",
+        "n",
+        (F.col("q").cast("double") / nd - cent2).alias("s2"),
+        v.alias("v"),
+    )
+    a = lab.select(
+        F.col("label").alias("li"), F.col("n").alias("ni"),
+        F.col("s2").alias("s2i"), F.col("v").alias("vi"),
+    )
+    b = lab.select(
+        F.col("label").alias("lj"), F.col("n").alias("nj"),
+        F.col("s2").alias("s2j"), F.col("v").alias("vj"),
+    )
+    p = a.join(F.broadcast(b), F.col("li") != F.col("lj"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "vi",
+            "vj",
+            lambda x, y: x.cast("double") / F.col("ni").cast("double")
+            - y.cast("double") / F.col("nj").cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t * t,
+    )
+    p = p.withColumn("_d2", d2).where(F.col("_d2") > 0)
+    r9 = F.round((F.col("s2i") + F.col("s2j")) / F.col("_d2") * 1e9).cast(
+        "bigint"
+    )
+    best = p.groupBy(F.col("li").alias("label")).agg(
+        F.max(
+            F.struct(
+                r9.alias("r9"), (-F.col("lj")).alias("negj"), F.col("lj")
+            )
+        ).alias("w")
+    )
+    return (
+        lab.join(best, "label", "left")
+        .select(
+            "label",
+            "n",
+            F.round(F.col("s2") / 1e6).cast("bigint").alias("s2_e6"),
+            F.col("w.lj").alias("worst_label"),
+            F.round(F.col("w.r9").cast("double") / 1e3)
+            .cast("bigint")
+            .alias("r_e6"),
+        )
+    )
