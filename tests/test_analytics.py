@@ -2868,3 +2868,29 @@ def test_seasonal_strength_hand_anova(spark):
     assert r["n"] == 4 and r["k_cells"] == 2
     assert r["eta2_e6"] == 800000
     assert r["f_e6"] == 8000000
+
+
+def test_seq_patterns_order_repeats_and_both_directions(spark):
+    """Session [a, b, a]: ordered pairs = (a,b) via pos 1<2, (b,a)
+    via 2<3, and the repeat (a,a) via 1<3 — ALL count once; a second
+    session [b] adds nothing but raises the denominator."""
+    rows = [("u1", 1, 0, "a"), ("u1", 2, 10, "b"), ("u1", 3, 20, "a"),
+            ("u2", 4, 0, "b")]
+    out = {(r["type_a"], r["type_b"]): r
+           for r in analytics.seq_patterns(_sess_events(spark, rows)).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "a")}
+    for k in out:
+        assert out[k]["n_sessions"] == 1 and out[k]["n_total"] == 2
+        assert out[k]["support_e6"] == 500000
+
+
+def test_seq_patterns_eventual_not_adjacent_and_session_bound(spark):
+    """(a, c) counts even with b between them (any-gap reachability —
+    what markov's adjacency misses); a pair straddling a session
+    break does NOT count."""
+    rows = [("u1", 1, 0, "a"), ("u1", 2, 10, "b"), ("u1", 3, 20, "c"),
+            ("u1", 4, 10000, "d")]  # d in a NEW session
+    out = {(r["type_a"], r["type_b"]): r["n_sessions"]
+           for r in analytics.seq_patterns(_sess_events(spark, rows)).collect()}
+    assert out[("a", "c")] == 1
+    assert ("a", "d") not in out and ("c", "d") not in out

@@ -4462,3 +4462,83 @@ def seasonal_strength(
             F.round(f_stat * 1e6).cast("bigint"),
         ).alias("f_e6"),
     )
+
+
+def seq_patterns(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Ordered sequential patterns within gap-sessions: for every
+    directed type pair (a, b), the number of sessions containing an
+    occurrence of `a` STRICTLY BEFORE an occurrence of `b` (any gap,
+    adjacency not required) — the third view of session structure:
+    markov_transitions counts adjacent steps, basket_lift counts
+    unordered co-presence, this counts eventual ordered reachability
+    (the "did a click EVER lead to a purchase in-session" question).
+
+    Pins: both (a,b) and (b,a) may hold in one session (the counts
+    are independent, not complements); the diagonal (a,a) counts
+    sessions where `a` repeats; position order inside a session is
+    (ts, id) — the house same-second rule; support_e6 is over ALL
+    sessions.
+
+    Scale shape: one user-key lag window (the shared sessionize), one
+    (user, sid) collect_list agg, then ROW-LOCAL ordered-pair
+    expansion of each session's ≤session-length array with
+    array_distinct BEFORE the explode (so the exploded volume is
+    ≤ types² per session, not length²), and a count agg to the
+    types²-bounded frame."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ep = F.unix_timestamp(F.col(ts_col))
+    nw = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ((ep - F.unix_timestamp(F.lag(ts_col).over(w))) > gap_s),
+        1,
+    ).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        ).alias("_e"),
+        F.sum(nw).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_sid"),
+    )
+    seqs = sess.groupBy("_u", "_sid").agg(
+        F.transform(
+            F.array_sort(F.collect_list("_e")), lambda s: s["t"]
+        ).alias("seq")
+    )
+    seqs = seqs.cache()
+    n_sessions = seqs.count()
+    arr = F.col("seq")
+    pairs = F.array_distinct(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.size(arr)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    N = F.lit(n_sessions).cast("bigint")
+    return (
+        seqs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            N.alias("n_total"),
+            F.round(F.col("n_sessions").cast("double") / N.cast("double") * 1e6)
+            .cast("bigint")
+            .alias("support_e6"),
+        )
+    )

@@ -8956,3 +8956,38 @@ def emb_davies_bouldin(spark, sf_dir):
     neighbor, and the DB ratio from exact e6-grid integer sums (see
     simsearch.davies_bouldin)."""
     return simsearch.davies_bouldin(_emb(spark, sf_dir))
+
+
+@q(
+    "ts_seq_patterns",
+    _SESS_CTE
+    + """
+    , pos AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    pr AS (
+      SELECT DISTINCT a.user_id, a.sid,
+             a.event_type AS ta, b.event_type AS tb
+      FROM pos a JOIN pos b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.rn < b.rn
+    ),
+    nb AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM sess)
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST((SELECT n FROM nb) AS BIGINT) AS n_total,
+           CAST(round(CAST(count(*) AS DOUBLE) / (SELECT n FROM nb) * 1e6)
+             AS BIGINT) AS support_e6
+    FROM pr GROUP BY 1, 2
+    """,
+)
+def ts_seq_patterns(spark, sf_dir):
+    """Ordered sequential patterns per session: directed type pairs
+    (a strictly before b, any gap) with session support — eventual
+    reachability, vs markov's adjacency and basket's co-presence
+    (see analytics.seq_patterns)."""
+    return analytics.seq_patterns(_ev(spark, sf_dir))
