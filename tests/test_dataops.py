@@ -3288,3 +3288,36 @@ def test_davies_bouldin_duplicate_centroids_skipped(spark):
     out2 = {r["label"]: r for r in
             simsearch.davies_bouldin(_db_emb(spark, rows), dim=4).collect()}
     assert out2[0]["worst_label"] == 2 and out2[1]["worst_label"] == 2
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_hand_stats_and_champion_tie(spark):
+    """docs: d1='x x y', d2='x z', d3='x x w' → term x: df=3, cf=5,
+    champion tie between d1 (tf 2) and d3 (tf 2) → smallest id d1;
+    idf(x) = ln(1 + 0.5/3.5). Empty doc excluded from N (N=3)."""
+    import math
+
+    rows = [(1, "x x y"), (2, "x z"), (3, "x x w"), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in textops.inverted_index(df).collect()}
+    x = out["x"]
+    assert (x["df"], x["cf"], x["champion_doc"], x["champion_tf"]) == (3, 5, 1, 2)
+    assert x["idf_e6"] == round(math.log(1 + (3 - 3 + 0.5) / 3.5) * 1e6)
+    assert out["z"]["df"] == 1 and out["z"]["idf_e6"] == round(
+        math.log(1 + 2.5 / 1.5) * 1e6)
+    assert set(out) == {"x", "y", "z", "w"}
+
+
+def test_inverted_index_df_vs_cf_separates_burst_from_spread(spark):
+    """'q' repeated 5× in ONE doc (burst: df=1, cf=5) vs 'r' once in
+    each of 5 docs (spread: df=5, cf=5) — same cf, opposite idf."""
+    rows = [(1, "q q q q q")] + [(i, "r") for i in range(2, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in textops.inverted_index(df).collect()}
+    assert (out["q"]["df"], out["q"]["cf"]) == (1, 5)
+    assert (out["r"]["df"], out["r"]["cf"]) == (5, 5)
+    assert out["q"]["idf_e6"] > out["r"]["idf_e6"]

@@ -8991,3 +8991,39 @@ def ts_seq_patterns(spark, sf_dir):
     reachability, vs markov's adjacency and basket's co-presence
     (see analytics.seq_patterns)."""
     return analytics.seq_patterns(_ev(spark, sf_dir))
+
+
+@q(
+    "doc_inverted_index",
+    r"""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS tx FROM documents WHERE trim(text) != ''
+    ),
+    n AS (SELECT count(*) AS c FROM d),
+    w AS (
+      SELECT doc_id, unnest(string_split_regex(tx, '\s+')) AS term FROM d
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM w WHERE term != '' GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           -- ordered-aggregate comparator (the keep_best idiom):
+           -- max tf, ties -> smallest doc_id
+           CAST(first(doc_id ORDER BY tf DESC, doc_id ASC) AS BIGINT)
+             AS champion_doc,
+           CAST(max(tf) AS BIGINT) AS champion_tf,
+           CAST(round(ln(1.0 + (CAST((SELECT c FROM n) AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) + 0.5)
+             / (CAST(count(*) AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)
+             AS idf_e6
+    FROM tf GROUP BY 1
+    """,
+)
+def doc_inverted_index(spark, sf_dir):
+    """Inverted-index term statistics: df, cf, champion document
+    (max tf, ties to smallest id), BM25 idf (see
+    textops.inverted_index)."""
+    return textops.inverted_index(_docs(spark, sf_dir))

@@ -2839,3 +2839,63 @@ def fim_plan(
             F.concat_ws(",", F.transform(psm, lambda x: x.cast("string")))
         ).alias("psm_md5"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index build statistics per term: document frequency,
+    collection frequency, the champion document (highest tf, ties →
+    smallest doc_id — the entry a WAND/champion-list optimizer keeps
+    hot), and the BM25 idf ln(1 + (N − df + ½)/(df + ½)) — the
+    materialized-index artifact the transient posting lists of
+    phrase_search / bm25 are rebuilt from. df < cf separates
+    burstiness (one doc repeating a term) from spread (many docs).
+
+    Terms are raw whitespace tokens (the phrase_search convention —
+    no lowercasing or stemming, pinned); empty docs contribute
+    nothing. idf is one ln over exact bigint inputs through an
+    identical IEEE tree, e6-rounded; N (corpus size) is a 1-row
+    control-plane scalar.
+
+    Scale shape: one explode → map-side-combined (doc, term) tf agg
+    (one shuffle on the term-doc key) → per-term agg with a struct-
+    comparator champion (min_by over (−tf, doc)) to the
+    vocabulary-bounded frame. No joins, no windows."""
+    n_docs = docs.where(
+        F.trim(F.col(text_col)) != ""
+    ).count()
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("term", id_col).agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    N = F.lit(n_docs).cast("double")
+    df_ = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (N - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.min_by(
+                id_col,
+                F.struct((-F.col("tf")).alias("neg"), F.col(id_col).alias("d")),
+            ).alias("champion_doc"),
+            F.max("tf").cast("bigint").alias("champion_tf"),
+        )
+        .select(
+            "term",
+            "df",
+            "cf",
+            "champion_doc",
+            "champion_tf",
+            F.round(idf * 1e6).cast("bigint").alias("idf_e6"),
+        )
+    )
