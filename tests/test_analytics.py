@@ -2894,3 +2894,38 @@ def test_seq_patterns_eventual_not_adjacent_and_session_bound(spark):
            for r in analytics.seq_patterns(_sess_events(spark, rows)).collect()}
     assert out[("a", "c")] == 1
     assert ("a", "d") not in out and ("c", "d") not in out
+
+
+def test_wasserstein_pure_shift_and_mass_move(spark):
+    """Day2 = Day1 + 1.0 everywhere → W1 = 1.0 exactly (mean shift δ
+    reads as δ); a mass re-weight 2/3→1/3 at value 0 vs 10 costs
+    (1/3)·10 = 10/3. Windows missing either side emit nothing."""
+    d1, d2 = 0, 86400
+    rows = [("k", d1 + 10, 1.0), ("k", d1 + 20, 3.0),
+            ("k", d2 + 10, 2.0), ("k", d2 + 20, 4.0)]
+    rows += [("m", d1 + 1, 0.0), ("m", d1 + 2, 0.0), ("m", d1 + 3, 10.0),
+             ("m", d2 + 1, 0.0), ("m", d2 + 2, 10.0), ("m", d2 + 3, 10.0)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    out = {r["key"]: r for r in
+           analytics.wasserstein_drift(df, keys=["key"]).collect()}
+    # only the day-2 window has both sides; day-1 and the phantom day-3
+    # (prev-only) rows are dropped.
+    assert len(out) == 2
+    assert out["k"]["w1_e6"] == 1000000
+    assert out["k"]["n_cur"] == 2 and out["k"]["n_prev"] == 2
+    assert out["m"]["w1_e6"] == 3333333
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    """Same distribution both days → W1 = 0 even when row ORDER and
+    multiplicity differ (ECDFs coincide at every pooled value)."""
+    d2 = 86400
+    rows = [("k", 10, 5.0), ("k", 20, 7.0), ("k", 30, 5.0),
+            ("k", d2 + 5, 7.0), ("k", d2 + 6, 5.0), ("k", d2 + 7, 5.0)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    r = analytics.wasserstein_drift(df, keys=["key"]).collect()
+    assert len(r) == 1 and r[0]["w1_e6"] == 0

@@ -9027,3 +9027,65 @@ def doc_inverted_index(spark, sf_dir):
     (max tf, ties to smallest id), BM25 idf (see
     textops.inverted_index)."""
     return textops.inverted_index(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5k analytics: Wasserstein drift, runs test, PACF
+# (tokens_ts/analytics.py wasserstein_drift / runs_test / pacf).
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_wasserstein",
+    """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS w,
+             CAST(round(value * 1e3) AS BIGINT) AS v3
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT k, w AS cw, 1 AS is_cur, v3 FROM b
+      UNION ALL
+      SELECT k, w + INTERVAL 1 DAY AS cw, 0 AS is_cur, v3 FROM b
+    ),
+    c AS (
+      SELECT k, cw, v3,
+             sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+      FROM u GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT k, cw,
+             abs(sum(c_cur) OVER (PARTITION BY k, cw ORDER BY v3)
+                   / sum(c_cur) OVER (PARTITION BY k, cw)
+               - sum(c_prev) OVER (PARTITION BY k, cw ORDER BY v3)
+                   / sum(c_prev) OVER (PARTITION BY k, cw))
+             * (CAST(COALESCE(lead(v3) OVER (PARTITION BY k, cw
+                                             ORDER BY v3) - v3, 0)
+                     AS DOUBLE) / 1e3) AS t,
+             sum(c_cur) OVER (PARTITION BY k, cw) AS n_cur,
+             sum(c_prev) OVER (PARTITION BY k, cw) AS n_prev
+      FROM c
+    )
+    SELECT k AS series_id, CAST(epoch(cw) AS BIGINT) AS ep,
+           CAST(ROUND(sum(t) * 1e6) AS BIGINT) AS w1_e6,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(max(n_prev) AS BIGINT) AS n_prev
+    FROM e GROUP BY 1, 2
+    HAVING max(n_prev) > 0 AND max(n_cur) > 0
+    """,
+)
+def ts_wasserstein(spark, sf_dir):
+    """Exact 1-D earth-mover distance, each day vs its predecessor per
+    event_type: Σ |ECDF gap| · value-gap over pooled e3-grid distinct
+    values — drift magnitude in value units where KS gives only the
+    worst single gap (see analytics.wasserstein_drift)."""
+    out = analytics.wasserstein_drift(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="day",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        F.unix_timestamp("cw").alias("ep"),
+        "w1_e6",
+        "n_cur",
+        "n_prev",
+    )
