@@ -2929,3 +2929,102 @@ def test_wasserstein_identical_distributions_zero(spark):
     )
     r = analytics.wasserstein_drift(df, keys=["key"]).collect()
     assert len(r) == 1 and r[0]["w1_e6"] == 0
+
+
+def test_runs_test_clumped_vs_alternating(spark):
+    """A clumped series (all lows then all highs) has the minimum 2
+    runs → strongly negative z; a perfectly alternating series has the
+    maximum n runs → strongly positive z; both share n1 = n2 so the
+    counts pin the median cut too."""
+    lows, highs = [1.0] * 6, [9.0] * 6
+    clump = lows + highs
+    alt = [v for p in zip(lows, highs) for v in p]
+    rows = [("c", i * 3600, v) for i, v in enumerate(clump)]
+    rows += [("a", i * 3600, v) for i, v in enumerate(alt)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    out = {r["key"]: r for r in
+           analytics.runs_test(df, keys=["key"]).collect()}
+    for k in ("c", "a"):
+        assert out[k]["n1"] == 6 and out[k]["n2"] == 6
+    assert out["c"]["runs"] == 2 and out["c"]["z_e6"] < -2_000_000
+    assert out["a"]["runs"] == 12 and out["a"]["z_e6"] > 2_000_000
+    # hand z for the clumped case: n=12, n1=n2=6, R=2:
+    # E[R]=7, Var=72*60/(144*11)=30/11 → z=(2-7)/sqrt(30/11)
+    want = (2 - 7) / math.sqrt(2 * 36 * (72 - 12) / (144 * 11))
+    assert out["c"]["z_e6"] == round(want * 1e6)
+
+
+def test_runs_test_median_ties_dropped_and_degenerates(spark):
+    """Buckets AT the median drop out before run counting (classic tie
+    rule); a constant series (everything == median) vanishes from the
+    output entirely, and a single crossing (n1=n2=1, variance 0)
+    emits null z honestly."""
+    rows = [("t", i * 3600, v) for i, v in
+            enumerate([1.0, 5.0, 5.0, 5.0, 9.0, 1.0])]  # med=5, three drop
+    rows += [("const", i * 3600, 4.0) for i in range(5)]
+    rows += [("two", 0, 1.0), ("two", 3600, 9.0)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    out = {r["key"]: r for r in
+           analytics.runs_test(df, keys=["key"]).collect()}
+    # t: kept values 1,9,1 in time order → n1=1(up) n2=2, runs=3
+    assert out["t"]["n_kept"] == 3 and out["t"]["runs"] == 3
+    assert out["t"]["n1"] == 1 and out["t"]["n2"] == 2
+    assert "const" not in out
+    assert out["two"]["runs"] == 2 and out["two"]["z_e6"] is None
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    """For an AR(1)-by-construction series x_t = 0.8·x_{t−1} + e_t
+    (deterministic pseudo-noise), ACF decays across all lags but PACF
+    collapses toward 0 past lag 1 — the order-selection signature."""
+    import random
+
+    rng = random.Random(7)  # fixed seed → deterministic test input
+    x, rows = 0.0, []
+    for i in range(450):
+        x = 0.8 * x + 4.0 * (rng.random() - 0.5)
+        if i >= 50:  # burn-in: drop the x0 transient
+            rows.append(("s", i * 3600, x))
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    r = analytics.pacf(df, keys=["key"]).collect()[0]
+    assert r["pacf1_e6"] > 600_000                   # ≈ 0.8
+    assert abs(r["pacf2_e6"]) < 200_000              # cut off
+    assert abs(r["pacf3_e6"]) < 200_000
+
+
+def test_pacf_durbin_levinson_hand_formula(spark):
+    """φ22 and φ33 replay the unrolled Durbin–Levinson closed form
+    from the gap-correct per-lag Pearson r's (checked against a
+    direct numpy recomputation of both the r's and the recursion)."""
+    import numpy as np
+
+    vals = [3.0, 7.0, 4.0, 9.0, 2.0, 8.0, 5.0, 10.0, 1.0, 6.0]
+    rows = [("k", i * 3600, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t long, value double").select(
+        "key", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    got = analytics.pacf(df, keys=["key"]).collect()[0]
+
+    v = np.round(np.array(vals) * 1e3)
+    def pear(lag):
+        x, y = v[:-lag], v[lag:]
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = math.sqrt(
+            (n * (x * x).sum() - x.sum() ** 2)
+            * (n * (y * y).sum() - y.sum() ** 2)
+        )
+        return num / den
+    r1, r2, r3 = pear(1), pear(2), pear(3)
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / ((1 - p22 * p22) * (1 - r1 * r1))
+    assert got["pacf1_e6"] == round(r1 * 1e6)
+    assert got["pacf2_e6"] == round(p22 * 1e6)
+    assert got["pacf3_e6"] == round(p33 * 1e6)

@@ -4632,3 +4632,194 @@ def wasserstein_drift(
         )
         .where((F.col("n_cur") > 0) & (F.col("n_prev") > 0))
     )
+
+
+def runs_test(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series: is the sequence of
+    above-median / below-median bucket values RANDOM in time, or does
+    it clump (too few runs ⇒ trending/regime persistence, z < 0) or
+    alternate (too many runs ⇒ oscillation/over-control, z > 0)? The
+    randomness audit that needs no distributional assumption at all —
+    the third nonparametric sibling next to ks_drift (worst gap) and
+    mannwhitney_drift (rank shift).
+
+    Exactness pins: bucket means enter on the e6 integer grid; the
+    median cut is 2·median = the sum of the two central order
+    statistics (an exact bigint — no float median anywhere), buckets
+    with 2·v == med2 are DROPPED (the classic tie rule); runs / n1 /
+    n2 are exact integers counted in bucket-epoch order. z is one
+    identical IEEE tree from those integers:
+
+        z = (R·n − 2·n1·n2 − n) / sqrt(2·n1·n2·(2·n1·n2 − n)/(n−1))
+
+    (numerator an exact bigint; the variance product is formed in
+    doubles because 2n1n2·(2n1n2−n) overflows int64 past ~1e5
+    buckets). One-sided degenerate cases emit honest nulls: n1 = 0 or
+    n2 = 0 (no cut crossings), or n1 = n2 = 1 (variance 0); a series
+    whose EVERY bucket ties at the cut (a constant) vanishes from the
+    output entirely — there is no sequence left to test. No
+    continuity correction (pinned, the mannwhitney convention).
+
+    Scale shape: ONE map-side-combined bucket agg reduces the corpus;
+    the order-statistic windows (by value) and the run-boundary lag
+    window (by epoch) share the same key partitioning over the
+    buckets-bounded frame — a single key shuffle, no joins."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    byv = wk.orderBy("v", "ep")
+    r = b.select(
+        *keys,
+        "ep",
+        "v",
+        F.row_number().over(byv).alias("_rn"),
+        F.count("*").over(wk).alias("_nb"),
+    )
+    p1 = (F.col("_nb") + 1) / 2
+    p2 = F.col("_nb") / 2 + 1
+    med2 = F.sum(
+        F.when(F.col("_rn") == F.floor(p1), F.col("v")).otherwise(F.lit(0))
+    ).over(wk) + F.sum(
+        F.when(F.col("_rn") == F.floor(p2), F.col("v")).otherwise(F.lit(0))
+    ).over(wk)
+    s = r.select(
+        *keys, "ep", (2 * F.col("v") - med2).alias("_d")
+    ).where(F.col("_d") != 0)
+    byep = wk.orderBy("ep")
+    lagd = F.lag("_d").over(byep)
+    runs = s.select(
+        *keys,
+        (F.col("_d") > 0).cast("bigint").alias("_up"),
+        F.when(
+            lagd.isNull() | ((F.col("_d") > 0) != (lagd > 0)), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_start"),
+    )
+    agg = runs.groupBy(*keys).agg(
+        F.sum("_up").alias("n1"),
+        F.sum(F.lit(1) - F.col("_up")).alias("n2"),
+        F.sum("_start").cast("bigint").alias("runs"),
+    )
+    n1, n2, R = F.col("n1"), F.col("n2"), F.col("runs")
+    n = n1 + n2
+    two = 2 * n1 * n2
+    num = (R * n - two - n).cast("double")
+    var_num = two.cast("double") * (two - n).cast("double")
+    z = F.lit(1e6) * num / F.sqrt(var_num / (n - 1).cast("double"))
+    return agg.select(
+        *keys,
+        n.cast("bigint").alias("n_kept"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        R.alias("runs"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (var_num > 0) & (n >= 2),
+            F.round(z).cast("bigint"),
+        ).alias("z_e6"),
+    )
+
+
+def pacf(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per series — the AR-order
+    selector: where the ACF of an AR(1) process decays geometrically
+    across every lag, its PACF cuts off dead after lag 1, so the last
+    significant PACF lag IS the autoregressive order. Computed by the
+    Durbin–Levinson recursion unrolled in closed form:
+
+        φ11 = r1
+        φ22 = (r2 − r1²) / (1 − r1²)
+        φ33 = (r3 − φ21·r2 − φ22·r1) / ((1 − φ22²)·(1 − r1²))
+              with φ21 = r1·(1 − φ22)
+
+    over the house GAP-CORRECT per-lag Pearson ACF (pairing on bucket
+    EPOCH arithmetic, each lag's r from its own surviving pairs — the
+    acf() convention; with heavy gaps the per-lag samples differ and
+    φ can exceed |1|, a documented property of gap-robust estimation,
+    not a bug). Exactness: bucket means enter on the e3 grid (the
+    haar/trend overflow rule — e6 squares times pair counts pass
+    int64 only at e3) so all five Pearson sums per lag are exact
+    bigints; r1, r2, r3 and the DL quotients run in doubles through
+    ONE identical IEEE tree, e6-rounded at the end. Degenerate pins:
+    any lag with n < 2 pairs or zero variance on either side nulls
+    its r, and nulls cascade upward through DL (r1 null ⇒ all null;
+    |r1| = 1 ⇒ φ22, φ33 null; v2 = 0 ⇒ φ33 null).
+
+    Scale shape (the acf() template): ONE bucket agg over raw rows is
+    the only corpus-sized shuffle; the 3-lag fan-out and the
+    self-equi-join on (keys, epoch) act on the buckets-bounded frame;
+    the conditional-sum pivot collapses to ONE row per key."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("_v"))
+    )
+    left = b.select(
+        *keys, "_ep", F.col("_v").alias("_x"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_lag"),
+    ).withColumn("_ep_r", F.col("_ep") + F.col("_lag") * F.lit(step))
+    right = b.select(
+        *keys, F.col("_ep").alias("_ep_r"), F.col("_v").alias("_y")
+    )
+    pairs = left.join(right, [*keys, "_ep_r"])
+    sums = pairs.groupBy(*keys, "_lag").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nn = F.col("_n").cast("double")
+    vx = nn * F.col("_sxx").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    vy = nn * F.col("_syy").cast("double") - (
+        F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    rr = F.when(
+        (F.col("_n") >= 2) & (vx > 0) & (vy > 0),
+        (
+            nn * F.col("_sxy").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+        )
+        / F.sqrt(vx * vy),
+    )
+    wide = sums.select(*keys, "_lag", rr.alias("_r")).groupBy(*keys).agg(
+        F.max(F.when(F.col("_lag") == 1, F.col("_r"))).alias("_r1"),
+        F.max(F.when(F.col("_lag") == 2, F.col("_r"))).alias("_r2"),
+        F.max(F.when(F.col("_lag") == 3, F.col("_r"))).alias("_r3"),
+    )
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    v1 = F.lit(1.0) - r1 * r1
+    p22 = F.when(v1 > 0, (r2 - r1 * r1) / v1)
+    p21 = r1 * (F.lit(1.0) - p22)
+    v2 = v1 * (F.lit(1.0) - p22 * p22)
+    p33 = F.when(v2 > 0, (r3 - p21 * r2 - p22 * r1) / v2)
+    e6 = lambda c: F.round(F.lit(1e6) * c).cast("bigint")  # noqa: E731
+    return wide.select(
+        *keys,
+        e6(r1).alias("pacf1_e6"),
+        e6(p22).alias("pacf2_e6"),
+        e6(p33).alias("pacf3_e6"),
+    )

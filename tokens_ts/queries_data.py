@@ -9089,3 +9089,141 @@ def ts_wasserstein(spark, sf_dir):
         "n_cur",
         "n_prev",
     )
+
+
+@q(
+    "ts_runs_test",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT k, ep, v,
+             row_number() OVER (PARTITION BY k ORDER BY v, ep) AS rn,
+             count(*) OVER (PARTITION BY k) AS nb
+      FROM b
+    ),
+    m AS (
+      SELECT k, ep,
+             2 * v
+             - (sum(CASE WHEN rn = CAST(floor((nb + 1) / 2) AS BIGINT)
+                         THEN v ELSE 0 END) OVER (PARTITION BY k)
+                + sum(CASE WHEN rn = CAST(floor(nb / 2 + 1) AS BIGINT)
+                           THEN v ELSE 0 END) OVER (PARTITION BY k)) AS d
+      FROM r
+    ),
+    s AS (
+      SELECT k, d, lag(d) OVER (PARTITION BY k ORDER BY ep) AS pd
+      FROM m WHERE d <> 0
+    ),
+    a AS (
+      SELECT k,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN pd IS NULL OR ((d > 0) <> (pd > 0))
+                 THEN 1 ELSE 0 END) AS runs
+      FROM s GROUP BY 1
+    )
+    SELECT k AS event_type,
+           CAST(n1 + n2 AS BIGINT) AS n_kept,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(runs AS BIGINT) AS runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+                     AND CAST(2 * n1 * n2 AS DOUBLE)
+                         * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE) > 0
+                THEN CAST(ROUND(
+                  1e6 * CAST(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2)
+                             AS DOUBLE)
+                  / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                         * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE)
+                         / CAST(n1 + n2 - 1 AS DOUBLE))) AS BIGINT)
+           END AS z_e6
+    FROM a
+    """,
+)
+def ts_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event_type over e6-grid hourly
+    means: runs / n1 / n2 exact integers against the exact
+    2·median order-statistic cut, z from one shared IEEE tree (see
+    analytics.runs_test)."""
+    return analytics.runs_test(
+        _ev(spark, sf_dir), keys=["event_type"], trunc="hour"
+    )
+
+
+@q(
+    "ts_pacf",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    lags(lag) AS (VALUES (1), (2), (3)),
+    p AS (
+      SELECT l.k, lags.lag, l.v AS x, r.v AS y
+      FROM b l CROSS JOIN lags
+      JOIN b r ON r.k = l.k AND r.ep = l.ep + lags.lag * 3600
+    ),
+    s AS (
+      SELECT k, lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT k, lag,
+             CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END AS r
+      FROM s
+    ),
+    w AS (
+      SELECT k,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM rr GROUP BY 1
+    ),
+    dl AS (
+      SELECT k, r1, r2, r3,
+             CASE WHEN 1.0 - r1 * r1 > 0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+      FROM w
+    ),
+    dl2 AS (
+      SELECT k, r1, r2, r3, p22,
+             r1 * (1.0 - p22) AS p21,
+             (1.0 - r1 * r1) * (1.0 - p22 * p22) AS v2
+      FROM dl
+    )
+    SELECT k AS event_type,
+           CAST(ROUND(1e6 * r1) AS BIGINT) AS pacf1_e6,
+           CAST(ROUND(1e6 * p22) AS BIGINT) AS pacf2_e6,
+           CASE WHEN v2 > 0
+                THEN CAST(ROUND(1e6 * (r3 - p21 * r2 - p22 * r1) / v2)
+                          AS BIGINT)
+           END AS pacf3_e6
+    FROM dl2
+    """,
+)
+def ts_pacf(spark, sf_dir):
+    """Partial autocorrelation lags 1-3 per event_type: Durbin-
+    Levinson unrolled over the gap-correct per-lag Pearson ACF on
+    e3-grid hourly means, one shared IEEE tree (see analytics.pacf)."""
+    return analytics.pacf(
+        _ev(spark, sf_dir), keys=["event_type"], trunc="hour"
+    )
