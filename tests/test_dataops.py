@@ -3321,3 +3321,97 @@ def test_inverted_index_df_vs_cf_separates_burst_from_spread(spark):
     assert (out["q"]["df"], out["q"]["cf"]) == (1, 5)
     assert (out["r"]["df"], out["r"]["cf"]) == (5, 5)
     assert out["q"]["idf_e6"] > out["r"]["idf_e6"]
+
+
+def _retrieval_python_replay(corpus, queries, k):
+    """Independent python BM25 + metric replay (same published
+    formulas, written directly — not via the Spark code paths)."""
+    import math
+
+    docs = {d: t.split() for d, t in corpus}
+    n = float(len(docs))
+    avgdl = sum(len(w) for w in docs.values()) / n
+    out = {}
+    for qid, terms in queries:
+        scored = []
+        for d, w in docs.items():
+            s, matched = 0.0, 0
+            for t in terms:
+                tf = w.count(t)
+                if tf == 0:
+                    continue
+                matched += 1
+                df = sum(1 for ww in docs.values() if t in ww)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+            if matched:
+                scored.append((d, round(s * 1e6), matched == len(terms)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top = scored[:k]
+        n_rel = sum(1 for _, _, r in scored if r)
+        hits = sum(1 for _, _, r in top if r)
+        fr = next((i + 1 for i, (_, _, r) in enumerate(top) if r), None)
+        ws = [round(1e12 / math.log2(i + 1)) for i in range(1, k + 1)]
+        dcg = sum(ws[i] for i, (_, _, r) in enumerate(top) if r)
+        idcg = sum(ws[: min(n_rel, k)])
+        out[qid] = dict(
+            n_rel=n_rel, hits=hits,
+            mrr_e6=round(1e6 / fr) if fr else 0,
+            precision_e6=round(1e6 * hits / k),
+            recall_e6=round(1e6 * hits / n_rel) if n_rel else None,
+            ndcg_e6=round(1e6 * dcg / idcg) if n_rel else None,
+        )
+    return out
+
+
+def test_retrieval_eval_python_replay_parity(spark):
+    """Full-row parity with an independent python replay of BM25
+    ranking + MRR/precision/recall/nDCG on a mixed corpus (AND-
+    relevance, shared terms, an unmatched query)."""
+    corpus = [
+        (1, "a b a b a b"),
+        (2, "a x x"),
+        (3, "b x y"),
+        (4, "a b"),
+        (5, "x y z"),
+        (6, "a a a a a a a a"),
+        (7, "b b c"),
+        (8, "c a b c"),
+    ]
+    queries = [("qa", ["a", "b"]), ("qc", ["c"]), ("qz", ["zebra"])]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["qid"]: r
+        for r in textops.retrieval_eval(docs, queries, k=3).collect()
+    }
+    want = _retrieval_python_replay(corpus, queries, k=3)
+    assert set(got) == set(want)
+    for qid, w in want.items():
+        for col, v in w.items():
+            assert got[qid][col] == v, (qid, col, got[qid][col], v)
+
+
+def test_retrieval_eval_degenerate_pins(spark):
+    """R=0 query still emits its row with null recall/ndcg and zero
+    mrr/precision; a stuffed single-term doc outranking the only
+    AND-relevant doc at k=1 pins MRR's measured-AT-k semantics
+    (hits 0 even though a relevant doc exists below the cut)."""
+    corpus = [
+        (1, "a b"),                      # the only AND-relevant doc
+        (2, "a a a a a a a a"),          # stuffed, not relevant
+        (3, "b q"), (4, "b r"), (5, "b s"),  # make b low-idf
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["qid"]: r
+        for r in textops.retrieval_eval(
+            docs, [("q", ["a", "b"]), ("z", ["zebra"])], k=1
+        ).collect()
+    }
+    z = got["z"]
+    assert z["n_rel"] == 0 and z["hits"] == 0 and z["mrr_e6"] == 0
+    assert z["recall_e6"] is None and z["ndcg_e6"] is None
+    assert z["precision_e6"] == 0
+    q = got["q"]
+    assert q["n_rel"] == 1 and q["hits"] == 0 and q["mrr_e6"] == 0
+    assert q["recall_e6"] == 0 and q["ndcg_e6"] == 0

@@ -9227,3 +9227,119 @@ def ts_pacf(spark, sf_dir):
     return analytics.pacf(
         _ev(spark, sf_dir), keys=["event_type"], trunc="hour"
     )
+
+
+_REVAL_QUERIES = [
+    ("q1", ["fast", "merge", "query"]),
+    ("q2", ["spark", "window"]),
+    ("q3", ["customer", "hash", "batch"]),
+    ("qz", ["zebra"]),
+]
+_REVAL_K = 10
+
+
+def _retrieval_eval_sql() -> str:
+    """DuckDB replay of textops.retrieval_eval on documents: same
+    union-vocab BM25 CTE chain as doc_bm25_topk, AND-relevance, and
+    the SAME pre-quantized DCG weight literals (built from one python
+    list so the two engines cannot drift)."""
+    import math as _m
+
+    k = _REVAL_K
+    ws = [round(1e12 / _m.log2(i + 1)) for i in range(1, k + 1)]
+    cumw = [sum(ws[: i + 1]) for i in range(k)]
+    wt = ", ".join(
+        f"({i + 1}, {ws[i]}, {cumw[i]})" for i in range(k)
+    )
+    vocab = sorted({t for _, ts in _REVAL_QUERIES for t in ts})
+    vterms = ", ".join(f"('{t}')" for t in vocab)
+    qterms = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _REVAL_QUERIES for t in ts
+    )
+    qdim = ", ".join(
+        f"('{qid}', {len(ts)})" for qid, ts in _REVAL_QUERIES
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS dl,
+             text
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+    ),
+    tfl AS (
+      SELECT doc_id, dl, t.term,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x = t.term)) AS tf
+      FROM base, (VALUES {vterms}) t(term)
+    ),
+    kept AS (SELECT * FROM tfl WHERE tf > 0),
+    dfc AS (SELECT term, count(*) AS df FROM kept GROUP BY 1),
+    qterms(qid, term) AS (VALUES {qterms}),
+    qdim(qid, nq) AS (VALUES {qdim}),
+    qd AS (
+      SELECT q.qid, kept.doc_id, count(*) AS nm,
+             CAST(ROUND(sum(
+               ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (kept.tf * 2.2)
+                 / (kept.tf + 1.2 * (0.25 + 0.75 * kept.dl / st.avgdl))
+             ) * 1e6) AS BIGINT) AS score_e6
+      FROM kept JOIN dfc USING (term) CROSS JOIN st
+                JOIN qterms q USING (term)
+      GROUP BY 1, 2
+    ),
+    qr AS (
+      SELECT qd.*, CASE WHEN nm = qdim.nq THEN 1 ELSE 0 END AS rel
+      FROM qd JOIN qdim USING (qid)
+    ),
+    nrel AS (SELECT qid, sum(rel) AS n_rel FROM qr GROUP BY 1),
+    topk AS (
+      SELECT * FROM (
+        SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+        FROM qr
+      ) WHERE rnk <= {k}
+    ),
+    wt(rnk, w, cumw) AS (VALUES {wt}),
+    kt AS (
+      SELECT qid, sum(rel) AS hits,
+             min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+             sum(CASE WHEN rel = 1 THEN wt.w ELSE 0 END) AS dcg
+      FROM topk JOIN wt USING (rnk) GROUP BY 1
+    )
+    SELECT qdim.qid,
+           CAST(COALESCE(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(kt.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(CAST(ROUND(1e6 / kt.fr) AS BIGINT), 0) AS BIGINT)
+             AS mrr_e6,
+           CAST(ROUND(1e6 * COALESCE(kt.hits, 0) / {k}) AS BIGINT)
+             AS precision_e6,
+           CASE WHEN COALESCE(nrel.n_rel, 0) > 0
+                THEN CAST(ROUND(1e6 * COALESCE(kt.hits, 0) / nrel.n_rel)
+                          AS BIGINT)
+           END AS recall_e6,
+           CASE WHEN COALESCE(nrel.n_rel, 0) > 0
+                THEN CAST(ROUND(
+                  1e6 * CAST(COALESCE(kt.dcg, 0) AS DOUBLE)
+                  / CAST((SELECT cumw FROM wt
+                          WHERE rnk = least(nrel.n_rel, {k})) AS DOUBLE))
+                  AS BIGINT)
+           END AS ndcg_e6
+    FROM qdim LEFT JOIN nrel USING (qid) LEFT JOIN kt USING (qid)
+    """
+
+
+@q("doc_retrieval_eval", _retrieval_eval_sql())
+def doc_retrieval_eval(spark, sf_dir):
+    """Offline retrieval-quality eval: BM25 top-10 per fixed query vs
+    AND-semantics binary relevance — MRR@10, precision/recall@10,
+    nDCG@10 with pre-quantized bigint gain weights; the qz query
+    matches nothing and pins the R=0 row (see
+    textops.retrieval_eval)."""
+    return textops.retrieval_eval(
+        _docs(spark, sf_dir), _REVAL_QUERIES, k=_REVAL_K
+    )

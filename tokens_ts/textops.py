@@ -2899,3 +2899,160 @@ def inverted_index(
             F.round(idf * 1e6).cast("bigint").alias("idf_e6"),
         )
     )
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation: for each query, rank the
+    corpus by BM25 (the bm25_topk arithmetic, verbatim) and score the
+    top-k ranking against a DETERMINISTIC binary relevance label —
+    a document is relevant iff it contains ALL the query's terms (AND
+    semantics, so both engines derive identical ground truth from the
+    text alone). Emits, per query: n_rel (corpus-wide relevant count),
+    hits (relevant in top-k), mrr_e6, precision_e6, recall_e6,
+    ndcg_e6 — the eval harness that turns ranking changes into
+    numbers, next to the ranking ops themselves (bm25_topk,
+    hybrid_rrf) the way emb_ann_recall audits the ANN path.
+
+    Metric pins: ranking order is (score_e6 DESC, doc_id ASC) — the
+    e6-rounded-score tie rule of bm25_topk; MRR is measured AT k
+    (1/rank of the first relevant in the top-k, exact integer ratio;
+    0 if none made the cut — even when relevant docs exist further
+    down); precision@k divides by k always; recall and nDCG are null
+    when n_rel = 0 (undefined, not 0); DCG gain weights enter as
+    PRE-QUANTIZED bigint literals w(i) = round(1e12/log2(i+1)) so the
+    per-query DCG sum is an order-free exact integer (the session_nll
+    quantize-before-sum trick), and IDCG is the literal prefix sum at
+    min(n_rel, k) — ndcg_e6 is one bigint ratio. A query matching
+    zero documents still emits its row (hits 0, null recall/ndcg).
+
+    Scale shape: ONE corpus scan with row-local per-term tf over the
+    UNION query vocabulary (array-of-struct filter — no vocab-keyed
+    shuffle), exploded only to the matched (doc, term) rows; df /
+    corpus stats / query dims are all broadcast-bounded; the rank
+    window partitions by qid over the matched-docs frame; every
+    subsequent agg is queries-bounded."""
+    import math as _math
+
+    if not queries or any(not ts for _, ts in queries):
+        raise ValueError("retrieval_eval: empty query set or query")
+    vocab = sorted({t for _, ts in queries for t in ts})
+    spark = docs.sparkSession
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = docs.select(
+        id_col,
+        F.size(words).alias("dl"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(
+                        F.filter(words, lambda x: x == F.lit(t))
+                    ).alias("tf"),
+                )
+                for t in vocab
+            ]
+        ).alias("_tfs"),
+    )
+    st = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tfl = (
+        base.select(id_col, "dl", F.explode("_tfs").alias("e"))
+        .select(id_col, "dl", "e.term", "e.tf")
+        .where(F.col("tf") > 0)
+    )
+    dfc = tfl.groupBy("term").agg(F.count("*").alias("df"))
+    qdim = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in queries], "qid string, nq int"
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "qid string, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    qd = (
+        tfl.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(st))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", id_col)
+        .agg(
+            F.count("*").alias("_nm"),
+            F.round(F.sum(idf * tfn) * 1e6).cast("bigint").alias("score_e6"),
+        )
+        .join(F.broadcast(qdim), "qid")
+        .withColumn("_rel", (F.col("_nm") == F.col("nq")).cast("bigint"))
+    )
+    nrel = qd.groupBy("qid").agg(F.sum("_rel").alias("n_rel"))
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("score_e6"), F.asc(id_col)
+    )
+    topk = qd.select(
+        "qid", "_rel", F.row_number().over(wq).alias("_rank")
+    ).where(F.col("_rank") <= k)
+    ws = [round(1e12 / _math.log2(i + 1)) for i in range(1, k + 1)]
+    cumw = [sum(ws[: i + 1]) for i in range(k)]
+    warr = F.array(*[F.lit(w).cast("bigint") for w in ws])
+    carr = F.array(*[F.lit(c).cast("bigint") for c in cumw])
+    ktop = topk.groupBy("qid").agg(
+        F.sum("_rel").cast("bigint").alias("hits"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
+        F.sum(
+            F.when(
+                F.col("_rel") == 1, F.element_at(warr, F.col("_rank"))
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("_dcg"),
+    )
+    out = (
+        qdim.join(nrel, "qid", "left")
+        .join(ktop, "qid", "left")
+        .na.fill({"n_rel": 0, "hits": 0, "_dcg": 0})
+    )
+    # greatest(..., 1) keeps the unevaluated-branch index legal under
+    # ANSI when n_rel = 0 (the n_rel > 0 guard discards the value).
+    idcg = F.element_at(
+        carr,
+        F.greatest(F.least(F.col("n_rel"), F.lit(k)), F.lit(1)).cast("int"),
+    )
+    return out.select(
+        "qid",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.coalesce(
+            F.round(F.lit(1e6) / F.col("_fr")).cast("bigint"), F.lit(0)
+        ).alias("mrr_e6"),
+        F.round(F.lit(1e6) * F.col("hits") / F.lit(k))
+        .cast("bigint")
+        .alias("precision_e6"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.lit(1e6) * F.col("hits") / F.col("n_rel")).cast(
+                "bigint"
+            ),
+        ).alias("recall_e6"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.lit(1e6)
+                * F.col("_dcg").cast("double")
+                / idcg.cast("double")
+            ).cast("bigint"),
+        ).alias("ndcg_e6"),
+    )
