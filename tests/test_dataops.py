@@ -3415,3 +3415,88 @@ def test_retrieval_eval_degenerate_pins(spark):
     q = got["q"]
     assert q["n_rel"] == 1 and q["hits"] == 0 and q["mrr_e6"] == 0
     assert q["recall_e6"] == 0 and q["ndcg_e6"] == 0
+
+
+def test_resize_bmp_hand_checked(spark):
+    """4x2 → clamp (2,1): nearest-neighbor picks source rows/cols by
+    the integer map, output re-padded to the 4-byte boundary, and the
+    emitted px_sum/px_md5 match a hand replay of the sampled bytes."""
+    import hashlib
+
+    payload = multimodal.make_bmp(4, 2, seed=10)
+    src = payload[54:]
+    rb = multimodal._row_bytes(4)  # 12
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.resize_bmp(df, max_w=2, max_h=1).collect()[0]
+    assert (r["in_width"], r["in_height"]) == (4, 2)
+    assert (r["out_width"], r["out_height"]) == (2, 1)
+    orb = multimodal._row_bytes(2)  # 8
+    assert r["out_bytes"] == 54 + orb
+    # sy = [0]; sx for k=0..5 → x=[0,0,0,1,1,1] → src cols [0,1,2,6,7,8]
+    want = bytes(src[c] for c in [0, 1, 2, 6, 7, 8]) + b"\x00\x00"
+    assert r["px_sum"] == sum(want)
+    assert r["px_md5"] == hashlib.md5(want.hex().encode()).hexdigest()
+    assert rb == 12 and orb == 8
+
+
+def test_resize_bmp_never_upscales_and_output_decodes(spark):
+    """An image already inside the clamp passes through at its own
+    dims; the identity map reproduces the source PIXEL bytes while the
+    row-padding bytes are deterministically re-zeroed (the resize
+    never copies source padding — the oracle encodes the same rule)."""
+    import hashlib
+
+    payload = multimodal.make_bmp(3, 2, seed=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.resize_bmp(df, max_w=16, max_h=12).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (3, 2)
+    rb = multimodal._row_bytes(3)  # 12: 9 pixel bytes + 3 pad
+    src = payload[54:]
+    want = b"".join(
+        src[row * rb : row * rb + 9] + b"\x00\x00\x00" for row in range(2)
+    )
+    assert r["px_md5"] == hashlib.md5(want.hex().encode()).hexdigest()
+    assert r["px_sum"] == sum(want)
+    assert r["out_bytes"] == len(payload)
+
+
+def test_audio_frames_partial_tail_and_exact_stats(spark):
+    """Frame grid from payload length alone: a 3x2 BMP has 24 pixel
+    bytes → ONE partial frame (n_samples=24); peak/ssq replay the
+    (seed+idx)%256−128 closed form exactly."""
+    payload = multimodal.make_bmp(3, 2, seed=7)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = multimodal.audio_frames(df, frame=256).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    d = [((7 + i) % 256) - 128 for i in range(24)]
+    assert r["n_samples"] == 24
+    assert r["peak"] == max(abs(x) for x in d)
+    assert r["ssq"] == sum(x * x for x in d)
+    # a bigger frame count: 16x12 → rb=48, npx=576 → frames 256/256/64
+    big = multimodal.make_bmp(16, 12, seed=0)
+    df2 = spark.createDataFrame(
+        [(0, bytearray(big))], "doc_id long, payload binary"
+    )
+    ns = {r["frame_id"]: r["n_samples"]
+          for r in multimodal.audio_frames(df2, frame=256).collect()}
+    assert ns == {0: 256, 1: 256, 2: 64}
+
+
+def test_resize_rejects_corrupt_payload(spark):
+    """The resize stage validates before touching bytes — a truncated
+    payload fails loudly, not with silently-wrong output."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BMxxxx"))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception):
+        multimodal.resize_bmp(df).collect()

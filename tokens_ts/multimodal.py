@@ -160,3 +160,157 @@ def docs_as_bmp(docs: DataFrame) -> DataFrame:
         _bmp_batches,
         schema="doc_id long, payload binary, mime string",
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_width", LongType()),
+        StructField("in_height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_md5", StringType()),
+    ]
+)
+
+
+def _resize_one(payload: bytes, max_w: int, max_h: int):
+    import hashlib
+
+    w, h, _bpp = decode_bmp_header(payload)
+    rb = _row_bytes(w)
+    arr = np.frombuffer(payload, np.uint8)[BMP_HEADER_BYTES:].reshape(h, rb)
+    ow, oh = min(w, max_w), min(h, max_h)
+    orb = _row_bytes(ow)
+    sy = (np.arange(oh, dtype=np.int64) * h) // oh
+    k = np.arange(3 * ow, dtype=np.int64)
+    sx = ((k // 3) * w) // ow
+    src_cols = sx * 3 + (k % 3)
+    out = np.zeros((oh, orb), dtype=np.uint8)
+    out[:, : 3 * ow] = arr[sy][:, src_cols]
+    pix = out.tobytes()
+    n_px = orb * oh
+    size = BMP_HEADER_BYTES + n_px
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_BYTES)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, ow, oh, 1, 24, 0, n_px, 2835, 2835, 0, 0
+    )
+    resized = file_hdr + info_hdr + pix
+    got = decode_bmp_header(resized)  # self-check: output is a real BMP
+    if got != (ow, oh, 24):
+        raise ValueError(f"resize produced an invalid BMP: {got}")
+    return (
+        w,
+        h,
+        ow,
+        oh,
+        len(resized),
+        int(out.sum(dtype=np.int64)),
+        hashlib.md5(pix.hex().encode()).hexdigest(),
+    )
+
+
+def resize_bmp(
+    binary_df: DataFrame, max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """Nearest-neighbor BMP thumbnail: clamp each image to
+    (max_w × max_h) with the integer index map sx = ⌊x·w/ow⌋,
+    sy = ⌊y·h/oh⌋ applied in STORAGE row order (BMP rows are
+    bottom-up; sampling in storage order preserves that orientation),
+    output rows re-padded to the 4-byte BMP boundary with zeros, and
+    the result re-assembled into a VALID 24-bit BMP (header rewritten,
+    then re-decoded as a self-check — the resize emits nothing it
+    could not itself parse back). Never upscales: ow = min(w, max_w).
+
+    Emits per image: in/out dims, out_bytes (54 + oh·orb exactly),
+    px_sum (exact bigint over the padded output pixel array) and
+    px_md5 = md5 of the LOWERCASE-HEX of the output pixel bytes — the
+    cross-engine artifact a byte-free SQL oracle can rebuild from the
+    fixture's closed-form pixel values.
+
+    Same Arrow stage discipline as extract_features: one mapInPandas,
+    the per-payload numpy resample is the irreducible Python of any
+    image op (PIL.thumbnail would sit in the same spot), and callers
+    must project (doc_id, payload) only — at 100 TB the payload column
+    dominates I/O."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf["payload"].map(lambda p: _resize_one(p, max_w, max_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_width": res.map(lambda r: r[0]).astype(np.int64),
+                    "in_height": res.map(lambda r: r[1]).astype(np.int64),
+                    "out_width": res.map(lambda r: r[2]).astype(np.int64),
+                    "out_height": res.map(lambda r: r[3]).astype(np.int64),
+                    "out_bytes": res.map(lambda r: r[4]).astype(np.int64),
+                    "px_sum": res.map(lambda r: r[5]).astype(np.int64),
+                    "px_md5": res.map(lambda r: r[6]),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _batches, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", LongType()),
+        StructField("ssq", LongType()),
+        StructField("rms_e6", LongType()),
+    ]
+)
+
+
+def audio_frames(binary_df: DataFrame, frame: int = 256) -> DataFrame:
+    """Audio-style frame features over an opaque payload: interpret
+    the BMP pixel array as unsigned 8-bit PCM (the stand-in for a real
+    audio decode — libav would sit in the same Arrow stage), center at
+    the 128 midpoint, cut NON-OVERLAPPING frames of `frame` samples
+    (the last partial frame is kept with its true n_samples), and emit
+    per frame: peak = max |d|, ssq = Σd² (exact bigint), and
+    rms_e6 = round(1e6·√(ssq/n)) — one IEEE tree from exact integers.
+
+    One mapInPandas over (doc_id, payload); output is
+    frames-per-payload bounded (n_bytes/frame rows per doc). The
+    frame grid is sample-index based, so both engines agree on frame
+    boundaries from the payload length alone."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fids, ns, pk, ss, rm = [], [], [], [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decode_bmp_header(payload)  # validate before use
+                arr = np.frombuffer(payload, np.uint8)[
+                    BMP_HEADER_BYTES:
+                ].astype(np.int64) - 128
+                for f in range(0, (arr.size + frame - 1) // frame):
+                    seg = arr[f * frame : (f + 1) * frame]
+                    ssq = int((seg * seg).sum())
+                    ids.append(int(d))
+                    fids.append(f)
+                    ns.append(seg.size)
+                    pk.append(int(np.abs(seg).max()))
+                    ss.append(ssq)
+                    rm.append(round(1e6 * float(np.sqrt(ssq / seg.size))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, np.int64),
+                    "frame_id": np.array(fids, np.int64),
+                    "n_samples": np.array(ns, np.int64),
+                    "peak": np.array(pk, np.int64),
+                    "ssq": np.array(ss, np.int64),
+                    "rms_e6": np.array(rm, np.int64),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _batches, schema=FRAME_SCHEMA
+    )

@@ -9343,3 +9343,97 @@ def doc_retrieval_eval(spark, sf_dir):
     return textops.retrieval_eval(
         _docs(spark, sf_dir), _REVAL_QUERIES, k=_REVAL_K
     )
+
+
+@q(
+    "mm_resize",
+    """
+    WITH par AS (
+      SELECT doc_id,
+             1 + strlen(text) % 64 AS w,
+             1 + doc_id % 48 AS h,
+             ((3 * (1 + strlen(text) % 64) + 3) // 4) * 4 AS rb,
+             least(1 + strlen(text) % 64, 16) AS ow,
+             least(1 + doc_id % 48, 12) AS oh,
+             ((3 * least(1 + strlen(text) % 64, 16) + 3) // 4) * 4 AS orb
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, rb, ow, oh, orb,
+             unnest(range(0, oh * orb)) AS p
+      FROM par
+    ),
+    v AS (
+      SELECT doc_id, w, h, ow, oh, orb, p,
+             CASE WHEN p % orb < 3 * ow
+                  THEN (doc_id
+                        + ((p // orb) * h // oh) * rb
+                        + (((p % orb) // 3) * w // ow) * 3
+                        + (p % orb) % 3) % 256
+                  ELSE 0 END AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS in_width,
+           CAST(max(h) AS BIGINT) AS in_height,
+           CAST(max(ow) AS BIGINT) AS out_width,
+           CAST(max(oh) AS BIGINT) AS out_height,
+           CAST(54 + max(oh) * max(orb) AS BIGINT) AS out_bytes,
+           CAST(sum(b) AS BIGINT) AS px_sum,
+           md5(string_agg(printf('%02x', b), '' ORDER BY p)) AS px_md5
+    FROM v GROUP BY doc_id
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Nearest-neighbor BMP thumbnail to a 16x12 clamp: the Spark side
+    genuinely parses + resamples + re-assembles the binary payload in
+    an Arrow stage (and re-decodes its own output as a self-check);
+    the oracle rebuilds the padded output pixel bytes from the
+    fixture's closed forms and must land on the same md5-of-hex and
+    byte sum (see multimodal.resize_bmp)."""
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
+    return multimodal.resize_bmp(b, max_w=16, max_h=12)
+
+
+@q(
+    "mm_audio_frames",
+    """
+    WITH par AS (
+      SELECT doc_id,
+             (1 + doc_id % 48)
+             * (((3 * (1 + strlen(text) % 64) + 3) // 4) * 4) AS npx
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, npx,
+             unnest(range(0, (npx + 255) // 256)) AS frame_id
+      FROM par
+    ),
+    sm AS (
+      SELECT doc_id, frame_id,
+             unnest(range(frame_id * 256,
+                          least(npx, (frame_id + 1) * 256))) AS idx
+      FROM fr
+    ),
+    d AS (
+      SELECT doc_id, frame_id, (doc_id + idx) % 256 - 128 AS dd
+      FROM sm
+    )
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(dd)) AS BIGINT) AS peak,
+           CAST(sum(dd * dd) AS BIGINT) AS ssq,
+           CAST(ROUND(1e6 * sqrt(CAST(sum(dd * dd) AS DOUBLE)
+                                 / CAST(count(*) AS DOUBLE))) AS BIGINT)
+             AS rms_e6
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mm_audio_frames(spark, sf_dir):
+    """PCM-style frame features over the payload's pixel bytes: 256-
+    sample non-overlapping frames, midpoint-centered, per-frame peak /
+    exact Σd² / rms — the audio-modality stand-in whose frame grid
+    both engines derive from payload length alone (see
+    multimodal.audio_frames)."""
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
+    return multimodal.audio_frames(b, frame=256)
