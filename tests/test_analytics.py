@@ -3028,3 +3028,109 @@ def test_pacf_durbin_levinson_hand_formula(spark):
     assert got["pacf1_e6"] == round(r1 * 1e6)
     assert got["pacf2_e6"] == round(p22 * 1e6)
     assert got["pacf3_e6"] == round(p33 * 1e6)
+
+
+def test_granger_detects_causal_direction(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 40
+    x = [float((7 * t + 3) % 11) for t in range(n)]
+    y = [0.0] + [x[t - 1] + 0.1 * ((3 * t) % 5) for t in range(1, n)]
+    rows = [("X", t0 + timedelta(hours=t), x[t]) for t in range(n)]
+    rows += [("Y", t0 + timedelta(hours=t), y[t]) for t in range(n)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        (r["series_x"], r["series_y"]): r
+        for r in analytics.granger(df, key_col="k").collect()
+    }
+    fwd, rev = out[("X", "Y")], out[("Y", "X")]
+    assert fwd["n_obs"] == n - 1 and rev["n_obs"] == n - 1
+    # X's past nearly determines Y (tiny bounded wiggle): huge F,
+    # gain near 1; the reverse direction explains almost nothing.
+    assert fwd["f_e6"] > 100 * max(rev["f_e6"], 1)
+    assert fwd["gain_e6"] > 900_000
+    # the reverse picks up residual lag-2 structure in the modular
+    # driver but stays far from the causal direction's near-1 gain
+    assert rev["gain_e6"] < 400_000
+
+
+def test_granger_matches_numpy_ols(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 25
+    a = [float((5 * t * t + 2 * t + 7) % 13) for t in range(n)]
+    b = [float((3 * t * t + 11 * t + 1) % 17) for t in range(n)]
+    rows = [("A", t0 + timedelta(hours=t), a[t]) for t in range(n)]
+    rows += [("B", t0 + timedelta(hours=t), b[t]) for t in range(n)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    got = {
+        (r["series_x"], r["series_y"]): r
+        for r in analytics.granger(df, key_col="k").collect()
+    }
+
+    def ref(xs, ys):
+        u = np.array(ys[:-1])  # y_{t-1}
+        v = np.array(xs[:-1])  # x_{t-1}
+        yy = np.array(ys[1:])
+        m = len(yy)
+        Xr = np.column_stack([np.ones(m), u])
+        Xu = np.column_stack([np.ones(m), u, v])
+        rss_r = float(
+            ((yy - Xr @ np.linalg.lstsq(Xr, yy, rcond=None)[0]) ** 2).sum()
+        )
+        rss_u = float(
+            ((yy - Xu @ np.linalg.lstsq(Xu, yy, rcond=None)[0]) ** 2).sum()
+        )
+        return (rss_r - rss_u) * (m - 3) / rss_u, (rss_r - rss_u) / rss_r
+
+    for sx, sy, xs, ys in [("A", "B", a, b), ("B", "A", b, a)]:
+        f, g = ref(xs, ys)
+        r = got[(sx, sy)]
+        assert r["f_e6"] == pytest.approx(round(1e6 * f), abs=2)
+        assert r["gain_e6"] == pytest.approx(round(1e6 * g), abs=2)
+
+
+def test_changepoint_mean_locates_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("S", t0 + timedelta(hours=h), 10.0 if h < 10 else 20.0)
+        for h in range(20)
+    ]
+    # a constant series: no SST, strength must be null (not 0)
+    rows += [("C", t0 + timedelta(hours=h), 5.0) for h in range(6)]
+    # a single-bucket series has no split and must be dropped
+    rows += [("One", t0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.changepoint_mean(df, key_col="k").collect()
+    }
+    assert set(out) == {"S", "C"}
+    s = out["S"]
+    assert s["k_left"] == 10
+    assert s["cp_epoch"] == int((t0 + timedelta(hours=9)).timestamp())
+    # between-SSE gain n1*n2/n * delta^2 = 10*10/20 * 100 = 500
+    assert s["gain_e6"] == 500_000_000
+    assert s["strength_e6"] == 1_000_000  # pure shift: one-break R^2 = 1
+    assert s["mean_before_e3"] == 10_000 and s["mean_after_e3"] == 20_000
+    c = out["C"]
+    assert c["gain_e6"] == 0 and c["strength_e6"] is None
+    assert c["k_left"] == 1  # all-tied gains -> earliest epoch pinned

@@ -3500,3 +3500,94 @@ def test_resize_rejects_corrupt_payload(spark):
     )
     with _pytest.raises(Exception):
         multimodal.resize_bmp(df).collect()
+
+
+def test_dup_span_coverage_hand_fixture(spark):
+    """Cross-doc shared 5-gram covers its 5 positions in BOTH docs;
+    a within-doc self-repeat counts (duplication is duplication);
+    <5-word docs and all-unique docs emit honest covered=0 rows."""
+    from tokens_ts import dedup
+
+    rows = [
+        (1, "a b c d e f"),            # shares "a b c d e" with doc 2
+        (2, "a b c d e x"),
+        (3, "p q r s"),                # too short for any 5-gram
+        (4, "m n o p q m n o p q"),    # self-repeat: starts 0 and 5
+        (5, "u1 u2 u3 u4 u5 u6 u7"),   # all grams unique corpus-wide
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=5).collect()}
+    assert out[1]["covered"] == 5 and out[1]["n_words"] == 6
+    assert out[1]["cov_e6"] == 833333  # round(5/6 * 1e6)
+    assert out[2]["covered"] == 5
+    assert out[3]["covered"] == 0 and out[3]["cov_e6"] == 0
+    assert out[4]["covered"] == 10 and out[4]["cov_e6"] == 1_000_000
+    assert out[5]["covered"] == 0
+
+
+def test_dup_span_coverage_overlapping_spans_union(spark):
+    """Two overlapping duplicated grams cover the UNION of their
+    positions, not the sum — the distinct() is semantic, not
+    cosmetic."""
+    from tokens_ts import dedup
+
+    # docs share a 6-word run -> grams at starts 0 and 1 both dup;
+    # coverage = positions 0..5 = 6, not 10
+    rows = [(1, "a b c d e f g"), (2, "a b c d e f h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=5).collect()}
+    assert out[1]["covered"] == 6 and out[2]["covered"] == 6
+
+
+def test_calinski_harabasz_numpy_parity(spark):
+    """Engine CH equals the textbook variance-ratio computed by numpy
+    on the same e6-grid values; a far-apart tight pair of clusters
+    scores enormously."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    rng = [(i * 37 + 11) % 100 / 100.0 for i in range(400)]
+    rows = []
+    vecs = {0: [], 1: []}
+    for i in range(20):
+        for lab in (0, 1):
+            v = [0.0] * 64
+            v[0] = 10.0 * lab + rng[i * 2 + lab]  # clusters at 0 and 10
+            v[1] = rng[i * 3 + lab]
+            rows.append((len(rows), v, lab))
+            vecs[lab].append(v)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in simsearch.calinski_harabasz(df).collect()}
+
+    # numpy replay on the e6 grid (engine quantizes components first)
+    g6 = lambda a: np.round(np.asarray(a, dtype=np.float64) * 1e6)  # noqa
+    x0, x1 = g6(vecs[0]), g6(vecs[1])
+    allx = np.vstack([x0, x1])
+    g = allx.mean(axis=0)
+    w = sum(((x - x.mean(axis=0)) ** 2).sum() for x in (x0, x1))
+    b = sum(len(x) * ((x.mean(axis=0) - g) ** 2).sum() for x in (x0, x1))
+    nn, k = len(allx), 2
+    ch = (b / (k - 1)) / (w / (nn - k))
+    for lab in (0, 1):
+        assert out[lab]["n"] == 20
+        assert out[lab]["ch_e6"] == pytest.approx(round(1e6 * ch), abs=2)
+    assert (out[0]["b_e6"] + out[1]["b_e6"]) > 100 * (
+        out[0]["w_e6"] + out[1]["w_e6"]
+    )
+
+
+def test_calinski_harabasz_single_label_null(spark):
+    """k=1 leaves the ratio undefined: ch null, w/b rows still real."""
+    from tokens_ts import simsearch
+
+    rows = [(i, [float(i)] + [0.0] * 63, 7) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = simsearch.calinski_harabasz(df).collect()
+    assert len(out) == 1
+    assert out[0]["ch_e6"] is None and out[0]["b_e6"] == 0
+    assert out[0]["w_e6"] > 0

@@ -4823,3 +4823,200 @@ def pacf(
         e6(p22).alias("pacf2_e6"),
         e6(p33).alias("pacf3_e6"),
     )
+
+
+def granger(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Lag-1 Granger causality between every DIRECTED pair of series
+    (x → y): does knowing x_{t−1} shrink the error of predicting y_t
+    beyond what y_{t−1} already explains? Restricted model
+    y_t ~ 1 + y_{t−1}; unrestricted y_t ~ 1 + y_{t−1} + x_{t−1};
+    F = (RSS_r − RSS_u)·(n−3)/RSS_u with both RSS in closed form from
+    the centered second moments (2-regressor OLS by Cramer's rule).
+    CCF says the series co-move at some lag; Granger says the
+    co-movement carries PREDICTIVE information after conditioning on
+    the target's own past — the difference between correlation and a
+    usable leading indicator.
+
+    Exactness: bucket means land on the e-`grid` integer grid (the
+    house acf/pacf rule), so all ten pair sums are EXACT bigints and
+    every engine forms the identical IEEE finishing tree — the e6
+    outputs cannot differ by summation order. Triples require y_t,
+    y_{t−1}, x_{t−1} all present (gap-correct epoch arithmetic: a
+    hole drops exactly the triples it breaks). n < 4, zero y-lag
+    variance, singular normal matrix, or RSS_u ≤ 0 ⇒ null stats,
+    rows still emitted. F < 0 by fp cancellation clamps at 0 via the
+    e6 rounding of a ~−1e−9 residual.
+
+    Shapes: ONE bucket agg over raw rows; triples = two self-equi-
+    joins on bucket epoch between buckets-bounded frames; final agg
+    is pairs-bounded. No window over raw rows."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    scale = float(10 ** grid)
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("_sid"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.round(F.avg(value_col) * scale).cast("bigint").alias("_v"))
+    )
+    cur = b.select(
+        F.col("_sid").alias("series_y"), "_ep", F.col("_v").alias("_y")
+    )
+    ylag = b.select(
+        F.col("_sid").alias("series_y"),
+        (F.col("_ep") + step).alias("_ep"),
+        F.col("_v").alias("_u"),
+    )
+    xlag = b.select(
+        F.col("_sid").alias("series_x"),
+        (F.col("_ep") + step).alias("_ep"),
+        F.col("_v").alias("_x"),
+    )
+    tri = (
+        cur.join(ylag, ["series_y", "_ep"])
+        .join(xlag, "_ep")
+        .where(F.col("series_x") != F.col("series_y"))
+    )
+    a = tri.groupBy("series_x", "series_y").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_u").alias("su"),
+        F.sum("_x").alias("sv"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_u") * F.col("_u")).alias("suu"),
+        F.sum(F.col("_x") * F.col("_x")).alias("svv"),
+        F.sum(F.col("_u") * F.col("_x")).alias("suv"),
+        F.sum(F.col("_u") * F.col("_y")).alias("suy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("svy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    muu = dbl("suu") - dbl("su") * dbl("su") / nd
+    mvv = dbl("svv") - dbl("sv") * dbl("sv") / nd
+    muv = dbl("suv") - dbl("su") * dbl("sv") / nd
+    muy = dbl("suy") - dbl("su") * dbl("sy") / nd
+    mvy = dbl("svy") - dbl("sv") * dbl("sy") / nd
+    myy = dbl("syy") - dbl("sy") * dbl("sy") / nd
+    det = muu * mvv - muv * muv
+    rss_r = myy - muy * muy / muu
+    rss_u = myy - (mvv * muy * muy - 2.0 * muv * muy * mvy
+                   + muu * mvy * mvy) / det
+    ok = (F.col("n") >= 4) & (muu > 0) & (det > 0)
+    fstat = F.when(
+        ok & (rss_u > 0),
+        (rss_r - rss_u) * (nd - 3.0) / rss_u,
+    )
+    gain = F.when(ok & (rss_r > 0), (rss_r - rss_u) / rss_r)
+    return a.select(
+        "series_x",
+        "series_y",
+        F.col("n").alias("n_obs"),
+        F.round(fstat * 1e6).cast("bigint").alias("f_e6"),
+        F.round(gain * 1e6).cast("bigint").alias("gain_e6"),
+    )
+
+
+def changepoint_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Single best MEAN-SHIFT changepoint per series (binary-
+    segmentation step 1): over the bucket-mean sequence in epoch
+    order, the split k (1 ≤ k < n) maximizing the between-segment
+    SSE gain — equivalently gain(k) = (n·S_k − k·T)²/(k·(n−k)·n) in
+    value² units, from prefix sums alone. Pettitt ranks (robust,
+    answers WHETHER); this is the parametric sibling that answers
+    WHERE the level moved and by HOW MUCH (mean_before/after), the
+    alarm a capacity dashboard pages on.
+
+    Exactness: bucket means on the e-`grid` integer grid → S_k, T
+    exact bigints → every candidate's gain is the same handful of
+    IEEE ops in both engines from identical integers; the argmax
+    cannot flip by summation order (ties → earliest epoch, pinned).
+    strength_e6 = gain/SSE_total (the R² of the one-break model);
+    SSE_total ≤ 0 (constant series) ⇒ null strength, row kept.
+    Series with n < 2 have no split and are dropped — honestly, not
+    as a zero.
+
+    Shapes: ONE bucket agg, then prefix/total sums over the buckets-
+    bounded frame sharing a single (key) partitioning; argmax is a
+    max_by struct agg, not a sort. No second shuffle."""
+    scale = float(10 ** grid)
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("series_id"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.round(F.avg(value_col) * scale).cast("bigint").alias("_v"))
+    )
+    wall = Window.partitionBy("series_id")
+    wpre = wall.orderBy("_ep").rowsBetween(Window.unboundedPreceding, 0)
+    p = b.select(
+        "series_id",
+        "_ep",
+        F.count("*").over(wall).alias("n"),
+        F.sum("_v").over(wall).alias("t"),
+        F.sum(F.col("_v") * F.col("_v")).over(wall).alias("q"),
+        F.sum("_v").over(wpre).alias("s"),
+        F.row_number().over(wall.orderBy("_ep")).alias("k"),
+    ).where(F.col("k") < F.col("n"))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ad = (
+        nd * F.col("s").cast("double") - kd * F.col("t").cast("double")
+    )
+    gain = ad * ad / (kd * (nd - kd) * nd)
+    cand = p.select(
+        "series_id",
+        "n",
+        "t",
+        "q",
+        "_ep",
+        "k",
+        "s",
+        gain.alias("_gain"),
+    )
+    best = cand.groupBy("series_id").agg(
+        F.max("n").alias("n_buckets"),
+        F.max("t").alias("_t"),
+        F.max("q").alias("_q"),
+        F.max_by(
+            F.struct("_ep", "k", "s", "_gain"),
+            F.struct(F.col("_gain"), (-F.col("_ep")).alias("nep")),
+        ).alias("w"),
+    )
+    nd2 = F.col("n_buckets").cast("double")
+    sst = (
+        F.col("_q").cast("double")
+        - F.col("_t").cast("double") * F.col("_t").cast("double") / nd2
+    )
+    kd2 = F.col("w.k").cast("double")
+    mb = F.col("w.s").cast("double") / kd2
+    ma = (F.col("_t") - F.col("w.s")).cast("double") / (nd2 - kd2)
+    return best.select(
+        "series_id",
+        "n_buckets",
+        F.col("w._ep").alias("cp_epoch"),
+        F.col("w.k").alias("k_left"),
+        F.round(F.col("w._gain") / (10.0 ** grid) / (10.0 ** grid) * 1e6)
+        .cast("bigint")
+        .alias("gain_e6"),
+        F.when(sst > 0, F.round(F.col("w._gain") / sst * 1e6))
+        .cast("bigint")
+        .alias("strength_e6"),
+        F.round(mb).cast("bigint").alias(f"mean_before_e{grid}"),
+        F.round(ma).cast("bigint").alias(f"mean_after_e{grid}"),
+    )

@@ -792,3 +792,88 @@ def dedup_funnel(
         .cast("bigint")
         .alias("canon_removed_tokens_ub"),
     )
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication coverage per document (the
+    suffix-array dedup metric from "Deduplicating Training Data Makes
+    Language Models Better", word-gram form): a word position is
+    COVERED iff it lies inside any word k-gram that occurs ≥2 times
+    corpus-wide (self-repeats count — duplication is duplication
+    whether the twin lives in the same doc or another). Emits per doc
+    n_words, covered, and cov_e6 = round(1e6·covered/n_words) — the
+    quantity the Lee et al. pipeline would CUT. Complements
+    doc_repetition (within-doc Gopher fraction) and doc_minhash_*
+    (whole-doc near-dup): this is the span-level, corpus-wide view.
+
+    Shapes for 10^12 docs: tokenize row-locally, build the per-doc
+    gram list with one array transform (no per-gram window), ONE
+    map-side-combined groupBy(gram) for corpus counts, join
+    occurrences back on the SAME gram key (co-partitioned under AQE),
+    explode only MATCHED grams ×k for position coverage, distinct +
+    count per doc. No window over the corpus, no pairwise join; the
+    gram shuffle is the same single heavy key any exact-substring
+    dedup pays. Docs shorter than k words emit covered=0 rows (they
+    cannot contain a k-gram)."""
+    d = (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+        )
+        .withColumn("n_words", F.size("w").cast("bigint"))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_words") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_words").cast("int") - k),
+                    lambda i: F.array_join(
+                        F.slice("w", i + 1, k), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("start", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("covered"))
+    )
+    return (
+        d.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("covered"), F.lit(0).cast("bigint")).alias(
+                "covered"
+            ),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_words").cast("double")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("cov_e6"),
+        )
+    )

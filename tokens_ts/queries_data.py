@@ -9437,3 +9437,257 @@ def mm_audio_frames(spark, sf_dir):
     multimodal.audio_frames)."""
     b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
     return multimodal.audio_frames(b, frame=256)
+
+
+def _ch_oracle_sql(dim: int = 64) -> str:
+    """DuckDB mirror of simsearch.calinski_harabasz — identical
+    left-to-right folds; component sums cs{j}, global sums g{j}."""
+    q6 = lambda expr: f"CAST(round({expr} * 1e6) AS BIGINT)"  # noqa: E731
+    s_cols = ",\n        ".join(
+        f"CAST(sum({q6(f'x[{j + 1}]')}) AS BIGINT) AS cs{j}"
+        for j in range(dim)
+    )
+    g_cols = ", ".join(f"CAST(sum(cs{j}) AS BIGINT) AS g{j}" for j in range(dim))
+    cent2 = " + ".join(
+        f"(CAST(cs{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(cs{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        for j in range(dim)
+    )
+    d2 = " + ".join(
+        f"(CAST(s.cs{j} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+        f" - CAST(g.g{j} AS DOUBLE) / CAST(g.nn AS DOUBLE))"
+        f" * (CAST(s.cs{j} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+        f" - CAST(g.g{j} AS DOUBLE) / CAST(g.nn AS DOUBLE))"
+        for j in range(dim)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(label AS BIGINT) AS label, embedding AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    sums AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(list_sum(list_transform(x,
+          c -> {q6('c')} * {q6('c')}))) AS BIGINT) AS q,
+        {s_cols}
+      FROM e GROUP BY 1
+    ),
+    gl AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             {g_cols}
+      FROM sums
+    ),
+    p AS (
+      SELECT s.label, s.n, g.nn, g.k,
+             CAST(s.q AS DOUBLE) - CAST(s.n AS DOUBLE) * ({cent2}) AS w,
+             CAST(s.n AS DOUBLE) * ({d2}) AS b
+      FROM sums s CROSS JOIN gl g
+    ),
+    tot AS (
+      SELECT nn, k, sum(w) AS ww, sum(b) AS bb FROM p GROUP BY 1, 2
+    )
+    SELECT p.label, p.n,
+           CAST(round(p.w / 1e6) AS BIGINT) AS w_e6,
+           CAST(round(p.b / 1e6) AS BIGINT) AS b_e6,
+           CASE WHEN t.k >= 2 AND t.nn > t.k AND t.ww > 0
+                THEN CAST(round((t.bb / (CAST(t.k AS DOUBLE) - 1.0))
+                     / (t.ww / (CAST(t.nn AS DOUBLE) - CAST(t.k AS DOUBLE)))
+                     * 1e6) AS BIGINT)
+           END AS ch_e6
+    FROM p JOIN tot t ON t.nn = p.nn AND t.k = p.k
+    """
+
+
+@q("emb_calinski_harabasz", _ch_oracle_sql())
+def emb_calinski_harabasz(spark, sf_dir):
+    """Per-label Calinski-Harabasz rows: within-SSE, between-SSE
+    contribution vs the global centroid, and the shared variance-ratio
+    index from exact e6-grid integer sums (see
+    simsearch.calinski_harabasz) — the compactness-vs-separation twin
+    of emb_davies_bouldin's worst-neighbor view."""
+    return simsearch.calinski_harabasz(_emb(spark, sf_dir))
+
+
+@q(
+    "doc_dup_span_coverage",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) != ''
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(n_words AS INTEGER) - 4)) AS start,
+             w
+      FROM base WHERE n_words >= 5
+    ),
+    g AS (
+      SELECT doc_id, start,
+             array_to_string(list_slice(w, start + 1, start + 5), ' ') AS gram
+      FROM occ
+    ),
+    cnt AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT m.doc_id, m.start + o.off AS pos
+      FROM g m JOIN cnt USING (gram)
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS off) o
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words,
+           CAST(coalesce(p.covered, 0) AS BIGINT) AS covered,
+           CAST(round(CAST(coalesce(p.covered, 0) AS DOUBLE)
+                / CAST(b.n_words AS DOUBLE) * 1e6) AS BIGINT) AS cov_e6
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+)
+def doc_dup_span_coverage(spark, sf_dir):
+    """Corpus-wide duplicated-span coverage per doc: fraction of word
+    positions inside any word 5-gram occurring ≥2× anywhere in the
+    corpus — the Lee-et-al exact-substring-dedup cut quantity (see
+    dedup.dup_span_coverage)."""
+    return dedup.dup_span_coverage(_docs(spark, sf_dir), k=5)
+
+
+@q(
+    "ts_granger",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(round(avg(value) * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT x.sid AS series_x, c.sid AS series_y,
+             u.v AS u, x.v AS x, c.v AS y
+      FROM b c
+      JOIN b u ON u.sid = c.sid AND u.ep + 3600 = c.ep
+      JOIN b x ON x.ep + 3600 = c.ep AND x.sid != c.sid
+    ),
+    a AS (
+      SELECT series_x, series_y, CAST(count(*) AS BIGINT) AS n,
+             sum(u) AS su, sum(x) AS sv, sum(y) AS sy,
+             sum(u*u) AS suu, sum(x*x) AS svv, sum(u*x) AS suv,
+             sum(u*y) AS suy, sum(x*y) AS svy, sum(y*y) AS syy
+      FROM tri GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT series_x, series_y, n,
+        CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+          / CAST(n AS DOUBLE) AS muu,
+        CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+          / CAST(n AS DOUBLE) AS mvv,
+        CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+          / CAST(n AS DOUBLE) AS muv,
+        CAST(suy AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS muy,
+        CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS mvy,
+        CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS myy
+      FROM a
+    ),
+    r AS (
+      SELECT series_x, series_y, n, muu,
+             muu * mvv - muv * muv AS det,
+             myy - muy * muy / muu AS rss_r,
+             myy - (mvv * muy * muy - 2.0 * muv * muy * mvy
+                    + muu * mvy * mvy) / (muu * mvv - muv * muv) AS rss_u
+      FROM m
+    )
+    SELECT series_x, series_y, n AS n_obs,
+           CASE WHEN n >= 4 AND muu > 0 AND det > 0 AND rss_u > 0
+                THEN CAST(round((rss_r - rss_u) * (CAST(n AS DOUBLE) - 3.0)
+                     / rss_u * 1e6) AS BIGINT)
+           END AS f_e6,
+           CASE WHEN n >= 4 AND muu > 0 AND det > 0 AND rss_r > 0
+                THEN CAST(round((rss_r - rss_u) / rss_r * 1e6) AS BIGINT)
+           END AS gain_e6
+    FROM r
+    """,
+)
+def ts_granger(spark, sf_dir):
+    """Lag-1 Granger causality F-test between every directed pair of
+    event types at hourly buckets — 2-regressor OLS RSS in closed form
+    from exact e3-grid integer sums (see analytics.granger). CCF's
+    lead-lag says the series co-move; this says the mover carries
+    predictive information beyond the target's own past."""
+    return analytics.granger(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+
+
+@q(
+    "ts_changepoint_mean",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(round(avg(value) * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT sid, ep,
+             count(*) OVER (PARTITION BY sid) AS n,
+             sum(v) OVER (PARTITION BY sid) AS t,
+             sum(v * v) OVER (PARTITION BY sid) AS q,
+             sum(v) OVER (PARTITION BY sid ORDER BY ep
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS k
+      FROM b
+    ),
+    cand AS (
+      SELECT sid, ep, n, t, q, s, k,
+             (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+              - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+             / (CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                * CAST(n AS DOUBLE)) AS gain
+      FROM p WHERE k < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY sid
+                  ORDER BY gain DESC, ep ASC) AS rn
+      FROM cand
+    )
+    SELECT sid AS series_id,
+           CAST(n AS BIGINT) AS n_buckets,
+           ep AS cp_epoch,
+           CAST(k AS BIGINT) AS k_left,
+           CAST(round(gain / 1000.0 / 1000.0 * 1e6) AS BIGINT) AS gain_e6,
+           CASE WHEN CAST(q AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0
+                THEN CAST(round(gain / (CAST(q AS DOUBLE)
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS strength_e6,
+           CAST(round(CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) AS BIGINT)
+             AS mean_before_e3,
+           CAST(round(CAST(t - s AS DOUBLE)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS BIGINT)
+             AS mean_after_e3
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_changepoint_mean(spark, sf_dir):
+    """Best single mean-shift changepoint per event type (binary-
+    segmentation step 1) over hourly e3-grid means: argmax SSE gain
+    from prefix sums, with the one-break R² (strength) and the
+    before/after levels (see analytics.changepoint_mean). Pettitt
+    answers WHETHER robustly; this answers WHERE and BY HOW MUCH."""
+    return analytics.changepoint_mean(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )

@@ -1516,3 +1516,100 @@ def davies_bouldin(
             .alias("r_e6"),
         )
     )
+
+
+def calinski_harabasz(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) rows per label: within-SSE
+    w_i = Σ_{x∈i} |x − c_i|², between-SSE contribution
+    b_i = n_i·|c_i − g|² (g = the GLOBAL centroid), and on every row
+    the shared index CH = (B/(k−1)) / (W/(N−k)) — higher = clusters
+    tight AND far apart. Davies-Bouldin asks "who is my worst
+    neighbor"; CH is the single separation-vs-compactness score an
+    embedding-quality dashboard tracks over training runs.
+
+    Same exactness scheme as davies_bouldin: per-label (n, Q, 64
+    component sums) are exact e6-grid bigints, the GLOBAL sums are
+    exact bigint totals of those, and every finishing quotient/fold
+    runs in doubles through identical left-to-right trees in both
+    engines (w_i via the one-pass identity n_i·s²_i = Q_i −
+    n_i·Σ_d c²_id). B and W sum #labels doubles — the only
+    order-dependent step, ~1e-9 of the e6 rounding step at this
+    scale. k < 2 or W ≤ 0 or N ≤ k ⇒ ch null, rows still emitted.
+
+    Scale shape: ONE corpus scan → map-side-combined per-label agg →
+    a labels-bounded frame; the global row is a broadcast cross join.
+    No corpus broadcast, no window over data rows."""
+    q6 = lambda x: F.round(x * 1e6).cast("bigint")  # noqa: E731
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    rowq = F.aggregate(
+        F.transform(F.col("x"), lambda c: q6(c) * q6(c)),
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + t,
+    )
+    sums = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(rowq).cast("bigint").alias("q"),
+        *[F.sum(q6(F.col("x")[j])).alias(f"s{j}") for j in range(dim)],
+    )
+    nd = F.col("n").cast("double")
+    v = F.array(*[F.col(f"s{j}") for j in range(dim)])
+    cent2 = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda a, s: a + (s.cast("double") / nd) * (s.cast("double") / nd),
+    )
+    # w_i = Q_i − n_i·Σ_d c²_id  (grid² units), exact-int inputs
+    lab = sums.select(
+        "label",
+        "n",
+        (F.col("q").cast("double") - nd * cent2).alias("w"),
+        v.alias("v"),
+    )
+    glob = sums.groupBy().agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("k"),
+        *[F.sum(f"s{j}").alias(f"g{j}") for j in range(dim)],
+    )
+    gv = F.array(*[F.col(f"g{j}") for j in range(dim)])
+    p = lab.join(F.broadcast(glob.select("nn", "k", gv.alias("gv"))))
+    nnd = F.col("nn").cast("double")
+    d2 = F.aggregate(
+        F.zip_with(
+            "v",
+            "gv",
+            lambda s, g: s.cast("double") / nd - g.cast("double") / nnd,
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t * t,
+    )
+    p = p.select(
+        "label", "n", "nn", "k", "w", (nd * d2).alias("b")
+    )
+    tot = p.groupBy("nn", "k").agg(
+        F.sum("w").alias("ww"), F.sum("b").alias("bb")
+    )
+    ch = F.when(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ww") > 0),
+        (F.col("bb") / (F.col("k").cast("double") - 1.0))
+        / (F.col("ww") / (F.col("nn").cast("double") - F.col("k").cast("double"))),
+    )
+    return (
+        p.join(F.broadcast(tot.select("nn", "k", "ww", "bb")), ["nn", "k"])
+        .select(
+            "label",
+            "n",
+            F.round(F.col("w") / 1e6).cast("bigint").alias("w_e6"),
+            F.round(F.col("b") / 1e6).cast("bigint").alias("b_e6"),
+            F.round(ch * 1e6).cast("bigint").alias("ch_e6"),
+        )
+    )
