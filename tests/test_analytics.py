@@ -3134,3 +3134,140 @@ def test_changepoint_mean_locates_level_shift(spark):
     c = out["C"]
     assert c["gain_e6"] == 0 and c["strength_e6"] is None
     assert c["k_left"] == 1  # all-tied gains -> earliest epoch pinned
+
+
+def test_sample_entropy_hand_counts_and_gaps(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 3, 1)
+    # constant day: r=0 and every template matches -> A=B>0, sampen=0
+    rows = [("C", t0 + timedelta(hours=h), 7.0) for h in range(6)]
+    # erratic short day: values far apart -> r small vs spreads, B=0
+    for h, v in enumerate([0.0, 100.0, 3.0, 250.0, 11.0]):
+        rows.append(("E", t0 + timedelta(hours=h), v))
+    # gap day: hours 0,1,2 then 4,5 -> templates crossing hour 3 drop
+    for h, v in [(0, 1.0), (1, 1.0), (2, 1.0), (4, 1.0), (5, 1.0)]:
+        rows.append(("G", t0 + timedelta(hours=h), v))
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.sample_entropy(df, key_col="k").collect()
+    }
+    c = out["C"]
+    # n=6: length-2 templates at i=1..5 -> C(5,2)=10 B-matches;
+    # length-3 at i=1..4 -> C(4,2)=6 A-matches; sampen = ln(10/6)
+    assert (c["b_cnt"], c["a_cnt"]) == (10, 6)
+    assert c["sampen_e6"] == round(1e6 * math.log(10 / 6))
+    assert out["E"]["b_cnt"] == 0 and out["E"]["sampen_e6"] is None
+    g = out["G"]
+    # valid length-2 templates: starts 0,1,4 (start 2 broken by the
+    # gap) -> C(3,2)=3 matching pairs; only start 0 carries a valid
+    # length-3 template (start 1 needs the missing hour 3), so no
+    # A-pair exists and sampen is honestly null
+    assert (g["b_cnt"], g["a_cnt"]) == (3, 0)
+    assert g["sampen_e6"] is None
+
+
+def test_cointegration_numpy_parity_and_mean_reversion(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 60
+    # A: a deterministic slow walk; B = 2A + bounded stationary spread
+    a = [100.0 + 3.0 * math.sin(t / 5.0) + 0.5 * t for t in range(n)]
+    spread = [10.0 * (1 if t % 2 else -1) * ((t % 7) + 1) / 7 for t in range(n)]
+    bvals = [2.0 * a[t] + spread[t] for t in range(n)]
+    rows = [("A", t0 + timedelta(hours=t), a[t]) for t in range(n)]
+    rows += [("B", t0 + timedelta(hours=t), bvals[t]) for t in range(n)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.cointegration(df, key_col="k").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["series_a"], r["series_b"]) == ("A", "B")
+    assert r["n_obs"] == n and r["n_diffs"] == n - 1
+
+    # numpy replay on the e3 grid incl. residual quantization
+    x = np.round(np.array(a) * 1000)
+    y = np.round(np.array(bvals) * 1000)
+    mxx = (x * x).sum() - x.sum() ** 2 / n
+    mxy = (x * y).sum() - x.sum() * y.sum() / n
+    beta = mxy / mxx
+    alpha = (y.sum() - beta * x.sum()) / n
+    e = np.round(y - alpha - beta * x)
+    l, d = e[:-1], np.diff(e)
+    rho = (l * d).sum() / (l * l).sum()
+    s2 = ((d - rho * l) ** 2).sum() / (len(d) - 1)
+    dft = rho / math.sqrt(s2 / (l * l).sum())
+    assert r["beta_e6"] == pytest.approx(round(1e6 * beta), abs=2)
+    assert r["alpha_e3"] == pytest.approx(round(alpha), abs=1)
+    assert r["rho_e6"] == pytest.approx(round(1e6 * rho), abs=2)
+    assert r["df_t_e6"] == pytest.approx(round(1e6 * dft), abs=5)
+    # an alternating bounded spread mean-reverts hard: strongly
+    # negative DF t (way past any critical value)
+    assert r["df_t_e6"] < -3_000_000
+
+
+def test_hjorth_numpy_parity(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [float((7 * t * t + 3 * t + 5) % 23) for t in range(30)]
+    rows = [("H", t0 + timedelta(hours=t), vals[t]) for t in range(30)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.hjorth(df, key_col="k").collect()[0]
+    v = np.round(np.array(vals) * 1000)
+    d1, d2 = np.diff(v), np.diff(np.diff(v))
+    pv = lambda x: (x * x).mean() - x.mean() ** 2  # noqa: E731
+    mob = math.sqrt(pv(d1) / pv(v))
+    comp = math.sqrt(pv(d2) / pv(d1)) / mob
+    assert r["n_buckets"] == 30 and r["n_d1"] == 29 and r["n_d2"] == 28
+    assert r["activity_e6"] == pytest.approx(round(pv(v)), abs=2)
+    assert r["mobility_e6"] == pytest.approx(round(1e6 * mob), abs=2)
+    assert r["complexity_e6"] == pytest.approx(round(1e6 * comp), abs=2)
+
+
+def test_turning_points_extremes(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 20
+    rows = [("Mono", t0 + timedelta(hours=t), float(t)) for t in range(n)]
+    rows += [
+        ("Alt", t0 + timedelta(hours=t), float(t % 2)) for t in range(n)
+    ]
+    # ties are NOT turning points: flat-top plateau has none
+    for h, v in enumerate([1.0, 2.0, 2.0, 1.0]):
+        rows.append(("Flat", t0 + timedelta(hours=h), v))
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.turning_points(df, key_col="k").collect()
+    }
+    assert out["Mono"]["n_turning"] == 0
+    assert out["Alt"]["n_turning"] == n - 2
+    assert out["Flat"]["n_turning"] == 0
+    exp = 2.0 * (n - 2) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    assert out["Mono"]["z_e6"] == round(1e6 * (0 - exp) / math.sqrt(var))
+    assert out["Alt"]["z_e6"] == round(1e6 * ((n - 2) - exp) / math.sqrt(var))
+    assert out["Mono"]["z_e6"] < 0 < out["Alt"]["z_e6"]

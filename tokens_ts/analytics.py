@@ -5020,3 +5020,392 @@ def changepoint_mean(
         F.round(mb).cast("bigint").alias(f"mean_before_e{grid}"),
         F.round(ma).cast("bigint").alias(f"mean_after_e{grid}"),
     )
+
+
+def _hourly_grid_buckets(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """(series_id, _ep, _v) hourly/minute/day bucket means on the
+    e-`grid` integer grid — the shared exactness front end of the
+    complexity/econometrics operators (one map-side-combined agg)."""
+    scale = float(10 ** grid)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("series_id"),
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
+        )
+        .agg(F.round(F.avg(value_col) * scale).cast("bigint").alias("_v"))
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    grid: int = 3,
+    r_frac: float = 0.2,
+) -> DataFrame:
+    """SampEn(m=2, r=0.2·σ) per (series, day) over the day's hourly
+    e-grid means: B = matching length-2 template pairs (i<j, Chebyshev
+    distance ≤ r), A = the same pairs still matching at length 3,
+    SampEn = −ln(A/B) — low = regular/predictable day, high = erratic;
+    the template-matching complexity gauge next to perm_entropy's
+    ordinal one (which ignores amplitude; SampEn is amplitude-aware).
+
+    Exactness: values are exact e-grid ints; r = round(r_frac·σ_day)
+    is an INT formed from exact sums through one shared IEEE tree, so
+    every template comparison is integer arithmetic — the pair counts
+    A and B cannot differ between engines by an ulp. Templates are
+    gap-correct: (v_t, v_{t+1}[, v_{t+2}]) exists only when the next
+    epoch(s) are exactly +3600 — a missing hour drops exactly the
+    templates it breaks. A=0 or B=0 ⇒ null sampen (−ln 0 is not a
+    number), row still emitted.
+
+    Shapes: ONE bucket agg; lead-window template assembly and the
+    i<j pair self-join both run per (series, day) — ≤24 rows → ≤276
+    pairs per group, embarrassingly parallel at any corpus size."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, "hour", grid)
+    b = b.withColumn("_day", F.col("_ep") - F.col("_ep") % 86400)
+    w = Window.partitionBy("series_id", "_day").orderBy("_ep")
+    t = b.select(
+        "series_id",
+        "_day",
+        "_v",
+        F.row_number().over(w).alias("_i"),
+        F.when(
+            F.lead("_ep", 1).over(w) == F.col("_ep") + 3600,
+            F.lead("_v", 1).over(w),
+        ).alias("_v1"),
+        F.when(
+            (F.lead("_ep", 1).over(w) == F.col("_ep") + 3600)
+            & (F.lead("_ep", 2).over(w) == F.col("_ep") + 7200),
+            F.lead("_v", 2).over(w),
+        ).alias("_v2"),
+    )
+    nd = F.col("n").cast("double")
+    stats = (
+        b.groupBy("series_id", "_day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_v").alias("s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("q"),
+        )
+        .select(
+            "series_id",
+            "_day",
+            F.col("n").alias("n_buckets"),
+            F.round(
+                F.lit(r_frac)
+                * F.sqrt(
+                    F.col("q").cast("double") / nd
+                    - (F.col("s").cast("double") / nd)
+                    * (F.col("s").cast("double") / nd)
+                )
+            )
+            .cast("bigint")
+            .alias("r_grid"),
+        )
+    )
+    lft = t.select(
+        "series_id", "_day",
+        F.col("_i").alias("_il"), F.col("_v").alias("_vl"),
+        F.col("_v1").alias("_v1l"), F.col("_v2").alias("_v2l"),
+    )
+    rgt = t.select(
+        "series_id", "_day",
+        F.col("_i").alias("_ir"), F.col("_v").alias("_vr"),
+        F.col("_v1").alias("_v1r"), F.col("_v2").alias("_v2r"),
+    )
+    pairs = (
+        lft.join(rgt, ["series_id", "_day"])
+        .where(F.col("_il") < F.col("_ir"))
+        .join(stats.select("series_id", "_day", "r_grid"),
+              ["series_id", "_day"])
+    )
+    bmatch = (
+        F.col("_v1l").isNotNull()
+        & F.col("_v1r").isNotNull()
+        & (
+            F.greatest(
+                F.abs(F.col("_vl") - F.col("_vr")),
+                F.abs(F.col("_v1l") - F.col("_v1r")),
+            )
+            <= F.col("r_grid")
+        )
+    )
+    amatch = (
+        bmatch
+        & F.col("_v2l").isNotNull()
+        & F.col("_v2r").isNotNull()
+        & (F.abs(F.col("_v2l") - F.col("_v2r")) <= F.col("r_grid"))
+    )
+    cnt = pairs.groupBy("series_id", "_day").agg(
+        F.sum(F.when(bmatch, 1).otherwise(0)).cast("bigint").alias("b_cnt"),
+        F.sum(F.when(amatch, 1).otherwise(0)).cast("bigint").alias("a_cnt"),
+    )
+    out = stats.join(cnt, ["series_id", "_day"], "left")
+    sampen = F.when(
+        (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0),
+        -F.log(
+            F.col("a_cnt").cast("double") / F.col("b_cnt").cast("double")
+        ),
+    )
+    return out.select(
+        "series_id",
+        F.col("_day").alias("day_epoch"),
+        "n_buckets",
+        F.col("r_grid").alias("r_e3"),
+        F.coalesce("b_cnt", F.lit(0)).cast("bigint").alias("b_cnt"),
+        F.coalesce("a_cnt", F.lit(0)).cast("bigint").alias("a_cnt"),
+        F.round(sampen * 1e6).cast("bigint").alias("sampen_e6"),
+    )
+
+
+def cointegration(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Engle-Granger cointegration screen for every ordered-distinct
+    series pair: stage 1 fits y ~ α + β·x by OLS on the shared-epoch
+    hourly means; stage 2 runs the no-intercept Dickey-Fuller
+    regression Δe_t = ρ·e_{t−1} + ε on the stage-1 residuals and
+    reports the DF t-statistic — strongly negative ⇒ the residual
+    mean-reverts ⇒ the pair shares a long-run equilibrium (the
+    pairs-trading / redundant-metric detector). Correlation says the
+    LEVELS co-move; cointegration says the SPREAD is stationary —
+    different question, different sums.
+
+    Exactness: stage-1 sums are exact bigints on the e-grid; α, β are
+    identical doubles in both engines; each residual e_t is the same
+    IEEE tree from exact ints, then QUANTIZED back to the integer
+    grid (round(e)) so the stage-2 lag products are again exact
+    bigint sums — the two-stage pipeline never accumulates
+    order-dependent float sums. Adjacency is epoch-exact (+step
+    only). Guards: stage 1 needs n ≥ 3 and var(x) > 0; stage 2 needs
+    m ≥ 3, Σl² > 0, s² > 0 — else null stats, row kept.
+
+    Shapes: ONE bucket agg; pair frame = self-equi-join on epoch
+    (pairs·buckets rows); per-pair sums twice; α/β rejoin is
+    pairs-bounded broadcast. No window over raw rows."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    l = b.select(
+        F.col("series_id").alias("series_a"), "_ep",
+        F.col("_v").alias("_x"),
+    )
+    r = b.select(
+        F.col("series_id").alias("series_b"), "_ep",
+        F.col("_v").alias("_y"),
+    )
+    p = l.join(r, "_ep").where(F.col("series_a") < F.col("series_b"))
+    s1 = p.groupBy("series_a", "series_b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mxx = dbl("sxx") - dbl("sx") * dbl("sx") / nd
+    mxy = dbl("sxy") - dbl("sx") * dbl("sy") / nd
+    fit = s1.select(
+        "series_a",
+        "series_b",
+        "n",
+        F.when(mxx > 0, mxy / mxx).alias("beta"),
+        F.when(mxx > 0, (dbl("sy") - (mxy / mxx) * dbl("sx")) / nd).alias(
+            "alpha"
+        ),
+    )
+    res = (
+        p.join(F.broadcast(fit), ["series_a", "series_b"])
+        .where(F.col("beta").isNotNull())
+        .select(
+            "series_a",
+            "series_b",
+            "_ep",
+            F.round(
+                F.col("_y").cast("double")
+                - F.col("alpha")
+                - F.col("beta") * F.col("_x").cast("double")
+            )
+            .cast("bigint")
+            .alias("_q"),
+        )
+    )
+    w = Window.partitionBy("series_a", "series_b").orderBy("_ep")
+    d = res.select(
+        "series_a",
+        "series_b",
+        F.when(
+            F.lag("_ep", 1).over(w) == F.col("_ep") - step,
+            F.col("_q") - F.lag("_q", 1).over(w),
+        ).alias("_d"),
+        F.when(
+            F.lag("_ep", 1).over(w) == F.col("_ep") - step,
+            F.lag("_q", 1).over(w),
+        ).alias("_l"),
+    ).where(F.col("_d").isNotNull())
+    s2 = d.groupBy("series_a", "series_b").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("_l") * F.col("_d")).alias("sld"),
+        F.sum(F.col("_l") * F.col("_l")).alias("sll"),
+        F.sum(F.col("_d") * F.col("_d")).alias("sdd"),
+    )
+    md = F.col("m").cast("double")
+    rho = dbl("sld") / dbl("sll")
+    s2v = (dbl("sdd") - 2.0 * rho * dbl("sld") + rho * rho * dbl("sll")) / (
+        md - 1.0
+    )
+    dft = rho / F.sqrt(s2v / dbl("sll"))
+    ok = (F.col("m") >= 3) & (F.col("sll") > 0)
+    out = fit.join(s2, ["series_a", "series_b"], "left")
+    return out.select(
+        "series_a",
+        "series_b",
+        F.col("n").alias("n_obs"),
+        F.round(F.col("beta") * 1e6).cast("bigint").alias("beta_e6"),
+        F.round(F.col("alpha")).cast("bigint").alias("alpha_e3"),
+        F.coalesce("m", F.lit(0)).cast("bigint").alias("n_diffs"),
+        F.when(ok, F.round(rho * 1e6)).cast("bigint").alias("rho_e6"),
+        F.when(ok & (s2v > 0), F.round(dft * 1e6))
+        .cast("bigint")
+        .alias("df_t_e6"),
+    )
+
+
+def hjorth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Hjorth parameters per series over the bucket-mean signal:
+    activity = var(v) (the power), mobility = √(var(Δv)/var(v)) (the
+    dominant-frequency proxy), complexity = √(var(Δ²v)/var(Δv)) /
+    mobility (bandwidth / deviation-from-sine) — the three-number
+    signal fingerprint EEG pipelines run, and exactly the summary a
+    metric-similarity search wants before an expensive DTW.
+
+    Differences are epoch-exact (Δ at +step only, Δ² needs both
+    steps), so every sum is an exact bigint on the e-grid and the
+    three finishers are one shared IEEE tree. Population variance;
+    var ≤ 0 or too few rows ⇒ null for the ratios that need it,
+    activity_e6 reported whenever n ≥ 2."""
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    w = Window.partitionBy("series_id").orderBy("_ep")
+    adj1 = F.lag("_ep", 1).over(w) == F.col("_ep") - step
+    adj2 = adj1 & (F.lag("_ep", 2).over(w) == F.col("_ep") - 2 * step)
+    t = b.select(
+        "series_id",
+        "_v",
+        F.when(adj1, F.col("_v") - F.lag("_v", 1).over(w)).alias("_d1"),
+        F.when(
+            adj2,
+            F.col("_v")
+            - 2 * F.lag("_v", 1).over(w)
+            + F.lag("_v", 2).over(w),
+        ).alias("_d2"),
+    )
+    a = t.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_v").alias("s0"),
+        F.sum(F.col("_v") * F.col("_v")).alias("q0"),
+        F.count("_d1").cast("bigint").alias("n1"),
+        F.sum("_d1").alias("s1"),
+        F.sum(F.col("_d1") * F.col("_d1")).alias("q1"),
+        F.count("_d2").cast("bigint").alias("n2"),
+        F.sum("_d2").alias("s2"),
+        F.sum(F.col("_d2") * F.col("_d2")).alias("q2"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def pvar(nc, sc, qc):
+        ndd = dbl(nc)
+        return dbl(qc) / ndd - (dbl(sc) / ndd) * (dbl(sc) / ndd)
+
+    v0, v1, v2 = pvar("n", "s0", "q0"), pvar("n1", "s1", "q1"), pvar(
+        "n2", "s2", "q2"
+    )
+    mob = F.when((F.col("n") >= 2) & (F.col("n1") >= 2) & (v0 > 0),
+                 F.sqrt(v1 / v0))
+    comp = F.when(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (v1 > 0) & (v0 > 0),
+        F.sqrt(v2 / v1) / F.sqrt(v1 / v0),
+    )
+    return a.select(
+        "series_id",
+        F.col("n").alias("n_buckets"),
+        F.col("n1").alias("n_d1"),
+        F.col("n2").alias("n_d2"),
+        F.when(F.col("n") >= 2, F.round(v0)).cast("bigint").alias(
+            "activity_e6"
+        ),
+        F.round(mob * 1e6).cast("bigint").alias("mobility_e6"),
+        F.round(comp * 1e6).cast("bigint").alias("complexity_e6"),
+    )
+
+
+def turning_points(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Turning-point randomness test per series: T = # strict local
+    maxima/minima among consecutive bucket triples (epoch order);
+    under i.i.d. randomness E[T] = 2(n−2)/3, Var = (16n−29)/90,
+    z = (T−E)/√Var. Too FEW turns ⇒ trend/persistence, too MANY ⇒
+    oscillation — the third randomness lens next to runs_test's
+    above/below-median clumping and ljung_box's autocorrelation mass
+    (turning points see local shape those two cannot).
+
+    Counts are exact integer comparisons of e-grid ints (ties are NOT
+    turning points — strict, pinned); z is one shared IEEE tree.
+    n < 3 ⇒ no triple ⇒ null z with n_turning 0, row kept."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    w = Window.partitionBy("series_id").orderBy("_ep")
+    prv, nxt = F.lag("_v", 1).over(w), F.lead("_v", 1).over(w)
+    turn = F.when(
+        prv.isNotNull()
+        & nxt.isNotNull()
+        & (
+            ((prv < F.col("_v")) & (nxt < F.col("_v")))
+            | ((prv > F.col("_v")) & (nxt > F.col("_v")))
+        ),
+        1,
+    ).otherwise(0)
+    a = b.select("series_id", turn.alias("_t")).groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("_t").cast("bigint").alias("n_turning"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    td = F.col("n_turning").cast("double")
+    z = F.when(
+        F.col("n_buckets") >= 3,
+        (td - 2.0 * (nd - 2.0) / 3.0)
+        / F.sqrt((16.0 * nd - 29.0) / 90.0),
+    )
+    return a.select(
+        "series_id",
+        "n_buckets",
+        "n_turning",
+        F.round(z * 1e6).cast("bigint").alias("z_e6"),
+    )

@@ -9691,3 +9691,276 @@ def ts_changepoint_mean(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+_HOURLY_E3 = """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(round(avg(value) * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+"""
+
+
+@q(
+    "ts_sampen",
+    _HOURLY_E3
+    + """
+    , bb AS (SELECT sid, ep - ep % 86400 AS dy, ep, v FROM b),
+    t AS (
+      SELECT sid, dy, v,
+             row_number() OVER w AS i,
+             CASE WHEN lead(ep, 1) OVER w = ep + 3600
+                  THEN lead(v, 1) OVER w END AS v1,
+             CASE WHEN lead(ep, 1) OVER w = ep + 3600
+                   AND lead(ep, 2) OVER w = ep + 7200
+                  THEN lead(v, 2) OVER w END AS v2
+      FROM bb WINDOW w AS (PARTITION BY sid, dy ORDER BY ep)
+    ),
+    st AS (
+      SELECT sid, dy, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s, sum(v * v) AS q
+      FROM bb GROUP BY 1, 2
+    ),
+    sr AS (
+      SELECT sid, dy, n,
+             CAST(round(0.2 * sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS BIGINT) AS r
+      FROM st
+    ),
+    cnt AS (
+      SELECT l.sid, l.dy,
+        CAST(sum(CASE WHEN l.v1 IS NOT NULL AND rr.v1 IS NOT NULL
+              AND greatest(abs(l.v - rr.v), abs(l.v1 - rr.v1)) <= sr.r
+              THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+        CAST(sum(CASE WHEN l.v1 IS NOT NULL AND rr.v1 IS NOT NULL
+              AND greatest(abs(l.v - rr.v), abs(l.v1 - rr.v1)) <= sr.r
+              AND l.v2 IS NOT NULL AND rr.v2 IS NOT NULL
+              AND abs(l.v2 - rr.v2) <= sr.r
+              THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+      FROM t l
+      JOIN t rr ON rr.sid = l.sid AND rr.dy = l.dy AND l.i < rr.i
+      JOIN sr ON sr.sid = l.sid AND sr.dy = l.dy
+      GROUP BY 1, 2
+    )
+    SELECT sr.sid AS series_id, sr.dy AS day_epoch,
+           sr.n AS n_buckets, sr.r AS r_e3,
+           CAST(coalesce(c.b_cnt, 0) AS BIGINT) AS b_cnt,
+           CAST(coalesce(c.a_cnt, 0) AS BIGINT) AS a_cnt,
+           CASE WHEN c.a_cnt > 0 AND c.b_cnt > 0
+                THEN CAST(round(-ln(CAST(c.a_cnt AS DOUBLE)
+                     / CAST(c.b_cnt AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS sampen_e6
+    FROM sr LEFT JOIN cnt c ON c.sid = sr.sid AND c.dy = sr.dy
+    """,
+)
+def ts_sampen(spark, sf_dir):
+    """SampEn(m=2, r=0.2·σ_day) per (event type, day) on hourly
+    e3-grid means — amplitude-aware template-matching complexity next
+    to perm_entropy's ordinal view (see analytics.sample_entropy).
+    Integer Chebyshev comparisons; A=0/B=0 days emit null honestly."""
+    return analytics.sample_entropy(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value",
+    )
+
+
+@q(
+    "ts_cointegration",
+    _HOURLY_E3
+    + """
+    , p AS (
+      SELECT l.sid AS series_a, r.sid AS series_b, l.ep,
+             l.v AS x, r.v AS y
+      FROM b l JOIN b r ON r.ep = l.ep AND l.sid < r.sid
+    ),
+    s1 AS (
+      SELECT series_a, series_b, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM p GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT series_a, series_b, n,
+        CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        END AS beta,
+        CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(sy AS DOUBLE)
+                   - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        END AS alpha
+      FROM s1
+    ),
+    res AS (
+      SELECT p.series_a, p.series_b, p.ep,
+             CAST(round(CAST(p.y AS DOUBLE) - f.alpha
+                  - f.beta * CAST(p.x AS DOUBLE)) AS BIGINT) AS q
+      FROM p JOIN fit f ON f.series_a = p.series_a
+                       AND f.series_b = p.series_b
+      WHERE f.beta IS NOT NULL
+    ),
+    d AS (
+      SELECT series_a, series_b,
+             CASE WHEN lag(ep, 1) OVER w = ep - 3600
+                  THEN q - lag(q, 1) OVER w END AS dd,
+             CASE WHEN lag(ep, 1) OVER w = ep - 3600
+                  THEN lag(q, 1) OVER w END AS ll
+      FROM res WINDOW w AS (PARTITION BY series_a, series_b ORDER BY ep)
+    ),
+    s2 AS (
+      SELECT series_a, series_b, CAST(count(*) AS BIGINT) AS m,
+             sum(ll * dd) AS sld, sum(ll * ll) AS sll,
+             sum(dd * dd) AS sdd
+      FROM d WHERE dd IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT f.series_a, f.series_b, f.n AS n_obs,
+           CAST(round(f.beta * 1e6) AS BIGINT) AS beta_e6,
+           CAST(round(f.alpha) AS BIGINT) AS alpha_e3,
+           CAST(coalesce(s2.m, 0) AS BIGINT) AS n_diffs,
+           CASE WHEN s2.m >= 3 AND s2.sll > 0
+                THEN CAST(round(CAST(s2.sld AS DOUBLE)
+                     / CAST(s2.sll AS DOUBLE) * 1e6) AS BIGINT)
+           END AS rho_e6,
+           CASE WHEN s2.m >= 3 AND s2.sll > 0
+                 AND (CAST(s2.sdd AS DOUBLE)
+                      - 2.0 * (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                        * CAST(s2.sld AS DOUBLE)
+                      + (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                        * (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                        * CAST(s2.sll AS DOUBLE))
+                     / (CAST(s2.m AS DOUBLE) - 1.0) > 0
+                THEN CAST(round((CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                     / sqrt(((CAST(s2.sdd AS DOUBLE)
+                        - 2.0 * (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                          * CAST(s2.sld AS DOUBLE)
+                        + (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                          * (CAST(s2.sld AS DOUBLE) / CAST(s2.sll AS DOUBLE))
+                          * CAST(s2.sll AS DOUBLE))
+                       / (CAST(s2.m AS DOUBLE) - 1.0))
+                       / CAST(s2.sll AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS df_t_e6
+    FROM fit f LEFT JOIN s2 ON s2.series_a = f.series_a
+                           AND s2.series_b = f.series_b
+    """,
+)
+def ts_cointegration(spark, sf_dir):
+    """Engle-Granger cointegration screen per ordered series pair:
+    OLS spread fit, residuals quantized back to the integer grid, and
+    the no-intercept Dickey-Fuller t on the spread (see
+    analytics.cointegration). Correlation says levels co-move; this
+    says the SPREAD mean-reverts."""
+    return analytics.cointegration(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+
+
+@q(
+    "ts_hjorth",
+    _HOURLY_E3
+    + """
+    , t AS (
+      SELECT sid, v,
+             CASE WHEN lag(ep, 1) OVER w = ep - 3600
+                  THEN v - lag(v, 1) OVER w END AS d1,
+             CASE WHEN lag(ep, 1) OVER w = ep - 3600
+                   AND lag(ep, 2) OVER w = ep - 7200
+                  THEN v - 2 * lag(v, 1) OVER w + lag(v, 2) OVER w
+             END AS d2
+      FROM b WINDOW w AS (PARTITION BY sid ORDER BY ep)
+    ),
+    a AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s0, sum(v * v) AS q0,
+             CAST(count(d1) AS BIGINT) AS n1,
+             sum(d1) AS s1, sum(d1 * d1) AS q1,
+             CAST(count(d2) AS BIGINT) AS n2,
+             sum(d2) AS s2_, sum(d2 * d2) AS q2
+      FROM t GROUP BY 1
+    ),
+    vv AS (
+      SELECT sid, n, n1, n2,
+        CAST(q0 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) AS v0,
+        CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS v1,
+        CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+          - (CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE))
+            * (CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE)) AS v2
+      FROM a
+    )
+    SELECT sid AS series_id, n AS n_buckets, n1 AS n_d1, n2 AS n_d2,
+           CASE WHEN n >= 2 THEN CAST(round(v0) AS BIGINT) END
+             AS activity_e6,
+           CASE WHEN n >= 2 AND n1 >= 2 AND v0 > 0
+                THEN CAST(round(sqrt(v1 / v0) * 1e6) AS BIGINT)
+           END AS mobility_e6,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 > 0 AND v0 > 0
+                THEN CAST(round(sqrt(v2 / v1) / sqrt(v1 / v0) * 1e6)
+                     AS BIGINT)
+           END AS complexity_e6
+    FROM vv
+    """,
+)
+def ts_hjorth(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per event type on hourly
+    e3-grid means with epoch-exact first and second differences (see
+    analytics.hjorth) — the three-number signal fingerprint cheaper
+    than any spectral pass."""
+    return analytics.hjorth(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+
+
+@q(
+    "ts_turning_points",
+    _HOURLY_E3
+    + """
+    , t AS (
+      SELECT sid,
+             CASE WHEN lag(v) OVER w IS NOT NULL
+                   AND lead(v) OVER w IS NOT NULL
+                   AND ((lag(v) OVER w < v AND lead(v) OVER w < v)
+                     OR (lag(v) OVER w > v AND lead(v) OVER w > v))
+                  THEN 1 ELSE 0 END AS tp
+      FROM b WINDOW w AS (PARTITION BY sid ORDER BY ep)
+    ),
+    a AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tp) AS BIGINT) AS t_cnt
+      FROM t GROUP BY 1
+    )
+    SELECT sid AS series_id, n AS n_buckets, t_cnt AS n_turning,
+           CASE WHEN n >= 3
+                THEN CAST(round((CAST(t_cnt AS DOUBLE)
+                     - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                     / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+                     * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM a
+    """,
+)
+def ts_turning_points(spark, sf_dir):
+    """Turning-point randomness z per event type on hourly e3-grid
+    means — strict local extrema counts vs the i.i.d. expectation
+    2(n−2)/3 (see analytics.turning_points); the local-shape
+    randomness lens next to runs_test and ljung_box."""
+    return analytics.turning_points(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
