@@ -3591,3 +3591,100 @@ def test_calinski_harabasz_single_label_null(spark):
     assert len(out) == 1
     assert out[0]["ch_e6"] is None and out[0]["b_e6"] == 0
     assert out[0]["w_e6"] > 0
+
+
+def test_ahash_brightness_shift_invariance(spark):
+    """Two images that differ only by a constant brightness offset
+    (same dims, no byte wraparound) hash IDENTICALLY — the property
+    that makes aHash catch re-encodes md5 cannot; and the bits come
+    from the strict integer threshold, python-replayed."""
+    a = multimodal.make_bmp(4, 2, seed=0)    # pixel bytes 0..23
+    b = multimodal.make_bmp(4, 2, seed=10)   # 10..33: pure +10 shift
+    c = multimodal.make_bmp(4, 2, seed=245)  # wraps past 255 mid-image -> differs
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.ahash(df).collect()}
+    assert out[1]["hash_hex"] == out[2]["hash_hex"]
+    assert out[1]["hash_hex"] != out[3]["hash_hex"]
+    assert out[1]["gray_sum"] + 64 * 10 == out[2]["gray_sum"]
+
+    # python replay of doc 1: grays from the (seed + idx) % 256 bytes
+    rb = multimodal._row_bytes(4)
+    sy = [(i * 2) // 8 for i in range(8)]
+    sx = [(j * 4) // 8 for j in range(8)]
+    grays = []
+    for r in sy:
+        for x in sx:
+            base = r * rb + 3 * x
+            grays.append((base % 256 + (base + 1) % 256 + (base + 2) % 256) // 3)
+    total = sum(grays)
+    bits = [1 if g * 64 > total else 0 for g in grays]
+    hexs = "".join(
+        "%x" % (bits[i] * 8 + bits[i + 1] * 4 + bits[i + 2] * 2 + bits[i + 3])
+        for i in range(0, 64, 4)
+    )
+    assert out[1]["hash_hex"] == hexs and len(hexs) == 16
+    assert out[1]["bits_set"] == sum(bits)
+    assert out[1]["gray_sum"] == total
+
+
+def test_hill_tail_numpy_parity_and_pareto(spark):
+    """Engine Hill xi equals the numpy replay on e3-grid values; a
+    deterministic Pareto(alpha=2) sample reads back xi ~ 0.5."""
+    import math
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    n = 400
+    # inverse-CDF Pareto(alpha=2), deterministic uniform grid
+    us = [(i + 0.5) / n for i in range(n)]
+    vals = [1.0 / math.sqrt(1.0 - u) for u in us]
+    rows = [("P", float(v)) for v in vals]
+    rows += [("Tiny", 1.0), ("Tiny", 2.0)]  # k=0 -> dropped, no tail
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {
+        r["series_id"]: r
+        for r in analytics.hill_tail(df, key_col="k").collect()
+    }
+    assert set(out) == {"P"}
+    p = out["P"]
+    v = np.sort(np.round(np.array(vals) * 1000))[::-1]
+    k = int(math.floor(n * 0.05))
+    u = v[k]  # the (k+1)-th largest
+    s9 = int(np.round(np.log(v[:k] / u) * 1e9).sum())
+    assert p["n"] == n and p["k"] == k and p["u_e3"] == int(u)
+    assert p["xi_e6"] == round(s9 / (k * 1e9) * 1e6)
+    # Pareto alpha=2 <=> xi=0.5; top-5% Hill on the exact inverse-CDF
+    # grid lands close
+    assert abs(p["xi_e6"] - 500_000) < 60_000
+    assert abs(p["alpha_e6"] - 2_000_000) < 250_000
+
+
+def test_flops_budget_hand_numbers(spark):
+    from tokens_ts import queries_data as qd
+
+    rows = [
+        ("s0", 10), ("s0", 20), ("s0", 30),
+        ("s1", 7),
+    ]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    got = {
+        r["source"]: r
+        for r in df.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_tok") * F.col("n_tok")).cast("bigint").alias("sq"),
+            (F.count("*") * F.max("n_tok") * F.max("n_tok"))
+            .cast("bigint")
+            .alias("pad"),
+        )
+        .collect()
+    }
+    # mirror of the seq_flops_budget arithmetic on a hand table:
+    # packed 100+400+900=1400 vs padded 3*900=2700
+    assert got["s0"]["sq"] == 1400 and got["s0"]["pad"] == 2700
+    assert got["s1"]["sq"] == 49 and got["s1"]["pad"] == 49

@@ -5409,3 +5409,87 @@ def turning_points(
         "n_turning",
         F.round(z * 1e6).cast("bigint").alias("z_e6"),
     )
+
+
+def hill_tail(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    frac: float = 0.05,
+    grid: int = 3,
+) -> DataFrame:
+    """Hill tail-index per series over RAW event values (peaks-over-
+    threshold): order the values descending, k = floor(frac·n), and
+    ξ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) — ξ ≈ 0 means thin
+    exponential-ish tails, ξ large means power-law heaviness (the
+    p99.9 you will actually see); α = 1/ξ is the Pareto exponent.
+    Quantiles say where the tail STARTS; Hill says how fast it KEEPS
+    GROWING — the capacity-planning number for timeouts and OOMs.
+
+    Exactness: values on the e-grid; the threshold u = x_(k+1) is an
+    exact order statistic (ties make the top-k multiset — and hence
+    the sum — unique even though row ranks are not); each log term is
+    PRE-QUANTIZED to a bigint round(1e9·ln(x/u)) so the per-series
+    sum is an order-free exact integer (the session_nll trick) and ξ
+    is one bigint ratio. Guards: a series with k = 0 (too small for
+    the tail fraction) or u ≤ 0 (log needs a positive threshold)
+    drops — there is no tail to index; ξ ≤ 0 ⇒ null α, row kept.
+
+    Scale: the per-key descending sort IS the cost of any exact POT —
+    one shuffle on the key; at 100 TB you would feed this the
+    already-reduced tier table or accept the sort like the exact-
+    quantile path does (ts_quantiles' GK twin is the flagged
+    approximate alternative)."""
+    scale = float(10 ** grid)
+    v = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("series_id"),
+        F.round(F.col(value_col) * scale).cast("bigint").alias("_v"),
+    )
+    w = Window.partitionBy("series_id").orderBy(F.desc("_v"))
+    r = v.select(
+        "series_id",
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("series_id")).alias("_n"),
+    )
+    k = F.floor(F.col("_n") * F.lit(frac)).cast("bigint")
+    u = r.where(F.col("_rn") == k + 1).select(
+        "series_id", F.col("_v").alias("_u")
+    )
+    top = (
+        r.where(F.col("_rn") <= k)
+        .join(u, "series_id")
+        .where(F.col("_u") > 0)
+        .select(
+            "series_id",
+            "_n",
+            F.round(
+                F.log(
+                    F.col("_v").cast("double") / F.col("_u").cast("double")
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("_t9"),
+            F.col("_u"),
+        )
+    )
+    agg = top.groupBy("series_id").agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.max("_u").alias("u_grid"),
+        F.sum("_t9").alias("_s9"),
+    )
+    xi = F.col("_s9").cast("double") / (
+        F.col("k").cast("double") * 1e9
+    )
+    return agg.select(
+        "series_id",
+        "n",
+        "k",
+        F.col("u_grid").alias(f"u_e{grid}"),
+        F.round(xi * 1e6).cast("bigint").alias("xi_e6"),
+        F.when(xi > 0, F.round(1.0 / xi * 1e6))
+        .cast("bigint")
+        .alias("alpha_e6"),
+    )

@@ -314,3 +314,86 @@ def audio_frames(binary_df: DataFrame, frame: int = 256) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _batches, schema=FRAME_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("hash_hex", StringType()),
+        StructField("bits_set", LongType()),
+        StructField("gray_sum", LongType()),
+    ]
+)
+
+
+def _ahash_one(doc_id: int, payload: bytes, side: int):
+    w, h, _bpp = decode_bmp_header(payload)
+    rb = _row_bytes(w)
+    arr = np.frombuffer(payload, np.uint8)[BMP_HEADER_BYTES:].reshape(h, rb)
+    sy = (np.arange(side, dtype=np.int64) * h) // side
+    sx = (np.arange(side, dtype=np.int64) * w) // side
+    px = arr[sy][:, :]  # sampled rows
+    base = sx * 3
+    gray = (
+        px[:, base].astype(np.int64)
+        + px[:, base + 1].astype(np.int64)
+        + px[:, base + 2].astype(np.int64)
+    ) // 3
+    flat = gray.reshape(-1)
+    total = int(flat.sum())
+    bits = (flat * (side * side) > total).astype(np.int64)
+    nib = bits.reshape(-1, 4)
+    vals = nib[:, 0] * 8 + nib[:, 1] * 4 + nib[:, 2] * 2 + nib[:, 3]
+    return (
+        w,
+        h,
+        "".join("%x" % int(x) for x in vals),
+        int(bits.sum()),
+        total,
+    )
+
+
+def ahash(binary_df: DataFrame, side: int = 8) -> DataFrame:
+    """Perceptual average-hash per image: resample to a side×side
+    grayscale grid with the SAME integer index maps as resize_bmp
+    (upscaling allowed here — a 3-pixel-wide image still yields a
+    full grid by column duplication, the standard aHash behavior),
+    gray = (b+g+r)//3 integer floor, and bit_i = 1 iff
+    gray_i·side² > Σgray (STRICT — the multiply keeps the threshold
+    comparison pure integer, no mean division, no float). Bits in
+    storage row-major order, packed MSB-first into side²/4 hex chars.
+
+    A shifted/re-encoded copy of an image keeps its relative
+    brightness pattern, so exact-equal aHashes catch re-encodes that
+    byte-level md5 misses — group on hash_hex for the candidate
+    clusters (mm_ahash_dups), exactly like doc_dedup_exact groups on
+    content md5. Emits bits_set + the exact gray_sum as independent
+    cross-checkable integers.
+
+    Same Arrow-stage discipline as the other multimodal verbs: one
+    mapInPandas over (doc_id, payload) only; the per-payload numpy
+    resample is the irreducible Python (PIL's Image.resize sits in
+    the same spot)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [
+                _ahash_one(int(d), p, side)
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "width": np.array([r[0] for r in res], np.int64),
+                    "height": np.array([r[1] for r in res], np.int64),
+                    "hash_hex": [r[2] for r in res],
+                    "bits_set": np.array([r[3] for r in res], np.int64),
+                    "gray_sum": np.array([r[4] for r in res], np.int64),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _batches, schema=AHASH_SCHEMA
+    )

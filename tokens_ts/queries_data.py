@@ -9964,3 +9964,196 @@ def ts_turning_points(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+_AHASH_CTE = """
+    WITH par AS (
+      SELECT doc_id,
+             1 + strlen(text) % 64 AS w,
+             1 + doc_id % 48 AS h,
+             ((3 * (1 + strlen(text) % 64) + 3) // 4) * 4 AS rb
+      FROM documents
+    ),
+    gpos AS (
+      SELECT doc_id, w, h, rb, unnest(range(0, 64)) AS g FROM par
+    ),
+    gray AS (
+      SELECT doc_id, g,
+             (((doc_id + ((g // 8) * h // 8) * rb + 3 * ((g % 8) * w // 8))
+               % 256)
+              + ((doc_id + ((g // 8) * h // 8) * rb + 3 * ((g % 8) * w // 8)
+                  + 1) % 256)
+              + ((doc_id + ((g // 8) * h // 8) * rb + 3 * ((g % 8) * w // 8)
+                  + 2) % 256)) // 3 AS gy
+      FROM gpos
+    ),
+    tot AS (
+      SELECT doc_id, sum(gy) AS total FROM gray GROUP BY 1
+    ),
+    bits AS (
+      SELECT gray.doc_id, g, gy,
+             CASE WHEN gy * 64 > tot.total THEN 1 ELSE 0 END AS bit
+      FROM gray JOIN tot ON tot.doc_id = gray.doc_id
+    ),
+    nib AS (
+      SELECT doc_id, g // 4 AS nb,
+             sum(bit * (CASE g % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                        WHEN 2 THEN 2 ELSE 1 END)) AS val,
+             sum(bit) AS bs, sum(gy) AS gs
+      FROM bits GROUP BY 1, 2
+    ),
+    hh AS (
+      SELECT doc_id,
+             string_agg(printf('%x', CAST(val AS BIGINT)), '' ORDER BY nb) AS hash_hex,
+             CAST(sum(bs) AS BIGINT) AS bits_set,
+             CAST(sum(gs) AS BIGINT) AS gray_sum
+      FROM nib GROUP BY 1
+    )
+"""
+
+
+@q(
+    "mm_ahash",
+    _AHASH_CTE
+    + """
+    SELECT p.doc_id, CAST(p.w AS BIGINT) AS width,
+           CAST(p.h AS BIGINT) AS height,
+           hh.hash_hex, hh.bits_set, hh.gray_sum
+    FROM par p JOIN hh ON hh.doc_id = p.doc_id
+    """,
+)
+def mm_ahash(spark, sf_dir):
+    """Perceptual average-hash per image: 8×8 integer-map grayscale
+    resample, strict integer threshold bits, MSB-first hex packing —
+    the Spark side genuinely parses + resamples the binary payload in
+    an Arrow stage; the oracle rebuilds every sampled gray from the
+    fixture closed forms and must land on the same 16-hex hash,
+    popcount and gray sum (see multimodal.ahash)."""
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
+    return multimodal.ahash(b, side=8)
+
+
+@q(
+    "mm_ahash_dups",
+    _AHASH_CTE
+    + """
+    SELECT hash_hex,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM hh GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def mm_ahash_dups(spark, sf_dir):
+    """Perceptual-duplicate clusters: group on the exact aHash —
+    catches re-encodes/brightness-shifted copies byte-md5 cannot,
+    with the same one-shuffle keep-smallest-id shape as
+    doc_dedup_exact (see multimodal.ahash)."""
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
+    return (
+        multimodal.ahash(b, side=8)
+        .groupBy("hash_hex")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+@q(
+    "seq_flops_budget",
+    _synth_cte()
+    + """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(sum(n_tok * n_tok) AS BIGINT) AS sum_tok_sq,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(count(*) * max(n_tok) * max(n_tok) AS BIGINT) AS pad_flops,
+           CAST(round((1.0 - CAST(sum(n_tok * n_tok) AS DOUBLE)
+                / CAST(count(*) * max(n_tok) * max(n_tok) AS DOUBLE)) * 1e6)
+             AS BIGINT) AS attn_save_e6
+    FROM seq GROUP BY source
+    """,
+)
+def seq_flops_budget(spark, sf_dir):
+    """Attention-FLOPs planning per source: Σn² (packed, block-
+    diagonal attention) vs n_docs·max² (pad-to-longest) and the
+    fractional saving — the cost model that justifies the packing
+    pipeline (seq_packing) in compute terms, all exact integers."""
+    s = _seq(spark)
+    pad = (
+        F.count("*") * F.max("n_tok") * F.max("n_tok")
+    ).cast("bigint")
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.sum(F.col("n_tok") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("sum_tok_sq"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+        pad.alias("pad_flops"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.sum(F.col("n_tok") * F.col("n_tok")).cast("double")
+                / pad.cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("attn_save_e6"),
+    )
+
+
+@q(
+    "ts_hill_tail",
+    """
+    WITH v AS (
+      SELECT event_type AS sid,
+             CAST(round(value * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT sid, v,
+             row_number() OVER (PARTITION BY sid ORDER BY v DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY sid) AS BIGINT) AS n,
+             CAST(floor(CAST(count(*) OVER (PARTITION BY sid) AS BIGINT)
+                        * 0.05) AS BIGINT) AS k
+      FROM v
+    ),
+    u AS (
+      SELECT sid, v AS uu FROM r WHERE rn = k + 1
+    ),
+    top AS (
+      SELECT r.sid, r.n,
+             CAST(round(ln(CAST(r.v AS DOUBLE) / CAST(u.uu AS DOUBLE))
+                        * 1e9) AS BIGINT) AS t9,
+             u.uu
+      FROM r JOIN u ON u.sid = r.sid
+      WHERE r.rn <= r.k AND u.uu > 0
+    ),
+    a AS (
+      SELECT sid, max(n) AS n, CAST(count(*) AS BIGINT) AS k,
+             max(uu) AS u_grid, sum(t9) AS s9
+      FROM top GROUP BY 1
+    )
+    SELECT sid AS series_id, n, k, u_grid AS u_e3,
+           CAST(round(CAST(s9 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * 1e9) * 1e6) AS BIGINT) AS xi_e6,
+           CASE WHEN CAST(s9 AS DOUBLE) / (CAST(k AS DOUBLE) * 1e9) > 0
+                THEN CAST(round(1.0 / (CAST(s9 AS DOUBLE)
+                     / (CAST(k AS DOUBLE) * 1e9)) * 1e6) AS BIGINT)
+           END AS alpha_e6
+    FROM a
+    """,
+)
+def ts_hill_tail(spark, sf_dir):
+    """Hill tail-index per event type over raw e3-grid values — exact
+    order-statistic threshold at the top 5%, pre-quantized bigint log
+    terms so the sum is order-free (see analytics.hill_tail).
+    Quantiles say where the tail starts; this says how fast it keeps
+    growing."""
+    return analytics.hill_tail(
+        _ev(spark, sf_dir), key_col="event_type", value_col="value",
+    )
