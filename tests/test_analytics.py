@@ -3271,3 +3271,64 @@ def test_turning_points_extremes(spark):
     assert out["Mono"]["z_e6"] == round(1e6 * (0 - exp) / math.sqrt(var))
     assert out["Alt"]["z_e6"] == round(1e6 * ((n - 2) - exp) / math.sqrt(var))
     assert out["Mono"]["z_e6"] < 0 < out["Alt"]["z_e6"]
+
+
+def test_esd_unmasks_second_outlier(spark):
+    """The classic masking demo: two big spikes inflate the sd so the
+    single-pass z of the SECOND spike looks tame; after ESD removes
+    the first, round 2's recomputed score for the second spike rises
+    above its round-1 score — the un-masking the iteration exists
+    for. Ties and exits are pinned too: a constant series yields no
+    rounds at all."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    # a gently varying plateau (so the series survives to round 3 —
+    # an all-constant remainder exits the cascade, tested below via
+    # Const) with two big spikes
+    vals = [10.0 + (h % 3) for h in range(20)]
+    vals[5], vals[13] = 200.0, 190.0
+    rows = [("S", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)]
+    rows += [("Const", t0 + timedelta(hours=h), 4.0) for h in range(8)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = analytics.esd_outliers(df, key_col="k", rounds=3).collect()
+    by = {(r["series_id"], r["round"]): r for r in out}
+    assert not [r for r in out if r["series_id"] == "Const"]
+    r1, r2, r3 = by[("S", 1)], by[("S", 2)], by[("S", 3)]
+    assert r1["epoch"] == int((t0 + timedelta(hours=5)).timestamp())
+    assert r1["v_e3"] == 200_000
+    assert r2["epoch"] == int((t0 + timedelta(hours=13)).timestamp())
+    assert r2["n_used"] == 19 and r1["n_used"] == 20
+
+    # round-1 score OF THE SECOND SPIKE (single-pass view), by hand
+    m0 = sum(vals) / 20
+    sd0 = math.sqrt(sum((v - m0) ** 2 for v in vals) / 20)
+    z13_pass1 = abs(190.0 - m0) / sd0
+    assert r2["score_e6"] > round(1e6 * z13_pass1)  # un-masked
+    # round 3 falls back to the 10.0 plateau: score far below round 2
+    assert r3["score_e6"] < r2["score_e6"]
+
+
+def test_char_entropy_pins(spark):
+    from tokens_ts import textops
+
+    rows = [
+        (1, "aaaa"),                 # one symbol: H = 0
+        (2, "ab" * 8),               # two equiprobable: H = 1 bit
+        (3, "abcd"),                 # four equiprobable: H = 2 bits
+        (4, "!!!?"),                 # nothing in alphabet: null
+        (5, "  a b  "),              # trim strips OUTER spaces only:
+                                     # 'a b' -> a,b,space each 1/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.char_entropy(df).collect()}
+    assert out[1]["entropy_e6"] == 0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["entropy_e6"] == 1_000_000
+    assert out[3]["entropy_e6"] == 2_000_000
+    assert out[4]["n_counted"] == 0 and out[4]["entropy_e6"] is None
+    assert out[5]["n_counted"] == 3
+    assert out[5]["entropy_e6"] == round(1e6 * math.log2(3))

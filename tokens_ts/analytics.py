@@ -5493,3 +5493,99 @@ def hill_tail(
         .cast("bigint")
         .alias("alpha_e6"),
     )
+
+
+def esd_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Extreme Studentized Deviate outlier rounds per series (the
+    core loop of Twitter's S-ESD detector): round r studentizes every
+    remaining bucket against the CURRENT mean/sd, extracts the
+    single most extreme point, REMOVES it, and recomputes — the
+    recomputation is the whole point: a second outlier hides behind
+    the first in any single-pass z-score (masking), and only removal
+    un-masks it. Emits one row per (series, round) with the extracted
+    epoch, value, studentized score, and the set size it was judged
+    against. ts_anomaly_zscore / ts_robust_z are the single-pass
+    views; this is the iterative one.
+
+    Iteration is a DETERMINISTIC CHAINED PLAN, not a driver loop over
+    data: each round's stats come from the previous round's exact
+    bigint (n, Σv, Σv²) minus the extracted row's contribution, so
+    every score in every round is the same IEEE tree from exact
+    integers in both engines; argmax ties pin to the earliest epoch.
+    A series leaves the cascade when n < 3 or sd ≤ 0 (nothing left to
+    studentize) — later rounds simply have no row for it.
+
+    Shapes: ONE bucket agg; per round, a key-equi join of the
+    buckets-bounded frame against keys-bounded stats, one max_by agg,
+    one anti join — `rounds` is a small constant, so the whole
+    cascade is a fixed-depth plan with no corpus rescans."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    stats = b.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_v").alias("s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("q"),
+    )
+    frame = b
+    picks = []
+    for r in range(1, rounds + 1):
+        nd = F.col("n").cast("double")
+        m = F.col("s").cast("double") / nd
+        var = F.col("q").cast("double") / nd - m * m
+        j = frame.join(stats, "series_id").where(
+            (F.col("n") >= 3) & (var > 0)
+        )
+        score = F.abs(F.col("_v").cast("double") - m) / F.sqrt(var)
+        pick = j.groupBy("series_id").agg(
+            F.max("n").alias("n_used"),
+            F.max_by(
+                F.struct(
+                    F.col("_ep").alias("ep"),
+                    F.col("_v").alias("v"),
+                    score.alias("sc"),
+                ),
+                F.struct(score, (-F.col("_ep")).alias("nep")),
+            ).alias("w"),
+        )
+        picks.append(
+            pick.select(
+                "series_id",
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("w.ep").alias("epoch"),
+                F.col("w.v").alias(f"v_e{grid}"),
+                F.round(F.col("w.sc") * 1e6).cast("bigint").alias(
+                    "score_e6"
+                ),
+                F.col("n_used"),
+            )
+        )
+        if r < rounds:
+            rem = pick.select(
+                "series_id",
+                F.col("w.ep").alias("_ep"),
+                F.col("w.v").alias("_pv"),
+            )
+            frame = frame.join(
+                rem.select("series_id", "_ep"), ["series_id", "_ep"],
+                "left_anti",
+            )
+            stats = (
+                stats.join(rem.select("series_id", "_pv"), "series_id")
+                .select(
+                    "series_id",
+                    (F.col("n") - 1).alias("n"),
+                    (F.col("s") - F.col("_pv")).alias("s"),
+                    (F.col("q") - F.col("_pv") * F.col("_pv")).alias("q"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

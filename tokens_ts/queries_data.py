@@ -10157,3 +10157,124 @@ def ts_hill_tail(spark, sf_dir):
     return analytics.hill_tail(
         _ev(spark, sf_dir), key_col="event_type", value_col="value",
     )
+
+
+def _esd_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB mirror of analytics.esd_outliers: the remove-and-
+    recompute cascade unrolled — each round re-aggregates the exact
+    bigint sums over the shrunken set (identical integers to Spark's
+    subtract-the-pick arithmetic) and extracts the studentized argmax
+    with the earliest-epoch tie-break."""
+    m = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    var = (
+        f"CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ({m}) * ({m})"
+    )
+    score = f"abs(CAST(v AS DOUBLE) - {m}) / sqrt({var})"
+    parts = [
+        """
+    WITH b0 AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(round(avg(value) * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )"""
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        i = r - 1
+        parts.append(f"""
+    , st{r} AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s, sum(v * v) AS q
+      FROM b{i} GROUP BY 1
+    ),
+    sc{r} AS (
+      SELECT b{i}.sid, b{i}.ep, b{i}.v, st{r}.n,
+             {score} AS sc,
+             row_number() OVER (PARTITION BY b{i}.sid
+               ORDER BY {score} DESC, b{i}.ep ASC) AS rn
+      FROM b{i} JOIN st{r} ON st{r}.sid = b{i}.sid
+      WHERE st{r}.n >= 3
+        AND {var} > 0
+    ),
+    p{r} AS (SELECT * FROM sc{r} WHERE rn = 1)""")
+        if r < rounds:
+            parts.append(f"""
+    , b{r} AS (
+      SELECT b{i}.* FROM b{i}
+      LEFT JOIN p{r} ON p{r}.sid = b{i}.sid AND p{r}.ep = b{i}.ep
+      WHERE p{r}.sid IS NULL
+        AND b{i}.sid IN (SELECT sid FROM p{r})
+    )""")
+        sel.append(
+            f"SELECT sid AS series_id, CAST({r} AS BIGINT) AS round, "
+            f"ep AS epoch, v AS v_e3, "
+            f"CAST(round(sc * 1e6) AS BIGINT) AS score_e6, "
+            f"n AS n_used FROM p{r}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@q("ts_esd3", _esd_oracle_sql())
+def ts_esd3(spark, sf_dir):
+    """Three ESD outlier-extraction rounds per event type on hourly
+    e3-grid means — studentize, extract the extreme, REMOVE it,
+    recompute (un-masking the outliers single-pass z-scores hide);
+    the iteration is a fixed-depth chained plan, not a driver loop
+    (see analytics.esd_outliers)."""
+    return analytics.esd_outliers(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour", rounds=3,
+    )
+
+
+def _char_entropy_oracle_sql() -> str:
+    """DuckDB mirror of textops.char_entropy: per-char length-diff
+    counts and the entropy fold added in the same fixed alphabet
+    order."""
+    alphabet = textops.CHAR_ENTROPY_ALPHABET
+    cnt = lambda c: (  # noqa: E731
+        f"(strlen(trim(text)) - strlen(replace(trim(text), '{c}', '')))"
+    )
+    cols = ",\n        ".join(
+        f"CAST({cnt(c)} AS BIGINT) AS c{i}"
+        for i, c in enumerate(alphabet)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(alphabet)))
+    term = lambda i: (  # noqa: E731
+        f"CASE WHEN c{i} > 0 THEN (-(CAST(c{i} AS DOUBLE) / ld))"
+        f" * log2(CAST(c{i} AS DOUBLE) / ld) ELSE 0.0 END"
+    )
+    h = " + ".join(term(i) for i in range(len(alphabet)))
+    nd = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(alphabet))
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+        {cols}
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, CAST({total} AS BIGINT) AS n_counted,
+             CAST({nd} AS BIGINT) AS n_distinct_chars,
+             CAST({total} AS DOUBLE) AS ld,
+             * FROM c
+    )
+    SELECT doc_id, n_counted, n_distinct_chars,
+           CASE WHEN n_counted > 0
+                THEN CAST(round(({h}) * 1e6) AS BIGINT)
+           END AS entropy_e6
+    FROM t
+    """
+
+
+@q("doc_char_entropy", _char_entropy_oracle_sql())
+def doc_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc over a fixed
+    37-char alphabet — zero-shuffle row-local length-difference
+    counts, identical left-to-right entropy fold both engines (see
+    textops.char_entropy); the cheap binary-junk / degenerate-
+    repetition filter next to doc_quality and doc_repetition."""
+    return textops.char_entropy(_docs(spark, sf_dir))

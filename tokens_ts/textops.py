@@ -3056,3 +3056,71 @@ def retrieval_eval(
             ).cast("bigint"),
         ).alias("ndcg_e6"),
     )
+
+
+CHAR_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alphabet: str = CHAR_ENTROPY_ALPHABET,
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits):
+    H = −Σ_c p_c·log₂(p_c) over a FIXED alphabet, p_c = count_c / Σ
+    counted chars. Near-zero = degenerate repetition ('aaaa…'), near
+    log₂|alphabet| = uniform noise; natural text sits in a band —
+    the third quality lens next to doc_quality's ratio rules and
+    doc_repetition's n-gram fraction, and the classic cheap filter
+    for binary-junk-pasted-as-text.
+
+    Zero shuffles, zero explodes: every per-char count is the
+    length-difference expression length(t) − length(replace(t, c))
+    (the langid trick), so the whole operator is one row-local
+    Catalyst projection in whole-stage codegen. The entropy fold adds
+    the |alphabet| CASE terms in fixed alphabet order — the identical
+    left-to-right IEEE tree in both engines. Characters outside the
+    alphabet are ignored (denominator = counted chars only, so
+    probabilities always sum to 1). Docs whose text contains no
+    alphabet character emit n_counted = 0 with null entropy."""
+    t = F.trim(F.col(text_col))
+    cnts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(c)))).cast("bigint")
+        for c in alphabet
+    ]
+    total = cnts[0]
+    for c in cnts[1:]:
+        total = total + c
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"_c{i}") for i, c in enumerate(cnts)],
+        total.alias("n_counted"),
+    )
+    ld = F.col("n_counted").cast("double")
+    terms = [
+        F.when(
+            F.col(f"_c{i}") > 0,
+            -(F.col(f"_c{i}").cast("double") / ld)
+            * F.log2(F.col(f"_c{i}").cast("double") / ld),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(alphabet))
+    ]
+    h = terms[0]
+    for tm in terms[1:]:
+        h = h + tm
+    ndis = [
+        F.when(F.col(f"_c{i}") > 0, 1).otherwise(0)
+        for i in range(len(alphabet))
+    ]
+    nd = ndis[0]
+    for x in ndis[1:]:
+        nd = nd + x
+    return d.select(
+        "doc_id",
+        "n_counted",
+        nd.cast("bigint").alias("n_distinct_chars"),
+        F.when(F.col("n_counted") > 0, F.round(h * 1e6))
+        .cast("bigint")
+        .alias("entropy_e6"),
+    )
