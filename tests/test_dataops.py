@@ -3688,3 +3688,106 @@ def test_flops_budget_hand_numbers(spark):
     # packed 100+400+900=1400 vs padded 3*900=2700
     assert got["s0"]["sq"] == 1400 and got["s0"]["pad"] == 2700
     assert got["s1"]["sq"] == 49 and got["s1"]["pad"] == 49
+
+
+def test_hamming_pairs_pigeonhole_and_verify(spark):
+    """Distance-1 pair found; a 4-bit spread that still shares three
+    bands is CAUGHT as a candidate but rejected by the exact verify;
+    a tight bucket cap drops hot buckets like salted agg keys."""
+    rows = [
+        (1, "0000000000000000"),
+        (2, "0000000000000001"),   # d=1 from doc 1
+        (3, "000000000000000f"),   # d=4 from doc 1 (one band) -> out
+        (4, "8000800080008000"),   # d=4 spread over all 4 bands,
+        (5, "8000800080008001"),   # ...d(4,5)=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hash_hex string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.hamming_pairs(df, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(4, 5)] == 1
+    # d(2,3)=3 within one band: found (pigeonhole exhaustive at d<4)
+    assert got[(2, 3)] == 3
+    assert (1, 3) not in got
+    cap = multimodal.hamming_pairs(df, max_hamming=3, max_bucket=1)
+    assert cap.count() == 0  # every bucket is hot at cap 1
+
+
+def test_effective_rank_collapse_and_isotropy(spark):
+    """All variance on one axis -> erank ~ 1; two equal-variance
+    axes -> erank ~ 2; numpy eigenvalue parity on the e6 grid."""
+    import numpy as np
+
+    from tokens_ts import simsearch
+
+    rng = [(i * 29 + 7) % 97 / 97.0 - 0.5 for i in range(600)]
+    rows1, rows2 = [], []
+    for i in range(100):
+        v = [0.0] * 64
+        v[0] = rng[i]
+        rows1.append((i, [float(x) for x in v], 0))
+        w = [0.0] * 64
+        w[0], w[1] = rng[i], rng[(i * 3 + 11) % 600]
+        rows2.append((i, [float(x) for x in w], 0))
+    sch = "vec_id long, embedding array<float>, label int"
+    e1 = simsearch.effective_rank(
+        spark.createDataFrame(rows1, sch), dims=16
+    ).collect()[0]
+    e2 = simsearch.effective_rank(
+        spark.createDataFrame(rows2, sch), dims=16
+    ).collect()[0]
+    assert e1["erank_e6"] == 1_000_000  # exactly one nonzero eigenvalue
+    assert 1_500_000 < e2["erank_e6"] <= 2_000_001
+
+    # eigen parity for the 2-axis case
+    x = np.zeros((100, 16))
+    for i, (_, w, _) in enumerate(rows2):
+        x[i] = np.round(np.array(w[:16], dtype=np.float64) * 1e6)
+    c = np.cov(x, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(c)
+    er = ev.sum() ** 2 / (ev * ev).sum()
+    assert e2["erank_e6"] == pytest.approx(round(1e6 * er), abs=3)
+
+
+def test_burstiness_pins(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("Periodic", t0 + timedelta(seconds=60 * i)) for i in range(20)]
+    # bursty: 18 one-second gaps then one huge gap
+    burst = [t0 + timedelta(seconds=i) for i in range(19)]
+    burst.append(t0 + timedelta(days=2))
+    rows += [("Bursty", t) for t in burst]
+    rows += [("Sim", t0), ("Sim", t0)]  # simultaneous: sd+mu=0
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp")
+    out = {
+        r["series_id"]: r
+        for r in analytics.burstiness(df, key_col="k").collect()
+    }
+    assert out["Periodic"]["b_e6"] == -1_000_000  # sd=0 metronome
+    assert out["Periodic"]["mean_gap_ms"] == 60_000
+    assert out["Bursty"]["b_e6"] > 600_000
+    assert out["Sim"]["b_e6"] is None and out["Sim"]["n_gaps"] == 1
+
+
+def test_apdex_hand_counts(spark):
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [50.0, 100.0, 101.0, 400.0, 401.0, None, 9999.0]
+    rows = [
+        ("api", t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.apdex(df, key_col="k", threshold=100.0).collect()[0]
+    # sat: 50,100; tol: 101,400; frustrated: 401,9999; null excluded
+    assert (r["n"], r["n_sat"], r["n_tol"]) == (6, 2, 2)
+    assert r["apdex_e6"] == round((2 + 2 / 2) / 6 * 1e6)

@@ -5589,3 +5589,103 @@ def esd_outliers(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Goh-Barabási burstiness coefficient per series from RAW event
+    interarrival gaps: B = (σ−μ)/(σ+μ) of the gap distribution —
+    −1 = metronome-periodic, 0 = Poisson, →1 = heavy-tailed bursts.
+    interarrival_stats reports the gap QUANTILES; B is the single
+    bounded number you alert on and compare across series.
+
+    Gaps are exact microsecond differences of the sorted event times
+    (ties give exact 0 gaps regardless of tie order), floor-quantized
+    to whole milliseconds so (n, Σg, Σg²) stay exact int64 well past
+    10⁵ gaps per series at day-scale spans; μ, σ, B are then one
+    shared IEEE tree. Series with < 2 events have no gap and drop;
+    σ+μ = 0 (all events simultaneous) ⇒ null B, row kept."""
+    w = Window.partitionBy("series_id").orderBy("_ts")
+    g = (
+        df.select(
+            F.col(key_col).alias("series_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts"),
+        )
+        .select(
+            "series_id",
+            F.floor(
+                (F.col("_ts") - F.lag("_ts", 1).over(w)).cast("double")
+                / 1000.0
+            )
+            .cast("bigint")
+            .alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+    )
+    a = g.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("_g").alias("s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("q"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sd = F.sqrt(F.col("q").cast("double") / nd - mu * mu)
+    b = F.when(sd + mu > 0, (sd - mu) / (sd + mu))
+    return a.select(
+        "series_id",
+        "n_gaps",
+        F.round(mu).cast("bigint").alias("mean_gap_ms"),
+        F.round(b * 1e6).cast("bigint").alias("b_e6"),
+    )
+
+
+def apdex(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    trunc: str = "day",
+) -> DataFrame:
+    """Apdex score per (series, bucket): satisfied (v ≤ T) count full,
+    tolerating (T < v ≤ 4T) count half, frustrated count zero —
+    apdex = (sat + tol/2)/n, the industry-standard latency SLO
+    scalar. Counts are exact integers from pure predicates (one
+    map-side-combined agg, whole-stage codegen); the score is one
+    IEEE division. Null values are excluded (they are missing
+    measurements, not frustrated users)."""
+    t = float(threshold)
+    b = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(key_col).alias("series_id"),
+        F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias(
+            "bucket_epoch"
+        ),
+    )
+    a = b.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col(value_col) <= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sat"),
+        F.sum(
+            F.when(
+                (F.col(value_col) > t) & (F.col(value_col) <= 4 * t), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_tol"),
+    )
+    score = (
+        F.col("n_sat").cast("double")
+        + F.col("n_tol").cast("double") / 2.0
+    ) / F.col("n").cast("double")
+    return a.select(
+        "series_id",
+        "bucket_epoch",
+        "n",
+        "n_sat",
+        "n_tol",
+        F.round(score * 1e6).cast("bigint").alias("apdex_e6"),
+    )

@@ -397,3 +397,74 @@ def ahash(binary_df: DataFrame, side: int = 8) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _batches, schema=AHASH_SCHEMA
     )
+
+
+def hamming_pairs(
+    ahash_df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate image PAIRS within Hamming distance
+    `max_hamming` of their 64-bit aHash, via the banded-pigeonhole
+    join (the doc_simhash_pairs shape applied to the image modality):
+    4 bands of 16 bits — two hashes closer than 4 bits MUST agree on
+    a full band, so with the default max_hamming=3 the candidate
+    equi-join is EXHAUSTIVE for the emitted set, never probabilistic;
+    each candidate is verified with the exact 4-term popcount. Hot
+    buckets (flat images hashing alike) are capped to [2, max_bucket]
+    exactly like skewed agg keys.
+
+    Bands parse straight out of the hex string (4 hex chars = 16
+    bits, MSB-first — the same packing ahash() wrote), so this
+    COMPOSES with any stored aHash column without re-decoding a
+    single payload byte."""
+    bands = [
+        F.conv(F.substring("hash_hex", 1 + 4 * b, 4), 16, 10)
+        .cast("int")
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+    h = ahash_df.select("doc_id", "hash_hex", *bands)
+    rows = h.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"b{b}").alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bb.band", "bb.bits")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bits")
+    sized = rows.withColumn("bsz", F.count("*").over(w)).where(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    )
+    a = sized.select(
+        "band", "bits", F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+    )
+    b_ = sized.select(
+        "band", "bits", F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"c{b}")))
+        for b in range(4)
+    )
+    return (
+        a.join(b_, ["band", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

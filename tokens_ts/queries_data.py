@@ -10278,3 +10278,214 @@ def doc_char_entropy(spark, sf_dir):
     textops.char_entropy); the cheap binary-junk / degenerate-
     repetition filter next to doc_quality and doc_repetition."""
     return textops.char_entropy(_docs(spark, sf_dir))
+
+
+@q(
+    "mm_hamming_pairs",
+    _AHASH_CTE
+    + """
+    , bd AS (
+      SELECT doc_id, g // 16 AS band,
+             CAST(sum(bit * (1 << (15 - g % 16))) AS BIGINT) AS bits
+      FROM bits GROUP BY 1, 2
+    ),
+    h4 AS (
+      SELECT doc_id,
+             max(CASE WHEN band = 0 THEN bits END) AS b0,
+             max(CASE WHEN band = 1 THEN bits END) AS b1,
+             max(CASE WHEN band = 2 THEN bits END) AS b2,
+             max(CASE WHEN band = 3 THEN bits END) AS b3
+      FROM bd GROUP BY 1
+    ),
+    sized AS (
+      SELECT band, bits, doc_id FROM bd
+      QUALIFY count(*) OVER (PARTITION BY band, bits) BETWEEN 2 AND 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON b.band = a.band AND b.bits = a.bits AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+              + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+             AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h4 ha ON ha.doc_id = c.id_a
+    JOIN h4 hb ON hb.doc_id = c.id_b
+    WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+    """,
+)
+def mm_hamming_pairs(spark, sf_dir):
+    """Near-duplicate image pairs within Hamming distance 3 of their
+    aHash via the banded-pigeonhole equi-join (exhaustive for d<4 —
+    two hashes that close MUST share a full 16-bit band), exact
+    4-term popcount verify, hot buckets capped (see
+    multimodal.hamming_pairs) — doc_simhash_pairs re-expressed for
+    the image modality, composing on the stored hash without
+    re-decoding a payload byte."""
+    b = multimodal.docs_as_bmp(_docs(spark, sf_dir))
+    return multimodal.hamming_pairs(multimodal.ahash(b, side=8))
+
+
+def _erank_oracle_sql(dims: int = 16) -> str:
+    """DuckDB mirror of simsearch.effective_rank: identical cov trees
+    and fixed-order trace/Frobenius folds. The 136-term Frobenius
+    chain is split across CTE layers at left-associative prefix
+    points (x+y+z ≡ (x+y)+z, so naming a prefix and continuing from
+    the name is the SAME IEEE tree) — DuckDB's binder caps expression
+    depth at 128."""
+    q6 = lambda expr: f"CAST(round({expr} * 1e6) AS BIGINT)"  # noqa: E731
+    s_cols = ",\n        ".join(
+        f"CAST(sum({q6(f'CAST(embedding[{d + 1}] AS DOUBLE)')}) AS BIGINT)"
+        f" AS s{d}"
+        for d in range(dims)
+    )
+    p_cols = ",\n        ".join(
+        f"CAST(sum({q6(f'CAST(embedding[{d + 1}] AS DOUBLE)')}"
+        f" * {q6(f'CAST(embedding[{d2 + 1}] AS DOUBLE)')}) AS BIGINT)"
+        f" AS p{d}_{d2}"
+        for d in range(dims)
+        for d2 in range(d, dims)
+    )
+
+    def cov(d, d2):
+        return (
+            f"(CAST(p{d}_{d2} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s{d} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s{d2} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+
+    c_cols = ",\n        ".join(
+        f"{cov(d, d2)} AS c{d}_{d2}"
+        for d in range(dims)
+        for d2 in range(d, dims)
+    )
+    tr = " + ".join(f"c{d}_{d}" for d in range(dims))
+    fro_terms = []
+    for d in range(dims):
+        for d2 in range(d, dims):
+            t = f"(c{d}_{d2} * c{d}_{d2})"
+            if d2 > d:
+                t = f"({t} * 2.0)"
+            fro_terms.append(t)
+    fa = " + ".join(fro_terms[:60])
+    fb = " + ".join(fro_terms[60:120])
+    fc = " + ".join(fro_terms[120:])
+    return f"""
+    WITH e AS (
+      SELECT embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        {s_cols},
+        {p_cols}
+      FROM e
+    ),
+    cv AS (
+      SELECT n,
+        {c_cols}
+      FROM a
+    ),
+    l1 AS (
+      SELECT n, {tr} AS tr, {fa} AS f1, * FROM cv
+    ),
+    l2 AS (
+      SELECT n, tr, f1 + {fb} AS f2, * FROM l1
+    ),
+    l3 AS (
+      SELECT n, tr, f2 + {fc} AS fro FROM l2
+    )
+    SELECT n, CAST({dims} AS BIGINT) AS dims,
+           CAST(round(tr / 1e6) AS BIGINT) AS trace_e6,
+           CASE WHEN fro > 0
+                THEN CAST(round(tr * tr / fro * 1e6) AS BIGINT)
+           END AS erank_e6
+    FROM l3
+    """
+
+
+@q("emb_effective_rank", _erank_oracle_sql())
+def emb_effective_rank(spark, sf_dir):
+    """Participation-ratio effective rank (Σλ)²/Σλ² of the embedding
+    covariance over the first 16 dims — the representation-collapse
+    dial, computed WITHOUT eigendecomposition from exact e6-grid
+    sums (see simsearch.effective_rank)."""
+    return simsearch.effective_rank(_emb(spark, sf_dir), dims=16)
+
+
+@q(
+    "ts_burstiness",
+    """
+    WITH g AS (
+      SELECT event_type AS sid,
+             CAST(floor(CAST(epoch_us(ts)
+               - lag(epoch_us(ts))
+                 OVER (PARTITION BY event_type ORDER BY ts)
+               AS DOUBLE) / 1000.0) AS BIGINT) AS gp
+      FROM events
+    ),
+    a AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n_gaps,
+             sum(gp) AS s, sum(gp * gp) AS q
+      FROM g WHERE gp IS NOT NULL GROUP BY 1
+    )
+    SELECT sid AS series_id, n_gaps,
+           CAST(round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             AS BIGINT) AS mean_gap_ms,
+           CASE WHEN sqrt(CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                  + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+                THEN CAST(round((sqrt(CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                     - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                     / (sqrt(CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                     + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e6)
+                     AS BIGINT)
+           END AS b_e6
+    FROM a
+    """,
+)
+def ts_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of raw interarrival
+    gaps per event type — the single bounded periodic-vs-Poisson-vs-
+    bursty number next to interarrival_stats' quantiles (see
+    analytics.burstiness). Exact integer gap sums."""
+    return analytics.burstiness(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+    )
+
+
+@q(
+    "ts_apdex",
+    """
+    WITH a AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_epoch,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sat,
+             CAST(sum(CASE WHEN value > 100.0 AND value <= 400.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_tol
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT sid AS series_id, bucket_epoch, n, n_sat, n_tol,
+           CAST(round((CAST(n_sat AS DOUBLE)
+                + CAST(n_tol AS DOUBLE) / 2.0)
+                / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS apdex_e6
+    FROM a
+    """,
+)
+def ts_apdex(spark, sf_dir):
+    """Apdex per (event type, day) at T=100: satisfied / tolerating /
+    frustrated exact counts and the standard SLO scalar (see
+    analytics.apdex)."""
+    return analytics.apdex(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", threshold=100.0, trunc="day",
+    )

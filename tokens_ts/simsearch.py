@@ -1613,3 +1613,64 @@ def calinski_harabasz(
             F.round(ch * 1e6).cast("bigint").alias("ch_e6"),
         )
     )
+
+
+def effective_rank(
+    emb: DataFrame,
+    dims: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Participation-ratio effective rank of the embedding covariance
+    over the first `dims` components: erank = tr(C)² / ‖C‖²_F =
+    (Σλ)²/Σλ² — 1 when all variance collapses onto one direction,
+    `dims` when perfectly isotropic. THE representation-collapse
+    dial for contrastive/embedding training, and it needs NO
+    eigendecomposition: tr(C) is the variance sum and ‖C‖²_F is the
+    sum of squared covariances, both plain aggregates.
+
+    One corpus scan → (1 + dims + dims·(dims+1)/2) exact e6-grid
+    bigint sums (component sums + upper-triangle cross-products) →
+    one finishing row; every covariance and both folds are the same
+    fixed-order IEEE tree in both engines (d outer, d' ≥ d inner;
+    off-diagonal squares counted twice). fro² ≤ 0 ⇒ null erank.
+    Output is a single global row: (n, dims, trace_e6 in unit²,
+    erank_e6)."""
+    q6 = lambda x: F.round(x * 1e6).cast("bigint")  # noqa: E731
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        *[q6(F.col(vec_col)[d].cast("double")).alias(f"x{d}")
+          for d in range(dims)]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    aggs += [F.sum(f"x{d}").alias(f"s{d}") for d in range(dims)]
+    for d in range(dims):
+        for d2 in range(d, dims):
+            aggs.append(
+                F.sum(F.col(f"x{d}") * F.col(f"x{d2}")).alias(f"p{d}_{d2}")
+            )
+    a = e.groupBy().agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def cov(d, d2):
+        return F.col(f"p{d}_{d2}").cast("double") / nd - (
+            F.col(f"s{d}").cast("double") / nd
+        ) * (F.col(f"s{d2}").cast("double") / nd)
+
+    tr = cov(0, 0)
+    for d in range(1, dims):
+        tr = tr + cov(d, d)
+    fro = cov(0, 0) * cov(0, 0)
+    for d in range(dims):
+        for d2 in range(d, dims):
+            if d == 0 and d2 == 0:
+                continue
+            t = cov(d, d2) * cov(d, d2)
+            if d2 > d:
+                t = t * 2.0
+            fro = fro + t
+    erank = F.when(fro > 0, tr * tr / fro)
+    return a.select(
+        "n",
+        F.lit(dims).cast("bigint").alias("dims"),
+        F.round(tr / 1e6).cast("bigint").alias("trace_e6"),
+        F.round(erank * 1e6).cast("bigint").alias("erank_e6"),
+    )
