@@ -3791,3 +3791,163 @@ def test_apdex_hand_counts(spark):
     # sat: 50,100; tol: 101,400; frustrated: 401,9999; null excluded
     assert (r["n"], r["n_sat"], r["n_tol"]) == (6, 2, 2)
     assert r["apdex_e6"] == round((2 + 2 / 2) / 6 * 1e6)
+
+
+def test_mann_kendall_pins(spark):
+    from datetime import datetime, timedelta
+    from math import sqrt
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # strictly increasing: 10 hourly buckets, S = 45, no ties
+    rows += [("Up", t0 + timedelta(hours=i), float(i)) for i in range(10)]
+    # strictly decreasing: S = -45
+    rows += [("Down", t0 + timedelta(hours=i), float(-i)) for i in range(10)]
+    # constant: all tied -> S = 0, var = 0 -> null z, row kept
+    rows += [("Flat", t0 + timedelta(hours=i), 7.0) for i in range(10)]
+    # single bucket: no pairs -> s_stat coalesced to 0, null z
+    rows += [("One", t0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.mann_kendall(df, key_col="k").collect()
+    }
+    n = 10
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert out["Up"]["s_stat"] == 45
+    assert out["Up"]["z_e6"] == round((45 - 1) / sqrt(var) * 1e6)
+    assert out["Down"]["s_stat"] == -45
+    assert out["Down"]["z_e6"] == round((-45 + 1) / sqrt(var) * 1e6)
+    assert out["Flat"]["s_stat"] == 0 and out["Flat"]["z_e6"] is None
+    assert out["Flat"]["n_values"] == 1
+    assert out["One"]["s_stat"] == 0 and out["One"]["z_e6"] is None
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Hand-computed tie-corrected example: values 1,2,2,3 (hourly).
+
+    Pairs (i<j): (1,2)+ (1,2)+ (1,3)+ (2,2)0 (2,3)+ (2,3)+ -> S=5.
+    Tie group t=2 -> correction 2*1*9=18; var=(4*3*13-18)/18=138/18.
+    """
+    from datetime import datetime, timedelta
+    from math import sqrt
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [1.0, 2.0, 2.0, 3.0]
+    rows = [("k", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.mann_kendall(df, key_col="k").collect()[0]
+    assert (r["n_buckets"], r["n_values"], r["s_stat"]) == (4, 3, 5)
+    assert r["z_e6"] == round((5 - 1) / sqrt(138.0 / 18.0) * 1e6)
+
+
+def test_partial_corr_confounder(spark):
+    """x and y both driven by z: raw r_xy is strong, but conditioning
+    on z collapses it — the confounder pin. Exact replay in numpy
+    through the identical moment formulas."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 48
+    zv = [float((i * 37) % 101) for i in range(n)]
+    # deterministic "noise" decorrelated from z and from each other
+    e1 = [float((i * 53) % 17) for i in range(n)]
+    e2 = [float((i * 29) % 19) for i in range(n)]
+    xv = [2.0 * z + a for z, a in zip(zv, e1)]
+    yv = [-1.5 * z + b for z, b in zip(zv, e2)]
+    rows = []
+    for i in range(n):
+        ts = t0 + timedelta(hours=i)
+        rows += [("X", ts, xv[i]), ("Y", ts, yv[i]), ("Z", ts, zv[i])]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        (r["series_x"], r["series_y"], r["series_z"]): r
+        for r in analytics.partial_corr(df, key_col="k").collect()
+    }
+    assert len(out) == 3  # (X,Y|Z), (X,Z|Y), (Y,Z|X)
+    r = out[("X", "Y", "Z")]
+    assert r["n_obs"] == n
+
+    # numpy replay of the exact moment trees on the e3 grid
+    def reps(vals):
+        return np.array([round(v * 1000.0) for v in vals], dtype=np.int64)
+
+    ax, ay, az = reps(xv), reps(yv), reps(zv)
+
+    def mom(p, q):
+        return float(n) * float((p * q).sum()) - float(p.sum()) * float(
+            q.sum()
+        )
+
+    rxy = mom(ax, ay) / np.sqrt(mom(ax, ax) * mom(ay, ay))
+    rxz = mom(ax, az) / np.sqrt(mom(ax, ax) * mom(az, az))
+    ryz = mom(ay, az) / np.sqrt(mom(ay, ay) * mom(az, az))
+    pc = (rxy - rxz * ryz) / np.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    assert r["rxy_e6"] == round(rxy * 1e6)
+    assert r["pcorr_e6"] == round(pc * 1e6)
+    # the confounder story: strong raw co-movement, weak partial
+    assert abs(r["rxy_e6"]) > 800_000
+    assert abs(r["pcorr_e6"]) < abs(r["rxy_e6"]) // 2
+
+
+def test_partial_corr_degenerate_and_sample(spark):
+    """|r_xz| = 1 (x == z up to affine) -> den = 0 -> null pcorr with
+    rxy still emitted; triple-complete sampling drops epochs where
+    any leg is missing."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i in range(6):
+        ts = t0 + timedelta(hours=i)
+        rows += [("A", ts, float(i)), ("B", ts, float(i * i))]
+        if i < 4:  # C missing the last two epochs
+            rows += [("C", ts, float(10 - i))]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        (r["series_x"], r["series_y"], r["series_z"]): r
+        for r in analytics.partial_corr(df, key_col="k").collect()
+    }
+    # (A,C|B): r_AB conditioning leg computed on 4 triple-complete
+    # epochs; (A,B|C) restricted to C's 4 epochs too
+    assert out[("A", "B", "C")]["n_obs"] == 4
+    # A is exactly linear in A -> pick (A,C|...) none degenerate here;
+    # build the degenerate case explicitly: D == A shifted
+    rows2 = []
+    for i in range(5):
+        ts = t0 + timedelta(hours=i)
+        rows2 += [
+            ("A", ts, float(i)),
+            ("D", ts, float(i) + 100.0),  # |corr(A,D)| = 1
+            ("E", ts, float((i * 31) % 7)),
+        ]
+    df2 = spark.createDataFrame(
+        rows2, "k string, event_ts timestamp, value double"
+    )
+    out2 = {
+        (r["series_x"], r["series_y"], r["series_z"]): r
+        for r in analytics.partial_corr(df2, key_col="k").collect()
+    }
+    r_ae_d = out2[("A", "E", "D")]  # conditioning on D ~ A exactly
+    assert r_ae_d["rxy_e6"] is not None
+    assert r_ae_d["pcorr_e6"] is None  # (1 - r_xz^2) = 0

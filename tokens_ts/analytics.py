@@ -5689,3 +5689,166 @@ def apdex(
         "n_tol",
         F.round(score * 1e6).cast("bigint").alias("apdex_e6"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Mann-Kendall trend test per series: S = Σ_{i<j} sign(v_j − v_i)
+    over time-ordered bucket pairs, z from the tie-corrected variance
+    n(n−1)(2n+5)/18 − Σ_g t_g(t_g−1)(2t_g+5)/18 with the ±1
+    continuity correction — THE nonparametric monotone-trend test of
+    hydrology/climate work (the field the reference engine serves):
+    no linearity assumption, outlier-robust, exact under ties.
+    theil_sen reports the SLOPE; this reports whether a monotone
+    trend exists at all. trend() is its parametric OLS sibling.
+
+    S and every tie count are exact integers on the e-grid (sign
+    comparisons of ints); z is one shared IEEE tree. n < 2 ⇒ null z;
+    an all-tied series has S = 0, var 0 ⇒ null z, row kept.
+
+    Shapes: ONE bucket agg; the pairwise frame is a buckets-bounded
+    per-key self-join (b²/2 rows per series — fine at rollup-tier
+    cardinality, the same budget as kendall_matrix); the tie agg is a
+    second pass over the bounded bucket frame, same key partitioning."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    l = b.select(
+        "series_id", F.col("_ep").alias("_ei"), F.col("_v").alias("_vi")
+    )
+    r = b.select(
+        "series_id", F.col("_ep").alias("_ej"), F.col("_v").alias("_vj")
+    )
+    s = (
+        l.join(r, "series_id")
+        .where(F.col("_ei") < F.col("_ej"))
+        .groupBy("series_id")
+        .agg(
+            F.sum(F.signum(F.col("_vj") - F.col("_vi")))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        b.groupBy("series_id", "_v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("series_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum("t").cast("bigint").alias("n_buckets"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    out = ties.join(s, "series_id", "left")
+    nd = F.col("n_buckets").cast("double")
+    var = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    sd = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("n_buckets") >= 2) & (var > 0),
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        "series_id",
+        "n_buckets",
+        "n_values",
+        F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+        F.round(z * 1e6).cast("bigint").alias("z_e6"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """First-order partial correlation for every (x, y | z) triple of
+    series: pcorr = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) on
+    TRIPLE-complete bucket epochs — does x-y co-movement survive
+    conditioning on a common driver z, or was z the whole story?
+    corr_matrix reports the raw r the pair inherits from z; this is
+    the confounder audit that says which edges of that matrix are
+    real.
+
+    All ten sums are exact e-grid bigints over the SAME epoch sample
+    (all three series present — a proper partial correlation is
+    meaningless across mismatched samples), so each r and the final
+    ratio are one shared IEEE tree. Degenerate guards (n < 3, zero
+    variance anywhere, |r_xz| or |r_yz| = 1) ⇒ null, row kept.
+
+    Shapes: ONE bucket agg; two self-equi-joins on epoch build the
+    triple frame (pairs·buckets-bounded); one triple-keyed agg."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    x = b.select(
+        F.col("series_id").alias("series_x"), "_ep",
+        F.col("_v").alias("_x"),
+    )
+    y = b.select(
+        F.col("series_id").alias("series_y"), "_ep",
+        F.col("_v").alias("_y"),
+    )
+    zc = b.select(
+        F.col("series_id").alias("series_z"), "_ep",
+        F.col("_v").alias("_z"),
+    )
+    tri = (
+        x.join(y, "_ep")
+        .where(F.col("series_x") < F.col("series_y"))
+        .join(zc, "_ep")
+        .where(
+            (F.col("series_z") != F.col("series_x"))
+            & (F.col("series_z") != F.col("series_y"))
+        )
+    )
+    a = tri.groupBy("series_x", "series_y", "series_z").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_z").alias("sz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_z")).alias("sxz"),
+        F.sum(F.col("_y") * F.col("_z")).alias("syz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("szz"),
+    )
+    nd = F.col("n").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def mom(pq, p_, q_):
+        return nd * dbl(pq) - dbl(p_) * dbl(q_)
+
+    vx, vy, vz = mom("sxx", "sx", "sx"), mom("syy", "sy", "sy"), mom(
+        "szz", "sz", "sz"
+    )
+    rxy = mom("sxy", "sx", "sy") / F.sqrt(vx * vy)
+    rxz = mom("sxz", "sx", "sz") / F.sqrt(vx * vz)
+    ryz = mom("syz", "sy", "sz") / F.sqrt(vy * vz)
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    ok = (
+        (F.col("n") >= 3) & (vx > 0) & (vy > 0) & (vz > 0)
+    )
+    pc = F.when(ok & (den > 0), (rxy - rxz * ryz) / F.sqrt(den))
+    return a.select(
+        "series_x",
+        "series_y",
+        "series_z",
+        F.col("n").alias("n_obs"),
+        F.when(ok, F.round(rxy * 1e6)).cast("bigint").alias("rxy_e6"),
+        F.round(pc * 1e6).cast("bigint").alias("pcorr_e6"),
+    )

@@ -10489,3 +10489,122 @@ def ts_apdex(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", threshold=100.0, trunc="day",
     )
+
+
+@q(
+    "ts_mann_kendall",
+    _HOURLY_E3
+    + """
+    , p AS (
+      SELECT l.sid,
+             CASE WHEN r.v > l.v THEN 1
+                  WHEN r.v < l.v THEN -1 ELSE 0 END AS sg
+      FROM b l JOIN b r ON l.sid = r.sid AND l.ep < r.ep
+    ),
+    s AS (SELECT sid, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+    tc AS (SELECT sid, v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1, 2),
+    ties AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(t) AS BIGINT) AS n_buckets,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM tc GROUP BY 1
+    )
+    SELECT ties.sid AS series_id, n_buckets, n_values,
+           COALESCE(s_stat, 0) AS s_stat,
+           CASE WHEN n_buckets >= 2
+                 AND (CAST(n_buckets AS DOUBLE)
+                      * (CAST(n_buckets AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(n_buckets AS DOUBLE) + 5.0)
+                      - CAST(tie_term AS DOUBLE)) / 18.0 > 0
+                THEN CAST(round(CASE
+                  WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                    / sqrt((CAST(n_buckets AS DOUBLE)
+                            * (CAST(n_buckets AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n_buckets AS DOUBLE) + 5.0)
+                            - CAST(tie_term AS DOUBLE)) / 18.0)
+                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                    / sqrt((CAST(n_buckets AS DOUBLE)
+                            * (CAST(n_buckets AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n_buckets AS DOUBLE) + 5.0)
+                            - CAST(tie_term AS DOUBLE)) / 18.0)
+                  ELSE 0.0 END * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM ties LEFT JOIN s USING (sid)
+    """,
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per event type over hourly
+    e3-grid means: exact-integer S = Σ sign(v_j − v_i), tie-corrected
+    variance, ±1 continuity correction (see analytics.mann_kendall).
+    theil_sen reports the robust SLOPE; this reports whether a
+    monotone trend EXISTS, with no linearity assumption."""
+    return analytics.mann_kendall(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+
+
+@q(
+    "ts_partial_corr",
+    _HOURLY_E3
+    + """
+    , tri AS (
+      SELECT x.sid AS series_x, y.sid AS series_y, z.sid AS series_z,
+             x.v AS xv, y.v AS yv, z.v AS zv
+      FROM b x
+      JOIN b y ON x.ep = y.ep AND x.sid < y.sid
+      JOIN b z ON z.ep = x.ep AND z.sid != x.sid AND z.sid != y.sid
+    ),
+    a AS (
+      SELECT series_x, series_y, series_z, CAST(count(*) AS BIGINT) AS n,
+             sum(xv) AS sx, sum(yv) AS sy, sum(zv) AS sz,
+             sum(xv * yv) AS sxy, sum(xv * zv) AS sxz, sum(yv * zv) AS syz,
+             sum(xv * xv) AS sxx, sum(yv * yv) AS syy, sum(zv * zv) AS szz
+      FROM tri GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT series_x, series_y, series_z, n,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS vz,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS mxy,
+        CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS mxz,
+        CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) AS myz
+      FROM a
+    ),
+    r AS (
+      SELECT series_x, series_y, series_z, n, vx, vy, vz,
+             mxy / sqrt(vx * vy) AS rxy,
+             mxz / sqrt(vx * vz) AS rxz,
+             myz / sqrt(vy * vz) AS ryz
+      FROM m
+    )
+    SELECT series_x, series_y, series_z, n AS n_obs,
+           CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+                THEN CAST(round(rxy * 1e6) AS BIGINT)
+           END AS rxy_e6,
+           CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+                 AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                THEN CAST(round((rxy - rxz * ryz)
+                     / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                     * 1e6) AS BIGINT)
+           END AS pcorr_e6
+    FROM r
+    """,
+)
+def ts_partial_corr(spark, sf_dir):
+    """First-order partial correlation (x, y | z) for every series
+    triple on TRIPLE-complete hourly bucket epochs — the confounder
+    audit over corr_matrix's raw r: does x-y co-movement survive
+    conditioning on z (see analytics.partial_corr)? All ten sums are
+    exact e3-grid bigints over the same epoch sample."""
+    return analytics.partial_corr(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
