@@ -3951,3 +3951,180 @@ def test_partial_corr_degenerate_and_sample(spark):
     r_ae_d = out2[("A", "E", "D")]  # conditioning on D ~ A exactly
     assert r_ae_d["rxy_e6"] is not None
     assert r_ae_d["pcorr_e6"] is None  # (1 - r_xz^2) = 0
+
+
+def test_adf_unit_root_vs_mean_reverting(spark):
+    """An alternating (strongly mean-reverting) series reads a huge
+    negative DF t; a cumulative random-walk-ish path reads |t| small.
+    Exact numpy replay of the moment trees pins the values."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    n = 64
+    # perturbed so the fit has residuals (a perfect alternation has
+    # RSS = 0 -> infinite t, which the operator nulls honestly)
+    alt = [
+        (100.0 if i % 2 == 0 else -100.0) + float(i % 7)
+        for i in range(n)
+    ]
+    # random-walk-ish: cumsum of md5-derived deterministic +-1 noise
+    import hashlib
+
+    steps = [
+        1.0
+        if int(hashlib.md5(str(i).encode()).hexdigest(), 16) % 2 == 0
+        else -1.0
+        for i in range(n)
+    ]
+    walk, acc = [], 0.0
+    for s in steps:
+        acc += s
+        walk.append(acc)
+    rows = []
+    for i in range(n):
+        ts = t0 + timedelta(hours=i)
+        rows += [("Alt", ts, alt[i]), ("Walk", ts, walk[i])]
+    rows += [("Tiny", t0, 1.0), ("Tiny", t0 + timedelta(hours=1), 2.0)]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.adf_test(df, key_col="k").collect()
+    }
+    assert out["Tiny"]["adf_t_e6"] is None  # n_obs = 1 < 3
+
+    def replay(vals):
+        v = np.array([round(x * 1000.0) for x in vals], dtype=np.int64)
+        x, y = v[:-1], np.diff(v)
+        nn = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy = float((x * y).sum())
+        sxx = float((x * x).sum())
+        syy = float((y * y).sum())
+        mxx = nn * sxx - sx * sx
+        mxy = nn * sxy - sx * sy
+        myy = nn * syy - sy * sy
+        rho = mxy / mxx
+        t = rho / np.sqrt((myy - mxy * mxy / mxx) / ((nn - 2.0) * mxx))
+        return round(rho * 1e9), round(t * 1e6)
+
+    for k, vals in (("Alt", alt), ("Walk", walk)):
+        rho_e9, t_e6 = replay(vals)
+        assert out[k]["rho_e9"] == rho_e9
+        assert out[k]["adf_t_e6"] == t_e6
+    # the economics: alternating rho ~ -2 (massive reversion), t << 0
+    assert out["Alt"]["rho_e9"] < -1_900_000_000
+    assert out["Alt"]["adf_t_e6"] < -10_000_000
+    # the walk fails to reject a unit root even at the 1% DF
+    # critical value (−3.43 with intercept)
+    assert out["Walk"]["adf_t_e6"] > -3_430_000
+
+
+def test_adf_gap_correctness(spark):
+    """A missing hour contributes NO (x, y) pair — the diff across
+    the gap must not enter the regression."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    hours = [0, 1, 2, 5, 6, 7, 8]  # gap between 2 and 5
+    rows = [
+        ("k", t0 + timedelta(hours=h), float(h * h)) for h in hours
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.adf_test(df, key_col="k").collect()[0]
+    assert r["n_obs"] == 5  # (0,1),(1,2),(5,6),(6,7),(7,8)
+
+
+def test_seasonal_mk_beats_plain_under_diurnal(spark):
+    """v = 1000·hod + day: within each hour-of-day season the series
+    strictly rises day over day, but plain MK's cross-hour pairs
+    drown the trend. Seasonal z is the exact hand formula; plain |z|
+    is far smaller."""
+    from datetime import datetime, timedelta
+    from math import sqrt
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 5)
+    days, hods = 6, 24
+    rows = [
+        (
+            "k",
+            t0 + timedelta(days=d, hours=h),
+            1000.0 * h + float(d),
+        )
+        for d in range(days)
+        for h in range(hods)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    smk = analytics.seasonal_mann_kendall(df, key_col="k").collect()[0]
+    mk = analytics.mann_kendall(df, key_col="k").collect()[0]
+    s_g = days * (days - 1) // 2
+    var_g = days * (days - 1) * (2 * days + 5) / 18.0
+    s_tot = hods * s_g
+    assert smk["n_seasons"] == hods and smk["s_stat"] == s_tot
+    assert smk["z_e6"] == round((s_tot - 1) / sqrt(hods * var_g) * 1e6)
+    # plain MK on the same data: diluted by cross-hour sign noise
+    assert abs(mk["z_e6"]) < smk["z_e6"] // 2
+
+
+def test_seasonal_mk_degenerate(spark):
+    """Constant series: every season all-tied -> var18 = 0 -> null z,
+    row kept with exact season/bucket counts."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 5)
+    rows = [
+        ("Flat", t0 + timedelta(days=d, hours=h), 5.0)
+        for d in range(3)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.seasonal_mann_kendall(df, key_col="k").collect()[0]
+    assert r["n_buckets"] == 12 and r["n_seasons"] == 4
+    assert r["s_stat"] == 0 and r["z_e6"] is None
+
+
+def test_distinct_cascade_bounds(spark):
+    """Hourly HLL sketches unioned to series level and the direct
+    one-shot sketch both land inside the 5σ bound; exact count
+    exact."""
+    import tokens_ts.queries_data as qd
+
+    n = 20000
+    df = spark.range(n).select(
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_seconds(
+            F.lit(1767225600) + (F.col("id") % 96) * 3600
+        ).alias("ts"),
+        ((F.col("id") * 2654435761) % 9000).alias("user_id"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(td + "/events.parquet")
+        out = {
+            r["series_id"]: r
+            for r in qd.ts_distinct_cascade(spark, td).collect()
+        }
+    assert len(out) == 3
+    for r in out.values():
+        assert r["direct_ok"] and r["merged_ok"]
+        assert r["exact_distinct"] > 1000

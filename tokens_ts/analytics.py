@@ -5852,3 +5852,151 @@ def partial_corr(
         F.when(ok, F.round(rxy * 1e6)).cast("bigint").alias("rxy_e6"),
         F.round(pc * 1e6).cast("bigint").alias("pcorr_e6"),
     )
+
+
+def adf_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test per series (lag-0, with
+    intercept): Δv_t = α + ρ·v_{t−1} + ε over CONSECUTIVE bucket
+    pairs (gap-correct — a missing hour contributes no pair), t-stat
+    of ρ̂ strongly negative ⇒ the series mean-reverts (stationary),
+    ≈ 0 ⇒ a unit root / random walk. Completes the econometrics set:
+    cointegration runs the same regression on PAIR spreads with no
+    intercept; ar1_half_life assumes stationarity — this TESTS it.
+
+    x = v_{t−1} and y = Δv_t are exact e-grid bigints, so all five
+    sums are exact and ρ̂ = mxy/mxx and
+    t = ρ̂ / √((myy − mxy²/mxx) / ((n−2)·mxx)) are one shared IEEE
+    tree from the same integers in both engines. Guards: n < 3,
+    zero x-variance, or zero residual ⇒ null t, row kept.
+
+    Shapes: ONE bucket agg, a per-key lag window on the bounded
+    bucket frame (no self-join), one per-key agg."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    step = {"hour": 3600, "minute": 60, "day": 86400}[trunc]
+    w = Window.partitionBy("series_id").orderBy("_ep")
+    pairs = (
+        b.withColumn("_pep", F.lag("_ep").over(w))
+        .withColumn("_pv", F.lag("_v").over(w))
+        .where(F.col("_pep") == F.col("_ep") - step)
+        .select(
+            "series_id",
+            F.col("_pv").alias("_x"),
+            (F.col("_v") - F.col("_pv")).alias("_y"),
+        )
+    )
+    a = pairs.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    nd = F.col("n_obs").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mxx = nd * dbl("sxx") - dbl("sx") * dbl("sx")
+    mxy = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    myy = nd * dbl("syy") - dbl("sy") * dbl("sy")
+    rho = mxy / mxx
+    rssn = myy - mxy * mxy / mxx
+    ok = (F.col("n_obs") >= 3) & (mxx > 0)
+    t = F.when(
+        ok & (rssn > 0),
+        rho / F.sqrt(rssn / ((nd - 2.0) * mxx)),
+    )
+    return a.select(
+        "series_id",
+        "n_obs",
+        F.when(ok, F.round(rho * 1e9)).cast("bigint").alias("rho_e9"),
+        F.round(t * 1e6).cast("bigint").alias("adf_t_e6"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    grid: int = 3,
+) -> DataFrame:
+    """Seasonal Mann-Kendall per series with hour-of-day seasons —
+    the hydrology-standard trend test for data with a diurnal cycle:
+    sign pairs are formed ONLY within the same season (each hour's
+    value today vs the same hour on other days), so a strong daily
+    profile cannot dilute or fake a trend the way it can in plain
+    mann_kendall. S = Σ_g S_g over the 24 seasons, var = Σ_g of the
+    tie-corrected per-season variance, same ±1 continuity-corrected
+    z (independence across seasons is the classic Hirsch-Slack
+    assumption).
+
+    Season = (ep/3600) mod 24 — pure epoch arithmetic, calendar- and
+    TZ-free (the typical_day convention). S and every tie count are
+    exact integers; z is one shared IEEE tree. All-tied or
+    single-bucket seasons contribute S_g = 0, var_g = 0; a series
+    whose EVERY season is degenerate gets null z, row kept.
+
+    Shapes: ONE bucket agg; the pairwise frame is a per-(key, season)
+    self-join — 24× smaller than plain MK's per-key pairs at equal
+    span; tie agg on the same bounded bucket frame."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, "hour", grid)
+    b = b.withColumn("_hod", (F.col("_ep") / 3600 % 24).cast("int"))
+    l = b.select(
+        "series_id", "_hod", F.col("_ep").alias("_ei"),
+        F.col("_v").alias("_vi"),
+    )
+    r = b.select(
+        "series_id", "_hod", F.col("_ep").alias("_ej"),
+        F.col("_v").alias("_vj"),
+    )
+    s = (
+        l.join(r, ["series_id", "_hod"])
+        .where(F.col("_ei") < F.col("_ej"))
+        .groupBy("series_id")
+        .agg(
+            F.sum(F.signum(F.col("_vj") - F.col("_vi")))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    pg = b.groupBy("series_id", "_hod", "_v").agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    gv = pg.groupBy("series_id", "_hod").agg(
+        F.sum("t").cast("bigint").alias("ng"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("bigint")
+        .alias("tie_g"),
+    )
+    ties = gv.groupBy("series_id").agg(
+        F.sum("ng").cast("bigint").alias("n_buckets"),
+        F.count("*").cast("bigint").alias("n_seasons"),
+        F.sum(
+            F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5)
+            - F.col("tie_g")
+        )
+        .cast("bigint")
+        .alias("var18"),
+    )
+    out = ties.join(s, "series_id", "left")
+    var = F.col("var18").cast("double") / 18.0
+    sd = F.col("s_stat").cast("double")
+    z = F.when(
+        var > 0,
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        "series_id",
+        "n_buckets",
+        "n_seasons",
+        F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+        F.round(z * 1e6).cast("bigint").alias("z_e6"),
+    )

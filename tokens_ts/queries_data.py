@@ -10608,3 +10608,160 @@ def ts_partial_corr(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "ts_adf",
+    _HOURLY_E3
+    + """
+    , pr AS (
+      SELECT sid, ep, v,
+             lag(ep) OVER (PARTITION BY sid ORDER BY ep) AS pep,
+             lag(v) OVER (PARTITION BY sid ORDER BY ep) AS pv
+      FROM b
+    ),
+    pairs AS (
+      SELECT sid, pv AS x, v - pv AS y
+      FROM pr WHERE pep = ep - 3600
+    ),
+    a AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY 1
+    ),
+    m AS (
+      SELECT sid, n,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mxx,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS mxy,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS myy
+      FROM a
+    )
+    SELECT sid AS series_id, n AS n_obs,
+           CASE WHEN n >= 3 AND mxx > 0
+                THEN CAST(round(mxy / mxx * 1e9) AS BIGINT)
+           END AS rho_e9,
+           CASE WHEN n >= 3 AND mxx > 0
+                 AND myy - mxy * mxy / mxx > 0
+                THEN CAST(round(mxy / mxx
+                     / sqrt((myy - mxy * mxy / mxx)
+                            / ((CAST(n AS DOUBLE) - 2.0) * mxx))
+                     * 1e6) AS BIGINT)
+           END AS adf_t_e6
+    FROM m
+    """,
+)
+def ts_adf(spark, sf_dir):
+    """Dickey-Fuller unit-root t per event type over consecutive
+    hourly e3-grid buckets — strongly negative = mean-reverting,
+    ~0 = random walk (see analytics.adf_test). cointegration runs
+    this regression on pair SPREADS; this tests each series alone."""
+    return analytics.adf_test(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+
+
+@q(
+    "ts_seasonal_mk",
+    _HOURLY_E3
+    + """
+    , bb AS (SELECT sid, ep, CAST(ep / 3600 % 24 AS INT) AS hod, v FROM b),
+    p AS (
+      SELECT l.sid,
+             CASE WHEN r.v > l.v THEN 1
+                  WHEN r.v < l.v THEN -1 ELSE 0 END AS sg
+      FROM bb l JOIN bb r
+        ON l.sid = r.sid AND l.hod = r.hod AND l.ep < r.ep
+    ),
+    s AS (SELECT sid, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+    tc AS (
+      SELECT sid, hod, v, CAST(count(*) AS BIGINT) AS t
+      FROM bb GROUP BY 1, 2, 3
+    ),
+    gv AS (
+      SELECT sid, hod, CAST(sum(t) AS BIGINT) AS ng,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_g
+      FROM tc GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT sid, CAST(sum(ng) AS BIGINT) AS n_buckets,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(ng * (ng - 1) * (2 * ng + 5) - tie_g) AS BIGINT)
+               AS var18
+      FROM gv GROUP BY 1
+    )
+    SELECT ties.sid AS series_id, n_buckets, n_seasons,
+           COALESCE(s_stat, 0) AS s_stat,
+           CASE WHEN CAST(var18 AS DOUBLE) / 18.0 > 0
+                THEN CAST(round(CASE
+                  WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  ELSE 0.0 END * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM ties LEFT JOIN s USING (sid)
+    """,
+)
+def ts_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall per event type with hour-of-day seasons
+    — sign pairs only within the same hour across days, so a diurnal
+    profile cannot dilute or fake the trend plain mann_kendall sees
+    (see analytics.seasonal_mann_kendall). The hydrology standard."""
+    return analytics.seasonal_mann_kendall(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value",
+    )
+
+
+@q(
+    "ts_distinct_cascade",
+    """
+    SELECT event_type AS series_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS direct_ok, TRUE AS merged_ok
+    FROM events GROUP BY 1
+    """,
+)
+def ts_distinct_cascade(spark, sf_dir, lg_k: int = 12):
+    """Tier-cascadable distinct counts: a datasketches HLL sketch per
+    (series, hour) — the form a 1h continuous-aggregate tier would
+    STORE — unioned up to the series level, vs the direct one-shot
+    sketch over raw, both bound-checked against the exact count at
+    5σ·rsd(lgK=12 ≈ 1.625%) + 1. Merged and direct estimates differ
+    (the union target re-codes registers) but BOTH must sit inside
+    the bound — the mergeability contract that lets a 1d tier answer
+    distinct-user queries without rescanning raw. approx_distinct's
+    HLL++ twin is one-shot; this is the cascade form."""
+    ev = _ev(spark, sf_dir)
+    k = F.lit(lg_k)
+    direct = ev.groupBy(F.col("event_type").alias("series_id")).agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", k)).alias("d_est"),
+    )
+    merged = (
+        ev.groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", "ts").alias("_h"),
+        )
+        .agg(F.hll_sketch_agg("user_id", k).alias("sk"))
+        .groupBy("series_id")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_est"))
+    )
+    rsd = 1.04 / (2 ** (lg_k / 2.0))
+    bound = 5.0 * rsd * F.col("exact_distinct") + F.lit(1.0)
+    return (
+        direct.join(merged, "series_id")
+        .select(
+            "series_id",
+            "exact_distinct",
+            (F.abs(F.col("d_est") - F.col("exact_distinct")) <= bound)
+            .alias("direct_ok"),
+            (F.abs(F.col("m_est") - F.col("exact_distinct")) <= bound)
+            .alias("merged_ok"),
+        )
+    )
