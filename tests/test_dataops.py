@@ -4128,3 +4128,83 @@ def test_distinct_cascade_bounds(spark):
     for r in out.values():
         assert r["direct_ok"] and r["merged_ok"]
         assert r["exact_distinct"] > 1000
+
+
+def test_gopher_rules_each_branch(spark):
+    """One doc trips each Gopher rule in isolation; a crafted good
+    doc passes all seven."""
+    filler = "the be to of and that have with " + "word " * 60
+    docs = [
+        ("good", filler.strip()),
+        ("short", "the be tiny"),  # < 50 words
+        ("longwords", " ".join(["the", "be"] + ["x" * 40] * 60)),
+        ("symbols", "the be " + " ".join(["ok#tag"] * 30 + ["w"] * 20)),
+        (
+            "bullets",
+            "\n".join(["- item " + "w " * 12] * 10),
+        ),  # 100% bullet lines
+        (
+            "ellipsis",
+            "\n".join(
+                [filler.strip() + "..."] * 5 + [filler.strip()] * 5
+            ),
+        ),  # 50% > 30%
+        ("numeric", "the be " + " ".join(["12345"] * 60)),
+        ("nostop", "word " * 60),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.gopher_rules(df).collect()
+    }
+    g = out["good"]
+    assert g["gopher_pass"] and all(
+        g[c]
+        for c in (
+            "ok_word_count", "ok_word_len", "ok_symbol_ratio",
+            "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stopwords",
+        )
+    )
+    assert not out["short"]["ok_word_count"]
+    assert not out["longwords"]["ok_word_len"]
+    assert not out["symbols"]["ok_symbol_ratio"]
+    assert not out["bullets"]["ok_bullets"]
+    assert not out["ellipsis"]["ok_ellipsis"]
+    assert not out["numeric"]["ok_alpha"]
+    assert not out["nostop"]["ok_stopwords"]
+    assert out["nostop"]["n_stopwords"] == 0
+    # each failure is rule-local: the trip doc fails ONLY its rule
+    # where construction allows (short doc still passes e.g. alpha)
+    assert out["short"]["ok_alpha"] and out["short"]["ok_stopwords"]
+
+
+def test_c4_filters_branches(spark):
+    """Line keeps need terminal punct AND >=5 words; page needs >=3
+    sentences; lorem/brace discard; kept_frac exact."""
+    good = "\n".join(
+        [
+            "This line has five words here.",
+            "Another proper sentence with enough words!",
+            "Shorty.",  # terminal punct but < 5 words -> dropped
+            "no terminal punctuation on this line",
+            "A third full sentence right here?",
+        ]
+    )
+    docs = [
+        ("good", good),
+        ("lorem", good + "\nsome Lorem Ipsum filler sentence here."),
+        ("brace", good + "\nfunction f() { return 1; }"),
+        ("twosent", "One sentence here now ok. Two sentences only!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r for r in textops.c4_filters(df).collect()
+    }
+    g = out["good"]
+    assert g["n_lines"] == 5 and g["n_kept_lines"] == 3
+    assert g["n_sentences"] == 4  # . ! . ? (Shorty. counts)
+    assert g["c4_pass"]
+    assert g["kept_frac_e6"] == round(3 / 5 * 1e6)
+    assert out["lorem"]["has_lorem"] and not out["lorem"]["c4_pass"]
+    assert out["brace"]["has_brace"] and not out["brace"]["c4_pass"]
+    assert not out["twosent"]["c4_pass"]  # 2 sentences < 3

@@ -10765,3 +10765,97 @@ def ts_distinct_cascade(spark, sf_dir, lg_k: int = 12):
             .alias("merged_ok"),
         )
     )
+
+
+@q(
+    "doc_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             string_split_regex(text, '\\n') AS ls,
+             text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(ws, x -> length(x)))
+               AS BIGINT) AS sl,
+             CAST(len(list_filter(ws, x -> contains(x, '#')
+                  OR contains(x, '...') OR contains(x, '…')))
+               AS BIGINT) AS nsym,
+             CAST(len(ls) AS BIGINT) AS nl,
+             CAST(len(list_filter(ls, x -> starts_with(trim(x), '•')
+                  OR starts_with(trim(x), '-')
+                  OR starts_with(trim(x), '*'))) AS BIGINT) AS nb,
+             CAST(len(list_filter(ls, x -> ends_with(x, '...')
+                  OR ends_with(x, '…'))) AS BIGINT) AS ne,
+             CAST(len(list_filter(ws,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+             CAST(len(list_distinct(list_filter(ws,
+                  x -> x IN ('the','be','to','of','and','that',
+                             'have','with')))) AS BIGINT) AS nst
+      FROM w
+    )
+    SELECT doc_id,
+           n AS n_words, sl AS sum_word_len, nsym AS n_symbol_words,
+           nl AS n_lines, nb AS n_bullet_lines, ne AS n_ellipsis_lines,
+           na AS n_alpha_words, nst AS n_stopwords,
+           (n >= 50 AND n <= 100000) AS ok_word_count,
+           (3 * n <= sl AND sl <= 10 * n) AS ok_word_len,
+           (10 * nsym <= n) AS ok_symbol_ratio,
+           (10 * nb <= 9 * nl) AS ok_bullets,
+           (10 * ne <= 3 * nl) AS ok_ellipsis,
+           (5 * na >= 4 * n) AS ok_alpha,
+           (nst >= 2) AS ok_stopwords,
+           ((n >= 50 AND n <= 100000) AND (3 * n <= sl AND sl <= 10 * n)
+            AND (10 * nsym <= n) AND (10 * nb <= 9 * nl)
+            AND (10 * ne <= 3 * nl) AND (5 * na >= 4 * n)
+            AND (nst >= 2)) AS gopher_pass
+    FROM c
+    """,
+)
+def doc_gopher_rules(spark, sf_dir):
+    """The published Gopher quality thresholds as a per-doc pass/fail
+    vector — every comparison integer cross-multiplication, zero
+    float, one codegen projection (see textops.gopher_rules)."""
+    return textops.gopher_rules(_docs(spark, sf_dir))
+
+
+@q(
+    "doc_c4_filters",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\\n') AS ls
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             CAST(len(ls) AS BIGINT) AS nl,
+             CAST(len(list_filter(ls,
+                  x -> (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                        OR ends_with(trim(x), '?')
+                        OR ends_with(trim(x), '"'))
+                   AND len(string_split_regex(trim(x), '\\s+')) >= 5))
+               AS BIGINT) AS nk,
+             CAST(len(string_split_regex(text, '[.!?]')) - 1
+               AS BIGINT) AS ns,
+             contains(lower(text), 'lorem ipsum') AS lorem,
+             contains(text, '{') AS brace
+      FROM w
+    )
+    SELECT doc_id, nl AS n_lines, nk AS n_kept_lines, ns AS n_sentences,
+           lorem AS has_lorem, brace AS has_brace,
+           CAST(round(CAST(nk AS DOUBLE) / CAST(nl AS DOUBLE) * 1e6)
+             AS BIGINT) AS kept_frac_e6,
+           (nk >= 1 AND ns >= 3 AND NOT lorem AND NOT brace) AS c4_pass
+    FROM c
+    """,
+)
+def doc_c4_filters(spark, sf_dir):
+    """The published C4 cleaning heuristics as a per-doc audit:
+    terminal-punctuation ≥5-word line keeps, ≥3-sentence page rule,
+    lorem-ipsum / curly-brace discards (see textops.c4_filters)."""
+    return textops.c4_filters(_docs(spark, sf_dir))

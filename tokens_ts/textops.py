@@ -3124,3 +3124,131 @@ def char_entropy(
         .cast("bigint")
         .alias("entropy_e6"),
     )
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, table A1)
+    as one row-local pass/fail vector per document — the curation
+    gate every web-scale training corpus runs before tokenization.
+    with_quality reports the raw ratios; this applies the NAMED
+    thresholds, and every comparison is INTEGER cross-multiplication
+    (3·n ≤ Σlen ≤ 10·n, 10·sym ≤ n, …) so no float exists anywhere
+    and the two engines cannot disagree by an ulp.
+
+    Rules: (1) 50 ≤ word count ≤ 100 000; (2) mean word length in
+    [3, 10]; (3) symbol-to-word ratio (# or …) ≤ 0.1; (4) ≤ 90% of
+    lines starting with a bullet; (5) ≤ 30% of lines ending with an
+    ellipsis; (6) ≥ 80% of words contain an alphabetic char;
+    (7) ≥ 2 distinct members of the 8-word stop list present.
+
+    The whole operator is ONE whole-stage-codegen projection — no
+    shuffle, no explode, no UDF; at 100 TB it is a map-only scan."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    n = F.size(w).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    n_sym = F.size(
+        F.filter(
+            w,
+            lambda x: x.contains("#") | x.contains("...") | x.contains("…"),
+        )
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("•")
+            | F.trim(x).startswith("-")
+            | F.trim(x).startswith("*"),
+        )
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(
+            lines, lambda x: x.endswith("...") | x.endswith("…")
+        )
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*stops)))
+    ).cast("bigint")
+    r1 = (n >= 50) & (n <= 100_000)
+    r2 = (3 * n <= sum_len) & (sum_len <= 10 * n)
+    r3 = 10 * n_sym <= n
+    r4 = 10 * n_bullet <= 9 * n_lines
+    r5 = 10 * n_ellipsis <= 3 * n_lines
+    r6 = 5 * n_alpha >= 4 * n
+    r7 = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_sym.alias("n_symbol_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        r1.alias("ok_word_count"),
+        r2.alias("ok_word_len"),
+        r3.alias("ok_symbol_ratio"),
+        r4.alias("ok_bullets"),
+        r5.alias("ok_ellipsis"),
+        r6.alias("ok_alpha"),
+        r7.alias("ok_stopwords"),
+        (r1 & r2 & r3 & r4 & r5 & r6 & r7).alias("gopher_pass"),
+    )
+
+
+def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020,
+    §2.2) as a per-document audit: line-level keep counts (a line
+    survives iff it ends in terminal punctuation AND has ≥ 5 words),
+    sentence count (≥ 3 to keep the page), and the page-level
+    discard triggers ("lorem ipsum", a curly brace). kept_frac is
+    the only non-integer — a ratio of two exact ints rounded at e6
+    identically in both engines.
+
+    Like gopher_rules: ONE codegen projection, map-only at any
+    scale. The three-sentence-span dedup leg of C4 lives in
+    doc_dup_span_coverage — corpus-level, not row-local."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda x: (
+            F.trim(x).endswith(".")
+            | F.trim(x).endswith("!")
+            | F.trim(x).endswith("?")
+            | F.trim(x).endswith('"')
+        )
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    low = F.lower(F.col(text_col))
+    n_sent = (
+        F.size(F.split(F.col(text_col), r"[.!?]")) - 1
+    ).cast("bigint")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    c4_pass = (
+        (n_kept >= 1) & (n_sent >= 3) & ~has_lorem & ~has_brace
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        F.round(
+            n_kept.cast("double") / n_lines.cast("double") * 1e6
+        )
+        .cast("bigint")
+        .alias("kept_frac_e6"),
+        c4_pass.alias("c4_pass"),
+    )
