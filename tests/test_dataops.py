@@ -4208,3 +4208,139 @@ def test_c4_filters_branches(spark):
     assert out["lorem"]["has_lorem"] and not out["lorem"]["c4_pass"]
     assert out["brace"]["has_brace"] and not out["brace"]["c4_pass"]
     assert not out["twosent"]["c4_pass"]  # 2 sentences < 3
+
+
+def test_matrix_profile_discord_and_motif(spark):
+    """A day of repeating 4-hour shapes with one planted weird
+    window: the discord is the planted window, the motif is a
+    repeating pair; distances are exact integers."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 7)  # midnight UTC
+    base = [10.0, 20.0, 10.0, 20.0] * 4  # 16 hours of the same shape
+    vals = list(base)
+    # plant an anomaly in hours 8..11 (window start h=8)
+    vals[8:12] = [500.0, 10.0, 20.0, 900.0]
+    rows = [
+        ("k", t0 + timedelta(hours=h), v) for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    out = analytics.matrix_profile_daily(df, key_col="k").collect()
+    assert len(out) == 1
+    r = out[0]
+    day_ep = int(t0.replace(tzinfo=None).timestamp())
+    assert r["n_windows"] == 13  # starts 0..12
+    # the planted window is h=8; windows 5..11 touch planted hours so
+    # several are distorted — the discord must be one of the planted-
+    # overlap windows and its distance reflects the 500/900 spikes
+    assert (r["discord_epoch"] - day_ep) // 3600 in range(5, 12)
+    assert r["discord_dist"] > (400_000) ** 2  # e3 grid: 500-20 -> 480e3
+    # motif: two clean identical windows exist (e.g. h=0 and h=4):
+    # distance exactly 0
+    assert r["motif_dist"] == 0
+    assert r["motif_epoch_a"] == day_ep  # earliest zero-distance pair
+    assert (r["motif_epoch_b"] - day_ep) % (4 * 3600) == 0
+
+
+def test_matrix_profile_gaps_and_no_pairs(spark):
+    """Missing hours break exactly the windows they touch; a day
+    whose windows admit no non-overlapping pair keeps its row with
+    null discord/motif."""
+    from datetime import datetime, timedelta
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 7)
+    # only hours 0..5 -> windows at 0,1,2; max start gap = 2 < 4
+    rows = [
+        ("k", t0 + timedelta(hours=h), float(h)) for h in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, value double"
+    )
+    r = analytics.matrix_profile_daily(df, key_col="k").collect()[0]
+    assert r["n_windows"] == 3
+    assert r["discord_dist"] is None and r["motif_dist"] is None
+    # drop hour 3: windows needing hours 3 vanish (starts 0,1,2,3)
+    rows2 = [
+        ("k", t0 + timedelta(hours=h), float(h))
+        for h in range(12)
+        if h != 3
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "k string, event_ts timestamp, value double"
+    )
+    r2 = analytics.matrix_profile_daily(df2, key_col="k").collect()[0]
+    # valid starts: 4..8 (need h..h+3 all present) -> 5 windows
+    assert r2["n_windows"] == 5
+    # starts 4 and 8 are exactly 4 apart -> one admissible pair
+    assert r2["motif_epoch_a"] is not None
+
+
+def test_sen_ci_linear_and_replay(spark):
+    """Exactly linear series: every pairwise slope equal -> CI
+    degenerates to the slope itself; nontrivial series: numpy replay
+    of ranks + Gilbert bounds."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from tokens_ts import analytics
+
+    t0 = datetime(2026, 1, 1)
+    lin = [(
+        "Lin", t0 + timedelta(hours=i), 5.0 + 2.5 * i
+    ) for i in range(12)]
+    mix_vals = [3.0, 7.0, 1.0, 9.0, 4.0, 4.0, 8.0, 2.0]
+    mix = [(
+        "Mix", t0 + timedelta(hours=i), v
+    ) for i, v in enumerate(mix_vals)]
+    one = [("One", t0, 1.0)]
+    df = spark.createDataFrame(
+        lin + mix + one, "k string, event_ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.sen_slope_ci(df, key_col="k").collect()
+    }
+    assert out["One"]["n_pairs"] == 0 and out["One"]["sen2_e6"] is None
+    r = out["Lin"]
+    assert r["n_pairs"] == 66
+    assert r["sen2_e6"] == 2 * 2_500_000  # slope 2.5/h at e6
+    assert r["ci_lo_e6"] == 2_500_000 and r["ci_hi_e6"] == 2_500_000
+
+    # numpy replay for Mix
+    v = np.array([round(x * 1000.0) for x in mix_vals], dtype=np.int64)
+    n = len(v)
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dv = float(v[j] - v[i])
+            dt = float((j - i) * 3600)
+            slopes.append(round(dv * 3.6 / dt * 1e6))
+    slopes.sort()
+    npairs = len(slopes)
+    # tie-corrected var over bucket values
+    vals_, counts = np.unique(v, return_counts=True)
+    tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts))
+    var = (n * (n - 1.0) * (2.0 * n + 5.0) - tie) / 18.0
+    c = 1.96 * np.sqrt(var)
+    rlo = max(1, int(np.floor((npairs - c) / 2.0)))
+    rhi = min(npairs, int(np.floor((npairs + c) / 2.0)) + 1)
+    lo_rank = int(np.floor((npairs + 1) / 2.0))
+    hi_rank = int(np.ceil((npairs + 1) / 2.0))
+    sen2 = (
+        2 * slopes[lo_rank - 1]
+        if lo_rank == hi_rank
+        else slopes[lo_rank - 1] + slopes[hi_rank - 1]
+    )
+    m = out["Mix"]
+    assert m["n_pairs"] == npairs
+    assert m["sen2_e6"] == sen2
+    assert m["ci_lo_e6"] == slopes[rlo - 1]
+    assert m["ci_hi_e6"] == slopes[rhi - 1]
+    assert m["ci_lo_e6"] <= m["sen2_e6"] // 2 <= m["ci_hi_e6"]

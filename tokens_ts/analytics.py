@@ -6000,3 +6000,247 @@ def seasonal_mann_kendall(
         F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
         F.round(z * 1e6).cast("bigint").alias("z_e6"),
     )
+
+
+def matrix_profile_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    grid: int = 3,
+    m: int = 4,
+) -> DataFrame:
+    """Matrix-profile discord + motif per (series, day) over the
+    day's hourly e-grid means with window length m: every complete
+    m-hour window's distance to its nearest NON-OVERLAPPING window
+    (|start gap| ≥ m hours — the exclusion zone that stops a window
+    matching its own shifted self), profile = that min; the DISCORD
+    is the window with the LARGEST profile (the day's most unusual
+    shape — the anomaly no point-wise z-score sees because every
+    individual value is in range), the MOTIF is the closest window
+    pair (the day's most repeated shape). The UCR matrix-profile
+    quantity, exact: distances are Σ(aᵢ−bᵢ)² of e-grid bigints — no
+    float exists anywhere in this operator, so argmax/argmin cannot
+    drift. Ties → earliest epoch (pair: lexicographic earliest).
+
+    Windows are gap-correct (missing hour ⇒ the windows it breaks
+    don't exist, the sampen rule) and day-bounded: ≤ 21 windows ⇒
+    ≤ 210 unordered pairs per (series, day) — embarrassingly
+    parallel at any corpus size, the sampen/dtw budget. Days whose
+    windows admit NO non-overlapping pair keep their row with null
+    discord/motif (profile of nothing is not a number)."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, "hour", grid)
+    b = b.withColumn("_dy", F.col("_ep") - F.col("_ep") % 86400)
+    w = Window.partitionBy("series_id", "_dy").orderBy("_ep")
+    cols = [F.col("_v").alias("_v0")]
+    cond = F.lit(True)
+    for i in range(1, m):
+        cond = cond & (
+            F.lead("_ep", i).over(w) == F.col("_ep") + i * 3600
+        )
+        cols.append(F.lead("_v", i).over(w).alias(f"_v{i}"))
+    wins = (
+        b.select("series_id", "_dy", "_ep", *cols, cond.alias("_ok"))
+        .where(F.col("_ok"))
+        .drop("_ok")
+    )
+    n_win = wins.groupBy("series_id", "_dy").agg(
+        F.count("*").cast("bigint").alias("n_windows")
+    )
+    l = wins.select(
+        "series_id", "_dy", F.col("_ep").alias("_ea"),
+        *[F.col(f"_v{i}").alias(f"_a{i}") for i in range(m)],
+    )
+    r = wins.select(
+        "series_id", "_dy", F.col("_ep").alias("_eb"),
+        *[F.col(f"_v{i}").alias(f"_b{i}") for i in range(m)],
+    )
+    dist = sum(
+        (F.col(f"_a{i}") - F.col(f"_b{i}"))
+        * (F.col(f"_a{i}") - F.col(f"_b{i}"))
+        for i in range(m)
+    )
+    directed = (
+        l.join(r, ["series_id", "_dy"])
+        .where(
+            F.abs(F.col("_eb") - F.col("_ea")) >= m * 3600
+        )
+        .select(
+            "series_id", "_dy", "_ea", "_eb",
+            dist.cast("bigint").alias("_d"),
+        )
+    )
+    prof = directed.groupBy("series_id", "_dy", "_ea").agg(
+        F.min("_d").alias("_p")
+    )
+    discord = prof.groupBy("series_id", "_dy").agg(
+        F.max(F.struct(F.col("_p"), (-F.col("_ea")).alias("_nea"))).alias(
+            "_best"
+        )
+    )
+    motif = (
+        directed.where(F.col("_ea") < F.col("_eb"))
+        .groupBy("series_id", "_dy")
+        .agg(
+            F.min(
+                F.struct(F.col("_d"), F.col("_ea"), F.col("_eb"))
+            ).alias("_m")
+        )
+    )
+    out = (
+        n_win.join(discord, ["series_id", "_dy"], "left")
+        .join(motif, ["series_id", "_dy"], "left")
+    )
+    return out.select(
+        "series_id",
+        F.col("_dy").alias("day_epoch"),
+        "n_windows",
+        (-F.col("_best._nea")).cast("bigint").alias("discord_epoch"),
+        F.col("_best._p").cast("bigint").alias("discord_dist"),
+        F.col("_m._d").cast("bigint").alias("motif_dist"),
+        F.col("_m._ea").cast("bigint").alias("motif_epoch_a"),
+        F.col("_m._eb").cast("bigint").alias("motif_epoch_b"),
+    )
+
+
+def sen_slope_ci(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+    z_alpha: float = 1.96,
+) -> DataFrame:
+    """Sen's slope with its rank-based confidence interval per series
+    — the estimator half of the Mann-Kendall package (MK says a
+    monotone trend exists; this says HOW STEEP, with distribution-
+    free bounds). Every pairwise slope (units/hour) is e6-quantized
+    as ONE double expression round(1e6·Δv·3.6/Δt) of two exact
+    bigints — correctly-rounded division, identical in both engines
+    — so order statistics over the slope multiset are exact. The
+    interval ranks follow Gilbert (1987): C = z·√var(S) with the MK
+    tie-corrected variance, r_lo = max(1, ⌊(N−C)/2⌋),
+    r_hi = min(N, ⌊(N+C)/2⌋+1); the median is the exact
+    two-central-order-statistic SUM (sen2_e6 = s_⌈N/2⌉ + s_⌊N/2⌋+1,
+    twice the median — the runs_test no-float-median rule).
+
+    Shapes: ONE bucket agg; the pairwise frame is the mann_kendall
+    per-key self-join; rank selection via one per-key sort window on
+    the pairs-bounded frame. Series with <2 buckets keep their row
+    with nulls."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    nb = b.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+    l = b.select(
+        "series_id", F.col("_ep").alias("_ei"), F.col("_v").alias("_vi")
+    )
+    r = b.select(
+        "series_id", F.col("_ep").alias("_ej"), F.col("_v").alias("_vj")
+    )
+    slopes = (
+        l.join(r, "series_id")
+        .where(F.col("_ei") < F.col("_ej"))
+        .select(
+            "series_id",
+            F.round(
+                (F.col("_vj") - F.col("_vi")).cast("double")
+                * 3.6
+                / (F.col("_ej") - F.col("_ei")).cast("double")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_s"),
+        )
+    )
+    ws = Window.partitionBy("series_id").orderBy("_s")
+    ranked = slopes.select(
+        "series_id", "_s", F.row_number().over(ws).alias("_rn")
+    )
+    ties = (
+        b.groupBy("series_id", "_v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("series_id")
+        .agg(
+            F.sum("t").cast("bigint").alias("nb2"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    nd = F.col("nb2").cast("double")
+    var = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    stats = (
+        ranked.groupBy("series_id")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .join(ties, "series_id")
+        .select(
+            "series_id",
+            "n_pairs",
+            F.floor(
+                (
+                    F.col("n_pairs").cast("double")
+                    - F.lit(z_alpha) * F.sqrt(var)
+                )
+                / 2.0
+            )
+            .cast("bigint")
+            .alias("_rlo0"),
+            (
+                F.floor(
+                    (
+                        F.col("n_pairs").cast("double")
+                        + F.lit(z_alpha) * F.sqrt(var)
+                    )
+                    / 2.0
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("_rhi0"),
+        )
+        .select(
+            "series_id",
+            "n_pairs",
+            F.greatest(F.lit(1).cast("bigint"), F.col("_rlo0")).alias(
+                "_rlo"
+            ),
+            F.least(F.col("n_pairs"), F.col("_rhi0")).alias("_rhi"),
+        )
+    )
+    j = ranked.join(stats, "series_id")
+    med_lo = (F.col("n_pairs") + 1) / 2
+    agg = j.groupBy("series_id", "n_pairs").agg(
+        F.sum(
+            F.when(
+                (F.col("_rn") == F.floor(med_lo))
+                | (F.col("_rn") == F.ceil(med_lo)),
+                F.col("_s")
+                * F.when(
+                    F.floor(med_lo) == F.ceil(med_lo), 2
+                ).otherwise(1),
+            )
+        )
+        .cast("bigint")
+        .alias("sen2_e6"),
+        F.min(F.when(F.col("_rn") == F.col("_rlo"), F.col("_s")))
+        .cast("bigint")
+        .alias("ci_lo_e6"),
+        F.min(F.when(F.col("_rn") == F.col("_rhi"), F.col("_s")))
+        .cast("bigint")
+        .alias("ci_hi_e6"),
+    )
+    return nb.join(agg, "series_id", "left").select(
+        "series_id",
+        "n_buckets",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        "sen2_e6",
+        "ci_lo_e6",
+        "ci_hi_e6",
+    )

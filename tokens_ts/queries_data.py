@@ -10859,3 +10859,148 @@ def doc_c4_filters(spark, sf_dir):
     terminal-punctuation ≥5-word line keeps, ≥3-sentence page rule,
     lorem-ipsum / curly-brace discards (see textops.c4_filters)."""
     return textops.c4_filters(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_matrix_profile",
+    _HOURLY_E3
+    + """
+    , bb AS (SELECT sid, ep - ep % 86400 AS dy, ep, v FROM b),
+    t AS (
+      SELECT sid, dy, ep, v AS v0,
+             CASE WHEN lead(ep, 1) OVER w = ep + 3600
+                  THEN lead(v, 1) OVER w END AS v1,
+             CASE WHEN lead(ep, 2) OVER w = ep + 7200
+                  THEN lead(v, 2) OVER w END AS v2,
+             CASE WHEN lead(ep, 3) OVER w = ep + 10800
+                  THEN lead(v, 3) OVER w END AS v3,
+             lead(ep, 1) OVER w AS e1, lead(ep, 2) OVER w AS e2,
+             lead(ep, 3) OVER w AS e3
+      FROM bb WINDOW w AS (PARTITION BY sid, dy ORDER BY ep)
+    ),
+    wins AS (
+      SELECT sid, dy, ep, v0, v1, v2, v3 FROM t
+      WHERE e1 = ep + 3600 AND e2 = ep + 7200 AND e3 = ep + 10800
+    ),
+    nw AS (
+      SELECT sid, dy, CAST(count(*) AS BIGINT) AS n_windows
+      FROM wins GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.sid, a.dy, a.ep AS ea, c.ep AS eb,
+             (a.v0 - c.v0) * (a.v0 - c.v0)
+           + (a.v1 - c.v1) * (a.v1 - c.v1)
+           + (a.v2 - c.v2) * (a.v2 - c.v2)
+           + (a.v3 - c.v3) * (a.v3 - c.v3) AS d
+      FROM wins a JOIN wins c
+        ON a.sid = c.sid AND a.dy = c.dy
+       AND abs(c.ep - a.ep) >= 14400
+    ),
+    prof AS (
+      SELECT sid, dy, ea, min(d) AS p FROM pairs GROUP BY 1, 2, 3
+    ),
+    disc AS (
+      SELECT sid, dy, ea, p,
+             row_number() OVER (PARTITION BY sid, dy
+                                ORDER BY p DESC, ea ASC) AS rn
+      FROM prof
+    ),
+    mot AS (
+      SELECT sid, dy, ea, eb, d,
+             row_number() OVER (PARTITION BY sid, dy
+                                ORDER BY d ASC, ea ASC, eb ASC) AS rn
+      FROM pairs WHERE ea < eb
+    )
+    SELECT nw.sid AS series_id, nw.dy AS day_epoch, nw.n_windows,
+           disc.ea AS discord_epoch, CAST(disc.p AS BIGINT) AS discord_dist,
+           CAST(mot.d AS BIGINT) AS motif_dist,
+           mot.ea AS motif_epoch_a, mot.eb AS motif_epoch_b
+    FROM nw
+    LEFT JOIN disc ON disc.sid = nw.sid AND disc.dy = nw.dy AND disc.rn = 1
+    LEFT JOIN mot ON mot.sid = nw.sid AND mot.dy = nw.dy AND mot.rn = 1
+    """,
+)
+def ts_matrix_profile(spark, sf_dir):
+    """Matrix-profile discord + motif per (event type, day): each
+    complete 4-hour window's min distance to a non-overlapping
+    window, all integer-exact (see analytics.matrix_profile_daily).
+    The shape-anomaly lens point-wise z-scores cannot see."""
+    return analytics.matrix_profile_daily(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value",
+    )
+
+
+@q(
+    "ts_sen_ci",
+    _HOURLY_E3
+    + """
+    , nb AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_buckets
+             FROM b GROUP BY 1),
+    sl AS (
+      SELECT l.sid,
+             CAST(round(CAST(r.v - l.v AS DOUBLE) * 3.6
+                  / CAST(r.ep - l.ep AS DOUBLE) * 1e6) AS BIGINT) AS s
+      FROM b l JOIN b r ON l.sid = r.sid AND l.ep < r.ep
+    ),
+    rk AS (
+      SELECT sid, s,
+             row_number() OVER (PARTITION BY sid ORDER BY s) AS rn
+      FROM sl
+    ),
+    tc AS (SELECT sid, v, CAST(count(*) AS BIGINT) AS t
+           FROM b GROUP BY 1, 2),
+    ties AS (
+      SELECT sid, CAST(sum(t) AS BIGINT) AS nb2,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM tc GROUP BY 1
+    ),
+    st AS (
+      SELECT rk.sid, CAST(count(*) AS BIGINT) AS n_pairs,
+             (CAST(nb2 AS DOUBLE) * (CAST(nb2 AS DOUBLE) - 1.0)
+              * (2.0 * CAST(nb2 AS DOUBLE) + 5.0)
+              - CAST(tie_term AS DOUBLE)) / 18.0 AS var
+      FROM rk JOIN ties ON ties.sid = rk.sid
+      GROUP BY 1, nb2, tie_term
+    ),
+    rr AS (
+      SELECT sid, n_pairs,
+             greatest(CAST(1 AS BIGINT),
+               CAST(floor((CAST(n_pairs AS DOUBLE)
+                    - 1.96 * sqrt(var)) / 2.0) AS BIGINT)) AS rlo,
+             least(n_pairs,
+               CAST(floor((CAST(n_pairs AS DOUBLE)
+                    + 1.96 * sqrt(var)) / 2.0) AS BIGINT) + 1) AS rhi
+      FROM st
+    ),
+    ag AS (
+      SELECT rk.sid, rr.n_pairs,
+             CAST(sum(CASE WHEN rk.rn = CAST(floor(
+                      (CAST(rr.n_pairs AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+                        OR rk.rn = CAST(ceil(
+                      (CAST(rr.n_pairs AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+                      THEN rk.s * (CASE WHEN rr.n_pairs % 2 = 1
+                                        THEN 2 ELSE 1 END)
+                      ELSE NULL END) AS BIGINT) AS sen2_e6,
+             CAST(min(CASE WHEN rk.rn = rr.rlo THEN rk.s END)
+               AS BIGINT) AS ci_lo_e6,
+             CAST(min(CASE WHEN rk.rn = rr.rhi THEN rk.s END)
+               AS BIGINT) AS ci_hi_e6
+      FROM rk JOIN rr ON rr.sid = rk.sid
+      GROUP BY 1, 2
+    )
+    SELECT nb.sid AS series_id, nb.n_buckets,
+           COALESCE(ag.n_pairs, 0) AS n_pairs,
+           ag.sen2_e6, ag.ci_lo_e6, ag.ci_hi_e6
+    FROM nb LEFT JOIN ag ON ag.sid = nb.sid
+    """,
+)
+def ts_sen_ci(spark, sf_dir):
+    """Sen's slope with the Gilbert rank-based confidence interval
+    per event type — the estimator half of the Mann-Kendall trend
+    package, order statistics over e6-quantized exact pairwise
+    slopes (see analytics.sen_slope_ci)."""
+    return analytics.sen_slope_ci(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
