@@ -4344,3 +4344,40 @@ def test_sen_ci_linear_and_replay(spark):
     assert m["ci_lo_e6"] == slopes[rlo - 1]
     assert m["ci_hi_e6"] == slopes[rhi - 1]
     assert m["ci_lo_e6"] <= m["sen2_e6"] // 2 <= m["ci_hi_e6"]
+
+
+def test_semdedup_condemnation_rules(spark):
+    """Keep-the-diverse rule: in every near-dup pair the member
+    CLOSER to the centroid is condemned (the cluster's most typical
+    copy dies, the extreme survives); exact-tie -> larger id; pair
+    search is cluster-scoped; singletons untouched."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A (c2c = 1e6)
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (2, [1.0, 0.1, 0.0, 0.0]),   # A, dup of 0/3
+        (3, [1.0, 0.2, 0.0, 0.0]),   # A, the diverse survivor
+        (4, [0.0, 1.0, 0.1, 0.0]),   # B, dup of 1/5
+        (5, [0.0, 1.0, 0.2, 0.0]),   # B, survivor
+        (6, [0.7, 0.7, 0.0, 0.0]),   # centroid tie -> cluster A, alone
+        (7, [0.0, 0.0, 1.0, 0.0]),   # exact duplicate pair, c2c tie
+        (8, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in simsearch.semdedup(
+            df, n_centroids=2, threshold_e6=950_000
+        ).collect()
+    }
+    assert {k for k, v in out.items() if v["removed"]} == {0, 1, 2, 4, 8}
+    # survivors are the extremes: 3 and 5 keep their clusters' shape
+    assert not out[3]["removed"] and not out[5]["removed"]
+    assert not out[7]["removed"]  # tie condemned the LARGER id (8)
+    assert out[6]["n_partners"] == 0 and not out[6]["removed"]
+    assert out[6]["cid"] == 0  # centroid-sim tie -> lowest cid
+    assert out[7]["cid"] == 0  # orthogonal to both -> tie -> cid 0
+    assert out[0]["n_partners"] == 2  # pairs with 2 and 3
+    assert out[8]["n_partners"] == 1
+    assert out[0]["c2c_e6"] == 1_000_000

@@ -11004,3 +11004,66 @@ def ts_sen_ci(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "emb_semdedup",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    csim AS (
+      SELECT e.vec_id AS nid, c.cid,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               * 1e6) AS BIGINT) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT nid, cid, s AS c2c FROM (
+        SELECT nid, cid, s,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS r
+        FROM csim
+      ) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.cid, a.nid AS na, b.nid AS nb, a.c2c AS ca, b.c2c AS cb,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(eb.v, x -> x * x))))
+               * 1e6) AS BIGINT) AS sim
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.nid < b.nid
+      JOIN e ea ON ea.vec_id = a.nid
+      JOIN e eb ON eb.vec_id = b.nid
+    ),
+    hits AS (SELECT * FROM pairs WHERE sim >= 400000),
+    condemned AS (
+      SELECT CASE WHEN ca > cb OR (ca = cb AND na > nb)
+                  THEN na ELSE nb END AS nid
+      FROM hits
+    ),
+    partners AS (
+      SELECT nid, CAST(count(*) AS BIGINT) AS n_partners FROM (
+        SELECT na AS nid FROM hits UNION ALL SELECT nb AS nid FROM hits
+      ) GROUP BY 1
+    ),
+    rem AS (SELECT nid, count(*) AS nc FROM condemned GROUP BY 1)
+    SELECT a.nid AS vec_id, a.cid, a.c2c AS c2c_e6,
+           COALESCE(p.n_partners, 0) AS n_partners,
+           (COALESCE(rem.nc, 0) > 0) AS removed
+    FROM assign a
+    LEFT JOIN partners p ON p.nid = a.nid
+    LEFT JOIN rem ON rem.nid = a.nid
+    """,
+)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup per-vector keep/remove verdict: IVF-cluster-scoped
+    cosine pairs ≥ τ condemn the member closer to the centroid —
+    survivors are the diverse extremes (see simsearch.semdedup)."""
+    return simsearch.semdedup(_emb(spark, sf_dir))

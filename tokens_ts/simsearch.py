@@ -1674,3 +1674,105 @@ def effective_rank(
         F.round(tr / 1e6).cast("bigint").alias("trace_e6"),
         F.round(erank * 1e6).cast("bigint").alias("erank_e6"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold_e6: int = 400_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to IVF
+    clusters — the quadratic pair search runs ONLY within a cluster
+    (the paper's trick that makes embedding dedup tractable at
+    corpus scale: k clusters cut the pair count by ~k). For every
+    within-cluster pair with cosine ≥ τ, the member SEMANTICALLY
+    CLOSER TO THE CENTROID is condemned (the paper's keep-low-
+    centroid-similarity rule: survivors are the diverse extremes,
+    not the cluster's most typical copy); tie on the e6 cosine →
+    the larger id is condemned. A vector is removed iff ANY pair
+    condemns it. emb_cosine_dups reports LSH-candidate pairs; this
+    is the per-vector keep/remove VERDICT with cluster context.
+
+    Exactness: assignment reuses ivf_assign's e6-rounded argmax;
+    pair and centroid cosines are the house e6 rounding of identical
+    IEEE folds, so condemnation decisions are integer comparisons.
+
+    Shapes at 100 TB: assignment is a broadcast-centroids corpus
+    scan (zero corpus shuffle); ONE shuffle on cid co-locates each
+    cluster; the pair join is cluster-bounded (quadratic only within
+    a cell — choose k so cells fit); verdicts aggregate back on the
+    same cid partitioning."""
+    a = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
+                   vec_col=vec_col)
+    cents = a.where(F.col("nid") < n_centroids).select(
+        F.col("nid").alias("ccid"), F.col("v").alias("cv")
+    )
+    c2c = a.join(
+        F.broadcast(cents), a["cid"] == cents["ccid"]
+    ).select(
+        "nid", "cid", "v",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv")))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("c2c_e6"),
+    )
+    l = c2c.select(
+        "cid", F.col("nid").alias("_na"), F.col("v").alias("_va"),
+        F.col("c2c_e6").alias("_ca"),
+    )
+    r = c2c.select(
+        "cid", F.col("nid").alias("_nb"), F.col("v").alias("_vb"),
+        F.col("c2c_e6").alias("_cb"),
+    )
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+        * 1e6
+    ).cast("bigint")
+    pairs = (
+        l.join(r, "cid")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(
+            "cid", "_na", "_nb", "_ca", "_cb",
+            sim.alias("_sim"),
+        )
+        .where(F.col("_sim") >= threshold_e6)
+    )
+    # condemned member: closer to centroid (higher c2c), tie -> larger id
+    condemned = pairs.select(
+        "cid",
+        F.when(
+            (F.col("_ca") > F.col("_cb"))
+            | ((F.col("_ca") == F.col("_cb")) & (F.col("_na") > F.col("_nb"))),
+            F.col("_na"),
+        )
+        .otherwise(F.col("_nb"))
+        .alias("nid"),
+    )
+    partners = (
+        pairs.select("cid", F.col("_na").alias("nid"))
+        .unionAll(pairs.select("cid", F.col("_nb").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count("*").cast("bigint").alias("n_partners"))
+    )
+    rem = condemned.groupBy("nid").agg(
+        F.count("*").cast("bigint").alias("_nc")
+    )
+    return (
+        c2c.join(partners, "nid", "left")
+        .join(rem, "nid", "left")
+        .select(
+            F.col("nid").alias(id_col),
+            "cid",
+            "c2c_e6",
+            F.coalesce("n_partners", F.lit(0))
+            .cast("bigint")
+            .alias("n_partners"),
+            (F.coalesce("_nc", F.lit(0)) > 0).alias("removed"),
+        )
+    )
