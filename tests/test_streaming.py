@@ -343,3 +343,89 @@ def test_stream_token_bucket_out_of_order_equals_batch(spark, tmp_path):
     assert {t[3] for t in batch} == {1, 0}
     # the sentinel events themselves are not yet sealed
     assert all(eid not in (100,) for eid, *_ in out)
+
+
+def test_stream_gapfill_out_of_order_and_seal(spark, tmp_path):
+    """Forward-fill must emit the dense sealed grid in event-time
+    order even when the LATER observation arrives first: gap slots
+    carry the correct earlier slot's aggregate, the unsealed tail
+    stays unemitted until the watermark passes, and a re-run after
+    the watermark advances appends exactly the newly-sealed slots."""
+    import datetime as dt
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming.stream_gapfill(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def emitted():
+        try:
+            return {
+                (
+                    r["series_id"], r["slot_epoch"], r["src_slot_epoch"],
+                    r["sum_e3"], r["cnt"], r["filled"],
+                )
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    ep0 = int(t0.timestamp())
+    # minute 3 arrives BEFORE minutes 0 and 1 (two events in slot 0)
+    write_file([("a", t0 + 3 * m, 7.0)])
+    write_file([
+        ("a", t0, 2.0),
+        ("a", t0, 4.0),
+        ("a", t0 + 1 * m, 10.0),
+        ("a", t0 + 200 * m, 99.0),  # pushes wm past slot 3
+    ])
+    run_once()
+    out1 = emitted()
+    # sealed prefix: slots 0..3; slot 2 is the filled gap carrying
+    # slot 1's aggregate; slot 0 aggregates BOTH its events
+    assert ("a", ep0, ep0, 6000, 2, False) in out1
+    assert ("a", ep0 + 60, ep0 + 60, 10000, 1, False) in out1
+    assert ("a", ep0 + 120, ep0 + 60, 10000, 1, True) in out1
+    assert ("a", ep0 + 180, ep0 + 180, 7000, 1, False) in out1
+    # the 200-minute observation itself is NOT sealed (wm = its ts - 1h)
+    assert not any(r[1] == ep0 + 12000 for r in out1)
+    n1 = len(out1)
+    # advance the watermark past slot 200 -> the gap 4..199 and slot
+    # 200 itself flush, each gap slot carrying slot 3's aggregate
+    write_file([("a", t0 + 400 * m, 1.0)])
+    run_once()
+    out2 = emitted()
+    assert ("a", ep0 + 12000, ep0 + 12000, 99000, 1, False) in out2
+    assert ("a", ep0 + 240, ep0 + 180, 7000, 1, True) in out2
+    assert ("a", ep0 + 11940, ep0 + 180, 7000, 1, True) in out2
+    # exactly slots 4..200 were appended (197 new rows)
+    assert len(out2) - n1 == 197
+    # append-once: no slot emitted twice
+    slots = [r[1] for r in out2]
+    assert len(slots) == len(set(slots))

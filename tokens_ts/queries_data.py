@@ -11067,3 +11067,76 @@ def emb_semdedup(spark, sf_dir):
     cosine pairs ≥ τ condemn the member closer to the centroid —
     survivors are the diverse extremes (see simsearch.semdedup)."""
     return simsearch.semdedup(_emb(spark, sf_dir))
+
+
+@q(
+    "ts_stream_gapfill",
+    """
+    WITH e AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS slot,
+             CAST(round(value * 1000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    wm AS (
+      SELECT ((epoch_us(max(ts)) // 1000) - 7200000) // 1000 AS wm_s
+      FROM events WHERE value IS NOT NULL
+    ),
+    slots AS (
+      SELECT sid, slot, CAST(sum(v) AS BIGINT) AS sum_e3,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT s.sid, min(s.slot) AS lo,
+             max(CASE WHEN s.slot + 60 <= wm.wm_s THEN s.slot END) AS hi
+      FROM slots s, wm GROUP BY 1, wm.wm_s
+    ),
+    grid AS (
+      SELECT sid, unnest(generate_series(lo, hi, 60)) AS g
+      FROM bounds WHERE hi IS NOT NULL
+    ),
+    joined AS (
+      SELECT g.sid, g.g, s.slot AS src, s.sum_e3, s.cnt
+      FROM grid g LEFT JOIN slots s
+        ON s.sid = g.sid AND s.slot = g.g
+    )
+    SELECT sid AS series_id, g AS slot_epoch,
+           last_value(src IGNORE NULLS) OVER w AS src_slot_epoch,
+           last_value(sum_e3 IGNORE NULLS) OVER w AS sum_e3,
+           last_value(cnt IGNORE NULLS) OVER w AS cnt,
+           (src IS NULL) AS filled
+    FROM joined
+    WINDOW w AS (PARTITION BY sid ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_stream_gapfill(spark, sf_dir):
+    """streaming.stream_gapfill run to completion (availableNow) over
+    the events table written as a fixed file set: the final
+    append-mode output must equal the batch minute-grid forward fill
+    restricted to watermark-sealed slots — grid bounds, fill sources,
+    exact (sum_e3, cnt) slot aggregates, and the seal rule
+    slot+60 ≤ max(ts)−2h all derived independently by DuckDB."""
+    import tempfile
+    import uuid
+
+    from tokens_ts import streaming
+
+    ev = _ev(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="stream_gapfill_")
+    ev.write.mode("overwrite").parquet(d + "/in")
+    schema = spark.read.parquet(d + "/in").schema
+    src = spark.readStream.schema(schema).parquet(d + "/in")
+    out = streaming.stream_gapfill(src, watermark="2 hours")
+    name = "stream_gapfill_" + uuid.uuid4().hex[:8]
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + "/ck")
+        .start()
+    )
+    sq.awaitTermination(600)
+    return spark.table(name)

@@ -459,3 +459,136 @@ def stream_token_bucket(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+GAPFILL_OUT_SCHEMA = (
+    "series_id string, slot_epoch bigint, src_slot_epoch bigint, "
+    "sum_e3 bigint, cnt bigint, filled boolean"
+)
+GAPFILL_STATE_SCHEMA = (
+    "last_src long, last_sum long, last_cnt long, last_emitted long, "
+    "pend_slot array<long>, pend_v array<long>"
+)
+
+
+def stream_gapfill(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming forward-fill onto the per-series minute grid — the
+    continuous twin of gapfill.ffill: as the watermark seals each
+    minute slot, every grid minute from the series' first observed
+    slot to its last SEALED observed slot is emitted exactly once,
+    carrying the most recent observed slot's aggregate. A dashboard
+    reading this stream sees the same dense series the batch
+    operator would build, minus only the unsealed tail.
+
+    Seal rule: slot m is complete iff m+60 ≤ watermark — every
+    possible event in [m, m+60) is then strictly older than the
+    watermark, so Spark guarantees none can still arrive; gap slots
+    BETWEEN a sealed observed slot and a later not-yet-sealed one
+    stay unemitted until the later slot seals (their fill source
+    could otherwise change — emission is once and final, append
+    semantics). Out-of-order arrivals buffer in state (the
+    stream_token_bucket convention) and an event-time timeout fires
+    when the watermark passes the earliest pending slot's seal
+    point, so fills flush even for series that go quiet.
+
+    Exactness: quantization happens in SPARK expressions before the
+    stateful loop (slot = date_trunc minute, v_e3 = round(value·1e3)
+    — the batch pairs' conventions), so the Python state machine
+    touches ONLY exact ints and emits (sum_e3, cnt) per slot: no
+    float exists anywhere downstream of the projection, and the
+    final output is hash-comparable against a batch SQL oracle.
+
+    State per series: 4 ints + the watermark-bounded pending buffer.
+    Scale: one shuffle on series key; state size is O(lateness
+    horizon), independent of stream length."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # the watermark column must be TIMESTAMP (LTZ); the session TZ is
+    # pinned to UTC repo-wide, so the NTZ->LTZ cast is offset-free
+    pre = events.where(F.col(value_col).isNotNull()).select(
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(key_col).cast("string").alias("series_id"),
+        F.unix_timestamp(F.date_trunc("minute", F.col(ts_col)))
+        .cast("long")
+        .alias("slot"),
+        F.round(F.col(value_col) * 1000.0).cast("long").alias("v_e3"),
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (sid,) = key
+        last_src, last_sum, last_cnt, last_emitted = -1, 0, 0, -1
+        pend = []
+        if state.exists:
+            last_src, last_sum, last_cnt, last_emitted, p_s, p_v = state.get
+            pend = [list(t) for t in zip(p_s, p_v)]
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                pend.extend(
+                    [int(s), int(v)]
+                    for s, v in zip(pdf["slot"], pdf["v_e3"])
+                )
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        sealed = [p for p in pend if p[0] + 60 <= wm_s]
+        pend = [p for p in pend if p[0] + 60 > wm_s]
+        out = []
+        if sealed:
+            slots: dict[int, list[int]] = {}
+            for s, v in sealed:
+                agg = slots.setdefault(s, [0, 0])
+                agg[0] += v
+                agg[1] += 1
+            for s in sorted(slots):
+                sm, ct = slots[s]
+                if last_emitted >= 0:
+                    g = last_emitted + 60
+                    while g < s:
+                        out.append(
+                            (sid, g, last_src, last_sum, last_cnt, True)
+                        )
+                        g += 60
+                out.append((sid, s, s, sm, ct, False))
+                last_src, last_sum, last_cnt = s, sm, ct
+                last_emitted = s
+        state.update(
+            (
+                last_src,
+                last_sum,
+                last_cnt,
+                last_emitted,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+            )
+        )
+        if pend:
+            seal_ms = (min(p[0] for p in pend) + 60) * 1000
+            state.setTimeoutTimestamp(
+                max(seal_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "series_id", "slot_epoch", "src_slot_epoch",
+                    "sum_e3", "cnt", "filled",
+                ],
+            )
+
+    return (
+        pre.withWatermark(ts_col, watermark)
+        .groupBy("series_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=GAPFILL_OUT_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
