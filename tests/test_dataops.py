@@ -4381,3 +4381,71 @@ def test_semdedup_condemnation_rules(spark):
     assert out[0]["n_partners"] == 2  # pairs with 2 and 3
     assert out[8]["n_partners"] == 1
     assert out[0]["c2c_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (sketch.bloom_build / bloom_probe)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_df(spark, texts, m=120, k=3):
+    from tokens_ts import sketch
+
+    df = spark.createDataFrame(
+        [(t, "g") for t in texts], "item string, g string"
+    )
+    return sketch.bloom_build(df, "item", ["g"], m_bits=m, k=k)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from tokens_ts import sketch
+
+    texts = [f"doc-{i}" for i in range(50)]
+    full = _bloom_df(spark, texts)
+    # every ingested item must probe positive
+    probes = spark.createDataFrame(
+        [(t, "g") for t in texts], "item string, g string"
+    )
+    out = sketch.bloom_probe(full, probes, "item", ["g"], m_bits=120, k=3)
+    assert all(r["maybe_member"] for r in out.collect())
+    # mergeability: word-wise OR of the two half-corpus filters == full
+    half_a = _bloom_df(spark, texts[:25])
+    half_b = _bloom_df(spark, texts[25:])
+    merged = {
+        (r["g"], r["widx"]): r["word"]
+        for r in half_a.unionByName(half_b)
+        .groupBy("g", "widx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    want = {(r["g"], r["widx"]): r["word"] for r in full.collect()}
+    assert merged == want
+
+
+def test_bloom_false_positive_is_saturation_not_magic(spark):
+    """A deliberately tiny filter (m=60: ONE word) saturates under 50
+    items, so an alien probe must read positive — the false-positive
+    path exists and is exercised; the same alien against a roomy
+    filter (m=1920) reads negative (absent words count as
+    zero bits, the left-join coalesce path)."""
+    from tokens_ts import sketch
+
+    texts = [f"doc-{i}" for i in range(50)]
+    tiny = _bloom_df(spark, texts, m=60, k=3)
+    alien = spark.createDataFrame(
+        [("never-ingested", "g")], "item string, g string"
+    )
+    out = sketch.bloom_probe(tiny, alien, "item", ["g"], m_bits=60, k=3)
+    assert out.collect()[0]["maybe_member"]  # saturated -> collision
+    roomy = _bloom_df(spark, ["solo"], m=1920, k=3)
+    out2 = sketch.bloom_probe(roomy, alien, "item", ["g"], m_bits=1920, k=3)
+    assert not out2.collect()[0]["maybe_member"]
+
+
+def test_bloom_word_bounds(spark):
+    """Words stay positive (60-bit) so DuckDB can reproduce them, and
+    the row count is words-bounded regardless of item count."""
+    full = _bloom_df(spark, [f"doc-{i}" for i in range(500)], m=120, k=3)
+    rows = full.collect()
+    assert len(rows) <= 2  # ceil(120/60)
+    assert all(0 < r["word"] < (1 << 60) for r in rows)

@@ -823,3 +823,20 @@ def test_session_nll_matrix_broadcast_single_lag_lineage(spark, events_path):
     plan = _plan(analytics.session_nll(df))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The Bloom filter side is words-bounded, so the probe join must
+    be a BroadcastHashJoin — a shuffled join here would shuffle the
+    probe corpus at ingest scale."""
+    from tokens_ts import sketch
+
+    items = spark.range(200).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("item"),
+        F.lit("g").alias("g"),
+    )
+    bloom = sketch.bloom_build(items, "item", ["g"], m_bits=960, k=4)
+    out = sketch.bloom_probe(bloom, items, "item", ["g"], m_bits=960, k=4)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -11140,3 +11140,167 @@ def ts_stream_gapfill(spark, sf_dir):
     )
     sq.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership pre-filter + measured FPR
+# ---------------------------------------------------------------------------
+#
+# The membership twin of seq_countmin_est. doc_bloom_words value-checks
+# the filter CONTENTS (every word of every per-source filter);
+# doc_bloom_fpr value-checks the PROBE path end-to-end — members must
+# all hit (a Bloom filter has no false negatives, and the pair would
+# hash-mismatch if even one bit went missing), aliens hit only by
+# collision, and both engines must agree on exactly which aliens
+# collide (the verdicts feed the counts, so a single flipped verdict
+# breaks the value hash).
+
+_BLOOM_M, _BLOOM_K = 1920, 4
+
+
+def _bloom_words_cte() -> str:
+    """DuckDB mirror of sketch.bloom_build over documents/text."""
+    return f"""
+    WITH pos AS (
+      SELECT d.source,
+             CAST(concat('0x', substr(md5(j.j || '#' || d.text), 1, 15)) AS BIGINT)
+               % {_BLOOM_M} AS p
+      FROM documents d
+      CROSS JOIN (VALUES ('0'), ('1'), ('2'), ('3')) j(j)
+    )
+    """
+
+
+@q(
+    "doc_bloom_words",
+    _bloom_words_cte()
+    + """
+    SELECT source, CAST(p // 60 AS INT) AS widx,
+           bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS word
+    FROM pos GROUP BY source, widx
+    ORDER BY source, widx
+    """,
+)
+def doc_bloom_words(spark, sf_dir):
+    """Per-source Bloom filter words (m=1920 bits, k=4, 60-bit words —
+    the sign bit is unusable cross-engine: DuckDB raises on 1<<63).
+    ≤32 rows per source regardless of corpus size; ONE map-side-
+    combined bit_or agg (see sketch.bloom_build). Mergeability
+    (word-wise OR of per-batch filters == full rebuild) is pinned in
+    pytest."""
+    from tokens_ts import sketch
+
+    return sketch.bloom_build(
+        _docs(spark, sf_dir), "text", ["source"], m_bits=_BLOOM_M, k=_BLOOM_K
+    ).orderBy("source", "widx")
+
+
+def _bloom_fpr_sql() -> str:
+    """DuckDB mirror of the probe path: rebuild the filter, probe 40
+    alien strings + the doc_id%5==0 member texts per source, aggregate
+    verdicts. Alien verdicts are pure hash collisions — both engines
+    must flag the same aliens."""
+    return f"""
+    WITH pos AS (
+      SELECT d.source,
+             CAST(concat('0x', substr(md5(j.j || '#' || d.text), 1, 15)) AS BIGINT)
+               % {_BLOOM_M} AS p
+      FROM documents d
+      CROSS JOIN (VALUES ('0'), ('1'), ('2'), ('3')) j(j)
+    ),
+    words AS (
+      SELECT source, CAST(p // 60 AS INT) AS widx,
+             bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS word
+      FROM pos GROUP BY source, widx
+    ),
+    probes AS (
+      SELECT source, concat(source, '#probe#', CAST(i AS VARCHAR)) AS item,
+             0 AS is_member
+      FROM (SELECT DISTINCT source FROM documents)
+      CROSS JOIN (SELECT unnest(range(40)) AS i)
+      UNION ALL
+      SELECT source, text AS item, 1 AS is_member
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    ppos AS (
+      SELECT p.source, p.item, p.is_member,
+             CAST((CAST(concat('0x', substr(md5(j.j || '#' || p.item), 1, 15)) AS BIGINT)
+               % {_BLOOM_M}) // 60 AS INT) AS widx,
+             1::BIGINT << CAST((CAST(concat('0x', substr(md5(j.j || '#' || p.item), 1, 15)) AS BIGINT)
+               % {_BLOOM_M}) % 60 AS INT) AS bit
+      FROM probes p
+      CROSS JOIN (VALUES ('0'), ('1'), ('2'), ('3')) j(j)
+    ),
+    verdicts AS (
+      SELECT pp.source, pp.item, pp.is_member,
+             min(CASE WHEN COALESCE(w.word, 0) & pp.bit = pp.bit
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos pp
+      LEFT JOIN words w ON w.source = pp.source AND w.widx = pp.widx
+      GROUP BY pp.source, pp.item, pp.is_member
+    )
+    SELECT source,
+           sum(is_member) AS n_member,
+           sum(CASE WHEN is_member = 1 THEN hit ELSE 0 END) AS n_member_hit,
+           sum(1 - is_member) AS n_alien,
+           sum(CASE WHEN is_member = 0 THEN hit ELSE 0 END) AS n_alien_hit,
+           CAST(round(sum(CASE WHEN is_member = 0 THEN hit ELSE 0 END)
+             * 1000000.0 / sum(1 - is_member)) AS BIGINT) AS fpr_e6
+    FROM verdicts GROUP BY source ORDER BY source
+    """
+
+
+@q("doc_bloom_fpr", _bloom_fpr_sql())
+def doc_bloom_fpr(spark, sf_dir):
+    """Probe the per-source filters with 40 alien strings + every
+    doc_id%5==0 member text: members must ALL hit (no false
+    negatives), aliens hit only by md5 collision — the measured FPR
+    the pre-filter design is sized by. Filter side broadcast
+    (words-bounded), probe side one map-side join + regroup."""
+    from tokens_ts import sketch
+
+    docs = _docs(spark, sf_dir)
+    bloom = sketch.bloom_build(
+        docs, "text", ["source"], m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    aliens = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("_i"),
+        )
+        .select(
+            "source",
+            F.concat(
+                F.col("source"), F.lit("#probe#"), F.col("_i").cast("string")
+            ).alias("item"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    members = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "source", F.col("text").alias("item"), F.lit(1).alias("is_member")
+    )
+    probes = aliens.unionByName(members)
+    verdicts = sketch.bloom_probe(
+        bloom, probes, "item", ["source"], m_bits=_BLOOM_M, k=_BLOOM_K
+    ).join(probes, ["source", "item"])
+    hit = F.col("maybe_member").cast("int")
+    mem = F.col("is_member")
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.sum(mem).alias("n_member"),
+            F.sum(F.when(mem == 1, hit).otherwise(0)).alias("n_member_hit"),
+            F.sum(1 - mem).alias("n_alien"),
+            F.sum(F.when(mem == 0, hit).otherwise(0)).alias("n_alien_hit"),
+            F.round(
+                F.sum(F.when(mem == 0, hit).otherwise(0))
+                * F.lit(1000000.0)
+                / F.sum(1 - mem)
+            )
+            .cast("bigint")
+            .alias("fpr_e6"),
+        )
+        .orderBy("source")
+    )

@@ -107,3 +107,102 @@ def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# --- Bloom filter -----------------------------------------------------
+#
+# The membership twin of count_min: a per-group bit array answering
+# "was this item ingested?" with no false negatives and a bounded
+# false-positive rate — the dedup PRE-FILTER that lets a 10^12-row
+# ingest skip the expensive exact-dedup shuffle for items whose bits
+# miss. Words are bigint rows (group, widx, word) built with bit_or,
+# which is idempotent AND mergeable: bloom(A ∪ B) == word-wise OR of
+# bloom(A), bloom(B) — the same partial-state contract as the tiers.
+# Word width is 60 bits so every word stays a POSITIVE bigint: DuckDB
+# raises on 1<<63 (signed overflow), so 64-bit words could never be
+# cross-engine value-checked.
+
+BLOOM_WORD_BITS = 60
+
+
+def _bloom_pos(item_col: str, j: int, m_bits: int):
+    """Hash-j bit position of an item: md5_60('<j>#<item>') mod m
+    (md5_60 is non-negative, so % == pmod) — same seeding convention
+    as count_min's _bucket, DuckDB-reproducible."""
+    return F.pmod(
+        md5_60(
+            F.concat_ws("#", F.lit(str(j)), F.col(item_col).cast("string"))
+        ),
+        F.lit(m_bits),
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    m_bits: int = 960,
+    k: int = 4,
+) -> DataFrame:
+    """Build one Bloom filter per group: (group_cols..., widx, word)
+    rows, ≤ ceil(m_bits/60) per group regardless of item count. ONE
+    map-side-combined bit_or agg over a k× position explode; zero-bit
+    words are absent (OR-identity zero ⇒ absence is canonical, and
+    merge stays a plain unionByName + re-OR)."""
+    positions = F.array(
+        *[_bloom_pos(item_col, j, m_bits) for j in range(k)]
+    )
+    return (
+        items.select(*group_cols, F.explode(positions).alias("_pos"))
+        .select(
+            *group_cols,
+            (F.col("_pos") / BLOOM_WORD_BITS).cast("int").alias("widx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("_pos") % BLOOM_WORD_BITS).cast("int"),
+            ).alias("_bit"),
+        )
+        .groupBy(*group_cols, "widx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    m_bits: int = 960,
+    k: int = 4,
+) -> DataFrame:
+    """Membership verdict per distinct (group, item) probe: positive
+    iff ALL k bits are set. The filter side is words-bounded —
+    broadcast — so probing is a map-side join at any probe count; a
+    missing word row means those bits are zero (absent-as-zero
+    convention from bloom_build)."""
+    q = probes.select(*group_cols, item_col).distinct()
+    pos = q.select(
+        *group_cols,
+        F.col(item_col),
+        F.explode(
+            F.array(*[_bloom_pos(item_col, j, m_bits) for j in range(k)])
+        ).alias("_pos"),
+    ).select(
+        *group_cols,
+        item_col,
+        (F.col("_pos") / BLOOM_WORD_BITS).cast("int").alias("widx"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.col("_pos") % BLOOM_WORD_BITS).cast("int"),
+        ).alias("_bit"),
+    )
+    joined = pos.join(F.broadcast(bloom), [*group_cols, "widx"], "left")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_bit"))
+        == F.col("_bit")
+    ).cast("int")
+    return joined.groupBy(*group_cols, item_col).agg(
+        (F.min(hit) == 1).alias("maybe_member")
+    )
