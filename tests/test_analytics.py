@@ -3332,3 +3332,44 @@ def test_char_entropy_pins(spark):
     assert out[4]["n_counted"] == 0 and out[4]["entropy_e6"] is None
     assert out[5]["n_counted"] == 3
     assert out[5]["entropy_e6"] == round(1e6 * math.log2(3))
+
+
+def test_pareto_front_dominance_semantics(spark):
+    """Hand fixture pinning every dominance branch: strict-both
+    dominated, equal-x-higher-y dominates, equal-y-higher-x dominates,
+    incomparable points coexist, and exact duplicates (no strict
+    coordinate) BOTH survive."""
+    from tokens_ts import analytics
+
+    rows = [
+        # (id, x, y)  group g
+        (1, 10, 100),  # frontier (best y at max x)
+        (2, 10, 90),   # dominated: same x, lower y
+        (3, 9, 100),   # dominated: same y as 1, lower x
+        (4, 8, 200),   # frontier: incomparable with 1 (less x, more y)
+        (5, 8, 200),   # exact duplicate of 4 -> both survive
+        (6, 1, 1),     # dominated by everything
+        (7, 12, 50),   # frontier: max x overall
+    ]
+    df = spark.createDataFrame(
+        [("g", i, x, y) for i, x, y in rows], "g string, id int, x int, y int"
+    )
+    out = analytics.pareto_front(df, ["g"], "x", "y")
+    assert sorted(r["id"] for r in out.collect()) == [1, 4, 5, 7]
+
+
+def test_pareto_front_no_dominance_self_join(spark):
+    """The plan must stay reduce + bounded-window + join-back: exactly
+    the joins the construction declares, no cartesian/broadcast-nested-
+    loop dominance pass."""
+    from tokens_ts import analytics
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 10).cast("int").alias("x"),
+        (F.col("id") % 7).cast("int").alias("y"),
+    )
+    plan = analytics.pareto_front(df, ["g"], "x", "y")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -6244,3 +6244,40 @@ def sen_slope_ci(
         "ci_lo_e6",
         "ci_hi_e6",
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline) per group: the rows no other row in
+    the group dominates, where b dominates a iff b.x ≥ a.x AND
+    b.y ≥ a.y with at least one strict — "which hours were
+    efficient" questions (most events AND most value) that single-
+    metric top-k cannot answer.
+
+    Plan shape: the naive formulation is an O(n²) dominance self-join;
+    this one is (1) a per-(keys, x) best-y partial agg, (2) a running
+    max over the DISTINCT-x frame from the strictly-greater-x side
+    (row frame is exact there — one row per x), (3) one bounded join
+    back. A point survives iff its y equals the best y at its own x
+    and strictly exceeds every best-y at larger x. Exact duplicates
+    do not dominate each other (no strict coordinate) and all
+    survive — pinned in pytest. Integer metrics in, integer metrics
+    out: nothing here can drift by an ulp."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = df.groupBy(*keys, x_col).agg(F.max(y_col).alias("_besty"))
+    front_x = best.withColumn("_runmax", F.max("_besty").over(w)).where(
+        F.col("_runmax").isNull() | (F.col("_runmax") < F.col("_besty"))
+    )
+    return (
+        df.join(front_x, [*keys, x_col])
+        .where(F.col(y_col) == F.col("_besty"))
+        .drop("_besty", "_runmax")
+    )

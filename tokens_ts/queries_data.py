@@ -11304,3 +11304,56 @@ def doc_bloom_fpr(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): efficient hours per (event_type, day)
+# ---------------------------------------------------------------------------
+#
+# The oracle is the textbook NOT EXISTS dominance predicate — a
+# genuinely independent algorithm from the engine's reduce-then-
+# running-max plan (analytics.pareto_front), so agreement checks the
+# frontier SEMANTICS, not a shared implementation.
+
+
+@q(
+    "ts_pareto_hours",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT a.event_type, a.day, a.hour, a.n_events, a.sum_e3
+    FROM h a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM h b
+      WHERE b.event_type = a.event_type AND b.day = a.day
+        AND b.n_events >= a.n_events AND b.sum_e3 >= a.sum_e3
+        AND (b.n_events > a.n_events OR b.sum_e3 > a.sum_e3)
+    )
+    ORDER BY event_type, day, hour
+    """,
+)
+def ts_pareto_hours(spark, sf_dir):
+    """Per (event_type, day): the Pareto-efficient hours trading off
+    volume (event count) against total e3-grid value — no other hour
+    of that day beats them on both axes. Integer metrics end to end;
+    the frontier membership set is therefore drift-free by
+    construction."""
+    ev = _ev(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(_e("value", 3)).alias("sum_e3"),
+    )
+    from tokens_ts import analytics
+
+    return analytics.pareto_front(
+        h, ["event_type", "day"], "n_events", "sum_e3"
+    ).orderBy("event_type", "day", "hour")
