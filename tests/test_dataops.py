@@ -4449,3 +4449,51 @@ def test_bloom_word_bounds(spark):
     rows = full.collect()
     assert len(rows) <= 2  # ceil(120/60)
     assert all(0 < r["word"] < (1 << 60) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (io.jsonl.jsonl_scan)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_scan_routing(spark, tmp_path):
+    """Every routing branch: clean line -> good; unparseable garbage ->
+    dead letter with the raw line preserved; valid JSON missing a
+    required field -> dead letter; valid JSON missing an OPTIONAL
+    field -> good with null."""
+    from tokens_ts.io.jsonl import jsonl_scan
+
+    p = str(tmp_path / "in.jsonl")
+    lines = [
+        '{"id": 1, "kind": "a", "v": 1.5}',
+        "{this is not json",
+        '{"id": 3, "v": 2.5}',
+        '{"id": 4, "kind": "b"}',
+    ]
+    spark.createDataFrame(
+        [(l,) for l in lines], "value string"
+    ).coalesce(1).write.mode("overwrite").text(p)
+    good, dead = jsonl_scan(
+        spark, p, "id bigint, kind string, v double", required=["id", "kind"]
+    )
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {1, 4}
+    assert g[4]["v"] is None
+    d = sorted(r["line"] for r in dead.collect())
+    assert d == ['{"id": 3, "v": 2.5}', "{this is not json"]
+
+
+def test_jsonl_scan_single_scan_no_cache(spark, tmp_path):
+    """The split must come from filters over one text scan — no
+    InMemoryTableScan (the cache() workaround the native PERMISSIVE
+    reader forces) in either branch's plan."""
+    from tokens_ts.io.jsonl import jsonl_scan
+
+    p = str(tmp_path / "in2.jsonl")
+    spark.createDataFrame(
+        [('{"id": 1}',)], "value string"
+    ).write.mode("overwrite").text(p)
+    good, dead = jsonl_scan(spark, p, "id bigint", required=["id"])
+    for df in (good, dead):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan

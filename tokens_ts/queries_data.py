@@ -11357,3 +11357,97 @@ def ts_pareto_hours(spark, sf_dir):
     return analytics.pareto_front(
         h, ["event_type", "day"], "n_events", "sum_e3"
     ).orderBy("event_type", "day", "hour")
+
+
+# ---------------------------------------------------------------------------
+# JSONL source with dead-letter routing (S2: second real format)
+# ---------------------------------------------------------------------------
+#
+# The pair materializes a REAL line-delimited JSON file from events —
+# every 7th record truncated mid-line (unparseable), every 11th≡3
+# serialized without its event_type (valid JSON, invalid record) —
+# then ingests it through io.jsonl.jsonl_scan and aggregates the good
+# rows per type plus one quarantine row. The oracle never sees the
+# file: it re-derives who must survive from the corruption rules
+# alone, so any parse, routing, or JSON round-trip defect (doubles and
+# epoch-micros ride through text!) diverges the counts/sums.
+
+
+@q(
+    "ts_jsonl_source",
+    """
+    WITH g AS (
+      SELECT * FROM events
+      WHERE event_id % 7 <> 0 AND event_id % 11 <> 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3,
+           sum(epoch_us(ts) % 1000000000000) AS ts_us_sum
+    FROM g GROUP BY event_type
+    UNION ALL
+    SELECT '__dead_letter__' AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS sum_e3,
+           CAST(0 AS BIGINT) AS ts_us_sum
+    FROM events WHERE event_id % 7 = 0 OR event_id % 11 = 3
+    ORDER BY event_type
+    """,
+)
+def ts_jsonl_source(spark, sf_dir):
+    """events → JSONL with two planted corruption classes → one-scan
+    schema-enforced ingest (io.jsonl.jsonl_scan) → per-type aggregate
+    + quarantine count. Doubles and epoch-micros must round-trip
+    text exactly (to_json shortest-repr ↔ from_json); the micros
+    checksum sums ts_us mod 1e12 — low bits carry the full round-trip
+    signal and the sum stays in bigint at any SF."""
+    import tempfile
+
+    from tokens_ts.io.jsonl import jsonl_scan
+
+    ev = _ev(spark, sf_dir)
+    full = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+    nofield = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("user_id"),
+            F.col("value"),
+        )
+    )
+    line = (
+        F.when(F.col("event_id") % 7 == 0, F.substring(full, 1, 12))
+        .when(F.col("event_id") % 11 == 3, nofield)
+        .otherwise(full)
+    )
+    d = tempfile.mkdtemp(prefix="jsonl_src_") + "/events.jsonl"
+    ev.select(line.alias("value")).write.mode("overwrite").text(d)
+    good, dead = jsonl_scan(
+        spark,
+        d,
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double",
+        required=["event_id", "event_type"],
+    )
+    agg = good.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(_e("value", 3)).alias("sum_e3"),
+        F.sum(F.col("ts_us") % F.lit(1_000_000_000_000)).alias(
+            "ts_us_sum"
+        ),
+    )
+    quarantine = dead.agg(
+        F.lit("__dead_letter__").alias("event_type"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.lit(0).cast("bigint").alias("sum_e3"),
+        F.lit(0).cast("bigint").alias("ts_us_sum"),
+    )
+    return agg.unionByName(quarantine).orderBy("event_type")
