@@ -3373,3 +3373,44 @@ def test_pareto_front_no_dominance_self_join(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_fixed_numpy_replay_and_dangling(spark):
+    """Independent numpy replay of the identical integer recurrence on
+    a 4-node graph WITH a dangling sink, plus the semantic pin: the
+    hub every node feeds must out-rank everything."""
+    from tokens_ts import analytics
+
+    edges = [
+        ("a", "hub", 3), ("b", "hub", 2), ("c", "hub", 5),
+        ("hub", "sink", 1), ("a", "b", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    got = {
+        r["node"]: (r["out_n"], r["rank_e12"])
+        for r in analytics.pagerank_fixed(df, iters=3).collect()
+    }
+    # numpy replay (pure-python ints — the same floor-div recurrence)
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    nn = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _, n in edges:
+        out[s] += n
+    e12 = 10**12
+    r = {v: e12 // nn for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for s, d, n in edges:
+            inflow[d] += (r[s] * n) // out[s]
+        dang = sum(r[v] for v in nodes if out[v] == 0)
+        r = {
+            v: (3 * e12) // (20 * nn)
+            + (17 * (inflow[v] + dang // nn)) // 20
+            for v in nodes
+        }
+    assert {v: (out[v], r[v]) for v in nodes} == got
+    ranks = {v: got[v][1] for v in nodes}
+    assert max(ranks, key=ranks.get) in ("hub", "sink")
+    assert ranks["hub"] > ranks["a"] and ranks["hub"] > ranks["c"]
+    # dangling sink fed by the hub still collects mass
+    assert ranks["sink"] > min(ranks.values())

@@ -6281,3 +6281,75 @@ def pareto_front(
         .where(F.col(y_col) == F.col("_besty"))
         .drop("_besty", "_runmax")
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank over a weighted digraph
+    `edges(src, dst, n)` — "which event type is structurally central
+    to user journeys", where markov_transitions answers only the
+    one-step question. Node sets here are type-vocabulary-bounded, so
+    every frame below is tiny; the corpus-sized work happened
+    upstream when the edges were counted.
+
+    The classic formulation iterates doubles, whose Σ-over-in-edges
+    order differs between engines; this one is FIXED-POINT e12 with
+    floor division at every step (damping 17/20 applied as integer
+    mul-then-div), so each iteration maps exact bigints to exact
+    bigints — summands are integers (order-free), division is floor
+    (deterministic), and the result cannot drift by an ulp anywhere.
+    Dangling mass (out-degree-0 sinks) redistributes uniformly, the
+    standard correction. iters is a fixed unrolled chain, not a
+    driver loop."""
+    e12 = 10**12
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ncnt = nodes.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    outn = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("n").alias("out_n")
+    )
+    base = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .join(outn, "node", "left")
+        .select(
+            "node", "n_nodes", F.coalesce("out_n", F.lit(0)).alias("out_n")
+        )
+    )
+    r = base.withColumn("rank", F.expr(f"{e12} div n_nodes"))
+    for _ in range(iters):
+        contrib = edges.join(
+            r.select(
+                F.col("node").alias("src"),
+                F.col("rank").alias("_rs"),
+                F.col("out_n").alias("_os"),
+            ),
+            "src",
+        ).select("dst", F.expr("(_rs * n) div _os").alias("_c"))
+        inflow = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("_c").alias("inflow")
+        )
+        dang = r.where(F.col("out_n") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
+        )
+        r = (
+            base.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "n_nodes",
+                "out_n",
+                (
+                    F.expr(f"(3 * {e12}) div (20 * n_nodes)")
+                    + F.expr(
+                        "(17 * (coalesce(inflow, cast(0 as bigint))"
+                        " + (dang div n_nodes))) div 20"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return r.select("node", "out_n", F.col("rank").alias("rank_e12"))

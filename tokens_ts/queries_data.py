@@ -11451,3 +11451,82 @@ def ts_jsonl_source(spark, sf_dir):
         F.lit(0).cast("bigint").alias("ts_us_sum"),
     )
     return agg.unionByName(quarantine).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the session transition graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql() -> str:
+    """DuckDB mirror: same session-bounded edges as ts_markov_
+    transitions, then three unrolled integer fixed-point iterations —
+    every rank an exact bigint, so the chain cannot drift."""
+    e12 = 10**12
+    iters = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        iters.append(f"""
+    i{k} AS (
+      SELECT e.dst AS node, sum((r.rank * e.n) // r.out_n) AS inflow
+      FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT COALESCE(sum(rank), 0)::BIGINT AS dang
+      FROM {prev} WHERE out_n = 0
+    ),
+    r{k} AS (
+      SELECT b.node, b.n_nodes, b.out_n,
+             (3 * {e12}::BIGINT) // (20 * b.n_nodes)
+             + (17 * (COALESCE(i.inflow, 0) + (d.dang // b.n_nodes))) // 20
+               AS rank
+      FROM base b LEFT JOIN i{k} i ON i.node = b.node CROSS JOIN d{k} d
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lag(event_type) OVER w AS from_type,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+      SELECT from_type AS src, event_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE from_type IS NOT NULL AND ep - pep <= 1800
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    base AS (
+      SELECT nd.node, nn.n_nodes,
+             COALESCE(o2.out_n, 0)::BIGINT AS out_n
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (SELECT src, sum(n) AS out_n FROM e GROUP BY src) o2
+        ON o2.src = nd.node
+    ),
+    r0 AS (
+      SELECT node, n_nodes, out_n, {e12}::BIGINT // n_nodes AS rank
+      FROM base
+    ),{','.join(iters)}
+    SELECT node, out_n, rank AS rank_e12 FROM r3 ORDER BY node
+    """
+
+
+@q("ts_pagerank_types", _pagerank_sql())
+def ts_pagerank_types(spark, sf_dir):
+    """PageRank centrality of event types over the session-bounded
+    transition graph (the markov_transitions edges), 3 fixed-point
+    e12 iterations — structural importance where the transition
+    matrix gives only one-step probabilities. All frames after the
+    edge count are type-vocabulary-bounded."""
+    from tokens_ts import analytics
+
+    edges = analytics.markov_transitions(_ev(spark, sf_dir)).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n"),
+    )
+    return analytics.pagerank_fixed(edges, iters=3).orderBy("node")
