@@ -747,3 +747,65 @@ def test_token_tier_increment_exactly_once(spark, tmp_path):
         map(tuple, textops.dist_drift(None, counts=served2).collect())
     )
     assert via_tier == direct
+
+
+def test_token_tier_snapshot_read_asof_and_orphans(spark, tmp_path):
+    """read_token_tier_asof: (1) an orphan batch — partitions written,
+    marker never committed (the crash shape) — is INVISIBLE; (2)
+    asof_ts pins the tier to a past manifest state (time travel); (3)
+    with all markers committed and no cutoff it equals the plain
+    read."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from tokens_ts import pipeline, textops
+    from tokens_ts.io.catalog import Catalog
+
+    root = str(tmp_path / "wh")
+    rows = [
+        ("s0", datetime(2026, 1, 1, h % 3, 0, 0), [1, 2, 2, h + 1])
+        for h in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    b = [df.where(f"tokens[3] % 3 = {i}") for i in range(3)]
+
+    pipeline.run_token_tier_increment(spark, b[0], root, batch_id="b0")
+    from tokens_ts import checkpoint as cp
+
+    cat = Catalog(root, "parquet")
+    t_after_b0 = (
+        cp.read_manifest(spark, cat)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    pipeline.run_token_tier_increment(spark, b[1], root, batch_id="b1")
+
+    # orphan: b2 data lands, marker never does
+    orphan = (
+        textops.token_histogram(b[2])
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit("b2"))
+    )
+    cat.overwrite_partitions(orphan, "tok_hist", ["source", "day", "batch_id"])
+
+    def key(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    committed = pipeline.read_token_tier_asof(spark, root)
+    want_01 = textops.token_histogram(b[0].unionByName(b[1]))
+    assert key(committed) == key(want_01)  # orphan invisible
+
+    asof = pipeline.read_token_tier_asof(spark, root, asof_ts=t_after_b0)
+    assert key(asof) == key(textops.token_histogram(b[0]))  # time travel
+
+    # commit b2 for real: now snapshot == plain read == full corpus
+    pipeline.run_token_tier_increment(spark, b[2], root, batch_id="b2")
+    assert key(pipeline.read_token_tier_asof(spark, root)) == key(
+        pipeline.read_token_tier(spark, root)
+    )
+    assert key(pipeline.read_token_tier_asof(spark, root)) == key(
+        textops.token_histogram(df)
+    )

@@ -503,3 +503,47 @@ def read_token_tier(
         .groupBy(by, "ep", "t")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def read_token_tier_asof(
+    spark: SparkSession,
+    out_root: str,
+    fmt: str = "parquet",
+    by: str = "source",
+    asof_ts: float | None = None,
+) -> DataFrame:
+    """Snapshot read of the token tier: re-sum ONLY batches whose
+    `tok:<batch_id>` manifest marker is committed (and, with
+    `asof_ts`, committed at manifest time ≤ asof_ts) — the
+    Iceberg-snapshot rule re-expressed on the parquet fallback: the
+    MANIFEST defines table state, data files never do. Two things the
+    plain read cannot give:
+
+    - **orphan invisibility**: a crash between the partition write
+      and the marker append leaves data files with no manifest row;
+      this read excludes them, so a half-committed batch can never
+      leak into a monitor (the replayed batch then converges by
+      partition identity as usual);
+    - **time travel**: `asof_ts` pins the tier to any past manifest
+      state — the audit/debug read ("what did the distribution
+      monitor see before batch X landed?").
+
+    The committed-batch set is manifest-sized (control plane), so the
+    filter is a broadcast semi-join; the re-sum is the same bounded
+    agg as read_token_tier."""
+    cat = Catalog(out_root, fmt)
+    m = checkpoint.read_manifest(spark, cat).where(
+        (F.col("status") == "done")
+        & F.col("partition_id").startswith("tok:")
+    )
+    if asof_ts is not None:
+        m = m.where(F.col("ts") <= F.lit(float(asof_ts)))
+    committed = m.select(
+        F.expr("substring(partition_id, 5)").alias("batch_id")
+    ).distinct()
+    return (
+        cat.read(spark, "tok_hist")
+        .join(F.broadcast(committed), "batch_id", "left_semi")
+        .groupBy(by, "ep", "t")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -11530,3 +11530,69 @@ def ts_pagerank_types(spark, sf_dir):
         F.col("n"),
     )
     return analytics.pagerank_fixed(edges, iters=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot (manifest-committed) read of the token tier
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "seq_token_tier_asof",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq WHERE k % 3 IN (0, 1)
+    )
+    SELECT source, CAST(ep AS BIGINT) AS ep, CAST(t AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ex WHERE t <> 0 GROUP BY 1, 2, 3
+    ORDER BY source, ep, t
+    """,
+)
+def seq_token_tier_asof(spark, sf_dir):
+    """Three synth batches (k mod 3): batches 0 and 1 folded through
+    run_token_tier_increment (partition write + manifest marker),
+    batch 2 written as an ORPHAN — partitions on disk, NO marker, the
+    exact state a crash between write and commit leaves. The snapshot
+    read must serve batches 0+1 and keep the orphan invisible; the
+    oracle re-derives that histogram from the generation rules alone
+    (k % 3 IN (0,1)), so a leak of even one orphan row diverges the
+    counts."""
+    import tempfile
+
+    from tokens_ts import pipeline
+
+    s = _seq(spark)
+    root = tempfile.mkdtemp(prefix="tok_asof_")
+    for b in (0, 1):
+        pipeline.run_token_tier_increment(
+            spark,
+            s.where(F.col("k") % 3 == b),
+            root,
+            batch_id=f"b{b}",
+        )
+    # orphan: the crash-shaped state — data, no manifest marker
+    from tokens_ts.io.catalog import Catalog
+
+    orphan = (
+        textops.token_histogram(
+            s.where(F.col("k") % 3 == 2), by="source", trunc="hour"
+        )
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit("b2"))
+    )
+    Catalog(root).overwrite_partitions(
+        orphan, "tok_hist", ["source", "day", "batch_id"]
+    )
+    return (
+        pipeline.read_token_tier_asof(spark, root)
+        .select(
+            "source",
+            F.col("ep").cast("bigint").alias("ep"),
+            F.col("t").cast("bigint").alias("t"),
+            F.col("c").cast("bigint").alias("c"),
+        )
+        .orderBy("source", "ep", "t")
+    )
