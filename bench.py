@@ -299,6 +299,54 @@ def main():
     bench("fim_plan", lambda: _materialize(textops.fim_plan(seq)))
     bench("curriculum", lambda: _materialize(packing.curriculum(seq)))
 
+    # round-5 close: Bloom membership (map-only build + broadcast
+    # probe), Pareto skyline (distinct-x-bounded frames, no dominance
+    # self-join), fixed-point PageRank (type-bounded frames after one
+    # edge count), and the JSONL dead-letter scan (one text pass,
+    # JVM from_json; file written once untimed — ingest benches the
+    # READ path)
+    from tokens_ts import sketch
+    from tokens_ts.io.jsonl import jsonl_scan
+
+    bench("bloom_fpr", lambda: _materialize(
+        sketch.bloom_probe(
+            sketch.bloom_build(docs, "text", ["source"]),
+            docs.select("source", F.col("text").alias("item")),
+            "item",
+            ["source"],
+        )
+    ))
+    hourly_n = ev_raw.groupBy(
+        "series_id", F.date_trunc("hour", "event_ts").alias("h")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("value") * 1000).cast("bigint")).alias("s"),
+    )
+    bench("pareto", lambda: _materialize(
+        analytics.pareto_front(hourly_n, ["series_id"], "n", "s")
+    ))
+    edges = analytics.markov_transitions(ev_full).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        "n",
+    )
+    bench("pagerank", lambda: _materialize(
+        analytics.pagerank_fixed(edges, iters=3)
+    ))
+    jl = tempfile.mkdtemp(prefix="bench_jsonl_") + "/ev.jsonl"
+    ev_full.select(F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("v")).write.mode("overwrite").text(jl)
+
+    def _jsonl_case():
+        good, dead = jsonl_scan(
+            spark, jl,
+            "event_id bigint, user_id bigint, event_type string, value double",
+            required=["event_id"],
+        )
+        _materialize(good.groupBy("event_type").agg(F.count("*"), F.sum("value")))
+        _materialize(dead)
+
+    bench("jsonl_scan", _jsonl_case)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",
