@@ -347,6 +347,18 @@ def main():
 
     bench("jsonl_scan", _jsonl_case)
 
+    # histogram tier build+merge+served quantiles (one corpus agg,
+    # bounded frames after) and DSIR importance weights (one corpus
+    # bigram explode, broadcast bucket dims)
+    bench("hist_quantile", lambda: _materialize(
+        tiers.histogram_quantile(
+            tiers.histogram_merge(tiers.histogram_tier(ev_raw, "1h"), ["series_id"])
+        )
+    ))
+    bench("dsir", lambda: _materialize(
+        textops.dsir_weights(docs, F.col("lang") == "en")
+    ))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",

@@ -4497,3 +4497,54 @@ def test_jsonl_scan_single_scan_no_cache(spark, tmp_path):
     for df in (good, dead):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" not in plan
+
+
+def test_dsir_orders_by_target_resemblance(spark):
+    """DSIR must rank a doc written in the target domain's bigrams
+    above one written in off-target bigrams, with a mixed doc between;
+    a bigram seen ONLY in the target slice contributes a positive
+    log-ratio, one seen only off-target a negative one."""
+    target = "alpha beta gamma delta alpha beta"
+    off = "omega psi chi phi omega psi"
+    rows = (
+        [(i, target, "en") for i in range(5)]
+        + [(100 + i, off, "zz") for i in range(5)]
+        + [(200, "alpha beta omega psi", "zz")]  # mixed probe
+        + [(201, "alpha beta gamma delta", "zz")]  # pure-target probe
+        + [(202, "omega psi chi phi", "zz")]  # pure-off probe
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["dsir"]
+        for r in textops.dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert got[201] > got[200] > got[202]
+    # exact replay: same md5 buckets, same add-1 formula in pure python
+    import hashlib
+    import math
+    from collections import Counter
+
+    def grams(t):
+        ws = t.split()
+        return [
+            " ".join(ws[i : i + 2]) for i in range(max(len(ws) - 1, 1))
+        ]
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 4096
+
+    tgt, raw = Counter(), Counter()
+    for did, text, lang in rows:
+        for s in grams(text):
+            b = bucket(s)
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    nt, nr = sum(tgt.values()), sum(raw.values())
+    for did, text, lang in rows:
+        want = sum(
+            math.log((tgt[bucket(s)] + 1.0) / (nt + 4096.0))
+            - math.log((raw[bucket(s)] + 1.0) / (nr + 4096.0))
+            for s in grams(text)
+        )
+        assert abs(got[did] - want) < 1e-9, (did, got[did], want)

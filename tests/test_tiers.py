@@ -335,3 +335,107 @@ def test_zorder_layout_rectangle_bound_and_partition(spark):
     # range -> z-order strictly dominates for user-filtered pruning
     users_per_hour = 8 * 32  # construction above
     assert users_per_hour > 32
+
+
+def test_histogram_tier_merge_equals_direct(spark):
+    """The continuous-aggregate contract for the histogram tier:
+    hourly tier rows merged up to the series ≡ histogramming raw
+    directly (exact integer counts, any split)."""
+    import datetime as dt
+
+    from tokens_ts import tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", "a", t0 + dt.timedelta(minutes=7 * i), float((i * 37) % 520) - 5.0)
+        for i in range(200)
+    ] + [("s", "a", t0, None)]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    hourly = tiers.histogram_tier(df, "1h")
+    merged = {
+        (r["series_id"], r["bucket"]): r["cnt"]
+        for r in tiers.histogram_merge(hourly, ["series_id"]).collect()
+    }
+    direct = {
+        (r["series_id"], r["bucket"]): r["cnt"]
+        for r in tiers.histogram_merge(
+            tiers.histogram_tier(df, "1d"), ["series_id"]
+        ).collect()
+    }
+    # direct histogram over raw (no windowing at all)
+    from pyspark.sql import functions as F2
+
+    flat = {
+        (r["series_id"], r["bucket"]): r["cnt"]
+        for r in df.where(F2.col("value").isNotNull())
+        .groupBy(
+            "series_id",
+            F2.width_bucket("value", F2.lit(0.0), F2.lit(500.0), F2.lit(10)).alias(
+                "bucket"
+            ),
+        )
+        .agg(F2.count("*").alias("cnt"))
+        .collect()
+    }
+    assert merged == direct == flat and sum(merged.values()) == 200
+
+
+def test_histogram_quantile_bound_and_clamp(spark):
+    """Served quantiles sit within one bucket width of the exact
+    quantile; quantiles landing in the unbounded under/overflow
+    buckets clamp to lo/hi."""
+    import datetime as dt
+
+    from tokens_ts import tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", "a", t0 + dt.timedelta(minutes=i), float((i * 13) % 490) + 0.5)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    m = tiers.histogram_merge(tiers.histogram_tier(df, "1h"), ["series_id"])
+    got = {r["qname"]: r["value"] for r in tiers.histogram_quantile(m).collect()}
+    vals = sorted(float((i * 13) % 490) + 0.5 for i in range(500))
+    for qname, num, den in (("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)):
+        exact = vals[max(1, -(-num * 500 // den)) - 1]
+        assert abs(got[qname] - exact) <= 50.0, (qname, got[qname], exact)
+
+    # clamp: all mass below lo → p50 = lo; all above hi → p50 = hi
+    low = spark.createDataFrame(
+        [("s", "lo", t0, -3.0), ("s", "lo", t0, -9.0)],
+        "source string, series_id string, event_ts timestamp, value double",
+    )
+    hi = spark.createDataFrame(
+        [("s", "hi", t0, 900.0), ("s", "hi", t0, 777.0)],
+        "source string, series_id string, event_ts timestamp, value double",
+    )
+    for df2, want in ((low, 0.0), (hi, 500.0)):
+        m2 = tiers.histogram_merge(tiers.histogram_tier(df2, "1h"), ["series_id"])
+        g2 = {r["qname"]: r["value"] for r in tiers.histogram_quantile(m2).collect()}
+        assert g2["p50"] == want and g2["p99"] == want
+
+
+def test_histogram_quantile_hand_interpolation(spark):
+    """Hand-worked interpolation: 10 values in bucket 1 (0-50) and 10
+    in bucket 3 (100-150) → p50 rank ceil(0.5·20)=10 lands at the TOP
+    of bucket 1: 0 + 50·(10-0)/10 = 50; p95 rank 19 → bucket 3,
+    100 + 50·(19-10)/10 = 145."""
+    import datetime as dt
+
+    from tokens_ts import tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("s", "a", t0 + dt.timedelta(minutes=i), 10.0) for i in range(10)]
+    rows += [("s", "a", t0 + dt.timedelta(minutes=30 + i), 120.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "source string, series_id string, event_ts timestamp, value double"
+    )
+    m = tiers.histogram_merge(tiers.histogram_tier(df, "1h"), ["series_id"])
+    got = {r["qname"]: r["value"] for r in tiers.histogram_quantile(m).collect()}
+    assert got["p50"] == 50.0
+    assert got["p95"] == 145.0

@@ -11596,3 +11596,62 @@ def seq_token_tier_asof(spark, sf_dir):
         )
         .orderBy("source", "ep", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: hashed-bigram importance resampling scores
+# (Xie et al. 2023) — target distribution = the lang='en' slice,
+# raw = the whole corpus. Both engines hash grams with md5_60 into the
+# same 4096 buckets and share one IEEE expression tree per bucket, so
+# per-doc scores agree to well under the e6 rounding grain.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_dsir_weights",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4096 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                 i -> array_to_string(ws[i:i+1], ' '))) AS s
+        FROM w
+      )
+    ),
+    bc AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM g GROUP BY 1
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+    lr AS (
+      SELECT b,
+             ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0))
+             - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0))
+               AS lr
+      FROM bc, tot
+    ),
+    d AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(sum(CAST(c AS DOUBLE) * lr) * 1e6) AS BIGINT) AS dsir_e6
+    FROM d JOIN lr USING (b)
+    GROUP BY 1
+    """,
+)
+def doc_dsir_weights(spark, sf_dir):
+    """Per-doc DSIR importance weight: log-likelihood ratio of the doc
+    under the target (en) vs raw hashed-bigram unigram models — the
+    published data-selection score for importance-resampling a corpus
+    toward a target domain. One corpus explode; bucket dims are
+    broadcast; no corpus self-join (plan mirrors textops.dsir_weights
+    docstring)."""
+    docs = _docs(spark, sf_dir)
+    d = textops.dsir_weights(docs, F.col("lang") == "en")
+    return d.select("doc_id", "n_bigrams", _e("dsir", 6).alias("dsir_e6"))

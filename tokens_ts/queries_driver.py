@@ -647,6 +647,61 @@ def ts_value_histogram(spark, sf_dir):
 
 
 @q(
+    "ts_histogram_quantile",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 11
+                  ELSE CAST(floor((value - 0.0) / (500.0 - 0.0) * 10) AS BIGINT) + 1
+             END AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY series_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY series_id) AS total
+      FROM b
+    ), r AS (
+      SELECT c.*, qd.qname,
+             greatest(CAST(1 AS BIGINT),
+                      (qd.q_num * total + qd.q_den - 1) // qd.q_den) AS rnk
+      FROM c, (VALUES ('p50', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                      ('p95', CAST(19 AS BIGINT), CAST(20 AS BIGINT)),
+                      ('p99', CAST(99 AS BIGINT), CAST(100 AS BIGINT)))
+               AS qd(qname, q_num, q_den)
+    )
+    SELECT series_id, qname, total AS cnt,
+           CAST(ROUND((CASE WHEN bucket = 0 THEN 0.0
+                            WHEN bucket = 11 THEN 500.0
+                            ELSE 0.0 + (bucket - 1) * 50.0
+                                 + 50.0 * (rnk - (cum - cnt)) / cnt
+                       END) * 1e6) AS BIGINT) AS val_e6
+    FROM r
+    WHERE cum >= rnk AND cum - cnt < rnk
+    """,
+)
+def ts_histogram_quantile(spark, sf_dir):
+    """Quantiles SERVED FROM the mergeable histogram tier (A4's gap
+    closed for the tier lifecycle): raw → hourly fixed-bin histogram
+    tier → integer-cnt merge to per-series buckets → read-side
+    histogram_quantile (integer rank, linear in-bucket interpolation,
+    lo/hi clamp on the unbounded buckets). The oracle re-derives the
+    same quantity from raw with the width_bucket CASE mirror — so the
+    tier build, the merge, AND the serving math are all checked
+    cross-engine; merge≡direct and the one-bucket-width error bound
+    are pinned in pytest."""
+    t = tiers.histogram_tier(_events_raw(spark, sf_dir), "1h")
+    m = tiers.histogram_merge(t, ["series_id"])
+    hq = tiers.histogram_quantile(m)
+    return hq.select(
+        "series_id", "qname", "cnt", _e("value", 6).alias("val_e6")
+    )
+
+
+@q(
     "ts_ohlc_1h",
     """
     SELECT event_type AS series_id,

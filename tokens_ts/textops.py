@@ -3252,3 +3252,79 @@ def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("kept_frac_e6"),
         c4_pass.alias("c4_pass"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") over hashed bigrams.
+
+    Every doc gets log p_target(doc)/p_raw(doc) under two bag-of-
+    hashed-ngram unigram models: the target distribution is fit on the
+    docs where `is_target` holds (canonically: the high-quality /
+    in-domain slice), the raw distribution on the WHOLE corpus, both
+    add-1 smoothed over the n_buckets hashed feature space. Selecting
+    top-weight docs importance-resamples the corpus toward the target
+    domain — the published recipe for pretraining-data selection.
+
+    Scale shape: ONE corpus-sized bigram explode feeds (a) the two
+    bucket-count aggregations (output ≤ n_buckets rows — control
+    plane) and (b) the per-(doc,bucket) regroup; the log-ratio dim
+    joins back as a broadcast. No corpus self-join, no global window;
+    per-gram hashing is md5_60 so both engines address identical
+    buckets.
+    """
+    from tokens_ts import dedup
+
+    grams = F.expr(
+        f"""transform(
+              sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - 1, 1)),
+              i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, 2))
+            )"""
+    )
+    g = docs.select(
+        F.col(id_col),
+        is_target.alias("_t"),
+        F.explode(grams).alias("_g"),
+    ).select(
+        id_col,
+        "_t",
+        F.pmod(dedup.md5_60(F.col("_g")), F.lit(n_buckets)).alias("_b"),
+    )
+    bc = g.groupBy("_b").agg(
+        F.count("*").alias("_cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_ct"),
+    )
+    tot = bc.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    lr = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.col("_ct").cast("double") + F.lit(1.0))
+                    / (F.col("_nt").cast("double") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("_cr").cast("double") + F.lit(1.0))
+                    / (F.col("_nr").cast("double") + F.lit(float(n_buckets)))
+                )
+            ).alias("_lr"),
+        )
+    )
+    per_doc = g.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    return (
+        per_doc.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("dsir"),
+        )
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from tokens_ts import config as C
 
@@ -279,6 +279,116 @@ def downsample_ohlc(raw: DataFrame, tier: str = "1h") -> DataFrame:
             "value", F.struct(ts_us.alias("t"), (-F.col("value")).alias("nv"))
         ).alias("close"),
     )
+
+
+def histogram_tier(
+    raw: DataFrame,
+    tier: str = "1h",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram tier: one (keys, window, bucket,
+    cnt) row per non-empty bucket — the stored state that lets
+    quantile queries be SERVED from a tier instead of rescanning raw
+    (the gap A4 leaves: exact percentiles are not mergeable, the GK
+    sketch is opaque; a fixed-boundary histogram is both mergeable —
+    merge is integer cnt addition — and inspectable).
+
+    Bucket ids follow width_bucket semantics: 0 = underflow (< lo),
+    nbins+1 = overflow (>= hi), else 1 + floor((v-lo)/(hi-lo)*nbins).
+    Empty buckets are canonically ABSENT (0 is the merge identity),
+    so tier size is bounded by occupied buckets, never nbins.
+
+    Scale shape: the single corpus-sized operation is this one
+    map-side-combined count agg; at 10^12 rows the tier itself is
+    (#keys × #windows × ≤nbins+2) rows — control-plane sized — and
+    every downstream quantile read touches only the tier."""
+    pts = raw.where(F.col("value").isNotNull())
+    w = F.date_trunc(_trunc(tier), F.col("event_ts")).alias("window_start")
+    b = F.width_bucket(
+        "value", F.lit(float(lo)), F.lit(float(hi)), F.lit(nbins)
+    ).alias("bucket")
+    return pts.groupBy(*KEYS, w, b).agg(F.count("*").alias("cnt"))
+
+
+def histogram_merge(tier_df: DataFrame, keys: Sequence[str] = ("series_id",)) -> DataFrame:
+    """Merge histogram tier rows up to coarser keys — exact integer
+    addition per bucket, the continuous-aggregate contract (merging
+    hourly histograms ≡ histogramming raw directly; pinned in pytest)."""
+    return tier_df.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile(
+    merged: DataFrame,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p95", 19, 20),
+        ("p99", 99, 100),
+    ),
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+    keys: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Quantiles served from a merged histogram (the Prometheus
+    histogram_quantile shape, made cross-engine exact).
+
+    Rank is the INTEGER ceil(q·N) with q a rational q_num/q_den, so
+    rank selection never touches a float; the located bucket is the
+    first whose cumulative count reaches rank (cum ≥ rank > cum−cnt,
+    exactly one row per key×quantile by construction). The returned
+    value interpolates linearly inside that bucket —
+    lo + (b−1)·w + w·(rank−below)/cnt_b — one shared IEEE tree whose
+    only rounding is the final division of exact integers, identical
+    in any engine. Underflow/overflow buckets have no finite edge to
+    interpolate against: they clamp to lo / hi (the Prometheus rule).
+    Max error vs the exact quantile is one bucket width — the
+    declared bound, asserted in pytest.
+
+    Scale: every window here partitions by `keys` over ≤ nbins+2 rows
+    — bounded frames regardless of corpus size; the quantile dim is a
+    broadcast literal."""
+    spark = merged.sparkSession
+    kcols = list(keys)
+    width = (float(hi) - float(lo)) / nbins
+    qdim = F.broadcast(
+        spark.createDataFrame(
+            [(name, num, den) for name, num, den in quantiles],
+            "qname string, q_num bigint, q_den bigint",
+        )
+    )
+    win = Window.partitionBy(*kcols).orderBy("bucket")
+    full = Window.partitionBy(*kcols)
+    cum = merged.select(
+        *kcols,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(full).alias("total"),
+    )
+    j = cum.join(qdim)
+    # integer ceil-division: float-divide-then-truncate would lose
+    # exactness once q_num·total exceeds 2^53 — real at 10^12 rows
+    rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("(q_num * total + q_den - 1) div q_den"),
+    )
+    j = j.withColumn("rank", rank).where(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("cnt") < F.col("rank"))
+    )
+    below = F.col("cum") - F.col("cnt")
+    interp = (
+        F.lit(float(lo))
+        + (F.col("bucket") - F.lit(1)) * F.lit(width)
+        + F.lit(width) * (F.col("rank") - below) / F.col("cnt")
+    )
+    val = (
+        F.when(F.col("bucket") == 0, F.lit(float(lo)))
+        .when(F.col("bucket") == nbins + 1, F.lit(float(hi)))
+        .otherwise(interp)
+    )
+    return j.select(*kcols, "qname", F.col("total").alias("cnt"), val.alias("value"))
 
 
 def retention_filter(
