@@ -4548,3 +4548,70 @@ def test_dsir_orders_by_target_resemblance(spark):
             for s in grams(text)
         )
         assert abs(got[did] - want) < 1e-9, (did, got[did], want)
+
+
+def test_csv_scan_routing_and_truncation_hazard(spark, tmp_path):
+    """Every routing branch, including the CSV-specific hazard the
+    arity guard exists for: a TRUNCATED line whose surviving prefix
+    fields all parse ("123,16" -> id=123, v=16) must still route to
+    the dead letter — in JSONL truncation breaks the parse, in CSV it
+    silently corrupts instead."""
+    from tokens_ts.io.csvsrc import csv_scan
+
+    p = str(tmp_path / "in.csv")
+    lines = [
+        "1,10,a",          # clean
+        "123,16",          # truncated: both fields parse; arity kills it
+        "3,oops,b",        # type garbage in required bigint v
+        "4,,c",            # empty required field -> null -> dead
+        "5,50,",           # empty OPTIONAL kind -> good with null
+    ]
+    spark.createDataFrame(
+        [(l,) for l in lines], "value string"
+    ).coalesce(1).write.mode("overwrite").text(p)
+    good, dead = csv_scan(
+        spark, p, "id bigint, v bigint, kind string", required=["id", "v"]
+    )
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {1, 5}
+    assert g[5]["kind"] is None
+    d = sorted(r["line"] for r in dead.collect())
+    assert d == ["123,16", "3,oops,b", "4,,c"]
+
+
+def test_csv_scan_arity_check_off_documents_the_hazard(spark, tmp_path):
+    """With arity_check=False the truncated-but-parsing line slips
+    through as a good row — the limitation the guard closes, pinned
+    so it stays documented behavior rather than silent drift."""
+    from tokens_ts.io.csvsrc import csv_scan
+
+    p = str(tmp_path / "in2.csv")
+    spark.createDataFrame(
+        [("123,16",)], "value string"
+    ).write.mode("overwrite").text(p)
+    good, _ = csv_scan(
+        spark, p, "id bigint, v bigint, kind string",
+        required=["id", "v"], arity_check=False,
+    )
+    rows = good.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 16
+
+
+def test_csv_scan_single_scan_no_cache_and_regex_sep(spark, tmp_path):
+    """One text scan feeds both branches (no InMemoryTableScan), and a
+    regex-meaningful separator ("|") is escaped for the arity split."""
+    from tokens_ts.io.csvsrc import csv_scan
+
+    p = str(tmp_path / "in3.csv")
+    spark.createDataFrame(
+        [("1|2|x",), ("9|8",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(p)
+    good, dead = csv_scan(
+        spark, p, "id bigint, v bigint, kind string",
+        required=["id"], sep="|",
+    )
+    for df in (good, dead):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+    assert [r["id"] for r in good.collect()] == [1]
+    assert [r["line"] for r in dead.collect()] == ["9|8"]

@@ -11655,3 +11655,96 @@ def doc_dsir_weights(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     d = textops.dsir_weights(docs, F.col("lang") == "en")
     return d.select("doc_id", "n_bigrams", _e("dsir", 6).alias("dsir_e6"))
+
+
+# ---------------------------------------------------------------------------
+# CSV source with dead-letter routing (S2: third real format)
+# ---------------------------------------------------------------------------
+#
+# Mirrors ts_jsonl_source for the delimiter-separated world, with the
+# CSV-specific hazard exercised: a truncated CSV line can still PARSE
+# (cutting `123,1671234567890123,...` at 6 chars leaves a valid
+# event_id and ts_us=16), so io.csvsrc adds a delimiter-arity guard
+# JSONL never needed. Two planted corruption classes — every 7th line
+# truncated to 12 chars (arity break; prefix fields still parse),
+# every 11th≡3 with type garbage in the double column (parses as a
+# row, nulls the required field) — and the oracle re-derives the
+# survivor set from the rules alone, never reading the file.
+
+
+@q(
+    "ts_csv_source",
+    """
+    WITH g AS (
+      SELECT * FROM events
+      WHERE event_id % 7 <> 0 AND event_id % 11 <> 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3,
+           sum(epoch_us(ts) % 1000000000000) AS ts_us_sum
+    FROM g GROUP BY event_type
+    UNION ALL
+    SELECT '__dead_letter__' AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS sum_e3,
+           CAST(0 AS BIGINT) AS ts_us_sum
+    FROM events WHERE event_id % 7 = 0 OR event_id % 11 = 3
+    ORDER BY event_type
+    """,
+)
+def ts_csv_source(spark, sf_dir):
+    """events → CSV with two planted corruption classes → one-scan
+    schema-enforced ingest (io.csvsrc.csv_scan: arity guard +
+    required-field routing) → per-type aggregate + quarantine count.
+    Doubles round-trip text via Spark's shortest-repr double cast;
+    the micros checksum sums ts_us mod 1e12 (bigint-safe at any SF)."""
+    import tempfile
+
+    from tokens_ts.io.csvsrc import csv_scan
+
+    ev = _ev(spark, sf_dir)
+    full = F.concat_ws(
+        ",",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    garbage = F.concat_ws(
+        ",",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.lit("oops"),
+    )
+    line = (
+        F.when(F.col("event_id") % 7 == 0, F.substring(full, 1, 12))
+        .when(F.col("event_id") % 11 == 3, garbage)
+        .otherwise(full)
+    )
+    d = tempfile.mkdtemp(prefix="csv_src_") + "/events.csv"
+    ev.select(line.alias("value")).write.mode("overwrite").text(d)
+    good, dead = csv_scan(
+        spark,
+        d,
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double",
+        required=["event_id", "event_type", "value"],
+    )
+    agg = good.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(_e("value", 3)).alias("sum_e3"),
+        F.sum(F.col("ts_us") % F.lit(1_000_000_000_000)).alias(
+            "ts_us_sum"
+        ),
+    )
+    quarantine = dead.agg(
+        F.lit("__dead_letter__").alias("event_type"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.lit(0).cast("bigint").alias("sum_e3"),
+        F.lit(0).cast("bigint").alias("ts_us_sum"),
+    )
+    return agg.unionByName(quarantine).orderBy("event_type")
