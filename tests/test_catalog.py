@@ -315,3 +315,78 @@ def test_compact_partitions_parquet_swap(spark, tmp_path):
     assert out2[0]["files_after"] == 1 and out2[0]["rows"] == 1000
     # missing partition: skipped silently
     assert cat.compact_partitions(spark, "raw", [{"source": "9"}]) == []
+
+
+# ---------------------------------------------------------------------------
+# read_evolved: mixed-schema-generation scans (Iceberg evolution on the
+# parquet fallback)
+# ---------------------------------------------------------------------------
+
+
+def _write_two_generations(spark, cat):
+    """gen1 lacks `quality` and `event_type`; gen2 has both plus the
+    legacy `extra` column the target has since dropped."""
+    gen1 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id bigint, v double"
+    )
+    gen2 = spark.createDataFrame(
+        [(3, 3.0, "a", 7, "legacy"), (4, 4.0, None, None, "legacy")],
+        "id bigint, v double, event_type string, quality int, extra string",
+    )
+    gen1.write.mode("overwrite").parquet(cat.path("t"))
+    gen2.write.mode("append").parquet(cat.path("t"))
+
+
+def test_read_evolved_defaults_prune_and_order(spark, tmp_path):
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    _write_two_generations(spark, cat)
+    df = cat.read_evolved(
+        spark,
+        "t",
+        "id bigint, event_type string, quality int, v double",
+        defaults={"event_type": "unknown", "quality": 0},
+    )
+    # column order is the TARGET's, dropped `extra` is pruned
+    assert df.columns == ["id", "event_type", "quality", "v"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 4
+    # gen1 rows: both evolved columns served from defaults
+    assert rows[1]["event_type"] == "unknown" and rows[1]["quality"] == 0
+    assert rows[2]["event_type"] == "unknown" and rows[2]["quality"] == 0
+    # gen2 row with real values: untouched
+    assert rows[3]["event_type"] == "a" and rows[3]["quality"] == 7
+    # documented fallback divergence: an EXPLICIT null in a new-gen row
+    # is indistinguishable from a pre-evolution row, so it coalesces to
+    # the default too (Iceberg write-time defaults would keep the null)
+    assert rows[4]["event_type"] == "unknown" and rows[4]["quality"] == 0
+
+
+def test_read_evolved_no_defaults_serves_nulls(spark, tmp_path):
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    _write_two_generations(spark, cat)
+    df = cat.read_evolved(spark, "t", "id bigint, quality int")
+    rows = {r["id"]: r["quality"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 7, 4: None}
+
+
+def test_read_evolved_type_conflict_fails_loud(spark, tmp_path):
+    """Two generations disagreeing on a column's PHYSICAL type must
+    raise in the scan, never silently serve one footer's reading
+    (type widening is an Iceberg-only evolution; the fallback refuses)."""
+    import pytest as _pytest
+
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    spark.createDataFrame([(1, 10)], "id bigint, q int").write.mode(
+        "overwrite"
+    ).parquet(cat.path("t"))
+    spark.createDataFrame([(2, 20)], "id bigint, q bigint").write.mode(
+        "append"
+    ).parquet(cat.path("t"))
+    with _pytest.raises(Exception, match="[Mm]erge|[Ff]ailed"):
+        cat.read_evolved(spark, "t", "id bigint, q bigint").collect()

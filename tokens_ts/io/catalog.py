@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -63,6 +64,61 @@ class Catalog:
         if self.fmt == "iceberg":
             return spark.read.table(self.ident(name))
         return spark.read.parquet(self.path(name))
+
+    def read_evolved(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_schema: str,
+        defaults: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """Read a table whose files span SCHEMA GENERATIONS — Iceberg's
+        add-column / drop-column evolution re-expressed on the parquet
+        fallback. A long-lived incremental table WILL change shape
+        (a new quality flag, a retired debug column); without this,
+        the first mixed-generation scan either crashes or silently
+        serves whichever footer Spark sampled first.
+
+        `target_schema` (DDL string) is the contract every consumer
+        sees, whatever generation wrote each file:
+
+        - column in target but absent from old files → read as null
+          via mergeSchema, then filled from `defaults` if provided;
+        - column in files but dropped from target → pruned;
+        - column order → exactly the target's, regardless of file
+          layout.
+
+        Iceberg: the table's own metadata already resolves evolution
+        (field-id based, so renames work too); this projects/casts to
+        the target for the same consumer contract. Parquet fallback
+        semantics, stated honestly: (1) name-based matching — renames
+        are NOT supported (Iceberg-only, field ids); (2) `defaults`
+        apply as value-level COALESCE — the fallback cannot tell a
+        pre-evolution row from an explicitly-written null, where
+        Iceberg's write-time defaults can (divergence pinned in
+        tests); (3) type WIDENING across generations raises inside
+        mergeSchema rather than mis-reading (Iceberg-only)."""
+        fields = spark.createDataFrame([], target_schema).schema.fields
+        if self.fmt == "iceberg":
+            df = spark.read.table(self.ident(name))
+        else:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path(name))
+            )
+        defaults = defaults or {}
+        cols = []
+        for f in fields:
+            if f.name in df.columns:
+                c = F.col(f.name).cast(f.dataType)
+                if f.name in defaults:
+                    c = F.coalesce(
+                        c, F.lit(defaults[f.name]).cast(f.dataType)
+                    )
+            else:
+                c = F.lit(defaults.get(f.name)).cast(f.dataType)
+            cols.append(c.alias(f.name))
+        return df.select(*cols)
 
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_cols: list[str]

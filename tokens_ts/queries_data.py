@@ -11748,3 +11748,84 @@ def ts_csv_source(spark, sf_dir):
         F.lit(0).cast("bigint").alias("ts_us_sum"),
     )
     return agg.unionByName(quarantine).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (S2: mixed-generation table scan)
+# ---------------------------------------------------------------------------
+#
+# A long-lived incremental table WILL change shape mid-life — a new
+# quality flag added, a legacy debug column retired — and the files
+# written before the change never get rewritten at 10^12-sequence
+# scale. The Spark side materializes that history as REAL parquet in
+# one table directory: generation 1 (event_id % 3 = 0) written before
+# `quality` existed and before `event_type` was captured; generation 2
+# with both, plus the legacy `user_id` column the current contract has
+# since dropped. Catalog.read_evolved then serves the table under the
+# evolved target schema (old rows get declared defaults, the dropped
+# column is pruned, column order is the contract's). The oracle never
+# sees the files: it re-derives every row's post-evolution shape from
+# the generation rule alone, so a scan that crashes on mixed footers,
+# serves one generation's footer for both, misses a default, or drops
+# old rows diverges the per-type counts/sums.
+
+
+@q(
+    "ts_schema_evolution",
+    """
+    WITH g AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 'unknown'
+                  ELSE event_type END AS event_type,
+             value,
+             CASE WHEN event_id % 3 = 0 THEN 0
+                  ELSE CAST(event_id % 5 AS INTEGER) END AS quality
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3,
+           CAST(sum(quality) AS BIGINT) AS sum_quality
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_schema_evolution(spark, sf_dir):
+    """events → two REAL parquet schema generations in one directory →
+    Catalog.read_evolved under the evolved contract (event_type
+    defaulted to 'unknown' on pre-capture rows, quality defaulted to
+    0, legacy user_id pruned) → per-type aggregate. Exercises
+    mergeSchema across footers + target projection + value defaults in
+    one scan."""
+    import tempfile
+
+    from tokens_ts.io.catalog import Catalog
+
+    ev = _ev(spark, sf_dir)
+    cat = Catalog(tempfile.mkdtemp(prefix="evo_"))
+    tbl = cat.path("events_evo")
+    gen1 = ev.where(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    gen2 = ev.where(F.col("event_id") % 3 != 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % 5).cast("int").alias("quality"),
+    )
+    gen1.write.mode("overwrite").parquet(tbl)
+    gen2.write.mode("append").parquet(tbl)
+    df = cat.read_evolved(
+        spark,
+        "events_evo",
+        "event_id bigint, event_type string, value double, quality int",
+        defaults={"event_type": "unknown", "quality": 0},
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_e("value", 3)).alias("sum_e3"),
+            F.sum("quality").alias("sum_quality"),
+        )
+        .orderBy("event_type")
+    )
