@@ -840,3 +840,35 @@ def test_bloom_probe_broadcasts_filter(spark):
     p = _plan(out)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dim_filter_prunes_tier_partitions_dynamically(spark, tmp_path_factory):
+    """Dynamic partition pruning on the tier layout: when a tier table
+    partitioned by source is joined to a registry dim filtered on a
+    NON-key column, the fact scan must carry a dynamicpruning partition
+    filter — at 10^12 rows the alternative is a full-table scan whose
+    rows are thrown away by the join. (Static pruning can't help: the
+    surviving source set is only known from the dim rows.)"""
+    root = str(tmp_path_factory.mktemp("dpp"))
+    fact = spark.range(0, 5000).select(
+        F.concat(F.lit("src"), F.format_string("%02d", F.col("id") % 16)).alias(
+            "source"
+        ),
+        F.col("id").alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("source").parquet(root + "/t1h")
+    dim = spark.createDataFrame(
+        [(f"src{i:02d}", "gold" if i < 3 else "bulk") for i in range(16)],
+        "source string, tier_class string",
+    )
+    out = (
+        spark.read.parquet(root + "/t1h")
+        .join(F.broadcast(dim.where(F.col("tier_class") == "gold")), "source")
+        .groupBy("source")
+        .agg(F.sum("v").alias("sv"))
+    )
+    plan = _plan(out)
+    assert "dynamicpruning" in plan, plan
+    # and it is attached to the fact scan's PARTITION filters
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "dynamicpruning" in pf

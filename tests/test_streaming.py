@@ -429,3 +429,77 @@ def test_stream_gapfill_out_of_order_and_seal(spark, tmp_path):
     # append-once: no slot emitted twice
     slots = [r[1] for r in out2]
     assert len(slots) == len(set(slots))
+
+
+def test_stream_interval_join_matches_and_drops_late(spark, tmp_path):
+    """Stream-stream interval join across checkpointed restarts: an
+    on-time right row joins every in-range left row; a right row
+    arriving BELOW the restored watermark is dropped, never matched —
+    the state-boundedness contract that makes the join runnable
+    forever."""
+    import datetime as dt
+
+    c_dir, p_dir, out_dir, ckpt = (
+        str(tmp_path / "c"),
+        str(tmp_path / "p"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def run_once():
+        cs = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            c_dir
+        )
+        ps = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(p_dir)
+        q = (
+            streaming.stream_interval_join(
+                cs, ps, within="1 hour", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def pairs():
+        try:
+            return {
+                (r["user_id"], r["r_value"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    # batch 1: two clicks 10h apart; one on-time purchase for each.
+    # The 10h-later events push the committed watermark far past t0.
+    write(c_dir, [(1, t0), (2, t0 + 600 * m)], "user_id long, ts timestamp")
+    write(
+        p_dir,
+        [(1, t0 + 5 * m, 10.0), (2, t0 + 601 * m, 20.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    run_once()
+    assert pairs() == {(1, 10.0), (2, 20.0)}
+
+    # batch 2 after restart: a purchase 9.5h BELOW the restored
+    # watermark (would have matched click 1) must be dropped; an
+    # on-time purchase still joins.
+    write(
+        p_dir,
+        [(1, t0 + 6 * m, 99.0), (2, t0 + 630 * m, 30.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    run_once()
+    assert pairs() == {(1, 10.0), (2, 20.0), (2, 30.0)}

@@ -11829,3 +11829,92 @@ def ts_schema_evolution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming: stream-stream interval join (the second
+# streaming-EXECUTED pair). Click→purchase attribution run as a real
+# Structured Streaming two-stream join: both sides watermarked, the
+# range condition bounding buffered state. Single availableNow batch →
+# no row is past the watermark, so the completed output must equal the
+# batch interval join exactly — which DuckDB computes independently.
+# The late-drop semantics across checkpointed restarts are pinned in
+# tests/test_streaming.py (they are watermark-progress-dependent and
+# belong in a controlled multi-batch harness, not a cross-engine pair).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_stream_interval_join",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(CAST(ROUND(p.value * 1000) AS BIGINT)) AS sum_e3,
+           CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+             AS lag_us_sum
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def ts_stream_interval_join(spark, sf_dir):
+    """clicks and purchases written as two fixed file sets → two
+    readStreams → streaming.stream_interval_join (watermarked, 6-hour
+    range bound) → memory sink; per-user pair counts, purchase value,
+    and exact microsecond lag mass aggregated from the completed
+    output. The lag checksum pins the PAIRING itself — any duplicate,
+    dropped, or mis-windowed match shifts it."""
+    import tempfile
+    import uuid
+
+    from tokens_ts import streaming
+
+    # stream-stream joins require TIMESTAMP (LTZ) event time — NTZ is
+    # rejected with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The session TZ
+    # is pinned UTC, so the cast is a stable relabeling.
+    ev = _ev(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = tempfile.mkdtemp(prefix="stream_ij_")
+    ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/clicks")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/purchases")
+    cs = spark.readStream.schema(
+        spark.read.parquet(d + "/clicks").schema
+    ).parquet(d + "/clicks")
+    ps = spark.readStream.schema(
+        spark.read.parquet(d + "/purchases").schema
+    ).parquet(d + "/purchases")
+    out = streaming.stream_interval_join(
+        cs, ps, key="user_id", within="6 hours", watermark="1 hour"
+    )
+    name = "stream_ij_" + uuid.uuid4().hex[:8]
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + "/ck")
+        .start()
+    )
+    sq.awaitTermination(600)
+    t = spark.table(name)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(_e("r_value", 3)).alias("sum_e3"),
+            F.sum(
+                F.unix_micros(F.col("r_ts").cast("timestamp"))
+                - F.unix_micros(F.col("l_ts").cast("timestamp"))
+            ).alias("lag_us_sum"),
+        )
+        .orderBy("user_id")
+    )

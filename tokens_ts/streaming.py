@@ -336,6 +336,60 @@ def stream_window_agg(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the attribution shape
+    (every right event joined to the same-key left events it follows
+    within `within`), run as a REAL stream-stream join so buffered
+    state is bounded and late rows age out.
+
+    Both sides carry a watermark and the join condition carries the
+    time-range bound; TOGETHER they let Spark evict buffered rows once
+    no future match is possible — a stream-stream join without a range
+    condition must buffer both streams forever. Output columns are the
+    key plus `l_`/`r_`-prefixed payloads (the two stream sides need
+    unambiguous names).
+
+    Late-data semantics: once the global watermark passes, a right row
+    older than watermark − `within` can no longer match and is dropped
+    — so the completed output equals the batch interval join over the
+    watermark-surviving input. The pytest pins both the drop and an
+    on-time match across checkpointed restarts; the driver pair runs
+    the single-batch case where the output is the exact batch join."""
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("_rkey"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner").drop("_rkey")
+
+
 def stream_dedup(
     docs_stream: DataFrame,
     watermark: str = "1 hour",
