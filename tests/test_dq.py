@@ -1,0 +1,71 @@
+"""dq.audit: planted-violation counts, null semantics, plan shape."""
+
+import pyspark.sql.functions as F
+
+from tokens_ts import dq
+
+
+def _rows(df):
+    return {r["rule"]: (r["n_violations"], r["n_checked"]) for r in df.collect()}
+
+
+def test_audit_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "{x}"),
+            (2, "a", None, "{y}"),     # null value
+            (3, "zz", 5.0, "nope"),    # bad set member, bad regex
+            (4, "b", 99.0, None),      # out of range; null props passes regex rule
+            (1, "a", 5.0, "{x}"),      # duplicate id
+        ],
+        "id bigint, cat string, v double, props string",
+    )
+    out = _rows(
+        dq.audit(
+            df,
+            [
+                dq.not_null("v"),
+                dq.in_set("cat", ["a", "b"]),
+                dq.in_range("v", 0.0, 50.0),
+                dq.matches("props", "^\\{"),
+            ],
+            {"id": ["id"]},
+        )
+    )
+    assert out["not_null(v)"] == (1, 5)
+    assert out["in_set(cat)"] == (1, 5)
+    # null v is NOT an in_range violation (not_null owns missingness)
+    assert out["in_range(v,0.0,50.0)"] == (1, 5)
+    # null props passes the regex rule for the same reason
+    assert out["matches(props)"] == (1, 5)
+    assert out["unique(id)"] == (1, 5)
+
+
+def test_audit_null_keys_form_a_group(spark):
+    """countDistinct would DROP null keys and undercount survivors;
+    the two-level groupBy must treat null as one key group."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "k bigint"
+    )
+    out = _rows(dq.audit(df, [dq.not_null("k")], {"k": ["k"]}))
+    # groups: {null: 2, 1: 2, 2: 1} → violations = 5 − 3 = 2
+    assert out["unique(k)"] == (2, 5)
+
+
+def test_audit_row_rules_fuse_into_one_aggregate(spark):
+    """N row rules must cost one scan: a single partial/final aggregate
+    pair with exactly one Exchange (the global-agg SinglePartition),
+    never one pass per rule."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    out = dq.audit(
+        df,
+        [
+            dq.not_null("v"),
+            dq.in_range("v", 0.0, 3.0),
+            dq.in_range("id", 0.0, 500.0),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

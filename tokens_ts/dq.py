@@ -1,0 +1,101 @@
+"""Data-quality expectations: declarative rules, one corpus scan.
+
+A 10^12-row ingest needs its acceptance gate to cost one pass, not one
+pass per rule. Row-local rules (not-null, range, set membership, regex)
+compile to `sum(when(violation,1))` columns that FUSE into a single
+partial aggregate — Catalyst evaluates every rule inside the same
+whole-stage-codegen scan, so 20 rules cost the same scan as one.
+Uniqueness rules are the only keyed work: each is one hash aggregate on
+its key (map-side combined; violations = rows − groups), never a window
+or a self-join.
+
+The report is (rule, n_violations, n_checked) — the shape a pipeline
+gates on (`violations == 0 or rate < threshold`) and a monitor trends.
+Null semantics, stated once: `not_null` is THE null rule; every other
+row rule treats null as PASS (a null value is not "out of range" — it
+is missing, which is a different defect with its own rule). This keeps
+rules independent: each row defect is counted by exactly the rule that
+names it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
+    """Violation iff non-null and outside [lo, hi] (inclusive)."""
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def in_set(col: str, values: list) -> tuple[str, Column]:
+    """Violation iff non-null and not a member."""
+    c = F.col(col)
+    return (
+        f"in_set({col})",
+        c.isNotNull() & ~c.isin(values),
+    )
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column]:
+    """Violation iff non-null and the regex does not match."""
+    c = F.col(col)
+    return (f"matches({col})", c.isNotNull() & ~c.rlike(pattern))
+
+
+def audit(
+    df: DataFrame,
+    row_rules: list[tuple[str, Column]],
+    unique_rules: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """(rule, n_violations, n_checked), one row per rule.
+
+    Row rules run in ONE aggregate over one scan; each uniqueness rule
+    adds one keyed aggregate (violations = rows − distinct key groups,
+    computed as a two-level groupBy so null keys form a group instead
+    of vanishing the way countDistinct drops them)."""
+    # rule names carry dots/parens that column-path resolution would
+    # misparse, so the agg columns get positional ids and the pretty
+    # name rides as a literal
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, (_, viol) in enumerate(row_rules):
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_r{i}")
+        )
+    row = df.agg(*aggs)
+    out = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"_r{i}").alias("n_violations"),
+                        F.col("_n").alias("n_checked"),
+                    )
+                    for i, (name, _) in enumerate(row_rules)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    for uname, keys in (unique_rules or {}).items():
+        g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+        u = g.agg(
+            F.lit(f"unique({uname})").alias("rule"),
+            (F.sum("_c") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.sum("_c").cast("bigint").alias("n_checked"),
+        )
+        out = out.unionByName(u)
+    return out

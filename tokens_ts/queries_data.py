@@ -11918,3 +11918,78 @@ def ts_stream_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations audit (tokens_ts/dq.py): the ingest
+# acceptance gate. Four row-local rules fused into ONE scan plus two
+# uniqueness rules (one passing, one with natural duplicates so the
+# keyed path produces a real count). The oracle recomputes every rule
+# independently in SQL.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_dq_audit",
+    r"""
+    WITH e AS (SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+               FROM events)
+    SELECT 'not_null(value)' AS rule,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked FROM e
+    UNION ALL
+    SELECT 'in_set(event_type)',
+           CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type
+                NOT IN ('view','click','purchase','signup')
+                THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'in_range(value,0.0,50.0)',
+           CAST(sum(CASE WHEN value IS NOT NULL
+                AND (value < 0.0 OR value > 50.0)
+                THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'matches(props)',
+           CAST(sum(CASE WHEN props IS NOT NULL
+                AND NOT regexp_matches(props, '^\{')
+                THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'unique(event_id)',
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'unique(user_day_type)',
+           CAST(count(*) - count(DISTINCT (user_id, day, event_type))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    ORDER BY rule
+    """,
+)
+def ts_dq_audit(spark, sf_dir):
+    """dq.audit over events: not-null, set-membership, range, and
+    regex rules in one fused scan; event_id uniqueness (passes) and
+    (user_id, day, event_type) uniqueness (natural duplicates) through
+    the keyed path."""
+    from tokens_ts import dq
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    return dq.audit(
+        ev,
+        [
+            dq.not_null("value"),
+            dq.in_set(
+                "event_type", ["view", "click", "purchase", "signup"]
+            ),
+            dq.in_range("value", 0.0, 50.0),
+            dq.matches("props", "^\\{"),
+        ],
+        {
+            "event_id": ["event_id"],
+            "user_day_type": ["user_id", "day", "event_type"],
+        },
+    ).orderBy("rule")
