@@ -809,3 +809,72 @@ def test_token_tier_snapshot_read_asof_and_orphans(spark, tmp_path):
     assert key(pipeline.read_token_tier_asof(spark, root)) == key(
         textops.token_histogram(df)
     )
+
+
+def test_token_tier_changes_additivity_and_orphans(spark, tmp_path):
+    """read_token_tier_changes: the incremental scan between manifest
+    states. Pins the snapshot algebra that makes it consumable without
+    a tier rescan — asof(until) == asof(since) ⊕ changes(since, until]
+    — plus orphan invisibility and the empty-interval identity."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from tokens_ts import checkpoint as cp
+    from tokens_ts import pipeline, textops
+    from tokens_ts.io.catalog import Catalog
+
+    root = str(tmp_path / "wh")
+    rows = [
+        ("s0", datetime(2026, 1, 1, h % 3, 0, 0), [1, 2, 2, h + 1])
+        for h in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    b = [df.where(f"tokens[3] % 3 = {i}") for i in range(3)]
+    cat = Catalog(root, "parquet")
+
+    def commit_ts(marker):
+        return (
+            cp.read_manifest(spark, cat)
+            .where(F.col("partition_id") == marker)
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    pipeline.run_token_tier_increment(spark, b[0], root, batch_id="b0")
+    t0 = commit_ts("tok:b0")
+    pipeline.run_token_tier_increment(spark, b[1], root, batch_id="b1")
+    t1 = commit_ts("tok:b1")
+    # orphan: data without a marker must never appear in any delta
+    orphan = (
+        textops.token_histogram(b[2])
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit("b2"))
+    )
+    cat.overwrite_partitions(orphan, "tok_hist", ["source", "day", "batch_id"])
+
+    def key(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    # the delta (t0, t1] is exactly batch 1
+    delta = pipeline.read_token_tier_changes(spark, root, t0, t1)
+    assert key(delta) == key(textops.token_histogram(b[1]))
+
+    # additivity: asof(t1) == asof(t0) ⊕ changes(t0, t1]
+    merged = (
+        pipeline.read_token_tier_asof(spark, root, asof_ts=t0)
+        .unionByName(delta)
+        .groupBy("source", "ep", "t")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert key(merged) == key(
+        pipeline.read_token_tier_asof(spark, root, asof_ts=t1)
+    )
+
+    # empty interval → empty delta; open until → everything after t0
+    assert pipeline.read_token_tier_changes(spark, root, t1, t1).count() == 0
+    assert key(pipeline.read_token_tier_changes(spark, root, t0)) == key(
+        textops.token_histogram(b[1])
+    )

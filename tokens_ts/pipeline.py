@@ -547,3 +547,42 @@ def read_token_tier_asof(
         .groupBy(by, "ep", "t")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def read_token_tier_changes(
+    spark: SparkSession,
+    out_root: str,
+    since_ts: float,
+    until_ts: float | None = None,
+    fmt: str = "parquet",
+    by: str = "source",
+) -> DataFrame:
+    """Incremental consumption between two manifest states: the token
+    tier DELTA contributed by batches committed in (since_ts, until_ts]
+    — Iceberg's incremental snapshot scan re-expressed on the parquet
+    fallback. Because the tier stores additive PER-BATCH partial
+    states, the delta between two snapshots IS the re-sum over the
+    batch subset: a downstream consumer folds it into its own state
+    without rescanning the tier, and
+    tier(asof=until) == tier(asof=since) ⊕ changes(since, until]
+    holds exactly (pinned by pytest). Uncommitted orphans are invisible
+    here for the same reason they are in read_token_tier_asof: the
+    manifest defines table state, data files never do. Same broadcast
+    semi-join + bounded re-sum shape as the snapshot read."""
+    cat = Catalog(out_root, fmt)
+    m = checkpoint.read_manifest(spark, cat).where(
+        (F.col("status") == "done")
+        & F.col("partition_id").startswith("tok:")
+        & (F.col("ts") > F.lit(float(since_ts)))
+    )
+    if until_ts is not None:
+        m = m.where(F.col("ts") <= F.lit(float(until_ts)))
+    committed = m.select(
+        F.expr("substring(partition_id, 5)").alias("batch_id")
+    ).distinct()
+    return (
+        cat.read(spark, "tok_hist")
+        .join(F.broadcast(committed), "batch_id", "left_semi")
+        .groupBy(by, "ep", "t")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -11993,3 +11993,71 @@ def ts_dq_audit(spark, sf_dir):
             "user_day_type": ["user_id", "day", "event_type"],
         },
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Incremental scan between manifest states of the token tier
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "seq_token_tier_changes",
+    _synth_cte()
+    + """
+    , ex AS (
+      SELECT source, epoch_s - epoch_s % 3600 AS ep, unnest(tokens) AS t
+      FROM seq WHERE k % 3 = 1
+    )
+    SELECT source, CAST(ep AS BIGINT) AS ep, CAST(t AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ex WHERE t <> 0 GROUP BY 1, 2, 3
+    ORDER BY source, ep, t
+    """,
+)
+def seq_token_tier_changes(spark, sf_dir):
+    """Batches 0 and 1 folded through run_token_tier_increment, batch
+    2 planted as a crash-shaped orphan (data, no marker). The
+    incremental scan since batch 0's commit timestamp must serve
+    EXACTLY batch 1 — batch 0 excluded by the snapshot boundary, the
+    orphan by manifest invisibility. The oracle re-derives batch 1's
+    histogram from the generation rule alone (k % 3 = 1)."""
+    import tempfile
+
+    from tokens_ts import checkpoint, pipeline
+    from tokens_ts.io.catalog import Catalog
+
+    s = _seq(spark)
+    root = tempfile.mkdtemp(prefix="tok_chg_")
+    for b in (0, 1):
+        pipeline.run_token_tier_increment(
+            spark,
+            s.where(F.col("k") % 3 == b),
+            root,
+            batch_id=f"b{b}",
+        )
+    orphan = (
+        textops.token_histogram(
+            s.where(F.col("k") % 3 == 2), by="source", trunc="hour"
+        )
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("ep"))))
+        .withColumn("batch_id", F.lit("b2"))
+    )
+    Catalog(root).overwrite_partitions(
+        orphan, "tok_hist", ["source", "day", "batch_id"]
+    )
+    since = (
+        checkpoint.read_manifest(spark, Catalog(root))
+        .where(F.col("partition_id") == "tok:b0")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    return (
+        pipeline.read_token_tier_changes(spark, root, since_ts=since)
+        .select(
+            "source",
+            F.col("ep").cast("bigint").alias("ep"),
+            F.col("t").cast("bigint").alias("t"),
+            F.col("c").cast("bigint").alias("c"),
+        )
+        .orderBy("source", "ep", "t")
+    )
