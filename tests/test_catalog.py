@@ -390,3 +390,84 @@ def test_read_evolved_type_conflict_fails_loud(spark, tmp_path):
     ).parquet(cat.path("t"))
     with _pytest.raises(Exception, match="[Mm]erge|[Ff]ailed"):
         cat.read_evolved(spark, "t", "id bigint, q bigint").collect()
+
+
+# ---------------------------------------------------------------------------
+# delete_where: row-level DELETE via copy-on-write partition rewrite
+# ---------------------------------------------------------------------------
+
+
+def _file_sig(path):
+    import os as _os
+
+    out = {}
+    for root, _, files in _os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = _os.path.join(root, f)
+            st = _os.stat(p)
+            out[_os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, tmp_path):
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 1.0), ("a", 2, None), ("a", 3, 9.0),
+            ("b", 4, 9.0), ("b", 5, 9.0),      # every b row doomed
+            ("c", 6, 1.0), ("c", 7, 2.0),      # untouched
+        ],
+        "p string, id bigint, v double",
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(cat.path("t"))
+    before_c = _file_sig(str(tmp_path / "t" / "p=c"))
+
+    report = cat.delete_where(
+        spark, "t", "v > 5.0", partition_cols=["p"]
+    )
+    by_part = {r["partition"]["p"]: r for r in report}
+    assert by_part["a"] == {
+        "partition": {"p": "a"}, "rows_deleted": 1, "rows_kept": 2
+    }
+    assert by_part["b"]["rows_kept"] == 0
+    assert "c" not in by_part  # never opened, never reported
+
+    left = {(r["p"], r["id"]) for r in cat.read(spark, "t").collect()}
+    # null predicate rows SURVIVE (ANSI DELETE: only TRUE deletes)
+    assert left == {("a", 1), ("a", 2), ("c", 6), ("c", 7)}
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "t" / "p=b"))  # emptied → gone
+    assert _file_sig(str(tmp_path / "t" / "p=c")) == before_c  # byte-identical
+    # no tmp/trash residue on the rewritten partition
+    assert not _os.path.exists(str(tmp_path / "t" / "p=a.deleting"))
+    assert not _os.path.exists(str(tmp_path / "t" / "p=a.trash"))
+    # idempotent rerun: nothing matches any more
+    assert cat.delete_where(spark, "t", "v > 5.0", partition_cols=["p"]) == []
+
+
+def test_delete_where_predicate_on_partition_col(spark, tmp_path):
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, id bigint"
+    ).write.mode("overwrite").partitionBy("p").parquet(cat.path("t"))
+    report = cat.delete_where(
+        spark, "t", "p = 'b' AND id > 0", partition_cols=["p"]
+    )
+    assert [r["partition"]["p"] for r in report] == ["b"]
+    assert {r["p"] for r in cat.read(spark, "t").collect()} == {"a"}
+
+
+def test_delete_where_parquet_requires_partition_cols(spark, tmp_path):
+    import pytest as _pytest
+
+    from tokens_ts.io.catalog import Catalog
+
+    with _pytest.raises(ValueError, match="partition_cols"):
+        Catalog(str(tmp_path)).delete_where(spark, "t", "1=1")

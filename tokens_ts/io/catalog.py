@@ -351,3 +351,108 @@ class Catalog:
                 }
             )
         return out
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        predicate: str,
+        partition_cols: list[str] | None = None,
+    ) -> list[dict]:
+        """Row-level DELETE — the right-to-be-forgotten op that
+        partition drops cannot express (the doomed rows live INSIDE
+        partitions, interleaved with rows that must survive
+        byte-exact).
+
+        `predicate` is a SQL boolean expression; rows where it is TRUE
+        are deleted, rows where it is false or null survive (ANSI
+        DELETE semantics). Iceberg: ONE `DELETE FROM <ident> WHERE …`
+        statement — the engine picks merge-on-read or copy-on-write
+        from table properties. Parquet: copy-on-write at partition
+        granularity:
+
+        1. one pruned scan finds the TOUCHED partition set (the
+           predicate pushes down, so a predicate that constrains
+           partition columns only scans matching partitions; the
+           result is partition-count bounded — control plane);
+        2. each touched partition is read WITH its partition values
+           (basePath), filtered to survivors, and rewritten through
+           the same crash-safe tmp-write → verify → two-rename swap as
+           compact_partitions — a crash never leaves doubled or
+           half-deleted data visible, and a partition whose rows are
+           all deleted is removed entirely;
+        3. untouched partitions are never opened, never rewritten —
+           byte-identical files (pinned by test).
+
+        Returns one dict per touched partition:
+        {partition, rows_deleted, rows_kept}."""
+        if self.fmt == "iceberg":
+            spark.sql(
+                f"DELETE FROM {self.ident(name)} WHERE {predicate}"
+            )
+            return [{"partition": None, "statement": True}]
+        if not partition_cols:
+            raise ValueError(
+                "delete_where on parquet needs partition_cols "
+                "(the rewrite unit)"
+            )
+        pred = F.expr(predicate)
+        full = spark.read.parquet(self.path(name))
+        touched = [
+            {c: r[c] for c in partition_cols}
+            for r in full.where(pred)
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        ]
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        base = HPath(self.path(name))
+        fs = base.getFileSystem(hconf)
+        out: list[dict] = []
+        for k in sorted(touched, key=lambda d: tuple(str(v) for v in d.values())):
+            rel = "/".join(f"{c}={v}" for c, v in k.items())
+            part = HPath(base, rel)
+            df = (
+                spark.read.option("basePath", self.path(name))
+                .parquet(str(part))
+            )
+            rows_before = df.count()
+            keep = df.where(~F.coalesce(pred, F.lit(False))).drop(
+                *partition_cols
+            )
+            kept_expected = keep.count()
+            deleted = rows_before - kept_expected
+            if deleted == 0:
+                continue
+            if kept_expected == 0:
+                fs.delete(part, True)
+                out.append(
+                    {"partition": dict(k), "rows_deleted": rows_before,
+                     "rows_kept": 0}
+                )
+                continue
+            tmp = HPath(str(part) + ".deleting")
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+            keep.write.mode("overwrite").parquet(str(tmp))
+            kept_actual = spark.read.parquet(str(tmp)).count()
+            if kept_actual != kept_expected:
+                fs.delete(tmp, True)
+                raise RuntimeError(
+                    f"delete_where: survivor count drifted for {rel} "
+                    f"({kept_expected} -> {kept_actual}); aborting "
+                    "before swap"
+                )
+            trash = HPath(str(part) + ".trash")
+            if fs.exists(trash):
+                fs.delete(trash, True)
+            fs.rename(part, trash)
+            fs.rename(tmp, part)
+            fs.delete(trash, True)
+            out.append(
+                {"partition": dict(k), "rows_deleted": deleted,
+                 "rows_kept": kept_expected}
+            )
+        return out

@@ -12061,3 +12061,52 @@ def seq_token_tier_changes(spark, sf_dir):
         )
         .orderBy("source", "ep", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE (right-to-be-forgotten) via copy-on-write rewrite
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_delete_where",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3
+    FROM events
+    WHERE NOT (event_type = 'error'
+               OR (event_type = 'click' AND value > 50.0))
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_delete_where(spark, sf_dir):
+    """events materialized as a type-partitioned table, then ONE
+    delete_where hitting all three rewrite paths at once: the 'error'
+    partition is deleted entirely (dir removal), 'click' is rewritten
+    copy-on-write around its surviving rows, and the other partitions
+    are never opened. The post-delete aggregate must equal DuckDB's
+    NOT-predicate filter over the original events."""
+    import tempfile
+
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="delw_"))
+    _ev(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(cat.path("events_cow"))
+    cat.delete_where(
+        spark,
+        "events_cow",
+        "event_type = 'error' OR (event_type = 'click' AND value > 50.0)",
+        partition_cols=["event_type"],
+    )
+    return (
+        cat.read(spark, "events_cow")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_e("value", 3)).alias("sum_e3"),
+        )
+        .orderBy("event_type")
+    )
