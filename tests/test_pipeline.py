@@ -878,3 +878,52 @@ def test_token_tier_changes_additivity_and_orphans(spark, tmp_path):
     assert key(pipeline.read_token_tier_changes(spark, root, t0)) == key(
         textops.token_histogram(b[1])
     )
+
+
+def test_forget_series_equals_recompute_without_them(spark, seq_tiny, tmp_path):
+    """Store-wide right-to-be-forgotten: after forget_series, every
+    tier must equal the tiers rebuilt from raw WITHOUT the series —
+    the delete is indistinguishable from never having ingested it —
+    and the enforcement leaves an auditable lineage row."""
+    from tokens_ts import tiers
+
+    seq = grid.with_event_time(seq_tiny)
+    root = str(tmp_path / "store")
+    pipeline.run_backfill(spark, seq, root)
+    cat = Catalog(root)
+    victim = sorted(
+        r["series_id"]
+        for r in cat.read(spark, "raw").select("series_id").distinct().collect()
+    )[0]
+    survivors_raw = (
+        cat.read(spark, "raw")
+        .where(F.col("series_id") != victim)
+        .drop("day", "batch_id")
+    )
+    # materialize the reference BEFORE the delete: copy-on-write
+    # replaces files in place, so plans over pre-delete listings go
+    # stale (the delete_where docstring's documented caveat)
+    ref_root = str(tmp_path / "ref")
+    rcat = Catalog(ref_root)
+    frames = tiers.build_all_tiers(survivors_raw)
+    for t, name in pipeline.TIER_NAMES.items():
+        rcat.overwrite_partitions(
+            frames[t].withColumn("day", F.to_date("window_start")),
+            name,
+            ["source", "day"],
+        )
+
+    rep = pipeline.forget_series(spark, root, [victim])
+    assert rep["rows_deleted"] > 0
+    assert cat.read(spark, "raw").where(F.col("series_id") == victim).count() == 0
+    for name in ("t1m", "t1h", "t1d"):
+        _same(_tier_snapshot(spark, root, name), _tier_snapshot(spark, ref_root, name))
+
+    # auditable lineage: one manifest row carrying the deletion count
+    m = checkpoint.read_manifest(spark, cat)
+    row = m.where(F.col("partition_id") == rep["marker"]).collect()
+    assert len(row) == 1 and row[0]["rows_in"] == rep["rows_deleted"]
+
+    # idempotent rerun: nothing left to delete, still auditable
+    rep2 = pipeline.forget_series(spark, root, [victim])
+    assert rep2["rows_deleted"] == 0

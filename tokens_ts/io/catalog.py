@@ -455,4 +455,12 @@ class Catalog:
                 {"partition": dict(k), "rows_deleted": deleted,
                  "rows_kept": kept_expected}
             )
+        if out:
+            # the rewrite replaced files in place; invalidate Spark's
+            # cached listing for the path so subsequent reads re-list
+            # instead of failing on the vanished old files. (DataFrames
+            # planned BEFORE the delete are stale by construction —
+            # copy-on-write without snapshots cannot keep them valid;
+            # Iceberg's snapshot isolation is the production answer.)
+            spark.catalog.refreshByPath(self.path(name))
         return out

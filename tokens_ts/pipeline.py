@@ -586,3 +586,59 @@ def read_token_tier_changes(
         .groupBy(by, "ep", "t")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def forget_series(
+    spark: SparkSession,
+    out_root: str,
+    series_ids: list[str],
+    source: str | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Right-to-be-forgotten across the WHOLE store: one row-level
+    DELETE per existing table (raw + every tier), each through
+    Catalog.delete_where's crash-safe copy-on-write rewrite, then ONE
+    manifest lineage row recording the enforcement.
+
+    Works at every level without recomputation because each tier keys
+    on (source, series_id, window): deleting a series' rows from a
+    rollup IS re-rolling the filtered raw — the pytest pins the
+    store-wide identity forget(store, s) == backfill(input − s),
+    table by table. Scale: each table pays one pushed-down scan to
+    find touched partitions (pruned to `source` when given) plus
+    rewrites of only partitions containing the series; untouched
+    partitions stay byte-identical. The lineage row makes the
+    enforcement auditable and idempotently re-runnable (a rerun finds
+    zero matching rows and reports 0)."""
+    import hashlib
+
+    cat = Catalog(out_root, fmt)
+    quoted = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(series_ids)
+    )
+    pred = f"series_id IN ({quoted})"
+    if source is not None:
+        pred += f" AND source = '{source}'"
+    tables: dict[str, list] = {}
+    total = 0
+    for name in ("raw", *TIER_NAMES.values()):
+        if not cat.exists(spark, name):
+            continue
+        rep = cat.delete_where(
+            spark, name, pred, partition_cols=["source", "day"]
+        )
+        tables[name] = rep
+        total += sum(x["rows_deleted"] for x in rep)
+    marker = "forget:" + hashlib.md5(pred.encode()).hexdigest()[:12]
+    checkpoint.record_done(
+        spark,
+        cat,
+        [{"partition_id": marker, "rows_in": total}],
+        job_run_id=checkpoint.new_run_id(),
+    )
+    return {
+        "predicate": pred,
+        "marker": marker,
+        "rows_deleted": total,
+        "tables": tables,
+    }

@@ -12110,3 +12110,62 @@ def ts_delete_where(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Store-wide forget (right-to-be-forgotten across raw + tiers)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_forget_series",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4
+    FROM events
+    WHERE event_type NOT IN ('click', 'error')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_forget_series(spark, sf_dir):
+    """A full store (raw + t1m/t1h/t1d, (source, day)-partitioned) is
+    built from events, then pipeline.forget_series erases two series
+    everywhere through copy-on-write deletes. The served 1h tier after
+    the forget must equal DuckDB's rollup of the events that were
+    never about those series — i.e. the delete at tier level is
+    indistinguishable from never having ingested the series."""
+    import tempfile
+
+    from tokens_ts import pipeline, tiers
+    from tokens_ts.io.catalog import Catalog
+    from tokens_ts.queries_driver import _events_raw, _fmt
+
+    cat = Catalog(tempfile.mkdtemp(prefix="forget_"))
+    raw = _events_raw(spark, sf_dir).withColumn(
+        "day", F.to_date("event_ts")
+    )
+    cat.overwrite_partitions(raw, "raw", ["source", "day"])
+    frames = tiers.build_all_tiers(raw.drop("day"))
+    for t, name in pipeline.TIER_NAMES.items():
+        cat.overwrite_partitions(
+            frames[t].withColumn("day", F.to_date("window_start")),
+            name,
+            ["source", "day"],
+        )
+    rep = pipeline.forget_series(
+        spark, cat.root, ["click", "error"], source="events"
+    )
+    assert rep["rows_deleted"] > 0
+    return (
+        cat.read(spark, "t1h")
+        .select(
+            "series_id",
+            _fmt("window_start").alias("window_start"),
+            "cnt",
+            _e("sum", 4).alias("sum_e4"),
+        )
+        .orderBy("series_id", "window_start")
+    )
