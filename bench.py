@@ -359,6 +359,52 @@ def main():
         textops.dsir_weights(docs, F.col("lang") == "en")
     ))
 
+    # data-quality gate: 4 row rules fused into ONE scan + 2 keyed
+    # uniqueness aggs — the acceptance pass every ingest wave pays
+    from tokens_ts import dq
+
+    ev_day = ev_full.withColumn("day", F.to_date("ts").cast("string"))
+    bench("dq_audit", lambda: _materialize(
+        dq.audit(
+            ev_day,
+            [
+                dq.not_null("value"),
+                dq.in_set("event_type", ["view", "click", "purchase", "signup"]),
+                dq.in_range("value", 0.0, 50.0),
+                dq.matches("props", "^\\{"),
+            ],
+            {"event_id": ["event_id"],
+             "user_day_type": ["user_id", "day", "event_type"]},
+        )
+    ))
+
+    # schema-evolution read: mixed-generation mergeSchema scan +
+    # target projection with defaults (files written once, untimed —
+    # the READ is the recurring cost)
+    from tokens_ts.io.catalog import Catalog as _Cat
+
+    evo_root = tempfile.mkdtemp(prefix="bench_evo_")
+    ev_full.where(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(evo_root + "/t")
+    ev_full.where(F.col("event_id") % 3 != 0).select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("event_id") % 5).cast("int").alias("quality"),
+    ).write.mode("append").parquet(evo_root + "/t")
+
+    def _evo_case():
+        df = _Cat(evo_root).read_evolved(
+            spark, "t",
+            "event_id bigint, event_type string, value double, quality int",
+            defaults={"event_type": "unknown", "quality": 0},
+        )
+        _materialize(df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s"),
+            F.sum("quality").alias("q"),
+        ))
+
+    bench("evolved_scan", _evo_case)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",
