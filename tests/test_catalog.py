@@ -471,3 +471,18 @@ def test_delete_where_parquet_requires_partition_cols(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition_cols"):
         Catalog(str(tmp_path)).delete_where(spark, "t", "1=1")
+
+
+def test_iceberg_delete_where_statement_shape():
+    """Row-level delete on Iceberg: ONE DELETE FROM with the caller's
+    predicate verbatim (the engine picks merge-on-read vs copy-on-write
+    from table properties — no client-side rewrite)."""
+    log = []
+    cat = Catalog("lake.db", "iceberg")
+    out = cat.delete_where(
+        _FakeSqlSpark(log), "raw", "series_id IN ('u1', 'u2')"
+    )
+    assert log == [
+        ("sql", "DELETE FROM lake.db.raw WHERE series_id IN ('u1', 'u2')")
+    ]
+    assert out == [{"partition": None, "statement": True}]
