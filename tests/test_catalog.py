@@ -11,6 +11,7 @@ drifts (e.g. someone switches to save() or forgets
 overwritePartitions), these fail without needing the jar.
 """
 
+import pyspark.sql.functions as F
 import pytest
 
 from tokens_ts.io.catalog import Catalog
@@ -486,3 +487,58 @@ def test_iceberg_delete_where_statement_shape():
         ("sql", "DELETE FROM lake.db.raw WHERE series_id IN ('u1', 'u2')")
     ]
     assert out == [{"partition": None, "statement": True}]
+
+
+# ---------------------------------------------------------------------------
+# layout: skipping audit + compaction policy
+# ---------------------------------------------------------------------------
+
+
+def test_skipping_audit_finds_prunable_files(spark, tmp_path):
+    from tokens_ts.io import layout
+
+    p = str(tmp_path / "t")
+    # 3 files with disjoint id ranges via partition dirs
+    df = spark.range(300).select(
+        (F.col("id") / 100).cast("int").cast("string").alias("b"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(F.col("b")).write.partitionBy("b").parquet(p)
+    out = {
+        r["file"].split("b=")[1].split("/")[0]: (
+            r["n"], r["vmin"], r["vmax"], r["skippable"]
+        )
+        for r in layout.skipping_audit(spark, p, "v", 120.0, 180.0).collect()
+    }
+    assert out["0"] == (100, 0, 99, True)     # whole file below range
+    assert out["1"] == (100, 100, 199, False)  # overlaps
+    assert out["2"] == (100, 200, 299, True)  # whole file above range
+
+
+def test_compaction_candidates_policy(spark, tmp_path):
+    from tokens_ts.io import layout
+    from tokens_ts.io.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    big = spark.range(1000).select(
+        F.lit("a").alias("p"), F.col("id").alias("v")
+    )
+    # partition a: 12 tiny files (over max_files AND under min_avg_mb)
+    big.repartition(12).write.mode("overwrite").parquet(
+        cat.path("t") + "/p=a"
+    )
+    # partition b: 1 file — healthy
+    big.coalesce(1).write.mode("overwrite").parquet(cat.path("t") + "/p=b")
+    cand = layout.compaction_candidates(
+        spark, cat, "t", max_files=8, min_avg_mb=0.0
+    )
+    assert [c["partition"] for c in cand] == [{"p": "a"}]
+    assert cand[0]["n_files"] == 12
+    # the report feeds compact_partitions directly
+    rep = cat.compact_partitions(
+        spark, "t", [c["partition"] for c in cand], target_mb=1024
+    )
+    assert rep[0]["files_after"] == 1
+    assert layout.compaction_candidates(spark, cat, "t", max_files=8, min_avg_mb=0.0) == []
+    # missing table: empty, no error
+    assert layout.compaction_candidates(spark, cat, "nope") == []

@@ -12169,3 +12169,58 @@ def ts_forget_series(spark, sf_dir):
         )
         .orderBy("series_id", "window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# File-skipping (min/max pruning) audit on a day-partitioned layout
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_file_skipping",
+    """
+    WITH m AS (SELECT (4 * max(event_id)) // 10 AS lo,
+                      (5 * max(event_id)) // 10 AS hi FROM events),
+    f AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(event_id) AS BIGINT) AS vmin,
+             CAST(max(event_id) AS BIGINT) AS vmax
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, vmin, vmax,
+           CAST(CASE WHEN vmax < lo OR vmin > hi THEN 1 ELSE 0 END
+                AS BIGINT) AS skippable
+    FROM f, m ORDER BY day
+    """,
+)
+def ts_file_skipping(spark, sf_dir):
+    """events written as a day-partitioned layout with ONE file per
+    day (repartition by the partition key), then skipping_audit for an
+    event_id range predicate. event_id is time-ordered, so whole days
+    ARE skippable — the audit must find exactly the days whose
+    [min, max] misses the range, which the oracle re-derives from the
+    day grouping alone (file ≡ day by construction)."""
+    import tempfile
+
+    from tokens_ts.io import layout
+
+    ev = _ev(spark, sf_dir)
+    mx = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    lo, hi = (4 * mx) // 10, (5 * mx) // 10
+    d = tempfile.mkdtemp(prefix="skip_") + "/t"
+    (
+        ev.withColumn("day", F.to_date("ts").cast("string"))
+        .repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(d)
+    )
+    audit = layout.skipping_audit(spark, d, "event_id", float(lo), float(hi))
+    return audit.select(
+        F.regexp_extract("file", "day=([^/]+)", 1).alias("day"),
+        "n",
+        F.col("vmin").cast("bigint").alias("vmin"),
+        F.col("vmax").cast("bigint").alias("vmax"),
+        F.col("skippable").cast("bigint").alias("skippable"),
+    ).orderBy("day")
