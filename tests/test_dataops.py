@@ -4615,3 +4615,66 @@ def test_csv_scan_single_scan_no_cache_and_regex_sep(spark, tmp_path):
         assert "InMemoryTableScan" not in plan
     assert [r["id"] for r in good.collect()] == [1]
     assert [r["line"] for r in dead.collect()] == ["9|8"]
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch: min-k correctness, set algebra, exact-degrade branch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_exact_min_k(spark):
+    """With the 8× threshold margin the sketch must equal brute-force
+    min-k of the distinct hashes (pure-python md5 replay)."""
+    import hashlib
+
+    from tokens_ts import sketch
+
+    items = spark.createDataFrame(
+        [("g", str(i)) for i in range(5000)] * 2,  # dups collapse
+        "g string, item string",
+    )
+    row = sketch.kmv_sketch(items, "item", ["g"], k=64).collect()[0]
+    assert row["n_distinct"] == 5000
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sorted(h(str(i)) for i in range(5000))[:64]
+    assert list(row["hs"]) == want
+
+
+def test_kmv_overlap_exact_when_small_and_estimates_when_big(spark):
+    from tokens_ts import sketch
+
+    # small disjoint+overlapping sets: m < k → union_est is EXACT
+    rows = (
+        [("a", f"x{i}") for i in range(20)]
+        + [("b", f"x{i}") for i in range(10, 30)]  # |a∩b|=10, |a∪b|=30
+    )
+    sk = sketch.kmv_sketch(
+        spark.createDataFrame(rows, "g string, item string"),
+        "item",
+        ["g"],
+        k=64,
+    )
+    r = sketch.kmv_overlap(sk, "g", k=64).collect()[0]
+    assert (r["ga"], r["gb"]) == ("a", "b")
+    assert r["m"] == 30 and r["matched"] == 10
+    assert r["union_est"] == 30.0
+    assert abs(r["inter_est"] - 10.0) < 1e-9
+
+    # big sets with known 50% overlap: estimates land near truth
+    big = (
+        [("a", f"k{i}") for i in range(4000)]
+        + [("b", f"k{i}") for i in range(2000, 6000)]
+    )
+    sk2 = sketch.kmv_sketch(
+        spark.createDataFrame(big, "g string, item string"),
+        "item",
+        ["g"],
+        k=64,
+    )
+    r2 = sketch.kmv_overlap(sk2, "g", k=64).collect()[0]
+    # |union|=6000, |inter|=2000; k=64 → ~12% RSE, allow 4σ
+    assert 3000 < r2["union_est"] < 9000
+    assert 500 < r2["inter_est"] < 4000

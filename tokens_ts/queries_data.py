@@ -12224,3 +12224,117 @@ def ts_file_skipping(spark, sf_dir):
         F.col("vmax").cast("bigint").alias("vmax"),
         F.col("skippable").cast("bigint").alias("skippable"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# KMV audience overlap: distinct-set intersection estimates next to
+# their exact answers
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_audience_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY g),
+    t AS (
+      SELECT g, n,
+             LEAST(CAST(1152921504606846976 AS BIGINT),
+                   (CAST(1152921504606846976 AS BIGINT)
+                    // GREATEST(n, 512)) * 512) AS thr
+      FROM n
+    ),
+    s AS (
+      SELECT h.g, t.n, list_sort(list(hv))[1:64] AS hs
+      FROM h JOIN t ON h.g = t.g AND h.hv < t.thr
+      GROUP BY h.g, t.n
+    ),
+    p AS (
+      SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+             list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64] AS uk,
+             list_filter(a.hs, x -> list_contains(b.hs, x)) AS il
+      FROM s a JOIN s b ON a.g < b.g
+    ),
+    r AS (
+      SELECT ga, gb, na, nb,
+             CAST(len(uk) AS BIGINT) AS m,
+             CAST(len(list_filter(uk, x -> list_contains(il, x)))
+                  AS BIGINT) AS matched,
+             uk
+      FROM p
+    ),
+    e AS (
+      SELECT ga, gb, na, nb, m, matched,
+             CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE)
+                       * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(uk[64] AS DOUBLE) END AS u,
+             CAST(matched AS DOUBLE) / CAST(m AS DOUBLE) AS j
+      FROM r
+    ),
+    x AS (
+      SELECT a.event_type AS ga, b.event_type AS gb,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.ga, e.gb, na, nb, m, matched,
+           CAST(ROUND(u * 1e6) AS BIGINT) AS union_e6,
+           CAST(ROUND(j * 1e6) AS BIGINT) AS jaccard_e6,
+           CAST(ROUND(j * u * 1e6) AS BIGINT) AS inter_e6,
+           COALESCE(exact_inter, 0) AS exact_inter
+    FROM e LEFT JOIN x ON e.ga = x.ga AND e.gb = x.gb
+    ORDER BY e.ga, e.gb
+    """,
+)
+def ts_audience_overlap(spark, sf_dir):
+    """Which event types share users: KMV sketches per type (k=64,
+    threshold-prefiltered min-k — the 10^12-distinct shape), all-pairs
+    union/Jaccard/intersection estimates, and the EXACT pairwise
+    intersection in the same row so the estimator's error is visible.
+    The sketch is deterministic md5_60, so DuckDB rebuilds it value
+    for value — estimates included."""
+    from tokens_ts import sketch
+
+    ev = _ev(spark, sf_dir)
+    sk = sketch.kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    ov = sketch.kmv_overlap(sk, "event_type", k=64)
+    d = ev.select("event_type", "user_id").distinct()
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ga"),
+            F.col("y.event_type").alias("gb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        ov.join(ex, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            "na",
+            "nb",
+            "m",
+            "matched",
+            _e("union_est", 6).alias("union_e6"),
+            _e("jaccard", 6).alias("jaccard_e6"),
+            _e("inter_est", 6).alias("inter_e6"),
+            F.coalesce("exact_inter", F.lit(0).cast("bigint")).alias(
+                "exact_inter"
+            ),
+        )
+        .orderBy("ga", "gb")
+    )

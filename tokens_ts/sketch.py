@@ -206,3 +206,106 @@ def bloom_probe(
     return joined.groupBy(*group_cols, item_col).agg(
         (F.min(hit) == 1).alias("maybe_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values (KMV) distinct sketch: the set algebra HLL lacks
+# ---------------------------------------------------------------------------
+
+KMV_RANGE = 1 << 60  # md5_60 hash space
+
+
+def kmv_sketch(
+    items: DataFrame, item_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest md5_60 values of the
+    DISTINCT items, plus the exact distinct count. KMV supports what
+    HLL cannot: sketch UNION (merge + re-truncate) and sketch
+    INTERSECTION (Jaccard from the union sketch, kmv_overlap) — the
+    audience-overlap question without an exact pairwise pass.
+    Deterministic hashing ⇒ the whole sketch is cross-engine
+    value-checkable, not just property-tested.
+
+    Scale shape (the 10^12-distinct design): computing min-k by
+    sorting all hashes is a corpus sort, so the k smallest are taken
+    from a THRESHOLD prefilter instead — survivors = hashes below
+    LEAST(2^60, (2^60 div max(n, 8k)) · 8k), where n is the group's
+    exact distinct count (one agg). Expected survivors ≈ 8k per group
+    (an 8× safety margin over the k-th order statistic's mean), so
+    the final per-group sort touches a few hundred values. The
+    threshold rule is PART OF THE SPEC: in the astronomically unlikely
+    event it clips below the true k-th minimum, both engines clip
+    identically (parity holds; the estimator just uses fewer values)."""
+    h = items.select(
+        *group_cols,
+        md5_60(F.col(item_col).cast("string")).alias("_hv"),
+    ).distinct()
+    m = 8 * k
+    n = h.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    thr = n.withColumn(
+        "_thr",
+        F.expr(
+            f"LEAST(CAST({KMV_RANGE} AS BIGINT), "
+            f"(CAST({KMV_RANGE} AS BIGINT) DIV "
+            f"GREATEST(n_distinct, {m})) * {m})"
+        ),
+    )
+    surv = h.join(F.broadcast(thr), group_cols).where(
+        F.col("_hv") < F.col("_thr")
+    )
+    return surv.groupBy(*group_cols, "n_distinct").agg(
+        F.slice(F.array_sort(F.collect_list("_hv")), 1, k).alias("hs")
+    )
+
+
+def kmv_overlap(sk: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """All-pairs audience overlap from KMV sketches: for each group
+    pair (ga < gb), the union-size estimate, the Jaccard estimate
+    (fraction of the union sketch's values present in BOTH input
+    sketches — the standard KMV intersection rule), and their product,
+    the intersection-size estimate. When the union sketch holds fewer
+    than k values it IS the whole union, so the estimate degrades to
+    exact. The pair frame is groups-bounded (broadcast non-equi join
+    over the sketch table, never the corpus)."""
+    a = sk.select(
+        F.col(group_col).alias("ga"),
+        F.col("hs").alias("ha"),
+        F.col("n_distinct").alias("na"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("gb"),
+        F.col("hs").alias("hb"),
+        F.col("n_distinct").alias("nb"),
+    )
+    p = a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+    union_k = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    inter = F.array_intersect("ha", "hb")
+    p = (
+        p.withColumn("_uk", union_k)
+        .withColumn("m", F.size("_uk").cast("bigint"))
+        .withColumn(
+            "matched",
+            F.size(F.array_intersect(F.col("_uk"), inter)).cast("bigint"),
+        )
+    )
+    union_est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(KMV_RANGE))
+        / F.element_at("_uk", k).cast("double")
+    )
+    jac = F.col("matched").cast("double") / F.col("m").cast("double")
+    return p.select(
+        "ga",
+        "gb",
+        "na",
+        "nb",
+        "m",
+        "matched",
+        union_est.alias("union_est"),
+        jac.alias("jaccard"),
+        (jac * union_est).alias("inter_est"),
+    )
