@@ -4678,3 +4678,47 @@ def test_kmv_overlap_exact_when_small_and_estimates_when_big(spark):
     # |union|=6000, |inter|=2000; k=64 → ~12% RSE, allow 4σ
     assert 3000 < r2["union_est"] < 9000
     assert 500 < r2["inter_est"] < 4000
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    """Sequential Poisson sampling: (1) the selection matches a
+    pure-python replay of the identical integer recurrence; (2) across
+    many groups, heavy items (10× weight) are picked ~10× more often
+    than light ones; (3) non-positive weights never appear."""
+    import hashlib
+
+    from tokens_ts import textops
+
+    rows = []
+    for g in range(200):
+        for i in range(20):
+            # item i of group g: first 10 light (w=10), next 10 heavy
+            # (w=100); one zero-weight row that must be excluded
+            rows.append((f"g{g:03d}", g * 100 + i, 10 if i < 10 else 100))
+        rows.append((f"g{g:03d}", g * 100 + 99, 0))
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    out = textops.weighted_sample(df, "w", ["source"], k=3, id_col="doc_id")
+    got = [
+        (r["source"], r["rank"], r["doc_id"], r["pri"])
+        for r in out.orderBy("source", "rank").collect()
+    ]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for g in range(200):
+        pris = sorted(
+            (h(str(g * 100 + i)) // (10 if i < 10 else 100), g * 100 + i)
+            for i in range(20)
+        )[:3]
+        want.extend(
+            (f"g{g:03d}", rk + 1, i, p) for rk, (p, i) in enumerate(pris)
+        )
+    assert got == want
+
+    heavy = sum(1 for _, _, i, _ in got if i % 100 >= 10)
+    light = len(got) - heavy
+    # inclusion odds ≈ 10:1; at 600 picks allow a wide band
+    assert heavy > 8 * light
+    assert all(i % 100 != 99 for _, _, i, _ in got)

@@ -12338,3 +12338,52 @@ def ts_audience_overlap(spark, sf_dir):
         )
         .orderBy("ga", "gb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential Poisson weighted sampling (integer-exact, hashable sample)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_weighted_sample",
+    """
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) // n_chars AS pri
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, pri,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY pri, doc_id) AS rank
+      FROM p
+    )
+    SELECT source, CAST(rank AS INTEGER) AS rank, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, pri
+    FROM r WHERE rank <= 20
+    ORDER BY source, rank
+    """,
+)
+def doc_weighted_sample(spark, sf_dir):
+    """Per-source sequential Poisson sample of documents with weight =
+    n_chars: priority = md5_60(doc_id) DIV n_chars, keep the 20
+    smallest. Pure integer arithmetic, so BOTH engines must select the
+    identical documents in the identical order — the sample is
+    hash-checked, not just its size."""
+    from tokens_ts import textops
+
+    return (
+        textops.weighted_sample(
+            _docs(spark, sf_dir), "n_chars", ["source"], k=20
+        )
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "pri",
+        )
+        .orderBy("source", "rank")
+    )

@@ -3328,3 +3328,43 @@ def dsir_weights(
             F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("dsir"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    group_cols: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample without replacement per group — sequential
+    Poisson sampling (Ohlsson 1998): rank rows by priority
+    u_i / w_i and keep the k smallest, giving inclusion probability
+    approximately proportional to weight. Here u_i is the row's
+    md5_60(id) and the priority is the INTEGER quotient
+    hash DIV weight: no libm anywhere, so the sample itself — not
+    just its size — is deterministic and cross-engine hashable,
+    which no u^(1/w) floating-point scheme can promise (pow/ln differ
+    by ulps across engines and an ulp at the rank boundary flips the
+    selection). Ties (same quotient) break on id ascending.
+
+    The token-budget use: weight = n_tok/n_chars samples documents
+    proportional to their token mass, the pick-probability a mixture
+    schedule actually wants. Non-positive weights are excluded — they
+    have no sampling interpretation. Shape: row-local hash + one
+    rank-filter window per group partition; no global sort."""
+    from tokens_ts.dedup import md5_60
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("pri").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("_h", md5_60(F.col(id_col).cast("string")))
+        .withColumn(
+            "pri", F.expr(f"_h DIV CAST({weight_col} AS BIGINT)")
+        )
+        .drop("_h")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
