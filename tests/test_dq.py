@@ -69,3 +69,25 @@ def test_audit_row_rules_fuse_into_one_aggregate(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_k_anonymity_summary_counts_exact(spark):
+    """Hand-staged classes: sizes {a:(3,12), b:(1,)} with k=5 →
+    a: 1 below-k class carrying 3 rows; b: its only class below."""
+    rows = (
+        [("a", "q1")] * 3 + [("a", "q2")] * 12 + [("b", "q1")]
+    )
+    df = spark.createDataFrame(rows, "s string, qi string")
+    from tokens_ts import dq
+
+    out = {
+        r["s"]: (
+            r["n_classes"], r["n_below_k"], r["rows_at_risk"],
+            r["min_class"], r["max_class"],
+        )
+        for r in dq.k_anonymity_summary(df, ["qi"], k=5, by=["s"]).collect()
+    }
+    assert out == {"a": (2, 1, 3, 3, 12), "b": (1, 1, 1, 1, 1)}
+    # global form: one row, classes keyed by (s absent) → qi only
+    g = dq.k_anonymity_summary(df, ["s", "qi"], k=5).collect()[0]
+    assert (g["n_classes"], g["n_below_k"], g["rows_at_risk"]) == (3, 2, 4)

@@ -99,3 +99,44 @@ def audit(
         )
         out = out.unionByName(u)
     return out
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Per-equivalence-class view of a k-anonymity audit: one hash
+    aggregate to group sizes over the quasi-identifier combination,
+    with the below-k flag. A release is k-anonymous iff no class is
+    smaller than k — classes below k are the rows an attacker joining
+    on the quasi-identifiers can single out."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn("below_k", F.col("n") < k)
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """The release-gate report: per `by` slice (default: one global
+    row), how many equivalence classes exist, how many are below k,
+    how many ROWS sit in those classes (the re-identifiable mass), and
+    the min/max class size. Two bounded aggregates — group sizes, then
+    a classes-bounded summary; nothing corpus-sized survives the first
+    shuffle."""
+    by = by or []
+    g = k_anonymity(df, [*by, *quasi_cols], k)
+    out = g.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("below_k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_k"),
+        F.sum(F.when(F.col("below_k"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("n").alias("min_class"),
+        F.max("n").alias("max_class"),
+    )
+    return out

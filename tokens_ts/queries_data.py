@@ -12387,3 +12387,44 @@ def doc_weighted_sample(spark, sf_dir):
         )
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release audit
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_k_anonymity",
+    """
+    WITH g AS (
+      SELECT event_type, week(ts) AS wk, hour(ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           min(n) AS min_class, max(n) AS max_class
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_k_anonymity(spark, sf_dir):
+    """Release gate for a quasi-identifier combination (week,
+    hour-of-day) sliced per event type: class counts, below-k classes,
+    and the re-identifiable row mass. All integer; at sf0.01 the gate
+    FAILS (sparse hours), at sf0.1 it passes — the audit sees both
+    regimes."""
+    from tokens_ts import dq
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("wk", F.weekofyear("ts"))
+        .withColumn("hr", F.hour("ts"))
+    )
+    return dq.k_anonymity_summary(
+        ev, ["wk", "hr"], k=10, by=["event_type"]
+    ).orderBy("event_type")
