@@ -91,3 +91,19 @@ def test_k_anonymity_summary_counts_exact(spark):
     # global form: one row, classes keyed by (s absent) → qi only
     g = dq.k_anonymity_summary(df, ["s", "qi"], k=5).collect()[0]
     assert (g["n_classes"], g["n_below_k"], g["rows_at_risk"]) == (3, 2, 4)
+
+
+def test_l_diversity_summary_catches_homogeneous_class(spark):
+    """A large-but-homogeneous class is k-anonymous yet fails ℓ: class
+    q1 has 10 rows but ONE sensitive value (below ℓ=2, 10 rows at
+    risk); q2 has 3 rows and 3 distinct values (passes)."""
+    rows = [("q1", "s0")] * 10 + [("q2", "s0"), ("q2", "s1"), ("q2", "s2")]
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    from tokens_ts import dq
+
+    g = dq.l_diversity_summary(df, ["qi"], "sens", l=2).collect()[0]
+    assert (g["n_classes"], g["n_below_l"], g["rows_at_risk"],
+            g["min_diversity"]) == (2, 1, 10, 1)
+    # the SAME data passes k-anonymity at k=3 — the attack k can't see
+    ka = dq.k_anonymity_summary(df, ["qi"], k=3).collect()[0]
+    assert ka["n_below_k"] == 0

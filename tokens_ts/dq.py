@@ -140,3 +140,42 @@ def k_anonymity_summary(
         F.max("n").alias("max_class"),
     )
     return out
+
+
+def l_diversity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """ℓ-diversity — k-anonymity's necessary companion: a class of 50
+    rows is useless to a re-identifier but still LEAKS if all 50 share
+    one sensitive value (the homogeneity attack k-anonymity cannot
+    see). Per class: the count of DISTINCT sensitive values; per `by`
+    slice: classes, classes below ℓ, rows in those classes, and the
+    minimum diversity. Shape: one (class, sensitive) distinct pass,
+    one class-sized agg, one slice-sized summary — the distinct is the
+    only corpus-scale shuffle."""
+    by = by or []
+    keys = [*by, *quasi_cols]
+    per_class = (
+        df.select(*keys, sensitive_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    sizes = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    g = per_class.join(sizes, keys)
+    return g.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("d") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_l"),
+        F.sum(F.when(F.col("d") < l, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("d").alias("min_diversity"),
+    )

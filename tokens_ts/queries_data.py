@@ -12428,3 +12428,41 @@ def ts_k_anonymity(spark, sf_dir):
     return dq.k_anonymity_summary(
         ev, ["wk", "hr"], k=10, by=["event_type"]
     ).orderBy("event_type")
+
+
+@q(
+    "ts_l_diversity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             hour(ts) AS hr,
+             CAST(count(DISTINCT user_id % 10) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_l,
+           CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           min(d) AS min_diversity
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_l_diversity(spark, sf_dir):
+    """ℓ-diversity gate over (day, hour) classes per event type with
+    sensitive attribute user_id%10 — the homogeneity-attack check
+    k-anonymity misses. Fails broadly at sf0.01 (sparse hours hold 1-2
+    distinct sensitive values), mostly passes at sf0.1."""
+    from tokens_ts import dq
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("hr", F.hour("ts"))
+        .withColumn("sens", F.col("user_id") % 10)
+    )
+    return dq.l_diversity_summary(
+        ev, ["day", "hr"], "sens", l=3, by=["event_type"]
+    ).orderBy("event_type")
