@@ -4722,3 +4722,29 @@ def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
     # inclusion odds ≈ 10:1; at 600 picks allow a wide band
     assert heavy > 8 * light
     assert all(i % 100 != 99 for _, _, i, _ in got)
+
+
+def test_frame_plan_hand_checked(spark):
+    """10 s @ 10 fps, every 2 s, cap 3: frames {0, 20, 40} of 100,
+    timestamps {0, 2000, 4000} ms; a short clip yields only frame 0."""
+    from tokens_ts import multimodal
+
+    v = spark.createDataFrame(
+        [(1, 10_000, 10), (2, 1_000, 24)],
+        "doc_id long, duration_ms long, fps long",
+    )
+    out = {
+        (r["doc_id"], r["k"]): (r["n_frames"], r["frame_idx"], r["ts_ms"])
+        for r in multimodal.frame_plan(v, every_s=2, max_frames=3).collect()
+    }
+    assert out == {
+        (1, 0): (100, 0, 0),
+        (1, 1): (100, 20, 2000),
+        (1, 2): (100, 40, 4000),
+        (2, 0): (24, 0, 0),
+    }
+    # pure expressions: no shuffle, no Python stage
+    plan = (
+        multimodal.frame_plan(v)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

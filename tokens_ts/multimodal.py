@@ -468,3 +468,48 @@ def hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def frame_plan(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    fps_col: str = "fps",
+    every_s: int = 2,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling PLAN for video-as-binary columns: which frame
+    indices to decode, decided from metadata BEFORE the expensive
+    decode stage ever touches payload bytes — the row-local planning
+    half of a video pipeline (the decode half is the same Arrow
+    mapInPandas slot extract_features uses; a production deployment
+    feeds these indices to libav inside it).
+
+    Per row: total frame count n_frames = duration_ms·fps div 1000,
+    one planned frame every `every_s` seconds (stride = fps·every_s),
+    capped at max_frames; each planned frame carries its integer
+    timestamp ts_ms = idx·1000 div fps. All integer arithmetic —
+    exactly mirrorable — and pure expressions: sequence() + slice() +
+    explode, no UDF, no shuffle."""
+    n_frames = F.expr(
+        f"CAST({duration_col} AS BIGINT) * {fps_col} DIV 1000"
+    )
+    stride = F.col(fps_col).cast("long") * every_s
+    planned = F.slice(
+        F.sequence(F.lit(0).cast("long"), n_frames - 1, stride),
+        1,
+        max_frames,
+    )
+    out = df.select(
+        id_col,
+        F.col(fps_col),
+        n_frames.alias("n_frames"),
+        F.posexplode(planned).alias("k", "frame_idx"),
+    )
+    return out.select(
+        id_col,
+        "n_frames",
+        F.col("k").cast("int").alias("k"),
+        "frame_idx",
+        F.expr(f"frame_idx * 1000 DIV {fps_col}").alias("ts_ms"),
+    )

@@ -12466,3 +12466,54 @@ def ts_l_diversity(spark, sf_dir):
     return dq.l_diversity_summary(
         ev, ["day", "hr"], "sens", l=3, by=["event_type"]
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling plan (multimodal: decide before decoding)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mm_frame_plan",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             1000 + (n_chars % 300) * 100 AS duration_ms,
+             12 + doc_id % 19 AS fps
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, fps, duration_ms * fps // 1000 AS n_frames,
+             fps * 2 AS stride
+      FROM v
+    ),
+    e AS (
+      SELECT doc_id, n_frames, fps, stride,
+             unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(frame_idx // stride AS INTEGER) AS k,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 1000 // fps AS BIGINT) AS ts_ms
+    FROM e WHERE frame_idx <= 7 * stride
+    ORDER BY doc_id, k
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    """Synthetic video metadata from closed forms (duration_ms =
+    1000 + (n_chars%300)·100, fps = 12 + doc_id%19, both
+    oracle-mirrorable), then the frame-sampling plan: one frame every
+    2 s, capped at 8 — every planned index and its integer timestamp
+    hash-checked. The plan is pure sequence/slice/explode expressions;
+    payload bytes are never touched."""
+    from tokens_ts import multimodal
+
+    v = _docs(spark, sf_dir).select(
+        "doc_id",
+        (1000 + (F.col("n_chars") % 300) * 100).alias("duration_ms"),
+        (12 + F.col("doc_id") % 19).alias("fps"),
+    )
+    return multimodal.frame_plan(
+        v, every_s=2, max_frames=8
+    ).orderBy("doc_id", "k")
