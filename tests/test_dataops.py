@@ -4748,3 +4748,14 @@ def test_frame_plan_hand_checked(spark):
         multimodal.frame_plan(v)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_frame_plan_degenerate_rows_excluded(spark):
+    from tokens_ts import multimodal
+
+    v = spark.createDataFrame(
+        [(1, 10_000, 10), (2, 10_000, 0), (3, 50, 10)],
+        "doc_id long, duration_ms long, fps long",
+    )
+    out = multimodal.frame_plan(v, every_s=2, max_frames=3)
+    assert {r["doc_id"] for r in out.collect()} == {1}

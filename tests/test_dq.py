@@ -107,3 +107,18 @@ def test_l_diversity_summary_catches_homogeneous_class(spark):
     # the SAME data passes k-anonymity at k=3 — the attack k can't see
     ka = dq.k_anonymity_summary(df, ["qi"], k=3).collect()[0]
     assert ka["n_below_k"] == 0
+
+
+def test_audit_unique_only_and_empty_rules(spark):
+    import pytest as _pytest
+
+    from tokens_ts import dq
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k bigint")
+    out = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in dq.audit(df, [], {"k": ["k"]}).collect()
+    }
+    assert out == {"unique(k)": (1, 3)}
+    with _pytest.raises(ValueError, match="no rules"):
+        dq.audit(df, [], {})

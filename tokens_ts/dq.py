@@ -63,6 +63,23 @@ def audit(
     adds one keyed aggregate (violations = rows − distinct key groups,
     computed as a two-level groupBy so null keys form a group instead
     of vanishing the way countDistinct drops them)."""
+    if not row_rules and not unique_rules:
+        raise ValueError("audit: no rules given")
+    if not row_rules:
+        # explode over an empty untyped array cannot seed the frame —
+        # build the report from the uniqueness rules alone
+        out = None
+        for uname, keys in unique_rules.items():
+            g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+            u = g.agg(
+                F.lit(f"unique({uname})").alias("rule"),
+                (F.sum("_c") - F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.sum("_c").cast("bigint").alias("n_checked"),
+            )
+            out = u if out is None else out.unionByName(u)
+        return out
     # rule names carry dots/parens that column-path resolution would
     # misparse, so the agg columns get positional ids and the pretty
     # name rides as a literal

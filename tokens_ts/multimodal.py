@@ -500,6 +500,10 @@ def frame_plan(
         1,
         max_frames,
     )
+    # fps ≤ 0 has no frame grid and n_frames ≤ 0 has nothing to plan;
+    # sequence(0, -1, step) would raise, so such rows are excluded
+    # rather than crashing the batch
+    df = df.where((F.col(fps_col) > 0) & (n_frames > 0))
     out = df.select(
         id_col,
         F.col(fps_col),
