@@ -4759,3 +4759,37 @@ def test_frame_plan_degenerate_rows_excluded(spark):
     )
     out = multimodal.frame_plan(v, every_s=2, max_frames=3)
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_fidelity: prefix-dim truncation audit
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_fidelity_hand_worked(spark):
+    from tokens_ts import simsearch
+
+    rows = [
+        # pair (0, 7): identical vectors -> err 0 at every dim
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0, 0.0]),
+        # pair (10, 17): prefix-2 cosine -1, full cosine 0
+        #   -> err 1e6 at dim 2, sign disagreement
+        (10, [1.0, 0.0, 1.0, 0.0]),
+        (17, [-1.0, 0.0, 1.0, 0.0]),
+        # pair (20, 27): all-zero prefix -> null cosine, drops out of
+        #   dim 2's pair count; exact at dim 4
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (27, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dim"]: r
+        for r in simsearch.matryoshka_fidelity(emb, dims=(2, 4)).collect()
+    }
+    d2, d4 = out[2], out[4]
+    assert (d2["n_pairs"], d2["sum_abs_err_e6"], d2["max_abs_err_e6"],
+            d2["n_sign_agree"]) == (2, 1000000, 1000000, 1)
+    # full dim: the slice IS the vector -> zero error, full agreement
+    assert (d4["n_pairs"], d4["sum_abs_err_e6"], d4["max_abs_err_e6"],
+            d4["n_sign_agree"]) == (3, 0, 0, 3)

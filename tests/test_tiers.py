@@ -439,3 +439,88 @@ def test_histogram_quantile_hand_interpolation(spark):
     got = {r["qname"]: r["value"] for r in tiers.histogram_quantile(m).collect()}
     assert got["p50"] == 50.0
     assert got["p95"] == 145.0
+
+
+# ---------------------------------------------------------------------------
+# coherence_audit: cross-tier cascade-invariant audit
+# ---------------------------------------------------------------------------
+
+
+def _mk_tier(spark, rows):
+    """rows: (source, series_id, window_start_str, cnt, sum, min, max, sum_sq)"""
+    df = spark.createDataFrame(
+        rows,
+        "source string, series_id string, window_start string, "
+        "cnt long, sum double, min double, max double, sum_sq double",
+    )
+    return df.withColumn("window_start", F.to_timestamp("window_start"))
+
+
+def test_coherence_audit_all_verdict_branches(spark):
+    # finer tier: two 1m windows inside hour H1, one inside H2
+    t1m = _mk_tier(
+        spark,
+        [
+            ("s", "a", "2024-01-01 10:00:00", 2, 10.0, 4.0, 6.0, 52.0),
+            ("s", "a", "2024-01-01 10:01:00", 1, 3.0, 3.0, 3.0, 9.0),
+            ("s", "a", "2024-01-01 11:00:00", 1, 7.0, 7.0, 7.0, 49.0),
+        ],
+    )
+    stored = _mk_tier(
+        spark,
+        [
+            # H1 correct (cascade: cnt 3, sum 13, min 3, max 6, sq 61) -> ok
+            ("s", "a", "2024-01-01 10:00:00", 3, 13.0, 3.0, 6.0, 61.0),
+            # H2 corrupt cnt -> mismatch with cnt_diff +1
+            ("s", "a", "2024-01-01 11:00:00", 2, 7.0, 7.0, 7.0, 49.0),
+            # window the finer tier cannot produce -> orphan
+            ("s", "a", "2024-01-01 12:00:00", 1, 1.0, 1.0, 1.0, 1.0),
+        ],
+    )
+    out = {
+        (r["window_start"].strftime("%H"), r["status"], r["cnt_diff"])
+        for r in tiers.coherence_audit(stored, t1m, "1h").collect()
+    }
+    assert out == {
+        ("10", "ok", 0),
+        ("11", "mismatch", 1),
+        ("12", "orphan", None),
+    }
+    # missing: drop H2 from stored entirely
+    out2 = {
+        (r["window_start"].strftime("%H"), r["status"])
+        for r in tiers.coherence_audit(
+            stored.where(F.hour("window_start") != 11), t1m, "1h"
+        ).collect()
+    }
+    assert ("11", "missing") in out2
+
+
+def test_coherence_audit_grain_tolerance(spark):
+    t1m = _mk_tier(
+        spark, [("s", "a", "2024-01-01 10:00:00", 1, 5.0, 5.0, 5.0, 25.0)]
+    )
+    # sum off by exactly one e4 grain unit (1e-4): within tol -> ok
+    near = _mk_tier(
+        spark, [("s", "a", "2024-01-01 10:00:00", 1, 5.0001, 5.0, 5.0, 25.0)]
+    )
+    # sum off by two grain units: beyond tol -> mismatch
+    far = _mk_tier(
+        spark, [("s", "a", "2024-01-01 10:00:00", 1, 5.0002, 5.0, 5.0, 25.0)]
+    )
+    assert (
+        tiers.coherence_audit(near, t1m, "1h").collect()[0]["status"] == "ok"
+    )
+    assert (
+        tiers.coherence_audit(far, t1m, "1h").collect()[0]["status"]
+        == "mismatch"
+    )
+    # min/max compare exactly: a min shifted far below any sum grain
+    # is still corruption (no arithmetic touches min through cascade)
+    badmin = _mk_tier(
+        spark, [("s", "a", "2024-01-01 10:00:00", 1, 5.0, 4.999999999, 5.0, 25.0)]
+    )
+    assert (
+        tiers.coherence_audit(badmin, t1m, "1h").collect()[0]["status"]
+        == "mismatch"
+    )

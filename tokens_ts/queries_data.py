@@ -5796,7 +5796,7 @@ def doc_keyness_g2(spark, sf_dir):
                  p -> len(list_distinct(ws[p : p + 9])))) AS DOUBLE)
                / (10.0 * (n - 10 + 1))
              ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / n END AS mattr
-      FROM d2
+      FROM c
     )
     SELECT doc_id, source,
            CAST(n AS BIGINT) AS n_words,
@@ -12517,3 +12517,68 @@ def mm_frame_plan(spark, sf_dir):
     return multimodal.frame_plan(
         v, every_s=2, max_frames=8
     ).orderBy("doc_id", "k")
+
+
+@q(
+    "emb_matryoshka",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS aid, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 7
+    ),
+    d AS (SELECT aid, va, vb, unnest([8, 16, 32, 64]) AS dim FROM p),
+    c AS (
+      SELECT aid, dim,
+        CAST(ROUND(list_sum(list_transform(range(1, dim + 1),
+          i -> va[i] * vb[i])) * 1e6) AS BIGINT) AS dt,
+        CAST(ROUND(list_sum(list_transform(range(1, dim + 1),
+          i -> va[i] * va[i])) * 1e6) AS BIGINT) AS na,
+        CAST(ROUND(list_sum(list_transform(range(1, dim + 1),
+          i -> vb[i] * vb[i])) * 1e6) AS BIGINT) AS nb,
+        CAST(ROUND(list_sum(list_transform(range(1, 65),
+          i -> va[i] * vb[i])) * 1e6) AS BIGINT) AS fdt,
+        CAST(ROUND(list_sum(list_transform(range(1, 65),
+          i -> va[i] * va[i])) * 1e6) AS BIGINT) AS fna,
+        CAST(ROUND(list_sum(list_transform(range(1, 65),
+          i -> vb[i] * vb[i])) * 1e6) AS BIGINT) AS fnb
+      FROM d
+    ),
+    s AS (
+      SELECT dim,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          CAST(ROUND(1e6 * dt
+            / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+        END AS cos_d,
+        CASE WHEN fna > 0 AND fnb > 0 THEN
+          CAST(ROUND(1e6 * fdt
+            / sqrt(CAST(fna AS DOUBLE) * CAST(fnb AS DOUBLE))) AS BIGINT)
+        END AS cos_full
+      FROM c
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           count(CASE WHEN cos_d IS NOT NULL AND cos_full IS NOT NULL
+                 THEN 1 END) AS n_pairs,
+           CAST(sum(CASE WHEN cos_d IS NOT NULL AND cos_full IS NOT NULL
+                 THEN abs(cos_d - cos_full) END) AS BIGINT)
+             AS sum_abs_err_e6,
+           CAST(max(CASE WHEN cos_d IS NOT NULL AND cos_full IS NOT NULL
+                 THEN abs(cos_d - cos_full) END) AS BIGINT)
+             AS max_abs_err_e6,
+           count(CASE WHEN cos_d IS NOT NULL AND cos_full IS NOT NULL
+                 AND ((cos_d >= 0) = (cos_full >= 0)) THEN 1 END)
+             AS n_sign_agree
+    FROM s GROUP BY 1
+    """,
+)
+def emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation-fidelity sweep over prefix dims
+    8/16/32/64 on the deterministic (id, id+7) pair sample: per dim,
+    pair count, summed + max absolute e6-cosine error vs the full
+    64-dim cosine, and sign-agreement count. dim=64 pins err = 0 by
+    construction (the slice IS the full vector — a free self-check the
+    driver hash enforces). See simsearch.matryoshka_fidelity."""
+    return simsearch.matryoshka_fidelity(_emb(spark, sf_dir))

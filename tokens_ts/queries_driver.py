@@ -1277,3 +1277,104 @@ def ts_sessionize(spark, sf_dir):
         F.countDistinct("sid").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-tier cascade-invariant audit (tiers.coherence_audit): a stored
+# 1h tier with three deterministically planted corruption classes —
+# value-corrupt windows, dropped windows, orphan windows — audited
+# against the re-cascade of the 1m tier. The oracle re-derives the
+# stored tier (same planting rules), the expected tier, and every
+# verdict independently in SQL.
+# ---------------------------------------------------------------------------
+
+@q(
+    "ts_tier_coherence",
+    """
+    WITH t1h AS (
+      SELECT event_type AS series_id, date_trunc('hour', ts) AS ws,
+             count(value) AS cnt,
+             sum(value) AS s,
+             min(value) AS mn, max(value) AS mx,
+             sum(value * value) AS sq
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT *, CAST(epoch(ws) AS BIGINT) // 3600 + length(series_id) AS hh
+      FROM t1h
+    ),
+    stored AS (
+      SELECT series_id, ws,
+             CASE WHEN hh % 13 = 0 THEN cnt + 1 ELSE cnt END AS cnt,
+             CASE WHEN hh % 13 = 0 THEN s + 0.5 ELSE s END AS s,
+             mn, mx, sq
+      FROM h WHERE hh % 17 <> 5
+      UNION ALL
+      SELECT series_id, ws + INTERVAL 370 DAY, cnt, s, mn, mx, sq
+      FROM h WHERE hh % 19 = 3
+    ),
+    sc AS (
+      SELECT series_id, ws, cnt,
+             CAST(ROUND(s * 1e4) AS BIGINT) AS s_e4, mn, mx,
+             CAST(ROUND(sq * 1e2) AS BIGINT) AS sq_e2
+      FROM stored
+    ),
+    ec AS (
+      SELECT series_id, ws, cnt,
+             CAST(ROUND(s * 1e4) AS BIGINT) AS s_e4, mn, mx,
+             CAST(ROUND(sq * 1e2) AS BIGINT) AS sq_e2
+      FROM t1h
+    )
+    SELECT COALESCE(s.series_id, e.series_id) AS series_id,
+           strftime(COALESCE(s.ws, e.ws), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CASE WHEN s.cnt IS NULL THEN 'missing'
+                WHEN e.cnt IS NULL THEN 'orphan'
+                WHEN s.cnt = e.cnt AND abs(s.s_e4 - e.s_e4) <= 1
+                     AND s.mn IS NOT DISTINCT FROM e.mn
+                     AND s.mx IS NOT DISTINCT FROM e.mx
+                     AND abs(s.sq_e2 - e.sq_e2) <= 1 THEN 'ok'
+                ELSE 'mismatch' END AS status,
+           CASE WHEN s.cnt IS NOT NULL AND e.cnt IS NOT NULL
+                THEN s.cnt - e.cnt END AS cnt_diff
+    FROM sc s FULL OUTER JOIN ec e
+      ON s.series_id = e.series_id AND s.ws = e.ws
+    """,
+)
+def ts_tier_coherence(spark, sf_dir):
+    """Audit a stored 1h tier against cascade(1m tier) with planted
+    corruption: hh = epoch(window)//3600 + len(series_id); hh%13==0 →
+    cnt+1 and sum+0.5 (mismatch), hh%17==5 → window dropped (missing),
+    hh%19==3 → the window re-emitted at +370 days (orphan — beyond the
+    data's time range by construction, so it collides with nothing).
+    Exercises every verdict branch of tiers.coherence_audit in one
+    driver-checked pair. Output keeps the integer-exact columns
+    (status, cnt_diff): the engine's sum_diff on a corrupt window is
+    round((s+0.5)·1e4) − round(s'·1e4) over two differently-ordered
+    sums, i.e. 5000 ± a possible rounding-boundary unit — correct, but
+    not a value a cross-engine hash can pin."""
+    raw = _events_raw(spark, sf_dir)
+    t1m = tiers.rollup(raw, "1m")
+    t1h = tiers.rollup(raw, "1h")
+    hh = (F.unix_timestamp("window_start") / F.lit(3600)).cast(
+        "bigint"
+    ) + F.length("series_id")
+    corrupt = hh % 13 == 0
+    stored = (
+        t1h.where(hh % 17 != 5)
+        .withColumn("cnt", F.when(corrupt, F.col("cnt") + 1).otherwise(F.col("cnt")))
+        .withColumn("sum", F.when(corrupt, F.col("sum") + 0.5).otherwise(F.col("sum")))
+        .unionByName(
+            t1h.where(hh % 19 == 3).withColumn(
+                "window_start",
+                F.col("window_start") + F.expr("INTERVAL 370 DAYS"),
+            )
+        )
+    )
+    aud = tiers.coherence_audit(stored, t1m, "1h")
+    return aud.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "status",
+        "cnt_diff",
+    )

@@ -1776,3 +1776,85 @@ def semdedup(
             (F.coalesce("_nc", F.lit(0)) > 0).alias("removed"),
         )
     )
+
+
+def matryoshka_fidelity(
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32, 64),
+    stride: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much cosine similarity
+    survives when vectors are cut to their first d dimensions?
+
+    MRL-trained embeddings promise that a prefix slice is a usable
+    cheaper vector (store 8 floats instead of 64 → 8× smaller index);
+    before an index adopts a truncation dim, that promise must be
+    MEASURED on the actual corpus. For each deterministic pair
+    (id, id+stride) and each candidate d, this compares the truncated
+    cosine against the full-dim cosine and reports per d: pair count,
+    summed + max absolute cosine error, and how often the truncated
+    cosine keeps the full cosine's sign (the cheapest sanity bar — a
+    slice that flips similar/dissimilar verdicts is unusable).
+
+    Exactness pins (the jl_distortion discipline): dot and both
+    squared norms are e6-rounded bigints, the cosine is derived FROM
+    those integers (round(1e6·dot / sqrt(na·nb)) — integer inputs make
+    the quotient IEEE-identical cross-engine), and every error is an
+    integer difference of two such cosines, so the per-d aggregates
+    are integer-exact. Zero-norm prefixes (an all-zero slice) yield a
+    null cosine and drop out of that d's pair count.
+
+    Scale shape: one id-offset equi-join builds the pair sample (one
+    pair per vector, never a cross join), the per-d work is a row-local
+    explode over |dims| literals, and the output is |dims| rows — the
+    only shuffle is the final |dims|-group aggregate."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("nid"), v.alias("v"))
+    a = base.select(F.col("nid").alias("aid"), F.col("v").alias("va"))
+    b = base.select((F.col("nid") - stride).alias("aid"), F.col("v").alias("vb"))
+    pairs = a.join(b, "aid")
+
+    def dot(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def cos_e6(u, w):
+        d = F.round(dot(u, w) * 1e6).cast("bigint")
+        na = F.round(dot(u, u) * 1e6).cast("bigint")
+        nb = F.round(dot(w, w) * 1e6).cast("bigint")
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.round(
+                F.lit(1e6) * d / F.sqrt(na.cast("double") * nb.cast("double"))
+            ).cast("bigint"),
+        )
+
+    ex = pairs.select(
+        "aid",
+        cos_e6(F.col("va"), F.col("vb")).alias("cos_full"),
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+        "va",
+        "vb",
+    )
+    cd = cos_e6(F.slice("va", 1, F.col("dim")), F.slice("vb", 1, F.col("dim")))
+    scored = ex.select(
+        "dim",
+        "cos_full",
+        cd.alias("cos_d"),
+    )
+    both = F.col("cos_d").isNotNull() & F.col("cos_full").isNotNull()
+    err = F.when(both, F.abs(F.col("cos_d") - F.col("cos_full")))
+    agree = both & (
+        (F.col("cos_d") >= 0).eqNullSafe(F.col("cos_full") >= 0)
+    )
+    return scored.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count(F.when(both, 1)).cast("bigint").alias("n_pairs"),
+        F.sum(err).cast("bigint").alias("sum_abs_err_e6"),
+        F.max(err).cast("bigint").alias("max_abs_err_e6"),
+        F.count(F.when(agree, 1)).cast("bigint").alias("n_sign_agree"),
+    )

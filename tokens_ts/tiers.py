@@ -770,3 +770,95 @@ def zorder_layout(
         (F.max("u") - F.min("u")).cast("bigint").alias("u_span"),
         (F.max("h") - F.min("h")).cast("bigint").alias("h_span"),
     )
+
+
+def coherence_audit(
+    stored: DataFrame,
+    finer: DataFrame,
+    tier: str,
+    keys: Sequence[str] = KEYS,
+    sum_e: int = 4,
+    sumsq_e: int = 2,
+    tol: int = 1,
+) -> DataFrame:
+    """Cross-tier cascade-invariant audit: does a STORED coarse tier
+    still equal the re-cascade of the finer tier below it?
+
+    Continuous aggregates earn their keep only while the invariant
+    stored(T) == cascade(tier(T-1), T) actually holds; a bad backfill,
+    a partial overwrite, or a lost window silently breaks it and every
+    downstream read serves wrong numbers. This operator is that
+    invariant as a runtime check (the TimescaleDB analog is a
+    caggs-vs-real-time-view diff): it re-derives the expected coarse
+    state from the finer tier and full-outer-joins it against the
+    stored rows, emitting one verdict per (keys, window):
+
+        ok        stored state equals expected at the declared grains
+        mismatch  both present, any state field differs
+        missing   expected window absent from the stored tier
+        orphan    stored window the finer tier cannot produce
+
+    Equality rules, per state field: cnt and min/max compare EXACTLY
+    (cnt is an integer; min/max pass through cascade with no
+    arithmetic, so they are bit-identical when the tier is healthy).
+    sum and sum_sq compare at the engine's canonical rounding grains
+    (10^-sum_e / 10^-sumsq_e) with a ±tol grain-unit slack: cascade
+    re-sums partial sums in a DIFFERENT order than the stored tier's
+    original aggregation, so the two healthy doubles differ by
+    ~n·eps·magnitude — raw equality would flag that ulp noise as
+    corruption, and even grain rounding can split it across a .5
+    boundary on single windows. ±1 grain unit absorbs every
+    reordering artifact (noise is orders of magnitude below one grain
+    at any realistic window magnitude) while real corruption moves
+    thousands of grain units.
+
+    Scale shape: ONE cascade aggregation (map-side combined) + ONE
+    equi full-outer join on (keys, window_start) — both frames are
+    tier-sized (windows, not raw points), so the audit costs a tier
+    read, never a raw-data scan. cnt comes from count() and is never
+    null on a present row, which is what makes the null-side tests a
+    sound missing/orphan detector."""
+    exp = cascade(finer, tier)
+
+    def canon(df: DataFrame, pfx: str) -> DataFrame:
+        def g(c: str, k: int):
+            return F.round(F.col(c) * F.lit(float(10 ** k))).cast("bigint")
+
+        return df.select(
+            *keys,
+            "window_start",
+            F.col("cnt").cast("bigint").alias(f"{pfx}_cnt"),
+            g("sum", sum_e).alias(f"{pfx}_sum"),
+            F.col("min").alias(f"{pfx}_min"),
+            F.col("max").alias(f"{pfx}_max"),
+            g("sum_sq", sumsq_e).alias(f"{pfx}_sumsq"),
+        )
+
+    s = canon(stored, "st")
+    e = canon(exp, "ex")
+    j = s.join(e, [*keys, "window_start"], "full_outer")
+    both = F.col("st_cnt").isNotNull() & F.col("ex_cnt").isNotNull()
+
+    def near(a: str, b: str):
+        return F.abs(F.col(a) - F.col(b)) <= F.lit(tol)
+
+    equal = (
+        F.col("st_cnt").eqNullSafe(F.col("ex_cnt"))
+        & near("st_sum", "ex_sum")
+        & F.col("st_min").eqNullSafe(F.col("ex_min"))
+        & F.col("st_max").eqNullSafe(F.col("ex_max"))
+        & near("st_sumsq", "ex_sumsq")
+    )
+    status = (
+        F.when(F.col("st_cnt").isNull(), F.lit("missing"))
+        .when(F.col("ex_cnt").isNull(), F.lit("orphan"))
+        .when(equal, F.lit("ok"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return j.select(
+        *keys,
+        "window_start",
+        status.alias("status"),
+        F.when(both, F.col("st_cnt") - F.col("ex_cnt")).alias("cnt_diff"),
+        F.when(both, F.col("st_sum") - F.col("ex_sum")).alias("sum_diff"),
+    )
