@@ -524,3 +524,41 @@ def test_coherence_audit_grain_tolerance(spark):
         tiers.coherence_audit(badmin, t1m, "1h").collect()[0]["status"]
         == "mismatch"
     )
+
+
+def test_repair_tier_recomputes_only_flagged_windows(spark):
+    t1m = _mk_tier(
+        spark,
+        [
+            ("s", "a", "2024-01-01 10:00:00", 2, 10.0, 4.0, 6.0, 52.0),
+            ("s", "a", "2024-01-01 11:00:00", 1, 7.0, 7.0, 7.0, 49.0),
+            ("s", "a", "2024-01-01 12:00:00", 1, 2.0, 2.0, 2.0, 4.0),
+        ],
+    )
+    stored = _mk_tier(
+        spark,
+        [
+            # healthy but with a SUB-GRAIN sum difference (5e-5 < one
+            # e4 grain unit): verdict ok -> must pass through UNTOUCHED
+            ("s", "a", "2024-01-01 10:00:00", 2, 10.00005, 4.0, 6.0, 52.0),
+            # corrupted cnt -> recomputed from the finer tier
+            ("s", "a", "2024-01-01 11:00:00", 9, 7.0, 7.0, 7.0, 49.0),
+            # orphan -> dropped
+            ("s", "a", "2024-01-01 13:00:00", 1, 1.0, 1.0, 1.0, 1.0),
+            # hour 12 missing -> materialized from the finer tier
+        ],
+    )
+    rep = tiers.repair_tier(stored, t1m, "1h")
+    rows = {r["window_start"].strftime("%H"): r for r in rep.collect()}
+    assert set(rows) == {"10", "11", "12"}
+    # pass-through keeps the stored double bit-for-bit
+    assert rows["10"]["sum"] == 10.00005 and rows["10"]["cnt"] == 2
+    # mismatch recomputed, missing materialized
+    assert rows["11"]["cnt"] == 1 and rows["11"]["sum"] == 7.0
+    assert rows["12"]["cnt"] == 1 and rows["12"]["sum"] == 2.0
+    # idempotence: auditing the repaired tier finds nothing bad, and a
+    # second repair is a no-op (same row set)
+    aud2 = tiers.coherence_audit(rep, t1m, "1h")
+    assert aud2.where(F.col("status") != "ok").count() == 0
+    rep2 = tiers.repair_tier(rep, t1m, "1h")
+    assert sorted(map(str, rep2.collect())) == sorted(map(str, rep.collect()))

@@ -1378,3 +1378,52 @@ def ts_tier_coherence(spark, sf_dir):
         "status",
         "cnt_diff",
     )
+
+
+@q(
+    "ts_tier_repair",
+    """
+    SELECT event_type AS series_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(value) AS cnt,
+           CAST(ROUND(sum(value) * 1e4) AS BIGINT) AS sum_e4,
+           min(value) AS min,
+           max(value) AS max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_tier_repair(spark, sf_dir):
+    """Repair the SAME corrupted stored 1h tier ts_tier_coherence
+    plants (cnt/sum-corrupt + dropped + orphan windows) from the 1m
+    tier below it — and the oracle is simply the direct 1h rollup:
+    repair(corrupted) must be value-equal to rebuild, while touching
+    only the flagged windows (pytest pins the pass-through side)."""
+    raw = _events_raw(spark, sf_dir)
+    t1m = tiers.rollup(raw, "1m")
+    t1h = tiers.rollup(raw, "1h")
+    hh = (F.unix_timestamp("window_start") / F.lit(3600)).cast(
+        "bigint"
+    ) + F.length("series_id")
+    corrupt = hh % 13 == 0
+    stored = (
+        t1h.where(hh % 17 != 5)
+        .withColumn("cnt", F.when(corrupt, F.col("cnt") + 1).otherwise(F.col("cnt")))
+        .withColumn("sum", F.when(corrupt, F.col("sum") + 0.5).otherwise(F.col("sum")))
+        .unionByName(
+            t1h.where(hh % 19 == 3).withColumn(
+                "window_start",
+                F.col("window_start") + F.expr("INTERVAL 370 DAYS"),
+            )
+        )
+    )
+    rep = tiers.repair_tier(stored, t1m, "1h")
+    return rep.select(
+        "series_id",
+        _fmt("window_start").alias("window_start"),
+        "cnt",
+        _e("sum", 4).alias("sum_e4"),
+        "min",
+        "max",
+    )

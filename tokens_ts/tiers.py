@@ -862,3 +862,40 @@ def coherence_audit(
         F.when(both, F.col("st_cnt") - F.col("ex_cnt")).alias("cnt_diff"),
         F.when(both, F.col("st_sum") - F.col("ex_sum")).alias("sum_diff"),
     )
+
+
+def repair_tier(
+    stored: DataFrame,
+    finer: DataFrame,
+    tier: str,
+    keys: Sequence[str] = KEYS,
+    sum_e: int = 4,
+    sumsq_e: int = 2,
+    tol: int = 1,
+) -> DataFrame:
+    """Repair a stored coarse tier in place of a full rebuild: recompute
+    ONLY the windows coherence_audit flags, keep every healthy stored
+    row byte-for-byte, drop orphans.
+
+    The contract (pinned by the ts_tier_repair oracle end-to-end):
+    repair(stored, finer, T) is value-equal to cascade(finer, T) at the
+    canonical grains — but unlike a rebuild it never rewrites healthy
+    windows, so at 10^12 scale a single corrupted backfill day costs a
+    day-sized MERGE, not a tier-wide rewrite. Healthy rows pass through
+    with their ORIGINAL doubles (sub-grain ulp differences from the
+    cascade are preserved, not "fixed" — pytest pins this), which is
+    what makes the repair idempotent and cheap: auditing again right
+    after repairing finds zero bad windows and a second repair writes
+    nothing.
+
+    Scale shape: one coherence_audit (cascade agg + equi join) + one
+    left-anti + one left-semi join, every frame tier-sized. The output
+    feeds Catalog MERGE/partition-overwrite exactly like any other
+    tier write."""
+    on = [*keys, "window_start"]
+    aud = coherence_audit(stored, finer, tier, keys, sum_e, sumsq_e, tol)
+    bad = aud.where(F.col("status") != "ok").select(*on)
+    need = aud.where(F.col("status").isin("mismatch", "missing")).select(*on)
+    kept = stored.join(bad, on, "left_anti")
+    recomputed = cascade(finer, tier).join(need, on, "left_semi")
+    return kept.unionByName(recomputed)
