@@ -3414,3 +3414,52 @@ def test_pagerank_fixed_numpy_replay_and_dangling(spark):
     assert ranks["hub"] > ranks["a"] and ranks["hub"] > ranks["c"]
     # dangling sink fed by the hub still collects mass
     assert ranks["sink"] > min(ranks.values())
+
+
+# ---------------------------------------------------------------------------
+# kruskal_dow: Kruskal-Wallis H across weekday groups
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_dow_hand_worked_and_degenerates(spark):
+    import datetime as dt
+
+    def ev(series, day, hour, value):
+        return (series, dt.datetime(2024, 1, day, hour, 0, 0), value)
+
+    rows = [
+        # series "a": Mon(1st)/Tue(2nd)/Wed(3rd) 2024-01, two hourly
+        # buckets each, values 1..6 strictly increasing by day — no
+        # ties, ranks 1..6, R_g = (3, 7, 11):
+        # H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 32/7
+        ev("a", 1, 0, 1.0), ev("a", 1, 1, 2.0),
+        ev("a", 2, 0, 3.0), ev("a", 2, 1, 4.0),
+        ev("a", 3, 0, 5.0), ev("a", 3, 1, 6.0),
+        # series "b": every bucket identical -> H = 0 exactly, tie
+        # correction C = 0 -> corrected H is null (honest)
+        ev("b", 1, 0, 5.0), ev("b", 1, 1, 5.0),
+        ev("b", 2, 0, 5.0), ev("b", 2, 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    out = {
+        r["series_id"]: r
+        for r in analytics.kruskal_dow(df, keys=["series_id"]).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_buckets"], a["n_groups"]) == (6, 3)
+    assert a["h_e6"] == round(32 / 7 * 1e6)  # 4571429
+    assert a["h_corr_e6"] == a["h_e6"]  # no ties -> C = 1
+    assert (b["n_buckets"], b["n_groups"], b["h_e6"], b["h_corr_e6"]) == (
+        4, 2, 0, None,
+    )
+    # partial ties inflate the corrected statistic: C < 1 -> H/C > H
+    rows_t = [
+        ev("c", 1, 0, 1.0), ev("c", 1, 1, 2.0),
+        ev("c", 2, 0, 2.0), ev("c", 2, 1, 4.0),
+        ev("c", 3, 0, 5.0), ev("c", 3, 1, 6.0),
+    ]
+    dft = spark.createDataFrame(
+        rows_t, "series_id string, ts timestamp, value double"
+    )
+    c = analytics.kruskal_dow(dft, keys=["series_id"]).collect()[0]
+    assert c["h_e6"] > 0 and c["h_corr_e6"] > c["h_e6"]

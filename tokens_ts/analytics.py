@@ -6353,3 +6353,91 @@ def pagerank_fixed(
             )
         )
     return r.select("node", "out_n", F.col("rank").alias("rank_e12"))
+
+
+def kruskal_dow(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Kruskal-Wallis H across day-of-week groups per series: do the
+    seven weekday populations of bucket means share one distribution?
+    The k-sample nonparametric ANOVA — mannwhitney_drift answers "did
+    it shift between two halves", this answers "does the WEEK structure
+    the series" without assuming normality (the rank-based sibling of
+    the pivot_dow_hour / typical_day profile reports, but as a test
+    statistic with a chi-square(k−1) reference, not a picture).
+
+    Exactness pins (the mannwhitney_drift discipline): values are e6
+    bucket means (bigint); ranks enter via the integer midrank
+    identity m2 = 2·rank + t − 1, so each group's rank mass R2_g =
+    Σ m2 is an exact integer and Σ R_g²/n_g = Σ R2_g²/(4·n_g); the
+    weekday is integer calendar arithmetic on the bucket epoch
+    ((ep div 86400 + 3) % 7, Monday = 0 — no engine dayofweek
+    convention involved); H = 3·Σ(R2_g²/n_g)/(N(N+1)) − 3(N+1) and the
+    tie correction C = 1 − Σ(t³−t)/(N³−N) are one fixed expression
+    tree from those integers (≤7-term double sums, noise orders of
+    magnitude below the e6 grain). All-tied series → C = 0 → null
+    corrected H (honest); series with < 2 buckets are dropped.
+
+    Scale shape: one bucket agg, rank windows on the SAME key
+    partitioning, then every frame is keys- or keys×7-bounded — the
+    standard keys×buckets lineage, single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "v",
+        ((F.col("ep") / F.lit(86400)).cast("bigint") + 3).alias("_d"),
+        (
+            2 * F.rank().over(wk.orderBy("v"))
+            + F.count("*").over(Window.partitionBy(*keys, "v"))
+            - 1
+        ).cast("bigint").alias("_m2"),
+    ).withColumn("dow", F.pmod(F.col("_d"), F.lit(7)).cast("bigint"))
+    g = r.groupBy(*keys, "dow").agg(
+        F.count("*").cast("bigint").alias("_ng"),
+        F.sum("_m2").alias("_r2g"),
+    )
+    s = g.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(
+            F.col("_r2g").cast("double")
+            * F.col("_r2g").cast("double")
+            / F.col("_ng").cast("double")
+        ).alias("_s4"),
+        F.sum("_ng").cast("bigint").alias("n_buckets"),
+    )
+    ties = (
+        b.groupBy(*keys, "v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("_ties")
+        )
+    )
+    j = s.join(ties, keys).where(F.col("n_buckets") >= 2)
+    n = F.col("n_buckets")
+    h = (
+        F.lit(3.0) * F.col("_s4") / (n * (n + 1)).cast("double")
+        - F.lit(3.0) * (n + 1).cast("double")
+    )
+    c = F.lit(1.0) - F.col("_ties").cast("double") / (
+        n * n * n - n
+    ).cast("double")
+    return j.select(
+        *keys,
+        "n_buckets",
+        "n_groups",
+        F.round(h * 1e6).cast("bigint").alias("h_e6"),
+        F.when(c > 0, F.round(h / c * 1e6).cast("bigint")).alias("h_corr_e6"),
+    )

@@ -12582,3 +12582,67 @@ def emb_matryoshka(spark, sf_dir):
     construction (the slice IS the full vector — a free self-check the
     driver hash enforces). See simsearch.matryoshka_fidelity."""
     return simsearch.matryoshka_fidelity(_emb(spark, sf_dir))
+
+
+@q(
+    "ts_kruskal_dow",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, v, (ep // 86400 + 3) % 7 AS dow,
+             2 * rank() OVER (PARTITION BY series_id ORDER BY v)
+               + count(*) OVER (PARTITION BY series_id, v) - 1 AS m2
+      FROM b
+    ),
+    g AS (
+      SELECT series_id, dow, count(*) AS ng, sum(m2) AS r2g
+      FROM r GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT series_id, count(*) AS n_groups,
+             sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) AS s4,
+             sum(ng) AS n
+      FROM g GROUP BY 1
+    ),
+    t AS (
+      SELECT series_id, sum(t * t * t - t) AS ties
+      FROM (SELECT series_id, v, count(*) AS t FROM b GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT s.series_id,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(ROUND((3.0 * s4 / CAST(n * (n + 1) AS DOUBLE)
+                       - 3.0 * CAST(n + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             AS h_e6,
+           CASE WHEN 1.0 - CAST(ties AS DOUBLE)
+                          / CAST(n * n * n - n AS DOUBLE) > 0
+                THEN CAST(ROUND((3.0 * s4 / CAST(n * (n + 1) AS DOUBLE)
+                                 - 3.0 * CAST(n + 1 AS DOUBLE))
+                     / (1.0 - CAST(ties AS DOUBLE)
+                              / CAST(n * n * n - n AS DOUBLE))
+                     * 1e6) AS BIGINT)
+           END AS h_corr_e6
+    FROM s JOIN t ON s.series_id = t.series_id
+    WHERE n >= 2
+    """,
+)
+def ts_kruskal_dow(spark, sf_dir):
+    """Kruskal-Wallis H across the seven weekday groups of hourly
+    bucket means, per event_type series — tie-corrected, with the
+    integer midrank + calendar-arithmetic pins (see
+    analytics.kruskal_dow)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.kruskal_dow(
+        ev, keys=["series_id"], ts_col="ts", value_col="value", trunc="hour",
+    ).select("series_id", "n_buckets", "n_groups", "h_e6", "h_corr_e6")
