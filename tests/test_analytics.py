@@ -3463,3 +3463,63 @@ def test_kruskal_dow_hand_worked_and_degenerates(spark):
     )
     c = analytics.kruskal_dow(dft, keys=["series_id"]).collect()[0]
     assert c["h_e6"] > 0 and c["h_corr_e6"] > c["h_e6"]
+
+
+# ---------------------------------------------------------------------------
+# friedman_dayparts: blocked rank test across dayparts
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_dayparts_hand_worked(spark):
+    import datetime as dt
+
+    def ev(series, day, hour, value):
+        return (series, dt.datetime(2024, 1, day, hour, 0, 0), value)
+
+    rows = [
+        # series "a": 2 complete blocks (days) x 3 dayparts (hours
+        # 0/6/12 -> segs 0/1/2), values ranked identically (1,2,3) in
+        # each block -> no ties, R2 = (4,8,12), N2 = 32, A2 = 112,
+        # D2 = 112 - 2*3*16 = 16, Q = 2*32/16 = 4, W = Q/(n(k-1)) = 1
+        ev("a", 1, 0, 1.0), ev("a", 1, 6, 2.0), ev("a", 1, 12, 3.0),
+        ev("a", 2, 0, 4.0), ev("a", 2, 6, 5.0), ev("a", 2, 12, 6.0),
+        # day 3 is INCOMPLETE (2 of the 3 observed dayparts) and must
+        # be excluded without perturbing the complete-block answer
+        ev("a", 3, 0, 100.0), ev("a", 3, 6, 200.0),
+        # series "b": every daypart identical within both blocks ->
+        # all-tied ranks, D2 = 0 -> honest null Q
+        ev("b", 1, 0, 5.0), ev("b", 1, 6, 5.0),
+        ev("b", 2, 0, 5.0), ev("b", 2, 6, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.friedman_dayparts(df, keys=["series_id"]).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["k_treatments"], a["n_blocks"]) == (3, 2)
+    assert a["q_e6"] == 4_000_000
+    assert a["w_e6"] == 1_000_000  # perfect concordance
+    assert (b["k_treatments"], b["n_blocks"], b["q_e6"], b["w_e6"]) == (
+        2, 2, None, None,
+    )
+
+
+def test_friedman_dayparts_discordant_blocks(spark):
+    import datetime as dt
+
+    # two blocks ranking the two dayparts OPPOSITELY -> R2 equal for
+    # both treatments -> N2 = 0 -> Q = 0 (no consistent ordering)
+    rows = [
+        ("c", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("c", dt.datetime(2024, 1, 1, 6), 2.0),
+        ("c", dt.datetime(2024, 1, 2, 0), 2.0),
+        ("c", dt.datetime(2024, 1, 2, 6), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.friedman_dayparts(df, keys=["series_id"]).collect()[0]
+    assert (r["q_e6"], r["w_e6"]) == (0, 0)

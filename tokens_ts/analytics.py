@@ -6441,3 +6441,100 @@ def kruskal_dow(
         F.round(h * 1e6).cast("bigint").alias("h_e6"),
         F.when(c > 0, F.round(h / c * 1e6).cast("bigint")).alias("h_corr_e6"),
     )
+
+
+def friedman_dayparts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seg_s: int = 21600,
+) -> DataFrame:
+    """Friedman blocked rank test per series: blocks are calendar days,
+    treatments are the day's ``86400/seg_s`` fixed segments (default
+    four 6-hour dayparts), value = per-(block, treatment) e6 mean. The
+    repeated-measures sibling of kruskal_dow — Kruskal asks "do the
+    weekday POPULATIONS differ", Friedman asks "within each day, do the
+    dayparts rank consistently" with every day acting as its own
+    control, so a level shift between days cannot fake (or hide) a
+    diurnal ordering.
+
+    Exactness pins: ranks enter via the block-local integer midrank
+    identity m2 = 2·rank + t − 1 (exact bigints), and the tie-corrected
+    statistic collapses to ONE exact rational: with R2_j = Σ_blocks m2,
+    A2 = Σ m2², n complete blocks, k treatments,
+
+        Q = (k−1) · Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²)
+
+    — numerator and denominator are exact bigints, so Q is one double
+    division both engines form identically; Kendall's W = Q/(n(k−1))
+    rides along as the effect size. All-tied blocks everywhere →
+    denominator 0 → null Q (honest). Only COMPLETE blocks count
+    (a day missing a daypart ranks nothing — the classic design rule);
+    k is the series' observed treatment count, so a series that never
+    logs nights is judged on the dayparts it has. Block/segment ids are
+    pure integer epoch-microsecond arithmetic — no calendar function,
+    no TZ exposure.
+
+    Scale shape: one (keys, block, seg) partial agg off the corpus
+    scan, rank windows on (keys, block), then every frame is keys- or
+    keys×k-bounded. Single key shuffle lineage."""
+    ep_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            (ep_us / F.lit(86400_000_000)).cast("bigint").alias("_blk"),
+            (
+                F.pmod(ep_us, F.lit(86400_000_000)) / F.lit(seg_s * 1_000_000)
+            ).cast("bigint").alias("_seg"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    # series-wide treatment count k and per-block completeness
+    k_s = F.size(F.collect_set("_seg").over(Window.partitionBy(*keys)))
+    blk_n = F.count("*").over(Window.partitionBy(*keys, "_blk"))
+    c = (
+        b.withColumn("_k", k_s)
+        .withColumn("_bn", blk_n)
+        .where(F.col("_bn") == F.col("_k"))
+    )
+    wb = Window.partitionBy(*keys, "_blk")
+    r = c.withColumn(
+        "_m2",
+        (
+            2 * F.rank().over(wb.orderBy("v"))
+            + F.count("*").over(Window.partitionBy(*keys, "_blk", "v"))
+            - 1
+        ).cast("bigint"),
+    )
+    per_t = r.groupBy(*keys, "_k", "_seg").agg(
+        F.sum("_m2").alias("_r2"),
+        F.sum(F.col("_m2") * F.col("_m2")).alias("_a2"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    s = per_t.groupBy(*keys, "_k").agg(
+        F.max("_n").alias("n_blocks"),
+        F.sum(
+            (F.col("_r2") - F.col("_n") * (F.col("_k") + 1))
+            * (F.col("_r2") - F.col("_n") * (F.col("_k") + 1))
+        ).alias("_n2"),
+        F.sum("_a2").alias("_a2s"),
+    ).where((F.col("_k") >= 2) & (F.col("n_blocks") >= 1))
+    k = F.col("_k").cast("bigint")
+    d2 = F.col("_a2s") - F.col("n_blocks") * k * (k + 1) * (k + 1)
+    qstat = (k - 1).cast("double") * F.col("_n2").cast("double") / d2.cast("double")
+    return s.select(
+        *keys,
+        F.col("_k").cast("bigint").alias("k_treatments"),
+        F.col("n_blocks"),
+        F.when(d2 > 0, F.round(qstat * 1e6).cast("bigint")).alias("q_e6"),
+        F.when(
+            d2 > 0,
+            F.round(
+                qstat
+                / (F.col("n_blocks") * (k - 1)).cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("w_e6"),
+    )

@@ -12646,3 +12646,66 @@ def ts_kruskal_dow(spark, sf_dir):
     return analytics.kruskal_dow(
         ev, keys=["series_id"], ts_col="ts", value_col="value", trunc="hour",
     ).select("series_id", "n_buckets", "n_groups", "h_e6", "h_corr_e6")
+
+
+@q(
+    "ts_friedman_dayparts",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             epoch_us(ts) // 86400000000 AS blk,
+             (epoch_us(ts) % 86400000000) // 21600000000 AS seg,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    kk AS (SELECT series_id, count(DISTINCT seg) AS k FROM b GROUP BY 1),
+    c AS (
+      SELECT b.*, kk.k FROM b JOIN kk USING (series_id)
+      QUALIFY count(*) OVER (PARTITION BY series_id, blk) = k
+    ),
+    r AS (
+      SELECT series_id, k, seg,
+             2 * rank() OVER (PARTITION BY series_id, blk ORDER BY v)
+               + count(*) OVER (PARTITION BY series_id, blk, v) - 1 AS m2
+      FROM c
+    ),
+    pt AS (
+      SELECT series_id, k, seg, sum(m2) AS r2, sum(m2 * m2) AS a2,
+             count(*) AS n
+      FROM r GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT series_id, k, max(n) AS n_blocks,
+             sum((r2 - n * (k + 1)) * (r2 - n * (k + 1))) AS n2,
+             sum(a2) AS a2s
+      FROM pt GROUP BY 1, 2
+    )
+    SELECT series_id,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CASE WHEN a2s - n_blocks * k * (k + 1) * (k + 1) > 0 THEN
+             CAST(ROUND(CAST(k - 1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / CAST(a2s - n_blocks * k * (k + 1) * (k + 1) AS DOUBLE)
+                  * 1e6) AS BIGINT) END AS q_e6,
+           CASE WHEN a2s - n_blocks * k * (k + 1) * (k + 1) > 0 THEN
+             CAST(ROUND(CAST(k - 1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / CAST(a2s - n_blocks * k * (k + 1) * (k + 1) AS DOUBLE)
+                  / CAST(n_blocks * (k - 1) AS DOUBLE)
+                  * 1e6) AS BIGINT) END AS w_e6
+    FROM s WHERE k >= 2 AND n_blocks >= 1
+    """,
+)
+def ts_friedman_dayparts(spark, sf_dir):
+    """Friedman blocked rank test per event_type series: blocks are
+    calendar days, treatments the four 6-hour dayparts — within-day
+    rank concordance with Kendall's W effect size, tie-corrected via
+    the exact-bigint Q = (k-1)*N2/D2 collapse (see
+    analytics.friedman_dayparts)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.friedman_dayparts(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "k_treatments", "n_blocks", "q_e6", "w_e6")
