@@ -3523,3 +3523,69 @@ def test_friedman_dayparts_discordant_blocks(spark):
     )
     r = analytics.friedman_dayparts(df, keys=["series_id"]).collect()[0]
     assert (r["q_e6"], r["w_e6"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe_dow: variance homogeneity across weekday groups
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_hand_worked_and_constant(spark):
+    import datetime as dt
+
+    # 2024-01-01 is a Monday (epoch day 19723; (19723+3) % 7 == 0).
+    rows = [
+        # Monday hours 0-3: values 1,3,5,7 -> group median 4,
+        # |z| = 3,1,1,3; Tuesday: constant 4 -> |z| = 0 everywhere.
+        # z-means: Mon 2, Tue 0, grand 1 -> SSB = 4+4 = 8, SSW = 4,
+        # W = ((8-2)/(2-1)) * 8/4 = 12
+        ("a", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 1), 3.0),
+        ("a", dt.datetime(2024, 1, 1, 2), 5.0),
+        ("a", dt.datetime(2024, 1, 1, 3), 7.0),
+        ("a", dt.datetime(2024, 1, 2, 0), 4.0),
+        ("a", dt.datetime(2024, 1, 2, 1), 4.0),
+        ("a", dt.datetime(2024, 1, 2, 2), 4.0),
+        ("a", dt.datetime(2024, 1, 2, 3), 4.0),
+        # constant series: SSW = SSB = 0 -> honest null W
+        ("b", dt.datetime(2024, 1, 1, 0), 9.0),
+        ("b", dt.datetime(2024, 1, 1, 1), 9.0),
+        ("b", dt.datetime(2024, 1, 2, 0), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.brown_forsythe_dow(df, keys=["series_id"]).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_buckets"], a["k_groups"]) == (8, 2)
+    # e3 grid: z2 units are 2e3-scaled -> SSW_m = 1000*sum(z2^2) - T1
+    assert a["ssw_m"] == 16_000_000_000 and a["ssb_m"] == 32_000_000_000
+    assert a["w_e6"] == 12_000_000
+    assert (b["ssw_m"], b["ssb_m"], b["w_e6"]) == (0, 0, None)
+
+
+def test_brown_forsythe_equal_dispersion_is_zero(spark):
+    import datetime as dt
+
+    # both weekdays have the same spread around their own medians ->
+    # z-populations identical (4, 0, 1 each) -> SSB = 0 -> W = 0
+    # exactly, while SSW > 0 keeps the statistic defined
+    rows = [
+        ("c", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("c", dt.datetime(2024, 1, 1, 1), 5.0),
+        ("c", dt.datetime(2024, 1, 1, 2), 6.0),
+        ("c", dt.datetime(2024, 1, 2, 0), 101.0),
+        ("c", dt.datetime(2024, 1, 2, 1), 105.0),
+        ("c", dt.datetime(2024, 1, 2, 2), 106.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.brown_forsythe_dow(df, keys=["series_id"]).collect()[0]
+    # ssb_m carries the documented <= 0.5-quantum-per-group
+    # pre-quantization noise (deterministic, identical cross-engine);
+    # the finished statistic still reads 0 at the e6 grain
+    assert abs(r["ssb_m"]) <= 1 and r["w_e6"] == 0

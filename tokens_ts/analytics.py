@@ -6538,3 +6538,119 @@ def friedman_dayparts(
             ).cast("bigint"),
         ).alias("w_e6"),
     )
+
+
+def brown_forsythe_dow(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across day-of-week
+    groups per series: do the seven weekday populations of bucket
+    means share one DISPERSION? The scale-question sibling of
+    kruskal_dow (location) and runs_test (randomness) — a series can
+    pass both and still be wildly more volatile on Mondays, which is
+    exactly what this W statistic sees and a location test cannot.
+
+    Levene's test with MEDIAN centers (the Brown–Forsythe variant —
+    robust to the heavy tails event data actually has): z_ij =
+    |v_ij − median_g|, W = ((N−k)/(k−1)) · SSB(z)/SSW(z).
+
+    Exactness pins: bucket means enter on the e3 integer grid; each
+    group median enters as the exact two-central-order-statistics sum
+    med2 (the runs_test no-float-median rule), so z2 = |2v − med2| is
+    an exact bigint and the per-group sums Z_g = Σz2, Q_g = Σz2² are
+    exact. Cross-group sums of per-group RATIONALS would be summation-
+    order-exposed, so each group's quadratic term enters pre-quantized:
+    t1_g = round(1000·Z_g²/n_g) is one identical IEEE tree per group
+    (the retrieval_eval pre-quantized-bigint rule), making SSW_m =
+    1000·ΣQ_g − Σt1_g and SSB_m = Σt1_g − round(1000·(ΣZ_g)²/N) exact
+    bigints both engines agree on bit-for-bit; W is one double ratio
+    of those. The pre-quantization costs ≤ 0.5 quantum per group
+    (≤ 3.5e-3 of the z² scale in SSB_m — deterministic, identical in
+    both engines, pinned by the equal-dispersion test where SSB_m
+    reads −1, not 0). Constant series → SSW = SSB = 0 → honest null W; k < 2
+    or N ≤ k rows are dropped (no test exists). Weekday is integer
+    epoch arithmetic ((ep div 86400 + 3) mod 7, Monday = 0) — no
+    calendar function, no TZ exposure.
+
+    Scale shape: one bucket partial agg off the corpus scan; the
+    median order-statistic windows ride the SAME (keys, dow)
+    partitioning; then keys×7- and keys-bounded aggs. Single key
+    shuffle lineage."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("v"))
+        .withColumn(
+            "_g",
+            F.pmod(
+                (F.col("ep") / F.lit(86400)).cast("bigint") + 3, F.lit(7)
+            ).cast("bigint"),
+        )
+    )
+    wg = Window.partitionBy(*keys, "_g")
+    byv = wg.orderBy("v", "ep")
+    r = b.select(
+        *keys,
+        "_g",
+        "v",
+        F.row_number().over(byv).alias("_rn"),
+        F.count("*").over(wg).alias("_ng"),
+    )
+    p1 = (F.col("_ng") + 1) / 2
+    p2 = F.col("_ng") / 2 + 1
+    med2 = F.sum(
+        F.when(F.col("_rn") == F.floor(p1), F.col("v")).otherwise(F.lit(0))
+    ).over(wg) + F.sum(
+        F.when(F.col("_rn") == F.floor(p2), F.col("v")).otherwise(F.lit(0))
+    ).over(wg)
+    z = r.select(
+        *keys, "_g", F.abs(2 * F.col("v") - med2).cast("bigint").alias("_z2")
+    )
+    g = z.groupBy(*keys, "_g").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_z2").alias("_zg"),
+        F.sum(F.col("_z2") * F.col("_z2")).alias("_qg"),
+    ).withColumn(
+        "_t1g",
+        F.round(
+            F.col("_zg").cast("double")
+            * F.col("_zg").cast("double")
+            / F.col("_n").cast("double")
+            * F.lit(1000.0)
+        ).cast("bigint"),
+    )
+    s = g.groupBy(*keys).agg(
+        F.sum("_n").alias("n_buckets"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("_zg").alias("_sz"),
+        F.sum("_qg").alias("_sq"),
+        F.sum("_t1g").alias("_t1"),
+    ).where((F.col("k_groups") >= 2) & (F.col("n_buckets") > F.col("k_groups")))
+    nn, kk = F.col("n_buckets"), F.col("k_groups")
+    ssw = 1000 * F.col("_sq") - F.col("_t1")
+    ssb = F.col("_t1") - F.round(
+        F.col("_sz").cast("double")
+        * F.col("_sz").cast("double")
+        / nn.cast("double")
+        * F.lit(1000.0)
+    ).cast("bigint")
+    w = (
+        (nn - kk).cast("double")
+        * ssb.cast("double")
+        / ((kk - 1).cast("double") * ssw.cast("double"))
+    )
+    return s.select(
+        *keys,
+        "n_buckets",
+        "k_groups",
+        ssw.alias("ssw_m"),
+        ssb.alias("ssb_m"),
+        F.when(ssw > 0, F.round(w * 1e6).cast("bigint")).alias("w_e6"),
+    )

@@ -12709,3 +12709,79 @@ def ts_friedman_dayparts(spark, sf_dir):
     return analytics.friedman_dayparts(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "k_treatments", "n_blocks", "q_e6", "w_e6")
+
+
+@q(
+    "ts_levene_dow",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT series_id, (ep // 86400 + 3) % 7 AS g, ep, v,
+             row_number() OVER (
+               PARTITION BY series_id, (ep // 86400 + 3) % 7
+               ORDER BY v, ep) AS rn,
+             count(*) OVER (
+               PARTITION BY series_id, (ep // 86400 + 3) % 7) AS ng
+      FROM b
+    ),
+    m AS (
+      SELECT series_id, g,
+             sum(CASE WHEN rn = (ng + 1) // 2 THEN v ELSE 0 END)
+               + sum(CASE WHEN rn = ng // 2 + 1 THEN v ELSE 0 END) AS med2
+      FROM o GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT o.series_id, o.g, abs(2 * v - med2) AS z2
+      FROM o JOIN m ON o.series_id = m.series_id AND o.g = m.g
+    ),
+    gr AS (
+      SELECT series_id, g, count(*) AS n, sum(z2) AS zg,
+             sum(z2 * z2) AS qg
+      FROM z GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *,
+             CAST(ROUND(CAST(zg AS DOUBLE) * CAST(zg AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS t1g
+      FROM gr
+    ),
+    s AS (
+      SELECT series_id, sum(n) AS nb, count(*) AS k, sum(zg) AS sz,
+             sum(qg) AS sq, sum(t1g) AS t1
+      FROM t GROUP BY 1
+    )
+    SELECT series_id,
+           CAST(nb AS BIGINT) AS n_buckets,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(1000 * sq - t1 AS BIGINT) AS ssw_m,
+           CAST(t1 - CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                / CAST(nb AS DOUBLE) * 1000.0) AS BIGINT) AS BIGINT)
+             AS ssb_m,
+           CASE WHEN 1000 * sq - t1 > 0 THEN
+             CAST(ROUND(
+               CAST(nb - k AS DOUBLE)
+               * CAST(t1 - CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                     / CAST(nb AS DOUBLE) * 1000.0) AS BIGINT) AS DOUBLE)
+               / (CAST(k - 1 AS DOUBLE) * CAST(1000 * sq - t1 AS DOUBLE))
+               * 1e6) AS BIGINT) END AS w_e6
+    FROM s WHERE k >= 2 AND nb > k
+    """,
+)
+def ts_levene_dow(spark, sf_dir):
+    """Brown–Forsythe (median-centered Levene) variance-homogeneity W
+    across the seven weekday groups of hourly bucket means, per
+    event_type series — exact med2 centers, pre-quantized per-group
+    quadratic terms (see analytics.brown_forsythe_dow)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.brown_forsythe_dow(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "n_buckets", "k_groups", "ssw_m", "ssb_m", "w_e6")
