@@ -3589,3 +3589,53 @@ def test_brown_forsythe_equal_dispersion_is_zero(spark):
     # pre-quantization noise (deterministic, identical cross-engine);
     # the finished statistic still reads 0 at the e6 grain
     assert abs(r["ssb_m"]) <= 1 and r["w_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# gini_hours: temporal volume concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_hours_equality_and_max_concentration(spark):
+    import datetime as dt
+
+    rows = []
+    # series "a": one event in each of 4 consecutive hours -> perfect
+    # equality, G = 0; top-decile window is ceil-derived floor((4+9)/10)
+    # = 1 busiest hour -> share 1/4
+    for hh in range(4):
+        rows.append(("a", dt.datetime(2024, 1, 1, hh, 30)))
+    # series "b": 5 events all in hour 0 of a 4-hour span (one sentinel
+    # event in hour 3 would change m; instead span forced by events at
+    # h0 and h3) -> counts [4, 1] over n=4 grid hours, z=2
+    for _ in range(4):
+        rows.append(("b", dt.datetime(2024, 1, 1, 0, 15)))
+    rows.append(("b", dt.datetime(2024, 1, 1, 3, 45)))
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+    out = {
+        r["series_id"]: r
+        for r in analytics.gini_hours(df, keys=["series_id"]).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_hours"], a["n_active"], a["gini_e6"]) == (4, 4, 0)
+    assert a["top_decile_share_e6"] == 250_000
+    # b: sorted asc with zeros [0,0,1,4], ranks of nonzero (shifted by
+    # z=2): T = 3*1 + 4*4 = 19, S = 5, n = 4
+    # G = (2*19 - 5*5)/(4*5) = 13/20 = 0.65
+    assert (b["n_hours"], b["n_active"]) == (4, 2)
+    assert b["gini_e6"] == 650_000
+    assert b["top_decile_share_e6"] == 800_000  # busiest hour holds 4/5
+
+
+def test_gini_hours_single_hour_series(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("c", dt.datetime(2024, 1, 1, 0, 5)), ("c", dt.datetime(2024, 1, 1, 0, 6))],
+        "series_id string, ts timestamp",
+    )
+    r = analytics.gini_hours(df, keys=["series_id"]).collect()[0]
+    # n = 1 grid hour: no inequality is measurable -> G pinned to 0,
+    # the single hour IS the top decile
+    assert (r["n_hours"], r["n_active"], r["gini_e6"]) == (1, 1, 0)
+    assert r["top_decile_share_e6"] == 1_000_000

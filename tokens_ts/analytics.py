@@ -6654,3 +6654,82 @@ def brown_forsythe_dow(
         ssb.alias("ssb_m"),
         F.when(ssw > 0, F.round(w * 1e6).cast("bigint")).alias("w_e6"),
     )
+
+
+def gini_hours(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal concentration of activity per series: the Gini
+    coefficient of hourly event counts over the series' FULL hourly
+    grid — silent hours count as zeros (a series that fires 24/7 and
+    one that dumps its whole volume into two hours can have the same
+    total; this is the statistic that separates them). Rides with the
+    top-decile share: the fraction of all events inside the busiest
+    ⌈n/10⌉ grid hours — the "how bursty is the burst" companion the
+    single scalar can hide. The inequality lens next to burstiness
+    (interarrival shape) and dispersion_stats (Fano): those see gap
+    STRUCTURE, this sees volume CONCENTRATION.
+
+    Exactness: with the n grid hours' counts sorted ascending (zeros
+    first — they contribute nothing to the weighted sum, so only the
+    m observed hours need ranks, shifted by z = n − m),
+
+        G = (2·(z·S + Σ rn·c) − (n+1)·S) / (n·S)
+
+    — every term an exact bigint (counts, ranks, span), so G and the
+    top-decile ratio are single double divisions. Rank ties among
+    equal counts cannot move either sum (equal values are
+    permutation-invariant under both weightings — the boundary-tie
+    case is pinned). Single-hour series → G = 0 over n = 1 (no
+    inequality measurable); series keep their row always.
+
+    Scale shape: one (keys, hour) partial agg off the corpus scan,
+    rank window on the SAME key partitioning over the hours-bounded
+    frame, one keys-bounded final agg. Single key shuffle."""
+    h = (
+        df.groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = h.select(
+        *keys,
+        "c",
+        F.row_number().over(wk.orderBy("c", "ep")).alias("_rn"),
+        F.count("*").over(wk).alias("_m"),
+        (
+            (F.max("ep").over(wk) - F.min("ep").over(wk)) / 3600
+        ).cast("bigint").alias("_span"),
+    ).withColumn("_n", F.col("_span") + 1)
+    d = (F.col("_n") + 9) / 10
+    top_flag = F.col("_rn") > (F.col("_m") - F.floor(d))
+    a = r.groupBy(*keys).agg(
+        F.max("_n").alias("n_hours"),
+        F.max("_m").cast("bigint").alias("n_active"),
+        F.sum("c").alias("_s"),
+        F.sum(F.col("_rn").cast("bigint") * F.col("c")).alias("_tr"),
+        F.sum(F.when(top_flag, F.col("c")).otherwise(F.lit(0))).alias("_top"),
+    )
+    n, m, s = F.col("n_hours"), F.col("n_active"), F.col("_s")
+    z = n - m
+    gnum = 2 * (z * s + F.col("_tr")) - (n + 1) * s
+    return a.select(
+        *keys,
+        "n_hours",
+        "n_active",
+        F.when(
+            (n > 1) & (s > 0),
+            F.round(gnum.cast("double") / (n * s).cast("double") * 1e6).cast(
+                "bigint"
+            ),
+        ).otherwise(
+            F.when(s > 0, F.lit(0)).cast("bigint")
+        ).alias("gini_e6"),
+        F.round(
+            F.col("_top").cast("double") / s.cast("double") * 1e6
+        ).cast("bigint").alias("top_decile_share_e6"),
+    )

@@ -12785,3 +12785,54 @@ def ts_levene_dow(spark, sf_dir):
     return analytics.brown_forsythe_dow(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "n_buckets", "k_groups", "ssw_m", "ssb_m", "w_e6")
+
+
+@q(
+    "ts_gini_hours",
+    """
+    WITH h AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, c,
+             row_number() OVER (PARTITION BY series_id ORDER BY c, ep)
+               AS rn,
+             count(*) OVER (PARTITION BY series_id) AS m,
+             (max(ep) OVER (PARTITION BY series_id)
+              - min(ep) OVER (PARTITION BY series_id)) // 3600 + 1 AS n
+      FROM h
+    ),
+    a AS (
+      SELECT series_id, max(n) AS n, max(m) AS m, sum(c) AS s,
+             sum(rn * c) AS tr,
+             sum(CASE WHEN rn > m - (n + 9) // 10 THEN c ELSE 0 END)
+               AS topc
+      FROM r GROUP BY 1
+    )
+    SELECT series_id,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(m AS BIGINT) AS n_active,
+           CASE WHEN n > 1 THEN
+             CAST(ROUND(CAST(2 * ((n - m) * s + tr) - (n + 1) * s AS DOUBLE)
+                  / CAST(n * s AS DOUBLE) * 1e6) AS BIGINT)
+           ELSE 0 END AS gini_e6,
+           CAST(ROUND(CAST(topc AS DOUBLE) / CAST(s AS DOUBLE) * 1e6)
+                AS BIGINT) AS top_decile_share_e6
+    FROM a
+    """,
+)
+def ts_gini_hours(spark, sf_dir):
+    """Gini coefficient of hourly event counts over each series' full
+    hourly grid (silent hours as zeros) plus the top-decile volume
+    share — the volume-concentration lens (see analytics.gini_hours)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts"
+    )
+    return analytics.gini_hours(ev, keys=["series_id"], ts_col="ts").select(
+        "series_id", "n_hours", "n_active", "gini_e6", "top_decile_share_e6"
+    )
