@@ -3639,3 +3639,64 @@ def test_gini_hours_single_hour_series(spark):
     # the single hour IS the top decile
     assert (r["n_hours"], r["n_active"], r["gini_e6"]) == (1, 1, 0)
     assert r["top_decile_share_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# welch_drift: Welch t / Welch-Satterthwaite df / Cohen's d
+# ---------------------------------------------------------------------------
+
+
+def test_welch_drift_python_replay_and_degenerates(spark):
+    import datetime as dt
+
+    vals = [10.0, 12.0, 11.0, 13.0, 30.0, 34.0, 31.0, 29.0]
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)
+    ]
+    # constant series: both halves zero-variance -> null t/df/d
+    rows += [("b", dt.datetime(2024, 1, 1, h), 7.0) for h in range(4)]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.welch_drift(df, keys=["series_id"]).collect()
+    }
+    a = out["a"]
+    # exact replay of the documented IEEE tree on the e3 grid
+    xs = [v * 1000 for v in vals[:4]]
+    ys = [v * 1000 for v in vals[4:]]
+    na, nb = 4.0, 4.0
+    sa, sb = float(sum(xs)), float(sum(ys))
+    da2 = float(4 * sum(x * x for x in xs) - sum(xs) ** 2)
+    db2 = float(4 * sum(y * y for y in ys) - sum(ys) ** 2)
+    va, vb = da2 / (na * (na - 1)), db2 / (nb * (nb - 1))
+    se2 = va / na + vb / nb
+    diff = sa / na - sb / nb
+    t = diff / math.sqrt(se2)
+    dfw = se2 * se2 / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    d = diff / math.sqrt((da2 / na + db2 / nb) / (na + nb - 2))
+    assert (a["n_a"], a["n_b"]) == (4, 4)
+    assert a["t_e6"] == round(t * 1e6)
+    assert a["df_e6"] == round(dfw * 1e6)
+    assert a["cohen_d_e6"] == round(d * 1e6)
+    assert a["t_e6"] < -10_000_000  # strongly negative: mean jumped up
+    b = out["b"]
+    assert (b["t_e6"], b["df_e6"], b["cohen_d_e6"]) == (None, None, None)
+
+
+def test_welch_drift_scipy_style_sanity(spark):
+    import datetime as dt
+
+    # equal halves -> t = 0 and d = 0 exactly
+    vals = [5.0, 9.0, 7.0, 5.0, 9.0, 7.0]
+    rows = [("c", dt.datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.welch_drift(df, keys=["series_id"]).collect()[0]
+    assert (r["t_e6"], r["cohen_d_e6"]) == (0, 0)
+    # identical half-variances -> Welch df = n - 2 = 4 exactly
+    assert r["df_e6"] == 4_000_000

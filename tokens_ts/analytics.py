@@ -6733,3 +6733,91 @@ def gini_hours(
             F.col("_top").cast("double") / s.cast("double") * 1e6
         ).cast("bigint").alias("top_decile_share_e6"),
     )
+
+
+def welch_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Welch's unequal-variance t test between the first and second
+    half of each series' bucket history, with Cohen's d effect size
+    and the Welch–Satterthwaite degrees of freedom — the parametric
+    twin of mannwhitney_drift. The rank test answers "did the
+    distribution shift"; this one quantifies the MEAN shift in
+    standard-error units (t), how much data backs it (df), and whether
+    the shift is practically large (d) — the three numbers an alerting
+    threshold actually wants. Unequal variances are the norm after a
+    regime change, hence Welch, not Student.
+
+    Exactness pins: bucket means on the e3 grid (bigint); each half
+    enters as three exact integers (n, S = Σv, Q = Σv²), variance
+    numerators D2 = n·Q − S² are exact bigints, and t, df, and d are
+    fixed IEEE trees over those integers — both engines cast the same
+    bigints and must land the same doubles. Cohort split: bucket ranks
+    1..n//2 vs the rest (the mannwhitney_drift pin). Degenerate paths:
+    either half constant-only (D2 = 0 both sides → se 0) → null t/df;
+    pooled variance 0 → null d; halves need ≥ 2 buckets each or the
+    row is dropped.
+
+    Scale shape: one bucket agg, one ordering window on the same key
+    partitioning, one keys-bounded conditional agg. Single key
+    shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "v",
+        F.row_number().over(wk.orderBy("ep")).alias("_i"),
+        F.count("*").over(wk).alias("_n"),
+    ).withColumn("_a", F.col("_i") <= F.floor(F.col("_n") / 2))
+    g = r.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_a"), F.col("v")).otherwise(F.lit(0))).alias("_sa"),
+        F.sum(F.when(~F.col("_a"), F.col("v")).otherwise(F.lit(0))).alias("_sb"),
+        F.sum(
+            F.when(F.col("_a"), F.col("v") * F.col("v")).otherwise(F.lit(0))
+        ).alias("_qa"),
+        F.sum(
+            F.when(~F.col("_a"), F.col("v") * F.col("v")).otherwise(F.lit(0))
+        ).alias("_qb"),
+    ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    da2 = (F.col("n_a") * F.col("_qa") - F.col("_sa") * F.col("_sa")).cast(
+        "double"
+    )
+    db2 = (F.col("n_b") * F.col("_qb") - F.col("_sb") * F.col("_sb")).cast(
+        "double"
+    )
+    va = da2 / (na * (na - 1))
+    vb = db2 / (nb * (nb - 1))
+    se2 = va / na + vb / nb
+    diff = sa / na - sb / nb
+    t = diff / F.sqrt(se2)
+    dfw = (
+        se2
+        * se2
+        / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    )
+    sp2 = (da2 / na + db2 / nb) / (na + nb - 2)
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.when(se2 > 0, F.round(t * 1e6).cast("bigint")).alias("t_e6"),
+        F.when(se2 > 0, F.round(dfw * 1e6).cast("bigint")).alias("df_e6"),
+        F.when(sp2 > 0, F.round(diff / F.sqrt(sp2) * 1e6).cast("bigint")).alias(
+            "cohen_d_e6"
+        ),
+    )

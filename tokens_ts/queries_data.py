@@ -12836,3 +12836,76 @@ def ts_gini_hours(spark, sf_dir):
     return analytics.gini_hours(ev, keys=["series_id"], ts_col="ts").select(
         "series_id", "n_hours", "n_active", "gini_e6", "top_decile_share_e6"
     )
+
+
+@q(
+    "ts_welch_drift",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, v,
+             row_number() OVER (PARTITION BY series_id ORDER BY ep) AS i,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM b
+    ),
+    g AS (
+      SELECT series_id,
+             sum(CASE WHEN i <= n // 2 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN i > n // 2 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN i <= n // 2 THEN v ELSE 0 END) AS sa,
+             sum(CASE WHEN i > n // 2 THEN v ELSE 0 END) AS sb,
+             sum(CASE WHEN i <= n // 2 THEN v * v ELSE 0 END) AS qa,
+             sum(CASE WHEN i > n // 2 THEN v * v ELSE 0 END) AS qb
+      FROM r GROUP BY 1
+    ),
+    d AS (
+      SELECT series_id, na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(na * qa - sa * sa AS DOUBLE) AS da2,
+             CAST(nb * qb - sb * sb AS DOUBLE) AS db2
+      FROM g WHERE na >= 2 AND nb >= 2
+    ),
+    e AS (
+      SELECT series_id, na, nb,
+             da2 / (nad * (nad - 1)) / nad
+               + db2 / (nbd * (nbd - 1)) / nbd AS se2,
+             sad / nad - sbd / nbd AS diff,
+             da2 / (nad * (nad - 1)) / nad AS vna,
+             db2 / (nbd * (nbd - 1)) / nbd AS vnb,
+             nad, nbd,
+             (da2 / nad + db2 / nbd) / (nad + nbd - 2) AS sp2
+      FROM d
+    )
+    SELECT series_id,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN se2 > 0 THEN
+             CAST(ROUND(diff / sqrt(se2) * 1e6) AS BIGINT) END AS t_e6,
+           CASE WHEN se2 > 0 THEN
+             CAST(ROUND(se2 * se2
+                  / (vna * vna / (nad - 1) + vnb * vnb / (nbd - 1))
+                  * 1e6) AS BIGINT) END AS df_e6,
+           CASE WHEN sp2 > 0 THEN
+             CAST(ROUND(diff / sqrt(sp2) * 1e6) AS BIGINT) END AS cohen_d_e6
+    FROM e
+    """,
+)
+def ts_welch_drift(spark, sf_dir):
+    """Welch's t between the first and second half of each event_type
+    series' hourly bucket history, with Welch–Satterthwaite df and
+    Cohen's d — the parametric drift twin of ts_mannwhitney (see
+    analytics.welch_drift)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.welch_drift(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "n_a", "n_b", "t_e6", "df_e6", "cohen_d_e6")
