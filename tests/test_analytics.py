@@ -3700,3 +3700,35 @@ def test_welch_drift_scipy_style_sanity(spark):
     assert (r["t_e6"], r["cohen_d_e6"]) == (0, 0)
     # identical half-variances -> Welch df = n - 2 = 4 exactly
     assert r["df_e6"] == 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence: contingency association + Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_and_perfect_association(spark):
+    # perfectly independent 2x2: every cell expected == observed
+    rows = (
+        [("r0", "c0")] * 10 + [("r0", "c1")] * 20
+        + [("r1", "c0")] * 30 + [("r1", "c1")] * 60
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.chi2_independence(df, "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_rows"], r["n_cols"], r["dof"]) == (120, 2, 2, 1)
+    assert r["chi2_e6"] == 0 and r["cramers_v_e6"] == 0
+    # perfect diagonal association: chi2 = N, V = 1 exactly
+    rows2 = [("r0", "c0")] * 25 + [("r1", "c1")] * 25
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = analytics.chi2_independence(df2, "a", "b").collect()[0]
+    assert r2["chi2_e6"] == 50_000_000  # chi2 == N == 50
+    assert r2["cramers_v_e6"] == 1_000_000
+
+
+def test_chi2_independence_degenerate_single_row(spark):
+    df = spark.createDataFrame(
+        [("only", "c0")] * 3 + [("only", "c1")] * 4, "a string, b string"
+    )
+    r = analytics.chi2_independence(df, "a", "b").collect()[0]
+    # one row category: dof 0, chi2 0, V undefined -> honest null
+    assert (r["dof"], r["chi2_e6"], r["cramers_v_e6"]) == (0, 0, None)

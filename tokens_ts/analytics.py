@@ -6821,3 +6821,74 @@ def welch_drift(
             "cohen_d_e6"
         ),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the association audit for
+    the calendar/category cross-tabs the pivot reports only draw:
+    is event mix actually INDEPENDENT of weekday, or does the
+    contingency structure carry signal? One global row: χ², dof, V.
+
+    Exactness pins: observed counts and both marginals are exact
+    bigints. Cells with o = 0 never appear in a groupBy frame yet
+    still owe r·c/N to the statistic, so the engine uses the identity
+    χ² = N·(Σ_observed o²/(r·c) − 1) — missing cells are accounted
+    exactly without materializing the cross-product. Each observed
+    cell's o²·N/(r·c) is one fixed IEEE tree over exact integers,
+    PRE-QUANTIZED to an e6 bigint per cell before summing (the
+    retrieval_eval rule: a 35-term double sum is summation-order-
+    exposed, a bigint sum is not), then N·1e6 is subtracted as an
+    exact bigint. χ²_e6 is therefore an exact bigint both engines
+    agree on;
+    V = sqrt(χ²/(N·min(R−1,C−1))) is one tree from it. Degenerate
+    single-row or single-column tables → dof 0 → null V (honest).
+
+    Scale shape: one map-side-combined (a,b) count off the corpus
+    scan; everything after lives on the |A|×|B|-bounded cell frame
+    (window marginals, one global agg) — the cells are control-plane
+    at any corpus size."""
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").cast("bigint").alias("o"))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    wg = Window.partitionBy()
+    c = cells.select(
+        "o",
+        F.sum("o").over(wa).alias("_r"),
+        F.sum("o").over(wb).alias("_c"),
+        F.sum("o").over(wg).alias("_n"),
+        F.size(F.collect_set(a_col).over(wg)).cast("bigint").alias("_nr"),
+        F.size(F.collect_set(b_col).over(wg)).cast("bigint").alias("_nc"),
+    )
+    od, rd = F.col("o").cast("double"), F.col("_r").cast("double")
+    cd, nd = F.col("_c").cast("double"), F.col("_n").cast("double")
+    term = od * od * nd / (rd * cd)
+    a = (
+        c.select(
+            "_n",
+            "_nr",
+            "_nc",
+            F.round(term * 1e6).cast("bigint").alias("_t6"),
+        )
+        .groupBy("_n", "_nr", "_nc")
+        .agg(F.sum("_t6").alias("_s6"))
+        .withColumn("chi2_e6", F.col("_s6") - F.col("_n") * F.lit(1_000_000))
+    )
+    m = F.least(F.col("_nr") - 1, F.col("_nc") - 1)
+    v = F.sqrt(
+        F.col("chi2_e6").cast("double")
+        / 1e6
+        / (F.col("_n") * m).cast("double")
+    )
+    return a.select(
+        F.col("_n").alias("n_obs"),
+        F.col("_nr").alias("n_rows"),
+        F.col("_nc").alias("n_cols"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).alias("dof"),
+        F.col("chi2_e6"),
+        F.when(m > 0, F.round(v * 1e6).cast("bigint")).alias("cramers_v_e6"),
+    )

@@ -12909,3 +12909,63 @@ def ts_welch_drift(spark, sf_dir):
     return analytics.welch_drift(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "n_a", "n_b", "t_e6", "df_e6", "cohen_d_e6")
+
+
+@q(
+    "ts_chi2_dow_type",
+    """
+    WITH cells AS (
+      SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+             event_type, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o,
+             sum(o) OVER (PARTITION BY dow) AS r,
+             sum(o) OVER (PARTITION BY event_type) AS c,
+             sum(o) OVER () AS n,
+             count(DISTINCT dow) OVER () AS nr,
+             count(DISTINCT event_type) OVER () AS nc
+      FROM cells
+    ),
+    t AS (
+      SELECT n, nr, nc,
+             CAST(ROUND(
+               CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               * 1e6) AS BIGINT) AS t6
+      FROM m
+    ),
+    s AS (
+      SELECT n, nr, nc, sum(t6) - n * 1000000 AS chi2_e6
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST(nc AS BIGINT) AS n_cols,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+           CASE WHEN least(nr - 1, nc - 1) > 0 THEN
+             CAST(ROUND(sqrt(CAST(chi2_e6 AS DOUBLE) / 1e6
+                  / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)) * 1e6)
+                  AS BIGINT) END AS cramers_v_e6
+    FROM s
+    """,
+)
+def ts_chi2_dow_type(spark, sf_dir):
+    """Chi-square independence of weekday x event_type with Cramér's V
+    — is the event mix calendar-structured at all? Per-cell e6
+    pre-quantized contributions (see analytics.chi2_independence)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.pmod(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400_000_000))
+            .cast("bigint") + 3,
+            F.lit(7),
+        ).alias("dow"),
+        "event_type",
+    )
+    return analytics.chi2_independence(ev, "dow", "event_type").select(
+        "n_obs", "n_rows", "n_cols", "dof", "chi2_e6", "cramers_v_e6"
+    )
