@@ -4793,3 +4793,58 @@ def test_matryoshka_fidelity_hand_worked(spark):
     # full dim: the slice IS the vector -> zero error, full agreement
     assert (d4["n_pairs"], d4["sum_abs_err_e6"], d4["max_abs_err_e6"],
             d4["n_sign_agree"]) == (3, 0, 0, 3)
+
+
+# ---------------------------------------------------------------------------
+# simsearch.isotropy: closed-form average pairwise cosine
+# ---------------------------------------------------------------------------
+
+
+def test_isotropy_collapse_orthogonal_and_numpy_parity(spark):
+    import numpy as np
+
+    dim = 64
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, w in hot:
+            v[i] = w
+        return v
+
+    rows = [
+        # label 0: three IDENTICAL unit vectors -> total collapse,
+        # avg pairwise cosine exactly 1e6, resultant exactly 1000
+        (0, vec((0, 1.0))), (0, vec((0, 1.0))), (0, vec((0, 1.0))),
+        # label 1: two ORTHOGONAL vectors -> avg cos exactly 0
+        (1, vec((1, 1.0))), (1, vec((2, 1.0))),
+        # label 2: singleton -> null avg-cos, R = 1 (its own resultant)
+        (2, vec((3, 2.0))),
+        # label 3: a messy cloud for numpy parity
+        (3, vec((0, 0.3), (5, -1.2), (9, 0.7))),
+        (3, vec((0, -0.4), (5, 0.8), (17, 2.0))),
+        (3, vec((2, 1.0), (5, 0.5), (40, -0.25))),
+        (3, vec((63, 1.0), (5, 0.1))),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["label"]: r for r in simsearch.isotropy(df).collect()}
+    assert out[0]["avg_pair_cos_e6"] == 1_000_000
+    assert out[0]["mean_resultant_e6"] == 1_000_000
+    assert out[1]["avg_pair_cos_e6"] == 0
+    assert out[2]["avg_pair_cos_e6"] is None
+    assert out[2]["mean_resultant_e6"] == 1_000_000
+
+    # numpy replay of the documented pipeline for the messy label
+    xs = np.array(
+        [np.array(v, dtype=np.float32).astype(np.float64) for l, v in rows if l == 3]
+    )
+    q = np.array(
+        [np.floor(np.abs(x / np.sqrt((x * x).sum()) * 1000) + 0.5)
+         * np.sign(x) for x in xs]
+    ).astype(np.int64)
+    n = len(q)
+    ssum = int((q.sum(axis=0).astype(object) ** 2).sum())
+    qs = int((q.astype(object) ** 2).sum())
+    expect = round((ssum - qs) / (n * (n - 1)))
+    assert out[3]["avg_pair_cos_e6"] == expect
+    expect_r = round(np.sqrt(float(ssum)) / n * 1000.0)
+    assert out[3]["mean_resultant_e6"] == expect_r

@@ -12969,3 +12969,51 @@ def ts_chi2_dow_type(spark, sf_dir):
     return analytics.chi2_independence(ev, "dow", "event_type").select(
         "n_obs", "n_rows", "n_cols", "dof", "chi2_e6", "cramers_v_e6"
     )
+
+
+def _isotropy_sql(dim: int = 64) -> str:
+    nchain = " + ".join(f"x[{j}] * x[{j}]" for j in range(1, dim + 1))
+    qchain = " + ".join(f"q[{j}] * q[{j}]" for j in range(1, dim + 1))
+    ssums = ", ".join(f"sum(q[{j}]) AS s{j}" for j in range(1, dim + 1))
+    schain = " + ".join(f"s{j} * s{j}" for j in range(1, dim + 1))
+    return f"""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    nr AS (
+      SELECT label, x, sqrt(0.0 + {nchain}) AS nm FROM e
+    ),
+    qv AS (
+      SELECT label,
+             list_transform(x, v -> CAST(ROUND(v / nm * 1000) AS BIGINT))
+               AS q
+      FROM nr WHERE nm > 0
+    ),
+    g AS (
+      SELECT label, count(*) AS n, sum({qchain}) AS qs, {ssums}
+      FROM qv GROUP BY 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 THEN
+             CAST(ROUND(CAST(({schain}) - qs AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS BIGINT)
+           END AS avg_pair_cos_e6,
+           CAST(ROUND(sqrt(CAST({schain} AS DOUBLE)) / CAST(n AS DOUBLE)
+                * 1000.0) AS BIGINT) AS mean_resultant_e6
+    FROM g
+    """
+
+
+@q("emb_isotropy", _isotropy_sql())
+def emb_isotropy(spark, sf_dir):
+    """Per-label average pairwise cosine (closed form — no pair join)
+    and mean resultant length: the representation-collapse dial that
+    measures member-to-member agreement (see simsearch.isotropy)."""
+    return simsearch.isotropy(_emb(spark, sf_dir)).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n",
+        "avg_pair_cos_e6",
+        "mean_resultant_e6",
+    )

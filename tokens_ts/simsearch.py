@@ -1858,3 +1858,86 @@ def matryoshka_fidelity(
         F.max(err).cast("bigint").alias("max_abs_err_e6"),
         F.count(F.when(agree, 1)).cast("bigint").alias("n_sign_agree"),
     )
+
+
+def isotropy(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label embedding ISOTROPY: the average pairwise cosine among
+    all n·(n−1) ordered member pairs, plus the mean resultant length
+    R̄ = |Σx̂|/n — without computing a single pair. A collapsed
+    representation (all vectors pointing one way) reads avg-cos → 1,
+    R̄ → 1; a healthy isotropic cloud reads ≈ 0. The third
+    representation-quality dial next to emb_effective_rank (spectrum
+    width) and label_cohesion (centroid pull): cohesion asks "do
+    members agree with their centroid", this asks "do members agree
+    with EACH OTHER", which sees anisotropy even when the centroid
+    norm is small.
+
+    The closed form that kills the quadratic pair join: for unit
+    vectors, Σ_{i≠j} cos(i,j) = |Σx̂|² − Σ|x̂|². Components are
+    normalized row-locally (sqrt and divide are IEEE-exact, identical
+    both engines) and quantized to the e3 integer grid, so the per-dim
+    sums S_d, the resultant square ΣS_d², and the per-row norm sum are
+    ALL exact bigints — avg pairwise cosine lands at the e6 scale as
+    one exact-rational division. Zero-norm vectors are excluded
+    (cosine undefined — the label_cohesion pin); singleton labels emit
+    an honest null avg-cos with R̄ still defined. Bound: exact while
+    per-label n·1e3 < 2^26.5 (S_d² < 2^63/dim) — ~10⁸ members/label.
+
+    Scale shape: ONE map-side-combined agg (labels × (dim+2) exact
+    sums) off a row-local projection — zero joins, zero pair frames,
+    the cheapest possible plan for a quantity usually quoted as
+    O(n²)."""
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("x"), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    q = e.withColumn("_nm", nrm).where(F.col("_nm") > 0).select(
+        "label",
+        F.transform(
+            F.col("x"),
+            lambda v: F.round(v / F.col("_nm") * 1000).cast("bigint"),
+        ).alias("q"),
+    )
+    qq = F.aggregate(
+        F.transform(F.col("q"), lambda c: c * c),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    g = q.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(qq).alias("_qs"),
+        *[F.sum(F.col("q")[j]).alias(f"_s{j}") for j in range(dim)],
+    )
+    ssum = None
+    for j in range(dim):
+        t = F.col(f"_s{j}") * F.col(f"_s{j}")
+        ssum = t if ssum is None else ssum + t
+    n = F.col("n")
+    return g.select(
+        "label",
+        "n",
+        F.when(
+            n >= 2,
+            F.round(
+                (ssum - F.col("_qs")).cast("double")
+                / (n * (n - 1)).cast("double")
+            ).cast("bigint"),
+        ).alias("avg_pair_cos_e6"),
+        F.round(
+            F.sqrt(ssum.cast("double")) / n.cast("double") * F.lit(1000.0)
+        ).cast("bigint").alias("mean_resultant_e6"),
+    )
