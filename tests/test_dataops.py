@@ -4848,3 +4848,37 @@ def test_isotropy_collapse_orthogonal_and_numpy_parity(spark):
     assert out[3]["avg_pair_cos_e6"] == expect
     expect_r = round(np.sqrt(float(ssum)) / n * 1000.0)
     assert out[3]["mean_resultant_e6"] == expect_r
+
+
+# ---------------------------------------------------------------------------
+# dedup.minhash_accuracy: estimate-vs-exact Jaccard audit
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_accuracy_identical_docs_and_bounds(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, near), (4, "totally different words here")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in dedup.minhash_accuracy(docs, max_bucket=10).collect()
+    }
+    # identical docs MUST be a candidate with a perfect signature match
+    # and exact Jaccard 1 -> error exactly 0
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12["est_matches"] == 32
+    assert r12["n_inter"] == r12["n_union"]
+    assert r12["abs_err_e6"] == 0
+    # every emitted row respects the integer bounds
+    for r in out.values():
+        assert 0 <= r["est_matches"] <= 32
+        assert 0 < r["n_inter"] <= r["n_union"]
+        assert 0 <= r["abs_err_e6"] <= 1_000_000
+    # the near-dup pair, if emitted, carries the true Jaccard of its
+    # 3-gram shingle sets: 6 shingles each, 5 shared -> inter 5, union 7
+    if (1, 3) in out:
+        assert (out[(1, 3)]["n_inter"], out[(1, 3)]["n_union"]) == (5, 7)

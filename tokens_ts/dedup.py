@@ -877,3 +877,82 @@ def dup_span_coverage(
             .alias("cov_e6"),
         )
     )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Sketch-error audit for the MinHash index: for every LSH
+    candidate pair, the signature's Jaccard ESTIMATE (matching
+    components / n_perm) side by side with the EXACT shingle Jaccard,
+    and the absolute error. The verification loop the dedup pipeline
+    itself needs: n_perm and the banding are tuning knobs, and this
+    table is what says whether 32 permutations actually resolve the
+    0.7-vs-0.9 similarity decisions the near-dup threshold makes —
+    measured on the pairs the index REALLY emits, not on theory.
+
+    Everything is exact integers until one final double tree: matching
+    components (element-wise signature compare), |A∩B| and |A∪B| of
+    the distinct shingle sets (row-local array ops — no shingle
+    explode, no gram join), err = |est/n_perm − inter/union| at e6.
+
+    Scale shape: candidate pairs are bucket-capped (the lsh_candidates
+    contract), then TWO hash joins attach each side's (shingles,
+    signature) — per-pair cost is row-local; nothing quadratic, no
+    corpus shuffle beyond the joins on doc_id."""
+    pairs = lsh_candidates(
+        docs, n_perm, bands, text_col, max_bucket, hash_mode
+    )
+    side = (
+        with_minhash(docs, n_perm, text_col, hash_mode)
+        .withColumn("_sh", word_shingles(text_col))
+        .select("doc_id", "_sh", "minhash")
+    )
+    j = (
+        pairs.join(
+            side.select(
+                F.col("doc_id").alias("a"),
+                F.col("_sh").alias("_sha"),
+                F.col("minhash").alias("_mha"),
+            ),
+            "a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("b"),
+                F.col("_sh").alias("_shb"),
+                F.col("minhash").alias("_mhb"),
+            ),
+            "b",
+        )
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("_mha"),
+            F.col("_mhb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, z: acc + z,
+    ).cast("bigint")
+    ni = F.size(F.array_intersect("_sha", "_shb")).cast("bigint")
+    nu = F.size(F.array_union("_sha", "_shb")).cast("bigint")
+    err = F.abs(
+        F.col("est_matches").cast("double") / F.lit(float(n_perm))
+        - F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            est.alias("est_matches"),
+            ni.alias("n_inter"),
+            nu.alias("n_union"),
+        )
+        .withColumn("abs_err_e6", F.round(err * 1e6).cast("bigint"))
+    )

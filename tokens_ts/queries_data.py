@@ -13017,3 +13017,44 @@ def emb_isotropy(spark, sf_dir):
         "avg_pair_cos_e6",
         "mean_resultant_e6",
     )
+
+
+@q(
+    "doc_minhash_accuracy",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    sides AS (
+      SELECT sig.doc_id, sig.mh, sh.sh3 FROM sig JOIN sh USING (doc_id)
+    ),
+    j AS (
+      SELECT cand.a, cand.b,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS est_matches,
+             CAST(len(list_intersect(sa.sh3, sb.sh3)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(list_concat(sa.sh3, sb.sh3))) AS BIGINT)
+               AS n_union
+      FROM cand
+      JOIN sides sa ON sa.doc_id = cand.a
+      JOIN sides sb ON sb.doc_id = cand.b
+    )
+    SELECT a, b, est_matches, n_inter, n_union,
+           CAST(ROUND(abs(CAST(est_matches AS DOUBLE) / 32.0
+                - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE))
+                * 1e6) AS BIGINT) AS abs_err_e6
+    FROM j
+    """,
+)
+def doc_minhash_accuracy(spark, sf_dir):
+    """Sketch-error audit: for every md5-LSH candidate pair, the
+    signature Jaccard estimate vs the exact shingle Jaccard and the
+    absolute e6 error — the n_perm/banding tuning table, measured on
+    the pairs the index really emits (see dedup.minhash_accuracy)."""
+    return dedup.minhash_accuracy(_docs(spark, sf_dir), hash_mode="md5")
