@@ -4882,3 +4882,37 @@ def test_minhash_accuracy_identical_docs_and_bounds(spark):
     # 3-gram shingle sets: 6 shingles each, 5 shared -> inter 5, union 7
     if (1, 3) in out:
         assert (out[(1, 3)]["n_inter"], out[(1, 3)]["n_union"]) == (5, 7)
+
+
+# ---------------------------------------------------------------------------
+# simsearch.hubness: kNN in-degree histogram
+# ---------------------------------------------------------------------------
+
+
+def test_hubness_hand_graph(spark):
+    # 1 query (id 0, the only multiple of 37 among ids 0..4), k=2:
+    # neighbors of 0 by cosine are the two vectors most aligned with
+    # it. Construct: id1 nearly parallel, id2 parallel, id3/id4
+    # orthogonal -> top2 = {1, 2}; degree histogram: two vectors at
+    # in_deg 1, and 5-2 = 3 vectors never retrieved (includes the
+    # query itself).
+    dim = 64
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, w in hot:
+            v[i] = w
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),
+        (1, vec((0, 1.0), (1, 0.1))),
+        (2, vec((0, 2.0))),
+        (3, vec((1, 1.0))),
+        (4, vec((2, 1.0))),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["in_deg"]: r["n_vectors"] for r in simsearch.hubness(df, k=2).collect()}
+    assert out == {1: 2, 0: 3}
+    # histogram mass always equals the corpus size
+    assert sum(out.values()) == 5

@@ -13058,3 +13058,57 @@ def doc_minhash_accuracy(spark, sf_dir):
     absolute e6 error — the n_perm/banding tuning table, measured on
     the pairs the index really emits (see dedup.minhash_accuracy)."""
     return dedup.minhash_accuracy(_docs(spark, sf_dir), hash_mode="md5")
+
+
+@q(
+    "emb_hubness",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 37 = 0
+    ),
+    c AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               AS dot,
+             sqrt(list_sum(list_transform(q.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    top AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) DESC,
+                          nid
+               ) AS rank
+        FROM c
+      ) WHERE rank <= 5
+    ),
+    deg AS (SELECT nid, count(*) AS in_deg FROM top GROUP BY 1),
+    hist AS (
+      SELECT CAST(in_deg AS BIGINT) AS in_deg,
+             CAST(count(*) AS BIGINT) AS n_vectors
+      FROM deg GROUP BY 1
+    ),
+    zero AS (
+      SELECT CAST(0 AS BIGINT) AS in_deg,
+             CAST((SELECT count(*) FROM embeddings)
+                  - (SELECT count(*) FROM deg) AS BIGINT) AS n_vectors
+    )
+    SELECT * FROM hist
+    UNION ALL
+    SELECT * FROM zero WHERE n_vectors > 0
+    """,
+)
+def emb_hubness(spark, sf_dir):
+    """k-NN in-degree histogram over the deterministic mod-37 query
+    sample — the hubness pathology dial, including the never-retrieved
+    in_deg = 0 mass (see simsearch.hubness)."""
+    return simsearch.hubness(_emb(spark, sf_dir)).select(
+        "in_deg", "n_vectors"
+    )

@@ -1941,3 +1941,63 @@ def isotropy(
             F.sqrt(ssum.cast("double")) / n.cast("double") * F.lit(1000.0)
         ).cast("bigint").alias("mean_resultant_e6"),
     )
+
+
+def hubness(
+    emb: DataFrame,
+    k: int = 5,
+    q_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN in-degree histogram — the HUBNESS diagnostic. In high
+    dimensions a few vectors become "hubs" that appear in everyone's
+    neighbor list while most vectors are never retrieved at all; a
+    heavy right tail here degrades every downstream kNN consumer
+    (semdedup verdicts, hard-negative mining, ANN recall) and is
+    invisible to the pairwise dials (isotropy, cohesion) because it is
+    a property of the RANKING, not the geometry. Rows: in_deg →
+    n_vectors, including the in_deg = 0 row (the never-retrieved mass
+    — the other half of the pathology).
+
+    Queries are the deterministic vec_id ≡ 0 (mod q_mod) sample;
+    neighbor ranking reuses the cosine_topk contract exactly (e6
+    cosine, id tie-break), so the histogram is exact cross-engine. At
+    corpus scale, swap the modulus for a fixed-size query list — the
+    plan shape (broadcast query set, one corpus scan, no corpus
+    shuffle; then a neighbors-bounded degree agg) is unchanged."""
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = emb.where(F.pmod(F.col(id_col), F.lit(q_mod)) == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    deg = top.groupBy("nid").agg(F.count("*").cast("bigint").alias("in_deg"))
+    hist = deg.groupBy("in_deg").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    total = emb.select(
+        F.count("*").cast("bigint").alias("_t")
+    )
+    retrieved = deg.select(F.count("*").cast("bigint").alias("_r"))
+    zero = (
+        total.crossJoin(retrieved)
+        .select(
+            F.lit(0).cast("bigint").alias("in_deg"),
+            (F.col("_t") - F.col("_r")).alias("n_vectors"),
+        )
+        .where(F.col("n_vectors") > 0)
+    )
+    return hist.unionByName(zero)
