@@ -3732,3 +3732,47 @@ def test_chi2_independence_degenerate_single_row(spark):
     r = analytics.chi2_independence(df, "a", "b").collect()[0]
     # one row category: dof 0, chi2 0, V undefined -> honest null
     assert (r["dof"], r["chi2_e6"], r["cramers_v_e6"]) == (0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# longest_run: regime persistence lengths
+# ---------------------------------------------------------------------------
+
+
+def test_longest_run_hand_sequence(spark):
+    import datetime as dt
+
+    # hourly values 1,9,8,7,2,3,9 -> median (n=7) = 7 -> cut drops the
+    # exact-tie bucket (7): signs of the rest in time order:
+    # 1:-, 9:+, 8:+, 2:-, 3:-, 9:+ -> runs [-][++][--][+]
+    vals = [1.0, 9.0, 8.0, 7.0, 2.0, 3.0, 9.0]
+    rows = [("a", dt.datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.longest_run(df, keys=["series_id"]).collect()[0]
+    assert (r["n_kept"], r["n_runs"]) == (6, 4)
+    assert (r["longest_up"], r["longest_down"]) == (2, 2)
+
+
+def test_longest_run_one_sided_and_alltied(spark):
+    import datetime as dt
+
+    rows = [
+        # strictly increasing: below-half then above-half, both runs
+        # n//2 long (even n median splits cleanly)
+        ("b", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("b", dt.datetime(2024, 1, 1, 1), 2.0),
+        ("b", dt.datetime(2024, 1, 1, 2), 3.0),
+        ("b", dt.datetime(2024, 1, 1, 3), 4.0),
+        # all-tied -> every bucket ties the cut -> series vanishes
+        ("c", dt.datetime(2024, 1, 1, 0), 5.0),
+        ("c", dt.datetime(2024, 1, 1, 1), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {r["series_id"]: r for r in analytics.longest_run(df, keys=["series_id"]).collect()}
+    assert set(out) == {"b"}
+    assert (out["b"]["longest_up"], out["b"]["longest_down"]) == (2, 2)
+    assert out["b"]["n_runs"] == 2

@@ -6892,3 +6892,82 @@ def chi2_independence(
         F.col("chi2_e6"),
         F.when(m > 0, F.round(v * 1e6).cast("bigint")).alias("cramers_v_e6"),
     )
+
+
+def longest_run(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Longest above-median and below-median streaks per series — the
+    regime-persistence LENGTH that runs_test's z only scores. The z
+    says "too few runs to be random"; operations wants the follow-up
+    number: how long did the longest excursion actually last (the
+    worst sustained over/under-load window, in buckets). Same
+    construction as runs_test, pinned identical: e6-grid bucket means,
+    the exact two-central-order-statistics median cut, buckets tying
+    the cut DROPPED, runs counted in bucket-epoch order — so this
+    table and the z share one definition of "run" by construction.
+
+    All outputs exact integers: runs are gaps-and-islands over the
+    sign sequence (run id = cumulative start count — one lag + one
+    running sum on the same key partitioning), lengths are counts,
+    longest-up/down are maxes over the runs-bounded frame. Series
+    with no above (or below) excursion report 0 for that side;
+    all-tied series vanish (no sequence left — the runs_test rule).
+
+    Scale shape: one bucket agg, order-statistic + lag + running-sum
+    windows on the SAME key partitioning, then runs- and keys-bounded
+    aggs. Single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    byv = wk.orderBy("v", "ep")
+    r = b.select(
+        *keys,
+        "ep",
+        "v",
+        F.row_number().over(byv).alias("_rn"),
+        F.count("*").over(wk).alias("_nb"),
+    )
+    p1 = (F.col("_nb") + 1) / 2
+    p2 = F.col("_nb") / 2 + 1
+    med2 = F.sum(
+        F.when(F.col("_rn") == F.floor(p1), F.col("v")).otherwise(F.lit(0))
+    ).over(wk) + F.sum(
+        F.when(F.col("_rn") == F.floor(p2), F.col("v")).otherwise(F.lit(0))
+    ).over(wk)
+    s = r.select(
+        *keys, "ep", (2 * F.col("v") - med2).alias("_d")
+    ).where(F.col("_d") != 0)
+    byep = wk.orderBy("ep")
+    lagd = F.lag("_d").over(byep)
+    marked = s.select(
+        *keys,
+        "ep",
+        (F.col("_d") > 0).alias("_up"),
+        F.when(
+            lagd.isNull() | ((F.col("_d") > 0) != (lagd > 0)), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_start"),
+    ).withColumn("_rid", F.sum("_start").over(byep))
+    runs = marked.groupBy(*keys, "_rid", "_up").agg(
+        F.count("*").cast("bigint").alias("_len")
+    )
+    return runs.groupBy(*keys).agg(
+        F.sum("_len").alias("n_kept"),
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("_up"), F.col("_len"))), F.lit(0)
+        ).cast("bigint").alias("longest_up"),
+        F.coalesce(
+            F.max(F.when(~F.col("_up"), F.col("_len"))), F.lit(0)
+        ).cast("bigint").alias("longest_down"),
+    )

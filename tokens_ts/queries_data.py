@@ -13112,3 +13112,70 @@ def emb_hubness(spark, sf_dir):
     return simsearch.hubness(_emb(spark, sf_dir)).select(
         "in_deg", "n_vectors"
     )
+
+
+@q(
+    "ts_longest_run",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT series_id, ep, v,
+             row_number() OVER (PARTITION BY series_id ORDER BY v, ep)
+               AS rn,
+             count(*) OVER (PARTITION BY series_id) AS nb
+      FROM b
+    ),
+    m AS (
+      SELECT series_id,
+             sum(CASE WHEN rn = (nb + 1) // 2 THEN v ELSE 0 END)
+               + sum(CASE WHEN rn = nb // 2 + 1 THEN v ELSE 0 END) AS med2
+      FROM o GROUP BY 1
+    ),
+    s AS (
+      SELECT o.series_id, ep, 2 * v - med2 AS d
+      FROM o JOIN m ON o.series_id = m.series_id
+      WHERE 2 * v - med2 <> 0
+    ),
+    mk AS (
+      SELECT series_id, ep, d > 0 AS up,
+             CASE WHEN lag(d) OVER w IS NULL
+                    OR (d > 0) <> (lag(d) OVER w > 0)
+                  THEN 1 ELSE 0 END AS st
+      FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    ),
+    rid AS (
+      SELECT series_id, up,
+             sum(st) OVER (PARTITION BY series_id ORDER BY ep) AS rid
+      FROM mk
+    ),
+    runs AS (
+      SELECT series_id, rid, up, count(*) AS len
+      FROM rid GROUP BY 1, 2, 3
+    )
+    SELECT series_id,
+           CAST(sum(len) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(coalesce(max(CASE WHEN up THEN len END), 0) AS BIGINT)
+             AS longest_up,
+           CAST(coalesce(max(CASE WHEN NOT up THEN len END), 0) AS BIGINT)
+             AS longest_down
+    FROM runs GROUP BY 1
+    """,
+)
+def ts_longest_run(spark, sf_dir):
+    """Longest above/below-median streaks per event_type series —
+    the regime-persistence lengths behind ts_runs_test's z, same
+    median cut and tie rules (see analytics.longest_run)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.longest_run(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "n_kept", "n_runs", "longest_up", "longest_down")
