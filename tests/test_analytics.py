@@ -3776,3 +3776,50 @@ def test_longest_run_one_sided_and_alltied(spark):
     assert set(out) == {"b"}
     assert (out["b"]["longest_up"], out["b"]["longest_down"]) == (2, 2)
     assert out["b"]["n_runs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# extremal_index: POT runs declustering
+# ---------------------------------------------------------------------------
+
+
+def test_extremal_index_storm_vs_scattered(spark):
+    import datetime as dt
+
+    def series(name, spikes):
+        rows = []
+        for h in range(20):
+            rows.append((name, dt.datetime(2024, 1, 1, h), spikes.get(h, 1.0)))
+        return rows
+
+    # "storm": the two strict exceedances are ADJACENT hours -> one
+    # cluster, theta = 1/2; rank-18 threshold value is 8.0
+    rows = series("storm", {3: 9.0, 4: 9.5, 10: 8.0})
+    # "scattered": same magnitudes, hours apart -> two clusters,
+    # theta = 1
+    rows += series("scat", {3: 9.0, 10: 9.5, 15: 8.0})
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.extremal_index(df, keys=["series_id"]).collect()
+    }
+    st, sc = out["storm"], out["scat"]
+    assert (st["n_exceed"], st["n_clusters"], st["max_cluster"]) == (2, 1, 2)
+    assert st["theta_e6"] == 500_000
+    assert (sc["n_exceed"], sc["n_clusters"], sc["max_cluster"]) == (2, 2, 1)
+    assert sc["theta_e6"] == 1_000_000
+
+
+def test_extremal_index_short_or_flat_series_dropped(spark):
+    import datetime as dt
+
+    rows = [("tiny", dt.datetime(2024, 1, 1, h), float(h)) for h in range(5)]
+    rows += [("flat", dt.datetime(2024, 1, 1, h), 3.0) for h in range(12)]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    # n<10 -> threshold is the max -> no strict exceedance; flat ->
+    # tied top -> no strict exceedance: both series vanish
+    assert analytics.extremal_index(df, keys=["series_id"]).count() == 0

@@ -6971,3 +6971,88 @@ def longest_run(
             F.max(F.when(~F.col("_up"), F.col("_len"))), F.lit(0)
         ).cast("bigint").alias("longest_down"),
     )
+
+
+def extremal_index(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Runs-declustering extremal index per series: do the extreme
+    hours arrive independently (θ ≈ 1) or in bursts (θ → 0)? The
+    peaks-over-threshold companion to hill_tail — Hill says how HEAVY
+    the tail is, θ says how CLUSTERED its arrivals are, and capacity
+    planning needs both (ten scattered spikes and one ten-hour storm
+    have the same tail weight and very different failure modes).
+
+    Definition pins (all exact integers): threshold u = the order
+    statistic at rank n − ⌊n/10⌋ of the e6-grid hourly means (so the
+    exceedance set is the strict top decile; ties at u shrink it —
+    deterministic both engines); exceedances in bucket-epoch order
+    form one cluster while consecutive (adjacent-hour) — a gap of
+    ≥ 2 hours starts a new cluster (runs declustering, run length 1);
+    θ̂ = n_clusters / n_exceedances, the classic runs estimator.
+    max_cluster rides along as the worst sustained storm length.
+    Series with no strict exceedances (n < 10, or a tied top) drop
+    out — there is no tail to decluster.
+
+    Scale shape: one bucket agg, the order-statistic and lag windows
+    on the SAME key partitioning, clusters- and keys-bounded aggs.
+    Single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "ep",
+        "v",
+        F.row_number().over(wk.orderBy("v", "ep")).alias("_rn"),
+        F.count("*").over(wk).alias("_n"),
+    )
+    u = F.sum(
+        F.when(
+            F.col("_rn") == F.col("_n") - F.floor(F.col("_n") / 10),
+            F.col("v"),
+        ).otherwise(F.lit(0))
+    ).over(wk)
+    exc = r.withColumn("_u", u).where(F.col("v") > F.col("_u"))
+    byep = wk.orderBy("ep")
+    lag_ep = F.lag("ep").over(byep)
+    marked = exc.select(
+        *keys,
+        "ep",
+        "_n",
+        F.when(
+            lag_ep.isNull() | (F.col("ep") - lag_ep > 3600), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_start"),
+    ).withColumn("_cid", F.sum("_start").over(byep))
+    clusters = marked.groupBy(*keys, "_cid").agg(
+        F.count("*").cast("bigint").alias("_sz"),
+        F.max("_n").alias("_nb"),
+    )
+    a = clusters.groupBy(*keys).agg(
+        F.max("_nb").cast("bigint").alias("n_buckets"),
+        F.sum("_sz").alias("n_exceed"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.max("_sz").alias("max_cluster"),
+    )
+    return a.select(
+        *keys,
+        "n_buckets",
+        "n_exceed",
+        "n_clusters",
+        "max_cluster",
+        F.round(
+            F.col("n_clusters").cast("double")
+            / F.col("n_exceed").cast("double")
+            * 1e6
+        ).cast("bigint").alias("theta_e6"),
+    )

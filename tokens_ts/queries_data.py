@@ -13179,3 +13179,70 @@ def ts_longest_run(spark, sf_dir):
     return analytics.longest_run(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "n_kept", "n_runs", "longest_up", "longest_down")
+
+
+@q(
+    "ts_extremal_index",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT series_id, ep, v,
+             row_number() OVER (PARTITION BY series_id ORDER BY v, ep)
+               AS rn,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM b
+    ),
+    t AS (
+      SELECT series_id,
+             sum(CASE WHEN rn = n - n // 10 THEN v ELSE 0 END) AS u
+      FROM o GROUP BY 1
+    ),
+    exc AS (
+      SELECT o.series_id, ep, n FROM o JOIN t ON o.series_id = t.series_id
+      WHERE v > u
+    ),
+    mk AS (
+      SELECT series_id, ep, n,
+             CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 3600
+                  THEN 1 ELSE 0 END AS st
+      FROM exc WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    ),
+    cl AS (
+      SELECT series_id, n,
+             sum(st) OVER (PARTITION BY series_id ORDER BY ep) AS cid
+      FROM mk
+    ),
+    cs AS (
+      SELECT series_id, max(n) AS n, cid, count(*) AS sz
+      FROM cl GROUP BY 1, 3
+    )
+    SELECT series_id,
+           CAST(max(n) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_exceed,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(max(sz) AS BIGINT) AS max_cluster,
+           CAST(ROUND(CAST(count(*) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+                * 1e6) AS BIGINT) AS theta_e6
+    FROM cs GROUP BY 1
+    """,
+)
+def ts_extremal_index(spark, sf_dir):
+    """Runs-declustering extremal index of the strict top decile of
+    hourly means per event_type series, with the worst storm length
+    (see analytics.extremal_index)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.extremal_index(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select(
+        "series_id", "n_buckets", "n_exceed", "n_clusters", "max_cluster",
+        "theta_e6",
+    )
