@@ -872,3 +872,57 @@ def test_dim_filter_prunes_tier_partitions_dynamically(spark, tmp_path_factory):
     # and it is attached to the fact scan's PARTITION filters
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "dynamicpruning" in pf
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path_factory):
+    """write_bucketed co-locates a stable join key: two tables bucketed
+    the same way must SortMergeJoin with NO Exchange on either side,
+    and a groupBy on the bucket key of one table must hash-aggregate
+    with no shuffle — the recurring-join contract at 10^12 rows."""
+    import uuid
+
+    from tokens_ts.io.catalog import read_bucketed, write_bucketed
+
+    # spark.sql.warehouse.dir is static per-session; managed tables
+    # land under the session default and are dropped (with data) below
+    sfx = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{sfx}", f"bk_b_{sfx}"
+    rows = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("series_id"), F.col("id").alias("v")
+    )
+    try:
+        write_bucketed(rows, ta, "series_id", n_buckets=8)
+        write_bucketed(
+            rows.withColumn("v", F.col("v") * 2), tb, "series_id", n_buckets=8
+        )
+        a, b = read_bucketed(spark, ta), read_bucketed(spark, tb)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "series_id")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == 1000 * 20  # 50 keys x 20 x 20 matches
+            g = a.groupBy("series_id").agg(F.sum("v").alias("s"))
+            gplan = _plan(g)
+            assert "Exchange" not in gplan, gplan
+            assert g.count() == 50
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # a plain path read of the same files DISCARDS the bucket
+        # spec -- the read_bucketed contract exists for a reason
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {ta}")
+            .where(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        raw = spark.read.parquet(loc.replace("file:", ""))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            rplan = _plan(raw.join(raw.withColumnRenamed("v", "w"), "series_id"))
+            assert "Exchange" in rplan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

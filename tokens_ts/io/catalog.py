@@ -464,3 +464,43 @@ class Catalog:
             # Iceberg's snapshot isolation is the production answer.)
             spark.catalog.refreshByPath(self.path(name))
         return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Write `df` as a BUCKETED catalog table: rows are hash-split on
+    `key` into `n_buckets` files per partition write, with the bucket
+    spec recorded in the session catalog. This is the shuffle-removal
+    lever for repeated joins/aggregations on a stable key: two tables
+    bucketed the same way join with NO Exchange on either side (the
+    bucketing IS the required hash partitioning), and a one-sided
+    bucket read feeds a groupBy on the key without a shuffle — at
+    10^12 rows that converts every recurring series/doc join from a
+    full-corpus shuffle into a local zipper merge.
+
+    Iceberg equivalent (documented, same as the module header's
+    layout): PARTITIONED BY (bucket(N, key)) — storage-partitioned
+    joins via spark.sql.sources.v2.bucketing.enabled. The sandbox path
+    uses Spark's native parquet bucketing (saveAsTable — bucket
+    metadata lives in the session catalog, so readers must come from
+    spark.table(), not spark.read.parquet()).
+
+    sort_col additionally sorts within each bucket file (sortBy),
+    which lets the SortMergeJoin skip its sort too."""
+    w = df.write.format("parquet").mode("overwrite")
+    if sort_col is not None:
+        w = w.bucketBy(n_buckets, key).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, key)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read that preserves the bucket spec (spark.table —
+    a path read would discard the bucketing metadata)."""
+    return spark.table(table)
