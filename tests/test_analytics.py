@@ -3823,3 +3823,36 @@ def test_extremal_index_short_or_flat_series_dropped(spark):
     # n<10 -> threshold is the max -> no strict exceedance; flat ->
     # tied top -> no strict exceedance: both series vanish
     assert analytics.extremal_index(df, keys=["series_id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# record_counts: record-breaking statistics
+# ---------------------------------------------------------------------------
+
+
+def test_record_counts_monotone_and_expectation(spark):
+    import datetime as dt
+
+    rows = [
+        # strictly increasing: EVERY bucket is an up-record, only the
+        # first is a down-record
+        ("up", dt.datetime(2024, 1, 1, h), float(h)) for h in range(5)
+    ] + [
+        # constant: ties never break records -> exactly one of each
+        ("flat", dt.datetime(2024, 1, 1, h), 3.0) for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.record_counts(df, keys=["series_id"]).collect()
+    }
+    u, f = out["up"], out["flat"]
+    assert (u["n_records_up"], u["n_records_down"]) == (5, 1)
+    # H_5 pre-quantized: 1e9 + 5e8 + round(1e9/3) + 25e7 + 2e8
+    h5 = 1_000_000_000 + 500_000_000 + 333_333_333 + 250_000_000 + 200_000_000
+    assert u["expected_e9"] == h5
+    assert u["up_ratio_e6"] == round(5 / (h5 / 1e9) * 1e6)
+    assert (f["n_records_up"], f["n_records_down"]) == (1, 1)
+    assert f["expected_e9"] == 1_000_000_000 + 500_000_000 + 333_333_333 + 250_000_000

@@ -7056,3 +7056,78 @@ def extremal_index(
             * 1e6
         ).cast("bigint").alias("theta_e6"),
     )
+
+
+def record_counts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Record statistics per series: how many hourly buckets set a new
+    all-time HIGH (strict prefix maximum) or LOW, against the
+    exchangeability expectation H_n = Σ 1/k. Under any i.i.d. /
+    exchangeable sequence the k-th bucket is a record with probability
+    exactly 1/k regardless of the distribution — so records ≫ H_n is
+    drift evidence that needs NO distributional assumption, no grid,
+    and no variance estimate: the cheapest trend alarm there is, and a
+    cross-check on mann_kendall from a completely different angle
+    (record times vs rank pairs).
+
+    Exactness: records are strict running-max/min breaks (lag compare
+    over epoch order — exact integer counts on e6 bucket means; the
+    first bucket is a record by convention, ties do NOT break
+    records); the expectation enters PRE-QUANTIZED per term
+    (h_e9 = Σ_k round(1e9/k), the retrieval_eval rule — each term is
+    one identical double division both engines round the same way, so
+    the harmonic sum is an exact bigint; error ≤ n·5e-10). The
+    up/expected ratio is one double division.
+
+    Scale shape: one bucket agg, one running-extreme window on the
+    same key partitioning, one keys-bounded agg. The harmonic term
+    rides the SAME rows (round(1e9/rank) summed) — no series join, no
+    generate_series."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    byep = wk.orderBy("ep")
+    prior = byep.rowsBetween(Window.unboundedPreceding, -1)
+    r = b.select(
+        *keys,
+        "v",
+        F.row_number().over(byep).alias("_k"),
+        F.max("v").over(prior).alias("_pmax"),
+        F.min("v").over(prior).alias("_pmin"),
+    )
+    up = F.when(
+        F.col("_pmax").isNull() | (F.col("v") > F.col("_pmax")), 1
+    ).otherwise(0)
+    dn = F.when(
+        F.col("_pmin").isNull() | (F.col("v") < F.col("_pmin")), 1
+    ).otherwise(0)
+    h = F.round(F.lit(1e9) / F.col("_k").cast("double")).cast("bigint")
+    a = r.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(up).cast("bigint").alias("n_records_up"),
+        F.sum(dn).cast("bigint").alias("n_records_down"),
+        F.sum(h).alias("expected_e9"),
+    )
+    return a.select(
+        *keys,
+        "n_buckets",
+        "n_records_up",
+        "n_records_down",
+        "expected_e9",
+        F.round(
+            F.col("n_records_up").cast("double")
+            / (F.col("expected_e9").cast("double") / 1e9)
+            * 1e6
+        ).cast("bigint").alias("up_ratio_e6"),
+    )

@@ -13246,3 +13246,55 @@ def ts_extremal_index(spark, sf_dir):
         "series_id", "n_buckets", "n_exceed", "n_clusters", "max_cluster",
         "theta_e6",
     )
+
+
+@q(
+    "ts_records",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, v,
+             row_number() OVER w AS k,
+             max(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax,
+             min(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmin
+      FROM b WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    )
+    SELECT series_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN pmax IS NULL OR v > pmax THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_records_up,
+           CAST(sum(CASE WHEN pmin IS NULL OR v < pmin THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_records_down,
+           CAST(sum(CAST(ROUND(1e9 / CAST(k AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS expected_e9,
+           CAST(ROUND(
+             CAST(sum(CASE WHEN pmax IS NULL OR v > pmax THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / (CAST(sum(CAST(ROUND(1e9 / CAST(k AS DOUBLE)) AS BIGINT))
+                     AS DOUBLE) / 1e9)
+             * 1e6) AS BIGINT) AS up_ratio_e6
+    FROM r GROUP BY 1
+    """,
+)
+def ts_records(spark, sf_dir):
+    """Record-breaking high/low counts per event_type series vs the
+    exact exchangeability expectation H_n — the distribution-free
+    drift alarm (see analytics.record_counts)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.record_counts(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select(
+        "series_id", "n_buckets", "n_records_up", "n_records_down",
+        "expected_e9", "up_ratio_e6",
+    )
