@@ -4916,3 +4916,38 @@ def test_hubness_hand_graph(spark):
     assert out == {1: 2, 0: 3}
     # histogram mass always equals the corpus size
     assert sum(out.values()) == 5
+
+
+def test_knn_purity_separated_vs_interleaved(spark):
+    dim = 64
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, w in hot:
+            v[i] = w
+        return v
+
+    # label 7: a tight clique on axis 0 (query id 0 + 2 neighbors)
+    # label 8: lives on axis 1 but its member id 37 (also a query)
+    #          is planted INSIDE label 7's clique -> its neighbors are
+    #          all label 7: purity 0 for label 8, 1 for label 7
+    rows = [
+        (0, 7, vec((0, 1.0))),
+        (1, 7, vec((0, 2.0))),
+        (2, 7, vec((0, 3.0), (1, 0.01))),
+        (37, 8, vec((0, 1.0), (1, 0.02))),
+        (4, 8, vec((1, 1.0))),
+        (5, 8, vec((1, 2.0), (2, 0.5))),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    out = {
+        r["label"]: r for r in simsearch.knn_purity(df, k=2).collect()
+    }
+    assert set(out) == {7, 8}  # qids 0 and 37
+    assert out[7]["n_queries"] == 1
+    assert out[7]["n_matches"] == 2 and out[7]["purity_e6"] == 1_000_000
+    assert out[7]["n_nn1_correct"] == 1
+    assert out[8]["n_matches"] == 0 and out[8]["purity_e6"] == 0
+    assert out[8]["n_nn1_correct"] == 0

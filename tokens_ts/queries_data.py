@@ -13298,3 +13298,59 @@ def ts_records(spark, sf_dir):
         "series_id", "n_buckets", "n_records_up", "n_records_down",
         "expected_e9", "up_ratio_e6",
     )
+
+
+@q(
+    "emb_knn_purity",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    c AS (
+      SELECT q.qid, q.qlabel, e.label AS nlabel, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               AS dot,
+             sqrt(list_sum(list_transform(q.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    top AS (
+      SELECT qid, qlabel, nlabel, rank FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) DESC,
+                          nid
+               ) AS rank
+        FROM c
+      ) WHERE rank <= 5
+    ),
+    pq AS (
+      SELECT qid, qlabel,
+             sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS m,
+             sum(CASE WHEN rank = 1 AND nlabel = qlabel THEN 1 ELSE 0 END)
+               AS nn1
+      FROM top GROUP BY 1, 2
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(m) AS BIGINT) AS n_matches,
+           CAST(sum(nn1) AS BIGINT) AS n_nn1_correct,
+           CAST(ROUND(CAST(sum(m) AS DOUBLE)
+                / CAST(count(*) * 5 AS DOUBLE) * 1e6) AS BIGINT)
+             AS purity_e6
+    FROM pq GROUP BY 1
+    """,
+)
+def emb_knn_purity(spark, sf_dir):
+    """Leave-one-out kNN label purity + 1-NN accuracy per label over
+    the mod-37 query sample — retrieval-behavior label quality (see
+    simsearch.knn_purity)."""
+    return simsearch.knn_purity(_emb(spark, sf_dir)).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_queries", "n_matches", "n_nn1_correct", "purity_e6",
+    )

@@ -2001,3 +2001,79 @@ def hubness(
         .where(F.col("n_vectors") > 0)
     )
     return hist.unionByName(zero)
+
+
+def knn_purity(
+    emb: DataFrame,
+    k: int = 5,
+    q_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN label purity per label — the SUPERVISED
+    embedding-quality dial: for each query in the deterministic
+    mod-q_mod sample, what fraction of its k nearest neighbors share
+    its label, and does its single nearest neighbor (the 1-NN
+    classifier) agree? Cohesion and silhouette score geometry against
+    the label CENTROIDS; purity scores the actual retrieval behavior a
+    kNN consumer sees, catching the case where classes interleave at
+    the boundary while both centroids sit far apart.
+
+    Ranking reuses the cosine_topk contract exactly (e6 cosine, id
+    tie-break). Per label: n_queries, Σ matching neighbors (of k
+    each — exact integers), purity = matches/(q·k), and the 1-NN
+    accuracy. Labels with no sampled query are absent (honest).
+
+    Scale shape: broadcast query set over one corpus scan (no corpus
+    shuffle), rank window on the queries-bounded frame, labels-bounded
+    final agg."""
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(label_col).alias("nlabel"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = emb.where(F.pmod(F.col(id_col), F.lit(q_mod)) == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlabel"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = j.select(
+        "qid",
+        "qlabel",
+        "nlabel",
+        F.round(sim * 1e6).cast("bigint").alias("sim_e6"),
+        F.col("nid"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    per_q = top.groupBy("qid", "qlabel").agg(
+        F.sum(
+            F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+        ).cast("bigint").alias("_m"),
+        F.sum(
+            F.when(
+                (F.col("rank") == 1) & (F.col("nlabel") == F.col("qlabel")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("_nn1"),
+    )
+    a = per_q.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("_m").alias("n_matches"),
+        F.sum("_nn1").alias("n_nn1_correct"),
+    )
+    return a.select(
+        "label",
+        "n_queries",
+        "n_matches",
+        "n_nn1_correct",
+        F.round(
+            F.col("n_matches").cast("double")
+            / (F.col("n_queries") * F.lit(k)).cast("double")
+            * 1e6
+        ).cast("bigint").alias("purity_e6"),
+    )
