@@ -4951,3 +4951,30 @@ def test_knn_purity_separated_vs_interleaved(spark):
     assert out[7]["n_nn1_correct"] == 1
     assert out[8]["n_matches"] == 0 and out[8]["purity_e6"] == 0
     assert out[8]["n_nn1_correct"] == 0
+
+
+def test_minhash_pr_curve_cells_are_consistent(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, near), (4, text + " extra tail words")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.minhash_pr_curve(docs, max_bucket=10).collect()
+    assert {r["tau_e6"] for r in rows} == {
+        400_000, 500_000, 600_000, 700_000, 800_000, 900_000
+    }
+    for r in rows:
+        # cell algebra: tp <= both positives <= pairs; identical docs
+        # (1,2) are est- and exact-positive at EVERY tau
+        assert r["n_true_pos"] <= r["n_est_pos"] <= r["n_pairs"]
+        assert r["n_true_pos"] <= r["n_exact_pos"]
+        assert r["n_est_pos"] >= 1 and r["n_true_pos"] >= 1
+        if r["n_est_pos"] > 0:
+            assert 0 <= r["precision_e6"] <= 1_000_000
+    # monotone: raising tau can only shrink every positive set
+    by_tau = sorted(rows, key=lambda r: r["tau_e6"])
+    for lo, hi in zip(by_tau, by_tau[1:]):
+        assert hi["n_est_pos"] <= lo["n_est_pos"]
+        assert hi["n_exact_pos"] <= lo["n_exact_pos"]
+        assert hi["n_true_pos"] <= lo["n_true_pos"]

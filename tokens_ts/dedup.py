@@ -956,3 +956,71 @@ def minhash_accuracy(
         )
         .withColumn("abs_err_e6", F.round(err * 1e6).cast("bigint"))
     )
+
+
+def minhash_pr_curve(
+    docs: DataFrame,
+    taus_e6: tuple[int, ...] = (400_000, 500_000, 600_000, 700_000, 800_000, 900_000),
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Threshold operating curve for the MinHash index: at each
+    near-dup threshold τ, of the candidate pairs the SIGNATURE calls
+    duplicates (est ≥ τ), how many actually are (exact Jaccard ≥ τ) —
+    precision — and of the true duplicates among candidates, how many
+    the signature catches — sensitivity. The one-table answer to "can
+    I act on the sketch alone at τ = 0.8, or must I verify?" —
+    minhash_accuracy gives the per-pair errors, this gives the
+    decision curve a pipeline threshold is actually chosen from.
+
+    Exactness: BOTH threshold comparisons are integer cross-
+    multiplications (est·1e6 ≥ n_perm·τ; n_inter·1e6 ≥ τ·n_union) —
+    no rounding anywhere, so membership in every cell is exact; the
+    two ratios are single double divisions. The τ sweep is a row-local
+    explode of a constant array over the (bucket-capped) candidate
+    pair frame — |taus| × pairs rows, then one τ-bounded agg."""
+    acc = minhash_accuracy(
+        docs, n_perm, bands, text_col, max_bucket, hash_mode
+    )
+    t = acc.select(
+        "est_matches",
+        "n_inter",
+        "n_union",
+        F.explode(
+            F.array(*[F.lit(x).cast("bigint") for x in taus_e6])
+        ).alias("tau_e6"),
+    )
+    est_pos = F.col("est_matches") * 1_000_000 >= F.lit(n_perm) * F.col("tau_e6")
+    tru_pos = F.col("n_inter") * 1_000_000 >= F.col("tau_e6") * F.col("n_union")
+    a = t.groupBy("tau_e6").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(est_pos, 1).otherwise(0)).cast("bigint").alias("n_est_pos"),
+        F.sum(F.when(tru_pos, 1).otherwise(0)).cast("bigint").alias("n_exact_pos"),
+        F.sum(F.when(est_pos & tru_pos, 1).otherwise(0)).cast("bigint").alias("n_true_pos"),
+    )
+    return a.select(
+        "tau_e6",
+        "n_pairs",
+        "n_est_pos",
+        "n_exact_pos",
+        "n_true_pos",
+        F.when(
+            F.col("n_est_pos") > 0,
+            F.round(
+                F.col("n_true_pos").cast("double")
+                / F.col("n_est_pos").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("precision_e6"),
+        F.when(
+            F.col("n_exact_pos") > 0,
+            F.round(
+                F.col("n_true_pos").cast("double")
+                / F.col("n_exact_pos").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("sensitivity_e6"),
+    )

@@ -13354,3 +13354,69 @@ def emb_knn_purity(spark, sf_dir):
         F.col("label").cast("bigint").alias("label"),
         "n_queries", "n_matches", "n_nn1_correct", "purity_e6",
     )
+
+
+@q(
+    "doc_minhash_pr_curve",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    sides AS (
+      SELECT sig.doc_id, sig.mh, sh.sh3 FROM sig JOIN sh USING (doc_id)
+    ),
+    j AS (
+      SELECT CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS est,
+             CAST(len(list_intersect(sa.sh3, sb.sh3)) AS BIGINT) AS ni,
+             CAST(len(list_distinct(list_concat(sa.sh3, sb.sh3))) AS BIGINT)
+               AS nu
+      FROM cand
+      JOIN sides sa ON sa.doc_id = cand.a
+      JOIN sides sb ON sb.doc_id = cand.b
+    ),
+    x AS (
+      SELECT j.*, t.tau FROM j,
+        (SELECT unnest([400000, 500000, 600000, 700000, 800000, 900000])
+           AS tau) t
+    ),
+    g AS (
+      SELECT CAST(tau AS BIGINT) AS tau_e6,
+             count(*) AS n_pairs,
+             sum(CASE WHEN est * 1000000 >= 32 * tau THEN 1 ELSE 0 END)
+               AS n_est_pos,
+             sum(CASE WHEN ni * 1000000 >= tau * nu THEN 1 ELSE 0 END)
+               AS n_exact_pos,
+             sum(CASE WHEN est * 1000000 >= 32 * tau
+                       AND ni * 1000000 >= tau * nu THEN 1 ELSE 0 END)
+               AS n_true_pos
+      FROM x GROUP BY 1
+    )
+    SELECT tau_e6,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_est_pos AS BIGINT) AS n_est_pos,
+           CAST(n_exact_pos AS BIGINT) AS n_exact_pos,
+           CAST(n_true_pos AS BIGINT) AS n_true_pos,
+           CASE WHEN n_est_pos > 0 THEN
+             CAST(ROUND(CAST(n_true_pos AS DOUBLE)
+                  / CAST(n_est_pos AS DOUBLE) * 1e6) AS BIGINT)
+           END AS precision_e6,
+           CASE WHEN n_exact_pos > 0 THEN
+             CAST(ROUND(CAST(n_true_pos AS DOUBLE)
+                  / CAST(n_exact_pos AS DOUBLE) * 1e6) AS BIGINT)
+           END AS sensitivity_e6
+    FROM g
+    """,
+)
+def doc_minhash_pr_curve(spark, sf_dir):
+    """Precision/sensitivity of the md5-LSH signature decision at six
+    near-dup thresholds — the curve a pipeline threshold is chosen
+    from; integer cross-multiply comparisons, no rounding in any cell
+    (see dedup.minhash_pr_curve)."""
+    return dedup.minhash_pr_curve(_docs(spark, sf_dir), hash_mode="md5")
