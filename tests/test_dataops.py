@@ -4978,3 +4978,26 @@ def test_minhash_pr_curve_cells_are_consistent(spark):
         assert hi["n_est_pos"] <= lo["n_est_pos"]
         assert hi["n_exact_pos"] <= lo["n_exact_pos"]
         assert hi["n_true_pos"] <= lo["n_true_pos"]
+
+
+def test_bigram_pred_acc_hand_counts(spark):
+    rows = [
+        # source A: contexts 1->2 twice, 1->3 once -> argmax(1)=2;
+        # context 2 -> {1 once, 3 once} tie -> smallest wins: b_hat=1
+        ("A", "d1", [1, 2, 1, 3]),        # bigrams (1,2),(2,1),(1,3)
+        ("A", "d2", [1, 2, 3]),           # (1,2),(2,3)
+        # PAD (0) breaks adjacency: (5,0),(0,5) dropped entirely
+        ("B", "d3", [5, 0, 5, 6]),        # kept: (5,6)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = {
+        r["source"]: r
+        for r in textops.bigram_pred_acc(df, pad_id=0).collect()
+    }
+    a = out["A"]
+    # corpus argmaxes span sources: context 5 only in B. A's positions:
+    # (1,2) hit, (2,1) hit (tie->1), (1,3) miss, (1,2) hit, (2,3) miss
+    assert (a["n_bigrams"], a["n_correct"]) == (5, 3)
+    assert a["acc_e6"] == 600_000
+    b = out["B"]
+    assert (b["n_bigrams"], b["n_correct"], b["acc_e6"]) == (1, 1, 1_000_000)

@@ -13420,3 +13420,41 @@ def doc_minhash_pr_curve(spark, sf_dir):
     from; integer cross-multiply comparisons, no rounding in any cell
     (see dedup.minhash_pr_curve)."""
     return dedup.minhash_pr_curve(_docs(spark, sf_dir), hash_mode="md5")
+
+
+@q(
+    "seq_bigram_pred_acc",
+    _synth_cte()
+    + """
+    , bg AS (
+      SELECT source, tokens[i] AS a, tokens[i + 1] AS b
+      FROM seq, unnest(range(1, len(tokens))) AS u(i)
+      WHERE tokens[i] <> 0 AND tokens[i + 1] <> 0
+    ),
+    bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+    pred AS (
+      SELECT a, b AS b_hat FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY cab DESC, b)
+                 AS rk
+        FROM bgc
+      ) WHERE rk = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN b = b_hat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(ROUND(CAST(sum(CASE WHEN b = b_hat THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS acc_e6
+    FROM bg JOIN pred USING (a)
+    GROUP BY 1
+    """,
+)
+def seq_bigram_pred_acc(spark, sf_dir):
+    """Top-1 bigram self-prediction accuracy per synthetic source —
+    the speculative-decoding predictability number, argmax ties to the
+    smallest token id (see textops.bigram_pred_acc)."""
+    return textops.bigram_pred_acc(_seq(spark), pad_id=C.PAD_ID).select(
+        "source", "n_bigrams", "n_correct", "acc_e6"
+    )

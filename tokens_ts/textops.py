@@ -3368,3 +3368,77 @@ def weighted_sample(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def bigram_pred_acc(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    pad_id: int = 0,
+) -> DataFrame:
+    """Top-1 bigram self-prediction accuracy per source — the
+    speculative-decoding planning number: if a draft model were just
+    the corpus's own bigram table, what fraction of next tokens would
+    it guess right? High accuracy = the source is n-gram-predictable
+    (templated/boilerplate-ish — cheap to speculate, low training
+    surprise); low = high-entropy text. The DECISION-accuracy
+    companion to bigram_logprob's likelihood: NLL averages the whole
+    distribution, this scores only the argmax — two sources with equal
+    NLL can differ sharply here.
+
+    Pinned rules: bigrams keep the bigram_logprob contract (both sides
+    non-PAD, row-local position transform); the predictor for context
+    a is the highest-count continuation with ties broken to the
+    SMALLEST token id (row_number over (count desc, b asc) — exact
+    cross-engine); every kept bigram position scores 1 iff its b is
+    the context's argmax. Sources with no kept bigrams are absent.
+
+    Scale shape: one row-local bigram explode, a vocab²-bounded count
+    frame, the argmax as a rank window on the vocab²-bounded frame,
+    and ONE corpus-sized equi-join (position stream ⋈ per-context
+    argmax on a — broadcastable when the observed-context set is
+    small). All counts exact; accuracy is one double division."""
+    toks = F.col(tokens_col)
+    pairs = seq.select(
+        source_col,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg"),
+    ).select(source_col, "bg.a", "bg.b").where(
+        (F.col("a") != pad_id) & (F.col("b") != pad_id)
+    )
+    bgc = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    w = Window.partitionBy("a").orderBy(F.desc("cab"), F.asc("b"))
+    pred = (
+        bgc.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("a", F.col("b").alias("b_hat"))
+    )
+    scored = pairs.join(pred, "a")
+    return (
+        scored.groupBy(source_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("b") == F.col("b_hat"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            source_col,
+            "n_bigrams",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_bigrams").cast("double")
+                * 1e6
+            ).cast("bigint").alias("acc_e6"),
+        )
+    )
