@@ -405,6 +405,18 @@ def main():
 
     bench("evolved_scan", _evo_case)
 
+    # round-5 close additions: the blocked-rank family (bucket agg +
+    # block-local rank windows), the closed-form pairwise-cosine agg,
+    # and the broadcast kNN ranking — three distinct plan shapes
+    bench("rank_tests", lambda: [
+        _materialize(analytics.friedman_dayparts(
+            ev_raw, ["series_id"], ts_col="event_ts")),
+        _materialize(analytics.brown_forsythe_dow(
+            ev_raw, ["series_id"], ts_col="event_ts")),
+    ])
+    bench("isotropy", lambda: _materialize(simsearch.isotropy(emb)))
+    bench("knn_hubness", lambda: _materialize(simsearch.hubness(emb)))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",
