@@ -3856,3 +3856,53 @@ def test_record_counts_monotone_and_expectation(spark):
     assert u["up_ratio_e6"] == round(5 / (h5 / 1e9) * 1e6)
     assert (f["n_records_up"], f["n_records_down"]) == (1, 1)
     assert f["expected_e9"] == 1_000_000_000 + 500_000_000 + 333_333_333 + 250_000_000
+
+
+# ---------------------------------------------------------------------------
+# qq_drift: decile-level distribution shift
+# ---------------------------------------------------------------------------
+
+
+def test_qq_drift_level_shift_signature(spark):
+    import datetime as dt
+
+    # first half 1..10, second half 101..110 (hours 0..19): every
+    # decile shifts by exactly +100 (e6-grid: +1e8); decile d of ten
+    # values = value at nearest-rank-upper ceil(d*10/10) = d
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, h), float(h + 1)) for h in range(10)
+    ] + [
+        ("a", dt.datetime(2024, 1, 1, 10 + h), float(101 + h)) for h in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {r["decile"]: r for r in analytics.qq_drift(df, keys=["series_id"]).collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d]["q_first_e6"] == d * 1_000_000
+        assert out[d]["q_second_e6"] == (100 + d) * 1_000_000
+        assert out[d]["shift_e6"] == 100_000_000
+
+
+def test_qq_drift_tail_only_shift(spark):
+    import datetime as dt
+
+    # identical halves except the second half's maximum explodes:
+    # only decile 9 (and above-median ranks mapping to the max) moves
+    first = [1.0, 2.0, 3.0, 4.0, 5.0]
+    second = [1.0, 2.0, 3.0, 4.0, 500.0]
+    rows = [
+        ("t", dt.datetime(2024, 1, 1, h), v) for h, v in enumerate(first)
+    ] + [
+        ("t", dt.datetime(2024, 1, 1, 5 + h), v) for h, v in enumerate(second)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {r["decile"]: r for r in analytics.qq_drift(df, keys=["series_id"]).collect()}
+    # m = 5 per half: decile d picks rank ceil(d/2): deciles 1-8 ->
+    # ranks 1..4 identical, decile 9 -> rank 5 (the max)
+    for d in range(1, 9):
+        assert out[d]["shift_e6"] == 0, d
+    assert out[9]["shift_e6"] == 495_000_000

@@ -7131,3 +7131,84 @@ def record_counts(
             * 1e6
         ).cast("bigint").alias("up_ratio_e6"),
     )
+
+
+def qq_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Quantile-quantile drift profile per series: for each decile,
+    the exact order statistic of the FIRST half of the bucket history
+    against the SECOND half — the WHERE of a distribution shift.
+    ks_drift reports the worst single CDF gap, mannwhitney/welch give
+    one shift scalar; this table says which PART of the distribution
+    moved (tail-only drift, median shift, variance widening all have
+    distinct decile signatures). The half split is the
+    mannwhitney_drift pin (bucket ranks 1..n//2 vs rest).
+
+    Entirely integer-exact — the only operator-free statistic in the
+    drift family: values are e6-grid bucket means, each half's decile
+    d enters as its exact order statistic at rank ⌈d·m/10⌉ (the
+    nearest-rank upper convention; m = half size), and the shift is a
+    bigint difference. No double exists anywhere. Halves need ≥ 1
+    bucket each or the series is dropped.
+
+    Scale shape: one bucket agg, the split + two rank windows on the
+    SAME key partitioning, a 9-row constant explode on the halves-
+    bounded frame, keys×9-bounded output. Single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    r = b.select(
+        *keys,
+        "v",
+        "ep",
+        F.row_number().over(wk.orderBy("ep")).alias("_i"),
+        F.count("*").over(wk).alias("_n"),
+    ).withColumn(
+        "_h", F.when(F.col("_i") <= F.floor(F.col("_n") / 2), 1).otherwise(2)
+    )
+    wh = Window.partitionBy(*keys, "_h")
+    rr = r.select(
+        *keys,
+        "_h",
+        "v",
+        F.row_number().over(wh.orderBy("v", "ep")).alias("_rv"),
+        F.count("*").over(wh).alias("_m"),
+    )
+    d = rr.select(
+        *keys,
+        "_h",
+        "v",
+        "_rv",
+        "_m",
+        F.explode(F.array(*[F.lit(x) for x in range(1, 10)])).alias("decile"),
+    ).where(
+        # nearest-rank upper: rank = ceil(d*m/10), exact in integers
+        F.col("_rv") * 10 >= F.col("decile") * F.col("_m")
+    ).where(
+        (F.col("_rv") - 1) * 10 < F.col("decile") * F.col("_m")
+    )
+    picked = d.groupBy(*keys, "decile", "_h").agg(F.min("v").alias("_q"))
+    a = picked.groupBy(*keys, "decile").agg(
+        F.sum(F.when(F.col("_h") == 1, F.col("_q"))).alias("q_first_e6"),
+        F.sum(F.when(F.col("_h") == 2, F.col("_q"))).alias("q_second_e6"),
+    ).where(
+        F.col("q_first_e6").isNotNull() & F.col("q_second_e6").isNotNull()
+    )
+    return a.select(
+        *keys,
+        F.col("decile").cast("bigint").alias("decile"),
+        "q_first_e6",
+        "q_second_e6",
+        (F.col("q_second_e6") - F.col("q_first_e6")).alias("shift_e6"),
+    )

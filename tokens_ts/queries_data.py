@@ -13458,3 +13458,57 @@ def seq_bigram_pred_acc(spark, sf_dir):
     return textops.bigram_pred_acc(_seq(spark), pad_id=C.PAD_ID).select(
         "source", "n_bigrams", "n_correct", "acc_e6"
     )
+
+
+@q(
+    "ts_qq_drift",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, v, ep,
+             CASE WHEN row_number() OVER (PARTITION BY series_id
+                                          ORDER BY ep)
+                    <= count(*) OVER (PARTITION BY series_id) // 2
+                  THEN 1 ELSE 2 END AS h
+      FROM b
+    ),
+    rr AS (
+      SELECT series_id, h, v,
+             row_number() OVER (PARTITION BY series_id, h
+                                ORDER BY v, ep) AS rv,
+             count(*) OVER (PARTITION BY series_id, h) AS m
+      FROM r
+    ),
+    d AS (
+      SELECT series_id, h, v, dec FROM rr,
+        (SELECT unnest(range(1, 10)) AS dec) x
+      WHERE rv * 10 >= dec * m AND (rv - 1) * 10 < dec * m
+    )
+    SELECT series_id,
+           CAST(dec AS BIGINT) AS decile,
+           CAST(sum(CASE WHEN h = 1 THEN v END) AS BIGINT) AS q_first_e6,
+           CAST(sum(CASE WHEN h = 2 THEN v END) AS BIGINT) AS q_second_e6,
+           CAST(sum(CASE WHEN h = 2 THEN v END)
+                - sum(CASE WHEN h = 1 THEN v END) AS BIGINT) AS shift_e6
+    FROM d GROUP BY 1, 2
+    HAVING sum(CASE WHEN h = 1 THEN v END) IS NOT NULL
+       AND sum(CASE WHEN h = 2 THEN v END) IS NOT NULL
+    """,
+)
+def ts_qq_drift(spark, sf_dir):
+    """Decile-by-decile exact quantile shift between the two halves of
+    each event_type series — the WHERE of a distribution drift, with
+    no floating point anywhere (see analytics.qq_drift)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.qq_drift(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "decile", "q_first_e6", "q_second_e6", "shift_e6")
