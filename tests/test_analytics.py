@@ -3906,3 +3906,48 @@ def test_qq_drift_tail_only_shift(spark):
     for d in range(1, 9):
         assert out[d]["shift_e6"] == 0, d
     assert out[9]["shift_e6"] == 495_000_000
+
+
+# ---------------------------------------------------------------------------
+# vol_clustering: ARCH effect on absolute changes
+# ---------------------------------------------------------------------------
+
+
+def test_vol_clustering_numpy_parity_and_gap(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    vals = [0.0, 1.0, 0.0, 9.0, 0.0, 1.0, 2.0, 11.0, 2.0, 3.0]
+    rows = [("a", dt.datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    # linear ramp -> |delta| constant -> zero variance -> honest null
+    rows += [("lin", dt.datetime(2024, 1, 1, h), float(2 * h)) for h in range(6)]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.vol_clustering(df, keys=["series_id"]).collect()
+    }
+    rr = np.abs(np.diff(np.round(np.array(vals) * 1000))).astype(np.int64)
+    x, y = rr[:-1].astype(float), rr[1:].astype(float)
+    n = len(x)
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = math.sqrt(
+        (n * (x * x).sum() - x.sum() ** 2) * (n * (y * y).sum() - y.sum() ** 2)
+    )
+    assert out["a"]["n_pairs"] == n
+    assert out["a"]["arch_r_e6"] == round(num / den * 1e6)
+    assert out["lin"]["arch_r_e6"] is None
+
+    # gap-correctness: removing hour 4 must drop the delta pairs that
+    # cross it (deltas at hours 4 and 5 vanish; pairs shrink by 3)
+    rows_g = [
+        ("g", dt.datetime(2024, 1, 1, h), v)
+        for h, v in enumerate(vals) if h != 4
+    ]
+    dfg = spark.createDataFrame(
+        rows_g, "series_id string, ts timestamp, value double"
+    )
+    g = analytics.vol_clustering(dfg, keys=["series_id"]).collect()[0]
+    assert g["n_pairs"] == n - 3

@@ -7212,3 +7212,80 @@ def qq_drift(
         "q_second_e6",
         (F.col("q_second_e6") - F.col("q_first_e6")).alias("shift_e6"),
     )
+
+
+def vol_clustering(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """Volatility clustering (ARCH effect) per series: the lag-1
+    autocorrelation of |Δv| over CONSECUTIVE hourly buckets — do big
+    moves follow big moves? A series can pass every level-drift test
+    while its TURBULENCE arrives in bursts (load thrash, retry storms,
+    market-style vol clustering); acf sees the level's memory, this
+    sees the volatility's. The |Δ| form (not Δ², the textbook ARCH
+    regressor) is deliberate: absolute changes keep every moment sum
+    inside int64 at the e3 grid where squared changes would need Σ r⁴
+    (~1e24) — same positive-clustering signal, no overflow cliff.
+
+    Exactness: Δ = v_t − v_{t−1} only where buckets are consecutive
+    (gap-correct — a missing hour contributes no pair, the ts_adf
+    rule); the five Pearson sums over (|Δ_t|, |Δ_{t−1}|) adjacent
+    PAIRS of consecutive deltas are exact bigints, and r is the one
+    shared IEEE finishing tree (n·Sxy − Sx·Sy)/sqrt((n·Sxx − Sx²)
+    (n·Syy − Sy²)). Constant-|Δ| series → zero variance → honest null;
+    n < 2 pairs dropped.
+
+    Scale shape: one bucket agg + two lag windows on the same key
+    partitioning + one keys-bounded agg. Single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    byep = wk.orderBy("ep")
+    step = 3600
+    d = b.select(
+        *keys,
+        "ep",
+        F.when(
+            F.col("ep") - F.lag("ep").over(byep) == step,
+            F.abs(F.col("v") - F.lag("v").over(byep)),
+        ).alias("_r"),
+    ).where(F.col("_r").isNotNull())
+    p = d.select(
+        *keys,
+        "ep",
+        F.col("_r").alias("_y"),
+        F.when(
+            F.col("ep") - F.lag("ep").over(byep) == step,
+            F.lag("_r").over(byep),
+        ).alias("_x"),
+    ).where(F.col("_x").isNotNull())
+    a = p.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    ).where(F.col("n_pairs") >= 2)
+    n = F.col("n_pairs")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    r = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return a.select(
+        *keys,
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), F.round(r * 1e6).cast("bigint")).alias(
+            "arch_r_e6"
+        ),
+    )

@@ -13512,3 +13512,55 @@ def ts_qq_drift(spark, sf_dir):
     return analytics.qq_drift(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "decile", "q_first_e6", "q_second_e6", "shift_e6")
+
+
+@q(
+    "ts_vol_clustering",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT series_id, ep,
+             CASE WHEN ep - lag(ep) OVER w = 3600
+                  THEN abs(v - lag(v) OVER w) END AS r
+      FROM b WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    ),
+    dd AS (SELECT * FROM d WHERE r IS NOT NULL),
+    p AS (
+      SELECT series_id, r AS y,
+             CASE WHEN ep - lag(ep) OVER w = 3600
+                  THEN lag(r) OVER w END AS x
+      FROM dd WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    ),
+    a AS (
+      SELECT series_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT series_id,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1e6) AS BIGINT) END AS arch_r_e6
+    FROM a WHERE n >= 2
+    """,
+)
+def ts_vol_clustering(spark, sf_dir):
+    """Lag-1 autocorrelation of absolute hourly changes per event_type
+    series — the ARCH volatility-clustering dial, gap-correct and
+    overflow-safe via the |delta| form (see analytics.vol_clustering)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.vol_clustering(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "n_pairs", "arch_r_e6")
