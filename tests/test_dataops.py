@@ -5001,3 +5001,22 @@ def test_bigram_pred_acc_hand_counts(spark):
     assert a["acc_e6"] == 600_000
     b = out["B"]
     assert (b["n_bigrams"], b["n_correct"], b["acc_e6"]) == (1, 1, 1_000_000)
+
+
+def test_cross_source_dups_canonical_cells(spark):
+    t = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, t, "feedA"),
+            (2, t, "feedB"),       # cross-source dup (canonical A<B)
+            (3, t, "feedB"),       # within-B dup with 2; cross with 1
+            (4, "unrelated text entirely different words", "feedA"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.cross_source_dups(docs, max_bucket=10).collect()
+    }
+    # pairs (1,2) A-B, (1,3) A-B, (2,3) B-B: canonicalized cells
+    assert out == {("feedA", "feedB"): 2, ("feedB", "feedB"): 1}

@@ -1024,3 +1024,50 @@ def minhash_pr_curve(
             ).cast("bigint"),
         ).alias("sensitivity_e6"),
     )
+
+
+def cross_source_dups(
+    docs: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_bucket: int = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-duplicate FLOW MATRIX between sources: LSH candidate pairs
+    bucketed by their (source_a, source_b) combination, with the
+    within-source duplicate counts on the diagonal. The provenance
+    question the flat pair list hides: is the duplication mostly
+    internal boilerplate (diagonal-heavy — fix the extractor), or is
+    one feed republishing another (one hot off-diagonal cell — fix the
+    ingest list)? Cell counts are also the mixture-weight correction
+    input: a source whose rows are mostly duplicated FROM another
+    contributes less novel mass than its row count claims.
+
+    Source pair is canonicalized least/greatest so A→B and B→A land in
+    one cell. Exact integer counts end to end; one broadcast-scale
+    join of the bucket-capped pair frame to the (doc_id, source) map,
+    sources²-bounded output."""
+    pairs = lsh_candidates(
+        docs, n_perm, bands, text_col, max_bucket, hash_mode
+    )
+    m = docs.select("doc_id", F.col(source_col).alias("_src"))
+    j = (
+        pairs.join(
+            m.select(F.col("doc_id").alias("a"), F.col("_src").alias("_sa")),
+            "a",
+        )
+        .join(
+            m.select(F.col("doc_id").alias("b"), F.col("_src").alias("_sb")),
+            "b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

@@ -13564,3 +13564,32 @@ def ts_vol_clustering(spark, sf_dir):
     return analytics.vol_clustering(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "n_pairs", "arch_r_e6")
+
+
+@q(
+    "doc_cross_source_dups",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    j AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM cand
+      JOIN documents da ON da.doc_id = cand.a
+      JOIN documents db ON db.doc_id = cand.b
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def doc_cross_source_dups(spark, sf_dir):
+    """Near-duplicate flow matrix between sources over the md5-LSH
+    candidate pairs — internal boilerplate (diagonal) vs feed
+    republication (off-diagonal) (see dedup.cross_source_dups)."""
+    return dedup.cross_source_dups(_docs(spark, sf_dir), hash_mode="md5")
