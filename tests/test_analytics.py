@@ -3951,3 +3951,59 @@ def test_vol_clustering_numpy_parity_and_gap(spark):
     )
     g = analytics.vol_clustering(dfg, keys=["series_id"]).collect()[0]
     assert g["n_pairs"] == n - 3
+
+
+# ---------------------------------------------------------------------------
+# effective_sample_size: the CI correction factor
+# ---------------------------------------------------------------------------
+
+
+def test_ess_alternating_and_persistent(spark):
+    import datetime as dt
+
+    # strict alternation: odd-lag rho = -1, even-lag rho = +1 exactly
+    # -> over lags 1..6 the quantized sum cancels to 0 -> ESS == n
+    rows = [
+        ("alt", dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h),
+         1.0 if h % 2 == 0 else -1.0)
+        for h in range(40)
+    ]
+    # persistent ramp: all rhos positive -> ESS well below n
+    ramp = [float(h) for h in range(30)]
+    rows += [
+        ("ramp", dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h), v)
+        for h, v in enumerate(ramp)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.effective_sample_size(
+            df, keys=["series_id"]
+        ).collect()
+    }
+    alt = out["alt"]
+    assert alt["rho_sum_e6"] == 0
+    assert alt["ess_e3"] == 40_000 and alt["ess_ratio_e6"] == 1_000_000
+
+    # python replay of the documented pipeline for the ramp
+    def rho(vals, k):
+        x, y = vals[:-k], vals[k:]
+        n = float(len(x))
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        return round(
+            (n * sxy - sx * sy)
+            / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * 1e6
+        )
+
+    rho_sum = sum(rho(ramp, k) for k in range(1, 7))
+    r = out["ramp"]
+    assert r["rho_sum_e6"] == rho_sum and rho_sum > 4_000_000
+    denom = 1_000_000 + 2 * rho_sum
+    assert r["ess_e3"] == round(30 * 1e6 / denom * 1e3)
+    assert r["ess_e3"] < 4_000  # far fewer effective samples than 30

@@ -7289,3 +7289,73 @@ def vol_clustering(
             "arch_r_e6"
         ),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size per series:
+    ESS = n / (1 + 2·Σ_{k≤K} ρ̂_k). Every monitor that quotes a
+    confidence interval over bucket means silently assumes independent
+    buckets; an hourly series with ρ₁ = 0.8 carries a fraction of the
+    information its row count claims, and ESS is the correction factor
+    those intervals need. The acf table shows the ρ's — this turns
+    them into the one number the CI consumer uses.
+
+    Determinism: each ρ̂_k comes from the gap-correct acf operator and
+    enters PRE-QUANTIZED at e6 (the retrieval_eval rule — per-lag
+    quantities are identical IEEE trees both engines round the same
+    way, and the ≤ K-term sum of bigints is order-free). The
+    denominator 1e6 + 2·Σρ_e6 and n are then exact integers; ESS and
+    the ess/n ratio are single double divisions. Null-ρ lags (too few
+    pairs / zero variance) contribute 0 (pinned). A denominator ≤ 0
+    (pathological anti-correlation) emits an honest null ESS.
+
+    Scale shape: acf's one corpus bucket agg + buckets-bounded lag
+    join, a keys-bounded quantized sum, one join to the keys-bounded
+    bucket counts."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.count("*").alias("_c"))
+        .groupBy(*keys)
+        .agg(F.count("*").cast("bigint").alias("n_buckets"))
+    )
+    a = acf(
+        df, keys, ts_col=ts_col, value_col=value_col, trunc=trunc,
+        max_lag=max_lag,
+    )
+    s = a.groupBy(*keys).agg(
+        F.sum(
+            F.coalesce(
+                F.round(F.col("acf") * 1e6).cast("bigint"), F.lit(0)
+            )
+        ).alias("_rho_sum_e6"),
+        F.count("*").cast("bigint").alias("n_lags"),
+    )
+    j = b.join(s, keys)
+    denom = F.lit(1_000_000) + 2 * F.col("_rho_sum_e6")
+    ess = (
+        F.col("n_buckets").cast("double")
+        * 1e6
+        / denom.cast("double")
+    )
+    return j.select(
+        *keys,
+        "n_buckets",
+        "n_lags",
+        F.col("_rho_sum_e6").alias("rho_sum_e6"),
+        F.when(denom > 0, F.round(ess * 1e3).cast("bigint")).alias("ess_e3"),
+        F.when(
+            denom > 0,
+            F.round(F.lit(1e12) / denom.cast("double")).cast("bigint"),
+        ).alias("ess_ratio_e6"),
+    )

@@ -13593,3 +13593,73 @@ def doc_cross_source_dups(spark, sf_dir):
     candidate pairs — internal boilerplate (diagonal) vs feed
     republication (off-diagonal) (see dedup.cross_source_dups)."""
     return dedup.cross_source_dups(_docs(spark, sf_dir), hash_mode="md5")
+
+
+@q(
+    "ts_ess",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    nb AS (SELECT series_id, count(*) AS n FROM b GROUP BY 1),
+    pairs AS (
+      SELECT l.series_id, lg.lag, l.v AS x, r.v AS y
+      FROM b l
+      JOIN (SELECT unnest(range(1, 7)) AS lag) lg ON TRUE
+      JOIN b r ON r.series_id = l.series_id
+             AND r.ep = l.ep + lg.lag * 3600
+    ),
+    ac AS (
+      SELECT series_id, lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT series_id, lag,
+             CASE WHEN n >= 2
+                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+               CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy))
+                    * 1e6) AS BIGINT)
+             ELSE 0 END AS r6
+      FROM ac
+    ),
+    s AS (
+      SELECT series_id, sum(r6) AS rho_sum, count(*) AS n_lags
+      FROM rho GROUP BY 1
+    )
+    SELECT nb.series_id,
+           CAST(nb.n AS BIGINT) AS n_buckets,
+           CAST(s.n_lags AS BIGINT) AS n_lags,
+           CAST(s.rho_sum AS BIGINT) AS rho_sum_e6,
+           CASE WHEN 1000000 + 2 * s.rho_sum > 0 THEN
+             CAST(ROUND(CAST(nb.n AS DOUBLE) * 1e6
+                  / CAST(1000000 + 2 * s.rho_sum AS DOUBLE) * 1e3)
+                  AS BIGINT) END AS ess_e3,
+           CASE WHEN 1000000 + 2 * s.rho_sum > 0 THEN
+             CAST(ROUND(1e12 / CAST(1000000 + 2 * s.rho_sum AS DOUBLE))
+                  AS BIGINT) END AS ess_ratio_e6
+    FROM nb JOIN s ON nb.series_id = s.series_id
+    """,
+)
+def ts_ess(spark, sf_dir):
+    """Autocorrelation-adjusted effective sample size per event_type
+    series: n / (1 + 2*sum rho_k), k <= 6, rhos pre-quantized at e6 —
+    the CI correction factor (see analytics.effective_sample_size)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.effective_sample_size(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select(
+        "series_id", "n_buckets", "n_lags", "rho_sum_e6", "ess_e3",
+        "ess_ratio_e6",
+    )
