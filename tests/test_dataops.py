@@ -5020,3 +5020,21 @@ def test_cross_source_dups_canonical_cells(spark):
     }
     # pairs (1,2) A-B, (1,3) A-B, (2,3) B-B: canonicalized cells
     assert out == {("feedA", "feedB"): 2, ("feedB", "feedB"): 1}
+
+
+def test_dup_family_sizes_census_algebra(spark):
+    t1 = "one two three four five six seven eight"
+    t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t1), (10, t2), (11, t2)],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.lsh_candidates(docs, hash_mode="md5", max_bucket=10)
+    comp = dedup.connected_components(pairs)
+    fam = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    out = {
+        r["sz"]: r["n"] for r in
+        fam.groupBy("sz").agg(F.count("*").alias("n")).collect()
+    }
+    # one triple family and one pair family
+    assert out == {3: 1, 2: 1}

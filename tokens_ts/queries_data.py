@@ -13663,3 +13663,58 @@ def ts_ess(spark, sf_dir):
         "series_id", "n_buckets", "n_lags", "rho_sum_e6", "ess_e3",
         "ess_ratio_e6",
     )
+
+
+@q(
+    "doc_dup_family_sizes",
+    "WITH RECURSIVE "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    fam AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
+    FROM fam GROUP BY 1
+    """,
+)
+def doc_dup_family_sizes(spark, sf_dir):
+    """Duplicate-family size census over the md5-LSH component graph:
+    per family size, how many families, how many docs they hold, and
+    how many rows a keep-one policy deletes — the census that says
+    whether duplication is pairwise noise (mass at size 2) or
+    boilerplate black holes (a fat tail), and the exact row count a
+    dedup pass will remove. Derived from the SAME label-propagation
+    components the dedup chain uses, so the census and the deletion
+    agree by construction; sizes/counts exact integers."""
+    pairs = dedup.lsh_candidates(
+        _docs(spark, sf_dir), n_perm=32, bands=8, hash_mode="md5"
+    )
+    comp = dedup.connected_components(pairs)
+    fam = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        fam.groupBy(F.col("sz").cast("bigint").alias("family_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_families"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            (F.sum("sz") - F.count("*")).cast("bigint").alias("n_removable"),
+        )
+    )
