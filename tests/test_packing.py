@@ -245,3 +245,35 @@ def test_nextfit_bins_never_split_and_respect_cap(spark):
         assert tot <= 512 or len(members[k]) == 1
     assert min(b for s, b in fills if s == "src0") == 1
     assert min(b for s, b in fills if s == "src1") == 1
+
+
+def test_pack_xattn_closed_form_matches_direct_count(spark, seq_tiny):
+    out = {r["chunk_id"]: r for r in
+           packing.pack_xattn(seq_tiny, chunk_len=L).collect()}
+    spans = packing._spans(seq_tiny, L).drop("tokens").collect()
+    by_chunk = {}
+    for s in spans:
+        by_chunk.setdefault(s["chunk_id"], []).append(s["span_len"])
+    assert set(out) == set(by_chunk)
+    for cid, lens in by_chunk.items():
+        lf = sum(lens)
+        # direct O(m^2) count of cross-doc causal pairs
+        direct = sum(
+            a * b for i, a in enumerate(lens) for b in lens[i + 1:]
+        )
+        r = out[cid]
+        assert r["n_filled"] == lf
+        assert r["n_cross_pairs"] == direct
+        assert r["n_causal_pairs"] == lf * (lf - 1) // 2
+        if lf > 1:
+            # HALF-UP like both engines (python round() is half-even
+            # and this fixture lands exactly on a .5 boundary)
+            import math
+
+            assert r["cross_frac_e6"] == math.floor(
+                direct / (lf * (lf - 1) // 2) * 1e6 + 0.5
+            )
+    # a single-doc chunk has zero contamination by construction
+    singles = [cid for cid, lens in by_chunk.items() if len(lens) == 1]
+    for cid in singles:
+        assert out[cid]["n_cross_pairs"] == 0

@@ -385,3 +385,50 @@ def nextfit_bins(
         return res
 
     return d.groupBy("source").applyInPandas(_pack, schema=schema)
+
+
+def pack_xattn(
+    seq: DataFrame, chunk_len: int = 2048, bases: DataFrame | None = None
+) -> DataFrame:
+    """Cross-document attention contamination per packed chunk: of the
+    L'(L'−1)/2 causal token pairs a full-attention model forms over a
+    packed chunk of L' filled tokens, how many CROSS a document
+    boundary — the quantity a block-diagonal attention mask exists to
+    remove, and the number that decides whether plain concat-packing
+    is acceptable for a given model or the loader must emit mask/
+    position-id resets. pack_summary says how full the chunks are;
+    this says what the fullness costs.
+
+    Closed form from the span lengths alone (no token
+    materialization): cross = (L'² − Σ s_i²)/2 with L' = Σ s_i — both
+    terms exact bigints off the same spans frame the manifest uses,
+    so the report and the actual packing agree by construction.
+    frac = cross/total causal pairs; single-token chunks (total = 0)
+    emit an honest null frac.
+
+    Scale shape: the spans frame's chunk_id partial agg — identical
+    lineage to pack_summary, one chunk_id shuffle, no global sort."""
+    spans = _spans(seq, chunk_len, bases=bases).drop("tokens")
+    a = spans.groupBy("chunk_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("n_filled"),
+        F.sum(
+            F.col("span_len").cast("bigint") * F.col("span_len").cast("bigint")
+        ).alias("_sq"),
+    )
+    lf = F.col("n_filled")
+    cross = (lf * lf - F.col("_sq")) / 2
+    total = (lf * (lf - 1)) / 2
+    return a.select(
+        "chunk_id",
+        "n_spans",
+        "n_filled",
+        cross.cast("bigint").alias("n_cross_pairs"),
+        total.cast("bigint").alias("n_causal_pairs"),
+        F.when(
+            total > 0,
+            F.round(
+                cross.cast("double") / total.cast("double") * 1e6
+            ).cast("bigint"),
+        ).alias("cross_frac_e6"),
+    )

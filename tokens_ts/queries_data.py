@@ -13718,3 +13718,35 @@ def doc_dup_family_sizes(spark, sf_dir):
             (F.sum("sz") - F.count("*")).cast("bigint").alias("n_removable"),
         )
     )
+
+
+@q(
+    "seq_pack_xattn",
+    _synth_cte()
+    + _PACK_CTES
+    + """
+    , a AS (
+      SELECT chunk_id, count(*) AS n_spans, sum(span_len) AS lf,
+             sum(span_len * span_len) AS sq
+      FROM spans GROUP BY 1
+    )
+    SELECT chunk_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(lf AS BIGINT) AS n_filled,
+           CAST((lf * lf - sq) / 2 AS BIGINT) AS n_cross_pairs,
+           CAST(lf * (lf - 1) / 2 AS BIGINT) AS n_causal_pairs,
+           CASE WHEN lf > 1 THEN
+             CAST(ROUND(CAST((lf * lf - sq) / 2 AS DOUBLE)
+                  / CAST(lf * (lf - 1) / 2 AS DOUBLE) * 1e6) AS BIGINT)
+           END AS cross_frac_e6
+    FROM a
+    """,
+)
+def seq_pack_xattn(spark, sf_dir):
+    """Cross-document causal-attention pair count per packed chunk —
+    the contamination a block-diagonal mask removes, closed-form from
+    the span lengths (see packing.pack_xattn)."""
+    return packing.pack_xattn(_seq(spark), chunk_len=_PACK_L).select(
+        "chunk_id", "n_spans", "n_filled", "n_cross_pairs",
+        "n_causal_pairs", "cross_frac_e6",
+    )
