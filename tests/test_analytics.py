@@ -4007,3 +4007,62 @@ def test_ess_alternating_and_persistent(spark):
     denom = 1_000_000 + 2 * rho_sum
     assert r["ess_e3"] == round(30 * 1e6 / denom * 1e3)
     assert r["ess_e3"] < 4_000  # far fewer effective samples than 30
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval: split-conformal band + measured coverage
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_hand_ranks_and_coverage(spark):
+    import datetime as dt
+
+    # 21 hourly buckets -> 20 residuals -> cal = first 10, test = 10.
+    # values chosen so |dv| over the cal half is 1..10 (hours 0-10)
+    # and the test half alternates 2 and 50
+    vals = [0.0]
+    cur = 0.0
+    for d in [1, -2, 3, -4, 5, -6, 7, -8, 9, -10]:
+        cur += d
+        vals.append(cur)
+    for d in [2, -50, 2, -50, 2, -50, 2, -50, 2, -50]:
+        cur += d
+        vals.append(cur)
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h), v)
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.conformal_interval(df, keys=["series_id"]).collect()[0]
+    # conformal rank ceil(11*0.9) = 10 (clipped at m=10): qhat = the
+    # LARGEST calibration residual = 10
+    assert (r["n_cal"], r["n_test"]) == (10, 10)
+    assert r["qhat_e6"] == 10_000_000
+    # test residuals: five 2s (covered) and five 50s (not)
+    assert r["n_covered"] == 5
+    assert r["coverage_e6"] == 500_000
+
+
+def test_conformal_exchangeable_coverage_holds(spark):
+    import datetime as dt
+
+    # identical halves -> every test residual equals some calibration
+    # residual <= qhat except the ones above rank 10's value; with
+    # residuals 1..10 in both halves and qhat = 10, coverage = 100%
+    vals = [0.0]
+    cur = 0.0
+    for _ in range(2):
+        for d in [1, -2, 3, -4, 5, -6, 7, -8, 9, -10]:
+            cur += d
+            vals.append(cur)
+    rows = [
+        ("b", dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h), v)
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    r = analytics.conformal_interval(df, keys=["series_id"]).collect()[0]
+    assert r["coverage_e6"] == 1_000_000

@@ -7359,3 +7359,102 @@ def effective_sample_size(
             F.round(F.lit(1e12) / denom.cast("double")).cast("bigint"),
         ).alias("ess_ratio_e6"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction interval per series, with its
+    MEASURED holdout coverage — distribution-free uncertainty for the
+    naive persistence forecast (v̂_t = v_{t−1}). The anomaly monitors
+    flag points outside a fitted band; conformal inverts the
+    question: from the first half's |one-step residuals| alone, the
+    quantile q̂ at rank ⌈(m+1)(1−α)⌉ guarantees ≥ 1−α coverage on
+    exchangeable data NO MATTER the distribution — and the second
+    half then measures whether that guarantee held, which is a drift
+    test with a calibrated false-alarm rate built in.
+
+    Entirely integer-exact (the qq_drift discipline): residuals are
+    |Δv| over CONSECUTIVE buckets on the e6 grid (gap-correct, the
+    ts_adf rule), q̂ is one exact order statistic of the calibration
+    half (rank capped at m — the finite-sample clip), coverage is a
+    count of test residuals ≤ q̂. No double exists except the two
+    final ratios. Series need ≥ 1 residual per half or drop.
+
+    Scale shape: one bucket agg, lag + split + rank windows on the
+    SAME key partitioning, keys-bounded agg. Single key shuffle."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    wk = Window.partitionBy(*keys)
+    byep = wk.orderBy("ep")
+    step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    r = b.select(
+        *keys,
+        "ep",
+        F.when(
+            F.col("ep") - F.lag("ep").over(byep) == step,
+            F.abs(F.col("v") - F.lag("v").over(byep)),
+        ).alias("_r"),
+    ).where(F.col("_r").isNotNull())
+    s = r.select(
+        *keys,
+        "ep",
+        "_r",
+        F.row_number().over(byep).alias("_i"),
+        F.count("*").over(wk).alias("_n"),
+    ).withColumn(
+        "_cal", F.col("_i") <= F.floor(F.col("_n") / 2)
+    )
+    wc = Window.partitionBy(*keys, "_cal")
+    ranked = s.select(
+        *keys,
+        "_cal",
+        "_r",
+        F.row_number().over(wc.orderBy("_r", "ep")).alias("_rv"),
+        F.count("*").over(wc).alias("_m"),
+    )
+    # conformal rank: ceil((m+1)*(1-alpha)) clipped to m, in integers:
+    # ceil(a/b) = (a + b - 1) div b with a = (m+1)*(100-alpha), b = 100
+    tgt = F.least(
+        F.floor(
+            ((F.col("_m") + 1) * (100 - alpha_pct) + 99) / 100
+        ).cast("int"),
+        F.col("_m").cast("int"),
+    )
+    qhat = (
+        ranked.where(F.col("_cal") & (F.col("_rv") == tgt))
+        .select(*keys, F.col("_r").alias("qhat_e6"), F.col("_m").alias("n_cal"))
+    )
+    test = ranked.where(~F.col("_cal")).select(
+        *keys, F.col("_r").alias("_rt")
+    )
+    j = test.join(qhat, keys)
+    a = j.groupBy(*keys, "qhat_e6", "n_cal").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(F.col("_rt") <= F.col("qhat_e6"), 1).otherwise(0)
+        ).cast("bigint").alias("n_covered"),
+    )
+    return a.select(
+        *keys,
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        "n_test",
+        "qhat_e6",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+            * 1e6
+        ).cast("bigint").alias("coverage_e6"),
+    )

@@ -13750,3 +13750,68 @@ def seq_pack_xattn(spark, sf_dir):
         "chunk_id", "n_spans", "n_filled", "n_cross_pairs",
         "n_causal_pairs", "cross_frac_e6",
     )
+
+
+@q(
+    "ts_conformal",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, ep,
+             CASE WHEN ep - lag(ep) OVER w = 3600
+                  THEN abs(v - lag(v) OVER w) END AS res
+      FROM b WINDOW w AS (PARTITION BY series_id ORDER BY ep)
+    ),
+    rr AS (SELECT * FROM r WHERE res IS NOT NULL),
+    s AS (
+      SELECT series_id, ep, res,
+             row_number() OVER (PARTITION BY series_id ORDER BY ep)
+               <= count(*) OVER (PARTITION BY series_id) // 2 AS cal
+      FROM rr
+    ),
+    ranked AS (
+      SELECT series_id, cal, res, ep,
+             row_number() OVER (PARTITION BY series_id, cal
+                                ORDER BY res, ep) AS rv,
+             count(*) OVER (PARTITION BY series_id, cal) AS m
+      FROM s
+    ),
+    qh AS (
+      SELECT series_id, res AS qhat, m AS n_cal
+      FROM ranked
+      WHERE cal AND rv = least(((m + 1) * 90 + 99) // 100, m)
+    )
+    SELECT t.series_id,
+           CAST(qh.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(qh.qhat AS BIGINT) AS qhat_e6,
+           CAST(sum(CASE WHEN t.res <= qh.qhat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(ROUND(CAST(sum(CASE WHEN t.res <= qh.qhat THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS coverage_e6
+    FROM (SELECT series_id, res FROM ranked WHERE NOT cal) t
+    JOIN qh ON t.series_id = qh.series_id
+    GROUP BY 1, 2, 4
+    """,
+)
+def ts_conformal(spark, sf_dir):
+    """Split-conformal 90% interval for the persistence forecast per
+    event_type series, with measured holdout coverage — distribution-
+    free, integer-exact (see analytics.conformal_interval)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.conformal_interval(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select(
+        "series_id", "n_cal", "n_test", "qhat_e6", "n_covered",
+        "coverage_e6",
+    )
