@@ -4066,3 +4066,46 @@ def test_conformal_exchangeable_coverage_holds(spark):
     )
     r = analytics.conformal_interval(df, keys=["series_id"]).collect()[0]
     assert r["coverage_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# page_trend: Page's L ordered-alternative test
+# ---------------------------------------------------------------------------
+
+
+def test_page_trend_hand_worked_and_antitrend(spark):
+    import datetime as dt
+
+    def ev(series, day, hour, value):
+        return (series, dt.datetime(2024, 1, day, hour, 0, 0), value)
+
+    rows = [
+        # series "inc": 2 complete blocks, values increase WITH the
+        # daypart order -> ranks (1,2,3) each block, R = (2,4,6),
+        # L = 28, E[L] = 24, sd = 2 -> z = +2 exactly
+        ev("inc", 1, 0, 1.0), ev("inc", 1, 6, 2.0), ev("inc", 1, 12, 3.0),
+        ev("inc", 2, 0, 4.0), ev("inc", 2, 6, 5.0), ev("inc", 2, 12, 6.0),
+        # series "dec": same magnitudes AGAINST the order -> z = -2
+        ev("dec", 1, 0, 3.0), ev("dec", 1, 6, 2.0), ev("dec", 1, 12, 1.0),
+        ev("dec", 2, 0, 6.0), ev("dec", 2, 6, 5.0), ev("dec", 2, 12, 4.0),
+        # all-tied: midranks equal -> L2 = E[L2] -> z = 0
+        ev("tie", 1, 0, 7.0), ev("tie", 1, 6, 7.0),
+        ev("tie", 2, 0, 7.0), ev("tie", 2, 6, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.page_trend(df, keys=["series_id"]).collect()
+    }
+    assert out["inc"]["l2"] == 56 and out["inc"]["z_e6"] == 2_000_000
+    assert out["dec"]["z_e6"] == -2_000_000
+    assert out["tie"]["z_e6"] == 0
+    # Friedman CANNOT separate inc from dec (any permutation scores
+    # the same) -- Page exists precisely for this
+    fr = {
+        r["series_id"]: r["q_e6"]
+        for r in analytics.friedman_dayparts(df, keys=["series_id"]).collect()
+    }
+    assert fr["inc"] == fr["dec"]

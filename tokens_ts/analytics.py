@@ -7458,3 +7458,91 @@ def conformal_interval(
             * 1e6
         ).cast("bigint").alias("coverage_e6"),
     )
+
+
+def page_trend(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seg_s: int = 21600,
+) -> DataFrame:
+    """Page's L test for ORDERED alternatives across dayparts: does
+    activity increase monotonically through the day, day after day?
+    Friedman asks "do the dayparts differ AT ALL" (any permutation of
+    treatment effects scores the same); Page weights each treatment's
+    rank sum by its position — L = Σ j·R_j — so only the hypothesized
+    ORDERING earns a large statistic, which makes it far more powerful
+    when the alternative really is monotone (load ramps, diurnal
+    build-ups). Same complete-block construction as friedman_dayparts,
+    pinned identical (e6 block means, integer midranks, epoch-us
+    segment ids, complete blocks only, k = observed treatments).
+
+    Exactness: L2 = Σ j·R2_j (midrank-doubled, exact bigint);
+    E[L2] = n·k(k+1)²/2 exact; Var[L] = n·k²(k+1)(k²−1)/144 under H0,
+    so z = (L2 − E[L2]) / (2·sqrt(var)) is one IEEE tree over exact
+    integers. Under perfect per-block agreement with the segment
+    order, L2 hits its maximum 2n·Σj·(2j... pinned numerically in the
+    test instead. Ties follow the midrank convention; the all-tied
+    degenerate has L2 = E[L2] → z = 0 (vacuously unordered). k < 2
+    dropped; var > 0 always for k ≥ 2, n ≥ 1.
+
+    Scale shape: identical lineage to friedman_dayparts — one
+    (keys, block, seg) partial agg, block-local rank windows,
+    keys-bounded finish."""
+    ep_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            (ep_us / F.lit(86400_000_000)).cast("bigint").alias("_blk"),
+            (
+                F.pmod(ep_us, F.lit(86400_000_000)) / F.lit(seg_s * 1_000_000)
+            ).cast("bigint").alias("_seg"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e6).cast("bigint").alias("v"))
+    )
+    k_s = F.size(F.collect_set("_seg").over(Window.partitionBy(*keys)))
+    blk_n = F.count("*").over(Window.partitionBy(*keys, "_blk"))
+    c = (
+        b.withColumn("_k", k_s)
+        .withColumn("_bn", blk_n)
+        .where(F.col("_bn") == F.col("_k"))
+    )
+    wb = Window.partitionBy(*keys, "_blk")
+    # position j = the segment's 1-based rank among the series' observed
+    # segments (dense over the observed set, so a series missing nights
+    # still gets contiguous positions)
+    wseg = Window.partitionBy(*keys).orderBy("_seg")
+    r = c.withColumn(
+        "_m2",
+        (
+            2 * F.rank().over(wb.orderBy("v"))
+            + F.count("*").over(Window.partitionBy(*keys, "_blk", "v"))
+            - 1
+        ).cast("bigint"),
+    ).withColumn("_j", F.dense_rank().over(wseg).cast("bigint"))
+    per_t = r.groupBy(*keys, "_k", "_j").agg(
+        F.sum("_m2").alias("_r2"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    s = per_t.groupBy(*keys, "_k").agg(
+        F.max("_n").alias("n_blocks"),
+        F.sum(F.col("_j") * F.col("_r2")).alias("_l2"),
+    ).where(F.col("_k") >= 2)
+    k = F.col("_k").cast("bigint")
+    n = F.col("n_blocks")
+    el2 = n * k * (k + 1) * (k + 1) / 2
+    var = (
+        (n * k * k * (k + 1) * (k * k - 1)).cast("double") / F.lit(144.0)
+    )
+    z = (F.col("_l2").cast("double") - el2.cast("double")) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    return s.select(
+        *keys,
+        F.col("_k").cast("bigint").alias("k_treatments"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("_l2").alias("l2"),
+        F.round(z * 1e6).cast("bigint").alias("z_e6"),
+    )

@@ -13815,3 +13815,60 @@ def ts_conformal(spark, sf_dir):
         "series_id", "n_cal", "n_test", "qhat_e6", "n_covered",
         "coverage_e6",
     )
+
+
+@q(
+    "ts_page_trend",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             epoch_us(ts) // 86400000000 AS blk,
+             (epoch_us(ts) % 86400000000) // 21600000000 AS seg,
+             CAST(ROUND(avg(value) * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    kk AS (SELECT series_id, count(DISTINCT seg) AS k FROM b GROUP BY 1),
+    c AS (
+      SELECT b.*, kk.k FROM b JOIN kk USING (series_id)
+      QUALIFY count(*) OVER (PARTITION BY series_id, blk) = k
+    ),
+    r AS (
+      SELECT series_id, k,
+             2 * rank() OVER (PARTITION BY series_id, blk ORDER BY v)
+               + count(*) OVER (PARTITION BY series_id, blk, v) - 1 AS m2,
+             dense_rank() OVER (PARTITION BY series_id ORDER BY seg) AS j
+      FROM c
+    ),
+    pt AS (
+      SELECT series_id, k, j, sum(m2) AS r2, count(*) AS n
+      FROM r GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT series_id, k, max(n) AS nb, sum(j * r2) AS l2
+      FROM pt GROUP BY 1, 2
+    )
+    SELECT series_id,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST(nb AS BIGINT) AS n_blocks,
+           CAST(l2 AS BIGINT) AS l2,
+           CAST(ROUND(
+             (CAST(l2 AS DOUBLE)
+              - CAST(nb * k * (k + 1) * (k + 1) / 2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(nb * k * k * (k + 1) * (k * k - 1)
+                                AS DOUBLE) / 144.0))
+             * 1e6) AS BIGINT) AS z_e6
+    FROM s WHERE k >= 2
+    """,
+)
+def ts_page_trend(spark, sf_dir):
+    """Page's L ordered-alternative trend across the four dayparts per
+    event_type series — the monotone-ordering test Friedman cannot
+    see, same complete-block construction (see analytics.page_trend)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.page_trend(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    ).select("series_id", "k_treatments", "n_blocks", "l2", "z_e6")
