@@ -5796,7 +5796,7 @@ def doc_keyness_g2(spark, sf_dir):
                  p -> len(list_distinct(ws[p : p + 9])))) AS DOUBLE)
                / (10.0 * (n - 10 + 1))
              ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / n END AS mattr
-      FROM c
+      FROM d2
     )
     SELECT doc_id, source,
            CAST(n AS BIGINT) AS n_words,
