@@ -4109,3 +4109,127 @@ def test_page_trend_hand_worked_and_antitrend(spark):
         for r in analytics.friedman_dayparts(df, keys=["series_id"]).collect()
     }
     assert fr["inc"] == fr["dec"]
+
+
+# ---------------------------------------------------------------------------
+# yule_walker_ar2: the AR(2) oscillation detector
+# ---------------------------------------------------------------------------
+
+
+def _yw_replay(vals):
+    """Python replay of the documented yule_walker_ar2 pipeline over a
+    gap-free hourly series (bucket means = the values)."""
+    def rho_e6(k):
+        x, y = vals[:-k], vals[k:]
+        n = float(len(x))
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            return None
+        return round((n * sxy - sx * sy) / math.sqrt(vx * vy) * 1e6)
+
+    r1, r2 = rho_e6(1), rho_e6(2)
+    if r1 is None or r2 is None:
+        return dict(r1=r1, r2=r2, ok=False)
+    d = 10**12 - r1 * r1
+    if d <= 0:
+        return dict(r1=r1, r2=r2, ok=False)
+    a = r1 * (10**6 - r2)
+    b = r2 * 10**6 - r1 * r1
+    disc = a * a + 4 * b * d          # exact python int
+    phi1, phi2 = float(a) / float(d), float(b) / float(d)
+    out = dict(
+        r1=r1, r2=r2, ok=True,
+        phi1=round(phi1 * 1e6), phi2=round(phi2 * 1e6),
+        stationary=int(b + d > 0 and a + b < d and b - a < d),
+        oscillatory=int(disc < 0),
+    )
+    out["cos_theta"] = (
+        round(phi1 / (2.0 * math.sqrt(-phi2)) * 1e6) if disc < 0 else None
+    )
+    return out
+
+
+def test_yule_walker_oscillator_decay_degenerate(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    # period-3 oscillator: complex roots, ringing cosine ~ -0.5
+    osc = [[2.0, 0.0, 1.0][h % 3] for h in range(19)]
+    # noisy geometric decay: real roots, stationary, no oscillation
+    # (a NOISELESS decay is an exact AR(1): lag-1 Pearson = 1 exactly
+    # and the fit degenerates -- the deterministic jitter keeps D > 0)
+    dec = [100.0 * 0.6 ** h + ((h * 37) % 5) for h in range(12)]
+    # a true 3-point line: Pearson is EXACTLY 1 -> D = 0 -> nulls
+    lin = [1.0, 2.0, 3.0]
+    rows = (
+        [("osc", t0 + dt.timedelta(hours=h), v) for h, v in enumerate(osc)]
+        + [("dec", t0 + dt.timedelta(hours=h), v) for h, v in enumerate(dec)]
+        + [("lin", t0 + dt.timedelta(hours=h), v) for h, v in enumerate(lin)]
+    )
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = {
+        r["series_id"]: r
+        for r in analytics.yule_walker_ar2(df, keys=["series_id"]).collect()
+    }
+
+    for name, vals in (("osc", osc), ("dec", dec)):
+        exp = _yw_replay(vals)
+        got = out[name]
+        assert got["r1_e6"] == exp["r1"] and got["r2_e6"] == exp["r2"], name
+        assert got["phi1_e6"] == exp["phi1"], name
+        assert got["phi2_e6"] == exp["phi2"], name
+        assert got["stationary"] == exp["stationary"], name
+        assert got["oscillatory"] == exp["oscillatory"], name
+        assert got["cos_theta_e6"] == exp["cos_theta"], name
+
+    # the period-3 pattern MUST read oscillatory with cos(theta) near
+    # -1/2 (theta ~ 2*pi/3 <-> period ~ 3 buckets); the decay must not
+    assert out["osc"]["oscillatory"] == 1
+    assert abs(out["osc"]["cos_theta_e6"] + 500_000) < 40_000
+    assert out["dec"]["oscillatory"] == 0 and out["dec"]["stationary"] == 1
+
+    # degenerate: exact line -> rho1 = 1e6 exactly -> D = 0 -> honest
+    # nulls for the whole fit (never a divide-by-zero)
+    lin_row = out["lin"]
+    assert lin_row["r1_e6"] == 1_000_000
+    for c in ("phi1_e6", "phi2_e6", "stationary", "oscillatory",
+              "cos_theta_e6"):
+        assert lin_row[c] is None, c
+
+
+def test_yule_walker_gap_correct_pairing(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    vals = [float((h * 37) % 11) for h in range(20)]
+    rows = [
+        ("g", t0 + dt.timedelta(hours=h), v)
+        for h, v in enumerate(vals) if h != 7
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    got = analytics.yule_walker_ar2(df, keys=["series_id"]).collect()[0]
+    # replay with epoch pairing: lag-1 pairs skip (6,7) and (7,8)
+    def rho_gapped(k):
+        pres = {h: v for h, v in enumerate(vals) if h != 7}
+        pairs = [(pres[h], pres[h + k]) for h in pres if h + k in pres]
+        x = [p[0] for p in pairs]
+        y = [p[1] for p in pairs]
+        n = float(len(pairs))
+        sx, sy, sxy = sum(x), sum(y), sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        return len(pairs), round(
+            (n * sxy - sx * sy)
+            / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6
+        )
+    n1, r1 = rho_gapped(1)
+    assert got["n_pairs1"] == n1 == 17   # 19 present buckets, 2 broken pairs
+    assert got["r1_e6"] == r1

@@ -7546,3 +7546,86 @@ def page_trend(
         F.col("_l2").alias("l2"),
         F.round(z * 1e6).cast("bigint").alias("z_e6"),
     )
+
+
+def yule_walker_ar2(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """AR(2) fit per series via the Yule-Walker equations, from the
+    gap-correct ACF alone — the oscillation detector the AR(1)
+    half-life is structurally blind to. An AR(1) fit can only say how
+    fast deviations DECAY; a control loop that overshoots, a retry
+    storm that rings, or any negatively-fed-back metric needs the
+    second-order fit, whose characteristic roots go COMPLEX exactly
+    when the series oscillates. Yule-Walker closes the fit from two
+    numbers the engine already produces:
+
+        φ₁ = ρ₁(1 − ρ₂)/(1 − ρ₁²)     φ₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²)
+
+    Determinism (the ess rule): ρ₁, ρ₂ enter PRE-QUANTIZED at e6 as
+    bigints r1, r2, so with D = 1e12 − r1², A = r1·(1e6 − r2),
+    B = r2·1e6 − r1², the fit becomes φ₁ = A/D, φ₂ = B/D — exact
+    integer rationals, one double division each. Every VERDICT is an
+    exact bigint sign test, no floating point anywhere near a
+    boundary:
+      · oscillatory  ⇔ the roots of z² − φ₁z − φ₂ are complex
+                     ⇔ φ₁² + 4φ₂ < 0  ⇔  A² + 4·B·D < 0;
+      · stationary   ⇔ the AR(2) triangle |φ₂| < 1, φ₁+φ₂ < 1,
+                     φ₂−φ₁ < 1  ⇔  (D>0) B+D > 0 ∧ A+B < D ∧ B−A < D.
+    When oscillatory, cos θ of the ringing angle (period = 2π/θ
+    bucket steps) is φ₁/(2√(−φ₂)) — emitted as the fixed IEEE tree
+    double(A)/double(D), divide / sqrt / multiply (all correctly-
+    rounded ops over exactly-representable bigint inputs, so both
+    engines produce the identical double), e6-rounded. θ itself would
+    need acos, which libm does NOT guarantee identically — the cosine
+    is the cross-engine-safe boundary, pinned.
+
+    Series with either ρ missing (too few pairs / zero variance) or
+    |ρ₁| = 1 after quantization (D ≤ 0: a degenerate 2-point or
+    perfectly-linear series) emit honest nulls for the fit.
+
+    Scale shape: exactly acf's — one corpus bucket agg, a buckets-
+    bounded lag join at max_lag=2, then keys-bounded arithmetic."""
+    a = acf(
+        df, keys, ts_col=ts_col, value_col=value_col, trunc=trunc,
+        max_lag=2,
+    )
+    r_e6 = F.round(F.col("acf") * 1e6).cast("bigint")
+    p = a.groupBy(*keys).agg(
+        F.max(F.when(F.col("lag") == 1, r_e6)).alias("r1_e6"),
+        F.max(F.when(F.col("lag") == 2, r_e6)).alias("r2_e6"),
+        F.max(F.when(F.col("lag") == 1, F.col("n_pairs"))).alias("n_pairs1"),
+    )
+    r1 = F.col("r1_e6")
+    r2 = F.col("r2_e6")
+    d = F.lit(1_000_000_000_000).cast("bigint") - r1 * r1
+    aa = r1 * (F.lit(1_000_000).cast("bigint") - r2)
+    bb = r2 * F.lit(1_000_000).cast("bigint") - r1 * r1
+    ok = r1.isNotNull() & r2.isNotNull() & (d > 0)
+    # A² + 4BD reaches ~4e24 (25 digits) — past int64, exact in
+    # decimal(38,0); DuckDB's mirror uses HUGEINT for the same term.
+    aa_d = aa.cast("decimal(38,0)")
+    bb_d = bb.cast("decimal(38,0)")
+    disc = aa_d * aa_d + F.lit(4).cast("decimal(38,0)") * bb_d * d
+    osc = ok & (disc < 0)
+    stat = ok & (bb + d > 0) & (aa + bb < d) & (bb - aa < d)
+    phi1 = aa.cast("double") / d.cast("double")
+    phi2 = bb.cast("double") / d.cast("double")
+    cos_theta = phi1 / (F.lit(2.0) * F.sqrt(-phi2))
+    return p.select(
+        *keys,
+        "n_pairs1",
+        "r1_e6",
+        "r2_e6",
+        F.when(ok, F.round(phi1 * 1e6).cast("bigint")).alias("phi1_e6"),
+        F.when(ok, F.round(phi2 * 1e6).cast("bigint")).alias("phi2_e6"),
+        F.when(ok, stat.cast("bigint")).alias("stationary"),
+        F.when(ok, osc.cast("bigint")).alias("oscillatory"),
+        F.when(osc, F.round(cos_theta * 1e6).cast("bigint")).alias(
+            "cos_theta_e6"
+        ),
+    )

@@ -13872,3 +13872,97 @@ def ts_page_trend(spark, sf_dir):
     return analytics.page_trend(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     ).select("series_id", "k_treatments", "n_blocks", "l2", "z_e6")
+
+
+@q(
+    "ts_yule_walker",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT series_id, ep, v AS x, lg.lag
+      FROM b CROSS JOIN (SELECT unnest(range(1, 3)) AS lag) lg
+    ),
+    p AS (
+      SELECT l.series_id, l.lag, l.x, r.v AS y
+      FROM l JOIN b r ON r.series_id = l.series_id
+                     AND r.ep = l.ep + l.lag * 3600
+    ),
+    a AS (
+      SELECT series_id, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT series_id, lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                  THEN CAST(ROUND((n*sxy - sx*sy)
+                       / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6)
+                       AS BIGINT)
+             END AS r
+      FROM a
+    ),
+    pv AS (
+      SELECT series_id,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 1 THEN n_pairs END) AS np1
+      FROM rho GROUP BY 1
+    ),
+    t AS (
+      SELECT series_id, np1, r1, r2,
+             1000000000000 - r1 * r1 AS d,
+             r1 * (1000000 - r2) AS aa,
+             r2 * 1000000 - r1 * r1 AS bb
+      FROM pv
+    ),
+    v AS (
+      SELECT *,
+             (r1 IS NOT NULL AND r2 IS NOT NULL AND d > 0) AS ok,
+             CAST(aa AS HUGEINT) * aa + 4 * CAST(bb AS HUGEINT) * d AS disc
+      FROM t
+    )
+    SELECT series_id,
+           CAST(np1 AS BIGINT) AS n_pairs1,
+           r1 AS r1_e6, r2 AS r2_e6,
+           CASE WHEN ok THEN CAST(ROUND(
+             CAST(aa AS DOUBLE) / CAST(d AS DOUBLE) * 1e6) AS BIGINT)
+           END AS phi1_e6,
+           CASE WHEN ok THEN CAST(ROUND(
+             CAST(bb AS DOUBLE) / CAST(d AS DOUBLE) * 1e6) AS BIGINT)
+           END AS phi2_e6,
+           CASE WHEN ok THEN
+             CAST(bb + d > 0 AND aa + bb < d AND bb - aa < d AS BIGINT)
+           END AS stationary,
+           CASE WHEN ok THEN CAST(disc < 0 AS BIGINT) END AS oscillatory,
+           CASE WHEN ok AND disc < 0 THEN CAST(ROUND(
+             (CAST(aa AS DOUBLE) / CAST(d AS DOUBLE))
+             / (2.0 * sqrt(-(CAST(bb AS DOUBLE) / CAST(d AS DOUBLE))))
+             * 1e6) AS BIGINT)
+           END AS cos_theta_e6
+    FROM v
+    """,
+)
+def ts_yule_walker(spark, sf_dir):
+    """Yule-Walker AR(2) fit per series at hourly buckets: φ₁/φ₂ as
+    exact integer rationals over the e6-prequantized ACF ρ₁, ρ₂,
+    exact-integer oscillation (complex characteristic roots) and
+    stationarity-triangle verdicts, and the ringing angle's cosine as
+    a fixed IEEE tree — the overshoot detector AR(1) cannot express
+    (see analytics.yule_walker_ar2)."""
+    from tokens_ts import analytics
+
+    out = analytics.yule_walker_ar2(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour",
+    )
+    return out.select(
+        F.col("event_type").alias("series_id"),
+        "n_pairs1", "r1_e6", "r2_e6", "phi1_e6", "phi2_e6",
+        "stationary", "oscillatory", "cos_theta_e6",
+    )
