@@ -5038,3 +5038,74 @@ def test_dup_family_sizes_census_algebra(spark):
     }
     # one triple family and one pair family
     assert out == {3: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# mlm_plan
+# ---------------------------------------------------------------------------
+
+
+def test_mlm_plan_hand_single_token(spark):
+    """t=9 at i=1: (31*9+1) % 20 = 0 < 3 -> selected;
+    (17*9+1) % 10 = 4 < 8 -> MASK -> corrupted = [131072]."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("d", [9]), ("pad", [0, 0])], "doc_id string, tokens array<int>"
+    )
+    out = {r["doc_id"]: r for r in textops.mlm_plan(df).collect()}
+    r = out["d"]
+    assert (r["n_sel"], r["n_mask"], r["n_random"], r["n_keep"]) == (1, 1, 0, 0)
+    assert r["sel_rate_e6"] == 1_000_000
+    assert r["plan_md5"] == hashlib.md5(b"1:0").hexdigest()
+    assert r["corrupted_md5"] == hashlib.md5(b"131072").hexdigest()
+    # all-PAD doc: nothing selectable, honest-null rate, empty plan,
+    # corrupted stream identical to the input
+    p = out["pad"]
+    assert (p["n_nonpad"], p["n_sel"], p["sel_rate_e6"]) == (0, 0, None)
+    assert p["plan_md5"] == hashlib.md5(b"").hexdigest()
+    assert p["corrupted_md5"] == hashlib.md5(b"0,0").hexdigest()
+
+
+def test_mlm_plan_python_reference_parity(spark):
+    """Spark counts and both md5s equal an independent python walk for
+    50 pseudo-random sequences; every action class occurs somewhere;
+    PAD positions are never selected."""
+    import hashlib
+    import random
+
+    V = 131072
+    rng = random.Random(7)
+    rows = []
+    for d in range(50):
+        n = rng.randrange(1, 60)
+        rows.append(
+            (f"d{d}", [rng.choice([0] + list(range(1, 200))) for _ in range(n)])
+        )
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in textops.mlm_plan(df).collect()}
+    seen = set()
+    for doc, toks in rows:
+        plan, corr = [], []
+        counts = {0: 0, 1: 0, 2: 0}
+        for i, t in enumerate(toks, start=1):
+            if t != 0 and (t * 31 + i) % 20 < 3:
+                u = (t * 17 + i) % 10
+                a = 0 if u < 8 else (1 if u == 8 else 2)
+                counts[a] += 1
+                plan.append(f"{i}:{a}")
+                corr.append(
+                    V if a == 0 else (1 + (t * 13 + i * 7) % (V - 1) if a == 1 else t)
+                )
+            else:
+                corr.append(t)
+        r = out[doc]
+        assert (r["n_mask"], r["n_random"], r["n_keep"]) == (
+            counts[0], counts[1], counts[2]), doc
+        assert r["n_sel"] == sum(counts.values())
+        assert r["plan_md5"] == hashlib.md5(
+            ",".join(plan).encode()).hexdigest(), doc
+        assert r["corrupted_md5"] == hashlib.md5(
+            ",".join(str(t) for t in corr).encode()).hexdigest(), doc
+        seen.update(a for a in counts if counts[a])
+    assert seen == {0, 1, 2}  # fixture exercises mask AND random AND keep

@@ -13966,3 +13966,62 @@ def ts_yule_walker(spark, sf_dir):
         "n_pairs1", "r1_e6", "r2_e6", "phi1_e6", "phi2_e6",
         "stationary", "oscillatory", "cos_theta_e6",
     )
+
+
+@q(
+    "seq_mlm_plan",
+    _synth_cte()
+    + f"""
+    , am AS (
+      SELECT doc_id, len(tokens) AS n, tokens,
+             list_transform(range(1, len(tokens) + 1),
+               i -> CASE
+                 WHEN tokens[i] <> {C.PAD_ID}
+                      AND (tokens[i] * 31 + i) % 20 < 3 THEN
+                   CASE WHEN (tokens[i] * 17 + i) % 10 < 8 THEN 0
+                        WHEN (tokens[i] * 17 + i) % 10 = 8 THEN 1
+                        ELSE 2 END
+                 ELSE -1 END) AS a
+      FROM seq WHERE len(tokens) > 0
+    ),
+    cr AS (
+      SELECT doc_id, n, a,
+             len(list_filter(tokens, x -> x <> {C.PAD_ID})) AS n_nonpad,
+             list_transform(range(1, n + 1),
+               i -> CASE WHEN a[i] = 0 THEN {C.V}
+                         WHEN a[i] = 1
+                           THEN 1 + (tokens[i] * 13 + i * 7) % {C.V - 1}
+                         ELSE tokens[i] END) AS c
+      FROM am
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tok,
+           CAST(n_nonpad AS BIGINT) AS n_nonpad,
+           CAST(len(list_filter(a, x -> x >= 0)) AS BIGINT) AS n_sel,
+           CAST(len(list_filter(a, x -> x = 0)) AS BIGINT) AS n_mask,
+           CAST(len(list_filter(a, x -> x = 1)) AS BIGINT) AS n_random,
+           CAST(len(list_filter(a, x -> x = 2)) AS BIGINT) AS n_keep,
+           CASE WHEN n_nonpad > 0 THEN
+             CAST(ROUND(CAST(len(list_filter(a, x -> x >= 0)) AS DOUBLE)
+                        / n_nonpad * 1e6) AS BIGINT)
+           END AS sel_rate_e6,
+           -- array_to_string([]) is NULL in DuckDB but concat_ws('')
+           -- is '' in Spark: coalesce pins the empty-plan md5
+           md5(coalesce(array_to_string(
+             list_filter(list_transform(range(1, n + 1),
+               i -> CASE WHEN a[i] >= 0
+                         THEN CAST(i AS VARCHAR) || ':'
+                              || CAST(a[i] AS VARCHAR) END),
+               s -> s IS NOT NULL), ','), '')) AS plan_md5,
+           md5(array_to_string(
+             list_transform(c, x -> CAST(x AS VARCHAR)), ',')) AS corrupted_md5
+    FROM cr
+    """,
+)
+def seq_mlm_plan(spark, sf_dir):
+    """BERT-style MLM corruption plan per sequence: content-addressed
+    15% selection with 80/10/10 mask/random/keep actions, the plan
+    AND the corrupted token stream md5-pinned cross-engine (see
+    textops.mlm_plan) — the fourth objective next to CLM packing, FIM,
+    and span corruption."""
+    return textops.mlm_plan(_seq(spark), pad_id=C.PAD_ID, vocab=C.V)

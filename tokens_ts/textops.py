@@ -3442,3 +3442,107 @@ def bigram_pred_acc(
             ).cast("bigint").alias("acc_e6"),
         )
     )
+
+
+def mlm_plan(
+    seq: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    pad_id: int = 0,
+    vocab: int = 131072,
+) -> DataFrame:
+    """BERT-style masked-language-model corruption plan per sequence —
+    the fourth pretraining objective next to CLM packing, FIM, and T5
+    span corruption: select ~15% of non-PAD positions, then 80/10/10
+    replace-with-[MASK] / replace-with-random / keep-unchanged. The
+    plan is content-addressed (the span_corruption convention) so any
+    engine rebuilds it from the array alone — with 1-based position i
+    and token t:
+
+        selected  ⇔  t ≠ PAD ∧ (31t + i) mod 20 < 3        (15%)
+        action    =  (17t + i) mod 10 → <8 mask, =8 random, =9 keep
+        random id =  1 + (13t + 7i) mod (V−1)   ∈ [1, V−1]
+
+    [MASK] is the id V (one past the vocab — never collides with
+    content); the random draw is never PAD and never [MASK], pinned.
+    Two md5s force full agreement: plan_md5 over the ordered
+    "i:action" entries (identical positions AND actions) and
+    corrupted_md5 over the corrupted token stream itself (identical
+    bytes a training loader would emit). All arithmetic is exact
+    int64 (t ≤ V, so 31t + i ≲ 4e6).
+
+    Entirely row-local Catalyst (indexed transforms + filters, no
+    explode, no shuffle) — a map-only stage at any corpus scale."""
+    toks = F.col(tokens_col)
+
+    def action(x, i):
+        t = x.cast("long")
+        pos = (i + 1).cast("long")
+        sel = (x != F.lit(pad_id)) & ((t * 31 + pos) % 20 < 3)
+        u = (t * 17 + pos) % 10
+        return (
+            F.when(~sel, F.lit(-1))
+            .when(u < 8, F.lit(0))
+            .when(u == 8, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    def corrupt(x, i):
+        t = x.cast("long")
+        pos = (i + 1).cast("long")
+        a = action(x, i)
+        return (
+            F.when(a == 0, F.lit(vocab).cast("long"))
+            .when(a == 1, 1 + (t * 13 + pos * 7) % (vocab - 1))
+            .otherwise(t)
+        )
+
+    d = seq.where(F.size(toks) > 0).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.filter(toks, lambda x: x != F.lit(pad_id)))
+        .cast("bigint")
+        .alias("n_nonpad"),
+        F.transform(toks, action).alias("_a"),
+        F.transform(toks, corrupt).alias("_c"),
+    )
+    a = F.col("_a")
+    n_cls = lambda k: F.size(  # noqa: E731
+        F.filter(a, lambda x: x == F.lit(k))
+    ).cast("bigint")
+    entries = F.filter(
+        F.transform(
+            a,
+            lambda x, i: F.when(
+                x >= 0,
+                F.concat_ws(
+                    ":", (i + 1).cast("string"), x.cast("string")
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    n_sel = n_cls(0) + n_cls(1) + n_cls(2)
+    return d.select(
+        id_col,
+        "n_tok",
+        "n_nonpad",
+        n_sel.alias("n_sel"),
+        n_cls(0).alias("n_mask"),
+        n_cls(1).alias("n_random"),
+        n_cls(2).alias("n_keep"),
+        F.when(
+            F.col("n_nonpad") > 0,
+            F.round(
+                n_sel.cast("double")
+                / F.col("n_nonpad").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("sel_rate_e6"),
+        F.md5(F.concat_ws(",", entries)).alias("plan_md5"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("_c"), lambda x: x.cast("string"))
+            )
+        ).alias("corrupted_md5"),
+    )
