@@ -4233,3 +4233,66 @@ def test_yule_walker_gap_correct_pairing(spark):
     n1, r1 = rho_gapped(1)
     assert got["n_pairs1"] == n1 == 17   # 19 present buckets, 2 broken pairs
     assert got["r1_e6"] == r1
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy: next-event predictability per state
+# ---------------------------------------------------------------------------
+
+
+def test_markov_entropy_deterministic_split_and_gap(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+
+    def ev(uid, seq, start_min=0, step_min=1):
+        return [
+            (uid, f"e{uid}-{i}", s, t0 + dt.timedelta(minutes=start_min + i * step_min))
+            for i, s in enumerate(seq)
+        ]
+
+    # u1: a -> b always, b -> a always (both states deterministic)
+    rows = ev(1, ["a", "b", "a", "b", "a", "b"])
+    # u2: b -> a and b -> c exactly 50/50
+    rows += ev(2, ["b", "a", "b", "c", "b", "a", "b", "c"], start_min=100)
+    # u3: one transition broken by a 2 h gap -> must NOT count
+    rows += ev(3, ["z", "z"], start_min=300, step_min=120)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    out = {
+        r["from_type"]: r for r in analytics.markov_entropy(df).collect()
+    }
+
+    # python replay of the documented pipeline
+    import collections
+    cnt = collections.Counter()
+    streams = {
+        1: ["a", "b", "a", "b", "a", "b"],
+        2: ["b", "a", "b", "c", "b", "a", "b", "c"],
+    }
+    for seq in streams.values():
+        for x, y in zip(seq, seq[1:]):
+            cnt[(x, y)] += 1
+    froms = collections.defaultdict(list)
+    for (x, y), n in cnt.items():
+        froms[x].append(n)
+    for state, ns in froms.items():
+        nf = sum(ns)
+        h = sum(round(n / nf * math.log(nf / n) * 1e6) for n in ns)
+        r = out[state]
+        assert r["n_from"] == nf and r["k_next"] == len(ns), state
+        assert r["h_e6"] == h, state
+        if len(ns) > 1:
+            assert r["norm_h_e6"] == round(h / math.log(len(ns))), state
+        else:
+            assert r["norm_h_e6"] is None, state
+
+    # the pins the replay proves: deterministic states read exactly 0;
+    # 'b' pools BOTH users (u1: b->a x2; u2: b->a x2, b->c x2), so
+    # h = round(4/6·ln(6/4)·1e6) + round(2/6·ln(3)·1e6) = 636514
+    assert out["a"]["h_e6"] == 0 and out["a"]["norm_h_e6"] is None
+    assert out["b"]["h_e6"] == 636_514
+    assert out["b"]["n_from"] == 6 and out["b"]["k_next"] == 2
+    # the gapped z -> z transition never formed: no 'z' from-state row
+    assert "z" not in out

@@ -7629,3 +7629,77 @@ def yule_walker_ar2(
             "cos_theta_e6"
         ),
     )
+
+
+def markov_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Conditional next-event entropy per state of the session-bounded
+    event-type Markov chain — the predictability number the transition
+    MATRIX only implies. A state whose outgoing row concentrates on one
+    next type (H → 0) is mechanical flow a funnel can rely on; a state
+    near the uniform ceiling ln(k) is a genuine decision point; an H
+    that MOVES week-over-week is a behavior change no single cell
+    shows. Uses the maximum-likelihood plug-in on the empirical row
+    distribution:
+
+        H_i = Σ_j (n_ij/n_i·) · ln(n_i·/n_ij)        (nats)
+
+    Determinism: transition counts reuse markov_transitions' pinned
+    construction exactly (order by (ts, event_id), 1800 s session
+    bound, self-transitions count). Each per-cell term is one IEEE
+    tree over exact bigints — divide, ln, multiply — PRE-QUANTIZED to
+    an e6 bigint before the per-state sum (the retrieval_eval rule:
+    the sum is then order-free), so h_e6 is an exact bigint both
+    engines agree on. The uniform-normalized h/ln(k) is one further
+    division (null at k = 1 — a deterministic state has no ceiling).
+    exp/acos never appear; ln is the one libm call, absorbed at e6
+    (the idf precedent).
+
+    Scale shape: one lag window on the user partitioning, one
+    map-side-combined count agg to the types²-bounded frame, then
+    types-bounded arithmetic. Same single-key-shuffle lineage as
+    sessionize/markov_transitions."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    p = events.select(
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+        (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.lag(ts_col).over(w))
+        ).alias("_gap"),
+    ).where(F.col("from_type").isNotNull() & (F.col("_gap") <= gap_s))
+    c = p.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    nf = F.sum("n").over(Window.partitionBy("from_type"))
+    term = F.round(
+        F.col("n").cast("double")
+        / nf.cast("double")
+        * F.log(nf.cast("double") / F.col("n").cast("double"))
+        * 1e6
+    ).cast("bigint")
+    cells = c.select("from_type", nf.alias("_nf"), term.alias("_t"))
+    g = cells.groupBy("from_type").agg(
+        F.max("_nf").cast("bigint").alias("n_from"),
+        F.count("*").cast("bigint").alias("k_next"),
+        F.sum("_t").alias("h_e6"),
+    )
+    k = F.col("k_next")
+    return g.select(
+        "from_type",
+        "n_from",
+        "k_next",
+        "h_e6",
+        F.when(
+            k > 1,
+            F.round(
+                F.col("h_e6").cast("double") / F.log(k.cast("double"))
+            ).cast("bigint"),
+        ).alias("norm_h_e6"),
+    )

@@ -14025,3 +14025,52 @@ def seq_mlm_plan(spark, sf_dir):
     textops.mlm_plan) — the fourth objective next to CLM packing, FIM,
     and span corruption."""
     return textops.mlm_plan(_seq(spark), pad_id=C.PAD_ID, vocab=C.V)
+
+
+@q(
+    "ts_markov_entropy",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lag(event_type) OVER w AS from_type,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT from_type, event_type AS to_type, count(*) AS n
+      FROM o WHERE from_type IS NOT NULL AND ep - pep <= 1800
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT from_type,
+             sum(n) OVER (PARTITION BY from_type) AS nf,
+             CAST(ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+                  * ln(CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  * 1e6) AS BIGINT) AS t
+      FROM c
+    ),
+    g AS (
+      SELECT from_type, max(nf) AS n_from, count(*) AS k_next,
+             sum(t) AS h_e6
+      FROM cells GROUP BY 1
+    )
+    SELECT from_type,
+           CAST(n_from AS BIGINT) AS n_from,
+           CAST(k_next AS BIGINT) AS k_next,
+           CAST(h_e6 AS BIGINT) AS h_e6,
+           CASE WHEN k_next > 1 THEN
+             CAST(ROUND(CAST(h_e6 AS DOUBLE)
+                        / ln(CAST(k_next AS DOUBLE))) AS BIGINT)
+           END AS norm_h_e6
+    FROM g
+    """,
+)
+def ts_markov_entropy(spark, sf_dir):
+    """Conditional next-event entropy (nats, e6) per from-state of the
+    session-bounded event-type chain, with the uniform-normalized
+    ratio — the decision-point-vs-mechanical-flow dial the transition
+    matrix only implies (see analytics.markov_entropy)."""
+    return analytics.markov_entropy(_ev(spark, sf_dir))
