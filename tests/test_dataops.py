@@ -5109,3 +5109,67 @@ def test_mlm_plan_python_reference_parity(spark):
             ",".join(str(t) for t in corr).encode()).hexdigest(), doc
         seen.update(a for a in counts if counts[a])
     assert seen == {0, 1, 2}  # fixture exercises mask AND random AND keep
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_replay_ties_and_edges(spark):
+    """Six docs over a tiny vocab: python replay of the unigram LM ->
+    e4 ranks -> integer thirds; a tie straddling the head/middle edge
+    resolves by doc_id ASC; empty docs are unscorable and absent; a
+    single-doc source falls in 'tail' (floor(n/3) head slots)."""
+    import math as m
+    from collections import Counter
+
+    rows = [
+        ("a1", "A", "x x x x"),       # all common words -> high lp
+        ("a2", "A", "x x x x"),       # identical tie with a1
+        ("a3", "A", "x x y y"),
+        ("a4", "A", "x y y z"),
+        ("a5", "A", "y z z q"),
+        ("a6", "A", "q q r r"),       # rare words -> low lp
+        ("a7", "A", ""),              # unscorable
+        ("b1", "B", "x y"),           # single scorable doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        (r["source"], r["bucket"]): r
+        for r in textops.ccnet_buckets(df).collect()
+    }
+
+    # replay
+    words = {d: t.split() for d, _, t in rows if t}
+    wc = Counter(w for ws in words.values() for w in ws)
+    tot = sum(wc.values())
+    lp = {
+        d: round(sum(m.log(wc[w] / tot) for w in ws) / len(ws) * 1e4)
+        for d, ws in words.items()
+    }
+    a_docs = sorted(
+        [d for d in lp if d.startswith("a")], key=lambda d: (-lp[d], d)
+    )
+    n = len(a_docs)
+    assert n == 6
+    buckets = {"head": [], "middle": [], "tail": []}
+    for i, d in enumerate(a_docs, start=1):
+        k = "head" if 3 * i <= n else ("middle" if 3 * i <= 2 * n else "tail")
+        buckets[k].append(d)
+    # identical docs a1/a2 tie; doc_id ASC puts a1 before a2 -> both
+    # land in head for n=6 (2 slots) regardless, but the ORDER is
+    # deterministic; pin the full partition
+    assert buckets["head"] == ["a1", "a2"]
+    for k in buckets:
+        r = out[("A", k)]
+        assert r["n_docs"] == len(buckets[k]), k
+        assert r["n_words"] == sum(len(words[d]) for d in buckets[k]), k
+        assert r["lp_max_e4"] == max(lp[d] for d in buckets[k]), k
+        assert r["lp_min_e4"] == min(lp[d] for d in buckets[k]), k
+
+    # unscorable a7 appears nowhere
+    assert sum(out[("A", k)]["n_docs"] for k in buckets) == 6
+    # single-doc source: floor(1/3) = 0 head slots -> tail
+    assert ("B", "tail") in out and out[("B", "tail")]["n_docs"] == 1
+    assert ("B", "head") not in out and ("B", "middle") not in out

@@ -14074,3 +14074,49 @@ def ts_markov_entropy(spark, sf_dir):
     ratio — the decision-point-vs-mechanical-flow dial the transition
     matrix only implies (see analytics.markov_entropy)."""
     return analytics.markov_entropy(_ev(spark, sf_dir))
+
+
+@q(
+    "doc_ccnet_buckets",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, w FROM words WHERE w != ''),
+    counts AS (SELECT w, count(*) AS wc FROM w2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(wc) AS DOUBLE) AS t FROM counts),
+    lp AS (
+      SELECT doc_id, count(*) AS n_words,
+             CAST(ROUND(avg(ln(wc / t)) * 1e4) AS BIGINT) AS lp_e4
+      FROM w2 JOIN counts USING (w) CROSS JOIN tot
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.source, lp.n_words, lp.lp_e4,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY lp.lp_e4 DESC, lp.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY d.source) AS n
+      FROM lp JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT source, n_words, lp_e4,
+             CASE WHEN rn * 3 <= n THEN 'head'
+                  WHEN rn * 3 <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(max(lp_e4) AS BIGINT) AS lp_max_e4,
+           CAST(min(lp_e4) AS BIGINT) AS lp_min_e4
+    FROM b GROUP BY 1, 2
+    """,
+)
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity buckets per source over
+    the corpus-unigram LM score: per-bucket doc and word mass plus the
+    e4 score range — the keep-head+middle filter's decision table,
+    with integer-exact bucket edges (see textops.ccnet_buckets)."""
+    return textops.ccnet_buckets(_docs(spark, sf_dir))

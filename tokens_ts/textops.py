@@ -3546,3 +3546,58 @@ def mlm_plan(
             )
         ).alias("corrupted_md5"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing per source: rank each source's
+    documents by their corpus-unigram mean log-probability and split
+    into head / middle / tail THIRDS — the classic LM-filtering
+    decision table (CCNet keeps head+middle and drops tail; the
+    report's per-bucket doc/word mass IS the data-budget cost of that
+    policy, and the bucket score ranges say how sharp the cut is).
+
+    Determinism: scores enter as the e4-quantized mean logprob (the
+    doc_unigram_logprob grain — ranking a raw double would let an ulp
+    flip bucket membership at the boundary), ranking ties break by
+    doc_id ASC, and bucket edges are the pure integer inequalities
+    rn·3 ≤ n (head) / rn·3 ≤ 2n (middle) — no percentile call, no
+    floating boundary. Unscorable docs (no words) carry no row, by
+    the unigram contract.
+
+    Scale shape: unigram_logprob's two shuffles + one doc_id join to
+    recover the source + ONE rank window per source (each source's
+    docs sort independently — never a global sort) + a sources×3
+    bounded agg."""
+    lp = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(id_col, source_col)
+    scored = lp.join(src, id_col).select(
+        id_col,
+        source_col,
+        "n_words",
+        F.round(F.col("mean_logprob") * 1e4).cast("bigint").alias("lp_e4"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("lp_e4").desc(), F.col(id_col).asc()
+    )
+    n = F.count("*").over(Window.partitionBy(source_col))
+    rn = F.row_number().over(w)
+    b = scored.select(
+        source_col,
+        "n_words",
+        "lp_e4",
+        F.when(rn * 3 <= n, F.lit("head"))
+        .when(rn * 3 <= 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return b.groupBy(source_col, "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.max("lp_e4").alias("lp_max_e4"),
+        F.min("lp_e4").alias("lp_min_e4"),
+    )
