@@ -4296,3 +4296,79 @@ def test_markov_entropy_deterministic_split_and_gap(spark):
     assert out["b"]["n_from"] == 6 and out["b"]["k_next"] == 2
     # the gapped z -> z transition never formed: no 'z' from-state row
     assert "z" not in out
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier: right-censored survival of inter-event waits
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_curve_censoring_and_zero(spark):
+    """Hand-built cohort at minute buckets. Type 'x': three users with
+    waits 1m, 2m (deaths) and one censored wait; KM must keep the
+    censored user at risk through t=1 and t=2. Type 'z': single user,
+    one death, n=d at the only death time -> S = 0 exactly."""
+    import datetime as dt
+    import math as m
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # observation end anchor: a 'pad' event fixes oend = t0+10m
+    rows.append((99, "e-pad", "pad", t0 + dt.timedelta(minutes=10)))
+    # u1: x at 0m and 1m  -> death at t=1
+    rows += [(1, "e1a", "x", t0), (1, "e1b", "x", t0 + dt.timedelta(minutes=1))]
+    # u2: x at 0m and 2m  -> death at t=2
+    rows += [(2, "e2a", "x", t0), (2, "e2b", "x", t0 + dt.timedelta(minutes=2))]
+    # u3: x at 4m only    -> censored at oend: gap 6m (at risk at 1,2)
+    rows += [(3, "e3a", "x", t0 + dt.timedelta(minutes=4))]
+    # z: one user, events at 0m and 3m -> one death, then censored tail
+    rows += [(4, "e4a", "z", t0), (4, "e4b", "z", t0 + dt.timedelta(minutes=3))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    out = {
+        (r["event_type"], r["t"]): r
+        for r in analytics.kaplan_meier(df).collect()
+    }
+
+    # type x carries exactly FIVE waits: u1 -> death t=1 + censored
+    # tail 9m, u2 -> death t=2 + censored tail 8m, u3 -> censored 6m.
+    # At t=1 every wait is still at risk (n=5, d=1); at t=2 the t=1
+    # death has left (n=4, d=1).
+    r1 = out[("x", 1)]
+    assert (r1["d"], r1["n_risk"]) == (1, 5)
+    r2 = out[("x", 2)]
+    assert (r2["d"], r2["n_risk"]) == (1, 4)
+    t1 = round(m.log(4 / 5) * 1e6)
+    t2 = round(m.log(3 / 4) * 1e6)
+    assert r1["logs_e6"] == t1
+    assert r2["logs_e6"] == t1 + t2
+    assert r1["s_e6"] == round(m.exp(t1 / 1e6) * 1e6)
+    assert r2["s_e6"] == round(m.exp((t1 + t2) / 1e6) * 1e6)
+    # censoring kept u3 + the tails at risk: S(2) = (4/5)(3/4) = 0.6
+    # EXACTLY at e6; a deaths-only estimate (waits {1m, 2m}) would
+    # read (1/2)(0/1) = 0 -- the bias the estimator exists to remove
+    assert r2["s_e6"] == 600_000
+
+    # type z: death at t=3 where n_risk includes the censored second
+    # wait (3m gap from 3m-event to pad-anchor oend at 10m -> 7m), so
+    # n=2, d=1 -> survival 1/2; no everyone-dies row here
+    rz = out[("z", 3)]
+    assert (rz["d"], rz["n_risk"]) == (1, 2)
+
+    # everyone-dies: isolate with a type whose only wait is a death
+    rows2 = [
+        (7, "f1", "w", t0),
+        (7, "f2", "w", t0 + dt.timedelta(minutes=5)),
+    ]
+    # make the second event the LAST observation so its censored gap
+    # is 0 and lands at t=0 as a censored (non-death) wait... instead
+    # keep it simple: single wait, observation ends AT the second
+    # event -> censored gap 0 still counts at risk only for t=0; the
+    # death at t=5 then has n_risk = d = 1 -> S = 0, logs null
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    rw = {r["t"]: r for r in analytics.kaplan_meier(df2).collect()}
+    assert rw[5]["d"] == 1 and rw[5]["n_risk"] == 1
+    assert rw[5]["logs_e6"] is None and rw[5]["s_e6"] == 0

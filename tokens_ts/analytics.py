@@ -7703,3 +7703,103 @@ def markov_entropy(
             ).cast("bigint"),
         ).alias("norm_h_e6"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 60,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of inter-event waiting times per
+    event type, with RIGHT CENSORING — the estimator that answers
+    "how long until this user does X again" without the bias every
+    naive mean-gap computation carries: a user who simply hasn't
+    re-triggered yet contributes an observed LOWER BOUND (their gap
+    to the observation end, censored), not a missing value, and
+    dropping them systematically underestimates long waits. Classic
+    KM: at each death time t (ascending),
+
+        S(t) = Π_{t_j ≤ t} (1 − d_j / n_j)
+
+    with d_j = waits ending in a real next event at t_j and n_j =
+    waits (censored or not) still ≥ t_j. Deaths-before-censoring at
+    ties, the standard convention, pinned.
+
+    Determinism: gaps are integer seconds (floor-epoch both engines)
+    bucketed to integer `bucket_s` grid cells; d, n and the at-risk
+    reverse-cumulative are exact bigints; each factor enters log-space
+    as one pre-quantized e6 term round(ln((n−d)/n)·1e6) so the running
+    sum logS is an exact bigint (order-free — the ess rule), and
+    S = exp(logS/1e6) is one final libm call absorbed at e6. A death
+    time where everyone at risk dies (n = d — only possible at the
+    maximal death time) reads S = 0 exactly with an honest-null logS
+    instead of ln(0).
+
+    Scale shape: one lead window on the (type, user) stream
+    partitioning, the observation end as a broadcast 1-row frame, a
+    map-side-combined (type, bucket) agg, then windows on that
+    bounded frame. One corpus shuffle."""
+    ep = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(type_col, user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    end = events.agg(F.max(ep).alias("_end"))
+    g = (
+        events.select(
+            type_col,
+            user_col,
+            ep.alias("_ep"),
+            F.lead(ep).over(w).alias("_nxt"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            type_col,
+            F.floor(
+                (F.coalesce(F.col("_nxt"), F.col("_end")) - F.col("_ep"))
+                / F.lit(bucket_s)
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.col("_nxt").isNotNull().cast("bigint").alias("_death"),
+        )
+    )
+    per_t = g.groupBy(type_col, "t").agg(
+        F.sum("_death").alias("d"),
+        F.count("*").cast("bigint").alias("_m"),
+    )
+    wk = Window.partitionBy(type_col)
+    n_risk = F.sum("_m").over(
+        wk.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = per_t.select(
+        type_col, "t", "d", n_risk.alias("n_risk")
+    ).where(F.col("d") > 0)
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e6
+        ).cast("bigint"),
+    )
+    logs = F.sum(term).over(
+        wk.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dead_all = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(
+        wk.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return scored.select(
+        type_col,
+        "t",
+        "d",
+        "n_risk",
+        F.when(dead_all == 0, logs).alias("logs_e6"),
+        F.when(dead_all == 1, F.lit(0).cast("bigint"))
+        .otherwise(F.round(F.exp(logs.cast("double") / 1e6) * 1e6).cast("bigint"))
+        .alias("s_e6"),
+    )

@@ -14120,3 +14120,61 @@ def doc_ccnet_buckets(spark, sf_dir):
     e4 score range — the keep-head+middle filter's decision table,
     with integer-exact bucket edges (see textops.ccnet_buckets)."""
     return textops.ccnet_buckets(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_kaplan_meier",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    obs AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS oend FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(floor((coalesce(nxt, oend) - ep) / 60.0) AS BIGINT) AS t,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM e CROSS JOIN obs
+    ),
+    per_t AS (
+      SELECT event_type, t, sum(death) AS d, count(*) AS m
+      FROM g GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT event_type, t, d,
+             sum(m) OVER (PARTITION BY event_type ORDER BY t DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM per_t
+    ),
+    deaths AS (SELECT * FROM risk WHERE d > 0),
+    sc AS (
+      SELECT event_type, t, d, n_risk,
+             sum(CASE WHEN n_risk > d THEN
+                   CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                 END) OVER (PARTITION BY event_type ORDER BY t ASC
+                            ROWS UNBOUNDED PRECEDING) AS logs,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY t ASC
+                     ROWS UNBOUNDED PRECEDING) AS dead_all
+      FROM deaths
+    )
+    SELECT event_type, t, CAST(d AS BIGINT) AS d,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CASE WHEN dead_all = 0 THEN CAST(logs AS BIGINT) END AS logs_e6,
+           CASE WHEN dead_all = 1 THEN 0
+                ELSE CAST(ROUND(exp(CAST(logs AS DOUBLE) / 1e6) * 1e6)
+                          AS BIGINT) END AS s_e6
+    FROM sc
+    """,
+)
+def ts_kaplan_meier(spark, sf_dir):
+    """Right-censored Kaplan-Meier survival of per-user inter-event
+    waits per event type at minute buckets: exact d/n_at_risk counts,
+    log-survival as an order-free sum of e6-prequantized factors, the
+    everyone-dies row pinned to S = 0 (see analytics.kaplan_meier)."""
+    return analytics.kaplan_meier(_ev(spark, sf_dir))
