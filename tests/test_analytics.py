@@ -4372,3 +4372,61 @@ def test_kaplan_meier_hand_curve_censoring_and_zero(spark):
     rw = {r["t"]: r for r in analytics.kaplan_meier(df2).collect()}
     assert rw[5]["d"] == 1 and rw[5]["n_risk"] == 1
     assert rw[5]["logs_e6"] is None and rw[5]["s_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# kpss_test: level-stationarity eta, the complementary null to ADF
+# ---------------------------------------------------------------------------
+
+
+def test_kpss_hand_values_and_directional_split(spark):
+    """Hand-worked eta on two 4-6 bucket series. Trend [1,2,3,4]:
+    demeaned residuals ±1500/±500 at e3 → den = 5e6; partial sums
+    n·S_t = −6000,−8000,−6000,0 → num = 2,125,000 → eta = 0.425
+    exactly. Alternation [1,2]×3: den = 1.5e6, num = 3·round(5e5²/6)
+    = 125,001 → eta = 0.083334 — the trend reads 5× higher, the
+    directional contract (drift rejects level-stationarity, noise
+    does not). Constant series → den = 0 → honest null, row kept."""
+    rows = [("trend", i * 3600, float(v))
+            for i, v in enumerate([1, 2, 3, 4])]
+    rows += [("alt", i * 3600, float(v))
+             for i, v in enumerate([1, 2, 1, 2, 1, 2])]
+    rows += [("const", i * 3600, 7.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["series_id"]: r for r in analytics.kpss_test(
+        df, key_col="key", ts_col="ts").collect()}
+    assert out["trend"]["n_obs"] == 4
+    assert out["trend"]["kpss_e6"] == 425_000
+    assert out["alt"]["kpss_e6"] == round(125_001 / 1_500_000 * 1e6)
+    assert out["alt"]["kpss_e6"] == 83_334
+    assert out["const"]["n_obs"] == 5 and out["const"]["kpss_e6"] is None
+    # four-quadrant contract vs ADF on the same buckets: the trend
+    # series' KPSS rejects stationarity while alternation's does not
+    assert out["trend"]["kpss_e6"] > 4 * out["alt"]["kpss_e6"]
+
+
+def test_kpss_ordinal_in_time_and_order_invariance(spark):
+    """Partial sums follow BUCKET TIME order, not insertion order —
+    shuffled input rows land identically; a missing hour compresses
+    the sequence (the records/runs_test convention), pinned by eta
+    equality between the gapped series and its compressed twin."""
+    vals = [5.0, 1.0, 4.0, 2.0, 8.0, 3.0]
+    rows = [("shuf", i * 3600, v) for i, v in enumerate(vals)]
+    rows_rev = list(reversed(rows))
+    rows2 = [("gap", t * 3600, v) for (t, v) in
+             zip([0, 1, 2, 5, 6, 9], vals)]   # holes at 3,4,7,8
+    rows3 = [("dense", i * 3600, v) for i, v in enumerate(vals)]
+    base = spark.createDataFrame(
+        rows + rows2 + rows3, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["series_id"]: r for r in analytics.kpss_test(
+        base, key_col="key", ts_col="ts").collect()}
+    shuffled = spark.createDataFrame(
+        rows_rev, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out_s = analytics.kpss_test(shuffled, key_col="key",
+                                ts_col="ts").collect()[0]
+    assert out_s["kpss_e6"] == out["shuf"]["kpss_e6"]
+    assert out["gap"]["kpss_e6"] == out["dense"]["kpss_e6"]

@@ -7803,3 +7803,74 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(logs.cast("double") / 1e6) * 1e6).cast("bigint"))
         .alias("s_e6"),
     )
+
+
+def kpss_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """KPSS level-stationarity statistic per series — the
+    COMPLEMENTARY null to adf_test: ADF's null is a unit root (small
+    |t| = cannot reject random walk), KPSS's null is stationarity
+    (LARGE eta = reject level-stationarity), so the pair classifies
+    every series into the four-quadrant stationary / unit-root /
+    trend-ambiguous / over-differenced table that neither test alone
+    supports. eta = Σ_t S_t² / (n²·σ̂²) with S_t the partial sums of
+    the demeaned series and σ̂² the residual variance (the classic
+    lag-0 / iid-errors form; bandwidth-0 keeps every term exact).
+
+    Exactness: buckets are e-grid bigints over the series' observed
+    bucket sequence in time order (ordinal in time, the runs_test /
+    records convention — a missing hour compresses, it does not
+    break the partial sum). With T = Σv and C_t the inclusive
+    cumulative sum, n·S_t = n·C_t − t·T is an EXACT bigint and so is
+    the residual numerator n·e_t = n·v_t − T; each quadratic enters
+    pre-quantized — den += round(((n·v_t−T)/n)²), num +=
+    round(((n·C_t−t·T)/n)²/n) — one fixed IEEE tree over exact
+    integers per term, so both sums are order-free exact bigints and
+    eta = num/den is one final division, absorbed at e6. Constant
+    series (den = 0) emit an honest null, row kept.
+
+    Shapes: ONE bucket agg, two windows on the bounded bucket frame
+    (per-key cumsum + per-key totals), one per-key agg."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    wo = Window.partitionBy("series_id").orderBy("_ep")
+    wa = Window.partitionBy("series_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = b.select(
+        "series_id",
+        F.col("_v"),
+        F.row_number().over(wo).alias("_i"),
+        F.sum("_v").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_c"),
+        F.sum("_v").over(wa).alias("_t"),
+        F.count("*").over(wa).alias("_n"),
+    )
+    nn = F.col("_n").cast("double")
+    e_t = (F.col("_n") * F.col("_v") - F.col("_t")).cast("double") / nn
+    s_t = (F.col("_n") * F.col("_c") - F.col("_i") * F.col("_t")).cast(
+        "double"
+    ) / nn
+    a = r.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum(F.round(e_t * e_t).cast("bigint")).alias("_den"),
+        F.sum(F.round(s_t * s_t / nn).cast("bigint")).alias("_num"),
+    )
+    return a.select(
+        "series_id",
+        "n_obs",
+        F.when(
+            (F.col("n_obs") >= 2) & (F.col("_den") > 0),
+            F.round(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("kpss_e6"),
+    )

@@ -14178,3 +14178,54 @@ def ts_kaplan_meier(spark, sf_dir):
     log-survival as an order-free sum of e6-prequantized factors, the
     everyone-dies row pinned to S = 0 (see analytics.kaplan_meier)."""
     return analytics.kaplan_meier(_ev(spark, sf_dir))
+
+
+@q(
+    "ts_kpss",
+    _HOURLY_E3
+    + """
+    , r AS (
+      SELECT sid, v,
+             row_number() OVER w AS i,
+             sum(v) OVER (PARTITION BY sid ORDER BY ep
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             sum(v) OVER (PARTITION BY sid) AS t,
+             count(*) OVER (PARTITION BY sid) AS n
+      FROM b WINDOW w AS (PARTITION BY sid ORDER BY ep)
+    ),
+    dd AS (
+      SELECT sid, n,
+             CAST(n * v - t AS DOUBLE) / CAST(n AS DOUBLE) AS e_t,
+             CAST(n * c - i * t AS DOUBLE) / CAST(n AS DOUBLE) AS s_t
+      FROM r
+    ),
+    terms AS (
+      SELECT sid, n,
+        CAST(round(e_t * e_t) AS BIGINT) AS dq,
+        CAST(round(s_t * s_t / CAST(n AS DOUBLE)) AS BIGINT) AS nq
+      FROM dd
+    ),
+    a AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n_obs,
+             sum(dq) AS den, sum(nq) AS num
+      FROM terms GROUP BY 1
+    )
+    SELECT sid AS series_id, n_obs,
+           CASE WHEN n_obs >= 2 AND den > 0
+                THEN CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                                * 1e6) AS BIGINT)
+           END AS kpss_e6
+    FROM a
+    """,
+)
+def ts_kpss(spark, sf_dir):
+    """KPSS level-stationarity eta per event type over the hourly
+    e3-grid bucket sequence — the complementary null to ts_adf (large
+    eta REJECTS stationarity where ADF's null is the unit root), so
+    the pair four-quadrant-classifies every series. Partial sums and
+    residuals exact bigints, quadratics pre-quantized per term (see
+    analytics.kpss_test)."""
+    return analytics.kpss_test(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
