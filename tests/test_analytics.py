@@ -4430,3 +4430,54 @@ def test_kpss_ordinal_in_time_and_order_invariance(spark):
                                 ts_col="ts").collect()[0]
     assert out_s["kpss_e6"] == out["shuf"]["kpss_e6"]
     assert out["gap"]["kpss_e6"] == out["dense"]["kpss_e6"]
+
+
+# ---------------------------------------------------------------------------
+# anova_dow: one-way weekday ANOVA with eta^2
+# ---------------------------------------------------------------------------
+
+
+def test_anova_dow_hand_f_and_eta2(spark):
+    """Two weekday groups, two hourly buckets each. Series 'f':
+    group means {1,3} vs {5,7} at e3 → SSW_m = 4e9, SSB_m = 1.6e10,
+    F = 2·4 = 8 exactly, eta² = 0.8 exactly. Series 'p': perfect
+    separation {1,1} vs {3,3} → SSW = 0 → honest-null F with
+    eta² = 1 exactly. Series 'c': constant → both nulls, row kept."""
+    def day_hours(day, vals):
+        return [(day * 86400 + i * 3600, float(v))
+                for i, v in enumerate(vals)]
+
+    rows = [("f", t, v) for t, v in day_hours(0, [1, 3]) + day_hours(1, [5, 7])]
+    rows += [("p", t, v) for t, v in day_hours(0, [1, 1]) + day_hours(1, [3, 3])]
+    rows += [("c", t, v) for t, v in day_hours(0, [2, 2]) + day_hours(1, [2, 2])]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["key"]: r for r in analytics.anova_dow(
+        df, keys=["key"], ts_col="ts").collect()}
+
+    rf = out["f"]
+    assert (rf["n_buckets"], rf["k_groups"]) == (4, 2)
+    assert (rf["ssw_m"], rf["ssb_m"]) == (4_000_000_000, 16_000_000_000)
+    assert rf["f_e6"] == 8_000_000
+    assert rf["eta2_e6"] == 800_000
+
+    rp = out["p"]
+    assert rp["ssw_m"] == 0 and rp["f_e6"] is None
+    assert rp["eta2_e6"] == 1_000_000
+
+    rc = out["c"]
+    assert rc["f_e6"] is None and rc["eta2_e6"] is None
+
+
+def test_anova_dow_weekday_grouping_is_epoch_arithmetic(spark):
+    """Buckets 7 days apart land in the SAME group (one k=1 series is
+    dropped — no test exists across one group), and the dow formula
+    pins Monday: epoch day 4 (1970-01-05) is Monday → g = 0."""
+    rows = [("one", d * 7 * 86400, float(v)) for d, v in enumerate([1, 5, 9])]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    assert analytics.anova_dow(df, keys=["key"], ts_col="ts").count() == 0
+    # formula pin, no Spark needed: (4 + 3) % 7 == 0 (Monday)
+    assert (4 + 3) % 7 == 0

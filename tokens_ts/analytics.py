@@ -7874,3 +7874,95 @@ def kpss_test(
             ).cast("bigint"),
         ).alias("kpss_e6"),
     )
+
+
+def anova_dow(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+) -> DataFrame:
+    """One-way ANOVA F across day-of-week groups per series, with
+    eta² effect size — the parametric LOCATION test that completes
+    the weekday triptych: kruskal_dow asks the rank question (any
+    distributional shift), brown_forsythe_dow the scale question
+    (equal dispersion), this one the mean question with the effect
+    size a capacity plan actually consumes (eta² = the fraction of
+    hourly-mean variance the weekday explains — 'is Monday a
+    different workload, and by how much of the total').
+
+    F = ((N−k)/(k−1))·SSB/SSW on the e3 bucket means directly.
+    Exactness follows the brown_forsythe rules verbatim: per-group
+    Z_g = Σv and Q_g = Σv² are exact bigints; each group's quadratic
+    enters pre-quantized t1_g = round(1000·Z_g²/n_g) (one identical
+    IEEE tree per group), so SSW_m = 1000·ΣQ_g − Σt1_g and SSB_m =
+    Σt1_g − round(1000·(ΣZ_g)²/N) are exact bigints bit-identical in
+    both engines; F and eta² = SSB/(SSB+SSW) are single double
+    ratios. Perfect separation (SSW = 0) reads eta² = 1 exactly with
+    an honest-null F (infinite has no number); constant series read
+    null/null. Weekday is pure epoch arithmetic ((ep div 86400 + 3)
+    mod 7, Monday = 0) — no calendar function, no TZ exposure. k < 2
+    or N ≤ k rows are dropped (no test exists).
+
+    Scale shape: one bucket partial agg off the corpus scan, then
+    keys×7- and keys-bounded aggs. Single key shuffle lineage."""
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep"),
+        )
+        .agg(F.round(F.avg(value_col) * 1e3).cast("bigint").alias("v"))
+        .withColumn(
+            "_g",
+            F.pmod(
+                (F.col("ep") / F.lit(86400)).cast("bigint") + 3, F.lit(7)
+            ).cast("bigint"),
+        )
+    )
+    g = b.groupBy(*keys, "_g").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("v").alias("_zg"),
+        F.sum(F.col("v") * F.col("v")).alias("_qg"),
+    ).withColumn(
+        "_t1g",
+        F.round(
+            F.col("_zg").cast("double")
+            * F.col("_zg").cast("double")
+            / F.col("_n").cast("double")
+            * F.lit(1000.0)
+        ).cast("bigint"),
+    )
+    s = g.groupBy(*keys).agg(
+        F.sum("_n").alias("n_buckets"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("_zg").alias("_sz"),
+        F.sum("_qg").alias("_sq"),
+        F.sum("_t1g").alias("_t1"),
+    ).where((F.col("k_groups") >= 2) & (F.col("n_buckets") > F.col("k_groups")))
+    nn, kk = F.col("n_buckets"), F.col("k_groups")
+    ssw = 1000 * F.col("_sq") - F.col("_t1")
+    ssb = F.col("_t1") - F.round(
+        F.col("_sz").cast("double")
+        * F.col("_sz").cast("double")
+        / nn.cast("double")
+        * F.lit(1000.0)
+    ).cast("bigint")
+    f = (
+        (nn - kk).cast("double")
+        * ssb.cast("double")
+        / ((kk - 1).cast("double") * ssw.cast("double"))
+    )
+    eta2 = ssb.cast("double") / (ssb + ssw).cast("double")
+    return s.select(
+        *keys,
+        "n_buckets",
+        "k_groups",
+        ssw.alias("ssw_m"),
+        ssb.alias("ssb_m"),
+        F.when(ssw > 0, F.round(f * 1e6).cast("bigint")).alias("f_e6"),
+        F.when(ssb + ssw > 0, F.round(eta2 * 1e6).cast("bigint")).alias(
+            "eta2_e6"
+        ),
+    )

@@ -14229,3 +14229,67 @@ def ts_kpss(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "ts_anova_dow",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value) * 1e3) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    gr AS (
+      SELECT series_id, (ep // 86400 + 3) % 7 AS g, count(*) AS n,
+             sum(v) AS zg, sum(v * v) AS qg
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *,
+             CAST(ROUND(CAST(zg AS DOUBLE) * CAST(zg AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS t1g
+      FROM gr
+    ),
+    s AS (
+      SELECT series_id, sum(n) AS nb, count(*) AS k, sum(zg) AS sz,
+             sum(qg) AS sq, sum(t1g) AS t1
+      FROM t GROUP BY 1
+    ),
+    fin AS (
+      SELECT series_id, nb, k,
+             CAST(1000 * sq - t1 AS BIGINT) AS ssw_m,
+             CAST(t1 - CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                  / CAST(nb AS DOUBLE) * 1000.0) AS BIGINT) AS BIGINT)
+               AS ssb_m
+      FROM s WHERE k >= 2 AND nb > k
+    )
+    SELECT series_id,
+           CAST(nb AS BIGINT) AS n_buckets,
+           CAST(k AS BIGINT) AS k_groups,
+           ssw_m, ssb_m,
+           CASE WHEN ssw_m > 0 THEN
+             CAST(ROUND(CAST(nb - k AS DOUBLE) * CAST(ssb_m AS DOUBLE)
+                  / (CAST(k - 1 AS DOUBLE) * CAST(ssw_m AS DOUBLE))
+                  * 1e6) AS BIGINT) END AS f_e6,
+           CASE WHEN ssb_m + ssw_m > 0 THEN
+             CAST(ROUND(CAST(ssb_m AS DOUBLE)
+                  / CAST(ssb_m + ssw_m AS DOUBLE) * 1e6) AS BIGINT)
+           END AS eta2_e6
+    FROM fin
+    """,
+)
+def ts_anova_dow(spark, sf_dir):
+    """One-way ANOVA F + eta² effect size across the seven weekday
+    groups of hourly e3 bucket means per event_type — the parametric
+    mean test completing the weekday triptych with ts_kruskal_dow
+    (ranks) and ts_levene_dow (scale); pre-quantized per-group
+    quadratics per the brown_forsythe rule (see analytics.anova_dow)."""
+    from tokens_ts import analytics
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    return analytics.anova_dow(
+        ev, keys=["series_id"], ts_col="ts", value_col="value"
+    )
