@@ -5173,3 +5173,57 @@ def test_ccnet_buckets_replay_ties_and_edges(spark):
     # single-doc source: floor(1/3) = 0 head slots -> tail
     assert ("B", "tail") in out and out[("B", "tail")]["n_docs"] == 1
     assert ("B", "head") not in out and ("B", "middle") not in out
+
+
+# ---------------------------------------------------------------------------
+# dup_graph_census: triangle/wedge structure of the candidate graph
+# ---------------------------------------------------------------------------
+
+
+def test_dup_graph_census_hand_graph(spark):
+    """Hand graph: triangle {1,2,3} + chain edge (3,4) + isolated
+    edge (5,6). Degrees 2,2,3,1,1,1 → wedges = 1+1+3 = 5, exactly one
+    triangle generated once as its sorted triple, transitivity =
+    3·1/5 = 0.6 exactly."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)], "a long, b long"
+    )
+    r = dedup.dup_graph_census(pairs).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
+    assert r["transitivity_e6"] == 600_000
+
+    # clique K4: every wedge closes -> transitivity exactly 1
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    rk = dedup.dup_graph_census(
+        spark.createDataFrame(k4, "a long, b long")
+    ).collect()[0]
+    assert (rk["n_edges"], rk["n_wedges"], rk["n_triangles"]) == (6, 12, 4)
+    assert rk["transitivity_e6"] == 1_000_000
+
+    # pure chain: wedges but no triangle -> 0; single edge -> null
+    rc = dedup.dup_graph_census(
+        spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    ).collect()[0]
+    assert rc["n_triangles"] == 0 and rc["transitivity_e6"] == 0
+    r1 = dedup.dup_graph_census(
+        spark.createDataFrame([(7, 9)], "a long, b long")
+    ).collect()[0]
+    assert r1["n_wedges"] == 0 and r1["transitivity_e6"] is None
+
+
+def test_dup_graph_triangles_family_is_clique(docs):
+    """The docs fixture's planted near-dup family collides in LSH as
+    a clique: the census over lsh_candidates must read triangles
+    consistent with the pair list itself (cross-checked directly)."""
+    pairs = dedup.lsh_candidates(docs, 32, 8, hash_mode="md5")
+    e = {(r["a"], r["b"]) for r in pairs.collect()}
+    r = dedup.dup_graph_census(pairs).collect()[0]
+    tri = sum(
+        1
+        for (a, b) in e
+        for c in {x for x in range(0, 200)}
+        if (b, c) in e and (a, c) in e
+    )
+    assert r["n_edges"] == len(e)
+    assert r["n_triangles"] == tri

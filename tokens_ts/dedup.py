@@ -1071,3 +1071,81 @@ def cross_source_dups(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+def dup_graph_census(pairs: DataFrame) -> DataFrame:
+    """Triangle/wedge census of a duplicate-candidate graph — the
+    STRUCTURE question the flat pair list and even the component
+    census cannot answer: a size-10 family can be a clique (45 edges,
+    template boilerplate — one canonical survivor suffices) or a
+    chain (9 edges, gradual drift — transitive dedup may over-merge),
+    and global transitivity = 3·triangles/wedges is the dial that
+    separates them. Classic node-iterator triangle counting as two
+    relational joins: edges are canonical a < b, a wedge is
+    e1(a,b)⋈e2(b,c) on the shared MIDDLE node (a < b < c, so each
+    triangle is generated exactly once as its sorted vertex triple),
+    closed iff (a,c) is itself an edge — a left-semi join back to the
+    edge list. Wedge mass is Σ C(deg,2) from one degree agg (counts
+    every unordered path-of-2, the transitivity denominator).
+
+    All counts exact bigints; transitivity is one final division at
+    e6, null when the graph has no wedges. Skew bound: LSH bucket
+    capping bounds every degree by bands·max_bucket, so the wedge
+    join cannot explode on a boilerplate hub — the same cap that
+    protects the pair join protects the census.
+
+    Scale shape: degree agg + one self-join on the middle node + one
+    left-semi closure probe, all on the bucket-capped pair frame
+    (orders of magnitude below corpus size); single-row output."""
+    e = pairs.select("a", "b").distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    nodes_edges = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        ),
+    )
+    paths = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+    tri = paths.join(e, ["a", "b"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    out = nodes_edges.crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                3.0
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("transitivity_e6"),
+    )
+
+
+def dup_graph_triangles(
+    docs: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """dup_graph_census over the MinHash-LSH candidate-pair graph —
+    clique-vs-chain structure of the near-dup families the dedup
+    chain acts on (see dup_graph_census)."""
+    return dup_graph_census(
+        lsh_candidates(docs, n_perm, bands, text_col, max_bucket, hash_mode)
+    )

@@ -14293,3 +14293,49 @@ def ts_anova_dow(spark, sf_dir):
     return analytics.anova_dow(
         ev, keys=["series_id"], ts_col="ts", value_col="value"
     )
+
+
+@q(
+    "doc_dup_triangles",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand
+      ) GROUP BY 1
+    ),
+    ne AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM cand e1
+      JOIN cand e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.a = e1.a AND c.b = e2.b)
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN
+             CAST(ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+                  / CAST(n_wedges AS DOUBLE) * 1e6) AS BIGINT)
+           END AS transitivity_e6
+    FROM ne CROSS JOIN tri
+    """,
+)
+def doc_dup_triangles(spark, sf_dir):
+    """Triangle/wedge census + global transitivity of the md5-seeded
+    LSH candidate-pair graph — clique (template boilerplate) vs chain
+    (gradual drift) structure of the near-dup families, node-iterator
+    triangle counting as two capped relational joins (see
+    dedup.dup_graph_census)."""
+    return dedup.dup_graph_triangles(_docs(spark, sf_dir))
