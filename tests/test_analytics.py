@@ -4481,3 +4481,57 @@ def test_anova_dow_weekday_grouping_is_epoch_arithmetic(spark):
     assert analytics.anova_dow(df, keys=["key"], ts_col="ts").count() == 0
     # formula pin, no Spark needed: (4 + 3) % 7 == 0 (Monday)
     assert (4 + 3) % 7 == 0
+
+
+# ---------------------------------------------------------------------------
+# attribution_linear: multi-touch credit with pinned window boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_linear_hand_credit_and_boundaries(spark):
+    """u1: clicks at 0s and 600s, purchase at 900s → k=2, each click
+    hour-0 credit 500000, first = the 0s click, last = the 600s one.
+    u3: click exactly AT the purchase → in (k=1, credit 1e6, both
+    first and last). u4: click exactly W before → OUT. u2: purchase
+    2h after the click → no match. Boundary rule (tc > tp−W ∧
+    tc ≤ tp) pinned by u3/u4 together."""
+    rows = [
+        (1, "c1a", "click", 0), (1, "c1b", "click", 600),
+        (1, "p1", "purchase", 900),
+        (2, "c2", "click", 0), (2, "p2", "purchase", 7200),
+        (3, "c3", "click", 5000), (3, "p3", "purchase", 5000),
+        (4, "c4", "click", 0), (4, "p4", "purchase", 3600),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, t long"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("t").alias("ts"))
+    out = {r["touch_hour_ep"]: r for r in
+           analytics.attribution_linear(df).collect()}
+    # hour 0: u1's two clicks only (u4's click is excluded exactly)
+    h0 = out[0]
+    assert (h0["n_touch"], h0["credit_e6"]) == (2, 1_000_000)
+    assert (h0["n_first"], h0["n_last"]) == (1, 1)
+    # hour 3600 (5000s bucket): u3's at-conversion click
+    h1 = out[3600]
+    assert (h1["n_touch"], h1["credit_e6"]) == (1, 1_000_000)
+    assert (h1["n_first"], h1["n_last"]) == (1, 1)
+    assert set(out) == {0, 3600}
+
+
+def test_attribution_linear_tie_break_and_remainder(spark):
+    """Duplicate-timestamp touches: first/last resolve by event_id —
+    exactly one of each per conversion. k=3 credit remainder:
+    3·round(1e6/3) = 999999 (deterministic, both engines)."""
+    rows = [
+        (9, "a", "click", 100), (9, "b", "click", 100),
+        (9, "c", "click", 100), (9, "p", "purchase", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, t long"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("t").alias("ts"))
+    r = analytics.attribution_linear(df).collect()[0]
+    assert r["n_touch"] == 3
+    assert r["credit_e6"] == 999_999
+    assert r["n_first"] == 1 and r["n_last"] == 1

@@ -7966,3 +7966,88 @@ def anova_dow(
             "eta2_e6"
         ),
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Multi-touch attribution: every conversion splits one unit of
+    credit EQUALLY across the user's touches inside the lookback
+    window (t_conv − W, t_conv], reported per touch HOUR next to the
+    first-touch and last-touch counts — the three models a marketing
+    read actually compares, off one matched frame so they cannot
+    disagree on what 'in the window' means. funnel/asof answer
+    did-it-convert and which-single-touch; this one answers how much
+    each hour's touches are WORTH when conversions have many parents.
+
+    Window boundaries pinned: a touch exactly AT the conversion
+    counts, a touch exactly W before it does not ((t_c > t_p − W) ∧
+    (t_c ≤ t_p), integer-second epochs). First/last inside a
+    conversion's window tie-break by (ts, event_id) — deterministic
+    under duplicate timestamps. Per-conversion credit enters
+    pre-quantized round(1e6/k) (one IEEE division over exact ints),
+    so every hourly sum is an exact bigint; a conversion with k
+    touches contributes k·round(1e6/k) ≈ 1e6 (the ≤k/2-µunit
+    remainder is deterministic, identical in both engines).
+    Conversions with NO in-window touch match nothing and drop out —
+    the funnel pair owns that count.
+
+    Scale shape: never an inequality-only join — touches bucket to
+    floor(ep/W), conversions explode to their TWO covering buckets
+    (fanout exactly 2), one (user, bucket) hash shuffle, the exact
+    range predicate filters inside cells (the interval_join rule);
+    then a per-conversion window on the bounded matched frame and an
+    hours-bounded agg."""
+    ep = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    t = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        ep.alias("_tc"),
+        F.col(id_col).alias("_tid"),
+        (ep - F.pmod(ep, F.lit(window_s))).alias("_bkt"),
+    )
+    c = events.where(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("_u"),
+        ep.alias("_tp"),
+        F.col(id_col).alias("_cid"),
+        F.explode(
+            F.array(
+                ep - F.pmod(ep, F.lit(window_s)),
+                ep - F.pmod(ep, F.lit(window_s)) - window_s,
+            )
+        ).alias("_bkt"),
+    )
+    m = t.join(c, ["_u", "_bkt"]).where(
+        (F.col("_tc") > F.col("_tp") - window_s)
+        & (F.col("_tc") <= F.col("_tp"))
+    )
+    wc = Window.partitionBy("_cid")
+    wfirst = wc.orderBy(F.asc("_tc"), F.asc("_tid"))
+    wlast = wc.orderBy(F.desc("_tc"), F.desc("_tid"))
+    scored = m.select(
+        "_tc",
+        F.round(F.lit(1e6) / F.count("*").over(wc)).cast("bigint").alias(
+            "_credit"
+        ),
+        (F.row_number().over(wfirst) == 1).cast("bigint").alias("_is_first"),
+        (F.row_number().over(wlast) == 1).cast("bigint").alias("_is_last"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("_tc") - F.pmod(F.col("_tc"), F.lit(3600))).alias(
+                "touch_hour_ep"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_touch"),
+            F.sum("_credit").alias("credit_e6"),
+            F.sum("_is_first").alias("n_first"),
+            F.sum("_is_last").alias("n_last"),
+        )
+    )

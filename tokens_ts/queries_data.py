@@ -14339,3 +14339,50 @@ def doc_dup_triangles(spark, sf_dir):
     triangle counting as two capped relational joins (see
     dedup.dup_graph_census)."""
     return dedup.dup_graph_triangles(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_attribution",
+    """
+    WITH t AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tc,
+             event_id AS tid
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tp,
+             event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT t.tc, t.tid, c.cid
+      FROM t JOIN c ON t.u = c.u
+      WHERE t.tc > c.tp - 3600 AND t.tc <= c.tp
+    ),
+    scored AS (
+      SELECT tc,
+             CAST(ROUND(1e6 / count(*) OVER (PARTITION BY cid)) AS BIGINT)
+               AS credit,
+             CASE WHEN row_number() OVER (PARTITION BY cid
+                    ORDER BY tc ASC, tid ASC) = 1 THEN 1 ELSE 0 END
+               AS is_first,
+             CASE WHEN row_number() OVER (PARTITION BY cid
+                    ORDER BY tc DESC, tid DESC) = 1 THEN 1 ELSE 0 END
+               AS is_last
+      FROM m
+    )
+    SELECT tc - tc % 3600 AS touch_hour_ep,
+           CAST(count(*) AS BIGINT) AS n_touch,
+           CAST(sum(credit) AS BIGINT) AS credit_e6,
+           CAST(sum(is_first) AS BIGINT) AS n_first,
+           CAST(sum(is_last) AS BIGINT) AS n_last
+    FROM scored GROUP BY 1
+    """,
+)
+def ts_attribution(spark, sf_dir):
+    """Linear multi-touch attribution of purchases to the user's
+    clicks in the trailing hour, per touch hour, next to first- and
+    last-touch counts — exact pre-quantized per-conversion credit,
+    pinned window boundaries, bucket-exploded equi-join shape (see
+    analytics.attribution_linear)."""
+    return analytics.attribution_linear(_ev(spark, sf_dir))
