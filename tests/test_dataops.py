@@ -5227,3 +5227,74 @@ def test_dup_graph_triangles_family_is_clique(docs):
     )
     assert r["n_edges"] == len(e)
     assert r["n_triangles"] == tri
+
+
+# ---------------------------------------------------------------------------
+# bleu_pairs: order-aware pair QA
+# ---------------------------------------------------------------------------
+
+
+def test_bleu_pairs_hand_scores(spark):
+    """Hand-worked BLEU-2 on planted pairs: verbatim copy = 1 exactly;
+    a word-SCRAMBLED copy keeps Jaccard = 1 but loses bigram precision
+    (the order-awareness the set metrics lack); a truncated copy pays
+    the brevity penalty exactly exp(1 - 4/2); a single-token candidate
+    emits the honest null."""
+    import math as m
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),          # verbatim
+            (3, "mat the on sat cat the"),          # scrambled
+            (4, "the cat"),                          # truncated (len 2)
+            (5, "the cat sat quietly"),              # ref for truncation
+            (6, "cat"),                              # single token
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (5, 6)], "a long, b long"
+    )  # (5,6): single-token candidate
+    out = {(r["a"], r["b"]): r for r in
+           dedup.bleu_pairs(docs, pairs=pairs).collect()}
+
+    # verbatim: p1 = p2 = 1, bp = 1
+    assert out[(1, 2)]["bleu2_e6"] == 1_000_000
+
+    # scrambled: unigram multiset identical (clip1 = 6) but the only
+    # shared bigram of 'mat the on sat cat the' vs ref is none -> let
+    # the engine's exact counts drive the replay
+    r13 = out[(1, 3)]
+    assert r13["clip1"] == 6 and r13["len_c"] == 6
+    p1, p2 = r13["clip1"] / 6, r13["clip2"] / 5
+    want = m.sqrt(p1 * p2) * 1e6  # bp = 1 (equal length)
+    assert r13["bleu2_e6"] == round(want)
+    assert r13["bleu2_e6"] < 1_000_000  # order-awareness pin
+
+    # truncation: ref doc 4 'the cat' (len 2)?? canonical direction is
+    # a = ref: pair (4,5) scores cand='the cat sat quietly' vs
+    # ref='the cat' -> LONGER cand, bp = 1, p1 = 2/4, p2 = 1/3
+    r45 = out[(4, 5)]
+    assert (r45["len_r"], r45["len_c"]) == (2, 4)
+    assert (r45["clip1"], r45["clip2"]) == (2, 1)
+    assert r45["bleu2_e6"] == round(m.sqrt((2 / 4) * (1 / 3)) * 1e6)
+
+    # single-token candidate: p2 undefined -> null, counts kept
+    r56 = out[(5, 6)]
+    assert r56["len_c"] == 1 and r56["bleu2_e6"] is None
+
+
+def test_bleu_pairs_brevity_penalty_exact(spark):
+    """Candidate strictly shorter than reference: bp = exp(1 − lr/lc)
+    enters the tree — pinned on a 4-vs-2 pair where every candidate
+    n-gram matches: BLEU = exp(1 − 2)·1 = e⁻¹."""
+    import math as m
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = dedup.bleu_pairs(docs, pairs=pairs).collect()[0]
+    assert (r["len_r"], r["len_c"], r["clip1"], r["clip2"]) == (4, 2, 2, 1)
+    assert r["bleu2_e6"] == round(m.exp(1.0 - 4.0 / 2.0) * 1e6)

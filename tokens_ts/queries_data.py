@@ -14386,3 +14386,59 @@ def ts_attribution(spark, sf_dir):
     pinned window boundaries, bucket-exploded equi-join shape (see
     analytics.attribution_linear)."""
     return analytics.attribution_linear(_ev(spark, sf_dir))
+
+
+@q(
+    "doc_bleu_pairs",
+    "WITH "
+    + _MD5_LSH_CTES
+    + """
+    ,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    side AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2 THEN
+               list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END AS gs
+      FROM w
+    ),
+    j AS (
+      SELECT cand.a, cand.b,
+             CAST(len(ra.ws) AS BIGINT) AS len_r,
+             CAST(len(rb.ws) AS BIGINT) AS len_c,
+             CAST(list_sum(list_transform(list_distinct(rb.ws),
+               t -> least(len(list_filter(rb.ws, x -> x = t)),
+                          len(list_filter(ra.ws, x -> x = t)))))
+               AS BIGINT) AS clip1,
+             CAST(coalesce(list_sum(list_transform(list_distinct(rb.gs),
+               t -> least(len(list_filter(rb.gs, x -> x = t)),
+                          len(list_filter(ra.gs, x -> x = t))))), 0)
+               AS BIGINT) AS clip2
+      FROM cand
+      JOIN side ra ON ra.doc_id = cand.a
+      JOIN side rb ON rb.doc_id = cand.b
+    )
+    SELECT a, b, len_r, len_c, clip1, clip2,
+           CASE WHEN len_c >= 2 THEN
+             CAST(ROUND(
+               exp(least(0.0, 1.0 - CAST(len_r AS DOUBLE)
+                                    / CAST(len_c AS DOUBLE)))
+               * sqrt((CAST(clip1 AS DOUBLE) / CAST(len_c AS DOUBLE))
+                      * (CAST(clip2 AS DOUBLE)
+                         / (CAST(len_c AS DOUBLE) - 1.0)))
+               * 1e6) AS BIGINT)
+           END AS bleu2_e6
+    FROM j
+    """,
+)
+def doc_bleu_pairs(spark, sf_dir):
+    """BLEU-2 with brevity penalty per LSH candidate pair, reference =
+    lower doc_id — the order-aware similarity next to the chain's set
+    metrics: clipped unigram/bigram precision as exact row-local
+    counts, one fixed IEEE finishing tree (see dedup.bleu_pairs)."""
+    return dedup.bleu_pairs(_docs(spark, sf_dir))
