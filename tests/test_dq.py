@@ -122,3 +122,52 @@ def test_audit_unique_only_and_empty_rules(spark):
     assert out == {"unique(k)": (1, 3)}
     with _pytest.raises(ValueError, match="no rules"):
         dq.audit(df, [], {})
+
+
+def test_t_closeness_hand_tvd_and_absent_mass(spark):
+    """Global sensitive counts a:6 b:2 over two classes. Class c1 =
+    4×a (value b ABSENT — its global mass still owes, the chi²
+    missing-cell rule): TVD = 0.25 exactly. Class c2 = 2a+2b: TVD =
+    0.25 exactly too. At t = 1/5 both violate (0.25 > 0.2) via the
+    integer cross-multiplication — no rounding in the membership."""
+    from tokens_ts import dq
+
+    rows = [("c1", "a")] * 4 + [("c2", "a")] * 2 + [("c2", "b")] * 2
+    df = spark.createDataFrame(rows, "cls string, sens string")
+    r = dq.t_closeness_summary(df, ["cls"], "sens", t_num=1, t_den=5)
+    out = r.collect()[0]
+    assert out["n_classes"] == 2
+    assert out["n_above_t"] == 2 and out["rows_at_risk"] == 8
+    assert out["max_t_e6"] == 250_000
+
+    # threshold exactness: at t = 1/4 the 0.25 classes do NOT violate
+    # (strict >), at t = 6/25 = 0.24 they do
+    r4 = dq.t_closeness_summary(
+        df, ["cls"], "sens", t_num=1, t_den=4).collect()[0]
+    assert r4["n_above_t"] == 0 and r4["rows_at_risk"] == 0
+    r24 = dq.t_closeness_summary(
+        df, ["cls"], "sens", t_num=6, t_den=25).collect()[0]
+    assert r24["n_above_t"] == 2
+
+    # a class matching the global distribution exactly reads t = 0
+    rows2 = [("u1", "a")] * 3 + [("u1", "b")] + [("u2", "a")] * 3 + [("u2", "b")]
+    df2 = spark.createDataFrame(rows2, "cls string, sens string")
+    o2 = dq.t_closeness_summary(df2, ["cls"], "sens").collect()[0]
+    assert o2["max_t_e6"] == 0 and o2["n_above_t"] == 0
+
+
+def test_t_closeness_by_slice_isolation(spark):
+    """`by` slices get independent global distributions: a slice
+    whose classes all mirror its own global reads 0 even when the
+    OTHER slice is maximally skewed."""
+    from tokens_ts import dq
+
+    rows = [("s1", "c1", "a")] * 2 + [("s1", "c2", "a")] * 2
+    rows += [("s2", "c1", "a")] * 2 + [("s2", "c2", "b")] * 2
+    df = spark.createDataFrame(rows, "sl string, cls string, sens string")
+    out = {r["sl"]: r for r in dq.t_closeness_summary(
+        df, ["cls"], "sens", by=["sl"]).collect()}
+    assert out["s1"]["max_t_e6"] == 0
+    # s2: each class is all-one-value vs a 50/50 slice global -> 0.5
+    assert out["s2"]["max_t_e6"] == 500_000
+    assert out["s2"]["n_above_t"] == 2

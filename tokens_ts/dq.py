@@ -21,7 +21,7 @@ names it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def not_null(col: str) -> tuple[str, Column]:
@@ -195,4 +195,79 @@ def l_diversity_summary(
         .cast("bigint")
         .alias("rows_at_risk"),
         F.min("d").alias("min_diversity"),
+    )
+
+
+def t_closeness_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """t-closeness — the third leg of the privacy triptych. A class
+    can be large (passes k-anonymity) and hold many distinct
+    sensitive values (passes ℓ-diversity) and STILL leak by skew: if
+    the global sensitive distribution is 50/50 but one class reads
+    95/5, membership in that class itself discloses. t-closeness
+    bounds, per equivalence class, the total-variation distance
+    between the class's sensitive distribution and the slice-global
+    one (TVD = the categorical earth-mover distance under uniform
+    ground metric, the classic instantiation).
+
+    Exact arithmetic throughout: with N the slice total, n_c the
+    class size, cnt_v / cnt_cv the global / in-class sensitive
+    counts, TVD(c) = Σ_v |cnt_cv·N − cnt_v·n_c| / (2·n_c·N). Values
+    absent from a class still owe their global mass (the chi²
+    missing-cell lesson) — accounted WITHOUT materializing the
+    class×value cross-product via Σ_{v∉c} cnt_v·n_c =
+    (N − Σ_{v∈c} cnt_v)·n_c, all exact bigints off the observed
+    (class, value) frame. The threshold test is an integer
+    cross-multiplication — a class violates iff t_den·num >
+    2·t_num·n_c·N — so membership in the violating set is exact,
+    no rounding anywhere; only the reported max t is absorbed at e6.
+
+    Shape: one (class, value) agg off the corpus scan, a values-
+    bounded slice agg broadcast back, then class- and slice-bounded
+    aggs. Single corpus shuffle lineage."""
+    by = by or []
+    keys = [*by, *quasi_cols]
+    cv = df.groupBy(*keys, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cv")
+    )
+    gv = cv.groupBy(*by, sensitive_col).agg(
+        F.sum("_cv").alias("_gv")
+    )
+    tot = gv.groupBy(*by).agg(F.sum("_gv").alias("_n"))
+    j = cv.join(gv, [*by, sensitive_col]).join(tot, by) if by else (
+        cv.join(gv, [sensitive_col]).crossJoin(F.broadcast(tot))
+    )
+    wcl = Window.partitionBy(*keys)
+    r = j.withColumn("_ncw", F.sum("_cv").over(wcl))
+    per_class = r.groupBy(*keys).agg(
+        F.first("_ncw").alias("_nc"),
+        F.first("_n").alias("_nn"),
+        F.sum(
+            F.abs(F.col("_cv") * F.col("_n") - F.col("_gv") * F.col("_ncw"))
+        ).alias("_obs"),
+        F.sum(F.col("_gv")).alias("_seen_gv"),
+    )
+    num = F.col("_obs") + (F.col("_nn") - F.col("_seen_gv")) * F.col("_nc")
+    viol = F.lit(t_den) * num > 2 * F.lit(t_num) * F.col("_nc") * F.col("_nn")
+    t_e6 = F.round(
+        num.cast("double")
+        / (2.0 * F.col("_nc").cast("double") * F.col("_nn").cast("double"))
+        * 1e6
+    ).cast("bigint")
+    g = per_class.select(*by, F.col("_nc"), viol.alias("_viol"), t_e6.alias("_t"))
+    return g.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("_viol"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_t"),
+        F.sum(F.when(F.col("_viol"), F.col("_nc")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.max("_t").alias("max_t_e6"),
     )

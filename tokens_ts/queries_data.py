@@ -14442,3 +14442,68 @@ def doc_bleu_pairs(spark, sf_dir):
     metrics: clipped unigram/bigram precision as exact row-local
     counts, one fixed IEEE finishing tree (see dedup.bleu_pairs)."""
     return dedup.bleu_pairs(_docs(spark, sf_dir))
+
+
+@q(
+    "ts_t_closeness",
+    """
+    WITH cv AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             hour(ts) AS hr, user_id % 10 AS sens,
+             CAST(count(*) AS BIGINT) AS cvn
+      FROM events GROUP BY 1, 2, 3, 4
+    ),
+    gv AS (
+      SELECT event_type, sens, sum(cvn) AS gvn FROM cv GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(gvn) AS n FROM gv GROUP BY 1),
+    j AS (
+      SELECT cv.event_type, cv.day, cv.hr, cv.cvn, gv.gvn, tot.n,
+             sum(cv.cvn) OVER (PARTITION BY cv.event_type, cv.day, cv.hr)
+               AS nc
+      FROM cv
+      JOIN gv ON cv.event_type = gv.event_type AND cv.sens = gv.sens
+      JOIN tot ON cv.event_type = tot.event_type
+    ),
+    pc AS (
+      SELECT event_type, day, hr,
+             CAST(min(nc) AS BIGINT) AS nc, CAST(min(n) AS BIGINT) AS nn,
+             CAST(sum(abs(cvn * n - gvn * nc)) AS BIGINT) AS obs,
+             CAST(sum(gvn) AS BIGINT) AS seen
+      FROM j GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT event_type, nc,
+             obs + (nn - seen) * nc AS num,
+             5 * (obs + (nn - seen) * nc) > 2 * 1 * nc * nn AS viol,
+             CAST(ROUND(CAST(obs + (nn - seen) * nc AS DOUBLE)
+                  / (2.0 * CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE))
+                  * 1e6) AS BIGINT) AS t_e6
+      FROM pc
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_t,
+           CAST(sum(CASE WHEN viol THEN nc ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           max(t_e6) AS max_t_e6
+    FROM sc GROUP BY 1
+    """,
+)
+def ts_t_closeness(spark, sf_dir):
+    """t-closeness (t = 1/5) over (day, hour) classes per event type
+    with sensitive attribute user_id%10 — the skew-disclosure gate
+    k-anonymity and ℓ-diversity both miss; violation membership is an
+    exact integer cross-multiplication (see dq.t_closeness_summary)."""
+    from tokens_ts import dq
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("hr", F.hour("ts"))
+        .withColumn("sens", F.col("user_id") % 10)
+    )
+    return dq.t_closeness_summary(
+        ev, ["day", "hr"], "sens", t_num=1, t_den=5, by=["event_type"]
+    )
