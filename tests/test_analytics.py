@@ -4535,3 +4535,53 @@ def test_attribution_linear_tie_break_and_remainder(spark):
     assert r["n_touch"] == 3
     assert r["credit_e6"] == 999_999
     assert r["n_first"] == 1 and r["n_last"] == 1
+
+
+# ---------------------------------------------------------------------------
+# autoperiod: smallest strict local ACF peak
+# ---------------------------------------------------------------------------
+
+
+def test_autoperiod_fundamental_beats_harmonics_and_trend(spark):
+    """Period-3 series [0,5,10]×14: lags 3, 6, 9, … all read rho = 1e6
+    — harmonics tie, and the struct-max tie rule elects the
+    FUNDAMENTAL 3; peaks at every multiple of 3 in 3..27 → n_peaks =
+    9. Period-2 alternation reads 2. A monotone trend has a
+    decreasing ACF with no interior peak: null period, n_peaks = 0 —
+    the pin that a plain argmax (which would elect lag 1) cannot
+    deliver."""
+    rows = [("p3", i * 3600, float([0, 5, 10][i % 3])) for i in range(42)]
+    rows += [("p2", i * 3600, float([0, 10][i % 2])) for i in range(42)]
+    rows += [("tr", i * 3600, float(i)) for i in range(42)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["key"]: r for r in analytics.autoperiod(
+        df, keys=["key"], ts_col="ts", trunc="hour", max_lag=30
+    ).collect()}
+    assert out["p3"]["period_lag"] == 3
+    assert out["p3"]["period_rho_e6"] == 1_000_000
+    assert out["p3"]["n_peaks"] == 9
+    assert out["p2"]["period_lag"] == 2
+    assert out["p2"]["n_peaks"] == 14
+    assert out["tr"]["period_lag"] is None and out["tr"]["n_peaks"] == 0
+    assert out["tr"]["n_lags"] == 30
+
+
+def test_autoperiod_gap_disqualifies_unverifiable_peak(spark):
+    """If the lag-(k−1) neighbor has no pairs (every bucket pair at
+    that lag broken), lag k cannot certify as a peak — null never
+    certifies strictness. Built by spacing buckets 2h apart: odd lags
+    have zero pairs, so even-lag peaks have no verifiable neighbors
+    and the series reads no peak at all."""
+    rows = [("g", i * 7200, float([0, 10][i % 2])) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    r = analytics.autoperiod(
+        df, keys=["key"], ts_col="ts", trunc="hour", max_lag=30
+    ).collect()[0]
+    # even hourly lags exist (lag 2 = adjacent samples), odd lags have
+    # no rows at all -> adjacency check fails everywhere
+    assert r["n_peaks"] == 0 and r["period_lag"] is None
+    assert r["n_lags"] > 0

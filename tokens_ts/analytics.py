@@ -8051,3 +8051,83 @@ def attribution_linear(
             F.sum("_is_last").alias("n_last"),
         )
     )
+
+
+def autoperiod(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    max_lag: int = 30,
+) -> DataFrame:
+    """Dominant-period detection per series: the smallest strict
+    LOCAL PEAK of the autocorrelation function with the highest ρ —
+    the number every seasonal operator downstream (seasonal_mk,
+    seasonal_strength, holt_winters' season length, typical_day's
+    24-hour assumption) takes as an input and nothing so far
+    measured. A plain argmax over lags would always elect lag 1 on
+    any AR(1)-ish series; a PERIOD is a lag that beats both its
+    neighbors, which trend memory cannot fake (a monotone ACF has no
+    interior peak — pinned).
+
+    Selection is integer-exact: each ρ enters pre-quantized at e6
+    from the gap-correct acf() construction (the ess rule), a peak
+    requires BOTH adjacent lags present (a gap-broken neighbor lag
+    disqualifies — null never certifies strictness) and strictly
+    smaller ρ_e6, and the winner is the exact struct-max
+    (ρ_e6, −lag) — ties elect the SMALLEST lag, which is the
+    fundamental period when harmonics tie (a period-3 series peaks
+    at 3, 6, 9, … all at ρ = 1; the report reads 3). Boundary lags
+    (1 and max_lag) can never certify as peaks. Series with no
+    certified peak keep their row with null period and n_peaks = 0.
+
+    Shapes: acf()'s one corpus bucket agg + bounded lag join, then
+    one window and one agg on the (keys × max_lag) frame."""
+    a = acf(df, keys, ts_col, value_col, trunc, max_lag)
+    w = Window.partitionBy(*keys).orderBy("lag")
+    r = a.select(
+        *keys,
+        "lag",
+        F.round(F.col("acf") * 1e6).cast("bigint").alias("_r6"),
+    ).select(
+        *keys,
+        "lag",
+        "_r6",
+        F.lag("_r6").over(w).alias("_pr"),
+        F.lead("_r6").over(w).alias("_nr"),
+        F.lag("lag").over(w).alias("_pl"),
+        F.lead("lag").over(w).alias("_nl"),
+    )
+    is_peak = (
+        (F.col("lag") >= 2)
+        & (F.col("lag") <= max_lag - 1)
+        & F.col("_r6").isNotNull()
+        & (F.col("_pl") == F.col("lag") - 1)
+        & (F.col("_nl") == F.col("lag") + 1)
+        & (F.col("_r6") > F.col("_pr"))
+        & (F.col("_r6") > F.col("_nr"))
+    )
+    g = r.withColumn("_pk", is_peak).groupBy(*keys).agg(
+        F.sum(F.when(F.col("_r6").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lags"),
+        F.sum(F.when(F.col("_pk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_peaks"),
+        F.max(
+            F.when(
+                F.col("_pk"),
+                F.struct(
+                    F.col("_r6").alias("r"), (-F.col("lag")).alias("nl")
+                ),
+            )
+        ).alias("_best"),
+    )
+    return g.select(
+        *keys,
+        "n_lags",
+        "n_peaks",
+        (-F.col("_best.nl")).cast("bigint").alias("period_lag"),
+        F.col("_best.r").alias("period_rho_e6"),
+    )

@@ -14507,3 +14507,83 @@ def ts_t_closeness(spark, sf_dir):
     return dq.t_closeness_summary(
         ev, ["day", "hr"], "sens", t_num=1, t_den=5, by=["event_type"]
     )
+
+
+@q(
+    "ts_autoperiod",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT l.series_id, lg.lag, l.v AS x, r.v AS y
+      FROM b l
+      JOIN (SELECT unnest(range(1, 31)) AS lag) lg ON TRUE
+      JOIN b r ON r.series_id = l.series_id
+             AND r.ep = l.ep + lg.lag * 3600
+    ),
+    ac AS (
+      SELECT series_id, lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT series_id, lag,
+             CASE WHEN n >= 2
+                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+               CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy))
+                    * 1e6) AS BIGINT)
+             END AS r6
+      FROM ac
+    ),
+    nb AS (
+      SELECT series_id, lag, r6,
+             lag(r6) OVER w AS pr, lead(r6) OVER w AS nr,
+             lag(lag) OVER w AS pl, lead(lag) OVER w AS nl
+      FROM rho WINDOW w AS (PARTITION BY series_id ORDER BY lag)
+    ),
+    pk AS (
+      SELECT series_id, lag, r6,
+             (lag >= 2 AND lag <= 29 AND r6 IS NOT NULL
+              AND pl = lag - 1 AND nl = lag + 1
+              AND r6 > pr AND r6 > nr) AS is_peak
+      FROM nb
+    ),
+    best AS (
+      SELECT series_id, lag, r6,
+             row_number() OVER (PARTITION BY series_id
+                                ORDER BY r6 DESC, lag ASC) AS rn
+      FROM pk WHERE is_peak
+    )
+    SELECT p.series_id,
+           CAST(count(*) FILTER (WHERE p.r6 IS NOT NULL) AS BIGINT)
+             AS n_lags,
+           CAST(count(*) FILTER (WHERE p.is_peak) AS BIGINT) AS n_peaks,
+           CAST(min(CASE WHEN b.rn = 1 THEN b.lag END) AS BIGINT)
+             AS period_lag,
+           CAST(min(CASE WHEN b.rn = 1 THEN b.r6 END) AS BIGINT)
+             AS period_rho_e6
+    FROM pk p
+    LEFT JOIN best b ON b.series_id = p.series_id AND b.lag = p.lag
+    GROUP BY 1
+    """,
+)
+def ts_autoperiod(spark, sf_dir):
+    """Dominant period per event type: smallest strict local ACF peak
+    with the highest e6-quantized rho over hourly lags 1..30 —
+    integer-exact peak certification and struct-max tie rule (see
+    analytics.autoperiod)."""
+    return analytics.autoperiod(
+        _ev(spark, sf_dir), keys=["event_type"], ts_col="ts",
+        value_col="value", trunc="hour", max_lag=30,
+    ).select(
+        F.col("event_type").alias("series_id"),
+        "n_lags", "n_peaks", "period_lag", "period_rho_e6",
+    )
