@@ -4585,3 +4585,59 @@ def test_autoperiod_gap_disqualifies_unverifiable_peak(spark):
     # no rows at all -> adjacency check fails everywhere
     assert r["n_peaks"] == 0 and r["period_lag"] is None
     assert r["n_lags"] > 0
+
+
+# ---------------------------------------------------------------------------
+# did_pairs: difference-in-differences at the shared midpoint
+# ---------------------------------------------------------------------------
+
+
+def test_did_hand_effect_and_t(spark):
+    """A: pre {9,11} → post {19,21} (Δ=10); B: pre {4,6} → post {6,8}
+    (Δ=2). Effect = 8 exactly; each cell's s² = 2e6 at e3 with n = 2
+    → SE = 2000 → t = 4 exactly. The common +2 shock in B is netted
+    out — a naive half-split Welch on A alone would read 10."""
+    # four hourly buckets: hours 0,1 pre / 2,3 post (mid = 5400)
+    a_vals = [9.0, 11.0, 19.0, 21.0]
+    b_vals = [4.0, 6.0, 6.0, 8.0]
+    rows = [("A", i * 3600, v) for i, v in enumerate(a_vals)]
+    rows += [("B", i * 3600, v) for i, v in enumerate(b_vals)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    r = analytics.did_pairs(df, key_col="key", ts_col="ts").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["series_a"], r["series_b"]) == ("A", "B")
+    assert r["boundary_ep"] == 5400
+    assert (r["n_a0"], r["n_a1"], r["n_b0"], r["n_b1"]) == (2, 2, 2, 2)
+    assert r["effect_e6"] == 8_000_000
+    assert r["t_e6"] == 4_000_000
+
+
+def test_did_boundary_rule_and_degenerate_groups(spark):
+    """A bucket exactly AT the midpoint is POST (ep >= mid). A pair
+    whose control has no pre-phase buckets has no DiD — dropped; n=1
+    groups keep the effect but null the t."""
+    # 'C' spans only the post half of the union span with 'D'
+    rows = [("C", t * 3600, 5.0) for t in (6, 7)]
+    rows += [("D", t * 3600, float(v)) for t, v in
+             [(0, 1), (1, 1), (6, 3), (7, 3)]]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = analytics.did_pairs(df, key_col="key", ts_col="ts").collect()
+    assert out == []  # C has no pre buckets -> no row at all
+
+    # midpoint membership: span 0..2h -> mid = 3600; the bucket AT
+    # 3600 is post, so pre = {hour 0} (n=1) -> effect kept, t null
+    rows2 = [("E", t * 3600, float(v)) for t, v in [(0, 1), (1, 5), (2, 7)]]
+    rows2 += [("G", t * 3600, float(v)) for t, v in [(0, 2), (1, 2), (2, 2)]]
+    df2 = spark.createDataFrame(
+        rows2, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    r2 = analytics.did_pairs(df2, key_col="key", ts_col="ts").collect()[0]
+    assert (r2["n_a0"], r2["n_a1"]) == (1, 2)
+    # effect = (6 - 1) - (2 - 2) = 5
+    assert r2["effect_e6"] == 5_000_000
+    assert r2["t_e6"] is None

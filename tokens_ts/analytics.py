@@ -8131,3 +8131,125 @@ def autoperiod(
         (-F.col("_best.nl")).cast("bigint").alias("period_lag"),
         F.col("_best.r").alias("period_rho_e6"),
     )
+
+
+def did_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Difference-in-differences for every unordered series pair at
+    the shared midpoint of their union span — the experiment-analysis
+    primitive the drift family lacks: welch/mannwhitney say WHETHER
+    one series shifted between its halves, but a fleet-wide change
+    (deploy, promo, holiday) shifts every series, and the question
+    that matters is whether the TREATED series moved more than its
+    control. DiD = (ā_post − ā_pre) − (b̄_post − b̄_pre) nets out the
+    common shock under the parallel-trends assumption, with the
+    Welch-style SE over the four groups and t = effect/SE.
+
+    The intervention boundary is COMMON WALL-CLOCK per pair — mid =
+    (earliest bucket + latest bucket) div 2 over the union span,
+    exact integer arithmetic (the per-series index split the
+    half-split tests use would put the two series' boundaries at
+    different times and re-admit the very confound DiD removes).
+    pre = ep < mid, post = ep ≥ mid, both pinned.
+
+    Exactness: e-grid bucket means; per (pair, side, phase) the
+    (n, S = Σv, Q = Σv²) triple is exact bigints; effect and SE² =
+    Σ_g (n_g·Q_g − S_g²)/(n_g²·(n_g−1)) are one shared IEEE tree
+    over those ints, effect absorbed at e6 of the raw unit, t at e6.
+    A pair with any empty group has no DiD — dropped; any group with
+    n < 2 or SE = 0 nulls t but keeps the effect. Antisymmetry makes
+    (b, a) redundant — only a < b emitted.
+
+    Shapes: ONE corpus bucket agg; the pair frame is series²-bounded
+    control-plane; buckets join it twice (series-key equi-joins);
+    final aggs are pair-bounded."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    mm = b.groupBy("series_id").agg(
+        F.min("_ep").alias("_lo"), F.max("_ep").alias("_hi")
+    )
+    p = (
+        mm.select(
+            F.col("series_id").alias("series_a"),
+            F.col("_lo").alias("_la"),
+            F.col("_hi").alias("_ha"),
+        )
+        .crossJoin(
+            mm.select(
+                F.col("series_id").alias("series_b"),
+                F.col("_lo").alias("_lb"),
+                F.col("_hi").alias("_hb"),
+            )
+        )
+        .where(F.col("series_a") < F.col("series_b"))
+        .select(
+            "series_a",
+            "series_b",
+            F.floor(
+                (
+                    F.least("_la", "_lb") + F.greatest("_ha", "_hb")
+                ) / 2
+            ).cast("bigint").alias("boundary_ep"),
+        )
+    )
+    ua = p.join(b, p.series_a == b.series_id).select(
+        "series_a", "series_b", "boundary_ep",
+        F.lit("a").alias("_side"), "_ep", "_v",
+    )
+    ub = p.join(b, p.series_b == b.series_id).select(
+        "series_a", "series_b", "boundary_ep",
+        F.lit("b").alias("_side"), "_ep", "_v",
+    )
+    u = ua.unionByName(ub).withColumn(
+        "_post", (F.col("_ep") >= F.col("boundary_ep")).cast("int")
+    )
+    def cell(side, post, expr, name):
+        return F.sum(
+            F.when(
+                (F.col("_side") == side) & (F.col("_post") == post), expr
+            ).otherwise(F.lit(0))
+        ).alias(name)
+    g = u.groupBy("series_a", "series_b", "boundary_ep").agg(
+        *[
+            c
+            for side in ("a", "b")
+            for post in (0, 1)
+            for c in (
+                cell(side, post, F.lit(1), f"n_{side}{post}"),
+                cell(side, post, F.col("_v"), f"s_{side}{post}"),
+                cell(side, post, F.col("_v") * F.col("_v"), f"q_{side}{post}"),
+            )
+        ]
+    ).where(
+        (F.col("n_a0") >= 1) & (F.col("n_a1") >= 1)
+        & (F.col("n_b0") >= 1) & (F.col("n_b1") >= 1)
+    )
+    def mean(c):
+        return F.col(f"s_{c}").cast("double") / F.col(f"n_{c}").cast("double")
+    def se2(c):
+        n = F.col(f"n_{c}").cast("double")
+        return (
+            n * F.col(f"q_{c}").cast("double")
+            - F.col(f"s_{c}").cast("double") * F.col(f"s_{c}").cast("double")
+        ) / (n * n * (n - 1.0))
+    eff = mean("a1") - mean("a0") - (mean("b1") - mean("b0"))
+    sesq = se2("a0") + se2("a1") + se2("b0") + se2("b1")
+    all_n2 = (
+        (F.col("n_a0") >= 2) & (F.col("n_a1") >= 2)
+        & (F.col("n_b0") >= 2) & (F.col("n_b1") >= 2)
+    )
+    return g.select(
+        "series_a",
+        "series_b",
+        "boundary_ep",
+        "n_a0", "n_a1", "n_b0", "n_b1",
+        F.round(eff * F.lit(1e3)).cast("bigint").alias("effect_e6"),
+        F.when(all_n2 & (sesq > 0), F.round(eff / F.sqrt(sesq) * 1e6))
+        .cast("bigint")
+        .alias("t_e6"),
+    )

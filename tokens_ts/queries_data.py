@@ -14587,3 +14587,86 @@ def ts_autoperiod(spark, sf_dir):
         F.col("event_type").alias("series_id"),
         "n_lags", "n_peaks", "period_lag", "period_rho_e6",
     )
+
+
+@q(
+    "ts_did",
+    _HOURLY_E3
+    + """
+    , mm AS (
+      SELECT sid, min(ep) AS lo, max(ep) AS hi FROM b GROUP BY 1
+    ),
+    p AS (
+      SELECT a.sid AS sa, bb.sid AS sb,
+             (least(a.lo, bb.lo) + greatest(a.hi, bb.hi)) // 2 AS mid
+      FROM mm a JOIN mm bb ON a.sid < bb.sid
+    ),
+    u AS (
+      SELECT p.sa, p.sb, p.mid, 'a' AS side, b.ep, b.v
+      FROM p JOIN b ON b.sid = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, p.mid, 'b' AS side, b.ep, b.v
+      FROM p JOIN b ON b.sid = p.sb
+    ),
+    g AS (
+      SELECT sa, sb, mid,
+        sum(CASE WHEN side='a' AND ep <  mid THEN 1 ELSE 0 END) AS n_a0,
+        sum(CASE WHEN side='a' AND ep <  mid THEN v ELSE 0 END) AS s_a0,
+        sum(CASE WHEN side='a' AND ep <  mid THEN v*v ELSE 0 END) AS q_a0,
+        sum(CASE WHEN side='a' AND ep >= mid THEN 1 ELSE 0 END) AS n_a1,
+        sum(CASE WHEN side='a' AND ep >= mid THEN v ELSE 0 END) AS s_a1,
+        sum(CASE WHEN side='a' AND ep >= mid THEN v*v ELSE 0 END) AS q_a1,
+        sum(CASE WHEN side='b' AND ep <  mid THEN 1 ELSE 0 END) AS n_b0,
+        sum(CASE WHEN side='b' AND ep <  mid THEN v ELSE 0 END) AS s_b0,
+        sum(CASE WHEN side='b' AND ep <  mid THEN v*v ELSE 0 END) AS q_b0,
+        sum(CASE WHEN side='b' AND ep >= mid THEN 1 ELSE 0 END) AS n_b1,
+        sum(CASE WHEN side='b' AND ep >= mid THEN v ELSE 0 END) AS s_b1,
+        sum(CASE WHEN side='b' AND ep >= mid THEN v*v ELSE 0 END) AS q_b1
+      FROM u GROUP BY 1, 2, 3
+    ),
+    f AS (
+      SELECT *,
+        CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE)
+          - CAST(s_a0 AS DOUBLE) / CAST(n_a0 AS DOUBLE)
+          - (CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE)
+             - CAST(s_b0 AS DOUBLE) / CAST(n_b0 AS DOUBLE)) AS eff,
+        (CAST(n_a0 AS DOUBLE) * CAST(q_a0 AS DOUBLE)
+           - CAST(s_a0 AS DOUBLE) * CAST(s_a0 AS DOUBLE))
+          / (CAST(n_a0 AS DOUBLE) * CAST(n_a0 AS DOUBLE)
+             * (CAST(n_a0 AS DOUBLE) - 1.0))
+        + (CAST(n_a1 AS DOUBLE) * CAST(q_a1 AS DOUBLE)
+           - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE))
+          / (CAST(n_a1 AS DOUBLE) * CAST(n_a1 AS DOUBLE)
+             * (CAST(n_a1 AS DOUBLE) - 1.0))
+        + (CAST(n_b0 AS DOUBLE) * CAST(q_b0 AS DOUBLE)
+           - CAST(s_b0 AS DOUBLE) * CAST(s_b0 AS DOUBLE))
+          / (CAST(n_b0 AS DOUBLE) * CAST(n_b0 AS DOUBLE)
+             * (CAST(n_b0 AS DOUBLE) - 1.0))
+        + (CAST(n_b1 AS DOUBLE) * CAST(q_b1 AS DOUBLE)
+           - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE))
+          / (CAST(n_b1 AS DOUBLE) * CAST(n_b1 AS DOUBLE)
+             * (CAST(n_b1 AS DOUBLE) - 1.0)) AS sesq
+      FROM g
+      WHERE n_a0 >= 1 AND n_a1 >= 1 AND n_b0 >= 1 AND n_b1 >= 1
+    )
+    SELECT sa AS series_a, sb AS series_b,
+           CAST(mid AS BIGINT) AS boundary_ep,
+           CAST(n_a0 AS BIGINT) AS n_a0, CAST(n_a1 AS BIGINT) AS n_a1,
+           CAST(n_b0 AS BIGINT) AS n_b0, CAST(n_b1 AS BIGINT) AS n_b1,
+           CAST(ROUND(eff * 1e3) AS BIGINT) AS effect_e6,
+           CASE WHEN n_a0 >= 2 AND n_a1 >= 2 AND n_b0 >= 2 AND n_b1 >= 2
+                 AND sesq > 0
+                THEN CAST(ROUND(eff / sqrt(sesq) * 1e6) AS BIGINT)
+           END AS t_e6
+    FROM f
+    """,
+)
+def ts_did(spark, sf_dir):
+    """Difference-in-differences per unordered event-type pair at the
+    shared union-span midpoint: treated delta minus control delta with
+    Welch-style SE over the four (side, phase) cells — the
+    common-shock-netting drift primitive (see analytics.did_pairs)."""
+    return analytics.did_pairs(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
