@@ -5298,3 +5298,53 @@ def test_bleu_pairs_brevity_penalty_exact(spark):
     r = dedup.bleu_pairs(docs, pairs=pairs).collect()[0]
     assert (r["len_r"], r["len_c"], r["clip1"], r["clip2"]) == (4, 2, 2, 1)
     assert r["bleu2_e6"] == round(m.exp(1.0 - 4.0 / 2.0) * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# heldout_nll: train-split unigram LM scored on val+test
+# ---------------------------------------------------------------------------
+
+
+def test_heldout_nll_hand_smoothing_and_oov(spark):
+    """Texts chosen so their md5 buckets land deterministically:
+    'aa bb' (81) and 'aa aa bb' (28) train; 'new1 bb' (99) and
+    'cc cc' (98) held. Train model: aa:3, bb:2 → T=5, V=2, denom=8.
+    Every per-token logprob replayed in python at e6; OOV counts and
+    the leakage guard (identical text can never straddle splits)
+    pinned."""
+    import math as m
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "s1"),
+            (2, "aa aa bb", "s1"),
+            (3, "new1 bb", "s1"),
+            (4, "cc cc", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           textops.heldout_nll(docs).collect()}
+
+    lp_oov = round(m.log(1 / 8) * 1e6)
+    lp_bb = round(m.log((2 + 1) / 8) * 1e6)
+
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_tokens"], s1["n_oov"]) == (1, 2, 1)
+    assert s1["lp_sum_e6"] == lp_oov + lp_bb
+    assert s1["mean_nll_e6"] == round(-(lp_oov + lp_bb) / 2)
+
+    s2 = out["s2"]
+    assert (s2["n_tokens"], s2["n_oov"]) == (2, 2)
+    assert s2["lp_sum_e6"] == 2 * lp_oov
+
+    # train-only source vanishes from the held report entirely
+    assert set(out) == {"s1", "s2"}
+
+    # leakage guard: duplicating a held text under a new id/source
+    # lands in the SAME split (content hash), never in train
+    docs2 = docs.union(spark.createDataFrame(
+        [(9, "cc cc", "s9")], "doc_id long, text string, source string"))
+    out2 = {r["source"]: r for r in textops.heldout_nll(docs2).collect()}
+    assert out2["s9"]["n_oov"] == 2  # still OOV: its twin trained nothing
+    assert out2["s1"]["lp_sum_e6"] == s1["lp_sum_e6"]  # model unchanged

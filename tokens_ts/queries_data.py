@@ -14670,3 +14670,55 @@ def ts_did(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "doc_heldout_nll",
+    """
+    WITH d AS (
+      SELECT source, doc_id, text,
+             CASE WHEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)
+                       % 100 < 96
+                  THEN 'train' ELSE 'held' END AS split
+      FROM documents
+    ),
+    words AS (
+      SELECT source, doc_id, split, unnest(
+               string_split_regex(text, '\\s+')) AS w
+      FROM d
+    ),
+    wnz AS (SELECT * FROM words WHERE w <> ''),
+    tc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM wnz WHERE split = 'train' GROUP BY 1
+    ),
+    tv AS (
+      SELECT CAST(sum(wc) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+      FROM tc
+    ),
+    ev AS (
+      SELECT wnz.source, wnz.doc_id, tc.wc, tv.t, tv.v,
+             CAST(ROUND(ln(CAST(coalesce(tc.wc, 0) + 1 AS DOUBLE)
+                           / CAST(tv.t + tv.v + 1 AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lp
+      FROM wnz LEFT JOIN tc ON wnz.w = tc.w CROSS JOIN tv
+      WHERE wnz.split = 'held'
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN wc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(lp) AS BIGINT) AS lp_sum_e6,
+           CAST(ROUND(-CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                AS BIGINT) AS mean_nll_e6
+    FROM ev GROUP BY 1
+    """,
+)
+def doc_heldout_nll(spark, sf_dir):
+    """Held-out (val+test) NLL per source under the train split's
+    add-1 unigram LM with a single OOV class — the generalization
+    twin of doc_unigram_logprob, with leakage-proof content-hash
+    splits; per-token logprobs pre-quantized at e6 so the sums are
+    exact (see textops.heldout_nll)."""
+    return textops.heldout_nll(_docs(spark, sf_dir))

@@ -3601,3 +3601,85 @@ def ccnet_buckets(
         F.max("lp_e4").alias("lp_max_e4"),
         F.min("lp_e4").alias("lp_min_e4"),
     )
+
+
+def heldout_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    train_pct: int = 96,
+    val_pct: int = 2,
+) -> DataFrame:
+    """Held-out NLL per source under the corpus's own add-1 unigram
+    LM — the generalization twin of unigram_logprob: that operator
+    scores every doc under an LM trained on EVERYTHING (so dupes and
+    boilerplate score as likely *because they trained on themselves*),
+    while this one trains on the content-hash train split only and
+    evaluates on val+test, which is the shape of every real LM-filter
+    decision (CCNet's wiki-LM perplexity, quality classifiers) and a
+    per-source drift detector with train/eval hygiene built in: a
+    source whose held-out docs read high NLL is out-of-distribution
+    w.r.t. the corpus — novel or garbage, the triage the number
+    exists to start.
+
+    Add-1 smoothing with a single OOV class: p(w) = (cnt_train(w)+1)
+    / (T+V+1) — unseen words share the 1/(T+V+1) mass, so the score
+    is finite for any eval token. Exactness: each token's logprob
+    enters PRE-QUANTIZED lp_e6 = round(ln((cnt+1)/(T+V+1))·1e6) —
+    one IEEE tree over exact integers (T, V broadcast as a 1-row
+    frame), so per-source sums are exact order-free bigints; the
+    mean NLL is one final division. OOV rate rides along from the
+    same joined frame (null train count = OOV).
+
+    Shapes: train word counts (vocab-sized, one shuffle), T/V as a
+    broadcast scalar frame, eval tokens left-join counts on word
+    (AQE-splittable stop-word skew, counts side broadcast-eligible),
+    sources-bounded final agg. Split assignment is the row-local
+    split_assign hash — leakage-proof by construction (an exact dupe
+    can never straddle train/eval)."""
+    d = split_assign(docs, text_col, train_pct, val_pct)
+    words = d.select(
+        id_col,
+        source_col,
+        "split",
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    train_counts = (
+        words.where(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+    )
+    tv = train_counts.agg(
+        F.sum("wc").cast("bigint").alias("_t"),
+        F.count("*").cast("bigint").alias("_v"),
+    )
+    ev = (
+        words.where(F.col("split") != "train")
+        .join(train_counts, "w", "left")
+        .crossJoin(F.broadcast(tv))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("wc"), F.lit(0)) + 1).cast("double")
+            / (F.col("_t") + F.col("_v") + 1).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    g = ev.select(
+        source_col,
+        id_col,
+        lp.alias("_lp"),
+        F.col("wc").isNull().cast("bigint").alias("_oov"),
+    ).groupBy(source_col)
+    return g.agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("_oov").alias("n_oov"),
+        F.sum("_lp").alias("lp_sum_e6"),
+        F.round(
+            -F.sum("_lp").cast("double") / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_nll_e6"),
+    )
