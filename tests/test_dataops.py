@@ -5348,3 +5348,37 @@ def test_heldout_nll_hand_smoothing_and_oov(spark):
     out2 = {r["source"]: r for r in textops.heldout_nll(docs2).collect()}
     assert out2["s9"]["n_oov"] == 2  # still OOV: its twin trained nothing
     assert out2["s1"]["lp_sum_e6"] == s1["lp_sum_e6"]  # model unchanged
+
+
+def test_mutual_knn_reciprocity_hand_graph(spark):
+    """Forced arcs at k=2 among sample ids {0, 37, 74, 111}: 0 and 37
+    retrieve each other (mutual); 74 and 111 retrieve 0 without being
+    retrieved back (asymmetric); reciprocity = 2·1/4 = 0.5 exactly.
+    The zero-cosine query 111 still emits arcs via the nid tie-break
+    — determinism, not noise. Mutual graph = one edge → census reads
+    2 nodes, no wedges, null transitivity."""
+    dim = 64
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, w in hot:
+            v[i] = w
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),
+        (37, vec((0, 1.0), (1, 0.01))),
+        (74, vec((0, 0.5), (2, 1.0))),
+        (111, vec((3, 1.0))),
+        (1, vec((0, 2.0))),
+        (2, vec((1, 1.0))),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    r = simsearch.mutual_knn(df, k=2).collect()[0]
+    assert r["n_queries"] == 4
+    assert r["n_directed"] == 4
+    assert r["n_mutual"] == 1
+    assert r["reciprocity_e6"] == 500_000
+    assert r["n_mutual_nodes"] == 2
+    assert r["n_wedges"] == 0 and r["n_triangles"] == 0
+    assert r["transitivity_e6"] is None

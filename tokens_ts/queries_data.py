@@ -14722,3 +14722,82 @@ def doc_heldout_nll(spark, sf_dir):
     splits; per-token logprobs pre-quantized at e6 so the sums are
     exact (see textops.heldout_nll)."""
     return textops.heldout_nll(_docs(spark, sf_dir))
+
+
+@q(
+    "emb_mutual_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 37 = 0
+    ),
+    c AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               AS dot,
+             sqrt(list_sum(list_transform(q.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    top AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(ROUND(dot / (na * nb) * 1e6) AS BIGINT) DESC,
+                          nid
+               ) AS rank
+        FROM c
+      ) WHERE rank <= 5
+    ),
+    arcs AS (SELECT qid, nid FROM top WHERE nid % 37 = 0),
+    mut AS (
+      SELECT x.qid AS a, x.nid AS b
+      FROM arcs x
+      WHERE x.qid < x.nid
+        AND EXISTS (SELECT 1 FROM arcs y
+                    WHERE y.qid = x.nid AND y.nid = x.qid)
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM mut UNION ALL SELECT b AS v FROM mut
+      ) GROUP BY 1
+    ),
+    ne AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_mutual_nodes,
+             CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM mut e1 JOIN mut e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM mut c2
+                    WHERE c2.a = e1.a AND c2.b = e2.b)
+    ),
+    cnts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+             (SELECT CAST(count(*) AS BIGINT) FROM arcs) AS n_directed,
+             (SELECT CAST(count(*) AS BIGINT) FROM mut) AS n_mutual
+    )
+    SELECT n_queries, n_directed, n_mutual,
+           CASE WHEN n_directed > 0 THEN
+             CAST(ROUND(2.0 * CAST(n_mutual AS DOUBLE)
+                  / CAST(n_directed AS DOUBLE) * 1e6) AS BIGINT)
+           END AS reciprocity_e6,
+           n_mutual_nodes, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN
+             CAST(ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+                  / CAST(n_wedges AS DOUBLE) * 1e6) AS BIGINT)
+           END AS transitivity_e6
+    FROM cnts CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def emb_mutual_knn(spark, sf_dir):
+    """Reciprocity + mutual-graph census of exact top-5 retrieval over
+    the mod-37 sample — the symmetry dial next to hubness and purity,
+    the mutual edges fed through the same dup_graph_census as the LSH
+    near-dup graph (see simsearch.mutual_knn)."""
+    return simsearch.mutual_knn(_emb(spark, sf_dir))

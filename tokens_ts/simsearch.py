@@ -2077,3 +2077,93 @@ def knn_purity(
             * 1e6
         ).cast("bigint").alias("purity_e6"),
     )
+
+
+def mutual_knn(
+    emb: DataFrame,
+    k: int = 5,
+    q_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocity + structure census of the k-NN graph — the
+    SYMMETRY dial next to hubness (in-degree skew) and purity
+    (labels): 'j is my neighbor' is not reciprocal in high
+    dimensions, and the mutual-kNN subgraph (edges where BOTH ends
+    retrieve each other) is exactly the graph density-based dedup and
+    clustering consumers actually trust; a low reciprocity rate means
+    rankings are hub-dominated and asymmetric even if recall looks
+    fine. Among the deterministic mod-q_mod sample: directed arcs =
+    sample→sample entries of each query's exact top-k over the FULL
+    corpus (the cosine_topk contract: e6 cosine, id tie-break);
+    mutual edges = reciprocated arc pairs, canonical a < b;
+    reciprocity = 2·mutual/directed. The mutual graph then feeds the
+    SAME dup_graph_census used for the LSH near-dup graph —
+    wedge/triangle transitivity says whether reciprocal neighborhoods
+    form cliques (real clusters) or fray into chains.
+
+    All counts exact; two e6 ratios. Scale shape: broadcast query
+    set over one corpus scan, rank window on the queries-bounded
+    frame, arc self-join and census on the sample-bounded graph."""
+    from tokens_ts import dedup
+
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = emb.where(F.pmod(F.col(id_col), F.lit(q_mod)) == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    j = e.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sim = _dot(F.col("qv"), F.col("v")) / (
+        _norm(F.col("qv")) * _norm(F.col("v"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("nid"))
+    top = (
+        j.select(
+            "qid", "nid", F.round(sim * 1e6).cast("bigint").alias("sim_e6")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    arcs = top.where(F.pmod(F.col("nid"), F.lit(q_mod)) == 0).select(
+        "qid", "nid"
+    )
+    rev = arcs.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    mut = (
+        arcs.join(rev, ["qid", "nid"], "left_semi")
+        .where(F.col("qid") < F.col("nid"))
+        .select(F.col("qid").alias("a"), F.col("nid").alias("b"))
+    )
+    counts = (
+        q.agg(F.count("*").cast("bigint").alias("n_queries"))
+        .crossJoin(arcs.agg(F.count("*").cast("bigint").alias("n_directed")))
+        .crossJoin(mut.agg(F.count("*").cast("bigint").alias("n_mutual")))
+    )
+    census = dedup.dup_graph_census(mut).select(
+        F.col("n_nodes").alias("n_mutual_nodes"),
+        "n_wedges",
+        "n_triangles",
+        "transitivity_e6",
+    )
+    return counts.crossJoin(census).select(
+        "n_queries",
+        "n_directed",
+        "n_mutual",
+        F.when(
+            F.col("n_directed") > 0,
+            F.round(
+                2.0
+                * F.col("n_mutual").cast("double")
+                / F.col("n_directed").cast("double")
+                * 1e6
+            ).cast("bigint"),
+        ).alias("reciprocity_e6"),
+        "n_mutual_nodes",
+        "n_wedges",
+        "n_triangles",
+        "transitivity_e6",
+    )
