@@ -926,3 +926,29 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path_factory):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_orc_partition_layout_prunes(spark, tmp_path_factory):
+    """The ORC source pair's layout claim: a read filtered to two
+    event_type values must carry static PartitionFilters on the
+    partition column (2/5 of the directories listed, zero data files
+    of the other three touched) — the same pruning contract the
+    parquet tier layout is held to, proven on the second format."""
+    root = str(tmp_path_factory.mktemp("orcsrc"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("v"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    df.write.mode("overwrite").partitionBy("event_type").orc(root + "/e")
+    back = (
+        spark.read.orc(root + "/e")
+        .where(F.col("event_type").isin("t1", "t3"))
+        .groupBy("event_type")
+        .agg(F.sum("v").alias("sv"))
+    )
+    plan = _plan(back)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf and "t1" in pf, plan
+    assert back.count() == 2

@@ -14801,3 +14801,53 @@ def emb_mutual_knn(spark, sf_dir):
     the mutual edges fed through the same dup_graph_census as the LSH
     near-dup graph (see simsearch.mutual_knn)."""
     return simsearch.mutual_knn(_emb(spark, sf_dir))
+
+
+@q(
+    "ts_orc_source",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_e3,
+           sum(epoch_us(ts) % 1000000000000) AS ts_us_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_orc_source(spark, sf_dir):
+    """events → ORC partitioned by event_type → selective read-back:
+    the second Spark-native columnar format next to parquet, proving
+    the full write/read round trip preserves doubles, NTZ timestamps
+    (micros checksum mod 1e12 — bigint-safe at any SF), and ids, and
+    that the partition layout prunes: the reader lists only the two
+    requested partition directories (PartitionFilters — plan-asserted
+    in tests/test_plans.py), so at 10^12 rows the query touches 2/5
+    of the data before a single row is read. The oracle never sees
+    the ORC file — it derives the aggregate from the parquet view, so
+    any round-trip corruption (timestamp shift, double mangling,
+    partition misrouting) diverges the checksums."""
+    import tempfile
+
+    ev = _ev(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="orc_src_") + "/events_orc"
+    ev.write.mode("overwrite").partitionBy("event_type").orc(d)
+    back = (
+        spark.read.orc(d)
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_e3"),
+        F.sum(
+            F.pmod(
+                F.unix_micros(F.col("ts").cast("timestamp")),
+                F.lit(1000000000000),
+            )
+        ).alias("ts_us_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
