@@ -4641,3 +4641,53 @@ def test_did_boundary_rule_and_degenerate_groups(spark):
     # effect = (6 - 1) - (2 - 2) = 5
     assert r2["effect_e6"] == 5_000_000
     assert r2["t_e6"] is None
+
+
+# ---------------------------------------------------------------------------
+# binseg2: two-changepoint binary segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_binseg2_perfect_double_step_hand_worked(spark):
+    """0,0,0,10,10,10,20,20,20 hourly: level-1 gains at k=3 and k=6
+    tie at exactly 450 (raw units²) — earliest epoch wins, k1=3; the
+    second split recovers k2=6 with gain 150; the three shelf means
+    read 0/10/20 exactly and the two-break R² is exactly 1 (a
+    piecewise-constant-3 model fully explains a double step)."""
+    vals = [0, 0, 0, 10, 10, 10, 20, 20, 20]
+    rows = [("s", i * 3600, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    r = analytics.binseg2(df, key_col="key", ts_col="ts").collect()[0]
+    assert (r["k1"], r["k2"]) == (3, 6)
+    assert r["cp1_epoch"] == 2 * 3600 and r["cp2_epoch"] == 5 * 3600
+    assert r["gain1_e6"] == 450_000_000
+    assert r["gain2_e6"] == 150_000_000
+    assert r["strength2_e6"] == 1_000_000
+    assert (r["mean_seg1_e3"], r["mean_seg2_e3"], r["mean_seg3_e3"]) == (
+        0, 10_000, 20_000)
+
+
+def test_binseg2_rollback_shape_and_degenerates(spark):
+    """Deploy+rollback 5,5,9,9,5,5: the two breaks bracket the spike
+    (k ∈ {2, 4}) and segment means read 5/9/5. Constant series →
+    null strength (SST=0) but breaks still emitted; n=2 series has
+    no two-break model → dropped."""
+    rows = [("rb", i * 3600, float(v))
+            for i, v in enumerate([5, 5, 9, 9, 5, 5])]
+    rows += [("const", i * 3600, 4.0) for i in range(5)]
+    rows += [("tiny", i * 3600, float(v)) for i, v in enumerate([1, 9])]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["series_id"]: r for r in
+           analytics.binseg2(df, key_col="key", ts_col="ts").collect()}
+    rb = out["rb"]
+    assert sorted([rb["k1"], rb["k2"]]) == [2, 4]
+    assert (rb["mean_seg1_e3"], rb["mean_seg2_e3"], rb["mean_seg3_e3"]) == (
+        5_000, 9_000, 5_000)
+    assert rb["strength2_e6"] == 1_000_000
+    c = out["const"]
+    assert c["strength2_e6"] is None and c["gain1_e6"] == 0
+    assert "tiny" not in out

@@ -8253,3 +8253,143 @@ def did_pairs(
         .cast("bigint")
         .alias("t_e6"),
     )
+
+
+def binseg2(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    grid: int = 3,
+) -> DataFrame:
+    """Two-changepoint binary segmentation per series — the unrolled
+    second step of the algorithm changepoint_mean is step 1 of:
+    find the best mean-shift split, then the best sub-split WITHIN
+    either resulting segment. One break cannot describe the most
+    common real shape (a level that steps up and later steps back, a
+    deploy + rollback, a ramp modeled as two shelves) — the pair of
+    breaks plus the three segment means is that report, and the
+    two-break R² (gain₁+gain₂)/SST says how much of the series the
+    piecewise-constant-3 model explains (a clean double step reads
+    exactly 1 — pinned).
+
+    Segment sub-gain from the SAME prefix sums, shifted: for
+    segment [a, b) with m = b−a, gain(j) = (m·(S_j−S_a) −
+    (j−a)·(S_b−S_a))² / ((j−a)·(b−j)·m) — every term exact bigints
+    on the e-grid, each candidate one fixed IEEE tree, argmax a
+    struct max_by with ties → earliest epoch (both levels pinned to
+    the changepoint_mean rule). A segment too short for an interior
+    split (len < 2) contributes no candidates; series with n < 3
+    are dropped (no two-break model exists).
+
+    Shapes: ONE bucket agg; the level-1 winner is a series-bounded
+    frame joined back to the SAME prefix frame (no second corpus
+    shuffle); both argmaxes are aggs, never sorts."""
+    b = _hourly_grid_buckets(df, key_col, ts_col, value_col, trunc, grid)
+    wall = Window.partitionBy("series_id")
+    wpre = wall.orderBy("_ep").rowsBetween(Window.unboundedPreceding, 0)
+    p = b.select(
+        "series_id",
+        "_ep",
+        F.count("*").over(wall).alias("n"),
+        F.sum("_v").over(wall).alias("t"),
+        F.sum(F.col("_v") * F.col("_v")).over(wall).alias("q"),
+        F.sum("_v").over(wpre).alias("s"),
+        F.row_number().over(wall.orderBy("_ep")).alias("k"),
+    )
+    cand1 = p.where((F.col("k") < F.col("n")) & (F.col("n") >= 3))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    a1 = nd * F.col("s").cast("double") - kd * F.col("t").cast("double")
+    g1 = (a1 * a1 / (kd * (nd - kd) * nd)).alias("_g")
+    best1 = cand1.select("series_id", "_ep", "k", "s", g1).groupBy(
+        "series_id"
+    ).agg(
+        F.max_by(
+            F.struct(
+                F.col("_ep").alias("ep1"),
+                F.col("k").alias("k1"),
+                F.col("s").alias("s1"),
+                F.col("_g").alias("g1"),
+            ),
+            F.struct(F.col("_g"), (-F.col("_ep")).alias("nep")),
+        ).alias("w1")
+    ).select("series_id", "w1.*")
+    j = p.join(best1, "series_id").where(F.col("k") != F.col("k1"))
+    left = F.col("k") < F.col("k1")
+    a_ = F.when(left, F.lit(0)).otherwise(F.col("k1"))
+    b_ = F.when(left, F.col("k1")).otherwise(F.col("n"))
+    sa = F.when(left, F.lit(0)).otherwise(F.col("s1"))
+    sb = F.when(left, F.col("s1")).otherwise(F.col("t"))
+    md = (b_ - a_).cast("double")
+    jd = (F.col("k") - a_).cast("double")
+    rd = (b_ - F.col("k")).cast("double")
+    a2 = md * (F.col("s") - sa).cast("double") - jd * (sb - sa).cast("double")
+    g2 = (a2 * a2 / (jd * rd * md)).alias("_g2")
+    cand2 = j.where((F.col("k") - a_ >= 1) & (b_ - F.col("k") >= 1)).select(
+        "series_id", "n", "t", "q", "_ep", "k", "s",
+        "ep1", "k1", "s1", "g1", g2,
+    )
+    best = cand2.groupBy("series_id").agg(
+        F.max("n").alias("n_buckets"),
+        F.max("t").alias("_t"),
+        F.max("q").alias("_q"),
+        F.max("ep1").alias("cp1_epoch"),
+        F.max("k1").alias("_k1"),
+        F.max("s1").alias("_s1"),
+        F.max("g1").alias("_g1"),
+        F.max_by(
+            F.struct(
+                F.col("_ep").alias("ep2"),
+                F.col("k").alias("k2"),
+                F.col("s").alias("s2"),
+                F.col("_g2").alias("g2"),
+            ),
+            F.struct(F.col("_g2"), (-F.col("_ep")).alias("nep")),
+        ).alias("w2"),
+    )
+    nd2 = F.col("n_buckets").cast("double")
+    sst = (
+        F.col("_q").cast("double")
+        - F.col("_t").cast("double") * F.col("_t").cast("double") / nd2
+    )
+    klo = F.least("_k1", "w2.k2")
+    khi = F.greatest("_k1", "w2.k2")
+    slo = F.when(F.col("_k1") < F.col("w2.k2"), F.col("_s1")).otherwise(
+        F.col("w2.s2")
+    )
+    shi = F.when(F.col("_k1") < F.col("w2.k2"), F.col("w2.s2")).otherwise(
+        F.col("_s1")
+    )
+    sc2 = (10.0 ** grid) * (10.0 ** grid)
+    return best.select(
+        "series_id",
+        "n_buckets",
+        "cp1_epoch",
+        F.col("w2.ep2").alias("cp2_epoch"),
+        F.col("_k1").alias("k1"),
+        F.col("w2.k2").alias("k2"),
+        F.round(F.col("_g1") / sc2 * 1e6).cast("bigint").alias("gain1_e6"),
+        F.round(F.col("w2.g2") / sc2 * 1e6).cast("bigint").alias("gain2_e6"),
+        F.when(
+            sst > 0,
+            F.round((F.col("_g1") + F.col("w2.g2")) / sst * 1e6),
+        )
+        .cast("bigint")
+        .alias("strength2_e6"),
+        F.round(slo.cast("double") / klo.cast("double"))
+        .cast("bigint")
+        .alias(f"mean_seg1_e{grid}"),
+        F.round(
+            (shi - slo).cast("double") / (khi - klo).cast("double")
+        )
+        .cast("bigint")
+        .alias(f"mean_seg2_e{grid}"),
+        F.round(
+            (F.col("_t") - shi).cast("double")
+            / (F.col("n_buckets") - khi).cast("double")
+        )
+        .cast("bigint")
+        .alias(f"mean_seg3_e{grid}"),
+    )

@@ -14851,3 +14851,105 @@ def ts_orc_source(spark, sf_dir):
         ).alias("ts_us_sum"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@q(
+    "ts_binseg2",
+    _HOURLY_E3
+    + """
+    , p AS (
+      SELECT sid, ep, v,
+             count(*) OVER (PARTITION BY sid) AS n,
+             sum(v) OVER (PARTITION BY sid) AS t,
+             sum(v * v) OVER (PARTITION BY sid) AS q,
+             sum(v) OVER (PARTITION BY sid ORDER BY ep
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY sid ORDER BY ep) AS k
+      FROM b
+    ),
+    c1 AS (
+      SELECT sid, ep, k, s,
+             (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+              - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+                * CAST(n AS DOUBLE)) AS g,
+             row_number() OVER (PARTITION BY sid
+                                ORDER BY (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                                          - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+                                         * (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                                            - CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+                                         / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+                                            * CAST(n AS DOUBLE)) DESC,
+                                         ep ASC) AS rn
+      FROM p WHERE k < n AND n >= 3
+    ),
+    b1 AS (
+      SELECT sid, ep AS ep1, k AS k1, s AS s1, g AS g1
+      FROM c1 WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT p.sid, p.n, p.t, p.q, p.ep, p.k, p.s,
+             b1.ep1, b1.k1, b1.s1, b1.g1,
+             CASE WHEN p.k < b1.k1 THEN 0 ELSE b1.k1 END AS a_,
+             CASE WHEN p.k < b1.k1 THEN b1.k1 ELSE p.n END AS b_,
+             CASE WHEN p.k < b1.k1 THEN 0 ELSE b1.s1 END AS sa,
+             CASE WHEN p.k < b1.k1 THEN b1.s1 ELSE p.t END AS sb
+      FROM p JOIN b1 ON p.sid = b1.sid
+      WHERE p.k <> b1.k1
+    ),
+    g2c AS (
+      SELECT *,
+             (CAST(b_ - a_ AS DOUBLE) * CAST(s - sa AS DOUBLE)
+              - CAST(k - a_ AS DOUBLE) * CAST(sb - sa AS DOUBLE))
+             * (CAST(b_ - a_ AS DOUBLE) * CAST(s - sa AS DOUBLE)
+                - CAST(k - a_ AS DOUBLE) * CAST(sb - sa AS DOUBLE))
+             / (CAST(k - a_ AS DOUBLE) * CAST(b_ - k AS DOUBLE)
+                * CAST(b_ - a_ AS DOUBLE)) AS g2
+      FROM c2 WHERE k - a_ >= 1 AND b_ - k >= 1
+    ),
+    b2 AS (
+      SELECT *, row_number() OVER (PARTITION BY sid
+                                   ORDER BY g2 DESC, ep ASC) AS rn2
+      FROM g2c
+    ),
+    fin AS (SELECT * FROM b2 WHERE rn2 = 1)
+    SELECT sid AS series_id,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(ep1 AS BIGINT) AS cp1_epoch,
+           CAST(ep AS BIGINT) AS cp2_epoch,
+           CAST(k1 AS BIGINT) AS k1,
+           CAST(k AS BIGINT) AS k2,
+           CAST(ROUND(g1 / 1e6 * 1e6) AS BIGINT) AS gain1_e6,
+           CAST(ROUND(g2 / 1e6 * 1e6) AS BIGINT) AS gain2_e6,
+           CASE WHEN CAST(q AS DOUBLE)
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0 THEN
+             CAST(ROUND((g1 + g2)
+                  / (CAST(q AS DOUBLE)
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS strength2_e6,
+           CAST(ROUND(CAST(CASE WHEN k1 < k THEN s1 ELSE s END AS DOUBLE)
+                / CAST(least(k1, k) AS DOUBLE)) AS BIGINT) AS mean_seg1_e3,
+           CAST(ROUND(CAST((CASE WHEN k1 < k THEN s ELSE s1 END)
+                           - (CASE WHEN k1 < k THEN s1 ELSE s END) AS DOUBLE)
+                / CAST(greatest(k1, k) - least(k1, k) AS DOUBLE)) AS BIGINT)
+             AS mean_seg2_e3,
+           CAST(ROUND(CAST(t - (CASE WHEN k1 < k THEN s ELSE s1 END) AS DOUBLE)
+                / CAST(n - greatest(k1, k) AS DOUBLE)) AS BIGINT)
+             AS mean_seg3_e3
+    FROM fin
+    """,
+)
+def ts_binseg2(spark, sf_dir):
+    """Two-changepoint binary segmentation per event type over hourly
+    e3 buckets: the strongest mean shift, then the strongest sub-split
+    within either segment, with the three shelf means and the
+    two-break R² — exact prefix-sum algebra at both levels, ties to
+    the earliest epoch (see analytics.binseg2)."""
+    return analytics.binseg2(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
