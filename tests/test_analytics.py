@@ -4691,3 +4691,40 @@ def test_binseg2_rollback_shape_and_degenerates(spark):
     c = out["const"]
     assert c["strength2_e6"] is None and c["gain1_e6"] == 0
     assert "tiny" not in out
+
+
+# ---------------------------------------------------------------------------
+# memory_coefficient: the ordering axis of the (B, M) phase diagram
+# ---------------------------------------------------------------------------
+
+
+def test_memory_coefficient_alternation_and_user_isolation(spark):
+    """Alternating gaps 1,9,1,9,1 read M = −1 exactly (every long gap
+    follows a short one); the SAME gaps sorted (1,1,9,9,...) read
+    M > 0 — the ordering signal burstiness is blind to. Pairs never
+    straddle users: two users with 2 gaps each yield exactly 1 pair
+    per user. Constant gaps → honest null."""
+    def stream(key, uid, gaps, t0=0):
+        ts, out = t0, [(key, uid, t0)]
+        for g in gaps:
+            ts += g
+            out.append((key, uid, ts))
+        return out
+
+    rows = stream("alt", 1, [1, 9, 1, 9, 1])
+    rows += stream("srt", 1, [1, 1, 1, 9, 9])
+    rows += stream("iso", 1, [3, 5]) + stream("iso", 2, [7, 2], t0=1000)
+    rows += stream("const", 1, [4, 4, 4, 4])
+    df = spark.createDataFrame(
+        rows, "key string, uid long, t long"
+    ).select("key", F.col("uid").alias("user_id"),
+             F.timestamp_seconds("t").alias("ts"),
+             F.monotonically_increasing_id().alias("event_id"))
+    out = {r["key"]: r for r in analytics.memory_coefficient(
+        df, keys=["key"], user_col="user_id", ts_col="ts",
+        order_cols=["event_id"]).collect()}
+    assert out["alt"]["n_pairs"] == 4
+    assert out["alt"]["memory_e6"] == -1_000_000
+    assert out["srt"]["memory_e6"] > 0
+    assert out["iso"]["n_pairs"] == 2  # 1 per user, never straddling
+    assert out["const"]["memory_e6"] is None and out["const"]["n_pairs"] == 3

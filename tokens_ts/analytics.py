@@ -8393,3 +8393,61 @@ def binseg2(
         .cast("bigint")
         .alias(f"mean_seg3_e{grid}"),
     )
+
+
+def memory_coefficient(
+    df: DataFrame,
+    keys: list[str],
+    user_col: str,
+    ts_col: str = "event_ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Goh–Barabási memory coefficient M per key: the Pearson
+    correlation of CONSECUTIVE inter-arrival gaps (τ_i, τ_{i+1}),
+    pooled across users — the second axis of the classic (B, M)
+    arrival-process phase diagram. burstiness() measures the gap
+    DISTRIBUTION's shape and is blind to ordering: shuffle a bursty
+    log's gaps and B is unchanged while M collapses to 0. M > 0 means
+    long gaps follow long gaps (congestion, human circadian
+    rhythms); M < 0 means alternation (duty-cycling, retry backoff);
+    the pair (B, M) separates process classes a single number
+    cannot.
+
+    Gap pairs form WITHIN a user's stream only (the interarrival
+    partitioning — pairs never straddle users), duplicate timestamps
+    tie-broken by order_cols. Gaps are integer epoch seconds, so all
+    five Pearson sums are exact bigints and r is one shared IEEE
+    tree; fewer than 2 pairs or zero variance on either margin ⇒
+    null M, row kept.
+
+    Shapes: one window pass per (keys, user) — millions of small
+    partitions, no giant per-key sort — then one keys-bounded agg."""
+    oc = order_cols or []
+    w = Window.partitionBy(*keys, user_col).orderBy(ts_col, *oc)
+    ep = F.unix_timestamp(F.col(ts_col))
+    gap = ep - F.lag(ep).over(w)
+    g = df.select(*keys, gap.alias("_g"), F.lag(gap).over(w).alias("_p"))
+    p = g.where(F.col("_g").isNotNull() & F.col("_p").isNotNull())
+    a = p.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("_p").alias("sx"),
+        F.sum("_g").alias("sy"),
+        F.sum(F.col("_p") * F.col("_g")).alias("sxy"),
+        F.sum(F.col("_p") * F.col("_p")).alias("sxx"),
+        F.sum(F.col("_g") * F.col("_g")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    m = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy) * 1e6),
+    ).cast("bigint")
+    return a.select(*keys, "n_pairs", m.alias("memory_e6"))

@@ -14953,3 +14953,55 @@ def ts_binseg2(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "ts_interarrival_memory",
+    """
+    WITH g0 AS (
+      SELECT event_type, user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gp
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type, gp,
+             lag(gp) OVER (PARTITION BY event_type, user_id
+                           ORDER BY ts, event_id) AS pp
+      FROM g0
+    ),
+    p AS (SELECT * FROM g WHERE gp IS NOT NULL AND pp IS NOT NULL),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(pp) AS sx, sum(gp) AS sy, sum(pp * gp) AS sxy,
+             sum(pp * pp) AS sxx, sum(gp * gp) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+             CAST(ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1e6) AS BIGINT)
+           END AS memory_e6
+    FROM a
+    """,
+)
+def ts_interarrival_memory(spark, sf_dir):
+    """Goh–Barabási memory coefficient per event type: Pearson r of
+    consecutive per-user inter-arrival gaps — the ordering axis of
+    the (B, M) phase diagram that burstiness alone cannot see (see
+    analytics.memory_coefficient)."""
+    return analytics.memory_coefficient(
+        _ev(spark, sf_dir), keys=["event_type"], user_col="user_id",
+        ts_col="ts", order_cols=["event_id"],
+    )
