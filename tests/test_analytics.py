@@ -4728,3 +4728,33 @@ def test_memory_coefficient_alternation_and_user_isolation(spark):
     assert out["srt"]["memory_e6"] > 0
     assert out["iso"]["n_pairs"] == 2  # 1 per user, never straddling
     assert out["const"]["memory_e6"] is None and out["const"]["n_pairs"] == 3
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera: the normality gate behind the z-score alarms
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_hand_moments(spark):
+    """[1,2,3]: m3 cancels to exactly 0 (symmetric), m2 = 2/3,
+    m4 = 2/3 → excess kurtosis exactly −1.5, JB = 3·(2.25/24) =
+    0.28125 exactly. An asymmetric heavy-tail fixture reads positive
+    skew and large JB; constant series → all nulls, row kept."""
+    rows = [("sym", i * 3600, float(v)) for i, v in enumerate([1, 2, 3])]
+    rows += [("tail", i * 3600, float(v))
+             for i, v in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 1, 100])]
+    rows += [("const", i * 3600, 7.0) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {r["series_id"]: r for r in analytics.jarque_bera(
+        df, key_col="key", ts_col="ts").collect()}
+    s = out["sym"]
+    assert s["skew_e6"] == 0
+    assert s["exkurt_e6"] == -1_500_000
+    assert s["jb_e6"] == 281_250
+    t = out["tail"]
+    assert t["skew_e6"] > 2_000_000  # one far outlier -> strong skew
+    assert t["jb_e6"] > 10_000_000
+    c = out["const"]
+    assert c["skew_e6"] is None and c["jb_e6"] is None

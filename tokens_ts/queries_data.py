@@ -15005,3 +15005,61 @@ def ts_interarrival_memory(spark, sf_dir):
         _ev(spark, sf_dir), keys=["event_type"], user_col="user_id",
         ts_col="ts", order_cols=["event_id"],
     )
+
+
+@q(
+    "ts_jarque_bera",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             CAST(ROUND(avg(value)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s1, sum(v*v) AS s2, sum(v*v*v) AS s3,
+             sum(v*v*v*v) AS s4
+      FROM b GROUP BY 1
+    ),
+    f AS (
+      SELECT series_id, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d, CAST(n AS DOUBLE) AS nd
+      FROM a WHERE n >= 2
+    ),
+    c AS (
+      SELECT series_id, n, nd,
+             s2d / nd - m * m AS m2,
+             (s3d - 3.0 * m * s2d + 2.0 * nd * m * m * m) / nd AS m3,
+             (s4d - 4.0 * m * s3d + 6.0 * m * m * s2d
+              - 3.0 * nd * m * m * m * m) / nd AS m4
+      FROM f
+    )
+    SELECT series_id, n AS n_buckets,
+           CASE WHEN m2 > 0 THEN
+             CAST(ROUND(m3 / sqrt(m2 * m2 * m2) * 1e6) AS BIGINT)
+           END AS skew_e6,
+           CASE WHEN m2 > 0 THEN
+             CAST(ROUND((m4 / (m2 * m2) - 3.0) * 1e6) AS BIGINT)
+           END AS exkurt_e6,
+           CASE WHEN m2 > 0 THEN
+             CAST(ROUND(nd * ((m3 / sqrt(m2 * m2 * m2))
+                              * (m3 / sqrt(m2 * m2 * m2)) / 6.0
+                              + (m4 / (m2 * m2) - 3.0)
+                                * (m4 / (m2 * m2) - 3.0) / 24.0)
+                  * 1e6) AS BIGINT)
+           END AS jb_e6
+    FROM c
+    """,
+)
+def ts_jarque_bera(spark, sf_dir):
+    """Jarque–Bera omnibus normality per event type over integer
+    hourly bucket means (e0 grid — the fourth-power sum is the
+    binding overflow constraint), with skew and excess kurtosis as
+    the directional diagnosis (see analytics.jarque_bera)."""
+    return analytics.jarque_bera(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour",
+    )
