@@ -5382,3 +5382,28 @@ def test_mutual_knn_reciprocity_hand_graph(spark):
     assert r["n_mutual_nodes"] == 2
     assert r["n_wedges"] == 0 and r["n_triangles"] == 0
     assert r["transitivity_e6"] is None
+
+
+def test_token_window_dups_cross_doc_only(spark):
+    """Within-doc repetition does NOT count: a doc repeating its own
+    window scores 0 dup windows; two docs sharing a verbatim span
+    score every window inside the span; the dup fraction is exact."""
+    rows = [
+        # d1: own window [1..8] repeated twice -> within-doc only
+        (1, "s1", list(range(1, 9)) + list(range(1, 9))),
+        # d2/d3 share the span [100..109]; d3 adds a unique tail
+        (2, "s2", list(range(100, 110))),
+        (3, "s2", list(range(100, 110)) + [7, 7, 7, 7, 7, 7, 7, 7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    out = {r["source"]: r for r in
+           dedup.token_window_dups(df, k=8).collect()}
+    # d1: 16 tokens -> 9 windows, all self-repeats only -> 0 dups
+    assert (out["s1"]["n_windows"], out["s1"]["n_dup_windows"]) == (9, 0)
+    # d2: 3 windows, all inside the shared span -> all dup
+    # d3: 18 tokens -> 11 windows; the 3 span windows dup, windows
+    # crossing into the unique tail and the 7-run do not (the 7-run
+    # window [7x8] appears only in d3)
+    assert out["s2"]["n_windows"] == 3 + 11
+    assert out["s2"]["n_dup_windows"] == 6
+    assert out["s2"]["dup_frac_e6"] == round(6 / 14 * 1e6)

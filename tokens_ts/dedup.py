@@ -1247,3 +1247,62 @@ def bleu_pairs(
             F.round(bp * F.sqrt(p1 * p2) * 1e6).cast("bigint"),
         ),
     )
+
+
+def token_window_dups(
+    seq: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-sequence duplicate token-window mass per source — the
+    token-level ExactSubstr statistic (Lee et al.'s 'Deduplicating
+    Training Data' measure) on the pre-tokenized table: the fraction
+    of a source's k-token windows that occur verbatim in at least
+    one OTHER sequence. seq_dup_ngram counts repetition WITHIN a
+    sequence; the LSH chain finds whole-document near-dups; this is
+    the third axis — verbatim SPANS shared across documents (shared
+    boilerplate headers, license blocks, copy-pasted passages) that
+    both of the others structurally miss, and the number that decides
+    whether span-level dedup is worth running before training.
+
+    A window is duplicated iff its exact k-token content occurs in
+    ≥ 2 DISTINCT documents (within-doc repeats alone do not count —
+    that is seq_dup_ngram's job, pinned). Window keys are the
+    comma-joined token ids — exact string equality, PAD included
+    as-is (PAD runs ARE boilerplate). All counts exact integers; one
+    final e6 ratio per source.
+
+    Scale shape: windows explode row-locally (n−k+1 per sequence);
+    the key-cardinality agg and the key join are the two corpus-scale
+    shuffles — the honest price of EXACT span dedup (the reason the
+    sketch path exists), both hash-partitioned on the window key with
+    map-side combine, never a sort."""
+    w = seq.select(
+        id_col,
+        source_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({tokens_col}) - {k} + 1),"
+                f" i -> concat_ws(',', slice({tokens_col}, i, {k})))"
+            )
+        ).alias("_wk"),
+    )
+    keys = w.groupBy("_wk").agg(
+        F.countDistinct(id_col).cast("bigint").alias("_nd")
+    )
+    j = w.join(keys, "_wk")
+    return j.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        F.round(
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("dup_frac_e6"),
+    )

@@ -15063,3 +15063,38 @@ def ts_jarque_bera(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour",
     )
+
+
+@q(
+    "seq_window_dups",
+    _synth_cte()
+    + """
+    , w AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, n_tok - 8 + 2),
+               i -> array_to_string(tokens[i:i+7], ','))) AS wk
+      FROM seq
+    ),
+    keys AS (
+      SELECT wk, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM w GROUP BY 1
+    )
+    SELECT w.source,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN keys.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(ROUND(CAST(sum(CASE WHEN keys.nd >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_frac_e6
+    FROM w JOIN keys ON w.wk = keys.wk
+    GROUP BY 1
+    """,
+)
+def seq_window_dups(spark, sf_dir):
+    """Cross-sequence duplicate 8-token-window mass per source — the
+    token-level ExactSubstr axis next to within-seq repetition
+    (seq_dup_ngram) and whole-doc LSH: verbatim spans shared across
+    documents, exact window-key counts (see dedup.token_window_dups).
+    Both engines GENERATE the sequences table from the same integer
+    recurrences — no shared input file."""
+    return dedup.token_window_dups(_seq(spark), k=8)
