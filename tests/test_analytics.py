@@ -4758,3 +4758,80 @@ def test_jarque_bera_hand_moments(spark):
     assert t["jb_e6"] > 10_000_000
     c = out["const"]
     assert c["skew_e6"] is None and c["jb_e6"] is None
+
+
+# ---------------------------------------------------------------------------
+# logrank_pairs: two-sample survival comparison
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_hand_risk_sets_and_censoring(spark):
+    """Two types, one user each. A: death at t=1 + censored tail 4;
+    B: death at t=5 + censored 0. Pooled death times 1 and 5: at t=1
+    the risk sets are na=2 (A's censored tail still at risk), nb=1
+    (B's 0-wait already gone) → E-term 2/3, V-term 2/9, both at e6;
+    t=5 has n=1 → no variance (classic convention). Full replay of
+    z from the quantized integers."""
+    import datetime as dt
+    import math as m
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, eid, ty, minutes):
+        return (uid, eid, ty, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        ev(1, "a1", "A", 0), ev(1, "a2", "A", 1),
+        ev(2, "b1", "B", 0), ev(2, "b2", "B", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    out = analytics.logrank_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["n_death_times"] == 2
+    assert r["o_a"] == 1
+    et1 = round(1 * 2 / 3 * 1e6)
+    vt1 = round(1 * (2 / 3) * (1 / 3) * (3 - 1) / (3 - 1) * 1e6)
+    assert r["e_a_e6"] == et1          # t=5 contributes E-term 0
+    assert r["v_e6"] == vt1            # and no variance (n=1)
+    z = (1_000_000 - et1) / (m.sqrt(vt1) * 1e3)
+    assert r["z_e6"] == round(z * 1e6)
+
+
+def test_logrank_identical_groups_read_null_balance(spark):
+    """Two types with identical wait structures, both dying at the
+    same pooled time: O·1e6 = E exactly (the exact-null balance) and
+    the hypergeometric variance term is 0 because n_t = d_t — z is
+    an honest null, not a fake zero. Adding a second, staggered
+    death per side restores variance and reads z = 0 exactly by
+    symmetry."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for ty, uid in (("X", 1), ("Y", 2)):
+        rows += [
+            (uid, f"{ty}1", ty, t0),
+            (uid, f"{ty}2", ty, t0 + dt.timedelta(minutes=2)),
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    r = analytics.logrank_pairs(df).collect()[0]
+    assert r["o_a"] == 1 and r["e_a_e6"] == 1_000_000
+    assert r["v_e6"] == 0 and r["z_e6"] is None
+
+    # staggered symmetric deaths: users 3/4 die at t=7 on each side
+    rows2 = rows + [
+        (3, "X3", "X", t0), (3, "X4", "X", t0 + dt.timedelta(minutes=7)),
+        (4, "Y3", "Y", t0), (4, "Y4", "Y", t0 + dt.timedelta(minutes=7)),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id string, event_type string, ts timestamp"
+    )
+    r2 = analytics.logrank_pairs(df2).collect()[0]
+    assert r2["o_a"] * 1_000_000 == r2["e_a_e6"]  # exact-null balance
+    assert r2["v_e6"] > 0 and r2["z_e6"] == 0

@@ -8517,3 +8517,126 @@ def jarque_bera(
         F.when(ok, F.round(exk * 1e6)).cast("bigint").alias("exkurt_e6"),
         F.when(ok, F.round(jb * 1e6)).cast("bigint").alias("jb_e6"),
     ).where(F.col("n_buckets") >= 2)
+
+
+def logrank_pairs(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 60,
+) -> DataFrame:
+    """Two-sample log-rank test for every unordered event-type pair —
+    the hypothesis test the Kaplan-Meier curves only gesture at: KM
+    says WHAT each type's waiting-time survival looks like; log-rank
+    says whether two types' re-trigger behaviors DIFFER, correctly
+    weighting every death time by who was still at risk and keeping
+    censored waits in the risk sets (the comparison a naive
+    mean-gap t-test gets wrong twice over). Classic Mantel-Haenszel
+    form: at each pooled death time, O−E for group a under the
+    hypergeometric null, z = (O_a − E_a)/√V.
+
+    Waits and censoring are EXACTLY the kaplan_meier construction
+    (integer-second gaps on the (type, user) stream, minute buckets,
+    broadcast observation end), so the test and the curves share one
+    definition of a wait. At-risk counts at pooled death times come
+    from per-type bucket histograms full-outer-merged per pair, then
+    ONE descending-order reverse cumsum per pair side — never a
+    waits×times join. Exactness: O_a is an exact bigint; each E and
+    V term is one fixed IEEE tree over exact integers pre-quantized
+    at e6 (the order-free-sum rule), z = (O·1e6 − E_q)/(√V_q·1e3) one
+    final tree; n_t = 1 times carry no variance (term skipped, the
+    classic convention) and V_q = 0 ⇒ null z, row kept.
+
+    Shapes: one (type, user) window pass, histograms bounded by
+    (types × buckets), pair frame types²-bounded, reverse-cumsum
+    windows on the merged bounded frame."""
+    ep = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(type_col, user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    end = events.agg(F.max(ep).alias("_end"))
+    g = (
+        events.select(
+            type_col,
+            ep.alias("_ep"),
+            F.lead(ep).over(w).alias("_nxt"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.col(type_col).alias("_ty"),
+            F.floor(
+                (F.coalesce(F.col("_nxt"), F.col("_end")) - F.col("_ep"))
+                / F.lit(bucket_s)
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.col("_nxt").isNotNull().cast("bigint").alias("_death"),
+        )
+    )
+    hist = g.groupBy("_ty", "t").agg(
+        F.sum("_death").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    types = hist.select("_ty").distinct()
+    p = (
+        types.select(F.col("_ty").alias("type_a"))
+        .crossJoin(types.select(F.col("_ty").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    ha = p.join(hist, hist["_ty"] == p["type_a"]).select(
+        "type_a", "type_b", "t",
+        F.col("d").alias("da"), F.col("m").alias("ma"),
+        F.lit(0).cast("bigint").alias("db"),
+        F.lit(0).cast("bigint").alias("mb"),
+    )
+    hb = p.join(hist, hist["_ty"] == p["type_b"]).select(
+        "type_a", "type_b", "t",
+        F.lit(0).cast("bigint").alias("da"),
+        F.lit(0).cast("bigint").alias("ma"),
+        F.col("d").alias("db"), F.col("m").alias("mb"),
+    )
+    u = ha.unionByName(hb).groupBy("type_a", "type_b", "t").agg(
+        F.sum("da").alias("da"), F.sum("ma").alias("ma"),
+        F.sum("db").alias("db"), F.sum("mb").alias("mb"),
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = u.select(
+        "type_a", "type_b", "t", "da", "db",
+        F.sum("ma").over(wp).alias("na"),
+        F.sum("mb").over(wp).alias("nb"),
+    ).where(F.col("da") + F.col("db") > 0)
+    nt = (F.col("na") + F.col("nb")).cast("double")
+    dt = (F.col("da") + F.col("db")).cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    eterm = F.round(dt * nad / nt * 1e6).cast("bigint")
+    vterm = F.when(
+        F.col("na") + F.col("nb") >= 2,
+        F.round(
+            dt
+            * (nad / nt)
+            * (nbd / nt)
+            * (nt - dt)
+            / (nt - 1.0)
+            * 1e6
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    a = r.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_death_times"),
+        F.sum("da").alias("o_a"),
+        F.sum(eterm).alias("e_a_e6"),
+        F.sum(vterm).alias("v_e6"),
+    )
+    z = (F.col("o_a") * 1000000 - F.col("e_a_e6")).cast("double") / (
+        F.sqrt(F.col("v_e6").cast("double")) * 1e3
+    )
+    return a.select(
+        "type_a", "type_b", "n_death_times", "o_a", "e_a_e6", "v_e6",
+        F.when(F.col("v_e6") > 0, F.round(z * 1e6))
+        .cast("bigint")
+        .alias("z_e6"),
+    )

@@ -15098,3 +15098,89 @@ def seq_window_dups(spark, sf_dir):
     Both engines GENERATE the sequences table from the same integer
     recurrences — no shared input file."""
     return dedup.token_window_dups(_seq(spark), k=8)
+
+
+@q(
+    "ts_logrank",
+    """
+    WITH e AS (
+      SELECT event_type AS ty, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    obs AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS oend FROM events),
+    g AS (
+      SELECT ty,
+             CAST(floor((coalesce(nxt, oend) - ep) / 60.0) AS BIGINT) AS t,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM e CROSS JOIN obs
+    ),
+    hist AS (
+      SELECT ty, t, CAST(sum(death) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM g GROUP BY 1, 2
+    ),
+    tys AS (SELECT DISTINCT ty FROM hist),
+    p AS (
+      SELECT a.ty AS ta, b.ty AS tb FROM tys a JOIN tys b ON a.ty < b.ty
+    ),
+    u AS (
+      SELECT ta, tb, t, sum(da) AS da, sum(ma) AS ma,
+             sum(db) AS db, sum(mb) AS mb
+      FROM (
+        SELECT p.ta, p.tb, h.t, h.d AS da, h.m AS ma,
+               CAST(0 AS BIGINT) AS db, CAST(0 AS BIGINT) AS mb
+        FROM p JOIN hist h ON h.ty = p.ta
+        UNION ALL
+        SELECT p.ta, p.tb, h.t, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               h.d, h.m
+        FROM p JOIN hist h ON h.ty = p.tb
+      ) GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT ta, tb, t, da, db,
+             sum(ma) OVER (PARTITION BY ta, tb ORDER BY t DESC
+                           ROWS UNBOUNDED PRECEDING) AS na,
+             sum(mb) OVER (PARTITION BY ta, tb ORDER BY t DESC
+                           ROWS UNBOUNDED PRECEDING) AS nb
+      FROM u
+    ),
+    dth AS (SELECT * FROM r WHERE da + db > 0),
+    terms AS (
+      SELECT ta, tb, da,
+        CAST(ROUND(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+             / CAST(na + nb AS DOUBLE) * 1e6) AS BIGINT) AS et,
+        CASE WHEN na + nb >= 2 THEN
+          CAST(ROUND(CAST(da + db AS DOUBLE)
+               * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+               / (CAST(na + nb AS DOUBLE) - 1.0) * 1e6) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS vt
+      FROM dth
+    ),
+    a AS (
+      SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_death_times,
+             CAST(sum(da) AS BIGINT) AS o_a,
+             CAST(sum(et) AS BIGINT) AS e_a_e6,
+             CAST(sum(vt) AS BIGINT) AS v_e6
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b, n_death_times, o_a, e_a_e6, v_e6,
+           CASE WHEN v_e6 > 0 THEN
+             CAST(ROUND(CAST(o_a * 1000000 - e_a_e6 AS DOUBLE)
+                  / (sqrt(CAST(v_e6 AS DOUBLE)) * 1e3) * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM a
+    """,
+)
+def ts_logrank(spark, sf_dir):
+    """Two-sample log-rank z for every unordered event-type pair over
+    the kaplan_meier wait construction: Mantel-Haenszel O−E at pooled
+    death times with hypergeometric variance, censored waits held in
+    the risk sets, E/V terms pre-quantized at e6 (see
+    analytics.logrank_pairs)."""
+    return analytics.logrank_pairs(_ev(spark, sf_dir))
