@@ -417,6 +417,23 @@ def main():
     bench("isotropy", lambda: _materialize(simsearch.isotropy(emb)))
     bench("knn_hubness", lambda: _materialize(simsearch.hubness(emb)))
 
+    # r5m additions — three genuinely new plan shapes: node-iterator
+    # triangle counting (edge-edge join + semi-join closure on the
+    # capped pair graph), the bucket-exploded attribution join (fanout
+    # exactly 2 + per-conversion windows), and the survival pair
+    # (lead-window waits -> bounded histograms -> reverse-cumsum risk
+    # sets; logrank rides the same construction per type pair)
+    bench("dup_triangles", lambda: _materialize(
+        dedup.dup_graph_census(dedup.lsh_candidates(docs, 32, 8))
+    ))
+    bench("attribution", lambda: _materialize(
+        analytics.attribution_linear(ev_full)
+    ))
+    bench("survival", lambda: [
+        _materialize(analytics.kaplan_meier(ev_full)),
+        _materialize(analytics.logrank_pairs(ev_full)),
+    ])
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "tokens_ts headline pipeline wall time",
