@@ -5407,3 +5407,23 @@ def test_token_window_dups_cross_doc_only(spark):
     assert out["s2"]["n_windows"] == 3 + 11
     assert out["s2"]["n_dup_windows"] == 6
     assert out["s2"]["dup_frac_e6"] == round(6 / 14 * 1e6)
+
+
+def test_pq_recall_identity_when_corpus_is_codebook(spark):
+    """If every corpus vector IS a codebook entry, each subspace
+    argmin finds its own subvector at distance exactly 0 and the
+    reconstruction is bit-exact — the PQ ranking then equals the
+    exact ranking and recall@5 reads exactly 1e6. The structural
+    identity pin for the whole codebook→assign→reconstruct→rank
+    chain."""
+    dim = 64
+    rows = []
+    for i in range(16):
+        v = [0.0] * dim
+        v[i] = float(i + 1)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    r = simsearch.pq_recall(df, k=5).collect()[0]
+    assert r["n_queries"] == 1  # only id 0 is ≡ 0 mod 37
+    assert (r["k"], r["n_hits"]) == (5, 5)
+    assert r["recall_e6"] == 1_000_000

@@ -5955,7 +5955,7 @@ def emb_silhouette(spark, sf_dir):
       FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 37 = 0
     ),
     scored AS (
-      SELECT q.qid, e.nid,
+      SELECT q.qid, e.vec_id AS nid,
              CAST(ROUND(list_dot_product(q.qv, e.v)
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
@@ -6120,7 +6120,7 @@ def _mmr_sql(k: int = 5, pool: int = 20, sample_mod: int = 97) -> str:
       FROM embeddings WHERE embedding IS NOT NULL AND vec_id % {sample_mod} = 0
     ),
     scored AS (
-      SELECT q.qid, e.nid, e.v,
+      SELECT q.qid, e.vec_id AS nid, e.v,
              CAST(ROUND(list_dot_product(q.qv, e.v)
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
@@ -15184,3 +15184,81 @@ def ts_logrank(spark, sf_dir):
     the risk sets, E/V terms pre-quantized at e6 (see
     analytics.logrank_pairs)."""
     return analytics.logrank_pairs(_ev(spark, sf_dir))
+
+
+@q(
+    "emb_pq_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, v[8 * s + 1 : 8 * s + 8] AS cw
+      FROM e CROSS JOIN range(0, 8) t(s) WHERE vec_id < 16
+    ),
+    d AS (
+      SELECT e.vec_id AS nid, c.s, c.cid, c.cw,
+             CAST(ROUND(list_sum(list_transform(range(1, 9),
+                    i -> (e.v[8 * c.s + i] - c.cw[i])
+                       * (e.v[8 * c.s + i] - c.cw[i]))) * 1e9)
+               AS BIGINT) AS d9
+      FROM e CROSS JOIN cb c
+    ),
+    b AS (
+      SELECT nid, s, cw FROM (
+        SELECT *, row_number() OVER (PARTITION BY nid, s
+                                     ORDER BY d9, cid) AS r
+        FROM d
+      ) WHERE r = 1
+    ),
+    rec AS (
+      SELECT nid, flatten(list(cw ORDER BY s)) AS r FROM b GROUP BY nid
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0
+    ),
+    sj AS (
+      SELECT q.qid, e.vec_id AS nid,
+             CAST(ROUND(list_sum(list_transform(range(1, 65),
+                    i -> q.qv[i] * e.v[i]))
+                  / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                     * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+                  * 1e6) AS BIGINT) AS se,
+             CASE WHEN sqrt(list_sum(list_transform(rec.r, x -> x * x))) > 0
+                  THEN CAST(ROUND(list_sum(list_transform(range(1, 65),
+                         i -> q.qv[i] * rec.r[i]))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(rec.r, x -> x * x))))
+                       * 1e6) AS BIGINT)
+                  ELSE -2000000 END AS sp
+      FROM q CROSS JOIN e JOIN rec ON rec.nid = e.vec_id
+      WHERE e.vec_id <> q.qid
+    ),
+    rk AS (
+      SELECT qid,
+             CASE WHEN row_number() OVER (PARTITION BY qid
+                    ORDER BY se DESC, nid ASC) <= 5 THEN 1 ELSE 0 END AS ex,
+             CASE WHEN row_number() OVER (PARTITION BY qid
+                    ORDER BY sp DESC, nid ASC) <= 5 THEN 1 ELSE 0 END AS pq
+      FROM sj
+    ),
+    pg AS (
+      SELECT qid, CAST(sum(ex * pq) AS BIGINT) AS hit FROM rk GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(sum(hit) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 5.0) * 1e6) AS BIGINT)
+             AS recall_e6
+    FROM pg
+    """,
+)
+def emb_pq_recall(spark, sf_dir):
+    """Measured recall@5 under product quantization: exact full-vector
+    top-k vs asymmetric-distance top-k against the PQ reconstruction,
+    codebook and tie rules pinned identical to emb_pq_error — the
+    serving number the reconstruction error only bounds (see
+    simsearch.pq_recall)."""
+    return simsearch.pq_recall(_emb(spark, sf_dir))

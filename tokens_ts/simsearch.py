@@ -2167,3 +2167,141 @@ def mutual_knn(
         "n_triangles",
         "transitivity_e6",
     )
+
+
+def pq_recall(
+    emb: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    q_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k under product quantization — the number
+    pq_error only bounds: err_e9 says how much geometry the codes
+    destroyed, but the serving question is whether the RANKING
+    survived, and reconstruction error does not translate linearly
+    into rank damage (a large error orthogonal to the query costs
+    nothing; a small one along it flips neighbors). For the
+    deterministic mod-q_mod queries: exact top-k by full-vector
+    cosine (the cosine_topk contract) vs top-k by cosine against the
+    PQ RECONSTRUCTION (asymmetric distance — full query, quantized
+    corpus, the standard serving configuration); recall = |∩|/k,
+    summed exactly. Completes the quantization QA triptych the IVF
+    side already has (ivf_balance / ivf_recall_curve).
+
+    Codebook, assignment, and tie rules are pinned IDENTICAL to
+    pq_error (first-n_codes convention, e9-integer argmin, lowest
+    code id on ties), so the recall measured here is the recall of
+    exactly the codes that audit emits. A zero-norm reconstruction
+    ranks below every real cosine (sim := −2e6, pinned). Both
+    rankings ride one scored frame, so the overlap count is exact.
+
+    Scale shape: ONE corpus scan carrying the broadcast codebook
+    (row-local argmin + reconstruction) crossed with the broadcast
+    query set; two rank windows on the queries-bounded frame; a
+    single-row agg. Zero corpus shuffles."""
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    w = dim // n_sub
+    cb = (
+        e.where(F.col("nid") < n_codes)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col("nid").alias("cid"),
+                            F.slice("v", s * w + 1, w).alias("cw"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("_cb"))
+    )
+    j = e.crossJoin(F.broadcast(cb))
+
+    def best_cw(s):
+        sub = F.slice("v", s * w + 1, w)
+        cands = F.filter(F.col("_cb"), lambda c: c["s"] == s)
+        d9 = lambda c: F.round(  # noqa: E731
+            F.aggregate(
+                F.zip_with(sub, c["cw"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * 1e9
+        ).cast("bigint")
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                d9(c).alias("d"),
+                c["cid"].cast("bigint").alias("cid"),
+                c["cw"].alias("cw"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit((1 << 62)).cast("bigint").alias("d"),
+                F.lit(-1).cast("bigint").alias("cid"),
+                F.array([F.lit(0.0)] * w).alias("cw"),
+            ),
+            lambda acc, x: F.when(
+                (x["d"] < acc["d"])
+                | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )["cw"]
+
+    recon = F.concat(*[best_cw(s) for s in range(n_sub)])
+    side = j.select("nid", "v", recon.alias("r"))
+    q = emb.where(F.pmod(F.col(id_col), F.lit(q_mod)) == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    sj = side.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    nr = _norm(F.col("r"))
+    sim_ex = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (_norm(F.col("qv")) * _norm(F.col("v")))
+        * 1e6
+    ).cast("bigint")
+    sim_pq = F.when(
+        nr > 0,
+        F.round(
+            _dot(F.col("qv"), F.col("r")) / (_norm(F.col("qv")) * nr) * 1e6
+        ).cast("bigint"),
+    ).otherwise(F.lit(-2000000).cast("bigint"))
+    scored = sj.select(
+        "qid", "nid", sim_ex.alias("se"), sim_pq.alias("sp")
+    )
+    wex = Window.partitionBy("qid").orderBy(F.desc("se"), F.asc("nid"))
+    wpq = Window.partitionBy("qid").orderBy(F.desc("sp"), F.asc("nid"))
+    r = scored.select(
+        "qid",
+        (F.row_number().over(wex) <= k).cast("int").alias("_ex"),
+        (F.row_number().over(wpq) <= k).cast("int").alias("_pq"),
+    )
+    per_q = r.groupBy("qid").agg(
+        F.sum(F.col("_ex") * F.col("_pq")).cast("bigint").alias("_hit")
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.sum("_hit").alias("n_hits"),
+        F.round(
+            F.sum("_hit").cast("double")
+            / (F.count("*").cast("double") * float(k))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("recall_e6"),
+    )
