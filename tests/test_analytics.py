@@ -4835,3 +4835,35 @@ def test_logrank_identical_groups_read_null_balance(spark):
     r2 = analytics.logrank_pairs(df2).collect()[0]
     assert r2["o_a"] * 1_000_000 == r2["e_a_e6"]  # exact-null balance
     assert r2["v_e6"] > 0 and r2["z_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# leadlag: who-moves-first verdict over the ccf table
+# ---------------------------------------------------------------------------
+
+
+def test_leadlag_shifted_copy_and_tie_rules(spark):
+    """B is A delayed by 2 hours (a copy of A's values, shifted):
+    the winning lag must be +2 with rho = 1e6 exactly — A leads. A
+    pair of identical series reads lag 0 (closest-to-zero beats the
+    equally-perfect harmonic alignments of a periodic input only via
+    the tie rule, so use aperiodic values to isolate the shift)."""
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5,
+            8.5, 1.5, 9.5, 3.5, 7.5]
+    rows = [("A", i * 3600, v) for i, v in enumerate(vals)]
+    rows += [("B", (i + 2) * 3600, v) for i, v in enumerate(vals)]
+    rows += [("C", i * 3600, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, value double"
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "value")
+    out = {(r["series_a"], r["series_b"]): r for r in analytics.leadlag(
+        df, key_col="key", ts_col="ts", trunc="hour", max_lag=6
+    ).collect()}
+    ab = out[("A", "B")]
+    assert ab["best_lag"] == 2 and ab["best_ccf_e6"] == 1_000_000
+    ac = out[("A", "C")]
+    assert ac["best_lag"] == 0 and ac["best_ccf_e6"] == 1_000_000
+    # B lags C by 2 -> from (B, C)'s perspective C's value now matches
+    # B's value 2h earlier: winning lag is -2 (B trails)
+    bc = out[("B", "C")]
+    assert bc["best_lag"] == -2 and bc["best_ccf_e6"] == 1_000_000

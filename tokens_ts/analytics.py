@@ -8640,3 +8640,61 @@ def logrank_pairs(
         .cast("bigint")
         .alias("z_e6"),
     )
+
+
+def leadlag(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    trunc: str = "hour",
+    max_lag: int = 12,
+) -> DataFrame:
+    """Lead-lag summary per series pair: the single lag with the
+    strongest |cross-correlation| — the WHO-MOVES-FIRST verdict the
+    full ccf table only implies, exactly as autoperiod is the verdict
+    over acf. A positive winning lag means series_a leads (a's value
+    now correlates with b's value `lag` buckets LATER — the
+    monitoring conclusion 'a is the upstream signal, page on a');
+    lag 0 means co-movement; the sign of ρ rides along so inverse
+    coupling isn't mistaken for none.
+
+    Selection is integer-exact: each ρ enters pre-quantized at e6
+    from the gap-correct ccf construction; the winner is the struct
+    max over (|ρ_e6|, −|lag|, −lag) — strongest coupling first, then
+    the lag closest to zero (co-movement is the parsimonious
+    explanation of a tie), then the positive lag over the negative
+    (deterministic, documented). Pairs whose every lag is degenerate
+    (null ρ) keep a row with nulls and n_lags = 0.
+
+    Shapes: ccf()'s one bucket agg + bounded lag fan-out; the argmax
+    is one agg on the pairs×(2·max_lag+1) frame — no sort."""
+    c = ccf(df, key_col, ts_col, value_col, trunc, max_lag)
+    r6 = F.round(F.col("ccf") * 1e6).cast("bigint")
+    g = c.select(
+        "series_a", "series_b", "lag", r6.alias("_r6")
+    )
+    best = F.max(
+        F.when(
+            F.col("_r6").isNotNull(),
+            F.struct(
+                F.abs("_r6").alias("a"),
+                (-F.abs(F.col("lag"))).alias("nl"),
+                F.col("lag").alias("l"),
+                F.col("_r6").alias("r"),
+            ),
+        )
+    )
+    out = g.groupBy("series_a", "series_b").agg(
+        F.sum(F.when(F.col("_r6").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lags"),
+        best.alias("_b"),
+    )
+    return out.select(
+        "series_a",
+        "series_b",
+        "n_lags",
+        F.col("_b.l").cast("bigint").alias("best_lag"),
+        F.col("_b.r").alias("best_ccf_e6"),
+    )

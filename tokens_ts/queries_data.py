@@ -15262,3 +15262,68 @@ def emb_pq_recall(spark, sf_dir):
     serving number the reconstruction error only bounds (see
     simsearch.pq_recall)."""
     return simsearch.pq_recall(_emb(spark, sf_dir))
+
+
+@q(
+    "ts_leadlag",
+    """
+    WITH b AS (
+      SELECT event_type AS sid,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT b.sid AS series_a, b.ep, b.v AS x, lg.lag
+      FROM b CROSS JOIN (SELECT unnest(range(-12, 13)) AS lag) lg
+    ),
+    p AS (
+      SELECT l.series_a, r.sid AS series_b, l.lag, l.x, r.v AS y
+      FROM l JOIN b r ON r.ep = l.ep + l.lag * 3600
+      WHERE l.series_a < r.sid
+    ),
+    a AS (
+      SELECT series_a, series_b, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2, 3
+    ),
+    rho AS (
+      SELECT series_a, series_b, lag,
+             CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                  THEN CAST(ROUND((n*sxy - sx*sy)
+                       / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6)
+                       AS BIGINT)
+             END AS r6
+      FROM a
+    ),
+    rk AS (
+      SELECT series_a, series_b, lag, r6,
+             row_number() OVER (PARTITION BY series_a, series_b
+                                ORDER BY abs(r6) DESC, abs(lag) ASC,
+                                         lag DESC) AS rn
+      FROM rho WHERE r6 IS NOT NULL
+    )
+    SELECT g.series_a, g.series_b,
+           CAST(count(*) FILTER (WHERE g.r6 IS NOT NULL) AS BIGINT)
+             AS n_lags,
+           CAST(min(CASE WHEN rk.rn = 1 THEN rk.lag END) AS BIGINT)
+             AS best_lag,
+           CAST(min(CASE WHEN rk.rn = 1 THEN rk.r6 END) AS BIGINT)
+             AS best_ccf_e6
+    FROM rho g
+    LEFT JOIN rk ON rk.series_a = g.series_a AND rk.series_b = g.series_b
+                AND rk.lag = g.lag
+    GROUP BY 1, 2
+    """,
+)
+def ts_leadlag(spark, sf_dir):
+    """Lead-lag verdict per event-type pair: the hourly lag in
+    −12..+12 with the strongest |cross-correlation| on e6-prequantized
+    rho — strongest coupling, then closest-to-zero lag, then the
+    positive lag on exact ties; signed rho rides along (see
+    analytics.leadlag)."""
+    return analytics.leadlag(
+        _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
+        value_col="value", trunc="hour", max_lag=12,
+    )
