@@ -171,3 +171,32 @@ def test_t_closeness_by_slice_isolation(spark):
     # s2: each class is all-one-value vs a 50/50 slice global -> 0.5
     assert out["s2"]["max_t_e6"] == 500_000
     assert out["s2"]["n_above_t"] == 2
+
+
+def test_neyman_allocation_hamilton_exact_sum(spark):
+    """Three equal-weight strata, budget 10: quotas 3.333… each →
+    bases 3,3,3, one leftover seat → the remainder tie breaks to the
+    ascending key: allocs (4,3,3) summing to EXACTLY the budget (the
+    apportionment invariant). A zero-dispersion stratum reads weight
+    0 and competes only from the back of the remainder queue; an
+    all-constant input reads all-zero allocations (no variance to
+    optimize — the honest no-op)."""
+    from tokens_ts import dq
+
+    rows = []
+    for k in ("a", "b", "c"):
+        rows += [(k, 1.0), (k, 3.0)]       # identical multisets: equal w
+    rows += [("z", 5.0), ("z", 5.0)]        # constant stratum: sigma = 0
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = {r["series_id"]: r for r in dq.neyman_allocation(
+        df, key_col="key", budget=10).collect()}
+    assert (out["a"]["alloc"], out["b"]["alloc"], out["c"]["alloc"]) == (
+        4, 3, 3)
+    assert out["z"]["alloc"] == 0 and out["z"]["share_e6"] == 0
+    assert sum(r["alloc"] for r in out.values()) == 10
+
+    dfc = spark.createDataFrame([("a", 2.0), ("b", 2.0)],
+                                "key string, value double")
+    outc = dq.neyman_allocation(dfc, key_col="key", budget=10).collect()
+    assert all(r["alloc"] == 0 for r in outc)
+    assert all(r["share_e6"] is None for r in outc)

@@ -271,3 +271,87 @@ def t_closeness_summary(
         .alias("rows_at_risk"),
         F.max("_t").alias("max_t_e6"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    budget: int = 1000,
+    grid: int = 3,
+) -> DataFrame:
+    """Variance-optimal inspection-budget allocation across strata —
+    how to SPEND a fixed QA/labeling budget: sampling n_h ∝ N_h·σ_h
+    (Neyman allocation) minimizes the variance of the stratified
+    estimate, so high-volume high-dispersion strata get the
+    inspectors and uniform strata get nearly none — the quantitative
+    answer mixture_weights' equal-split plan does not attempt.
+    Fractional quotas become INTEGERS by Hamilton's largest-remainder
+    method: base = floor(quota), the leftover seats go to the largest
+    remainders (ties → key ascending, deterministic), so the
+    allocations sum to EXACTLY the budget — the apportionment
+    invariant, pinned.
+
+    Exactness: per-stratum (N, Σv, Σv²) exact bigints on the e-grid;
+    σ and the quotas are one shared IEEE tree; base floors are exact
+    bigints so the leftover count is exact; the remainder ranking is
+    on identical doubles in both engines. A zero-dispersion stratum
+    carries weight 0 (constant data needs one look, not a sample — it
+    competes only via the remainder queue at 0). If EVERY stratum has
+    zero weight there is no variance to optimize: all allocations 0,
+    the honest no-op (the budget-sum pin applies only when W > 0).
+
+    Shapes: one map-side-combined stats agg; everything after is
+    keys-bounded (broadcast total, one rank window on the strata
+    frame)."""
+    scale = float(10 ** grid)
+    b = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("series_id"),
+        F.round(F.col(value_col) * scale).cast("bigint").alias("_v"),
+    )
+    st = b.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    nd = F.col("n_rows").cast("double")
+    m = F.col("_s").cast("double") / nd
+    var = F.col("_q").cast("double") / nd - m * m
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = st.withColumn("_w", nd * sigma)
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    j = w.crossJoin(F.broadcast(tot))
+    quota = F.when(
+        F.col("_tw") > 0, F.lit(float(budget)) * F.col("_w") / F.col("_tw")
+    ).otherwise(F.lit(0.0))
+    q = j.select(
+        "series_id",
+        "n_rows",
+        F.col("_w").alias("_wd"),
+        F.col("_tw").alias("_twd"),
+        quota.alias("_quota"),
+        F.floor(quota).cast("bigint").alias("_base"),
+        (quota - F.floor(quota)).alias("_rem"),
+    )
+    left = q.agg(
+        (F.lit(budget) - F.sum("_base")).cast("bigint").alias("_left"),
+        F.max("_twd").alias("_tw2"),
+    )
+    wr = Window.orderBy(F.desc("_rem"), F.asc("series_id"))
+    out = q.crossJoin(F.broadcast(left)).withColumn(
+        "_rank", F.row_number().over(wr)
+    )
+    alloc = F.col("_base") + F.when(
+        (F.col("_tw2") > 0) & (F.col("_rank") <= F.col("_left")), 1
+    ).otherwise(0)
+    return out.select(
+        "series_id",
+        "n_rows",
+        F.when(
+            F.col("_twd") > 0,
+            F.round(F.col("_wd") / F.col("_twd") * 1e6),
+        )
+        .cast("bigint")
+        .alias("share_e6"),
+        alloc.cast("bigint").alias("alloc"),
+    )

@@ -15327,3 +15327,63 @@ def ts_leadlag(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", ts_col="ts",
         value_col="value", trunc="hour", max_lag=12,
     )
+
+
+@q(
+    "ts_neyman_alloc",
+    """
+    WITH b AS (
+      SELECT event_type AS series_id,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    st AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_rows,
+             sum(v) AS s, sum(v * v) AS q
+      FROM b GROUP BY 1
+    ),
+    w AS (
+      SELECT series_id, n_rows,
+             CAST(n_rows AS DOUBLE)
+               * sqrt(greatest(CAST(q AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE)),
+                       0.0)) AS wd
+      FROM st
+    ),
+    tw AS (SELECT sum(wd) AS twd FROM w),
+    qd AS (
+      SELECT series_id, n_rows, wd, twd,
+             CASE WHEN twd > 0 THEN 1000.0 * wd / twd ELSE 0.0 END AS quota
+      FROM w CROSS JOIN tw
+    ),
+    qq AS (
+      SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM qd
+    ),
+    lf AS (SELECT 1000 - sum(base) AS lft FROM qq),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, series_id ASC) AS rnk
+      FROM qq
+    )
+    SELECT rk.series_id, rk.n_rows,
+           CASE WHEN rk.twd > 0 THEN
+             CAST(ROUND(rk.wd / rk.twd * 1e6) AS BIGINT)
+           END AS share_e6,
+           CAST(rk.base + CASE WHEN rk.twd > 0 AND rk.rnk <= lf.lft
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM rk CROSS JOIN lf
+    """,
+)
+def ts_neyman_alloc(spark, sf_dir):
+    """Neyman variance-optimal allocation of a 1000-row inspection
+    budget across event types, integerized by Hamilton's
+    largest-remainder method so allocations sum to exactly the budget
+    (see dq.neyman_allocation)."""
+    from tokens_ts import dq
+
+    return dq.neyman_allocation(
+        _ev(spark, sf_dir), key_col="event_type", value_col="value",
+        budget=1000,
+    )
