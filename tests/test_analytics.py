@@ -4867,3 +4867,30 @@ def test_leadlag_shifted_copy_and_tie_rules(spark):
     # B's value 2h earlier: winning lag is -2 (B trails)
     bc = out[("B", "C")]
     assert bc["best_lag"] == -2 and bc["best_ccf_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# user_gini: who sends the volume
+# ---------------------------------------------------------------------------
+
+
+def test_user_gini_uniform_vs_whale(spark):
+    """Four users at 5 events each: G = 0 exactly. One whale sending
+    16 of 19 events vs three onesies: G = (2·(1+2+3+4·16) −
+    5·19)/(4·19) and the top-decile (⌈4/10⌉ = 1 busiest user) share
+    = 16/19. Single-user series reads G = 0 with share 1."""
+    rows = [("u", uid, i) for uid in range(4) for i in range(5)]
+    rows += [("w", 9, i) for i in range(16)]
+    rows += [("w", 1, 100), ("w", 2, 101), ("w", 3, 102)]
+    rows += [("solo", 5, 0)]
+    df = spark.createDataFrame(
+        [(k, u) for k, u, _ in rows], "key string, user_id long"
+    )
+    out = {r["key"]: r for r in analytics.user_gini(
+        df, keys=["key"]).collect()}
+    assert out["u"]["gini_e6"] == 0
+    g = (2 * (1 + 2 + 3 + 4 * 16) - 5 * 19) / (4 * 19)
+    assert out["w"]["gini_e6"] == round(g * 1e6)
+    assert out["w"]["top_decile_share_e6"] == round(16 / 19 * 1e6)
+    assert out["solo"]["gini_e6"] == 0
+    assert out["solo"]["top_decile_share_e6"] == 1_000_000

@@ -8698,3 +8698,66 @@ def leadlag(
         F.col("_b.l").cast("bigint").alias("best_lag"),
         F.col("_b.r").alias("best_ccf_e6"),
     )
+
+
+def user_gini(
+    df: DataFrame,
+    keys: list[str],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Volume concentration across USERS per series — the
+    bot/whale-detection dial next to gini_hours' temporal one: two
+    event types with equal totals can differ completely in WHO sends
+    them (ten thousand light users vs three scripts), and the
+    top-k/topn tables show the head while this scalar prices the
+    whole distribution. Gini over the ACTIVE-user counts (the
+    population is users who appeared — unlike the hourly grid there
+    is no knowable 'silent user' universe, so no zero mass; stated,
+    not hidden) plus the top-decile user share: the fraction of the
+    series' events sent by its busiest ⌈m/10⌉ users.
+
+    Exactness: per-user counts exact bigints; ranks ascend by
+    (count, user id) — rank ties among equal counts are permutation-
+    invariant under the rank-weighted sum (the gini_hours proof);
+    G = (2·Σr_i·c_i − (m+1)·S)/(m·S) one final double division.
+    Single-user series read G = 0 with the user as its own top
+    decile.
+
+    Shapes: one (keys, user) count agg — the corpus shuffle — then
+    rank windows and the final agg on the users-bounded frame."""
+    h = df.groupBy(*keys, F.col(user_col).alias("_u")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wk = Window.partitionBy(*keys)
+    r = h.select(
+        *keys,
+        "c",
+        F.row_number().over(wk.orderBy("c", "_u")).alias("_rn"),
+        F.count("*").over(wk).alias("_m"),
+    )
+    d = (F.col("_m") + 9) / 10
+    top_flag = F.col("_rn") > (F.col("_m") - F.floor(d))
+    a = r.groupBy(*keys).agg(
+        F.max("_m").cast("bigint").alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("_rn").cast("bigint") * F.col("c")).alias("_tr"),
+        F.sum(F.when(top_flag, F.col("c")).otherwise(F.lit(0))).alias("_top"),
+    )
+    m, s = F.col("n_users"), F.col("n_events")
+    gnum = 2 * F.col("_tr") - (m + 1) * s
+    return a.select(
+        *keys,
+        "n_users",
+        "n_events",
+        F.when(
+            (m > 1) & (s > 0),
+            F.round(gnum.cast("double") / (m * s).cast("double") * 1e6).cast(
+                "bigint"
+            ),
+        )
+        .otherwise(F.when(s > 0, F.lit(0)).cast("bigint"))
+        .alias("gini_e6"),
+        F.round(F.col("_top").cast("double") / s.cast("double") * 1e6)
+        .cast("bigint")
+        .alias("top_decile_share_e6"),
+    )

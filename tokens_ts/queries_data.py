@@ -15387,3 +15387,49 @@ def ts_neyman_alloc(spark, sf_dir):
         _ev(spark, sf_dir), key_col="event_type", value_col="value",
         budget=1000,
     )
+
+
+@q(
+    "ts_user_gini",
+    """
+    WITH h AS (
+      SELECT event_type AS series_id, user_id AS u,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, c,
+             row_number() OVER (PARTITION BY series_id ORDER BY c, u) AS rn,
+             count(*) OVER (PARTITION BY series_id) AS m
+      FROM h
+    ),
+    a AS (
+      SELECT series_id,
+             CAST(max(m) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(rn * c) AS BIGINT) AS tr,
+             CAST(sum(CASE WHEN rn > m - floor((m + 9) / 10)
+                           THEN c ELSE 0 END) AS BIGINT) AS topc
+      FROM r GROUP BY 1
+    )
+    SELECT series_id, n_users, n_events,
+           CASE WHEN n_users > 1 AND n_events > 0 THEN
+             CAST(ROUND(CAST(2 * tr - (n_users + 1) * n_events AS DOUBLE)
+                  / CAST(n_users * n_events AS DOUBLE) * 1e6) AS BIGINT)
+           WHEN n_events > 0 THEN 0 END AS gini_e6,
+           CAST(ROUND(CAST(topc AS DOUBLE) / CAST(n_events AS DOUBLE) * 1e6)
+                AS BIGINT) AS top_decile_share_e6
+    FROM a
+    """,
+)
+def ts_user_gini(spark, sf_dir):
+    """Gini concentration of event volume across active users per
+    event type, with the busiest-decile user share — the bot/whale
+    dial next to gini_hours' temporal concentration (see
+    analytics.user_gini)."""
+    return analytics.user_gini(
+        _ev(spark, sf_dir), keys=["event_type"], user_col="user_id",
+    ).select(
+        F.col("event_type").alias("series_id"),
+        "n_users", "n_events", "gini_e6", "top_decile_share_e6",
+    )
