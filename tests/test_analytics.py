@@ -4894,3 +4894,29 @@ def test_user_gini_uniform_vs_whale(spark):
     assert out["w"]["top_decile_share_e6"] == round(16 / 19 * 1e6)
     assert out["solo"]["gini_e6"] == 0
     assert out["solo"]["top_decile_share_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# stickiness: DAU / WAU with exact support-explosion WAU
+# ---------------------------------------------------------------------------
+
+
+def test_stickiness_inactive_user_still_in_wau(spark):
+    """u1 active day 0 only; u2 active days 0 and 3. Day 0: dau 2,
+    wau 2 → 1.0. Day 3: dau 1 but wau 2 — u1 is inactive on day 3
+    yet within the trailing week, the semantics a naive
+    distinct-on-the-day cannot produce → stickiness 0.5 exactly.
+    Day 8 (u2 again): u1's support expired (day 0 + 6 < 8) → wau 1."""
+    rows = [(1, 0), (2, 0), (2, 3 * 86400), (2, 8 * 86400)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t long"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+    out = {r["day_ep"] // 86400: r for r in
+           analytics.stickiness(df).collect()}
+    assert (out[0]["dau"], out[0]["wau"]) == (2, 2)
+    assert out[0]["stickiness_e6"] == 1_000_000
+    assert (out[3]["dau"], out[3]["wau"]) == (1, 2)
+    assert out[3]["stickiness_e6"] == 500_000
+    assert (out[8]["dau"], out[8]["wau"]) == (1, 1)
+    # only observed days emit rows
+    assert set(out) == {0, 3, 8}

@@ -8761,3 +8761,57 @@ def user_gini(
         .cast("bigint")
         .alias("top_decile_share_e6"),
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU stickiness per observed day — the product-health
+    ratio the audience tables (topn_daily_users, audience_overlap,
+    distinct_cascade) stop short of: what fraction of the trailing
+    window's reachable users came back TODAY. 1.0 = the same cohort
+    daily (a pipeline, not an audience); small = drive-by traffic.
+
+    Exact by construction, with the trailing-window distinct done as
+    a SUPPORT EXPLOSION instead of a sliding-window distinct (which
+    Spark cannot express): each (user, active-day) pair supports the
+    `window_days` days it is visible to (day … day+w−1), so WAU(d) =
+    distinct users among supporters of d — an exact count, not a
+    sketch, and a user inactive today but active three days ago
+    correctly counts in WAU (pinned). Output rows only for days that
+    HAVE events (the observed-day join); all counts exact bigints,
+    one e6 ratio.
+
+    Shapes: one (user, day) distinct — the corpus shuffle — then a
+    ×w row-local explode of that users×days-bounded frame, a second
+    bounded distinct-agg, and a days-bounded join."""
+    day = F.floor(
+        F.unix_timestamp(F.date_trunc("day", F.col(ts_col))) / 86400
+    ).cast("bigint")
+    ud = df.select(F.col(user_col).alias("_u"), day.alias("_d")).distinct()
+    dau = ud.groupBy("_d").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    sup = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + (window_days - 1))
+        ).alias("_td"),
+    ).distinct()
+    wau = sup.groupBy("_td").agg(
+        F.count("*").cast("bigint").alias("wau")
+    )
+    j = dau.join(wau, dau["_d"] == wau["_td"])
+    return j.select(
+        (F.col("_d") * 86400).alias("day_ep"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double") * 1e6
+        )
+        .cast("bigint")
+        .alias("stickiness_e6"),
+    )

@@ -15433,3 +15433,31 @@ def ts_user_gini(spark, sf_dir):
         F.col("event_type").alias("series_id"),
         "n_users", "n_events", "gini_e6", "top_decile_share_e6",
     )
+
+
+@q(
+    "ts_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    sup AS (
+      SELECT DISTINCT u, d + s AS td
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS s)
+    ),
+    wau AS (SELECT td, CAST(count(*) AS BIGINT) AS wau FROM sup GROUP BY 1)
+    SELECT CAST(dau.d * 86400 AS BIGINT) AS day_ep, dau.dau, wau.wau,
+           CAST(ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                * 1e6) AS BIGINT) AS stickiness_e6
+    FROM dau JOIN wau ON wau.td = dau.d
+    """,
+)
+def ts_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per observed day — exact trailing-7-day
+    distinct users via support explosion (never a sliding distinct,
+    never a sketch), output only for days with events (see
+    analytics.stickiness)."""
+    return analytics.stickiness(_ev(spark, sf_dir))
