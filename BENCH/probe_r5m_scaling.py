@@ -34,7 +34,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 BENCH = ROOT / "BENCH"
 
-OPS = {"census": 300_000, "survival": 50_000_000, "attrib": 100_000_000}
+OPS = {"census": 300_000, "survival": 250_000_000, "attrib": 500_000_000}
 
 WORKER = r"""
 import json, sys, time
