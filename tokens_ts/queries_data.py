@@ -5955,7 +5955,7 @@ def emb_silhouette(spark, sf_dir):
       FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 37 = 0
     ),
     scored AS (
-      SELECT q.qid, e.vec_id AS nid,
+      SELECT q.qid, e.nid,
              CAST(ROUND(list_dot_product(q.qv, e.v)
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
@@ -6120,7 +6120,7 @@ def _mmr_sql(k: int = 5, pool: int = 20, sample_mod: int = 97) -> str:
       FROM embeddings WHERE embedding IS NOT NULL AND vec_id % {sample_mod} = 0
     ),
     scored AS (
-      SELECT q.qid, e.vec_id AS nid, e.v,
+      SELECT q.qid, e.nid, e.v,
              CAST(ROUND(list_dot_product(q.qv, e.v)
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(e.v, e.v))) * 1e6) AS BIGINT)
