@@ -1833,41 +1833,65 @@ def ngram_uniqueness(
     kept n-grams at some n emit no row for that n.
 
     Shapes: the n-gram streams are ROW-LOCAL array expressions flattened
-    into one explode; ONE (group, n, gram) count agg (map-side
-    combined) then a groups×n-bounded finish. The wall cost is the
-    ~4×-token-volume explode through a mostly-unique-key partial agg
-    (map-side combine cannot shrink unique grams); an xxhash64-keyed
-    variant (8-byte keys, no gram strings) measured NO faster at bench
-    volume (interleaved A/B in BENCH/BASELINE.md) and was dropped —
-    the agg is explode-volume-bound, not key-width-bound. At 10^12
-    scale this op rides the per-(source, day) wave bound like every
-    tier job, never one corpus-wide agg."""
+    into one explode; ONE (group, n, gram-key) count agg (map-side
+    combined) then a groups×n-bounded finish. The gram key is the
+    PACKED FIXED-WIDTH form (n ≤ 4 int32 tokens → two bigints via
+    shift/or — injective per n, so distinct keys ↔ distinct grams
+    exactly): r5 measured the original string-serialized grams
+    explode-volume-bound, but the "volume" cost was the per-gram
+    expression work (two array slices + a per-element string cast +
+    a join per gram); packing replaces that with ~n array gets and
+    two shift/ors, and the agg hashes 20-byte fixed-width keys
+    instead of variable strings (r6, guide §2.3 narrower types —
+    before/after in OPTIMIZATION_r06.md). At 10^12 scale this op
+    rides the per-(source, day) wave bound like every tier job,
+    never one corpus-wide agg."""
     toks = F.col(tokens_col)
 
+    def _pack2(a, b):
+        # injective int32-pair → int64: (a << 32) | (b & 0xFFFFFFFF)
+        return F.shiftleft(a.cast("bigint"), 32).bitwiseOR(
+            b.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+
+    _zero = F.lit(0).cast("bigint")
+
     def grams(n: int):
-        sl = lambda p: F.slice(toks, p, n)  # noqa: E731
-        raw = F.transform(
-            F.sequence(F.lit(1), (F.size(toks) - n + 1).cast("int")),
-            lambda p: F.when(
-                ~F.exists(sl(p), lambda x: x == pad_id),
-                F.array_join(
-                    F.transform(sl(p), lambda x: x.cast("string")), ","
-                ),
+        def tok(p, j):
+            return F.get(toks, p + j) if j else F.get(toks, p)
+
+        def ok(p):
+            c = tok(p, 0) != pad_id
+            for j in range(1, n):
+                c = c & (tok(p, j) != pad_id)
+            return c
+
+        def key(p):
+            k1 = _pack2(tok(p, 0), tok(p, 1) if n >= 2 else F.lit(0))
+            k2 = (
+                _pack2(tok(p, 2), tok(p, 3) if n >= 4 else F.lit(0))
+                if n >= 3
+                else _zero
+            )
+            return F.struct(
+                F.lit(n).alias("n"), k1.alias("k1"), k2.alias("k2")
+            )
+
+        kept = F.transform(
+            F.filter(
+                F.sequence(F.lit(0), (F.size(toks) - n).cast("int")), ok
             ),
+            key,
         )
-        kept = F.filter(raw, lambda g: g.isNotNull())
-        arr = F.when(F.size(toks) >= n, kept).otherwise(
-            F.array().cast("array<string>")
-        )
-        return F.transform(
-            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        return F.when(F.size(toks) >= n, kept).otherwise(
+            F.array().cast("array<struct<n:int,k1:bigint,k2:bigint>>")
         )
 
     combined = F.flatten(F.array(*[grams(n) for n in range(1, max_n + 1)]))
     rows = seq.select(
         F.col(group_col).alias("g"), F.explode(combined).alias("e")
-    ).select("g", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
-    counts = rows.groupBy("g", "n", "gram").agg(
+    ).select("g", F.col("e.n").alias("n"), F.col("e.k1").alias("k1"), F.col("e.k2").alias("k2"))
+    counts = rows.groupBy("g", "n", "k1", "k2").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
     return counts.groupBy("g", "n").agg(
