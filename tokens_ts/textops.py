@@ -671,27 +671,37 @@ def dist_drift(
 
     Shapes: the only corpus-sized op is explode → map-side-combined
     (group, bucket, token) counts; everything downstream is
-    vocab×buckets-bounded. The cur↔prev token join is an equi-join on
-    (group, token, bucket-epoch arithmetic) between two such bounded
-    frames; per-bucket totals ride along via a second bounded join.
-    Pass `counts=` (a token_histogram frame) to serve from the
-    materialized tier instead of re-exploding the corpus."""
+    vocab×buckets-bounded. The tier frame feeds four subtrees (cur,
+    prev, both totals), so it is CACHED — one corpus explode, not
+    four Catalyst re-derivations (r6, the keyness_g2 single-scan
+    rule; guide §2.4). The cur↔prev pairing is a DOUBLE-EMIT re-agg
+    (each tier row enters the union once as itself and once shifted
+    one step forward, then one (group, bucket, token) sum) — aggs
+    only, no full-outer sort-merge join; per-bucket totals are
+    buckets-bounded and broadcast. Pass `counts=` (a token_histogram
+    frame) to serve from the materialized tier instead of
+    re-exploding the corpus."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    counts = counts.cache()
     totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
-    cur = counts.select(by, "ep", "t", F.col("c").alias("cc"))
-    prv = counts.select(
-        by, (F.col("ep") + step).alias("ep"), "t", F.col("c").alias("cp")
+    zero = F.lit(0).cast("bigint")
+    cur = counts.select(
+        by, "ep", "t", F.col("c").alias("cc"), zero.alias("cp")
     )
-    joined = cur.join(prv, [by, "ep", "t"], "full_outer").select(
-        by, "ep", "t",
-        F.coalesce("cc", F.lit(0)).alias("cc"),
-        F.coalesce("cp", F.lit(0)).alias("cp"),
+    prv = counts.select(
+        by, (F.col("ep") + step).alias("ep"), "t",
+        zero.alias("cc"), F.col("c").alias("cp"),
+    )
+    joined = cur.unionByName(prv).groupBy(by, "ep", "t").agg(
+        F.sum("cc").alias("cc"), F.sum("cp").alias("cp")
     )
     tp = totals.select(by, "ep", F.col("tot").alias("tot_c"))
     tq = totals.select(by, (F.col("ep") + step).alias("ep"), F.col("tot").alias("tot_p"))
-    scored = joined.join(tp, [by, "ep"]).join(tq, [by, "ep"])
+    scored = joined.join(F.broadcast(tp), [by, "ep"]).join(
+        F.broadcast(tq), [by, "ep"]
+    )
     p = F.col("cc") / F.col("tot_c")
     qq = F.col("cp") / F.col("tot_p")
     m = (p + qq) / 2
@@ -742,6 +752,9 @@ def vocab_growth(
     in the tier)."""
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    # tier feeds two subtrees (first-seen minima + bucket spine):
+    # cache so the corpus explode runs once (r6 single-scan rule)
+    counts = counts.cache()
     first_seen = counts.groupBy(by, "t").agg(F.min("ep").alias("ep"))
     new_per_bucket = first_seen.groupBy(by, "ep").agg(
         F.count("*").alias("new_tokens")
@@ -796,9 +809,12 @@ def topk_turnover(
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
     w = Window.partitionBy(by, "ep").orderBy(F.desc("c"), F.asc("t"))
+    # the ranked head is read three times (sizes + both sides of the
+    # intersection join): cache the k×buckets-bounded frame so the
+    # corpus explode + ranking window run once (r6 single-scan rule)
     topk = counts.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= k
-    )
+    ).cache()
     sz = topk.groupBy(by, "ep").agg(F.count("*").alias("n"))
     scored = sz.join(
         sz.select(by, (F.col("ep") + step).alias("ep"), F.col("n").alias("n_prev")),
@@ -858,9 +874,14 @@ def token_burst(
     token_histogram frame) to serve from the materialized tier."""
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    # tier feeds the totals agg AND the shares join: cache (one
+    # corpus explode), and broadcast the buckets-bounded totals so
+    # the tier-sized side is never shuffled for the join (r6,
+    # guide §3.1)
+    counts = counts.cache()
     totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
     nb = totals.groupBy(by).agg(F.count("*").alias("n_buckets"))
-    shares = counts.join(totals, [by, "ep"]).select(
+    shares = counts.join(F.broadcast(totals), [by, "ep"]).select(
         by, "t", "c", (F.col("c") / F.col("tot")).alias("share")
     )
     per_tok = shares.groupBy(by, "t").agg(
@@ -926,6 +947,9 @@ def decay_topk(
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    # tier feeds the latest-bucket agg AND the aged scoring join:
+    # cache so the corpus explode runs once (r6 single-scan rule)
+    counts = counts.cache()
     latest = counts.groupBy(by).agg(F.max("ep").alias("max_ep"))
     aged = counts.join(F.broadcast(latest), by).withColumn(
         "age", ((F.col("max_ep") - F.col("ep")) / step).cast("bigint")
@@ -972,6 +996,9 @@ def token_novelty(
     join is an equi-join between two tier-bounded frames."""
     if counts is None:
         counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+    # tier feeds three subtrees (first-seen, novel join, totals):
+    # cache so the corpus explode runs once (r6 single-scan rule)
+    counts = counts.cache()
     first_seen = counts.groupBy(by, "t").agg(F.min("ep").alias("fep"))
     novel = (
         counts.join(
