@@ -1094,16 +1094,24 @@ def dup_graph_census(pairs: DataFrame) -> DataFrame:
     join cannot explode on a boilerplate hub — the same cap that
     protects the pair join protects the census.
 
-    Scale shape: degree agg + one self-join on the middle node + one
-    left-semi closure probe, all on the bucket-capped pair frame
-    (orders of magnitude below corpus size); single-row output."""
-    e = pairs.select("a", "b").distinct()
+    Scale shape (r6): the candidate-pair frame feeds every subtree
+    (degrees, wedges, closure), so it is CACHED — one candidate
+    build instead of five Catalyst re-derivations. Wedges generate
+    COMPACT-FORWARD: each edge is oriented toward its higher-
+    (degree, id) endpoint and wedges form only between out-edges of
+    the lower endpoint, so wedge volume drops from Σ C(deg,2) to
+    Σ C(outdeg,2) with outdeg ≤ √(2m) — triangle counts are provably
+    identical (each triangle appears exactly once, at its minimum-
+    rank vertex, as its rank-sorted pair of out-edges, closed by the
+    rank-oriented third edge). Degrees ride as a broadcast
+    nodes-bounded dim; single-row output."""
+    e = pairs.select("a", "b").distinct().cache()
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("d"))
-    )
+    ).cache()
     nodes_edges = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         (F.sum("d") / 2).cast("bigint").alias("n_edges"),
@@ -1111,12 +1119,30 @@ def dup_graph_census(pairs: DataFrame) -> DataFrame:
             "n_wedges"
         ),
     )
-    paths = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
-    ).select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
-    tri = paths.join(e, ["a", "b"], "left_semi").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
+    ed = e.join(
+        F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))),
+        "b",
     )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    dire = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    ).cache()
+    lower = (F.col("e1.dw") < F.col("e2.dw")) | (
+        (F.col("e1.dw") == F.col("e2.dw")) & (F.col("e1.w") < F.col("e2.w"))
+    )
+    paths = dire.alias("e1").join(
+        dire.alias("e2"), (F.col("e1.u") == F.col("e2.u")) & lower
+    ).select(F.col("e1.w").alias("u"), F.col("e2.w").alias("w"))
+    tri = paths.join(
+        dire.select("u", "w"), ["u", "w"], "left_semi"
+    ).agg(F.count("*").cast("bigint").alias("n_triangles"))
     out = nodes_edges.crossJoin(tri)
     return out.select(
         "n_nodes",

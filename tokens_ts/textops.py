@@ -569,19 +569,23 @@ def bigram_pmi_topk(
     ).select("bg.a", "bg.b").where(
         (F.col("a") != pad_id) & (F.col("b") != pad_id)
     )
+    # the unigram frame feeds three subtrees (both join dims + the
+    # total) and the bigram stream two (total-before-filter + the
+    # support-filtered counts): cache the vocab-/vocab²-bounded count
+    # frames so the corpus is exploded once per stream instead of
+    # five times via Catalyst re-derivation (r6 single-scan rule)
     uni = (
         seq.select(F.explode(tokens_col).alias("t"))
         .where(F.col("t") != pad_id)
         .groupBy("t")
         .agg(F.count("*").alias("c"))
-    )
+    ).cache()
     t_uni = uni.agg(F.sum("c").cast("double").alias("tu"))
-    t_bi = pairs.agg(F.count("*").cast("double").alias("tb"))
-    bgc = (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= min_count)
-    )
+    bgc_all = pairs.groupBy("a", "b").agg(F.count("*").alias("cnt")).cache()
+    # T_bi is counted BEFORE the min_count filter (pinned rule):
+    # sum of per-bigram counts == count of the pair stream
+    t_bi = bgc_all.agg(F.sum("cnt").cast("double").alias("tb"))
+    bgc = bgc_all.where(F.col("cnt") >= min_count)
     ua = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
     scored = (
