@@ -6302,8 +6302,20 @@ def pagerank_fixed(
     (deterministic), and the result cannot drift by an ulp anywhere.
     Dangling mass (out-degree-0 sinks) redistributes uniformly, the
     standard correction. iters is a fixed unrolled chain, not a
-    driver loop."""
+    driver loop.
+
+    r6: every frame here is node-vocabulary-bounded, but the unrolled
+    chain re-derived the whole lineage (including the caller's
+    corpus-sized edge-count upstream) in every subtree of every
+    iteration — the 3-iteration plan carried 728 Exchanges. The edge
+    dim and the base frame are now cached, and each iteration's rank
+    frame is lazily localCheckpoint-ed, which truncates the lineage
+    so per-action planning and every subtree read stay O(nodes)
+    (guide §5: localCheckpoint as the cheap lineage cut when fault
+    tolerance of the intermediate is not critical — these frames are
+    node-vocabulary-sized)."""
     e12 = 10**12
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -6319,9 +6331,10 @@ def pagerank_fixed(
         .select(
             "node", "n_nodes", F.coalesce("out_n", F.lit(0)).alias("out_n")
         )
-    )
+    ).cache()
     r = base.withColumn("rank", F.expr(f"{e12} div n_nodes"))
     for _ in range(iters):
+        r = r.localCheckpoint(eager=False)
         contrib = edges.join(
             r.select(
                 F.col("node").alias("src"),
