@@ -169,6 +169,7 @@ def main():
         "token_tier_decay": lambda: textops.decay_topk(
             None, counts=textops.token_histogram(grid.with_event_time(seq))),
         "token_histogram": lambda: textops.token_histogram(grid.with_event_time(seq)),
+        "token_encode_only": lambda: codec.encode_token_blobs(seq),
         "seq_gen": lambda: seq,
         "seq_gen_ts": lambda: grid.with_event_time(seq),
     }

@@ -733,14 +733,18 @@ def test_centroid_drift_no_corpus_broadcast_or_window(spark):
 
 def test_token_bucket_single_key_shuffle_arrow_stage(spark, events_path):
     """token_bucket plans exactly one exchange (the user-key
-    hash-partitioning into the Arrow stage) and one
-    FlatMapGroupsInPandas — no window, no join, no second shuffle."""
+    hash-partitioning), an in-partition (key, ts, id) sort, and one
+    whole-batch MapInPandas Arrow stage (r6: per-group
+    FlatMapGroupsInPandas framed every ~67-event user as its own
+    Arrow batch) — no window, no join, no second shuffle."""
     from tokens_ts import analytics
 
     df = spark.read.parquet(events_path + "/events.parquet")
     plan = _plan(analytics.token_bucket(df, keys=["user_id"], ts_col="ts"))
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Sort" in plan
     assert "Window" not in plan and "Join" not in plan
 
 

@@ -643,9 +643,23 @@ def _enc_tokens_udf(tok_lists: pd.Series) -> pd.Series:
     )
 
 
+def _arrow_parts(df: DataFrame) -> int:
+    """Partition target for row-local Arrow stages: ~2 tasks per core
+    (scale-adaptive via defaultParallelism, never hard-coded). Each
+    JVM↔Python task pays a fixed worker/stream setup cost, so a
+    high-partition-count input (e.g. the 256-slice synthesizer union)
+    spends more on per-task boundary setup than on data: measured
+    2.3 s → 0.84 s for an identity Arrow pass over the token corpus
+    at 256 → 64 partitions (guide §4: few, large batches).
+    coalesce() never increases a smaller partition count."""
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
 def encode_token_blobs(seq: DataFrame) -> DataFrame:
     """sequences → (doc_id, source, n_tok, tok_blob, raw_bytes,
-    enc_bytes): one scalar Arrow stage, no shuffle (row-local)."""
+    enc_bytes): one scalar Arrow stage, no shuffle (row-local;
+    coalesced to ~2 tasks/core — see _arrow_parts)."""
+    seq = seq.coalesce(_arrow_parts(seq))
     return seq.select(
         "doc_id",
         "source",
@@ -670,6 +684,6 @@ def decode_token_blobs(blobs: DataFrame) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(
+    return blobs.coalesce(_arrow_parts(blobs)).mapInPandas(
         batches, schema="doc_id string, source string, tokens array<int>"
     )
