@@ -639,7 +639,34 @@ def token_histogram(
     histogram and re-summing only touched (group, bucket) partitions
     — the same partial-state contract as the value tiers
     (tiers.rollup) — and every drift query then reads
-    vocab×buckets-bounded rows instead of re-exploding the corpus."""
+    vocab×buckets-bounded rows instead of re-exploding the corpus.
+
+    r6 layout: the tier is emitted CLUSTERED BY (group, token) —
+    guide §6 partitioning-on-write: the per-token monitors
+    (token_burst, decay_topk, vocab_growth, token_novelty) all
+    aggregate the tier by (group, token), and Spark's subset-
+    clustering rule lets those aggs reuse this partitioning with NO
+    further tier-sized exchange. Map-side combine on (group, bucket,
+    token) still runs before the clustering exchange, so the
+    re-layout ships tier-sized (not explode-sized) rows once at
+    build, amortized over every token-major read of the materialized
+    tier."""
+    return _token_histogram_raw(
+        seq, by, ts_col, tokens_col, pad_id, trunc
+    ).repartition(by, "t")
+
+
+def _token_histogram_raw(
+    seq: DataFrame,
+    by: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    pad_id: int = 0,
+    trunc: str = "hour",
+) -> DataFrame:
+    """token_histogram without the (group, token) clustering pass —
+    for consumers whose downstream shape cannot reuse it (dist_drift
+    pairs buckets via a partitioning-destroying union)."""
     return (
         seq.select(
             by,
@@ -687,7 +714,9 @@ def dist_drift(
     re-exploding the corpus."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
     if counts is None:
-        counts = token_histogram(seq, by, ts_col, tokens_col, pad_id, trunc)
+        counts = _token_histogram_raw(
+            seq, by, ts_col, tokens_col, pad_id, trunc
+        )
     counts = counts.cache()
     totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
     zero = F.lit(0).cast("bigint")
