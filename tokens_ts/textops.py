@@ -700,41 +700,62 @@ def dist_drift(
     contribute p·ln(2) one-sidedly (q=0 ⇒ p·ln(2p/p) = p·ln 2, the
     JSD limit).
 
-    Shapes: the only corpus-sized op is explode → map-side-combined
-    (group, bucket, token) counts; everything downstream is
-    vocab×buckets-bounded. The tier frame feeds four subtrees (cur,
-    prev, both totals), so it is CACHED — one corpus explode, not
-    four Catalyst re-derivations (r6, the keyness_g2 single-scan
-    rule; guide §2.4). The cur↔prev pairing is a DOUBLE-EMIT re-agg
-    (each tier row enters the union once as itself and once shifted
-    one step forward, then one (group, bucket, token) sum) — aggs
-    only, no full-outer sort-merge join; per-bucket totals are
-    buckets-bounded and broadcast. Pass `counts=` (a token_histogram
-    frame) to serve from the materialized tier instead of
-    re-exploding the corpus."""
+    Shapes (r6): the cur↔prev pairing is a DOUBLE-EMIT re-agg — each
+    token occurrence enters the count agg once at its own bucket (as
+    cur) and once shifted one step forward (as prev) — aggs only, no
+    full-outer sort-merge join, no windows. When building from the
+    corpus the emission fuses INTO the one corpus-sized explode
+    (2 structs per token, ONE (group, bucket, token) agg — no
+    separate tier build, no second tier-sized shuffle; the r5 shape
+    re-derived the histogram in four subtrees). When serving from a
+    materialized tier (`counts=`), the tier rows double-emit through
+    the same single re-agg with the tier cached. Per-bucket totals
+    ride the paired frame (cached, read twice) and join back
+    broadcast — buckets-bounded either way."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
     if counts is None:
-        counts = _token_histogram_raw(
-            seq, by, ts_col, tokens_col, pad_id, trunc
+        ex = seq.select(
+            by,
+            F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("ep0"),
+            F.explode(tokens_col).alias("t"),
+        ).where(F.col("t") != pad_id)
+        em = ex.select(
+            by,
+            "t",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ep0").alias("ep"),
+                        F.lit(1).alias("cc"),
+                        F.lit(0).alias("cp"),
+                    ),
+                    F.struct(
+                        (F.col("ep0") + step).alias("ep"),
+                        F.lit(0).alias("cc"),
+                        F.lit(1).alias("cp"),
+                    ),
+                )
+            ).alias("e"),
+        ).select(by, F.col("e.ep").alias("ep"), "t", "e.cc", "e.cp")
+    else:
+        counts = counts.cache()
+        zero = F.lit(0).cast("bigint")
+        cur = counts.select(
+            by, "ep", "t", F.col("c").alias("cc"), zero.alias("cp")
         )
-    counts = counts.cache()
-    totals = counts.groupBy(by, "ep").agg(F.sum("c").alias("tot"))
-    zero = F.lit(0).cast("bigint")
-    cur = counts.select(
-        by, "ep", "t", F.col("c").alias("cc"), zero.alias("cp")
-    )
-    prv = counts.select(
-        by, (F.col("ep") + step).alias("ep"), "t",
-        zero.alias("cc"), F.col("c").alias("cp"),
-    )
-    joined = cur.unionByName(prv).groupBy(by, "ep", "t").agg(
-        F.sum("cc").alias("cc"), F.sum("cp").alias("cp")
-    )
-    tp = totals.select(by, "ep", F.col("tot").alias("tot_c"))
-    tq = totals.select(by, (F.col("ep") + step).alias("ep"), F.col("tot").alias("tot_p"))
-    scored = joined.join(F.broadcast(tp), [by, "ep"]).join(
-        F.broadcast(tq), [by, "ep"]
-    )
+        prv = counts.select(
+            by, (F.col("ep") + step).alias("ep"), "t",
+            zero.alias("cc"), F.col("c").alias("cp"),
+        )
+        em = cur.unionByName(prv)
+    joined = em.groupBy(by, "ep", "t").agg(
+        F.sum("cc").cast("bigint").alias("cc"),
+        F.sum("cp").cast("bigint").alias("cp"),
+    ).cache()
+    totals = joined.groupBy(by, "ep").agg(
+        F.sum("cc").alias("tot_c"), F.sum("cp").alias("tot_p")
+    ).where((F.col("tot_c") > 0) & (F.col("tot_p") > 0))
+    scored = joined.join(F.broadcast(totals), [by, "ep"])
     p = F.col("cc") / F.col("tot_c")
     qq = F.col("cp") / F.col("tot_p")
     m = (p + qq) / 2
