@@ -2499,11 +2499,14 @@ def kendall_matrix(
             .cast("bigint")
             .alias("v")
         )
-    )
+    ).cache()
     kid = F.concat_ws("", *keys)
     a = b.select(kid.alias("ka"), "day", "ep", F.col("v").alias("x"))
     bb = b.select(kid.alias("kb"), "day", "ep", F.col("v").alias("y"))
-    j = a.join(bb, ["day", "ep"]).where(F.col("ka") < F.col("kb"))
+    # b backs both alignment sides and j both pair sides: cache the
+    # buckets-bounded frames so the corpus bucket agg runs once and
+    # the alignment join once (r6 single-scan rule)
+    j = a.join(bb, ["day", "ep"]).where(F.col("ka") < F.col("kb")).cache()
     j1 = j.select(
         "ka", "kb", "day",
         F.col("ep").alias("ep1"), F.col("x").alias("x1"), F.col("y").alias("y1"),
@@ -8618,10 +8621,13 @@ def logrank_pairs(
             F.col("_nxt").isNotNull().cast("bigint").alias("_death"),
         )
     )
+    # the histogram backs the type dim and both pair sides: cache the
+    # (types × buckets)-bounded frame so the corpus-wide (type, user)
+    # lead-window pass runs once instead of three times (r6 rule)
     hist = g.groupBy("_ty", "t").agg(
         F.sum("_death").alias("d"),
         F.count("*").cast("bigint").alias("m"),
-    )
+    ).cache()
     types = hist.select("_ty").distinct()
     p = (
         types.select(F.col("_ty").alias("type_a"))

@@ -3386,12 +3386,22 @@ def dsir_weights(
     """
     from tokens_ts import dedup
 
-    grams = F.expr(
-        f"""transform(
-              sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - 1, 1)),
-              i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, 2))
-            )"""
-    )
+    # r6: the old transform-over-positions re-evaluated
+    # split(trim(text)) INSIDE the lambda — interpreted HOF lambdas
+    # have no cross-element CSE, so every position re-split the whole
+    # text: O(words²) per doc. zip_with over two pre-sliced views
+    # splits once (arguments are evaluated once; the lambda touches
+    # only its elements). Identical gram strings: adjacent-pair
+    # concat, 1-word docs contribute their single word.
+    _w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(_w) >= 2,
+        F.zip_with(
+            F.slice(_w, 1, F.size(_w) - 1),
+            F.slice(_w, 2, F.size(_w) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.slice(_w, 1, 1))
     g = docs.select(
         F.col(id_col),
         is_target.alias("_t"),
@@ -3401,10 +3411,13 @@ def dsir_weights(
         "_t",
         F.pmod(dedup.md5_60(F.col("_g")), F.lit(n_buckets)).alias("_b"),
     )
+    # bucket-count dim (≤ n_buckets rows) feeds the totals AND the
+    # log-ratio projection: cache so the corpus bigram explode backs
+    # it once (r6 single-scan rule)
     bc = g.groupBy("_b").agg(
         F.count("*").alias("_cr"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_ct"),
-    )
+    ).cache()
     tot = bc.agg(
         F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
     )
