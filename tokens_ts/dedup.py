@@ -29,14 +29,26 @@ def exact_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(text_col: str = "text", k: int = 3):
-    """k-gram word shingles as a distinct string array (expression)."""
-    # greatest(..., 1): a doc shorter than k words yields one whole-doc
-    # shingle (sequence(1, 0) would infer step -1 and slice at pos 0)
-    return F.expr(
-        f"""array_distinct(transform(
-              sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k - 1}, 1)),
-              i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {k}))
-            ))"""
+    """k-gram word shingles as a distinct string array (expression).
+
+    r6: built as a zip_with chain over k pre-sliced views of the word
+    array — the old transform-over-positions re-evaluated
+    split(trim(text)) INSIDE the lambda for every position
+    (interpreted HOF lambdas have no cross-element CSE: O(words²)
+    per doc). zip_with's array arguments are evaluated once; the
+    lambda touches only elements. Identical shingle strings and
+    order; a doc shorter than k words still yields one whole-doc
+    shingle."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    m = n - (k - 1)
+    acc = F.slice(w, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(w, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(
+        F.when(n >= k, acc).otherwise(F.array(F.array_join(w, " ")))
     )
 
 
@@ -143,9 +155,12 @@ def lsh_candidates(
     dropped (degenerate boilerplate buckets would otherwise explode
     the join at web scale). hash_mode='md5' makes every value DuckDB-
     reproducible (bucket key = the band values joined as a string)."""
+    # the capped bucket frame backs both sides of the self-join:
+    # cache it so the shingle→minhash→band pipeline runs once
+    # (r6 single-scan rule)
     sized = _sized_buckets(
         band_rows(docs, n_perm, bands, text_col, hash_mode), max_bucket
-    )
+    ).cache()
     a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
     b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
     pairs = (

@@ -315,11 +315,18 @@ def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     get filtered before training. Non-distinct shingles here (unlike
     dedup.word_shingles) — repetition IS the signal. Pure expressions,
     whole-stage codegen."""
-    sh_all = F.expr(
-        f"""transform(
-              sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - 2, 1)),
-              i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, 3))
-            )"""
+    # r6: zip_with chain splits the text once (the old transform
+    # re-split it per position — O(words²); see dedup.word_shingles)
+    _w = F.split(F.trim(F.col(text_col)), r"\s+")
+    _nw = F.size(_w)
+    _m = _nw - 2
+    _acc = F.slice(_w, 1, _m)
+    for _j in (1, 2):
+        _acc = F.zip_with(
+            _acc, F.slice(_w, 1 + _j, _m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    sh_all = F.when(_nw >= 3, _acc).otherwise(
+        F.array(F.array_join(_w, " "))
     )
     n = F.size(sh_all)
     return docs.withColumn("n_3grams", n.cast("bigint")).withColumn(
