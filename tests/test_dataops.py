@@ -456,7 +456,10 @@ def test_simhash_spark_fold_matches_independent_numpy_fold(spark, testdata_root)
     for r in hashed:
         by_doc.setdefault(r["doc_id"], []).append(r["h"])
     for doc_id, hs in by_doc.items():
-        a = np.array(hs, dtype=np.uint64)
+        # xxhash64 values are signed int64; mask explicitly into
+        # uint64 (negative-int -> uint64 conversion is a numpy 2.x
+        # hard error; r6 hygiene fix)
+        a = np.array(hs, dtype=np.int64).astype(np.uint64)
         bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         counts = np.where(bits == 1, 1, -1).sum(axis=0)
         sig = int(((counts > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

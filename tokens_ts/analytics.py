@@ -6897,7 +6897,13 @@ def chi2_independence(
     Scale shape: one map-side-combined (a,b) count off the corpus
     scan; everything after lives on the |A|×|B|-bounded cell frame
     (window marginals, one global agg) — the cells are control-plane
-    at any corpus size."""
+    at any corpus size.
+
+    Null categories are excluded up front (r6 advice fix): they used
+    to enter N/marginals/χ² as their own cells while collect_set
+    dropped them from the table dimensions — an inconsistent
+    statistic on data with null categories."""
+    df = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     cells = df.groupBy(a_col, b_col).agg(F.count("*").cast("bigint").alias("o"))
     wa = Window.partitionBy(a_col)
     wb = Window.partitionBy(b_col)
@@ -8294,7 +8300,10 @@ def did_pairs(
         "series_b",
         "boundary_ep",
         "n_a0", "n_a1", "n_b0", "n_b1",
-        F.round(eff * F.lit(1e3)).cast("bigint").alias("effect_e6"),
+        # effect is in e-grid units; scale to e6 for ANY grid (r6
+        # advice fix: the old literal 1e3 silently mislabeled the
+        # scale for grid != 3; 10**(6-grid) == 1e3 at the default)
+        F.round(eff * F.lit(float(10 ** (6 - grid)))).cast("bigint").alias("effect_e6"),
         F.when(all_n2 & (sesq > 0), F.round(eff / F.sqrt(sesq) * 1e6))
         .cast("bigint")
         .alias("t_e6"),

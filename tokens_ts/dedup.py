@@ -1324,9 +1324,15 @@ def token_window_dups(
         id_col,
         source_col,
         F.explode(
+            # r6 advice fix: a sequence shorter than k tokens made
+            # sequence(1, n-k+1) descend through 0 and negatives and
+            # slice() threw INVALID_PARAMETER_VALUE.START — guard like
+            # the bigram ops: short sequences contribute no windows
             F.expr(
+                f"CASE WHEN size({tokens_col}) >= {k} THEN "
                 f"transform(sequence(1, size({tokens_col}) - {k} + 1),"
-                f" i -> concat_ws(',', slice({tokens_col}, i, {k})))"
+                f" i -> concat_ws(',', slice({tokens_col}, i, {k}))) "
+                f"ELSE CAST(array() AS array<string>) END"
             )
         ).alias("_wk"),
     )

@@ -1885,8 +1885,11 @@ def isotropy(
     ALL exact bigints — avg pairwise cosine lands at the e6 scale as
     one exact-rational division. Zero-norm vectors are excluded
     (cosine undefined — the label_cohesion pin); singleton labels emit
-    an honest null avg-cos with R̄ still defined. Bound: exact while
-    per-label n·1e3 < 2^26.5 (S_d² < 2^63/dim) — ~10⁸ members/label.
+    an honest null avg-cos with R̄ still defined. Bound (r6 advice
+    fix of an inconsistent docstring): |S_d| ≤ n·1e3, so ΣS_d² over
+    64 dims stays inside int64 while n·1e3 < 2^28.5 ≈ 3.8e8, i.e.
+    n ≲ 3.8e5 members/label; beyond that compute ssum in
+    decimal(38,0) before relying on exactness.
 
     Scale shape: ONE map-side-combined agg (labels × (dim+2) exact
     sums) off a row-local projection — zero joins, zero pair frames,
