@@ -502,9 +502,12 @@ def simhash_candidates(
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bits")
+    # the capped bucket frame backs both sides of the self-join:
+    # cache it so the shingle→simhash→band pipeline runs once
+    # (r6 single-scan rule, same as lsh_candidates)
     sized = band_rows.withColumn("bsz", F.count("*").over(w)).where(
         (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
-    )
+    ).cache()
     a = sized.select("band", "bits", F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
     b = sized.select("band", "bits", F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
