@@ -643,6 +643,8 @@ def acf(
     self-equi-join on (keys, epoch) act on the buckets-bounded frame;
     the final agg is (keys × max_lag)-sized. No window sort at all."""
     step = {"minute": 60, "hour": 3600, "day": 86400}[trunc]
+    # bucket frame backs both join sides: cache the buckets-bounded
+    # frame so the corpus bucket agg runs once (r6 single-scan rule)
     b = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
@@ -650,7 +652,7 @@ def acf(
             F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
         )
         .agg(F.avg(value_col).alias("_v"))
-    )
+    ).cache()
     left = b.select(
         *keys, "_ep", F.col("_v").alias("_x"),
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
@@ -715,7 +717,7 @@ def ccf(
             F.unix_timestamp(F.date_trunc(trunc, F.col(ts_col))).alias("_ep"),
         )
         .agg(F.avg(value_col).alias("_v"))
-    )
+    ).cache()  # backs both join sides — corpus bucket agg runs once (r6)
     left = b.select(
         F.col(key_col).alias("series_a"), "_ep", F.col("_v").alias("_x"),
         F.explode(
