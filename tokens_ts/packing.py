@@ -66,7 +66,19 @@ def pack_offsets(seq: DataFrame, bases: DataFrame | None = None) -> DataFrame:
     raise_error()s mid-scan (no extra shuffle, no distinct count —
     measured at +0 s vs +50% for an exact count_distinct pre-check).
     The failure surfaces as a SparkRuntimeException('duplicate doc_id
-    …') when the plan executes."""
+    …') when the plan executes.
+
+    r6 note (measured, REJECTED — guide §1.1 empirical loop): a
+    guide-§8 rewrite that ran the cumulative window on a slim
+    (source, doc_id, n_tok) projection and re-attached offsets to
+    the heavy rows via a broadcast doc_id join — so token payloads
+    never ride the window shuffle — benchmarked ~2x SLOWER at sandbox
+    volume (interleaved A/B: 1.5-1.7 s window path vs 2.7-3.7 s
+    broadcast path; the broadcast build barrier + per-row hash probe
+    cost more than sorting this corpus's arrays 8 ways). Kept the
+    window form; the slim-plus-broadcast shape is the documented
+    fallback if per-source window state ever dominates at real
+    payload sizes."""
     base = bases if bases is not None else source_bases(seq)
     w_sort = Window.partitionBy("source").orderBy("doc_id")
     w = w_sort.rowsBetween(Window.unboundedPreceding, -1)
