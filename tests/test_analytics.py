@@ -2642,6 +2642,104 @@ def test_token_bucket_rejected_consumes_nothing(spark):
     assert [r["level_after"] for r in out] == [0, 10, 20, 0]
 
 
+def test_token_bucket_state_carries_across_arrow_batches(spark):
+    """r6 focused test for the mapInPandas rewrite: with
+    arrow.maxRecordsPerBatch forced tiny, a key's events span several
+    Arrow batches, so the replay must carry (key, post, prev) state
+    across batch boundaries AND reset at key changes mid-batch.
+    Replays 3 interleaved users x 40 events against an independent
+    Python reference of the pinned recurrence."""
+    rows = []
+    eid = 0
+    for t in range(40):
+        for u in ("a", "b", "c"):
+            eid += 1
+            rows.append((u, eid, t * 7))
+    df = _tb_events(spark, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = {
+            r["event_id"]: r
+            for r in analytics.token_bucket(
+                df, keys=["user_id"], cap=30, cost=20
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # independent replay of the pinned recurrence
+    state = {}
+    for u, i, t in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        if u not in state:
+            pre = 30
+        else:
+            post, prev = state[u]
+            pre = min(30, post + (t - prev))
+        adm = 1 if pre >= 20 else 0
+        post = pre - 20 * adm
+        state[u] = (post, t)
+        assert out[i]["admitted"] == adm, (u, i, t)
+        assert out[i]["level_after"] == post, (u, i, t)
+
+
+def test_word_shingles_zipwith_edges(spark):
+    """r6 focused test for the zip_with shingle chain: empty text,
+    1-word, exactly-k and k+1 word docs produce the pinned shingle
+    sets (short docs -> one whole-doc shingle; duplicates distinct)."""
+    from tokens_ts import dedup
+
+    rows = [
+        ("d0", ""),
+        ("d1", "alpha"),
+        ("d2", "a b c"),
+        ("d3", "a b c d"),
+        ("d4", "  x   y  "),  # ragged whitespace trims+splits
+        ("d5", "a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: sorted(r["s"])
+        for r in df.select(
+            "doc_id", dedup.word_shingles("text", 3).alias("s")
+        ).collect()
+    }
+    assert out["d0"] == [""]
+    assert out["d1"] == ["alpha"]
+    assert out["d2"] == ["a b c"]
+    assert out["d3"] == ["a b c", "b c d"]
+    assert out["d4"] == ["x y"]
+    assert out["d5"] == ["a b a", "b a b"]  # distinct
+
+
+def test_ngram_packed_keys_injective_at_int32_extremes(spark):
+    """r6 focused test for the packed gram keys: token ids at the
+    int32 extremes (including negatives and values whose low 32 bits
+    collide with other tokens' high bits) must stay distinct through
+    the shift/or packing — counts match a per-row Python reference."""
+    from tokens_ts import textops
+
+    rows = [
+        ("x", [2147483647, -2147483648, 1, 65536]),
+        ("x", [2147483647, -2147483648, 1, 65536]),
+        ("x", [-1, 2147483647, -2147483648, 1]),
+        ("x", [65536, 1, -2147483648, 2147483647]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {
+        (r["n"]): (r["total"], r["distinct_grams"])
+        for r in textops.ngram_uniqueness(df, max_n=4).collect()
+    }
+    # python reference on the same gram definition (no PAD present)
+    from collections import Counter
+
+    for n in range(1, 5):
+        grams = Counter()
+        for _, toks in rows:
+            for p in range(len(toks) - n + 1):
+                grams[tuple(toks[p:p + n])] += 1
+        assert out[n] == (sum(grams.values()), len(grams)), n
+
+
 def test_token_bucket_same_second_ordered_by_id_and_keys_isolated(spark):
     """Same-second arrivals are processed in id order (no refill
     between them), and each user replays an independent bucket."""
